@@ -1,0 +1,301 @@
+"""SCD2 (type-2 slowly-changing-dimension) merge — the flagship operator.
+
+Re-expresses the reference's row-at-a-time loader
+(``/root/reference/src/warehouse/scd2_loader.py:286-548``) as ONE
+declarative, fully-distributed DataFrame transformation:
+
+    new_dim = scd2_merge(dim, changes, batch_id)
+
+Reference semantics preserved (SURVEY.md §2.10):
+
+- **Latest-per-key dedup (W1)** — within a batch only the change with the
+  greatest ``cdc_timestamp`` per business key is applied
+  (scd2_loader.py:525-531).
+- **Change suppression (P8)** — an INSERT/UPDATE whose tracked columns
+  all equal the current version is a no-op (scd2_loader.py:343-354),
+  which also subsumes duplicate-redelivery of a single change
+  (scd2_loader.py:300-307).
+- **Advisory op-types with reroutes** — INSERT onto an existing key acts
+  as UPDATE (scd2_loader.py:308-311); UPDATE onto a missing key acts as
+  INSERT (scd2_loader.py:336-340); ``UPSERT`` (the extractor's native
+  label, log_extractor.py:135) behaves like either. The op code is a
+  *hint*, the current-row join decides the action.
+- **DELETE expires only** — the current version gets
+  ``valid_to = cdc_timestamp, is_current = false``; no tombstone row;
+  deleting a missing key succeeds silently (scd2_loader.py:409-446).
+- **Atomic expire+insert** — the expired predecessor's ``valid_to``
+  equals the successor's ``valid_from`` to the microsecond
+  (technical_audit.py:512-643); both rows come out of one
+  transformation so there is no intermediate zero-current state
+  (technical_audit.py:177-319).
+- **Surrogate key** — no SERIAL in Spark: ``xxhash64(order_key,
+  valid_from)``, deterministic and collision-safe per (key, version).
+
+Scale notes (100 TB posture):
+
+- The only shuffle is the equi-join of the deduped batch against the
+  *current slice* of the dimension on the business key; historical rows
+  are never joined, only unioned back untouched (no shuffle — union is
+  a plan concatenation in Spark).
+- A CDC micro-batch is small relative to the dimension, so the batch
+  side is broadcast when under the threshold; the dimension is never
+  collected or broadcast.
+- With the dimension stored partitioned/bucketed by ``order_key``
+  (see sources/tables.py) the join co-locates and AQE handles skew.
+- Change comparison uses one ``xxhash64`` over tracked columns instead
+  of N column comparisons — one codegen'd expression, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "BUSINESS_KEY",
+    "TRACKED_COLUMNS",
+    "dedupe_latest_per_key",
+    "scd2_merge",
+    "scd2_build_from_change_log",
+    "empty_dim",
+]
+
+BUSINESS_KEY = "order_key"
+
+# Columns whose change forces a new version (scd2_loader.py:343-350
+# compares every payload column of the row image).
+TRACKED_COLUMNS = (
+    "customer_id",
+    "product_id",
+    "quantity",
+    "unit_price",
+    "total_amount",
+    "order_status",
+    "order_date",
+)
+
+# Payload carried into each dim version (FIXTURES.md §1.3).
+_PAYLOAD_COLUMNS = TRACKED_COLUMNS
+
+_OP_PRIORITY = {"DELETE": 3, "UPDATE": 2, "UPSERT": 2, "INSERT": 1}
+
+
+def _op_priority(col: Column) -> Column:
+    """Deterministic tiebreak when two changes share a cdc_timestamp:
+    later lifecycle op wins (the reference relies on file order, which a
+    distributed engine must not)."""
+    expr = F.lit(0)
+    for op, pri in _OP_PRIORITY.items():
+        expr = F.when(col == op, F.lit(pri)).otherwise(expr)
+    return expr
+
+
+def dedupe_latest_per_key(
+    changes: DataFrame,
+    key: str = "id",
+    ts: str = "cdc_timestamp",
+) -> DataFrame:
+    """W1: keep only the latest change per business key.
+
+    The canonical Spark pattern for scd2_loader.py:512-531 —
+    ``row_number`` over a per-key descending-timestamp window. Map-side
+    partial work is not possible for row_number, but AQE coalesces the
+    single shuffle on ``key``; at 100 TB this is one hash exchange of
+    the (small) micro-batch, never of the dimension.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).desc(),
+        _op_priority(F.col("operation_type")).desc(),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _tracked_hash(prefix: str = "") -> Column:
+    """Single-expression change detector: null-safe 64-bit hash of all
+    tracked columns (P8; replaces scd2_loader.py:343-354's per-column
+    Python compare with one codegen'd expression)."""
+    cols = [
+        F.coalesce(F.col(prefix + c).cast("string"), F.lit("\u0000NULL"))
+        for c in _PAYLOAD_COLUMNS
+    ]
+    return F.xxhash64(*cols)
+
+
+def _surrogate_key(key: Column, valid_from: Column) -> Column:
+    """Deterministic per-version surrogate (SURVEY.md §4 gap (2))."""
+    return F.xxhash64(key.cast("string"), valid_from.cast("string"))
+
+
+def empty_dim(spark, schema=None) -> DataFrame:
+    """An empty dimension with the canonical schema."""
+    from cdc_historical_warehouse_platform_spark.schemas import DIM_HISTORY_SCHEMA
+
+    return spark.createDataFrame([], schema or DIM_HISTORY_SCHEMA)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    changes: DataFrame,
+    batch_id: str | None = None,
+    business_key: str = BUSINESS_KEY,
+    change_key: str = "id",
+) -> DataFrame:
+    """Apply one CDC batch to the dimension, returning the new dimension.
+
+    Pure transformation: no writes, no collects; compose with the table
+    layer for persistence. Equivalent to one Delta ``MERGE INTO`` with
+    the expire-row/insert-row staging trick (SURVEY.md §2.10), built
+    from primitives so it runs on vanilla Spark.
+    """
+    latest = dedupe_latest_per_key(changes, key=change_key)
+
+    # Stage the batch in dim-column vocabulary.
+    staged = latest.select(
+        F.col(change_key).cast("long").alias(business_key),
+        *[F.col(c) for c in _PAYLOAD_COLUMNS],
+        F.col("operation_type"),
+        F.col("cdc_timestamp"),
+    ).withColumn("__chg_hash", _tracked_hash())
+
+    current = dim.filter(F.col("is_current"))
+    historical = dim.filter(~F.col("is_current"))
+
+    # J1: batch ⟕ current slice. The batch is the small side; broadcast
+    # is Catalyst's choice (micro-batches fall under the threshold).
+    cur_match = current.select(
+        F.col(business_key).alias("__cur_key"),
+        _tracked_hash().alias("__cur_hash"),
+    )
+    joined = staged.join(
+        cur_match, staged[business_key] == cur_match["__cur_key"], "left_outer"
+    )
+
+    is_delete = F.col("operation_type") == "DELETE"
+    has_current = F.col("__cur_key").isNotNull()
+    is_changed = ~has_current | (F.col("__chg_hash") != F.col("__cur_hash"))
+
+    # Changes that produce a new current version (INSERT/UPDATE/UPSERT
+    # with no identical current row).
+    new_versions = (
+        joined.filter(~is_delete & is_changed)
+        .select(
+            F.col(business_key),
+            *[F.col(c) for c in _PAYLOAD_COLUMNS],
+            F.col("cdc_timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+            F.col("operation_type").alias("cdc_operation"),
+            F.col("cdc_timestamp"),
+            F.lit(batch_id).cast("string").alias("batch_id"),
+        )
+        .withColumn(
+            "surrogate_key", _surrogate_key(F.col(business_key), F.col("valid_from"))
+        )
+    )
+
+    # Keys whose current version must be expired: a real change, or a
+    # DELETE of an existing key. Carries the expiry timestamp.
+    expire_keys = joined.filter(
+        has_current & (is_delete | is_changed)
+    ).select(
+        F.col(business_key).alias("__exp_key"),
+        F.col("cdc_timestamp").alias("__exp_ts"),
+    )
+
+    # Expire matched current rows in place (valid_to = change ts).
+    cur_joined = current.join(
+        expire_keys, current[business_key] == expire_keys["__exp_key"], "left_outer"
+    )
+    untouched_current = cur_joined.filter(F.col("__exp_key").isNull()).select(
+        *[F.col(c) for c in dim.columns]
+    )
+    expired_current = cur_joined.filter(F.col("__exp_key").isNotNull()).select(
+        *[
+            F.col("__exp_ts").alias("valid_to")
+            if c == "valid_to"
+            else F.lit(False).alias("is_current")
+            if c == "is_current"
+            else F.col(c)
+            for c in dim.columns
+        ]
+    )
+
+    new_versions = new_versions.select(*[F.col(c) for c in dim.columns])
+
+    # Union is plan concatenation — no shuffle. Historical rows pass
+    # through untouched (never joined: at scale that's the 99% of the
+    # table this merge never reads if the store partitions on is_current).
+    return (
+        historical.unionByName(untouched_current)
+        .unionByName(expired_current)
+        .unionByName(new_versions)
+    )
+
+
+def scd2_build_from_change_log(
+    changes: DataFrame,
+    business_key: str = "id",
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Build a full SCD2 history from an *entire* ordered change log in
+    one pass (no per-batch loop) — the scalable path for backfills.
+
+    Each key's changes are sequenced by ``cdc_timestamp``; every
+    non-DELETE change opens a version whose ``valid_to`` is the next
+    change's timestamp (``lead``), and DELETE closes the chain. This is
+    the set-based equivalent of replaying every micro-batch through
+    :func:`scd2_merge` when each batch contains one change per key, and
+    is how a 100 TB initial load should be done: one shuffle on the
+    business key, then pure window functions.
+
+    Change suppression (P8) is applied sequence-wise: a change whose
+    tracked columns equal its predecessor's is dropped before
+    versioning (matches repeated-delivery semantics).
+    """
+    w = Window.partitionBy(business_key).orderBy(
+        F.col("cdc_timestamp").asc(),
+        _op_priority(F.col("operation_type")).asc(),
+    )
+
+    seq = changes.withColumn("__h", _tracked_hash()).withColumn(
+        "__prev_h", F.lag("__h").over(w)
+    ).withColumn("__prev_op", F.lag("operation_type").over(w))
+
+    # Keep: first change per key, any DELETE of a live chain, and any
+    # change that differs from its predecessor (or follows a DELETE —
+    # re-insert after delete opens a new version).
+    keep = seq.filter(
+        F.col("__prev_h").isNull()
+        | (F.col("operation_type") == "DELETE")
+        | (F.col("__h") != F.col("__prev_h"))
+        | (F.col("__prev_op") == "DELETE")
+    )
+
+    w2 = Window.partitionBy(business_key).orderBy(
+        F.col("cdc_timestamp").asc(),
+        _op_priority(F.col("operation_type")).asc(),
+    )
+    versioned = (
+        keep.withColumn("__next_ts", F.lead("cdc_timestamp").over(w2))
+        .filter(F.col("operation_type") != "DELETE")
+        .select(
+            F.col(business_key).cast("long").alias(BUSINESS_KEY),
+            *[F.col(c) for c in _PAYLOAD_COLUMNS],
+            F.col("cdc_timestamp").alias("valid_from"),
+            F.col("__next_ts").alias("valid_to"),
+            F.col("__next_ts").isNull().alias("is_current"),
+            F.col("operation_type").alias("cdc_operation"),
+            F.col("cdc_timestamp"),
+            F.lit(batch_id).cast("string").alias("batch_id"),
+        )
+        .withColumn(
+            "surrogate_key", _surrogate_key(F.col(BUSINESS_KEY), F.col("valid_from"))
+        )
+    )
+    from cdc_historical_warehouse_platform_spark.schemas import DIM_HISTORY_SCHEMA
+
+    return versioned.select(*[f.name for f in DIM_HISTORY_SCHEMA.fields])

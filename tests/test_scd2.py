@@ -1,0 +1,202 @@
+"""SCD2 merge semantics — mirrors the reference's validation suite
+(verify_scd2.py:291-342, technical_audit.py tests 1-4,
+scripts/test_rapid_updates.py) as fast local-Spark unit tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.scd2 import (
+    empty_dim,
+    scd2_build_from_change_log,
+    scd2_merge,
+)
+from tests.conftest import make_change
+
+T0 = dt.datetime(2026, 3, 1, 10, 0, 0)
+
+
+def ts(seconds: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def assert_invariants(dim_rows):
+    """V1-V3 from verify_scd2.py:291-342."""
+    by_key = {}
+    for r in dim_rows:
+        by_key.setdefault(r["order_key"], []).append(r)
+    for key, rows in by_key.items():
+        current = [r for r in rows if r["is_current"]]
+        assert len(current) <= 1, f"key {key}: {len(current)} current rows (V1)"
+        for r in rows:
+            if r["is_current"]:
+                assert r["valid_to"] is None, f"key {key}: current row has valid_to (V2)"
+            else:
+                assert r["valid_to"] is not None, f"key {key}: historical row open (V2)"
+                assert r["valid_to"] > r["valid_from"], f"key {key}: interval inverted"
+        ordered = sorted(rows, key=lambda r: r["valid_from"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"], (
+                f"key {key}: overlapping intervals (V3)"
+            )
+
+
+def test_insert_creates_current_row(spark, change_df):
+    batch = change_df([make_change(1, "INSERT", ts(0))])
+    out = scd2_merge(empty_dim(spark), batch, "b1").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["is_current"] and row["valid_to"] is None
+    assert row["valid_from"] == ts(0)
+    assert row["batch_id"] == "b1"
+    assert row["surrogate_key"] is not None
+    assert_invariants(out)
+
+
+def test_update_expires_and_inserts(spark, change_df):
+    dim = scd2_merge(empty_dim(spark), change_df([make_change(1, "INSERT", ts(0))]))
+    batch2 = change_df([make_change(1, "UPDATE", ts(60), quantity=5, status="shipped")])
+    out = scd2_merge(dim, batch2, "b2").collect()
+    assert len(out) == 2
+    cur = [r for r in out if r["is_current"]][0]
+    old = [r for r in out if not r["is_current"]][0]
+    assert cur["quantity"] == 5 and cur["order_status"] == "shipped"
+    # V7: microsecond continuity (technical_audit.py:512-643)
+    assert old["valid_to"] == cur["valid_from"] == ts(60)
+    assert_invariants(out)
+
+
+def test_noop_update_suppressed(spark, change_df):
+    """P8: identical row image -> no new version (scd2_loader.py:343-354)."""
+    dim = scd2_merge(empty_dim(spark), change_df([make_change(1, "INSERT", ts(0))]))
+    same = change_df([make_change(1, "UPDATE", ts(60))])  # identical payload
+    out = scd2_merge(dim, same).collect()
+    assert len(out) == 1 and out[0]["is_current"]
+
+
+def test_insert_on_existing_key_reroutes_to_update(spark, change_df):
+    """scd2_loader.py:308-311: INSERT with changed values acts as UPDATE."""
+    dim = scd2_merge(empty_dim(spark), change_df([make_change(1, "INSERT", ts(0))]))
+    dup = change_df([make_change(1, "INSERT", ts(30), quantity=9)])
+    out = scd2_merge(dim, dup).collect()
+    assert len(out) == 2
+    assert [r for r in out if r["is_current"]][0]["quantity"] == 9
+    assert_invariants(out)
+
+
+def test_update_on_missing_key_reroutes_to_insert(spark, change_df):
+    """scd2_loader.py:336-340."""
+    out = scd2_merge(empty_dim(spark), change_df([make_change(7, "UPDATE", ts(0))])).collect()
+    assert len(out) == 1 and out[0]["is_current"]
+
+
+def test_delete_expires_only(spark, change_df):
+    dim = scd2_merge(empty_dim(spark), change_df([make_change(1, "INSERT", ts(0))]))
+    out = scd2_merge(dim, change_df([make_change(1, "DELETE", ts(90))])).collect()
+    assert len(out) == 1
+    assert not out[0]["is_current"] and out[0]["valid_to"] == ts(90)
+
+
+def test_delete_missing_key_is_noop(spark, change_df):
+    out = scd2_merge(empty_dim(spark), change_df([make_change(42, "DELETE", ts(0))])).collect()
+    assert out == []
+
+
+def test_rapid_updates_collapse_to_latest(spark, change_df):
+    """W1 + audit test 3: same-key changes in one batch -> exactly one
+    current row carrying the latest values (technical_audit.py:321-510)."""
+    batch = change_df(
+        [
+            make_change(999, "INSERT", ts(0), quantity=1, unit_price="10.00"),
+            make_change(999, "UPDATE", ts(1), quantity=2, unit_price="10.00", status="confirmed"),
+            make_change(999, "UPDATE", ts(2), quantity=3, unit_price="15.00", status="shipped"),
+        ]
+    )
+    out = scd2_merge(empty_dim(spark), batch).collect()
+    cur = [r for r in out if r["is_current"]]
+    assert len(cur) == 1
+    assert cur[0]["quantity"] == 3
+    assert cur[0]["unit_price"] == Decimal("15.00")
+    assert cur[0]["order_status"] == "shipped"
+    assert_invariants(out)
+
+
+def test_rapid_updates_onto_existing_key(spark, change_df):
+    dim = scd2_merge(empty_dim(spark), change_df([make_change(5, "INSERT", ts(0))]))
+    batch = change_df(
+        [
+            make_change(5, "UPDATE", ts(10), quantity=2),
+            make_change(5, "UPDATE", ts(20), quantity=3),
+        ]
+    )
+    out = scd2_merge(dim, batch).collect()
+    assert len(out) == 2  # expired v1 + current v2 (latest only applied)
+    cur = [r for r in out if r["is_current"]][0]
+    assert cur["quantity"] == 3 and cur["valid_from"] == ts(20)
+    old = [r for r in out if not r["is_current"]][0]
+    assert old["valid_to"] == ts(20)
+    assert_invariants(out)
+
+
+def test_idempotent_reapply(spark, change_df):
+    """Re-applying the same batch is a no-op (README.md:394-411 —
+    here by change suppression; the ledger layer also skips the file)."""
+    batch = change_df([make_change(1, "INSERT", ts(0)), make_change(2, "INSERT", ts(1))])
+    dim1 = scd2_merge(empty_dim(spark), batch, "b1")
+    dim2 = scd2_merge(dim1, batch, "b1")
+    rows1 = sorted(dim1.collect(), key=lambda r: r["order_key"])
+    rows2 = sorted(dim2.collect(), key=lambda r: r["order_key"])
+    assert rows1 == rows2
+
+
+def test_multi_key_batch(spark, change_df):
+    batch1 = change_df([make_change(i, "INSERT", ts(i)) for i in range(1, 6)])
+    dim = scd2_merge(empty_dim(spark), batch1, "b1")
+    batch2 = change_df(
+        [
+            make_change(1, "UPDATE", ts(100), quantity=2),
+            make_change(2, "DELETE", ts(101)),
+            make_change(6, "INSERT", ts(102)),
+        ]
+    )
+    out = scd2_merge(dim, batch2, "b2").collect()
+    assert_invariants(out)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["order_key"], []).append(r)
+    assert len(by_key[1]) == 2  # expired + current
+    assert len(by_key[2]) == 1 and not by_key[2][0]["is_current"]  # deleted
+    assert len(by_key[6]) == 1 and by_key[6][0]["is_current"]  # new
+    assert all(by_key[k][0]["is_current"] for k in (3, 4, 5))  # untouched
+
+
+def test_build_from_change_log_matches_iterated_merges(spark, change_df):
+    """The one-pass backfill must agree with batch-at-a-time merging
+    when batches each carry one change per key."""
+    log_rows = [
+        make_change(1, "INSERT", ts(0)),
+        make_change(1, "UPDATE", ts(10), quantity=2),
+        make_change(1, "UPDATE", ts(20), quantity=2),  # no-op duplicate
+        make_change(1, "UPDATE", ts(30), quantity=4, status="shipped"),
+        make_change(2, "INSERT", ts(5)),
+        make_change(2, "DELETE", ts(15)),
+        make_change(3, "INSERT", ts(7)),
+    ]
+    log = change_df(log_rows)
+    bulk = scd2_build_from_change_log(log)
+
+    dim = empty_dim(spark)
+    for row in log_rows:
+        # Materialize between batches like the table layer does in
+        # production — scd2_merge references dim in three plan branches,
+        # so an unmaterialized chain grows the plan 3^n.
+        dim = scd2_merge(dim, change_df([row])).localCheckpoint(eager=True)
+
+    cols = ["order_key", "quantity", "valid_from", "valid_to", "is_current"]
+    a = sorted([tuple(r[c] for c in cols) for r in bulk.collect()])
+    b = sorted([tuple(r[c] for c in cols) for r in dim.collect()])
+    assert a == b
+    assert_invariants(bulk.collect())
