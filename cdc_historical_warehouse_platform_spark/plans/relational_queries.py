@@ -1,0 +1,797 @@
+"""Relational operator coverage over the driver testdata.
+
+One named query per operator family in SURVEY.md §2 (aggregations
+A1-A7, projections/filters P1-P9, joins J1-J3 + standard families,
+windows W1-W3, sorts/limits O1-O5, set ops U1-U3, scalar functions
+F1-F13, streaming-window batch twins ST8), each with a DuckDB oracle.
+
+Numeric-parity rules (the driver hash-compares values):
+
+- SUM/AVG over doubles is order-dependent in the last bit → aggregate
+  in DECIMAL (exact, order-independent), then CAST to DOUBLE — the
+  decimal→double conversion is deterministic IEEE in both engines.
+- AVG = CAST(decimal SUM AS DOUBLE) / COUNT — one double division.
+- Alias every computed column identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.asof import asof_join
+from cdc_historical_warehouse_platform_spark.schemas import load_table
+
+__all__ = ["RELATIONAL_QUERIES"]
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _sumd(col: str, alias: str, scale: int = 2):
+    """Order-independent double sum: decimal-aggregate then cast."""
+    return F.sum(_dec(col, scale)).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2-style grouped aggregate with conditional + distinct counts
+    (TPC-H Q1 shape: scan → partial agg → final agg; no join)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sumd("l_quantity", "sum_qty"),
+            _sumd("l_extendedprice", "sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")).cast(
+                    "decimal(28,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("distinct_orders"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order,
+       COUNT(DISTINCT l_orderkey) AS distinct_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_conditional_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: scalar aggregate with CASE-conditional counts + MAX + SUM
+    (db_mutator.py:188-206 shape)."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("partial_orders"),
+        F.max("o_orderdate").alias("latest_order"),
+        _sumd("o_totalprice", "total_value"),
+    )
+
+
+SQL_CONDITIONAL_COUNTS = """
+SELECT COUNT(*) AS total_orders,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS partial_orders,
+       MAX(o_orderdate) AS latest_order,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+"""
+
+
+def q_grouped_having(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: GROUP BY + HAVING (duplicate-check shape, README.md:502-508)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("line_count"), _sumd("l_quantity", "total_qty"))
+        .filter(F.col("line_count") > 5)
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_GROUPED_HAVING = """
+SELECT l_orderkey, COUNT(*) AS line_count,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) > 5
+ORDER BY l_orderkey
+"""
+
+
+def q_union_metric_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """A7/U1: UNION ALL of labelled metric rows (README.md:490-498)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    rows = [
+        o.agg(F.lit("orders").alias("metric"), F.count(F.lit(1)).alias("value")),
+        c.agg(F.lit("customers").alias("metric"), F.count(F.lit(1)).alias("value")),
+        li.agg(F.lit("lineitems").alias("metric"), F.count(F.lit(1)).alias("value")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+SQL_UNION_METRICS = """
+SELECT 'orders' AS metric, COUNT(*) AS value FROM orders
+UNION ALL
+SELECT 'customers', COUNT(*) FROM customer
+UNION ALL
+SELECT 'lineitems', COUNT(*) FROM lineitem
+"""
+
+
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-set coverage: ROLLUP over region→nation customer counts
+    (free in Spark per SURVEY §2.4 note)."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over order status × priority."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _sumd("o_totalprice", "revenue"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def q_pivot_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (conditional-aggregate form so the oracle is plain SQL)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) AS "F",
+       COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) AS "O",
+       COUNT(CASE WHEN o_orderstatus='P' THEN 1 END) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-way join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    with small dims broadcast (TPC-H Q5 shape)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rev = (_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("line_count"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi: customers that have at least one order (U2 family)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti: customers with no orders — the ledger anti-membership
+    pattern (scd2_loader.py:570-575 → SURVEY §2.3)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_without_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS customers_without_orders
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_outer_join_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-outer + null-handling projection (P9: coalesce over the
+    unmatched side), orders-per-customer including order-less ones."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.when(F.col("n_orders").isNull(), F.lit("inactive"))
+            .otherwise(F.lit("active"))
+            .alias("activity"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SQL_OUTER_COALESCE = """
+SELECT c_custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       CASE WHEN n_orders IS NULL THEN 'inactive' ELSE 'active' END AS activity
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) t
+  ON c_custkey = t.o_custkey
+ORDER BY c_custkey
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-outer: customer vs supplier presence per nation."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    cn = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("customers"))
+    sn = s.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("suppliers"))
+    return (
+        cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("customers"), F.lit(0)).alias("customers"),
+            F.coalesce(F.col("suppliers"), F.lit(0)).alias("suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+SQL_FULL_OUTER = """
+SELECT COALESCE(cn.k, sn.k) AS nationkey,
+       COALESCE(customers, 0) AS customers,
+       COALESCE(suppliers, 0) AS suppliers
+FROM (SELECT c_nationkey AS k, COUNT(*) AS customers FROM customer GROUP BY 1) cn
+FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS suppliers FROM supplier GROUP BY 1) sn
+  ON cn.k = sn.k
+ORDER BY nationkey
+"""
+
+
+def q_asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic as-of join (J3): for each purchase event, the most recent
+    prior-or-equal signup event of the same user. Implemented with the
+    union+window single-shuffle technique (operators/asof.py); the
+    oracle uses an equivalent correlated window."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_payload=["signup_event"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_signup_ts").alias("last_signup_ts"),
+        F.col("asof_signup_event").alias("last_signup_event"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_EVENTS = """
+WITH tagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+         CASE WHEN event_type = 'signup' THEN ts END AS s_ts,
+         CASE WHEN event_type = 'signup' THEN event_id END AS s_id
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) e
+  WHERE event_type IN ('purchase', 'signup')
+),
+matched AS (
+  SELECT *,
+         last_value(s_ts IGNORE NULLS) OVER w AS last_signup_ts,
+         last_value(s_id IGNORE NULLS) OVER w AS last_signup_event
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, last_signup_ts, last_signup_event
+FROM matched WHERE side = 1
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 pattern: row_number per key → top-3 orders by price."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+SQL_TOP_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def q_lag_lead_timeline(spark: SparkSession, sf: str) -> DataFrame:
+    """W3: lag/lead over per-customer order timelines (the consecutive-
+    pair validation pattern, verify_scd2.py:313-342)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_order_date"),
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+SQL_LAG_LEAD = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       lag(o_orderdate) OVER w AS prev_order_date,
+       lead(o_orderdate) OVER w AS next_order_date,
+       CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_cumulative_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Running frame: cumulative per-customer revenue ordered by date
+    (decimal accumulation so both engines agree exactly)."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_revenue"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+SQL_CUM_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_rank_dense_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """rank/dense_rank/ntile over part sizes within brand."""
+    p = load_table(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    ).orderBy("p_brand", "price_rank", "p_partkey")
+
+
+SQL_RANK = """
+SELECT p_brand, p_partkey, p_retailprice,
+       rank() OVER w AS price_rank,
+       dense_rank() OVER w AS price_dense_rank,
+       ntile(4) OVER w AS price_quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+ORDER BY p_brand, price_rank, p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+def q_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """O4: global top-k (Spark plans TakeOrderedAndProject — no full
+    sort shuffle). Deterministic tiebreak on the key."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+def q_except_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """U2/U3: EXCEPT + INTERSECT + DISTINCT over nation keys."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    only_customers = c.exceptAll(s).withColumn("membership", F.lit("customers_only"))
+    both = c.intersectAll(s).withColumn("membership", F.lit("both"))
+    return only_customers.unionByName(both).orderBy("membership", "nationkey")
+
+
+SQL_EXCEPT_INTERSECT = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'customers_only' AS membership FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM s)
+UNION ALL
+SELECT nationkey, 'both' FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM s)
+ORDER BY membership, nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar function coverage
+# --------------------------------------------------------------------------
+
+
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """F1-F13 sweep: concat, CASE, date_trunc, epoch extraction,
+    interval arithmetic, round, md5, substring, null handling — one
+    projection over orders (all pushdown-friendly, no UDFs)."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")).alias("order_label"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("finished"))
+        .when(F.col("o_orderstatus") == "O", F.lit("open"))
+        .otherwise(F.lit("other"))
+        .alias("status_label"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        (F.unix_timestamp(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+         - F.unix_timestamp(F.col("o_orderdate"))).alias("epoch_30d"),
+        F.round(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("key_md5"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("priority_code"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("X")), F.lit("?")).alias(
+            "status_or_q"
+        ),
+        F.length("o_orderpriority").alias("priority_len"),
+    ).orderBy("o_orderkey")
+
+
+SQL_SCALARS = """
+SELECT o_orderkey,
+       CONCAT('order-', CAST(o_orderkey AS VARCHAR)) AS order_label,
+       CASE WHEN o_orderstatus='F' THEN 'finished'
+            WHEN o_orderstatus='O' THEN 'open'
+            ELSE 'other' END AS status_label,
+       date_trunc('month', o_orderdate) AS order_month,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(EPOCH FROM (o_orderdate + INTERVAL 30 DAY)) - EXTRACT(EPOCH FROM o_orderdate) AS BIGINT) AS epoch_30d,
+       ROUND(o_totalprice / 1000.0, 2) AS price_k,
+       md5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+       substr(o_orderpriority, 1, 1) AS priority_code,
+       COALESCE(NULLIF(o_orderstatus, 'X'), '?') AS status_or_q,
+       CAST(length(o_orderpriority) AS INT) AS priority_len
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def q_json_extraction(spark: SparkSession, sf: str) -> DataFrame:
+    """F13: JSON parsing of events.props (the reference's JSONB metrics
+    column, pipeline_metadata.py:77) + grouped agg on the result."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming-window batch twins (ST8) over events
+# --------------------------------------------------------------------------
+
+
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """ST8: tumbling 1-hour window aggregate (batch twin of
+    ``groupBy(window(ts,'1 hour'))`` — expressed via date_trunc so the
+    oracle matches; the streaming variant lives in streaming/)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _sumd("value", "total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) e
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """ST8 sliding: per-user trailing-15-minute event count/sum via a
+    range frame over epoch seconds (Spark rangeBetween needs a numeric
+    ordering column)."""
+    ev = load_table(spark, sf, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-900, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("events_15m"),
+        F.sum(_dec("value")).over(w).cast("double").alias("value_15m"),
+    ).orderBy("user_id", "event_id")
+
+
+SQL_SLIDING = """
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS events_15m,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_15m
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) e
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT)
+             RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """ST8 session windows: 30-minute-gap sessionization via the
+    lag+cumsum technique (batch twin of ``session_window``; identical
+    SQL in both engines, scales as one shuffle on user_id)."""
+    ev = load_table(spark, sf, "events")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w_ts)
+            > 1800
+        )
+        .cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(0))).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        gapped.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_in_session"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SQL_SESSION = """
+WITH gapped AS (
+  SELECT *,
+         CASE WHEN CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT)
+                   - lag(CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) e
+),
+sessions AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id,
+       COUNT(*) AS events_in_session,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "agg_pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "agg_conditional_counts": (q_conditional_counts, SQL_CONDITIONAL_COUNTS),
+    "agg_grouped_having": (q_grouped_having, SQL_GROUPED_HAVING),
+    "agg_union_metric_rows": (q_union_metric_rows, SQL_UNION_METRICS),
+    "agg_rollup": (q_rollup, SQL_ROLLUP),
+    "agg_cube": (q_cube, SQL_CUBE),
+    "agg_pivot": (q_pivot_status_priority, SQL_PIVOT),
+    "join_revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "join_semi": (q_semi_join, SQL_SEMI),
+    "join_anti": (q_anti_join, SQL_ANTI),
+    "join_outer_coalesce": (q_outer_join_coalesce, SQL_OUTER_COALESCE),
+    "join_full_outer": (q_full_outer_join, SQL_FULL_OUTER),
+    "join_asof_events": (q_asof_join_events, SQL_ASOF_EVENTS),
+    "window_top_per_customer": (q_top_orders_per_customer, SQL_TOP_PER_CUSTOMER),
+    "window_lag_lead": (q_lag_lead_timeline, SQL_LAG_LEAD),
+    "window_cumulative_revenue": (q_cumulative_revenue, SQL_CUM_REVENUE),
+    "window_rank_dense": (q_rank_dense_rank, SQL_RANK),
+    "sort_topk_orders": (q_topk_orders, SQL_TOPK),
+    "setop_except_intersect": (q_except_intersect, SQL_EXCEPT_INTERSECT),
+    "scalar_functions": (q_scalar_functions, SQL_SCALARS),
+    "json_extraction": (q_json_extraction, SQL_JSON),
+    "events_tumbling_window": (q_tumbling_window, SQL_TUMBLING),
+    "events_sliding_window": (q_sliding_window, SQL_SLIDING),
+    "events_session_windows": (q_session_windows, SQL_SESSION),
+}
