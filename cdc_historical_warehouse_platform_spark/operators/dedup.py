@@ -1,0 +1,297 @@
+"""Deduplication families for training-data pipelines.
+
+Five tiers, cheapest → most general (north-star requirement;
+no analog in the reference, which only dedups change records by key —
+scd2_loader.py:512-531 — but the same latest-per-key W1 idea scaled to
+content identity):
+
+- **Exact**: md5 fingerprint of normalized text, hash-groupBy. One
+  shuffle on a 16-byte key regardless of document size.
+- **N-gram Jaccard**: word-shingle overlap — exact, quadratic in the
+  worst case; the verification step of the fuzzy tiers.
+- **MinHash + LSH**: per-doc signature (min of H hashes over shingles),
+  banded into buckets; only same-bucket docs are compared. Linear scan
+  + one shuffle on band keys — the 100 TB path.
+- **SimHash**: 64-bit weighted-bit signature; near-dups = small
+  Hamming distance; banded by 16-bit chunks for candidate generation.
+- **Embedding cosine**: semantic near-dup over `array<float>` vectors
+  (brute force here; LSH-bucketed variant in operators/similarity.py).
+
+All signatures use md5 (not xxhash64) so the DuckDB oracle can compute
+the identical signature — xxhash64 has no DuckDB twin.
+
+Scale notes: the shingle self-join (jaccard_pairs) keeps a doc-frequency
+cap on shingles — a stop-shingle appearing in every doc would square the
+join; at 100 TB run MinHash-LSH first and use jaccard only to verify
+candidates (minhash_lsh_pairs does exactly that composition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.text import fingerprint, normalize_text, tokens, word_ngrams
+
+__all__ = [
+    "exact_dedup_groups",
+    "exact_dedup",
+    "jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+]
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    fingerprint, member count, canonical (min) id."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc per fingerprint (the min id — deterministic)."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(normalize_text(F.col(text_col)), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ t).
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) computed from integer counts, so
+    the only float op is one division — bit-exact across engines.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs before the self-join (stop-shingle guard; at scale always set
+    it — frequency-capped shingles bound the join output).
+    """
+    sh = _shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.filter(F.col("df") <= max_doc_freq).select("shingle")),
+            "shingle",
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature: element i = MIN(md5(i || ':' || s))
+    over shingles s. md5-as-hex min is a total order both engines share.
+
+    One explode + one groupBy per doc — the signature for a 100 TB
+    corpus is a single linear pass; num_hashes aggregates fuse into one
+    codegen'd stage.
+    """
+    sh = _shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash → banded LSH buckets → candidate pairs → exact-Jaccard
+    verification. The full scalable dedup composition:
+
+    - candidate generation is one shuffle on (band, bucket-hash);
+    - verification joins only candidates, never all pairs;
+    - miss probability per true pair = (1 − j^r)^b — with b=32, r=2,
+      j≥0.7 that is < 1e-8.
+    """
+    sig = minhash_signature(df, text_col, id_col, n, bands * rows_per_band)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "bucket")
+    b2 = buckets.select(F.col("doc_id").alias("doc_b"), "bucket")
+    candidates = (
+        a.join(b2, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: token hashed to 64 bits (xxhash64); each
+    bit votes ±1 weighted by term frequency; signature bit = sign of
+    the vote. One explode + one groupBy; the 64 bit-votes are fused
+    into a single aggregate stage by codegen."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        # bit literal computed driver-side; bit 63 wraps to long min — fine,
+        # the signature is a bit pattern, not an ordinal
+        bit = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"v_{b}") > 0, F.lit(bit).cast("long")).otherwise(0)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, banded: split the
+    64-bit signature into 4 × 16-bit chunks — any pair within Hamming
+    ≤ 3 must agree on ≥1 chunk (pigeonhole), so the join is on chunk
+    values, never all-pairs."""
+    sig = simhash64(df, text_col, id_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(c)),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk"
+    )
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ t over all (a < b) pairs.
+    Brute force (exact, the verification tier); for corpus-scale
+    candidate generation use similarity.lsh_bucket_ann's hyperplane
+    buckets and verify with this on candidates only."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,154 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in column expressions (JVM codegen, no
+Python) so a 100 TB documents table is one scan with no serde: token
+counting, quality ratios, language-ID heuristics, fingerprinting.
+These generalize the reference's string/scalar surface (SURVEY.md
+§2.8) to the document domain the north star asks for.
+
+Every function returns a Column (composable) and is paired with an
+ANSI-SQL twin in plans/datapipe_queries.py for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "fingerprint",
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "word_ngrams",
+    "char_ngrams",
+    "punct_ratio",
+    "digit_ratio",
+    "whitespace_ratio",
+    "stopword_ratio",
+    "avg_token_len",
+    "quality_score",
+    "lang_id",
+    "STOPWORDS",
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the standard byte-pair pre-split shape.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_text(col: Column) -> Column:
+    """lower → strip non-alnum (keep spaces) → collapse whitespace → trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (the F7 content-hash idea applied to documents)."""
+    return F.md5(normalize_text(col))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties removed (split semantics aligned with
+    the SQL twin: split on single space, drop '')."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the dedup unit).
+
+    Guarded: Spark's ``sequence(a, b)`` auto-descends when b < a, so
+    short documents must short-circuit to an empty array."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(empty))
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(col) - (n - 1)),
+        lambda i: F.substring(col, i, n),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.length(col) >= n, grams).otherwise(empty))
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    return _count_matches(col, r"[^\w\s]") / F.greatest(F.length(col), F.lit(1))
+
+
+def digit_ratio(col: Column) -> Column:
+    return _count_matches(col, r"[0-9]") / F.greatest(F.length(col), F.lit(1))
+
+
+def whitespace_ratio(col: Column) -> Column:
+    return _count_matches(col, r"\s") / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    t = tokens(F.lower(col))
+    sw = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return sw / F.greatest(F.size(t), F.lit(1))
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] quality: long enough, words not too short/long,
+    some stopwords, little punctuation — the standard cheap pre-filter
+    before expensive dedup/training steps. Integer-ratio arithmetic so
+    the SQL twin is bit-exact."""
+    n_tok = token_count(col).cast("double")
+    len_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_ok = F.least(sw * F.lit(4.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(5.0), F.lit(1.0))
+    return F.round((len_ok + sw_ok + punct_ok) / F.lit(3.0), 6)
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram/script language-ID heuristic: script ranges first (CJK,
+    Cyrillic, kana), then diacritic classes, then stopword evidence,
+    else 'en'. Deterministic and SQL-replicable."""
+    return (
+        F.when(col.rlike("[一-鿿]"), F.lit("zh"))
+        .when(col.rlike("[぀-ヿ]"), F.lit("ja"))
+        .when(col.rlike("[Ѐ-ӿ]"), F.lit("ru"))
+        .when(col.rlike("[ãõçáéíóúâêô]"), F.lit("pt"))
+        .when(col.rlike("[ñ¿¡]"), F.lit("es"))
+        .when(col.rlike("[àèùëïü]"), F.lit("fr"))
+        .when(col.rlike("[äöüß]"), F.lit("de"))
+        .otherwise(F.lit("en"))
+    )

