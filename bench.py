@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect bottleneck). The suite spans the engine's load-bearing
+paths: SCD2 build, scan-heavy agg, 5-way join, window, sessionization,
+MinHash-LSH dedup, vector top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# Headline set: name -> registry key
+HEADLINE = [
+    "scd2_dim_history",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_top_per_customer",
+    "events_session_windows",
+    "dedup_minhash_lsh",
+    "knn_cosine_brute",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from cdc_historical_warehouse_platform_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cdc-historical-warehouse-platform-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+
+    # Warm the JVM/codegen paths once with a trivial job so the first
+    # measured query doesn't absorb cluster-startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

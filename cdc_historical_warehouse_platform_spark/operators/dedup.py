@@ -17,8 +17,9 @@ content identity):
 - **Embedding cosine**: semantic near-dup over `array<float>` vectors
   (brute force here; LSH-bucketed variant in operators/similarity.py).
 
-All signatures use md5 (not xxhash64) so the DuckDB oracle can compute
-the identical signature — xxhash64 has no DuckDB twin.
+Approximate tiers (MinHash/SimHash signatures) hash with xxhash64 — no
+cross-engine parity needed because their *results* are verified against
+exact Jaccard, which IS oracle-checkable with pure integer arithmetic.
 
 Scale notes: the shingle self-join (jaccard_pairs) keeps a doc-frequency
 cap on shingles — a stop-shingle appearing in every doc would square the
@@ -31,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdc_historical_warehouse_platform_spark.operators.text import fingerprint, normalize_text, tokens, word_ngrams
+from cdc_historical_warehouse_platform_spark.operators.text import (
+    fingerprint,
+    ngrams_from_tokens,
+    normalize_text,
+    tokens,
+)
 
 __all__ = [
     "exact_dedup_groups",
@@ -66,10 +72,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """doc_id → distinct shingle array. Tokenizes behind a projection
+    boundary so the split runs once per doc (see ngrams_from_tokens)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(normalize_text(F.col(text_col)), n)).alias("shingle"),
+        tokens(normalize_text(F.col(text_col))).alias("__toks"),
+    ).select("doc_id", ngrams_from_tokens(F.col("__toks"), n).alias("sh_set"))
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    # `size(arr) > 0` filter under inner explodes, re-inlining the whole
+    # shingle expression below the projection boundary and making it
+    # O(len²) per doc again (observed 66 s vs 5 s at sf0.1). The outer
+    # variant gets no inferred filter; the cheap null-check on the
+    # generated column replaces it.
+    return (
+        _shingle_sets(df, text_col, id_col, n)
+        .select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -128,16 +150,15 @@ def minhash_signature(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """Per-doc MinHash signature: element i = MIN(md5(i || ':' || s))
-    over shingles s. md5-as-hex min is a total order both engines share.
-
-    One explode + one groupBy per doc — the signature for a 100 TB
-    corpus is a single linear pass; num_hashes aggregates fuse into one
-    codegen'd stage.
+    """Per-doc MinHash signature: element i = MIN(xxhash64(i, s)) over
+    shingles s — one explode + one groupBy; the num_hashes aggregates
+    fuse into a single codegen'd stage, so a 100 TB corpus signature is
+    one linear pass. (xxhash64 is ~10× md5; the LSH result is verified
+    against exact Jaccard, so no cross-engine hash parity is needed.)
     """
     sh = _shingles(df, text_col, id_col, n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -162,11 +183,11 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signature(df, text_col, id_col, n, bands * rows_per_band)
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band_{b}")
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        .cast("string")
+        .alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
@@ -189,9 +210,18 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    # Verify ONLY candidates (never all co-shingle pairs — that would be
+    # the quadratic cost LSH exists to avoid): join each side's shingle
+    # set and compute exact Jaccard with JVM array ops.
+    sets = _shingle_sets(df, text_col, id_col, n)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -256,9 +256,12 @@ def scd2_build_from_change_log(
     tracked columns equal its predecessor's is dropped before
     versioning (matches repeated-delivery semantics).
     """
+    # Materialize the tiebreak priority once: window specs that share
+    # identical (partition, order) expressions reuse ONE sort; inlining
+    # _op_priority would make each window a distinct sort pass.
+    changes = changes.withColumn("__prio", _op_priority(F.col("operation_type")))
     w = Window.partitionBy(business_key).orderBy(
-        F.col("cdc_timestamp").asc(),
-        _op_priority(F.col("operation_type")).asc(),
+        F.col("cdc_timestamp").asc(), F.col("__prio").asc()
     )
 
     seq = changes.withColumn("__h", _tracked_hash()).withColumn(
@@ -275,12 +278,8 @@ def scd2_build_from_change_log(
         | (F.col("__prev_op") == "DELETE")
     )
 
-    w2 = Window.partitionBy(business_key).orderBy(
-        F.col("cdc_timestamp").asc(),
-        _op_priority(F.col("operation_type")).asc(),
-    )
     versioned = (
-        keep.withColumn("__next_ts", F.lead("cdc_timestamp").over(w2))
+        keep.withColumn("__next_ts", F.lead("cdc_timestamp").over(w))
         .filter(F.col("operation_type") != "DELETE")
         .select(
             F.col(business_key).cast("long").alias(BUSINESS_KEY),

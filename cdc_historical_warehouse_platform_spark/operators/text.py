@@ -21,6 +21,7 @@ __all__ = [
     "tokens",
     "token_count",
     "bpe_ish_token_count",
+    "ngrams_from_tokens",
     "word_ngrams",
     "char_ngrams",
     "punct_ratio",
@@ -68,12 +69,18 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the dedup unit).
+def ngrams_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column.
+
+    Callers must compute the token array behind a projection boundary
+    (``.select(tokens(...).alias("__toks"))``) before applying this —
+    passing ``tokens(text)`` inline would re-evaluate the split inside
+    every ``element_at`` of every sequence element: O(len²) per
+    document (measured 30+ s for a 5k-doc shingle explode).
 
     Guarded: Spark's ``sequence(a, b)`` auto-descends when b < a, so
     short documents must short-circuit to an empty array."""
-    t = tokens(col)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(t) - n),
         lambda i: F.concat_ws(
@@ -82,6 +89,13 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     )
     empty = F.array().cast("array<string>")
     return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(empty))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column. Fine for one-off
+    expressions; hot paths should tokenize once and use
+    :func:`ngrams_from_tokens` (see its warning)."""
+    return ngrams_from_tokens(tokens(col), n)
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
