@@ -1,0 +1,158 @@
+"""CDC change-batch files — the hand-off queue between extractor and
+loader (reference: log_extractor.py:176-210 / scd2_loader.py:476-548).
+
+Two physical formats:
+
+- ``reference``: one ``changes_YYYYmmdd_HHMMSS_mmm.json`` per batch with
+  the ``{batch_metadata, changes[]}`` envelope and stringified values
+  (the ``json.dump(default=str)`` quirk, log_extractor.py:199) — exact
+  wire-compat with the reference so its sample files load unchanged.
+- ``jsonl``: Spark-written partitioned JSON-lines under
+  ``<dir>/<batch_name>/`` with a ``_batch_metadata.json`` sidecar — the
+  scale path (a 100 TB backfill batch writes distributed, no driver
+  collect).
+
+Readers cast the all-strings JSON schema back to CHANGE_SCHEMA
+(ISO-timestamp parse + decimal casts: F8/F10).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.schemas import CHANGE_JSON_SCHEMA, CHANGE_SCHEMA
+
+__all__ = [
+    "batch_name",
+    "write_change_batch",
+    "read_change_batch",
+    "discover_batches",
+    "cast_json_changes",
+]
+
+RUNNING_LOG = "running_changes.jsonl"
+
+
+def batch_name(extracted_at: _dt.datetime) -> str:
+    """``changes_%Y%m%d_%H%M%S_%f[:-3]`` (log_extractor.py:187)."""
+    return "changes_" + extracted_at.strftime("%Y%m%d_%H%M%S_%f")[:-3]
+
+
+def _stringify(row: dict) -> dict:
+    out = {}
+    for k, v in row.items():
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            out[k] = v.isoformat(sep="T")
+        elif v is None or isinstance(v, (int, str, bool)):
+            out[k] = v
+        else:  # Decimal, float
+            out[k] = str(v)
+    return out
+
+
+def write_change_batch(
+    changes: DataFrame,
+    out_dir: str | Path,
+    extracted_at: _dt.datetime,
+    watermark: _dt.datetime | None = None,
+    fmt: str = "reference",
+    append_running_log: bool = True,
+) -> Path:
+    """Write one batch; returns the batch file (or directory) path.
+
+    ``reference`` format collects to the driver (envelope is a single
+    JSON document — only for micro-batch-sized change sets); ``jsonl``
+    writes distributed.
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    name = batch_name(extracted_at)
+
+    ordered = changes.orderBy("last_updated", "id")  # O1 deterministic order
+
+    if fmt == "reference":
+        rows = [_stringify(r.asDict()) for r in ordered.collect()]
+        payload = {
+            "batch_metadata": {
+                "extracted_at": extracted_at.isoformat(),
+                "change_count": len(rows),
+                "watermark": watermark.isoformat() if watermark else None,
+            },
+            "changes": rows,
+        }
+        path = out_dir / f"{name}.json"
+        tmp = out_dir / f".{name}.json.tmp"
+        tmp.write_text(json.dumps(payload, indent=2))
+        tmp.rename(path)
+        if append_running_log and rows:
+            with (out_dir / RUNNING_LOG).open("a") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+        return path
+
+    if fmt == "jsonl":
+        path = out_dir / name
+        # serialize in CHANGE_JSON_SCHEMA's exact types: numerics stay
+        # native JSON numbers, decimals/timestamps stringify (the
+        # default=str quirk) — quoted numbers would parse back as null
+        wire = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in CHANGE_JSON_SCHEMA.fields
+        ]
+        ordered.select(*wire).write.mode("overwrite").json(str(path))
+        n = changes.count()
+        (path / "_batch_metadata.json").write_text(
+            json.dumps(
+                {
+                    "extracted_at": extracted_at.isoformat(),
+                    "change_count": n,
+                    "watermark": watermark.isoformat() if watermark else None,
+                }
+            )
+        )
+        return path
+
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def cast_json_changes(df: DataFrame) -> DataFrame:
+    """All-strings JSON change rows → typed CHANGE_SCHEMA (F8/F10)."""
+    casts = []
+    for field in CHANGE_SCHEMA.fields:
+        casts.append(F.col(field.name).cast(field.dataType).alias(field.name))
+    return df.select(*casts)
+
+
+def read_change_batch(spark: SparkSession, path: str | Path) -> DataFrame:
+    """Read one batch (either format) as a typed changes DataFrame."""
+    path = Path(path)
+    if path.is_dir():  # jsonl format
+        df = spark.read.schema(CHANGE_JSON_SCHEMA).json(str(path))
+        return cast_json_changes(df)
+    # reference envelope: multiLine JSON, explode changes[]
+    env = spark.read.option("multiLine", "true").json(str(path))
+    changes = env.select(F.explode("changes").alias("c")).select("c.*")
+    present = set(changes.columns)
+    selected = changes.select(
+        *[
+            F.col(f.name).cast(CHANGE_SCHEMA[f.name].dataType).alias(f.name)
+            if f.name in present
+            else F.lit(None).cast(CHANGE_SCHEMA[f.name].dataType).alias(f.name)
+            for f in CHANGE_SCHEMA.fields
+        ]
+    )
+    return selected
+
+
+def discover_batches(cdc_dir: str | Path) -> list[Path]:
+    """S5: sorted glob of batch files/dirs (ledger anti-filter is the
+    loader's job — left-anti semantics, scd2_loader.py:570-575)."""
+    cdc_dir = Path(cdc_dir)
+    files = [p for p in cdc_dir.glob("changes_*.json")]
+    dirs = [p for p in cdc_dir.glob("changes_*") if p.is_dir()]
+    return sorted(files + dirs, key=lambda p: p.name)

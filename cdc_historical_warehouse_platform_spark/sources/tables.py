@@ -1,0 +1,145 @@
+"""Versioned parquet tables with atomic commits — the warehouse layer.
+
+Delta Lake is not available in this environment, so the engine ships a
+minimal transactional table format with the same properties the SCD2
+pipeline needs (SURVEY.md §4 "Transactionality"):
+
+- **Atomic publish**: data lands in an immutable ``v{N}`` directory (no leading underscore — Hadoop
+  path listing treats ``_``/``.``-prefixed paths as hidden and silently
+  ignores them);
+  readers follow the ``_LATEST`` pointer file, which is replaced with
+  an atomic ``os.replace`` — a reader sees the old version or the new
+  one, never a partial write (the Delta-log pattern, minus JSON log).
+- **Time travel**: every committed version remains readable until
+  ``vacuum``.
+- **Idempotent commits**: ``commit(df, txn_id=...)`` is a no-op if that
+  txn_id was already committed (the Delta ``txnAppId/txnVersion``
+  idea) — this is what makes foreachBatch exactly-once.
+
+Scale notes: a version directory is ordinary partitioned parquet —
+``partition_by`` flows through to ``partitionBy`` so the dimension can
+be laid out by ``is_current`` (the merge reads only the current slice)
+and bucketed/sorted within partitions. The pointer file is tiny; at
+1000 executors contention is on the object store's rename, same as any
+lakehouse commit protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["VersionedTable"]
+
+_POINTER = "_LATEST"
+
+
+class VersionedTable:
+    """A named, versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+
+    # --- pointer management -------------------------------------------------
+
+    def _pointer_file(self) -> Path:
+        return self.path / _POINTER
+
+    def _read_pointer(self) -> dict | None:
+        try:
+            return json.loads(self._pointer_file().read_text())
+        except FileNotFoundError:
+            return None
+
+    def _write_pointer(self, meta: dict) -> None:
+        # temp-file + os.replace = atomic on POSIX
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._pointer_file())
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    # --- public API ---------------------------------------------------------
+
+    def version(self) -> int:
+        """Latest committed version, or -1 if empty."""
+        meta = self._read_pointer()
+        return -1 if meta is None else meta["version"]
+
+    def exists(self) -> bool:
+        return self._read_pointer() is not None
+
+    def committed_txns(self) -> set[str]:
+        meta = self._read_pointer()
+        return set(meta.get("txns", [])) if meta else set()
+
+    def commit(
+        self,
+        df: DataFrame,
+        txn_id: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Write ``df`` as the next version; returns the version number.
+
+        If ``txn_id`` was already committed, skip (idempotent redelivery
+        — the reference's ledger check, scd2_loader.py:504-510) and
+        return the current version.
+        """
+        meta = self._read_pointer()
+        txns = list(meta.get("txns", [])) if meta else []
+        if txn_id is not None and txn_id in txns:
+            return meta["version"]
+
+        new_version = (meta["version"] + 1) if meta else 0
+        vdir = self.path / f"v{new_version}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(vdir))
+        if txn_id is not None:
+            txns.append(txn_id)
+        self._write_pointer(
+            {
+                "version": new_version,
+                "dir": vdir.name,
+                "committed_at": time.time(),
+                "txns": txns,
+            }
+        )
+        return new_version
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the latest (or a time-travel) version."""
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"table {self.path} has no committed version")
+        v = meta["version"] if version is None else version
+        vdir = self.path / f"v{v}"
+        if not vdir.exists():
+            raise FileNotFoundError(f"version {v} of {self.path} missing (vacuumed?)")
+        return spark.read.parquet(str(vdir))
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop version directories older than the newest ``keep_last``."""
+        current = self.version()
+        removed = []
+        for vdir in sorted(self.path.glob("v*")):
+            try:
+                v = int(vdir.name[1:])
+            except ValueError:
+                continue
+            if v <= current - keep_last:
+                shutil.rmtree(vdir)
+                removed.append(v)
+        return removed

@@ -1,0 +1,128 @@
+"""Streaming CDC ingestion — the thin wrapper SURVEY.md §7 M4 calls for.
+
+The batch merge function is reused verbatim inside ``foreachBatch``:
+the file-source checkpoint replaces the watermark file (ST1), the
+(epoch-id + content-hash) transaction id replaces the processed-files
+ledger (ST4), and the trigger replaces the sleep loop (ST2). Exactly
+the reference's semantics with Spark-native state.
+
+Windowed event aggregations (ST8 — absent in the reference but required
+by the events fixtures): tumbling and sliding windows with late-data
+watermarks (ST3).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
+from cdc_historical_warehouse_platform_spark.pipeline.state import generate_batch_id
+from cdc_historical_warehouse_platform_spark.schemas import CHANGE_JSON_SCHEMA
+from cdc_historical_warehouse_platform_spark.sources.change_batches import cast_json_changes
+from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+__all__ = [
+    "read_change_stream",
+    "start_scd2_stream",
+    "windowed_event_counts",
+    "sliding_event_value",
+]
+
+
+def read_change_stream(
+    spark: SparkSession, cdc_dir: str | Path, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over jsonl-format batch directories
+    (``<cdc_dir>/changes_*/part-*.json``). Explicit schema — streams
+    never infer (SURVEY.md §1.3)."""
+    reader = (
+        spark.readStream.schema(CHANGE_JSON_SCHEMA)
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(str(Path(cdc_dir) / "changes_*"))
+    return cast_json_changes(raw)
+
+
+def start_scd2_stream(
+    spark: SparkSession,
+    cdc_dir: str | Path,
+    dim_table: VersionedTable,
+    checkpoint_dir: str | Path,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """Continuous SCD2 maintenance: every micro-batch runs the same
+    scd2_merge the batch loader uses, committed with an idempotent
+    txn id — a replayed epoch after checkpoint recovery is a no-op.
+
+    ``available_now=True`` = one-shot drain (single_run_extractor
+    semantics); otherwise a ``processingTime`` trigger (the reference's
+    10 s extraction cadence, .env.example:19).
+    """
+    changes = read_change_stream(spark, cdc_dir)
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_id = generate_batch_id(batch_df)
+        dim = (
+            dim_table.read(spark) if dim_table.exists() else empty_dim(spark)
+        )
+        merged = scd2_merge(dim, batch_df, batch_id=batch_id)
+        dim_table.commit(merged, txn_id=f"epoch:{epoch_id}:{batch_id}")
+
+    writer = changes.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """ST8 tumbling window + ST3 late-data watermark (the reference's
+    5-minute lookback, log_extractor.py:94-97, as a real event-time
+    watermark). Works on both batch and streaming DataFrames."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_value(
+    events: DataFrame,
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """ST8 sliding window variant."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )

@@ -1,0 +1,179 @@
+"""End-to-end pipeline: simulator → extractor → loader → invariants —
+the Spark twin of tests/verify_scd2.py's live-Postgres flow."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.pipeline.extractor import CDCExtractor
+from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+from cdc_historical_warehouse_platform_spark.pipeline.metadata import PipelineMetadataManager
+from cdc_historical_warehouse_platform_spark.pipeline.simulator import OrderSimulator
+from cdc_historical_warehouse_platform_spark.sources.change_batches import (
+    read_change_batch,
+    write_change_batch,
+)
+from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
+from tests.conftest import make_change
+from tests.test_scd2 import assert_invariants
+
+T0 = dt.datetime(2026, 4, 1, 9, 0, 0)
+
+
+def ts(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+@pytest.fixture
+def env(tmp_path, spark):
+    source = VersionedTable(tmp_path / "source_orders")
+    deleted = VersionedTable(tmp_path / "deleted_orders")
+    dim = VersionedTable(tmp_path / "dim_orders_history")
+    meta = PipelineMetadataManager(spark, tmp_path / "pipeline_metadata")
+    cdc_dir = tmp_path / "cdc_logs"
+    sim = OrderSimulator(spark, source, deleted, seed=7)
+    ext = CDCExtractor(spark, source, cdc_dir, deleted_table=deleted)
+    loader = SCD2Loader(spark, dim, cdc_dir, metadata=meta)
+    return sim, ext, loader, dim, meta
+
+
+def test_versioned_table_atomicity(tmp_path, spark):
+    t = VersionedTable(tmp_path / "t")
+    assert not t.exists()
+    v0 = t.commit(spark.range(5))
+    v1 = t.commit(spark.range(10))
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark).count() == 10
+    assert t.read(spark, version=0).count() == 5
+    # idempotent txn redelivery
+    v2 = t.commit(spark.range(99), txn_id="tx1")
+    v_again = t.commit(spark.range(1), txn_id="tx1")
+    assert v2 == v_again and t.read(spark).count() == 99
+    # vacuum keeps the newest versions readable
+    removed = t.vacuum(keep_last=1)
+    assert 0 in removed
+    assert t.read(spark).count() == 99
+
+
+def test_batch_file_roundtrip(tmp_path, spark):
+    """Reference envelope format: write (default=str quirk) → read →
+    typed values survive (F8/F10)."""
+    changes = spark.createDataFrame(
+        [make_change(1, "INSERT", ts(0), unit_price="39.99")], CHANGE_SCHEMA
+    )
+    p = write_change_batch(changes, tmp_path, extracted_at=ts(1), watermark=ts(0))
+    assert p.name.startswith("changes_") and p.suffix == ".json"
+    # the stringified quirk is on disk...
+    import json
+
+    raw = json.loads(p.read_text())
+    assert raw["changes"][0]["unit_price"] == "39.99"
+    assert raw["batch_metadata"]["change_count"] == 1
+    # ...and typed after the read-back casts
+    back = read_change_batch(spark, p).collect()[0]
+    assert str(back["unit_price"]) == "39.99"
+    assert back["cdc_timestamp"] == ts(0)
+
+
+def test_jsonl_batch_roundtrip(tmp_path, spark):
+    changes = spark.createDataFrame(
+        [make_change(i, "INSERT", ts(i)) for i in range(3)], CHANGE_SCHEMA
+    )
+    p = write_change_batch(changes, tmp_path, extracted_at=ts(5), fmt="jsonl")
+    assert p.is_dir()
+    back = read_change_batch(spark, p)
+    assert back.count() == 3
+    # nullability is lost through JSON round-trips; names+types must hold
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in CHANGE_SCHEMA.fields
+    ]
+
+
+def test_e2e_simulator_extractor_loader(env, spark):
+    sim, ext, loader, dim, meta = env
+    sim.seed_orders(5, now=ts(0))
+    batch1 = ext.run_once(now=ts(1))
+    assert batch1 is not None
+    res1 = loader.load_pending()
+    assert res1["status"] == "completed" and res1["processed"] == 1
+
+    stats = loader.summary_statistics()
+    assert stats["total_records"] == 5 and stats["current_records"] == 5
+
+    # mutate a few cycles, extract, load
+    for i in range(3):
+        sim.mutate_once(now=ts(10 + i))
+        ext.run_once(now=ts(10 + i))
+    res2 = loader.load_pending()
+    assert res2["failed"] == 0
+
+    rows = dim.read(spark).collect()
+    assert_invariants(rows)
+
+    # source current state == dim current slice (lineage check)
+    src = {r["id"]: r for r in sim._orders().collect()}
+    cur = {r["order_key"]: r for r in dim.read(spark).filter(F.col("is_current")).collect()}
+    assert set(cur) == set(src)
+    for k, r in cur.items():
+        assert r["quantity"] == src[k]["quantity"]
+        assert r["order_status"] == src[k]["order_status"]
+
+    # metadata recorded the runs
+    last = meta.last_run()
+    assert last is not None and last["status"] == "completed"
+    assert meta.stats()["total_runs"] >= 2
+
+
+def test_loader_idempotent_replay(env, spark):
+    sim, ext, loader, dim, meta = env
+    sim.seed_orders(4, now=ts(0))
+    ext.run_once(now=ts(1))
+    loader.load_pending()
+    v = dim.version()
+    before = sorted(map(str, dim.read(spark).collect()))
+    # replaying everything is a no-op: ledger + txn guard
+    res = loader.load_pending()
+    assert res["processed"] == 0
+    assert dim.version() == v
+    assert sorted(map(str, dim.read(spark).collect())) == before
+
+
+def test_extractor_watermark_advances(env, spark):
+    sim, ext, loader, dim, meta = env
+    sim.seed_orders(3, now=ts(0))
+    ext.run_once(now=ts(1))
+    wm1 = ext.watermark.get()
+    assert wm1 == ts(0)  # max(last_updated) of the seed batch
+    # no new changes -> no batch
+    assert ext.run_once(now=ts(2)) is None
+    sim.mutate_once(now=ts(5))
+    ext.run_once(now=ts(6))
+    assert ext.watermark.get() >= wm1
+
+
+def test_delete_flows_through_pipeline(env, spark):
+    sim, ext, loader, dim, meta = env
+    sim.seed_orders(12, now=ts(0))
+    ext.run_once(now=ts(1))
+    loader.load_pending()
+    # force deletes by mutating until one lands (seeded rng, >10 rows)
+    deleted_any = False
+    for i in range(8):
+        ops = sim.mutate_once(now=ts(10 + i))
+        if ops["deletes"]:
+            deleted_any = True
+        ext.run_once(now=ts(10 + i))
+    loader.load_pending()
+    rows = dim.read(spark).collect()
+    assert_invariants(rows)
+    if deleted_any:
+        src_ids = {r["id"] for r in sim._orders().collect()}
+        cur_ids = {
+            r["order_key"]
+            for r in dim.read(spark).filter(F.col("is_current")).collect()
+        }
+        assert cur_ids == src_ids  # deleted keys have no current version

@@ -1,0 +1,102 @@
+"""Streaming layer: file-stream CDC → foreachBatch SCD2, windowed aggs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.sources.change_batches import write_change_batch
+from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+from cdc_historical_warehouse_platform_spark.streaming.pipeline import (
+    start_scd2_stream,
+    windowed_event_counts,
+)
+from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
+from tests.conftest import SF_DIR, make_change
+from tests.test_scd2 import assert_invariants
+
+T0 = dt.datetime(2026, 5, 1, 8, 0, 0)
+
+
+def ts(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def test_scd2_stream_available_now(tmp_path, spark):
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    dim = VersionedTable(tmp_path / "dim")
+
+    # batch 1 arrives; drain the stream (availableNow = one-shot)
+    b1 = [make_change(i, "INSERT", ts(i)) for i in range(1, 4)]
+    write_change_batch(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(4), fmt="jsonl"
+    )
+    q = start_scd2_stream(spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True)
+    q.awaitTermination(120)
+
+    # batch 2 arrives later; same checkpoint -> only the new files are
+    # processed in the next epoch (incremental exactly-once)
+    b2 = [
+        make_change(1, "UPDATE", ts(10), quantity=7),
+        make_change(2, "DELETE", ts(11)),
+    ]
+    write_change_batch(
+        spark.createDataFrame(b2, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(12), fmt="jsonl"
+    )
+    q2 = start_scd2_stream(spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True)
+    q2.awaitTermination(120)
+
+    rows = dim.read(spark).collect()
+    assert_invariants(rows)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["order_key"], []).append(r)
+    cur1 = [r for r in by_key[1] if r["is_current"]]
+    assert len(cur1) == 1 and cur1[0]["quantity"] == 7
+    assert len(by_key[1]) == 2  # expired v1 + current v2
+    assert all(not r["is_current"] for r in by_key[2])  # deleted
+    assert any(r["is_current"] for r in by_key[3])
+
+    # restart with same checkpoint: nothing new -> dim unchanged
+    v = dim.version()
+    q3 = start_scd2_stream(spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True)
+    q3.awaitTermination(120)
+    assert dim.version() == v
+
+
+def test_windowed_event_counts_streaming_matches_batch(tmp_path, spark):
+    """Run the ST8 tumbling-window agg as a real stream over the events
+    parquet and compare to the batch run of the same function."""
+    from cdc_historical_warehouse_platform_spark.schemas import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    batch_out = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+
+    # materialize events as a file-stream source (µs timestamps)
+    src_dir = tmp_path / "events_src"
+    events.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    out_rows = []
+
+    def _sink(df, epoch):
+        out_rows.extend(df.collect())
+
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in out_rows
+    }
+    assert stream_out == batch_out
