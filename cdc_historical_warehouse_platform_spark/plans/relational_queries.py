@@ -795,3 +795,144 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_sliding_window": (q_sliding_window, SQL_SLIDING),
     "events_session_windows": (q_session_windows, SQL_SESSION),
 }
+
+
+# --------------------------------------------------------------------------
+# Point lookups / pagination / SQL-API surface (P3, P5, O5)
+# --------------------------------------------------------------------------
+
+
+def q_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """P3: current-record point filter (scd2_loader.py:193-200) — the
+    key-equality + flag predicate that must prune to one partition/
+    row-group at scale (verify via PushedFilters in .explain)."""
+    from cdc_historical_warehouse_platform_spark.plans.reference_queries import build_dim
+
+    dim = build_dim(spark, sf)
+    return dim.filter(
+        (F.col("order_key") % 97 == 0) & F.col("is_current")
+    ).select("order_key", "quantity", "order_status", "valid_from")
+
+
+SQL_POINT_LOOKUP = None  # assigned below (needs DIM_SQL)
+
+
+def q_key_history(spark: SparkSession, sf: str) -> DataFrame:
+    """P5: per-key history scan ordered by valid_from
+    (verify_scd2.py:257-277)."""
+    from cdc_historical_warehouse_platform_spark.plans.reference_queries import build_dim
+
+    dim = build_dim(spark, sf)
+    return (
+        dim.filter(F.col("order_key") % 199 == 0)
+        .select("order_key", "quantity", "order_status", "valid_from", "valid_to")
+        .orderBy("order_key", "valid_from")
+    )
+
+
+def q_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """O5: keyset-style page — ORDER BY ... LIMIT 1000 OFFSET 1000
+    (README.md:658-663). Spark plans a global sort + offset+limit."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .offset(1000)
+        .limit(1000)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+SQL_PAGINATION = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 1000 OFFSET 1000
+"""
+
+
+def q_sql_api(spark: SparkSession, sf: str) -> DataFrame:
+    """The spark.sql() text surface over registered temp views — same
+    engine, SQL front-end (SURVEY.md §3.1 'SQL strings' parity)."""
+    from cdc_historical_warehouse_platform_spark.schemas import register_testdata_views
+
+    register_testdata_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+SQL_SQL_API = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """String-function sweep #2: upper/lower, lpad, translate,
+    regexp_extract, repeat, reverse, position (F1-family closure)."""
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.instr("p_name", "a").alias("first_a_pos"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+    ).orderBy("p_partkey")
+
+
+SQL_STRING_FUNCTIONS = r"""
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(p_brand, '#', '-') AS brand_dashed,
+       regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
+       reverse(p_name) AS name_reversed,
+       CAST(strpos(p_name, 'a') AS INT) AS first_a_pos,
+       substr(p_name, 1, 5) AS name_prefix
+FROM part
+ORDER BY p_partkey
+"""
+
+
+from cdc_historical_warehouse_platform_spark.plans.reference_queries import DIM_SQL as _DIM_SQL  # noqa: E402
+
+RELATIONAL_QUERIES.update(
+    {
+        "filter_point_lookup_current": (
+            q_point_lookup,
+            f"""
+            SELECT order_key, quantity, order_status, valid_from
+            FROM ({_DIM_SQL}) d
+            WHERE order_key % 97 = 0 AND is_current
+            """,
+        ),
+        "filter_key_history": (
+            q_key_history,
+            f"""
+            SELECT order_key, quantity, order_status, valid_from, valid_to
+            FROM ({_DIM_SQL}) d
+            WHERE order_key % 199 = 0
+            ORDER BY order_key, valid_from
+            """,
+        ),
+        "sort_pagination": (q_pagination, SQL_PAGINATION),
+        "sql_api_revenue_by_segment": (q_sql_api, SQL_SQL_API),
+        "scalar_string_functions": (q_string_functions, SQL_STRING_FUNCTIONS),
+    }
+)

@@ -1,0 +1,123 @@
+"""Custom stateful streaming operator (ST5): per-key current-state
+store via ``applyInPandasWithState``.
+
+The reference keeps per-key current-version state *in the warehouse
+table* and updates it row-at-a-time (scd2_loader.py:286-446). The
+foreachBatch MERGE (streaming/pipeline.py) is the recommended
+re-expression; this module is the **pure-streaming alternative** the
+SURVEY maps to ``applyInPandasWithState`` — per-key state lives in the
+state store (checkpointed, partitioned by key across executors), and
+each trigger emits the keys whose current version changed.
+
+Scale: state is hash-partitioned on the business key (same shuffle as
+the MERGE join would need); per-key state is one row, so the state
+store holds |keys| rows regardless of history depth — at 100 TB the
+history lives in the sink, only the current image stays in state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["streaming_current_state", "CURRENT_STATE_SCHEMA"]
+
+# Emitted row: the key's new current image (nulls when deleted).
+CURRENT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("order_key", T.LongType()),
+        T.StructField("quantity", T.IntegerType()),
+        T.StructField("order_status", T.StringType()),
+        T.StructField("cdc_timestamp", T.TimestampType()),
+        T.StructField("n_versions", T.LongType()),
+        T.StructField("is_deleted", T.BooleanType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("quantity", T.IntegerType()),
+        T.StructField("order_status", T.StringType()),
+        T.StructField("cdc_ts_us", T.LongType()),  # µs epoch — timestamps
+        T.StructField("n_versions", T.LongType()),  # aren't state-safe
+        T.StructField("is_deleted", T.BooleanType()),
+    ]
+)
+
+
+def _update_key(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this trigger's changes (event-time order) into the key state."""
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows = rows.sort_values("cdc_timestamp", kind="mergesort")
+
+    if state.exists:
+        qty, status, ts_us, n_versions, is_deleted = state.get
+    else:
+        qty, status, ts_us, n_versions, is_deleted = None, None, -1, 0, False
+
+    for rec in rows.itertuples(index=False):
+        rec_us = int(pd.Timestamp(rec.cdc_timestamp).value // 1000)
+        if rec_us < ts_us:
+            continue  # late duplicate older than current state
+        if rec.operation_type == "DELETE":
+            if not is_deleted and n_versions > 0:
+                is_deleted = True
+                ts_us = rec_us
+        else:
+            changed = (
+                is_deleted
+                or n_versions == 0
+                or rec.quantity != qty
+                or rec.order_status != status
+            )
+            if changed:
+                qty = int(rec.quantity)
+                status = rec.order_status
+                ts_us = rec_us
+                n_versions += 1
+                is_deleted = False
+
+    state.update((qty, status, ts_us, n_versions, is_deleted))
+    yield pd.DataFrame(
+        [
+            {
+                "order_key": key[0],
+                "quantity": qty,
+                "order_status": status,
+                "cdc_timestamp": pd.Timestamp(ts_us * 1000) if ts_us >= 0 else None,
+                "n_versions": n_versions,
+                "is_deleted": is_deleted,
+            }
+        ]
+    )
+
+
+def streaming_current_state(changes: DataFrame) -> DataFrame:
+    """changes stream → per-key current-image stream (update mode).
+
+    Input needs columns: id, quantity, order_status, operation_type,
+    cdc_timestamp (the CHANGE_SCHEMA core).
+    """
+    from pyspark.sql import functions as F
+
+    slim = changes.select(
+        F.col("id").cast("long").alias("order_key"),
+        F.col("quantity").cast("int").alias("quantity"),
+        "order_status",
+        "operation_type",
+        "cdc_timestamp",
+    )
+    return slim.groupBy("order_key").applyInPandasWithState(
+        _update_key,
+        outputStructType=CURRENT_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -100,3 +100,54 @@ def test_windowed_event_counts_streaming_matches_batch(tmp_path, spark):
         for r in out_rows
     }
     assert stream_out == batch_out
+
+
+def test_stateful_current_state_operator(tmp_path, spark):
+    """ST5: applyInPandasWithState per-key state across two triggers."""
+    from cdc_historical_warehouse_platform_spark.streaming.stateful import streaming_current_state
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import read_change_stream
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    collected: dict[int, dict] = {}
+
+    def _run():
+        stream = read_change_stream(spark, cdc_dir)
+        out = streaming_current_state(stream)
+
+        def _sink(df, epoch):
+            for r in df.collect():
+                collected[r["order_key"]] = r.asDict()
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        make_change(1, "INSERT", ts(0), quantity=1, status="pending"),
+        make_change(1, "UPDATE", ts(1), quantity=2, status="confirmed"),
+        make_change(2, "INSERT", ts(2)),
+    ]
+    write_change_batch(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(3), fmt="jsonl"
+    )
+    _run()
+    assert collected[1]["quantity"] == 2 and collected[1]["n_versions"] == 2
+    assert collected[2]["n_versions"] == 1 and not collected[2]["is_deleted"]
+
+    # second trigger: state persists in the checkpointed store
+    b2 = [
+        make_change(1, "UPDATE", ts(10), quantity=9, status="shipped"),
+        make_change(2, "DELETE", ts(11)),
+    ]
+    write_change_batch(
+        spark.createDataFrame(b2, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(12), fmt="jsonl"
+    )
+    _run()
+    assert collected[1]["quantity"] == 9 and collected[1]["n_versions"] == 3
+    assert collected[2]["is_deleted"] is True
