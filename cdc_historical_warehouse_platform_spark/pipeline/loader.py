@@ -56,7 +56,14 @@ class SCD2Loader:
         merged = scd2_merge(self._current_dim(), changes, batch_id=batch_id)
         # txn_id doubles the ledger as a commit-level guard: a crash
         # between commit and mark leaves the table idempotent anyway.
-        self.dim.commit(merged, txn_id=f"{batch_path.name}|{batch_id}")
+        # Partitioning by is_current means the next merge's scan of the
+        # current slice prunes the (ever-growing) history partition —
+        # at warehouse scale that's the difference between reading the
+        # live keys and reading all of time (README.md:644-654's index
+        # strategy re-expressed as partition pruning).
+        self.dim.commit(
+            merged, txn_id=f"{batch_path.name}|{batch_id}", partition_by=["is_current"]
+        )
         self.ledger.mark(batch_path.name, batch_id)
         return True
 

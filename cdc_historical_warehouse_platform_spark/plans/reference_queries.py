@@ -248,3 +248,66 @@ REFERENCE_QUERIES: dict[str, tuple] = {
         """,
     ),
 }
+
+
+def q_flag_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: current rows must have NULL valid_to; historical rows must be
+    closed with valid_to > valid_from (verify_scd2.py:295-296 +
+    scd2_loader.py:126-129 CHECKs). Returns violations — must be empty."""
+    dim = build_dim(spark, sf_dir)
+    return dim.filter(
+        (F.col("is_current") & F.col("valid_to").isNotNull())
+        | (~F.col("is_current") & F.col("valid_to").isNull())
+        | (F.col("valid_to").isNotNull() & (F.col("valid_to") <= F.col("valid_from")))
+    ).select("order_key", "valid_from", "valid_to", "is_current")
+
+
+def q_timestamp_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7: each expired version's valid_to equals its successor's
+    valid_from to the microsecond (technical_audit.py:512-643).
+    Returns per-key continuity stats (every pair must be gapless)."""
+    from pyspark.sql import Window
+
+    dim = build_dim(spark, sf_dir)
+    w = Window.partitionBy("order_key").orderBy("valid_from")
+    pairs = dim.withColumn("next_from", F.lead("valid_from").over(w)).filter(
+        F.col("next_from").isNotNull()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("version_pairs"),
+        F.count(F.when(F.col("valid_to") == F.col("next_from"), 1)).alias(
+            "gapless_pairs"
+        ),
+        F.count(F.when(F.col("valid_to") != F.col("next_from"), 1)).alias(
+            "gapped_pairs"
+        ),
+    )
+
+
+REFERENCE_QUERIES.update(
+    {
+        "scd2_flag_consistency_check": (
+            q_flag_consistency,
+            f"""
+            SELECT order_key, valid_from, valid_to, is_current
+            FROM ({DIM_SQL}) d
+            WHERE (is_current AND valid_to IS NOT NULL)
+               OR (NOT is_current AND valid_to IS NULL)
+               OR (valid_to IS NOT NULL AND valid_to <= valid_from)
+            """,
+        ),
+        "scd2_timestamp_continuity": (
+            q_timestamp_continuity,
+            f"""
+            WITH pairs AS (
+              SELECT *, lead(valid_from) OVER (PARTITION BY order_key ORDER BY valid_from) AS next_from
+              FROM ({DIM_SQL}) d
+            )
+            SELECT COUNT(*) AS version_pairs,
+                   COUNT(CASE WHEN valid_to = next_from THEN 1 END) AS gapless_pairs,
+                   COUNT(CASE WHEN valid_to <> next_from THEN 1 END) AS gapped_pairs
+            FROM pairs WHERE next_from IS NOT NULL
+            """,
+        ),
+    }
+)

@@ -115,12 +115,27 @@ class VersionedTable:
                 "dir": vdir.name,
                 "committed_at": time.time(),
                 "txns": txns,
+                "schema": df.schema.json(),
+                "columns": list(df.columns),
+                "partition_by": list(partition_by or []),
             }
         )
         return new_version
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the latest (or a time-travel) version."""
+        """Read the latest (or a time-travel) version.
+
+        Partitioned versions are reconstructed as a union of
+        per-partition-directory reads with the partition column re-added
+        at its ORIGINAL type (Spark's partition-value inference would
+        surface e.g. booleans as strings). A filter on the partition
+        column pushes into every union branch and constant-folds the
+        non-matching branches to empty scans — path-level pruning with
+        exact types.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         meta = self._read_pointer()
         if meta is None:
             raise FileNotFoundError(f"table {self.path} has no committed version")
@@ -128,7 +143,34 @@ class VersionedTable:
         vdir = self.path / f"v{v}"
         if not vdir.exists():
             raise FileNotFoundError(f"version {v} of {self.path} missing (vacuumed?)")
-        return spark.read.parquet(str(vdir))
+
+        part_cols = meta.get("partition_by") or []
+        if not part_cols:
+            return spark.read.parquet(str(vdir))
+
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if len(part_cols) != 1:
+            raise NotImplementedError("only single-level partitioning supported")
+        pcol = part_cols[0]
+        ptype = schema[pcol].dataType
+
+        parts = []
+        for sub in sorted(vdir.iterdir()):
+            if not sub.is_dir() or "=" not in sub.name:
+                continue
+            raw = sub.name.split("=", 1)[1]
+            value = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+            parts.append(
+                spark.read.parquet(str(sub)).withColumn(
+                    pcol, F.lit(value).cast(ptype)
+                )
+            )
+        if not parts:
+            return spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*meta["columns"])
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop version directories older than the newest ``keep_last``."""

@@ -76,7 +76,11 @@ def start_scd2_stream(
             dim_table.read(spark) if dim_table.exists() else empty_dim(spark)
         )
         merged = scd2_merge(dim, batch_df, batch_id=batch_id)
-        dim_table.commit(merged, txn_id=f"epoch:{epoch_id}:{batch_id}")
+        dim_table.commit(
+            merged,
+            txn_id=f"epoch:{epoch_id}:{batch_id}",
+            partition_by=["is_current"],
+        )
 
     writer = changes.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", str(checkpoint_dir)

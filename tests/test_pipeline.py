@@ -177,3 +177,24 @@ def test_delete_flows_through_pipeline(env, spark):
             for r in dim.read(spark).filter(F.col("is_current")).collect()
         }
         assert cur_ids == src_ids  # deleted keys have no current version
+
+
+def test_partitioned_commit_type_fidelity_and_pruning(tmp_path, spark):
+    """Boolean partition columns must come back as booleans, and a
+    filter on the partition column must prune the other branch."""
+    t = VersionedTable(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(1, True, "a"), (2, False, "b"), (3, True, "c")], ["k", "flag", "v"]
+    )
+    t.commit(df, partition_by=["flag"])
+    back = t.read(spark)
+    assert dict(back.dtypes)["flag"] == "boolean"
+    assert back.count() == 3
+    cur = back.filter(F.col("flag"))
+    assert {r["k"] for r in cur.collect()} == {1, 3}
+    # pruning: the filter constant-folds the false branch away — the
+    # optimized plan scans exactly ONE parquet relation and carries the
+    # partition value as a literal
+    plan = cur._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1
+    assert "true AS flag" in plan
