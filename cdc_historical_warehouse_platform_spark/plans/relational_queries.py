@@ -936,3 +936,48 @@ RELATIONAL_QUERIES.update(
         "scalar_string_functions": (q_string_functions, SQL_STRING_FUNCTIONS),
     }
 )
+
+
+def q_stats_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates: exact linear-interpolation percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`) and variance via the
+    decimal-exact sum-of-squares identity — stddev built-ins differ in
+    accumulation order across engines, this formulation doesn't."""
+    o = load_table(spark, sf, "orders")
+    price_dec = _dec("o_totalprice")
+    sum_x = F.sum(price_dec).cast("double")
+    sum_x2 = F.sum((price_dec * price_dec).cast("decimal(38,4)")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.percentile("o_totalprice", 0.25).alias("p25"),
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.95).alias("p95"),
+            ((sum_x2 - sum_x * sum_x / n) / (n - F.lit(1.0))).alias("variance"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_STATS_QUANTILES = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.95) AS p95,
+       (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+        - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        / (COUNT(*) - 1.0) AS variance
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+RELATIONAL_QUERIES["agg_stats_quantiles"] = (q_stats_quantiles, SQL_STATS_QUANTILES)

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Pipeline CLI — the Spark-native twin of the reference's
+run_pipeline.sh / Makefile surface (SURVEY.md §7 M5).
+
+Commands operate on a workdir layout:
+  <workdir>/source_orders/      versioned source table
+  <workdir>/deleted_orders/     tombstone table (DELETE capture)
+  <workdir>/dim_orders_history/ SCD2 dimension
+  <workdir>/pipeline_metadata/  run history
+  <workdir>/cdc_logs/           change batches + state files
+
+Usage:
+  python run_pipeline.py seed      [--workdir DIR] [--orders N]
+  python run_pipeline.py simulate  [--workdir DIR] [--cycles N]
+  python run_pipeline.py extract   [--workdir DIR] [--cycles N] [--backfill]
+  python run_pipeline.py load      [--workdir DIR]
+  python run_pipeline.py status    [--workdir DIR]
+  python run_pipeline.py validate  [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def _env(workdir: Path):
+    from cdc_historical_warehouse_platform_spark.pipeline.extractor import CDCExtractor
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.pipeline.metadata import PipelineMetadataManager
+    from cdc_historical_warehouse_platform_spark.pipeline.simulator import OrderSimulator
+    from cdc_historical_warehouse_platform_spark.session import get_spark
+    from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+    spark = get_spark(
+        app_name="cdc-historical-warehouse-platform-cli",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    source = VersionedTable(workdir / "source_orders")
+    deleted = VersionedTable(workdir / "deleted_orders")
+    dim = VersionedTable(workdir / "dim_orders_history")
+    meta = PipelineMetadataManager(spark, workdir / "pipeline_metadata")
+    sim = OrderSimulator(spark, source, deleted)
+    ext = CDCExtractor(spark, source, workdir / "cdc_logs", deleted_table=deleted)
+    loader = SCD2Loader(spark, dim, workdir / "cdc_logs", metadata=meta)
+    return spark, sim, ext, loader, dim, meta
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "command",
+        choices=["seed", "simulate", "extract", "load", "status", "validate"],
+    )
+    ap.add_argument("--workdir", default="./warehouse_data")
+    ap.add_argument("--orders", type=int, default=10)
+    ap.add_argument("--cycles", type=int, default=1)
+    ap.add_argument(
+        "--backfill",
+        action="store_true",
+        help="start the watermark at epoch so the first extraction captures all rows",
+    )
+    args = ap.parse_args()
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    spark, sim, ext, loader, dim, meta = _env(workdir)
+    if args.backfill:
+        from cdc_historical_warehouse_platform_spark.pipeline.state import Watermark
+
+        wm = Watermark(workdir / "cdc_logs" / ".watermark")
+        if not wm.path.exists():
+            wm.set(dt.datetime(2000, 1, 1))
+
+    if args.command == "seed":
+        sim.seed_orders(args.orders)
+        print(json.dumps({"seeded": args.orders, **{k: str(v) for k, v in sim.stats().items()}}))
+    elif args.command == "simulate":
+        for _ in range(args.cycles):
+            ops = sim.mutate_once()
+            print(json.dumps(ops))
+    elif args.command == "extract":
+        for _ in range(args.cycles):
+            batch = ext.run_once()
+            print(json.dumps({"batch": str(batch) if batch else None}))
+    elif args.command == "load":
+        print(json.dumps(loader.load_pending()))
+    elif args.command == "status":
+        out = {
+            "source_rows": sim._orders().count(),
+            "dim": loader.summary_statistics() if dim.exists() else None,
+            "last_run": meta.last_run(),
+            "stats_7d": meta.stats(),
+        }
+        print(json.dumps(out, default=str))
+    elif args.command == "validate":
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if not dim.exists():
+            print(json.dumps({"error": "dim table empty"}))
+            return 1
+        d = dim.read(spark)
+        dup_current = (
+            d.filter(F.col("is_current"))
+            .groupBy("order_key")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        flag_bad = d.filter(
+            (F.col("is_current") & F.col("valid_to").isNotNull())
+            | (~F.col("is_current") & F.col("valid_to").isNull())
+        ).count()
+        w = Window.partitionBy("order_key").orderBy("valid_from")
+        overlap = (
+            d.withColumn("next_from", F.lead("valid_from").over(w))
+            .filter(
+                F.col("next_from").isNotNull()
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("next_from")))
+            )
+            .count()
+        )
+        ok = dup_current == 0 and flag_bad == 0 and overlap == 0
+        print(
+            json.dumps(
+                {
+                    "V1_duplicate_current": dup_current,
+                    "V2_flag_violations": flag_bad,
+                    "V3_overlaps": overlap,
+                    "valid": ok,
+                }
+            )
+        )
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
