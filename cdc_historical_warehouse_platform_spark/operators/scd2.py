@@ -56,6 +56,7 @@ __all__ = [
     "TRACKED_COLUMNS",
     "dedupe_latest_per_key",
     "scd2_merge",
+    "scd2_merge_parts",
     "scd2_build_from_change_log",
     "empty_dim",
 ]
@@ -150,6 +151,33 @@ def scd2_merge(
     layer for persistence. Equivalent to one Delta ``MERGE INTO`` with
     the expire-row/insert-row staging trick (SURVEY.md §2.10), built
     from primitives so it runs on vanilla Spark.
+
+    The history partition passes through untouched — storage layers that
+    keep history append-only (sources/dim_store.SCD2DimStore) should
+    call :func:`scd2_merge_parts` instead and never materialize it.
+    """
+    current = dim.filter(F.col("is_current"))
+    historical = dim.filter(~F.col("is_current"))
+    new_current, expired = scd2_merge_parts(
+        current, changes, batch_id, business_key, change_key
+    )
+    return historical.unionByName(expired).unionByName(new_current)
+
+
+def scd2_merge_parts(
+    current: DataFrame,
+    changes: DataFrame,
+    batch_id: str | None = None,
+    business_key: str = BUSINESS_KEY,
+    change_key: str = "id",
+) -> tuple[DataFrame, DataFrame]:
+    """The merge against ONLY the current slice, returning
+    ``(new_current_slice, newly_expired_rows)``.
+
+    This is the O(current + batch) formulation: the (unbounded) history
+    never enters the plan, so a storage layer can overwrite the current
+    slice and append the expired rows — per-batch cost is independent
+    of history depth, which is what survives a 100 TB dimension.
     """
     latest = dedupe_latest_per_key(changes, key=change_key)
 
@@ -160,9 +188,6 @@ def scd2_merge(
         F.col("operation_type"),
         F.col("cdc_timestamp"),
     ).withColumn("__chg_hash", _tracked_hash())
-
-    current = dim.filter(F.col("is_current"))
-    historical = dim.filter(~F.col("is_current"))
 
     # J1: batch ⟕ current slice. The batch is the small side; broadcast
     # is Catalyst's choice (micro-batches fall under the threshold).
@@ -211,7 +236,7 @@ def scd2_merge(
         expire_keys, current[business_key] == expire_keys["__exp_key"], "left_outer"
     )
     untouched_current = cur_joined.filter(F.col("__exp_key").isNull()).select(
-        *[F.col(c) for c in dim.columns]
+        *[F.col(c) for c in current.columns]
     )
     expired_current = cur_joined.filter(F.col("__exp_key").isNotNull()).select(
         *[
@@ -220,19 +245,16 @@ def scd2_merge(
             else F.lit(False).alias("is_current")
             if c == "is_current"
             else F.col(c)
-            for c in dim.columns
+            for c in current.columns
         ]
     )
 
-    new_versions = new_versions.select(*[F.col(c) for c in dim.columns])
+    new_versions = new_versions.select(*[F.col(c) for c in current.columns])
 
-    # Union is plan concatenation — no shuffle. Historical rows pass
-    # through untouched (never joined: at scale that's the 99% of the
-    # table this merge never reads if the store partitions on is_current).
+    # Union is plan concatenation — no shuffle.
     return (
-        historical.unionByName(untouched_current)
-        .unionByName(expired_current)
-        .unionByName(new_versions)
+        untouched_current.unionByName(new_versions),
+        expired_current,
     )
 
 

@@ -3,23 +3,23 @@ merge → atomic publish → ledger/metadata (scd2_loader.py:550-659).
 
 Where the reference does a row-at-a-time N+1 loop per change
 (scd2_loader.py:189-207 call sites), this loader runs ONE distributed
-scd2_merge per batch and ONE atomic table commit — the whole batch
-either publishes or doesn't (V6 atomicity for free).
+merge per batch against the split dim store (overwrite-current +
+append-only-history, sources/dim_store.py) — per-batch cost is
+O(current slice + batch), independent of history depth, and the whole
+batch publishes atomically at the store's pointer swap (V6 for free).
 """
 
 from __future__ import annotations
 
-import datetime as _dt
 import time
 from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
 from cdc_historical_warehouse_platform_spark.pipeline.metadata import PipelineMetadataManager
 from cdc_historical_warehouse_platform_spark.pipeline.state import ProcessedLedger, generate_batch_id
 from cdc_historical_warehouse_platform_spark.sources.change_batches import discover_batches, read_change_batch
-from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
 
 __all__ = ["SCD2Loader"]
 
@@ -28,20 +28,15 @@ class SCD2Loader:
     def __init__(
         self,
         spark: SparkSession,
-        dim_table: VersionedTable,
+        dim_store: SCD2DimStore,
         cdc_dir: str | Path,
         metadata: PipelineMetadataManager | None = None,
     ):
         self.spark = spark
-        self.dim = dim_table
+        self.dim = dim_store
         self.cdc_dir = Path(cdc_dir)
         self.ledger = ProcessedLedger(self.cdc_dir / ".scd2_processed_files")
         self.metadata = metadata
-
-    def _current_dim(self):
-        if self.dim.exists():
-            return self.dim.read(self.spark)
-        return empty_dim(self.spark)
 
     def process_batch_file(self, batch_path: str | Path) -> bool:
         """One batch: id → ledger check → merge → commit → mark
@@ -53,19 +48,16 @@ class SCD2Loader:
         batch_id = generate_batch_id(changes)
         if self.ledger.is_processed(batch_path.name, batch_id):
             return False
-        merged = scd2_merge(self._current_dim(), changes, batch_id=batch_id)
-        # txn_id doubles the ledger as a commit-level guard: a crash
-        # between commit and mark leaves the table idempotent anyway.
-        # Partitioning by is_current means the next merge's scan of the
-        # current slice prunes the (ever-growing) history partition —
-        # at warehouse scale that's the difference between reading the
-        # live keys and reading all of time (README.md:644-654's index
-        # strategy re-expressed as partition pruning).
-        self.dim.commit(
-            merged, txn_id=f"{batch_path.name}|{batch_id}", partition_by=["is_current"]
+        # the store's txn guard backs the ledger: a crash between the
+        # pointer swap and the mark leaves the replay a no-op
+        applied = self.dim.apply_batch(
+            self.spark,
+            changes,
+            txn_id=f"{batch_path.name}|{batch_id}",
+            batch_id=batch_id,
         )
         self.ledger.mark(batch_path.name, batch_id)
-        return True
+        return applied
 
     def load_pending(self) -> dict:
         """Process every unprocessed batch in event-time (name) order;
@@ -111,15 +103,4 @@ class SCD2Loader:
 
     def summary_statistics(self) -> dict:
         """A1: the loader's table-summary aggregate (scd2_loader.py:661-683)."""
-        from pyspark.sql import functions as F
-
-        dim = self._current_dim()
-        row = dim.agg(
-            F.count(F.lit(1)).alias("total_records"),
-            F.count(F.when(F.col("is_current"), 1)).alias("current_records"),
-            F.count(F.when(~F.col("is_current"), 1)).alias("historical_records"),
-            F.countDistinct("order_key").alias("unique_orders"),
-            F.min("valid_from").alias("earliest_record"),
-            F.max("valid_from").alias("latest_record"),
-        ).collect()[0]
-        return row.asDict()
+        return self.dim.summary(self.spark)

@@ -109,15 +109,59 @@ class VersionedTable:
         writer.parquet(str(vdir))
         if txn_id is not None:
             txns.append(txn_id)
+        manifests = dict(meta.get("manifests", {})) if meta else {}
+        manifests[str(new_version)] = [vdir.name]
         self._write_pointer(
             {
                 "version": new_version,
                 "dir": vdir.name,
+                "segments": [vdir.name],
+                "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
                 "schema": df.schema.json(),
                 "columns": list(df.columns),
                 "partition_by": list(partition_by or []),
+            }
+        )
+        return new_version
+
+    def append(self, df: DataFrame, txn_id: str | None = None) -> int:
+        """Append a segment WITHOUT rewriting existing data (manifest
+        grows by one directory; old segments are immutable). This is
+        what keeps per-batch work O(batch) for append-only data like
+        SCD2 history — a 100 TB history never gets rewritten.
+
+        Unpartitioned only (append + partition reconstruction would need
+        per-segment metadata; history tables don't need partitions).
+        """
+        meta = self._read_pointer()
+        if meta and meta.get("partition_by"):
+            raise ValueError("append not supported on partitioned tables")
+        txns = list(meta.get("txns", [])) if meta else []
+        if txn_id is not None and txn_id in txns:
+            return meta["version"]
+        new_version = (meta["version"] + 1) if meta else 0
+        segdir = self.path / f"v{new_version}"
+        df.write.mode("overwrite").parquet(str(segdir))
+        segments = (list(meta.get("segments", [meta["dir"]])) if meta else []) + [
+            segdir.name
+        ]
+        if txn_id is not None:
+            txns.append(txn_id)
+        manifests = dict(meta.get("manifests", {})) if meta else {}
+        manifests[str(new_version)] = segments
+        self._write_pointer(
+            {
+                "version": new_version,
+                "dir": segdir.name,
+                "segments": segments,
+                "manifests": manifests,
+                "committed_at": time.time(),
+                "txns": txns,
+                "schema": df.schema.json(),
+                "columns": list(df.columns),
+                "partition_by": [],
             }
         )
         return new_version
@@ -140,13 +184,19 @@ class VersionedTable:
         if meta is None:
             raise FileNotFoundError(f"table {self.path} has no committed version")
         v = meta["version"] if version is None else version
-        vdir = self.path / f"v{v}"
-        if not vdir.exists():
-            raise FileNotFoundError(f"version {v} of {self.path} missing (vacuumed?)")
+        segments = meta.get("manifests", {}).get(str(v), [f"v{v}"])
+        for seg in segments:
+            if not (self.path / seg).exists():
+                raise FileNotFoundError(
+                    f"segment {seg} of {self.path}@v{v} missing (vacuumed?)"
+                )
+        vdir = self.path / segments[0]
 
         part_cols = meta.get("partition_by") or []
         if not part_cols:
-            return spark.read.parquet(str(vdir))
+            if len(segments) == 1:
+                return spark.read.parquet(str(vdir))
+            return spark.read.parquet(*[str(self.path / s_) for s_ in segments])
 
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if len(part_cols) != 1:
@@ -173,15 +223,23 @@ class VersionedTable:
         return out.select(*meta["columns"])
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
-        """Drop version directories older than the newest ``keep_last``."""
-        current = self.version()
+        """Drop segment directories not referenced by the manifests of
+        the newest ``keep_last`` versions."""
+        meta = self._read_pointer()
+        if meta is None:
+            return []
+        current = meta["version"]
+        manifests = meta.get("manifests", {})
+        keep: set[str] = set()
+        for v in range(max(0, current - keep_last + 1), current + 1):
+            keep.update(manifests.get(str(v), [f"v{v}"]))
         removed = []
         for vdir in sorted(self.path.glob("v*")):
             try:
                 v = int(vdir.name[1:])
             except ValueError:
                 continue
-            if v <= current - keep_last:
+            if vdir.name not in keep:
                 shutil.rmtree(vdir)
                 removed.append(v)
         return removed

@@ -19,11 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
 from cdc_historical_warehouse_platform_spark.pipeline.state import generate_batch_id
 from cdc_historical_warehouse_platform_spark.schemas import CHANGE_JSON_SCHEMA
 from cdc_historical_warehouse_platform_spark.sources.change_batches import cast_json_changes
-from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
 
 __all__ = [
     "read_change_stream",
@@ -53,14 +52,15 @@ def read_change_stream(
 def start_scd2_stream(
     spark: SparkSession,
     cdc_dir: str | Path,
-    dim_table: VersionedTable,
+    dim_store: SCD2DimStore,
     checkpoint_dir: str | Path,
     available_now: bool = True,
     processing_time: str = "10 seconds",
 ) -> StreamingQuery:
     """Continuous SCD2 maintenance: every micro-batch runs the same
-    scd2_merge the batch loader uses, committed with an idempotent
-    txn id — a replayed epoch after checkpoint recovery is a no-op.
+    merge the batch loader uses against the split dim store, committed
+    with an idempotent txn id — a replayed epoch after checkpoint
+    recovery is a no-op and per-epoch cost is O(current + batch).
 
     ``available_now=True`` = one-shot drain (single_run_extractor
     semantics); otherwise a ``processingTime`` trigger (the reference's
@@ -72,14 +72,11 @@ def start_scd2_stream(
         if batch_df.isEmpty():
             return
         batch_id = generate_batch_id(batch_df)
-        dim = (
-            dim_table.read(spark) if dim_table.exists() else empty_dim(spark)
-        )
-        merged = scd2_merge(dim, batch_df, batch_id=batch_id)
-        dim_table.commit(
-            merged,
+        dim_store.apply_batch(
+            spark,
+            batch_df,
             txn_id=f"epoch:{epoch_id}:{batch_id}",
-            partition_by=["is_current"],
+            batch_id=batch_id,
         )
 
     writer = changes.writeStream.foreachBatch(_merge).option(

@@ -36,6 +36,7 @@ def _env(workdir: Path):
     from cdc_historical_warehouse_platform_spark.pipeline.metadata import PipelineMetadataManager
     from cdc_historical_warehouse_platform_spark.pipeline.simulator import OrderSimulator
     from cdc_historical_warehouse_platform_spark.session import get_spark
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
     from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
 
     spark = get_spark(
@@ -44,7 +45,7 @@ def _env(workdir: Path):
     )
     source = VersionedTable(workdir / "source_orders")
     deleted = VersionedTable(workdir / "deleted_orders")
-    dim = VersionedTable(workdir / "dim_orders_history")
+    dim = SCD2DimStore(workdir / "dim_orders_history")
     meta = PipelineMetadataManager(spark, workdir / "pipeline_metadata")
     sim = OrderSimulator(spark, source, deleted)
     ext = CDCExtractor(spark, source, workdir / "cdc_logs", deleted_table=deleted)

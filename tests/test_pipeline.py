@@ -16,6 +16,7 @@ from cdc_historical_warehouse_platform_spark.sources.change_batches import (
     read_change_batch,
     write_change_batch,
 )
+from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
 from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
 from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
 from tests.conftest import make_change
@@ -32,7 +33,7 @@ def ts(m):
 def env(tmp_path, spark):
     source = VersionedTable(tmp_path / "source_orders")
     deleted = VersionedTable(tmp_path / "deleted_orders")
-    dim = VersionedTable(tmp_path / "dim_orders_history")
+    dim = SCD2DimStore(tmp_path / "dim_orders_history")
     meta = PipelineMetadataManager(spark, tmp_path / "pipeline_metadata")
     cdc_dir = tmp_path / "cdc_logs"
     sim = OrderSimulator(spark, source, deleted, seed=7)
@@ -198,3 +199,32 @@ def test_partitioned_commit_type_fidelity_and_pruning(tmp_path, spark):
     plan = cur._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation") == 1
     assert "true AS flag" in plan
+
+
+def test_dim_store_history_is_append_only(tmp_path, spark):
+    """The split store must never rewrite history segments — per-batch
+    cost stays O(current+batch) no matter how deep history gets."""
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    store = SCD2DimStore(tmp_path / "dim")
+    b1 = spark.createDataFrame([make_change(i, "INSERT", ts(i)) for i in (1, 2)], CHANGE_SCHEMA)
+    assert store.apply_batch(spark, b1, txn_id="t1", batch_id="b1")
+    b2 = spark.createDataFrame([make_change(1, "UPDATE", ts(10), quantity=5)], CHANGE_SCHEMA)
+    assert store.apply_batch(spark, b2, txn_id="t2", batch_id="b2")
+
+    hist_seg0 = tmp_path / "dim" / "history" / "v0"
+    assert hist_seg0.exists()
+    mtime0 = max(p.stat().st_mtime for p in hist_seg0.rglob("*.parquet"))
+
+    b3 = spark.createDataFrame([make_change(2, "UPDATE", ts(20), quantity=7)], CHANGE_SCHEMA)
+    assert store.apply_batch(spark, b3, txn_id="t3", batch_id="b3")
+    # segment v0 untouched by the later batch; a new segment appeared
+    assert max(p.stat().st_mtime for p in hist_seg0.rglob("*.parquet")) == mtime0
+    assert (tmp_path / "dim" / "history" / "v1").exists()
+
+    rows = store.read(spark).collect()
+    assert_invariants(rows)
+    assert len(rows) == 4  # 2 expired + 2 current
+    # replayed txn is a no-op
+    assert store.apply_batch(spark, b3, txn_id="t3", batch_id="b3") is False
+    assert len(store.read(spark).collect()) == 4

@@ -7,7 +7,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from cdc_historical_warehouse_platform_spark.sources.change_batches import write_change_batch
-from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
 from cdc_historical_warehouse_platform_spark.streaming.pipeline import (
     start_scd2_stream,
     windowed_event_counts,
@@ -26,7 +26,7 @@ def ts(m):
 def test_scd2_stream_available_now(tmp_path, spark):
     cdc_dir = tmp_path / "cdc"
     cdc_dir.mkdir()
-    dim = VersionedTable(tmp_path / "dim")
+    dim = SCD2DimStore(tmp_path / "dim")
 
     # batch 1 arrives; drain the stream (availableNow = one-shot)
     b1 = [make_change(i, "INSERT", ts(i)) for i in range(1, 4)]
