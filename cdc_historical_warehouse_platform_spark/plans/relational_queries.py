@@ -981,3 +981,92 @@ ORDER BY o_orderstatus
 """
 
 RELATIONAL_QUERIES["agg_stats_quantiles"] = (q_stats_quantiles, SQL_STATS_QUANTILES)
+
+
+def q_unshipped_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both join sides + grouped
+    revenue + top-k — the classic pushdown/join-order exercise."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    rev = (_dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")).cast(
+        "decimal(28,4)"
+    )
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_UNSHIPPED = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: compare each row against its group's average
+    (window-avg formulation — one shuffle, no self-join)."""
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(_dec("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    below = li.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty")
+    )
+    return below.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        _sumd("l_extendedprice", "small_line_revenue"),
+    )
+
+
+SQL_SMALL_QTY = """
+WITH t AS (
+  SELECT l_quantity, l_extendedprice,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem)
+SELECT COUNT(*) AS n_small_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_line_revenue
+FROM t WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-aggregate surface (HLL distinct + t-digest quantile)
+    — engine-specific estimators, so rows-only: pytest pins the bounds
+    vs exact values instead of a value-hash oracle."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "join_unshipped_revenue": (q_unshipped_revenue, SQL_UNSHIPPED),
+        "window_small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QTY),
+        "agg_approx_aggregates": (q_approx_aggregates, None),
+    }
+)

@@ -143,3 +143,13 @@ def test_text_edge_cases(spark):
     assert by_id[3]["grams"] == ["a b c", "b c d"]
     assert by_id[4]["n"] == 2
     assert all(r["q"] is not None for r in out)
+
+
+def test_approx_aggregates_within_bounds(spark):
+    """Approximate estimators must land near exact values (rows-only
+    query — this pins what the oracle can't)."""
+    from cdc_historical_warehouse_platform_spark.plans.relational_queries import q_approx_aggregates
+
+    r = q_approx_aggregates(spark, SF_DIR).collect()[0]
+    assert abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"] < 0.05
+    assert r["approx_median_price"] > 0

@@ -151,3 +151,49 @@ def test_stateful_current_state_operator(tmp_path, spark):
     _run()
     assert collected[1]["quantity"] == 9 and collected[1]["n_versions"] == 3
     assert collected[2]["is_deleted"] is True
+
+
+def test_watermark_drops_late_events(tmp_path, spark):
+    """ST3: an event arriving in a later trigger, older than the
+    watermark, must NOT reopen its (already finalized) window in
+    append mode."""
+    import pandas as pd
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import windowed_event_counts
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt_late"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows1 = [(1, dt.datetime(2026, 5, 1, 8, 5), 1, "click", 1.0, "{}"),
+             (2, dt.datetime(2026, 5, 1, 10, 30), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(str(src))
+
+    finalized: list = []
+
+    def _run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src))
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, e: finalized.extend(df.collect()))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    # watermark advanced to 10:20 -> the 08:00 window finalized with n=1
+    first = {(r["window_start"], r["n"]) for r in finalized}
+    assert (dt.datetime(2026, 5, 1, 8, 0), 1) in first
+
+    # a very late event for the finalized 08:00 window arrives
+    rows2 = [(3, dt.datetime(2026, 5, 1, 8, 50), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(str(src))
+    before = len(finalized)
+    _run()
+    emitted = finalized[before:]
+    # the late event must not re-emit the 08:00 window
+    assert all(r["window_start"] != dt.datetime(2026, 5, 1, 8, 0) for r in emitted)
