@@ -320,3 +320,71 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
+
+
+def q_vector_norms_by_label(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector arithmetic surface: per-label count + average L2 norm.
+    Per-row norms are bit-identical sequential folds; the cross-row sum
+    goes through DECIMAL so ordering can't perturb it."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import norm
+
+    emb = load_table(spark, sf, "embeddings")
+    n = norm(F.col("embedding")).cast("decimal(18,6)")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum(n).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_VECTOR_NORMS = f"""
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+def q_array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function sweep over array<float>: size, element_at, slice,
+    fold, max/min of elements — the ArrayType surface (SURVEY §1.3)."""
+    emb = load_table(spark, sf, "embeddings")
+    head8 = F.slice(F.col("embedding"), 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.aggregate(
+            F.transform(head8, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("head8_sum"),
+        F.array_max("embedding").cast("double").alias("max_dim"),
+        F.array_min("embedding").cast("double").alias("min_dim"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+SQL_ARRAY_FUNCTIONS = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS n_dims,
+       CAST(embedding[1] AS DOUBLE) AS first_dim,
+       list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS head8_sum,
+       CAST(list_max(embedding) AS DOUBLE) AS max_dim,
+       CAST(list_min(embedding) AS DOUBLE) AS min_dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+FROM embeddings
+ORDER BY vec_id
+"""
+
+DATAPIPE_QUERIES.update(
+    {
+        "vector_norms_by_label": (q_vector_norms_by_label, SQL_VECTOR_NORMS),
+        "array_functions_sweep": (q_array_functions, SQL_ARRAY_FUNCTIONS),
+    }
+)

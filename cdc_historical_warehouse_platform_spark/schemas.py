@@ -136,7 +136,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; read nanos as long and floor-divide to microseconds
     (identical truncation to DuckDB's ``CAST(ts AS TIMESTAMP)``, so
     oracle comparisons stay exact).
+
+    The session timezone is pinned to UTC on every load: the driver
+    harness supplies its own SparkSession, and timestamp collect /
+    date_trunc results must not depend on its host timezone.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
