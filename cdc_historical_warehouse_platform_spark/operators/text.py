@@ -149,7 +149,11 @@ def quality_score(col: Column) -> Column:
     sw = stopword_ratio(col)
     sw_ok = F.least(sw * F.lit(4.0), F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(5.0), F.lit(1.0))
-    return F.round((len_ok + sw_ok + punct_ok) / F.lit(3.0), 6)
+    # floor-truncate instead of round: floor(x*1e6)/1e6 is bit-identical
+    # across engines, while round() on doubles is repr-based in Spark
+    # and binary-based in DuckDB (splits on ties)
+    score = (len_ok + sw_ok + punct_ok) / F.lit(3.0)
+    return F.floor(score * F.lit(1000000.0)) / F.lit(1000000.0)
 
 
 def lang_id(col: Column) -> Column:

@@ -82,6 +82,9 @@ class SCD2Loader:
             failed += 1
             error = f"{type(e).__name__}: {e}"
         status = "completed" if failed == 0 else "failed"
+        if failed == 0 and self.dim.exists():
+            # ST6-style maintenance: bound the history manifest length
+            self.dim.compact_history(self.spark)
         if self.metadata is not None and run_id is not None:
             self.metadata.update_run(
                 run_id,

@@ -143,9 +143,9 @@ ratios AS (
          CAST(len(t) AS DOUBLE) AS n_tok
   FROM base)
 SELECT doc_id, lang, punct_ratio, digit_ratio, stopword_ratio,
-       round((least(n_tok / 20.0, 1.0)
+       floor(((least(n_tok / 20.0, 1.0)
             + least(stopword_ratio * 4.0, 1.0)
-            + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0, 6) AS quality_score
+            + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0) * 1000000.0) / 1000000.0 AS quality_score
 FROM ratios
 ORDER BY doc_id
 """

@@ -136,6 +136,27 @@ class SCD2DimStore:
         )
         return True
 
+    def compact_history(self, spark: SparkSession, max_segments: int = 32) -> bool:
+        """OPTIMIZE-style maintenance: when history has accumulated more
+        than ``max_segments`` append segments, rewrite them into one.
+
+        Append keeps per-batch cost O(batch), but thousands of tiny
+        segments degrade scan planning — periodic compaction bounds the
+        manifest length. Readers are unaffected: the rewrite publishes
+        as a new history version and the store pointer swaps atomically.
+        """
+        meta = self._read_pointer()
+        if meta is None or meta["history_version"] < 0:
+            return False
+        hmeta = self.history._read_pointer()
+        segments = hmeta.get("manifests", {}).get(str(meta["history_version"]), [])
+        if len(segments) <= max_segments:
+            return False
+        hist = self.history.read(spark, version=meta["history_version"])
+        new_hv = self.history.commit(hist)  # one consolidated segment
+        self._write_pointer({**meta, "history_version": new_hv})
+        return True
+
     def summary(self, spark: SparkSession) -> dict:
         dim = self.read(spark)
         row = dim.agg(

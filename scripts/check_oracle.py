@@ -41,24 +41,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if list(a.columns) != list(b.columns):
         return [f"columns {list(a.columns)} != {list(b.columns)}"]
     for col in a.columns:
-        av, bv = a[col], b[col]
-        for i in range(len(av)):
-            x, y = av.iloc[i], bv.iloc[i]
-            if x is None and y is None:
-                continue
-            if isinstance(x, float) or isinstance(y, float):
-                xn = x is None or (isinstance(x, float) and math.isnan(x))
-                yn = y is None or (isinstance(y, float) and math.isnan(y))
-                if xn and yn:
-                    continue
-                if xn != yn or x != y:
-                    problems.append(f"col {col} row {i}: {x!r} != {y!r}")
-            elif pd.isna(x) and pd.isna(y):
-                continue
-            elif x != y:
-                problems.append(f"col {col} row {i}: {x!r} != {y!r}")
-            if len(problems) > 5:
-                return problems
+        # vectorized exact compare: equal where values match OR both null
+        av = a[col].astype(object)
+        bv = b[col].astype(object)
+        both_null = av.isna().values & bv.isna().values
+        eq = (av.values == bv.values) | both_null
+        if not eq.all():
+            bad = [i for i, ok in enumerate(eq) if not ok][:3]
+            for i in bad:
+                problems.append(f"col {col} row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}")
+        if len(problems) > 5:
+            return problems
     return problems
 
 

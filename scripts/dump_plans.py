@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md — annotated physical plans for the headline suite."""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+NOTES = {
+    "scd2_dim_history": (
+        "One hash exchange on the business key; all three window functions "
+        "(lag-hash, lag-op, lead-ts) share a single sort because the tiebreak "
+        "column is materialized once. Filters stay above the union'd scans; no Python."
+    ),
+    "agg_pricing_summary": (
+        "Filter pushed into the parquet scan (PushedFilters), 6-column pruned "
+        "ReadSchema, two-phase HashAggregate (partial -> final) with one "
+        "exchange on the group keys."
+    ),
+    "join_revenue_by_nation": (
+        "All dimension joins are BroadcastHashJoin (no sort-merge at this "
+        "scale); at cluster scale AQE would keep the small dims broadcast and "
+        "sort-merge the fact-fact join only."
+    ),
+    "dedup_minhash_lsh": (
+        "Linear signature pass (explode + single groupBy agg with 64 fused "
+        "min-aggregates), bucket self-join on band keys only, candidate-only "
+        "verification via array_intersect."
+    ),
+    "knn_cosine_brute": (
+        "Queries broadcast (BroadcastNestedLoopJoin over 10 rows); the corpus "
+        "scan never shuffles; per-query top-k via one window over the small "
+        "scored set."
+    ),
+}
+
+
+def main() -> None:
+    from cdc_historical_warehouse_platform_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.1"
+
+    def grab(name: str) -> str:
+        df = qs[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = re.sub(r"#\d+L?", "", plan)
+        lines = [line for line in plan.splitlines() if line.strip()][:40]
+        return "\n".join(line[:150] for line in lines)
+
+    out = io.StringIO()
+    out.write(
+        "# PLANS — physical-plan evidence for the headline suite (sf0.1)\n\n"
+        "Generated from `.explain`-level output (`executedPlan`, AQE pre-final).\n"
+        "What to look for per query is annotated; expression ids stripped for\n"
+        "readability. Regenerate with `python scripts/dump_plans.py`.\n\n"
+    )
+    for name, note in NOTES.items():
+        out.write(f"## {name}\n\n{note}\n\n```\n{grab(name)}\n```\n\n")
+    (REPO / "PLANS.md").write_text(out.getvalue())
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()

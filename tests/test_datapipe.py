@@ -153,3 +153,18 @@ def test_approx_aggregates_within_bounds(spark):
     r = q_approx_aggregates(spark, SF_DIR).collect()[0]
     assert abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"] < 0.05
     assert r["approx_median_price"] > 0
+
+
+def test_variance_matches_numpy(spark):
+    """Variance went rows-only after a cross-engine 1-ulp divergence in
+    DECIMAL(38,4)->double conversion; pin it against numpy instead."""
+    import numpy as np
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    prices = np.array([r["o_totalprice"] for r in o.select("o_totalprice").collect()])
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    sum_x = F.sum(dec).cast("double")
+    sum_x2 = F.sum((dec * dec).cast("decimal(38,4)")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    var = o.agg(((sum_x2 - sum_x * sum_x / n) / (n - F.lit(1.0))).alias("v")).collect()[0]["v"]
+    assert abs(var - prices.var(ddof=1)) / prices.var(ddof=1) < 1e-9

@@ -228,3 +228,31 @@ def test_dim_store_history_is_append_only(tmp_path, spark):
     # replayed txn is a no-op
     assert store.apply_batch(spark, b3, txn_id="t3", batch_id="b3") is False
     assert len(store.read(spark).collect()) == 4
+
+
+def test_dim_store_history_compaction(tmp_path, spark):
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    store = SCD2DimStore(tmp_path / "dim")
+    store.apply_batch(
+        spark,
+        spark.createDataFrame([make_change(1, "INSERT", ts(0))], CHANGE_SCHEMA),
+        txn_id="t0",
+    )
+    for i in range(1, 4):  # three updates -> three history segments
+        store.apply_batch(
+            spark,
+            spark.createDataFrame(
+                [make_change(1, "UPDATE", ts(10 * i), quantity=i + 1)], CHANGE_SCHEMA
+            ),
+            txn_id=f"t{i}",
+        )
+    before = sorted(map(str, store.read(spark).collect()))
+    assert store.compact_history(spark, max_segments=2) is True
+    after = sorted(map(str, store.read(spark).collect()))
+    assert after == before
+    # consolidated: latest history manifest has exactly one segment
+    hmeta = store.history._read_pointer()
+    assert len(hmeta["manifests"][str(hmeta["version"])]) == 1
+    # no-op below the threshold
+    assert store.compact_history(spark, max_segments=2) is False
