@@ -388,3 +388,35 @@ DATAPIPE_QUERIES.update(
         "array_functions_sweep": (q_array_functions, SQL_ARRAY_FUNCTIONS),
     }
 )
+
+
+def q_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end dedup *decision*: which documents survive.
+    Near-dup pairs (Jaccard ≥ 0.5) drop the higher doc_id of each pair
+    (canonical-keeps-min policy) via left-anti join — the final step a
+    training-data pipeline actually ships."""
+    docs = load_table(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.5)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_KEEP_LIST = f"""
+WITH {SQL_SHINGLES},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON i.doc_a = sa.doc_id
+  JOIN sz sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= 0.5)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["dedup_keep_list"] = (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST)
