@@ -1068,3 +1068,25 @@ RELATIONAL_QUERIES.update(
         "agg_approx_aggregates": (q_approx_aggregates, None),
     }
 )
+
+
+def q_salted_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resilient two-phase top-k (operators/skew.py) — exact, so
+    the oracle is the plain window formulation: identical output, but
+    no single task ever sees a whole hot key."""
+    from cdc_historical_warehouse_platform_spark.operators.skew import salted_topk_per_key
+
+    o = load_table(spark, sf, "orders")
+    out = salted_topk_per_key(
+        o,
+        key="o_custkey",
+        order_by=[F.col("o_totalprice").desc()],
+        k=3,
+        tiebreak=F.col("o_orderkey").asc(),
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rank").alias("rn")
+    ).orderBy("o_custkey", "rn")
+
+
+RELATIONAL_QUERIES["window_salted_topk"] = (q_salted_topk, SQL_TOP_PER_CUSTOMER)

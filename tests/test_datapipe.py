@@ -168,3 +168,27 @@ def test_variance_matches_numpy(spark):
     n = F.count(F.lit(1)).cast("double")
     var = o.agg(((sum_x2 - sum_x * sum_x / n) / (n - F.lit(1.0))).alias("v")).collect()[0]["v"]
     assert abs(var - prices.var(ddof=1)) / prices.var(ddof=1) < 1e-9
+
+
+def test_salted_topk_matches_direct_window(spark):
+    """Skew-resilient two-phase top-k must equal the direct window plan
+    on data with one pathologically hot key."""
+    from pyspark.sql import Window
+    from cdc_historical_warehouse_platform_spark.operators.skew import salted_topk_per_key
+
+    # key 1 holds 5000 rows (hot), keys 2-20 hold 10 each
+    rows = [(1, i, float((i * 37) % 9973)) for i in range(5000)]
+    for key in range(2, 21):
+        rows += [(key, i, float((i * 13) % 97)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "row_id", "score"])
+
+    order = [F.col("score").desc(), F.col("row_id").asc()]
+    direct = (
+        df.withColumn("rank", F.row_number().over(Window.partitionBy("k").orderBy(*order)))
+        .filter(F.col("rank") <= 5)
+    )
+    salted = salted_topk_per_key(df, "k", [F.col("score").desc()], k=5,
+                                 tiebreak=F.col("row_id").asc())
+    a = sorted((r["k"], r["rank"], r["row_id"]) for r in direct.collect())
+    b = sorted((r["k"], r["rank"], r["row_id"]) for r in salted.collect())
+    assert a == b

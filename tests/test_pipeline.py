@@ -256,3 +256,19 @@ def test_dim_store_history_compaction(tmp_path, spark):
     assert len(hmeta["manifests"][str(hmeta["version"])]) == 1
     # no-op below the threshold
     assert store.compact_history(spark, max_segments=2) is False
+
+
+def test_loader_reports_corrupt_batch(env, spark):
+    """A malformed batch file must fail the run (status=failed, error
+    recorded in metadata) without corrupting the dim."""
+    sim, ext, loader, dim, meta = env
+    sim.seed_orders(3, now=ts(0))
+    ext.run_once(now=ts(1))
+    loader.load_pending()
+    good = sorted(map(str, dim.read(spark).collect()))
+    # drop a corrupt envelope into the cdc dir
+    (loader.cdc_dir / "changes_99999999_999999_999.json").write_text("{not json")
+    res = loader.load_pending()
+    assert res["status"] == "failed" and res["failed"] == 1
+    assert meta.last_run()["status"] == "failed"
+    assert sorted(map(str, dim.read(spark).collect())) == good
