@@ -31,6 +31,7 @@ __all__ = [
     "avg_token_len",
     "quality_score",
     "lang_id",
+    "rolling_hash",
     "STOPWORDS",
 ]
 
@@ -170,3 +171,21 @@ def lang_id(col: Column) -> Column:
         .when(col.rlike("[äöüß]"), F.lit("de"))
         .otherwise(F.lit("en"))
     )
+
+
+def rolling_hash(col: Column, mod: int = 2147483647, base: int = 31) -> Column:
+    """Polynomial rolling hash of the whole string (Rabin-Karp family):
+    ``h = (h*base + code(ch)) % mod`` folded left-to-right — the
+    fingerprint primitive for shift-resistant chunking. Kept in the
+    2^31 modulus so the fold never overflows a long, and expressed as a
+    codegen'd fold (no UDF) with an exact DuckDB twin."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substring(col, i, 1)).cast("long"),
+    )
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % mod,
+    )
+    return F.when(F.length(col) > 0, folded).otherwise(F.lit(0).cast("long"))

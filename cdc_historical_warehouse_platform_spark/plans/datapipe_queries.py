@@ -420,3 +420,32 @@ ORDER BY doc_id
 """
 
 DATAPIPE_QUERIES["dedup_keep_list"] = (q_dedup_keep_list, SQL_DEDUP_KEEP_LIST)
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprints (Rabin-Karp polynomial fold)
+    over normalized text + md5 cross-check column."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.rolling_hash(TX.normalize_text(F.col("text"))).alias("rolling_fp"),
+        TX.fingerprint(F.col("text")).alias("md5_fp"),
+    ).orderBy("doc_id")
+
+
+SQL_ROLLING_FP = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents)
+SELECT doc_id,
+       CASE WHEN length(nt) > 0 THEN
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(nt) + 1),
+                            i -> CAST(ascii(substr(nt, CAST(i AS INT), 1)) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647)
+       ELSE 0 END AS rolling_fp,
+       md5(nt) AS md5_fp
+FROM norm
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["text_rolling_fingerprint"] = (q_rolling_fingerprint, SQL_ROLLING_FP)
