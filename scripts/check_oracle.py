@@ -41,15 +41,30 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if list(a.columns) != list(b.columns):
         return [f"columns {list(a.columns)} != {list(b.columns)}"]
     for col in a.columns:
+        # TYPE-strict first: the driver's value hash distinguishes 15 from
+        # 15.0 (r1: DuckDB HUGEINT sums land as float64 vs Spark bigint).
+        # Compare dtype kinds, and for object columns the per-value Python
+        # types, so a type drift fails locally before it fails the driver.
+        ak, bk = a[col].dtype.kind, b[col].dtype.kind
+        if ak != bk and not {ak, bk} <= {"O"}:
+            problems.append(
+                f"col {col}: dtype mismatch spark={a[col].dtype} duck={b[col].dtype}"
+            )
         # vectorized exact compare: equal where values match OR both null
         av = a[col].astype(object)
         bv = b[col].astype(object)
+        nn = ~(av.isna().values | bv.isna().values)
         both_null = av.isna().values & bv.isna().values
         eq = (av.values == bv.values) | both_null
         if not eq.all():
             bad = [i for i, ok in enumerate(eq) if not ok][:3]
             for i in bad:
                 problems.append(f"col {col} row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}")
+        if ak == "O" or bk == "O":
+            ta = {type(x).__name__ for x in av.values[nn]}
+            tb = {type(x).__name__ for x in bv.values[nn]}
+            if ta != tb:
+                problems.append(f"col {col}: value types spark={ta} duck={tb}")
         if len(problems) > 5:
             return problems
     return problems
