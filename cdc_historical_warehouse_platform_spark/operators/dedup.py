@@ -29,7 +29,7 @@ candidates (minhash_lsh_pairs does exactly that composition).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_historical_warehouse_platform_spark.operators.text import (
@@ -48,6 +48,7 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "embedding_near_dup_pairs",
+    "banded_embedding_near_dup",
 ]
 
 
@@ -301,6 +302,129 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _tune_banding(threshold: float, miss_target: float = 1e-9, max_planes: int = 512) -> tuple[int, int]:
+    """Pick (rows_per_band, bands) for random-hyperplane LSH.
+
+    Per-bit agreement for a pair at cosine t is p = 1 − arccos(t)/π
+    (Goemans–Williamson). A pair at the threshold is missed by one band
+    w.p. 1 − p^r and by all B bands w.p. (1 − p^r)^B; B is sized so
+    that model miss ≤ ``miss_target``. Among feasible (r, B) we pick
+    the one minimizing expected candidate volume B·(1/2)^r under the
+    orthogonal-background model (random pairs agree per bit w.p. 1/2).
+
+    Everything is deterministic (planes are xxhash64-derived), so the
+    model only guides sizing — actual recall is verified empirically
+    against the exact-pairs oracle in tests.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best: tuple[float, int, int] | None = None
+    for r in range(1, 33):
+        pr = p**r
+        if pr < 1e-12:
+            break
+        bands = max(1, math.ceil(math.log(miss_target) / math.log(1.0 - pr)))
+        if r * bands > max_planes:
+            continue
+        cost = bands * (0.5**r)
+        if best is None or cost < best[0]:
+            best = (cost, r, bands)
+    if best is None:  # extreme threshold: fall back to one wide band
+        return 1, max_planes
+    return best[1], best[2]
+
+
+def banded_embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    rows_per_band: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane-LSH
+    candidates + exact cosine verification — the bucketed counterpart
+    of :func:`embedding_near_dup_pairs` (same output, no cross join).
+
+    Composition mirrors ``minhash_lsh_pairs``: signature pass (one
+    projection per plane, fused into a single array expression) →
+    posexplode band buckets → equi-join on (band, bucket) → dedup
+    candidate pairs → exact cosine ≥ t filter. The join is a hash/
+    sort-merge equi-join whose partitions are bounded by bucket size —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere, so no
+    single-node O(n) broadcast at 100 TB.
+
+    Honest scale note: pruning power depends on the Hamming gap
+    p(t) − 1/2. At production near-dup thresholds (t ≥ 0.95, p ≥ 0.9)
+    the auto-tuned banding prunes the candidate set by orders of
+    magnitude; at loose thresholds (t ≈ 0.4, p ≈ 0.63) no LSH scheme
+    can prune a dense 64-d corpus (candidates ≈ all pairs ×B·2^−r) —
+    the win there is bounded join partitions instead of a broadcast
+    nested loop. ``_tune_banding`` sizes (r, B) for model miss ≤ 1e−9
+    per threshold pair; planes are deterministic (xxhash64), so recall
+    is reproducible and pinned by tests, not probabilistic at runtime.
+    """
+    from cdc_historical_warehouse_platform_spark.operators.similarity import _plane_weight, cosine
+
+    if rows_per_band is None or bands is None:
+        rows_per_band, bands = _tune_banding(threshold)
+    n_planes = rows_per_band * bands
+
+    vec = F.col(vec_col)
+
+    def bit(p: Column) -> Column:
+        # sign of <v, w_p> — each plane evaluated exactly once per row
+        return (
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda d: F.get(vec, d).cast("double") * _plane_weight(p, d),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+
+    # Bucket keys as ONE fused expression, each band hashing its own r
+    # freshly-computed bits. Deliberately NOT "signature array column +
+    # per-band slice": CollapseProject inlines a single-referenced array
+    # alias into the band transform, re-evaluating all B*r planes once
+    # PER BAND (observed: >270 s vs ~10 s at 500 rows). Computing each
+    # plane inside exactly one band keeps total work at B*r projections.
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b,
+            F.transform(
+                F.sequence(b * rows_per_band, (b + 1) * rows_per_band - 1),
+                bit,
+            ),
+        ),
+    )
+    sig = emb.select(F.col(id_col).alias("id"), vec.alias("v"), buckets.alias("__buckets"))
+    banded = sig.select(
+        "id", "v", F.posexplode_outer("__buckets").alias("band", "bucket")
+    ).filter(F.col("bucket").isNotNull())
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

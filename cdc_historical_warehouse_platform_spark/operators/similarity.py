@@ -77,10 +77,11 @@ def cosine_topk(
     )
 
 
-def _plane_weight(plane: int, d: Column) -> Column:
+def _plane_weight(plane: int | Column, d: Column) -> Column:
     """Deterministic pseudo-random weight in [-1, 1): derived from
     xxhash64(plane, dim) — reproducible across runs and clusters."""
-    h = F.xxhash64(F.lit(plane), d)
+    p = plane if isinstance(plane, Column) else F.lit(plane)
+    h = F.xxhash64(p, d)
     return (F.pmod(h, F.lit(2000001)) - F.lit(1000000)).cast("double") / F.lit(1000000.0)
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from cdc_historical_warehouse_platform_spark.operators import text as TX
 from cdc_historical_warehouse_platform_spark.operators.dedup import (
+    banded_embedding_near_dup,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     jaccard_pairs,
@@ -270,9 +271,13 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.4), exact."""
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4) via banded
+    hyperplane-LSH candidates + exact cosine verify — oracle-identical
+    to the brute-force tier (`embedding_near_dup_pairs`, kept as the
+    verification reference) but executed as a bucketed equi-join: no
+    CartesianProduct / BroadcastNestedLoopJoin in the plan."""
     emb = load_table(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return banded_embedding_near_dup(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
 SQL_EMB_NEAR_DUP = f"""
