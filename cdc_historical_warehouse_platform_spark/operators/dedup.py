@@ -327,7 +327,12 @@ def _tune_banding(threshold: float, miss_target: float = 1e-9, max_planes: int =
         pr = p**r
         if pr < 1e-12:
             break
-        bands = max(1, math.ceil(math.log(miss_target) / math.log(1.0 - pr)))
+        if pr >= 1.0:
+            # threshold 1.0: every band matches a true pair exactly —
+            # one band has zero model miss (log(1-pr) would blow up)
+            bands = 1
+        else:
+            bands = max(1, math.ceil(math.log(miss_target) / math.log(1.0 - pr)))
         if r * bands > max_planes:
             continue
         cost = bands * (0.5**r)
@@ -360,13 +365,16 @@ def banded_embedding_near_dup(
 
     Honest scale note: pruning power depends on the Hamming gap
     p(t) − 1/2. At production near-dup thresholds (t ≥ 0.95, p ≥ 0.9)
-    the auto-tuned banding prunes the candidate set by orders of
-    magnitude; at loose thresholds (t ≈ 0.4, p ≈ 0.63) no LSH scheme
-    can prune a dense 64-d corpus (candidates ≈ all pairs ×B·2^−r) —
-    the win there is bounded join partitions instead of a broadcast
-    nested loop. ``_tune_banding`` sizes (r, B) for model miss ≤ 1e−9
-    per threshold pair; planes are deterministic (xxhash64), so recall
-    is reproducible and pinned by tests, not probabilistic at runtime.
+    the auto-tuned banding prunes the candidate set by ~20× and more;
+    at loose thresholds (t ≈ 0.4, p ≈ 0.63) no LSH scheme can prune a
+    dense 64-d corpus (candidates ≈ all pairs ×B·2^−r) — there the
+    exact tier (:func:`embedding_near_dup_pairs`) is the honest choice.
+    ``_tune_banding`` sizes (r, B) for model miss ≤ 1e−9 for a pair at
+    exactly the threshold (the miss model is a guide — planes are
+    uniform xxhash64-derived weights, not Gaussian); planes are
+    deterministic, so recall is reproducible run-to-run, and
+    tests/test_datapipe.py pins banded ≡ brute-force output on corpora
+    with planted near-dups.
     """
     from cdc_historical_warehouse_platform_spark.operators.similarity import _plane_weight, cosine
 
@@ -406,23 +414,33 @@ def banded_embedding_near_dup(
             ),
         ),
     )
-    sig = emb.select(F.col(id_col).alias("id"), vec.alias("v"), buckets.alias("__buckets"))
+    # Band-explode IDS ONLY: the exploded relation carries (id, band,
+    # bucket) — three scalars — so the B× row duplication never
+    # replicates the embedding vectors, and the candidate dedup
+    # shuffles bare id pairs instead of pairs of 64-double arrays.
+    # Vectors re-enter via two hash equi-joins on the (small,
+    # post-prune) candidate set for the exact cosine verify.
+    sig = emb.select(F.col(id_col).alias("id"), buckets.alias("__buckets"))
     banded = sig.select(
-        "id", "v", F.posexplode_outer("__buckets").alias("band", "bucket")
+        "id", F.posexplode_outer("__buckets").alias("band", "bucket")
     ).filter(F.col("bucket").isNotNull())
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
-    )
     cand = (
-        left.join(right, ["band", "bucket"])
+        banded.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(
+            banded.select(F.col("id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
     return (
-        cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        )
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -270,22 +270,68 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.4) via banded
-    hyperplane-LSH candidates + exact cosine verify — oracle-identical
-    to the brute-force tier (`embedding_near_dup_pairs`, kept as the
-    verification reference) but executed as a bucketed equi-join: no
-    CartesianProduct / BroadcastNestedLoopJoin in the plan."""
-    emb = load_table(spark, sf, "embeddings")
-    return banded_embedding_near_dup(emb, threshold=0.4).orderBy("id_a", "id_b")
+def _near_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Embeddings + deterministically perturbed copies of vec_id < 50
+    (per-dim scale 1 + ((d mod 7) − 3)/1000, copy id = vec_id + 1000000).
 
+    The synthetic embeddings are near-orthogonal (no pair above cosine
+    0.8 at any SF), so a production-threshold near-dup query over the
+    raw table would be trivially empty. The planted copies sit at
+    cosine ≈ 0.999998 — the query must actually find them, and the
+    banding must not miss them. The same augmentation is expressed in
+    the DuckDB oracle, arithmetic in lockstep."""
+    emb = load_table(spark, sf, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, d: x.cast("double")
+            * (F.lit(1.0) + (d % 7 - 3).cast("double") / F.lit(1000.0)),
+        ).alias("embedding"),
+    )
+    return as_double.unionAll(copies)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at the production threshold 0.95
+    via banded hyperplane-LSH candidates + exact cosine verify, over
+    the corpus with planted near-dups. Auto-tuned banding (r=10, B=50)
+    prunes a random pair to ~4.8% candidate probability while missing a
+    true pair at the threshold w.p. ≤ 1e−9 — candidates are generated
+    by a bucketed equi-join over bare ids: no CartesianProduct /
+    BroadcastNestedLoopJoin, no vector replication in the explode.
+    Oracle is the exact brute-force cross join; any banding miss fails
+    the value hash. The loose-threshold exact tier
+    (`embedding_near_dup_pairs`, t = 0.4) stays pinned by
+    tests/test_datapipe.py equivalence checks."""
+    corpus = _near_dup_corpus(spark, sf)
+    return banded_embedding_near_dup(corpus, threshold=0.95).orderBy("id_a", "id_b")
+
+
+SQL_NEAR_DUP_CORPUS = """
+corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             * (1.0 + CAST(((i - 1) % 7) - 3 AS DOUBLE) / 1000.0))
+  FROM embeddings WHERE vec_id < 50
+)
+"""
 
 SQL_EMB_NEAR_DUP = f"""
+WITH {SQL_NEAR_DUP_CORPUS}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a CROSS JOIN embeddings b
+FROM corpus a CROSS JOIN corpus b
 WHERE a.vec_id < b.vec_id
-  AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+  AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.95
 ORDER BY id_a, id_b
 """
 

@@ -37,6 +37,13 @@ NOTES = {
         "scan never shuffles; per-query top-k via one window over the small "
         "scored set."
     ),
+    "embedding_near_dup": (
+        "Banded hyperplane-LSH at t=0.95 (r=10, B=50): candidates come from a "
+        "hash equi-join on (band, bucket) over bare ids — no CartesianProduct "
+        "/ BroadcastNestedLoopJoin, and the 50x posexplode carries 3 scalars "
+        "per row, never the vectors. Embeddings re-enter via two equi-joins "
+        "on the pruned candidate set for the exact cosine verify."
+    ),
 }
 
 

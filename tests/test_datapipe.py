@@ -7,6 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdc_historical_warehouse_platform_spark.operators.dedup import (
+    _tune_banding,
+    banded_embedding_near_dup,
+    embedding_near_dup_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -89,6 +92,50 @@ def test_ann_lsh_finds_planted_neighbors(spark):
     ann = lsh_bucket_ann(vecs, queries, k=1, n_planes=6, probes=7).collect()
     hits = sum(1 for r in ann if r["neighbor_id"] == r["query_id"] + 1)
     assert hits / 40 >= 0.8, f"planted-neighbor recall {hits}/40"
+
+
+@pytest.fixture(scope="module")
+def jittered_vecs(spark):
+    """40 random base vectors + a planted near-dup of each (cos ≈ 0.999)
+    — near-dup queries over this corpus have a non-trivial true pair
+    set at production thresholds."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i * 2, [float(x) for x in base]))
+        jitter = [float(x + rng.gauss(0, 0.02)) for x in base]
+        rows.append((i * 2 + 1, jitter))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+@pytest.mark.parametrize("threshold", [0.95, 0.4])
+def test_banded_near_dup_equals_brute_force(spark, jittered_vecs, threshold):
+    """The banded-LSH path must reproduce the brute-force pair set AND
+    the exact cosine values (the verify step shares the cosine fold)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(jittered_vecs, threshold=threshold).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in banded_embedding_near_dup(jittered_vecs, threshold=threshold).collect()
+    }
+    assert len(exact) >= 40, "fixture should contain the planted pairs"
+    assert banded == exact
+
+
+def test_tune_banding_extremes():
+    # threshold 1.0: p=1 ⇒ pr=1 for every r — must not raise (log(0))
+    # and must return a zero-miss single-band scheme
+    r, b = _tune_banding(1.0)
+    assert b == 1 and r >= 1
+    # production threshold: banding must actually prune random pairs
+    r, b = _tune_banding(0.95)
+    prune = 1.0 - (1.0 - 0.5**r) ** b
+    assert prune < 0.1, f"candidate prob {prune} for random pairs at t=0.95"
 
 
 def test_ann_scores_match_brute_force(spark, emb):
