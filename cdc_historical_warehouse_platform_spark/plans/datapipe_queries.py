@@ -39,22 +39,45 @@ SQL_NORM = (
     " ' +', ' ', 'g'))"
 )
 
-SQL_SHINGLES = f"""
+# Stop-shingle guard: shingles appearing in more docs than this are
+# dropped before the pair self-join (a single boilerplate shingle common
+# to all docs would otherwise square the join). Applied by the jaccard /
+# keep-list queries and mirrored in their oracles; the minhash oracle
+# stays uncapped (its scale path is the banding, not a frequency cap).
+JACCARD_MAX_DOC_FREQ = 100
+
+
+def _sql_shingles(cap: int | None = None) -> str:
+    """Shared shingle CTEs; ``cap`` mirrors jaccard_pairs(max_doc_freq)."""
+    capped = (
+        f"""
+x AS (SELECT x0.doc_id, x0.shingle FROM x0
+      JOIN (SELECT shingle FROM x0 GROUP BY shingle
+            HAVING count(*) <= {cap}) g USING (shingle)),"""
+        if cap is not None
+        else "\nx AS (SELECT doc_id, shingle FROM x0),"
+    )
+    return f"""
 norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
 toks AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t FROM norm),
 sh AS (SELECT doc_id,
               list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
        FROM toks),
-x AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+x0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),{capped}
 sz AS (SELECT doc_id, count(*) AS n FROM x GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
           FROM x a JOIN x b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 """
 
-SQL_JACCARD_PAIRS = f"""
-WITH {SQL_SHINGLES}
+
+SQL_SHINGLES = _sql_shingles()
+
+
+def _sql_jaccard_pairs(cap: int | None) -> str:
+    return f"""
+WITH {_sql_shingles(cap)}
 SELECT i.doc_a, i.doc_b,
        CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) AS jaccard
 FROM inter i
@@ -62,6 +85,12 @@ JOIN sz sa ON i.doc_a = sa.doc_id
 JOIN sz sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= 0.5
 """
+
+
+SQL_JACCARD_PAIRS = _sql_jaccard_pairs(JACCARD_MAX_DOC_FREQ)
+# minhash's exact-verify tier operates on full shingle sets — its oracle
+# stays uncapped to match.
+SQL_JACCARD_PAIRS_UNCAPPED = _sql_jaccard_pairs(None)
 
 SQL_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
@@ -200,9 +229,13 @@ ORDER BY fingerprint
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) with the
+    stop-shingle doc-frequency cap on — the only configuration that
+    survives a corpus with boilerplate shingles at scale."""
     docs = load_table(spark, sf, "documents")
-    return jaccard_pairs(docs, n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+    return jaccard_pairs(
+        docs, n=3, threshold=0.5, max_doc_freq=JACCARD_MAX_DOC_FREQ
+    ).orderBy("doc_a", "doc_b")
 
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -364,7 +397,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_lang_confusion": (q_lang_confusion, SQL_LANG),
     "dedup_exact_groups": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD_PAIRS),
-    "dedup_minhash_lsh": (q_minhash_lsh, SQL_JACCARD_PAIRS),
+    "dedup_minhash_lsh": (q_minhash_lsh, SQL_JACCARD_PAIRS_UNCAPPED),
     "dedup_simhash": (q_simhash, None),
     "knn_cosine_brute": (q_knn_brute, SQL_KNN),
     "ann_lsh_topk": (q_ann_lsh, None),
@@ -447,7 +480,7 @@ def q_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
     (canonical-keeps-min policy) via left-anti join — the final step a
     training-data pipeline actually ships."""
     docs = load_table(spark, sf, "documents")
-    pairs = jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=JACCARD_MAX_DOC_FREQ)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         docs.join(drop, "doc_id", "left_anti")
@@ -457,7 +490,7 @@ def q_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_DEDUP_KEEP_LIST = f"""
-WITH {SQL_SHINGLES},
+WITH {_sql_shingles(JACCARD_MAX_DOC_FREQ)},
 pairs AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
