@@ -53,22 +53,34 @@ def main() -> None:
     # measured query doesn't absorb cluster-startup cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # Two passes per query: the cold pass absorbs per-query codegen/JIT
+    # compilation (tens of percent of noise round-to-round), the warm
+    # pass measures the steady-state plan — which is what a long-running
+    # cluster job actually sees. Warm is the headline; cold is kept as a
+    # secondary field so startup regressions stay visible.
+    def run(name: str) -> float:
         fn = registry[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        cold[name] = run(name)
+    for name in HEADLINE:
+        warm[name] = run(name)
+
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_suite_sec",
+                "metric": "headline_suite_warm_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_queries": cold,
+                "cold_value": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

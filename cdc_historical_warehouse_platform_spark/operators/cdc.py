@@ -77,7 +77,22 @@ def detect_changes(
     ).withColumn("extracted_at", stamp.cast("timestamp"))
 
 
-def next_watermark(changes: DataFrame, updated_col: str = "last_updated"):
-    """A5: max(last_updated) over the extracted batch, or None if empty."""
-    row = changes.agg(F.max(updated_col).alias("wm")).collect()[0]
+def next_watermark(
+    changes: DataFrame,
+    updated_col: str = "last_updated",
+    event_col: str | None = None,
+):
+    """A5: max event time over the extracted batch, or None if empty.
+
+    ``event_col`` (when present in the batch, e.g. ``cdc_timestamp``)
+    participates via ``greatest``: tombstone rows carry their pre-delete
+    ``last_updated`` but a ``cdc_timestamp`` = ``deleted_at``, and the
+    watermark must clear BOTH or a delete newer than the latest update
+    is re-extracted every cycle (reference advances over all extracted
+    event times, log_extractor.py:253-261).
+    """
+    ts = F.col(updated_col).cast("timestamp")
+    if event_col is not None and event_col in changes.columns:
+        ts = F.greatest(ts, F.col(event_col).cast("timestamp"))
+    row = changes.agg(F.max(ts).alias("wm")).collect()[0]
     return row["wm"]

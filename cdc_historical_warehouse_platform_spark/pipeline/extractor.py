@@ -77,7 +77,7 @@ class CDCExtractor:
         batch = write_change_batch(
             changes, self.cdc_dir, extracted_at=now, watermark=wm, fmt=self.fmt
         )
-        new_wm = next_watermark(changes)
+        new_wm = next_watermark(changes, event_col="cdc_timestamp")
         if new_wm is not None:
             self.watermark.set(new_wm)
         return batch

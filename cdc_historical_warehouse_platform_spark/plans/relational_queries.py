@@ -1050,22 +1050,50 @@ FROM t WHERE l_quantity < 0.5 * avg_qty
 
 
 def q_approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate-aggregate surface (HLL distinct + t-digest quantile)
-    — engine-specific estimators, so rows-only: pytest pins the bounds
-    vs exact values instead of a value-hash oracle."""
+    """Approximate-aggregate surface (HLL distinct + t-digest quantile).
+
+    The estimates themselves are engine-specific, so the oracle-checked
+    output is (a) the exact distinct count and (b) booleans asserting
+    each estimator lands within its documented error bound of the exact
+    value computed in the same pass — the oracle expects TRUE, so an
+    estimator drifting out of bounds fails the value hash. The raw
+    estimate magnitudes stay pinned by pytest."""
     li = load_table(spark, sf, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("__hll"),
+        F.percentile_approx(price, 0.5, 10000).alias("__approx_median"),
+        F.percentile(price, 0.45).alias("__p45"),
+        F.percentile(price, 0.55).alias("__p55"),
     )
+    return agg.select(
+        "exact_orders",
+        (
+            F.abs(F.col("__hll") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("__approx_median") >= F.col("__p45"))
+            & (F.col("__approx_median") <= F.col("__p55"))
+        ).alias("approx_median_within_decile"),
+    )
+
+
+SQL_APPROX_AGG = """
+SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_within_5pct,
+       TRUE AS approx_median_within_decile
+FROM lineitem
+"""
 
 
 RELATIONAL_QUERIES.update(
     {
         "join_unshipped_revenue": (q_unshipped_revenue, SQL_UNSHIPPED),
         "window_small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QTY),
-        "agg_approx_aggregates": (q_approx_aggregates, None),
+        "agg_approx_aggregates": (q_approx_aggregates, SQL_APPROX_AGG),
     }
 )
 

@@ -50,12 +50,22 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+# Same-timestamp tiebreak, identical to the batch path's _op_priority
+# (operators/scd2.py): later lifecycle op wins, so a same-timestamp
+# DELETE beats an UPDATE regardless of arrival order — the two paths
+# must agree on final state for identical inputs.
+_OP_PRIORITY = {"DELETE": 3, "UPDATE": 2, "UPSERT": 2, "INSERT": 1}
+
+
 def _update_key(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Fold this trigger's changes (event-time order) into the key state."""
+    """Fold this trigger's changes (event-time order, batch-path
+    tiebreak) into the key state."""
     rows = pd.concat(list(batches), ignore_index=True)
-    rows = rows.sort_values("cdc_timestamp", kind="mergesort")
+    rows = rows.assign(
+        __prio=rows["operation_type"].map(_OP_PRIORITY).fillna(0)
+    ).sort_values(["cdc_timestamp", "__prio"], kind="mergesort")
 
     if state.exists:
         qty, status, ts_us, n_versions, is_deleted = state.get

@@ -46,7 +46,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         # Compare dtype kinds, and for object columns the per-value Python
         # types, so a type drift fails locally before it fails the driver.
         ak, bk = a[col].dtype.kind, b[col].dtype.kind
-        if ak != bk and not {ak, bk} <= {"O"}:
+        if ak != bk and "O" not in (ak, bk):
+            # object-dtype mismatches defer to the per-value type check
             problems.append(
                 f"col {col}: dtype mismatch spark={a[col].dtype} duck={b[col].dtype}"
             )
@@ -61,10 +62,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             for i in bad:
                 problems.append(f"col {col} row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}")
         if ak == "O" or bk == "O":
-            ta = {type(x).__name__ for x in av.values[nn]}
-            tb = {type(x).__name__ for x in bv.values[nn]}
-            if ta != tb:
-                problems.append(f"col {col}: value types spark={ta} duck={tb}")
+            # row-wise, not set-wise: spark [15, 2.0] vs duck [15.0, 2]
+            # has equal type SETS but per-row drift the driver's hash
+            # would catch
+            drift = [
+                i
+                for i, keep in enumerate(nn)
+                if keep and type(av.iloc[i]) is not type(bv.iloc[i])
+            ][:3]
+            for i in drift:
+                problems.append(
+                    f"col {col} row {i}: value type "
+                    f"spark={type(av.iloc[i]).__name__} duck={type(bv.iloc[i]).__name__}"
+                )
         if len(problems) > 5:
             return problems
     return problems

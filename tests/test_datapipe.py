@@ -193,13 +193,22 @@ def test_text_edge_cases(spark):
 
 
 def test_approx_aggregates_within_bounds(spark):
-    """Approximate estimators must land near exact values (rows-only
-    query — this pins what the oracle can't)."""
+    """The bound booleans the oracle expects to be TRUE must hold, and
+    the raw estimators (not part of the hashed output) must land near
+    the exact values."""
     from cdc_historical_warehouse_platform_spark.plans.relational_queries import q_approx_aggregates
+    from cdc_historical_warehouse_platform_spark.schemas import load_table
 
     r = q_approx_aggregates(spark, SF_DIR).collect()[0]
-    assert abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"] < 0.05
-    assert r["approx_median_price"] > 0
+    assert r["hll_within_5pct"] is True
+    assert r["approx_median_within_decile"] is True
+    li = load_table(spark, SF_DIR, "lineitem")
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("hll"),
+        F.percentile_approx(F.col("l_extendedprice").cast("double"), 0.5, 10000).alias("med"),
+    ).collect()[0]
+    assert abs(approx["hll"] - r["exact_orders"]) / r["exact_orders"] < 0.05
+    assert approx["med"] > 0
 
 
 def test_variance_matches_numpy(spark):

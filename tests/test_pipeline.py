@@ -156,6 +156,35 @@ def test_extractor_watermark_advances(env, spark):
     assert ext.watermark.get() >= wm1
 
 
+def test_delete_newer_than_updates_extracted_once(env, spark):
+    """A delete with deleted_at newer than every last_updated must be
+    extracted exactly once — the watermark advances over tombstone
+    cdc_timestamps too (reference log_extractor.py:253-261), not just
+    max(last_updated), or the same DELETE re-emits every cycle."""
+    sim, ext, loader, dim, meta = env
+    sim.seed_orders(5, now=ts(0))
+    assert ext.run_once(now=ts(1)) is not None  # wm -> ts(0)
+    # tombstone newer than every update, written straight to the audit
+    # table (the simulator's BEFORE-DELETE-trigger stand-in)
+    victim = sim._orders().filter(F.col("id") == 1)
+    tomb = victim.select(
+        "*",
+        F.lit(ts(5)).cast("timestamp").alias("deleted_at"),
+        F.lit("test").alias("deletion_reason"),
+    )
+    deleted = ext.deleted_table
+    base = deleted.read(spark) if deleted.exists() else spark.createDataFrame([], tomb.schema)
+    deleted.commit(base.unionByName(tomb))
+
+    batch1 = ext.run_once(now=ts(6))
+    assert batch1 is not None
+    ops = [r["operation_type"] for r in read_change_batch(spark, batch1).collect()]
+    assert ops == ["DELETE"]
+    assert ext.watermark.get() == ts(5)  # cleared the tombstone's event time
+    # second cycle: nothing new — the delete must NOT re-extract
+    assert ext.run_once(now=ts(7)) is None
+
+
 def test_delete_flows_through_pipeline(env, spark):
     sim, ext, loader, dim, meta = env
     sim.seed_orders(12, now=ts(0))
@@ -178,6 +207,32 @@ def test_delete_flows_through_pipeline(env, spark):
             for r in dim.read(spark).filter(F.col("is_current")).collect()
         }
         assert cur_ids == src_ids  # deleted keys have no current version
+
+
+def test_batch_id_distributed_and_order_insensitive(tmp_path, spark):
+    """Backfill-sized batch ids: no id array is collected, so the id
+    must be stable under repartition/shuffle order and sensitive to
+    content."""
+    from cdc_historical_warehouse_platform_spark.pipeline.state import ProcessedLedger, generate_batch_id
+
+    big = spark.range(0, 200_000).select(F.col("id"))
+    a = generate_batch_id(big)
+    b = generate_batch_id(big.repartition(17))  # different partition order
+    assert a == b
+    c = generate_batch_id(spark.range(0, 200_001).select(F.col("id")))
+    assert c != a
+    # duplicate ids are content, not noise
+    d = generate_batch_id(big.unionAll(big.limit(1)))
+    assert d != a
+
+    # ledger: one parse per run, cache tracks in-process appends and
+    # survives external writers (stat-key invalidation)
+    led = ProcessedLedger(tmp_path / "ledger")
+    led.mark("f1", a)
+    assert led.is_processed("f1", a) and not led.is_processed("f1", c)
+    other = ProcessedLedger(tmp_path / "ledger")  # external append
+    other.mark("f2", c)
+    assert led.is_processed("f2", c)
 
 
 def test_partitioned_commit_type_fidelity_and_pruning(tmp_path, spark):

@@ -153,6 +153,50 @@ def test_stateful_current_state_operator(tmp_path, spark):
     assert collected[2]["is_deleted"] is True
 
 
+def test_stateful_same_timestamp_tiebreak_matches_batch(tmp_path, spark):
+    """Same-timestamp DELETE+UPDATE delivered in adversarial order:
+    the streaming fold must apply the batch path's op-priority tiebreak
+    (DELETE wins), not arrival order — both paths end with the key
+    deleted."""
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
+    from cdc_historical_warehouse_platform_spark.streaming.stateful import streaming_current_state
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import read_change_stream
+
+    changes = [
+        make_change(1, "INSERT", ts(0), quantity=1),
+        # DELETE first in arrival order, UPDATE second — same cdc_timestamp
+        make_change(1, "DELETE", ts(5), quantity=1),
+        make_change(1, "UPDATE", ts(5), quantity=7, status="confirmed"),
+    ]
+    cdf = spark.createDataFrame(changes, CHANGE_SCHEMA)
+
+    # batch path: merge into an empty dim — DELETE outranks the
+    # same-timestamp UPDATE, so no current version survives
+    dim = scd2_merge(empty_dim(spark), cdf)
+    assert dim.filter(F.col("is_current")).filter(F.col("order_key") == 1).count() == 0
+
+    # streaming path over the identical rows
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    write_change_batch(cdf, cdc_dir, extracted_at=ts(6), fmt="jsonl")
+    collected: dict[int, dict] = {}
+
+    def _sink(df, epoch):
+        for r in df.collect():
+            collected[r["order_key"]] = r.asDict()
+
+    q = (
+        streaming_current_state(read_change_stream(spark, cdc_dir))
+        .writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tiebreak"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert collected[1]["is_deleted"] is True
+
+
 def test_watermark_drops_late_events(tmp_path, spark):
     """ST3: an event arriving in a later trigger, older than the
     watermark, must NOT reopen its (already finalized) window in
