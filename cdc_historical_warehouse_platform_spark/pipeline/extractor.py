@@ -24,14 +24,26 @@ from cdc_historical_warehouse_platform_spark.pipeline.state import Watermark
 from cdc_historical_warehouse_platform_spark.sources.change_batches import write_change_batch
 from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
 
-__all__ = ["CDCExtractor"]
+__all__ = ["CDCExtractor", "SourceLike"]
+
+
+class SourceLike:
+    """Structural source protocol: ``read(spark) -> DataFrame``.
+
+    Satisfied by ``VersionedTable`` (warehouse tables), ``JdbcSource``
+    (a live database — the reference's actual entry point,
+    log_extractor.py:56-79), and ``DataFrameSource`` (any relation).
+    """
+
+    def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
 
 
 class CDCExtractor:
     def __init__(
         self,
         spark: SparkSession,
-        source: VersionedTable,
+        source: SourceLike | VersionedTable,
         cdc_dir: str | Path,
         deleted_table: VersionedTable | None = None,
         fmt: str = "reference",
