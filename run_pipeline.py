@@ -15,7 +15,8 @@ Usage:
   python run_pipeline.py extract   [--workdir DIR] [--cycles N] [--backfill]
   python run_pipeline.py load      [--workdir DIR]
   python run_pipeline.py status    [--workdir DIR]
-  python run_pipeline.py validate  [--workdir DIR]
+  python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
+                                   [--order-key K]
 """
 
 from __future__ import annotations
@@ -67,6 +68,20 @@ def main() -> int:
         action="store_true",
         help="start the watermark at epoch so the first extraction captures all rows",
     )
+    ap.add_argument(
+        "--report",
+        nargs="?",
+        const="lineage_report.md",
+        default=None,
+        help="validate: also write the per-order markdown lineage report "
+        "(reference verify_scd2.py:344-495) to this path",
+    )
+    ap.add_argument(
+        "--order-key",
+        type=int,
+        default=None,
+        help="validate --report: order to sample (default: most-versioned key)",
+    )
     args = ap.parse_args()
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -101,42 +116,28 @@ def main() -> int:
         }
         print(json.dumps(out, default=str))
     elif args.command == "validate":
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
+        from cdc_historical_warehouse_platform_spark.pipeline.lineage import (
+            generate_lineage_report,
+            invariant_counts,
+        )
 
         if not dim.exists():
             print(json.dumps({"error": "dim table empty"}))
             return 1
         d = dim.read(spark)
-        dup_current = (
-            d.filter(F.col("is_current"))
-            .groupBy("order_key")
-            .count()
-            .filter("count > 1")
-            .count()
-        )
-        flag_bad = d.filter(
-            (F.col("is_current") & F.col("valid_to").isNotNull())
-            | (~F.col("is_current") & F.col("valid_to").isNull())
-        ).count()
-        w = Window.partitionBy("order_key").orderBy("valid_from")
-        overlap = (
-            d.withColumn("next_from", F.lead("valid_from").over(w))
-            .filter(
-                F.col("next_from").isNotNull()
-                & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("next_from")))
+        inv = invariant_counts(d)
+        ok = all(v == 0 for v in inv.values())
+        if args.report is not None:
+            report = generate_lineage_report(
+                spark, d, order_key=args.order_key, last_run=meta.last_run()
             )
-            .count()
-        )
-        ok = dup_current == 0 and flag_bad == 0 and overlap == 0
+            report_path = Path(args.report)
+            report_path.write_text(report)
+            inv["report"] = str(report_path)
         print(
             json.dumps(
-                {
-                    "V1_duplicate_current": dup_current,
-                    "V2_flag_violations": flag_bad,
-                    "V3_overlaps": overlap,
-                    "valid": ok,
-                }
+                {**inv, "valid": ok},
+                default=str,
             )
         )
         return 0 if ok else 1

@@ -327,3 +327,63 @@ def test_loader_reports_corrupt_batch(env, spark):
     assert res["status"] == "failed" and res["failed"] == 1
     assert meta.last_run()["status"] == "failed"
     assert sorted(map(str, dim.read(spark).collect())) == good
+
+
+def test_lineage_report_artifact(env, spark, tmp_path):
+    """The validate artifact (reference verify_scd2.py:344-495): a
+    markdown lineage report for a sampled order with version timeline
+    and invariant results; invariant_counts must agree with the
+    3-query formulation on a violating dimension."""
+    from cdc_historical_warehouse_platform_spark.pipeline.lineage import (
+        generate_lineage_report,
+        invariant_counts,
+        pick_sample_key,
+    )
+
+    sim, ext, loader, dim, meta = env
+    sim.seed_orders(6, now=ts(0))
+    ext.run_once(now=ts(1))
+    loader.load_pending()
+    def touch(status, when):
+        src = sim._orders()
+        hit = F.col("id") == 2
+        sim.source.commit(
+            src.withColumn(
+                "order_status", F.when(hit, F.lit(status)).otherwise(F.col("order_status"))
+            ).withColumn(
+                "last_updated",
+                F.when(hit, F.lit(when).cast("timestamp")).otherwise(F.col("last_updated")),
+            )
+        )
+
+    touch("shipped", ts(10))
+    ext.run_once(now=ts(11))
+    loader.load_pending()
+    touch("delivered", ts(20))
+    ext.run_once(now=ts(21))
+    loader.load_pending()
+
+    d = dim.read(spark)
+    assert invariant_counts(d) == {
+        "V1_duplicate_current": 0,
+        "V2_flag_violations": 0,
+        "V3_overlaps": 0,
+    }
+    assert pick_sample_key(d) == 2  # most-versioned order
+
+    report = generate_lineage_report(spark, d, last_run=meta.last_run())
+    assert "# SCD Type 2 Lineage Report" in report
+    assert "**Order ID:** 2" in report
+    assert "PASSED" in report
+    assert report.count("### Version") == 3  # insert + 2 updates
+    assert "NULL (Current)" in report  # open-ended current version
+    assert "## Order Lineage Timeline" in report
+    (tmp_path / "lineage.md").write_text(report)
+
+    # invariant violations must be counted, and fail the report status
+    bad = d.withColumn("is_current", F.lit(True))
+    inv = invariant_counts(bad)
+    assert inv["V1_duplicate_current"] == 1  # key 2 has 3 "current" rows
+    assert inv["V2_flag_violations"] == 2  # closed rows flagged current
+    bad_report = generate_lineage_report(spark, bad)
+    assert "FAILED" in bad_report
