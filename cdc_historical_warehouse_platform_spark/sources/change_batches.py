@@ -65,9 +65,12 @@ def write_change_batch(
 ) -> Path:
     """Write one batch; returns the batch file (or directory) path.
 
-    ``reference`` format collects to the driver (envelope is a single
-    JSON document — only for micro-batch-sized change sets); ``jsonl``
-    writes distributed.
+    ``reference`` format is the wire-compatible single-JSON-document
+    envelope (log_extractor.py:176-208). It is assembled on the driver
+    — a single JSON document has no distributed representation — but
+    STREAMED via ``toLocalIterator``: driver memory holds one partition
+    of rows at a time, never the whole batch, so a backfill-sized batch
+    writes in bounded memory. ``jsonl`` is the fully distributed path.
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -76,23 +79,36 @@ def write_change_batch(
     ordered = changes.orderBy("last_updated", "id")  # O1 deterministic order
 
     if fmt == "reference":
-        rows = [_stringify(r.asDict()) for r in ordered.collect()]
-        payload = {
-            "batch_metadata": {
-                "extracted_at": extracted_at.isoformat(),
-                "change_count": len(rows),
-                "watermark": watermark.isoformat() if watermark else None,
-            },
-            "changes": rows,
+        n = ordered.count()
+        meta = {
+            "extracted_at": extracted_at.isoformat(),
+            "change_count": n,
+            "watermark": watermark.isoformat() if watermark else None,
         }
         path = out_dir / f"{name}.json"
         tmp = out_dir / f".{name}.json.tmp"
-        tmp.write_text(json.dumps(payload, indent=2))
+        # byte-identical to json.dumps({"batch_metadata": meta,
+        # "changes": rows}, indent=2), built incrementally
+        log = (out_dir / RUNNING_LOG).open("a") if append_running_log and n else None
+        try:
+            with tmp.open("w") as f:
+                head = json.dumps({"batch_metadata": meta}, indent=2)
+                f.write(head[: head.rfind("\n}")])  # drop closing brace
+                f.write(',\n  "changes": [')
+                first = True
+                for r in ordered.toLocalIterator():
+                    row = _stringify(r.asDict())
+                    body = json.dumps(row, indent=2)
+                    indented = "\n".join("    " + ln for ln in body.splitlines())
+                    f.write(("\n" if first else ",\n") + indented)
+                    first = False
+                    if log is not None:
+                        log.write(json.dumps(row) + "\n")
+                f.write("]\n}" if first else "\n  ]\n}")
+        finally:
+            if log is not None:
+                log.close()
         tmp.rename(path)
-        if append_running_log and rows:
-            with (out_dir / RUNNING_LOG).open("a") as f:
-                for r in rows:
-                    f.write(json.dumps(r) + "\n")
         return path
 
     if fmt == "jsonl":

@@ -387,3 +387,44 @@ def test_lineage_report_artifact(env, spark, tmp_path):
     assert inv["V2_flag_violations"] == 2  # closed rows flagged current
     bad_report = generate_lineage_report(spark, bad)
     assert "FAILED" in bad_report
+
+
+def test_streamed_envelope_byte_identical_to_json_dumps(tmp_path, spark):
+    """The streamed reference-envelope writer must emit byte-identical
+    output to json.dumps(payload, indent=2) — wire compat holds while
+    driver memory stays bounded (toLocalIterator, one partition at a
+    time). Also: empty batch and multi-row ordering."""
+    import json
+
+    from cdc_historical_warehouse_platform_spark.sources.change_batches import _stringify
+
+    for n in (0, 1, 7):
+        changes = spark.createDataFrame(
+            [make_change(i, "INSERT", ts(i)) for i in range(n)], CHANGE_SCHEMA
+        ).repartition(3)
+        d = tmp_path / f"n{n}"
+        p = write_change_batch(
+            changes, d, extracted_at=ts(30), watermark=ts(29), fmt="reference"
+        )
+        rows = [
+            _stringify(r.asDict())
+            for r in changes.orderBy("last_updated", "id").collect()
+        ]
+        expected = json.dumps(
+            {
+                "batch_metadata": {
+                    "extracted_at": ts(30).isoformat(),
+                    "change_count": n,
+                    "watermark": ts(29).isoformat(),
+                },
+                "changes": rows,
+            },
+            indent=2,
+        )
+        assert p.read_text() == expected
+        # running log appended once per row, in batch order
+        log = d / "running_changes.jsonl"
+        if n:
+            assert [json.loads(l)["id"] for l in log.read_text().splitlines()] == list(range(n))
+        else:
+            assert not log.exists()
