@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two tiers (north-star requirement):
+Three tiers (north-star requirement):
 
 - **Brute-force cosine top-k** — broadcast the query set, one linear
   scan of the corpus, per-query heap via window top-k. Exact; scales
@@ -11,6 +11,11 @@ Two tiers (north-star requirement):
   corpus is sharded by bucket in one shuffle, then lookups are
   bucket-local — the 100 TB path where a full scan per query batch is
   too slow.
+- **IVF ANN** — a coarse k-means quantizer (deterministic seeds + a
+  distributed Lloyd step) partitions the corpus into inverted lists;
+  queries probe only their closest lists. Centroids are bounded
+  (n_lists × dim) and inlined as literals, so index assignment is
+  map-only with zero corpus shuffle.
 
 All arithmetic is sequential double folds over the array (deterministic
 and bit-exact vs the DuckDB oracle's list_reduce — verified).
@@ -23,7 +28,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplane_signature", "lsh_bucket_ann"]
+__all__ = [
+    "dot",
+    "norm",
+    "cosine",
+    "cosine_topk",
+    "hyperplane_signature",
+    "lsh_bucket_ann",
+    "ivf_centroids",
+    "ivf_topk",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -143,6 +157,158 @@ def lsh_bucket_ann(
             cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
         )
         .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+def _centroid_literals(cents: list[list[float]]) -> list[Column]:
+    """Inline centroids as literal array columns. Bounded by
+    n_lists × dim scalars (e.g. 16×64 = 1 KB) — NOT data-sized; this is
+    what makes IVF assignment a zero-shuffle map-only expression.
+    Each centroid is ONE ArrayType Literal node (F.lit of the list),
+    not dim CreateArray children — per-element literals multiply the
+    plan size by dim and stall Catalyst/codegen."""
+    return [F.lit([float(x) for x in c]) for c in cents]
+
+
+def _nearest_list_expr(vec: Column, cents: list[list[float]]) -> Column:
+    """list_id of the max-cosine centroid, fully codegen'd: an
+    array_max over per-centroid (cos, -list_id) structs (struct
+    comparison is lexicographic, so ties go to the SMALLEST list id)."""
+    candidates = F.array(
+        *[
+            F.struct(
+                cosine(vec, lit_c).alias("cos"), F.lit(-i).alias("neg_id")
+            )
+            for i, lit_c in enumerate(_centroid_literals(cents))
+        ]
+    )
+    return -F.array_max(candidates)["neg_id"]
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    refine: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> list[list[float]]:
+    """IVF coarse quantizer: ``n_lists`` centroid vectors (driver-side
+    list — bounded by n_lists × dim, never by corpus size).
+
+    Seeds are the ``n_lists`` corpus vectors with the smallest
+    xxhash64(id) — a deterministic pseudo-random sample, no RNG state.
+    Each ``refine`` round is one distributed Lloyd step: assignment is
+    a map-only literal-centroid expression (zero shuffle), and the
+    element-wise re-average is one posexplode → groupBy(list, pos)
+    aggregate whose map-side combine reduces every partition to at
+    most n_lists × dim partial rows before the exchange. Sums run in
+    DECIMAL(38,18) so the mean is exact and order-independent (float
+    partial-sum order would make centroids nondeterministic).
+    """
+    seed_rows = (
+        corpus.orderBy(F.xxhash64(F.col(corpus_id).cast("long")), F.col(corpus_id))
+        .limit(n_lists)
+        .select(F.col(corpus_vec).alias("c"))
+        .collect()
+    )
+    cents = [[float(x) for x in r["c"]] for r in seed_rows]
+    for _ in range(refine):
+        assigned = corpus.select(
+            _nearest_list_expr(F.col(corpus_vec), cents).alias("list_id"),
+            F.col(corpus_vec).alias("v"),
+        )
+        rows = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(
+                (F.sum(F.col("val").cast("decimal(38,18)")) / F.count(F.lit(1)))
+                .cast("double")
+                .alias("avg_val")
+            )
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["avg_val"]
+        cents = [
+            [vals[p] for p in sorted(vals)] if (vals := by_list.get(i)) else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probes: int = 2,
+    refine: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k — the brief's second ANN scale path
+    ("IVF or LSH-bucketed variant") next to lsh_bucket_ann.
+
+    Index: each corpus vector gets the list_id of its nearest coarse
+    centroid — a map-only literal expression, zero corpus shuffle.
+    Search: each query probes its ``n_probes`` closest lists, the
+    probed query set is broadcast, and scoring touches only corpus
+    rows whose list_id is probed (~n_probes/n_lists of the data per
+    query batch). Same output schema as cosine_topk.
+    """
+    cents = ivf_centroids(corpus, n_lists, refine, corpus_id, corpus_vec)
+
+    assigned = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _nearest_list_expr(F.col(corpus_vec), cents).alias("list_id"),
+    )
+
+    # per-query probe list: top-n_probes centroids by cosine, computed
+    # with the same literal structs — map-only on the (small) query set
+    probe_structs = F.array(
+        *[
+            F.struct(
+                cosine(F.col("__qv"), lit_c).alias("cos"),
+                F.lit(-i).alias("neg_id"),
+            )
+            for i, lit_c in enumerate(_centroid_literals(cents))
+        ]
+    )
+    probed = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        )
+        .withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(probe_structs)), 1, n_probes),
+                    lambda s: -s["neg_id"],
+                )
+            ),
+        )
+        .select("query_id", "__qv", "list_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probed), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

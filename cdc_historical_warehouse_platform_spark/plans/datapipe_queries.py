@@ -303,6 +303,23 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (8 coarse lists, 1 Lloyd refinement, probing the 2
+    closest lists per query) — the second approximate scale path next
+    to ann_lsh_topk; rows-only, recall vs brute force asserted in
+    pytest. List count scales with corpus size (≈ sqrt(n) lists at
+    production scale); 8 fits the 500-5000-vector test corpora."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10, n_lists=8, n_probes=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _near_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Embeddings + deterministically perturbed copies of vec_id < 50
     (per-dim scale 1 + ((d mod 7) − 3)/1000, copy id = vec_id + 1000000).
@@ -401,6 +418,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_simhash, None),
     "knn_cosine_brute": (q_knn_brute, SQL_KNN),
     "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_ivf_topk": (q_ann_ivf, None),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }

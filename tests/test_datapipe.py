@@ -248,3 +248,55 @@ def test_salted_topk_matches_direct_window(spark):
     a = sorted((r["k"], r["rank"], r["row_id"]) for r in direct.collect())
     b = sorted((r["k"], r["rank"], r["row_id"]) for r in salted.collect())
     assert a == b
+
+
+def test_ivf_finds_planted_neighbors(spark):
+    """IVF tier: same planted-neighbor bar as the LSH tier — jittered
+    copies of base vectors must come back as the top-1 neighbor, and
+    centroid construction must be deterministic run-to-run."""
+    import random
+
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i * 2, [float(x) for x in base]))
+        rows.append((i * 2 + 1, [float(x + rng.gauss(0, 0.05)) for x in base]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = ivf_topk(vecs, queries, k=1, n_lists=8, n_probes=2).collect()
+    hits = sum(1 for r in ann if r["neighbor_id"] == r["query_id"] + 1)
+    assert hits / 40 >= 0.8, f"planted-neighbor recall {hits}/40"
+
+    assert ivf_centroids(vecs, 8) == ivf_centroids(vecs, 8)
+
+
+def test_ivf_scores_match_brute_force(spark):
+    """Scores IVF reports must be the exact cosines the brute-force
+    tier computes for the same (query, neighbor) pairs — the
+    approximation may prune candidates, never perturb arithmetic."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    ivf = ivf_topk(emb, queries, k=10, n_lists=8, n_probes=2).collect()
+    overlap = [r for r in ivf if (r["query_id"], r["neighbor_id"]) in brute]
+    assert overlap, "IVF should recover some exact top-10 neighbors"
+    for r in overlap:
+        assert r["cosine"] == brute[(r["query_id"], r["neighbor_id"])]
