@@ -37,6 +37,14 @@ NOTES = {
         "scan never shuffles; per-query top-k via one window over the small "
         "scored set."
     ),
+    "ann_ivf_topk": (
+        "IVF: centroid assignment and query probing are map-only literal "
+        "expressions (centroids inlined as single ArrayType literals — "
+        "bounded n_lists×dim, not data-sized), so the corpus is never "
+        "shuffled or cross-joined; scoring is a BroadcastHashJoin on "
+        "list_id against the probed query set, then one window over the "
+        "probed candidates."
+    ),
     "embedding_near_dup": (
         "Banded hyperplane-LSH at t=0.95 (r=10, B=50): candidates come from a "
         "hash equi-join on (band, bucket) over bare ids — no CartesianProduct "
