@@ -65,7 +65,8 @@ def pick_sample_key(dim: DataFrame) -> int | None:
     """The most-versioned order — the richest timeline to exhibit
     (top-1 of a count agg, no full sort)."""
     rows = (
-        dim.groupBy("order_key")
+        dim.filter(F.col("order_key").isNotNull())
+        .groupBy("order_key")
         .count()
         .orderBy(F.desc("count"), "order_key")
         .limit(1)

@@ -133,7 +133,14 @@ class JdbcSource:
                 b = self._bounds(spark)
                 if b is not None and b[0] != b[1]:
                     opts.update(self._partition_options(*b))
-            return spark.read.format("jdbc").options(**opts).load()
+            df = spark.read.format("jdbc").options(**opts).load()
+            # normalize to the engine's canonical lower-case column
+            # names: engines that fold unquoted identifiers to upper
+            # case (Derby, Oracle, DB2) would otherwise leak ID/
+            # CUSTOMER_ID into downstream sinks — SQL resolution is
+            # case-insensitive but JSON field matching is NOT, so an
+            # envelope written with upper-case keys reads back null
+            return df.toDF(*[c.lower() for c in df.columns])
 
         return self._with_retry(_load)
 

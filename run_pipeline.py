@@ -13,6 +13,7 @@ Usage:
   python run_pipeline.py seed      [--workdir DIR] [--orders N]
   python run_pipeline.py simulate  [--workdir DIR] [--cycles N]
   python run_pipeline.py extract   [--workdir DIR] [--cycles N] [--backfill]
+                                   [--source-url JDBC_URL [--source-table T]]
   python run_pipeline.py load      [--workdir DIR]
   python run_pipeline.py status    [--workdir DIR]
   python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
@@ -31,24 +32,30 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 
-def _env(workdir: Path):
+def _env(workdir: Path, source_url: str | None = None, source_table: str = "orders"):
     from cdc_historical_warehouse_platform_spark.pipeline.extractor import CDCExtractor
     from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
     from cdc_historical_warehouse_platform_spark.pipeline.metadata import PipelineMetadataManager
     from cdc_historical_warehouse_platform_spark.pipeline.simulator import OrderSimulator
     from cdc_historical_warehouse_platform_spark.session import get_spark
     from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+    from cdc_historical_warehouse_platform_spark.sources.jdbc import JdbcSource
     from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
 
     spark = get_spark(
         app_name="cdc-historical-warehouse-platform-cli",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    source = VersionedTable(workdir / "source_orders")
+    if source_url is not None:
+        # live-database entry point (reference log_extractor.py:56-79):
+        # credentials/driver via standard JDBC url options
+        source = JdbcSource(source_url, source_table, partition_column="id")
+    else:
+        source = VersionedTable(workdir / "source_orders")
     deleted = VersionedTable(workdir / "deleted_orders")
     dim = SCD2DimStore(workdir / "dim_orders_history")
     meta = PipelineMetadataManager(spark, workdir / "pipeline_metadata")
-    sim = OrderSimulator(spark, source, deleted)
+    sim = OrderSimulator(spark, source if source_url is None else VersionedTable(workdir / "source_orders"), deleted)
     ext = CDCExtractor(spark, source, workdir / "cdc_logs", deleted_table=deleted)
     loader = SCD2Loader(spark, dim, workdir / "cdc_logs", metadata=meta)
     return spark, sim, ext, loader, dim, meta
@@ -69,6 +76,16 @@ def main() -> int:
         help="start the watermark at epoch so the first extraction captures all rows",
     )
     ap.add_argument(
+        "--source-url",
+        default=None,
+        help="extract from a live database over JDBC instead of the workdir "
+        "source table (e.g. jdbc:postgresql://host:5432/operational_db; "
+        "jdbc:derby:<path> works with Spark's bundled driver)",
+    )
+    ap.add_argument(
+        "--source-table", default="orders", help="JDBC source table name"
+    )
+    ap.add_argument(
         "--report",
         nargs="?",
         const="lineage_report.md",
@@ -86,7 +103,9 @@ def main() -> int:
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
 
-    spark, sim, ext, loader, dim, meta = _env(workdir)
+    spark, sim, ext, loader, dim, meta = _env(
+        workdir, source_url=args.source_url, source_table=args.source_table
+    )
     if args.backfill:
         from cdc_historical_warehouse_platform_spark.pipeline.state import Watermark
 

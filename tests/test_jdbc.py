@@ -112,9 +112,15 @@ def test_jdbc_end_to_end_embedded_derby(tmp_path, spark):
         spark, src, tmp_path / "cdc", fmt="jsonl", initial_watermark=ts(0)
     )
 
+    # canonical lower-case column names even though Derby folds
+    # unquoted identifiers to upper case (JSON field matching is
+    # case-sensitive downstream)
+    assert all(c == c.lower() for c in src.read(spark).columns)
+
     batch1 = ext.run_once(now=ts(5))
     assert batch1 is not None
     rows = {r["id"]: r for r in read_change_batch(spark, batch1).collect()}
+    assert rows[1]["customer_id"] == 10  # values survive the envelope
     assert set(rows) == {1, 2}
     assert {r["operation_type"] for r in rows.values()} == {"INSERT"}
     assert ext.watermark.get() == ts(2)
