@@ -551,3 +551,95 @@ ORDER BY doc_id
 """
 
 DATAPIPE_QUERIES["text_rolling_fingerprint"] = (q_rolling_fingerprint, SQL_ROLLING_FP)
+
+
+def q_corpus_keep_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data pipeline decision: every document
+    classified as kept / low_quality / exact_dup / near_dup — the
+    three dedup-and-filter tiers chained the way a corpus build
+    actually ships them (quality pre-filter → exact fingerprint
+    dedup keeping the min-id canonical → capped-Jaccard near-dup
+    dropping the higher id of each pair).
+
+    Scale shape: quality + fingerprint are map-only projections; the
+    canonical id is one groupBy on a 16-byte fingerprint; near-dup
+    inherits the stop-shingle-capped self-join; the verdict is two
+    left joins on doc_id. Priority is low_quality > exact_dup >
+    near_dup so the decision is deterministic and SQL-expressible."""
+    from cdc_historical_warehouse_platform_spark.operators import text as _T
+
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        _T.quality_score(t).alias("__q"),
+        _T.fingerprint(t).alias("__fp"),
+    )
+    canon = base.groupBy("__fp").agg(F.min("doc_id").alias("__canonical"))
+    near = (
+        jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=JACCARD_MAX_DOC_FREQ)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        base.join(canon, "__fp")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("__q") < 0.68, F.lit("low_quality"))
+            .when(F.col("doc_id") != F.col("__canonical"), F.lit("exact_dup"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CORPUS_KEEP = f"""
+WITH {_sql_shingles(JACCARD_MAX_DOC_FREQ)},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON i.doc_a = sa.doc_id
+  JOIN sz sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= 0.5),
+near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+qbase AS (
+  SELECT doc_id, lang,
+         greatest(length(text), 1) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS lt,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+ratios AS (
+  SELECT doc_id, lang,
+         n_punct / n_chars AS punct_ratio,
+         CAST(len(list_filter(lt, x -> x IN ({_SW_LIST}))) AS DOUBLE)
+           / greatest(len(lt), 1) AS stopword_ratio,
+         CAST(len(t) AS DOUBLE) AS n_tok
+  FROM qbase),
+quality AS (
+  SELECT doc_id, lang,
+         floor(((least(n_tok / 20.0, 1.0)
+              + least(stopword_ratio * 4.0, 1.0)
+              + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0) * 1000000.0) / 1000000.0 AS q
+  FROM ratios),
+fp AS (SELECT doc_id, md5({SQL_NORM}) AS f FROM documents),
+canon AS (SELECT f, MIN(doc_id) AS canonical FROM fp GROUP BY 1)
+SELECT q.doc_id, q.lang,
+       CASE WHEN q.q < 0.68 THEN 'low_quality'
+            WHEN q.doc_id <> c.canonical THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS decision
+FROM quality q
+JOIN fp ON q.doc_id = fp.doc_id
+JOIN canon c ON fp.f = c.f
+LEFT JOIN near n ON q.doc_id = n.doc_id
+ORDER BY q.doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_keep_decisions"] = (q_corpus_keep_decisions, SQL_CORPUS_KEEP)

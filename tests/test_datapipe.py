@@ -300,3 +300,39 @@ def test_ivf_scores_match_brute_force(spark):
     assert overlap, "IVF should recover some exact top-10 neighbors"
     for r in overlap:
         assert r["cosine"] == brute[(r["query_id"], r["neighbor_id"])]
+
+
+def test_corpus_keep_decisions_partition_docs(spark):
+    """Every document gets exactly one decision; the priority chain is
+    consistent with its inputs (no kept doc is a non-canonical exact
+    dup or a near-dup doc_b; every low-quality doc scores < 0.68)."""
+    from cdc_historical_warehouse_platform_spark.operators import text as TX
+    from cdc_historical_warehouse_platform_spark.operators.dedup import jaccard_pairs
+    from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
+        JACCARD_MAX_DOC_FREQ,
+        q_corpus_keep_decisions,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = q_corpus_keep_decisions(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    decisions = {r["doc_id"]: r["decision"] for r in rows}
+    assert set(decisions.values()) <= {"kept", "low_quality", "exact_dup", "near_dup"}
+
+    scores = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", TX.quality_score(F.col("text")).alias("q")).collect()
+    }
+    near_b = {
+        r["doc_b"]
+        for r in jaccard_pairs(
+            docs, n=3, threshold=0.5, max_doc_freq=JACCARD_MAX_DOC_FREQ
+        ).collect()
+    }
+    for did, d in decisions.items():
+        if d == "low_quality":
+            assert scores[did] < 0.68
+        if d == "kept":
+            assert scores[did] >= 0.68
+            assert did not in near_b
