@@ -30,6 +30,10 @@ __all__ = [
     "attach_binary_payload",
     "FEATURE_SCHEMA",
     "extract_binary_features",
+    "RESIZE_SCHEMA",
+    "resize_binary",
+    "FRAME_SCHEMA",
+    "sample_frames",
     "decode_image",
     "decode_audio",
 ]
@@ -134,3 +138,126 @@ def decode_audio(payload: bytes):
     import librosa
 
     return librosa.load(io.BytesIO(payload))
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("n_bytes_in", T.IntegerType()),
+    ]
+)
+
+
+def resize_binary(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Arrow-batched "resize": every payload down to width*height bytes
+    by deterministic nearest-index resampling (byte i of the output is
+    input byte floor(i*len/target)) — the byte-level stand-in for
+    pixel resampling, applied where ``decode_image(...).resize(...)``
+    would run with PIL present. One row in → one row out; the md5 of
+    the resampled bytes makes the output comparable without shipping
+    the bytes anywhere.
+    """
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                resized = (
+                    bytes(data[(i * n) // target] for i in range(target)) if n else b""
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": width,
+                        "height": height,
+                        "resized_md5": hashlib.md5(resized).hexdigest(),
+                        "n_bytes_in": n,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("frame_len", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_n: int = 2
+) -> DataFrame:
+    """Row-EXPANDING Arrow UDF: split each payload into fixed-size
+    "frames" and emit every ``every_n``-th — the video frame-sampling
+    shape (one input row → many output rows inside mapInPandas, no
+    explode needed JVM-side). Equivalence to a pure-JVM
+    substring/md5 formulation is pinned by pytest, so the Python path
+    can't silently drift from the declarative one.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, every_n):
+                    chunk = data[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                            "frame_len": len(chunk),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def sample_frames_jvm_twin(
+    df: DataFrame, frame_bytes: int = 256, every_n: int = 2
+) -> DataFrame:
+    """The declarative twin of ``sample_frames`` (sequence + explode +
+    substring + md5, all JVM): used by tests to pin the Arrow path and
+    by plans that prefer staying in codegen when no real codec is
+    involved."""
+    n_frames = (F.length("payload") + F.lit(frame_bytes - 1)) / F.lit(frame_bytes)
+    return (
+        df.select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(0), n_frames.cast("int") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(
+                f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})"
+            ).alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5("__chunk").alias("frame_md5"),
+            F.length("__chunk").alias("frame_len"),
+        )
+    )

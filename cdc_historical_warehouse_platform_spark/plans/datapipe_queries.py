@@ -643,3 +643,23 @@ ORDER BY q.doc_id
 """
 
 DATAPIPE_QUERIES["corpus_keep_decisions"] = (q_corpus_keep_decisions, SQL_CORPUS_KEEP)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-expanding multimodal UDF surface: frame-sample every 2nd
+    256-byte "frame" of each binary payload via Arrow-batched
+    mapInPandas. Rows-only (DuckDB has no blob md5); pytest pins the
+    Arrow path byte-for-byte against the declarative JVM substring
+    twin (test_multimodal_resize_and_frame_sample)."""
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return sample_frames(attach_binary_payload(docs), frame_bytes=256, every_n=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+DATAPIPE_QUERIES["multimodal_frame_sample"] = (q_multimodal_frame_sample, None)

@@ -336,3 +336,37 @@ def test_corpus_keep_decisions_partition_docs(spark):
         if d == "kept":
             assert scores[did] >= 0.68
             assert did not in near_b
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    """Resize: one row per payload, exact target geometry, md5 stable
+    across repartitioning. Frame sampling: the row-expanding Arrow
+    path must agree byte-for-byte (via md5) with the declarative
+    JVM substring twin."""
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        resize_binary,
+        sample_frames,
+        sample_frames_jvm_twin,
+    )
+
+    binary = attach_binary_payload(docs.limit(30))
+
+    resized = resize_binary(binary, width=4, height=4).collect()
+    assert len(resized) == 30
+    assert all(r["width"] == 4 and r["height"] == 4 for r in resized)
+    again = {
+        r["doc_id"]: r["resized_md5"]
+        for r in resize_binary(binary.repartition(7), width=4, height=4).collect()
+    }
+    assert {r["doc_id"]: r["resized_md5"] for r in resized} == again
+
+    arrow = {
+        (r["doc_id"], r["frame_idx"]): (r["frame_md5"], r["frame_len"])
+        for r in sample_frames(binary, frame_bytes=64, every_n=2).collect()
+    }
+    jvm = {
+        (r["doc_id"], r["frame_idx"]): (r["frame_md5"], r["frame_len"])
+        for r in sample_frames_jvm_twin(binary, frame_bytes=64, every_n=2).collect()
+    }
+    assert arrow == jvm and arrow
+    assert any(idx > 0 for _, idx in arrow)  # genuinely row-expanding
