@@ -51,6 +51,7 @@ _PRIORITY = [
     "array_functions_sweep",
     "dedup_keep_list",
     "text_rolling_fingerprint",
+    "corpus_keep_decisions",  # hash-exact oracle; composed LLM-tier flagship (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -62,6 +63,7 @@ _DEMOTED = [
     "join_unshipped_revenue",      # J+ composite ≡ join_revenue_by_nation (green r02)
     "window_small_quantity_revenue",  # agg-over-join ≡ agg_pricing_summary family (green r02)
     "scalar_string_functions",     # F-coverage overlap with scalar_functions (green r02)
+    "sort_pagination",             # O5 ≡ second sort-family row next to sort_topk_orders (green r01+r02)
 ]
 
 
