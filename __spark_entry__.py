@@ -52,6 +52,8 @@ _PRIORITY = [
     "dedup_keep_list",
     "text_rolling_fingerprint",
     "corpus_keep_decisions",  # hash-exact oracle; composed LLM-tier flagship (new r03)
+    "ann_ivf_topk",           # rows-only by design (recall pinned in pytest); first driver row (new r03)
+    "multimodal_frame_sample",  # rows-only by design (Arrow path pinned to JVM twin); first driver row (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -64,6 +66,8 @@ _DEMOTED = [
     "window_small_quantity_revenue",  # agg-over-join ≡ agg_pricing_summary family (green r02)
     "scalar_string_functions",     # F-coverage overlap with scalar_functions (green r02)
     "sort_pagination",             # O5 ≡ second sort-family row next to sort_topk_orders (green r01+r02)
+    "agg_cube",                    # grouping-set family ≡ agg_rollup (both green r02; rollup stays in-window)
+    "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
 ]
 
 
