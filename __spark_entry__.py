@@ -54,6 +54,7 @@ _PRIORITY = [
     "corpus_keep_decisions",  # hash-exact oracle; composed LLM-tier flagship (new r03)
     "ann_ivf_topk",           # rows-only by design (recall pinned in pytest); first driver row (new r03)
     "multimodal_frame_sample",  # rows-only by design (Arrow path pinned to JVM twin); first driver row (new r03)
+    "corpus_sample_stratified",  # hash-exact oracle; deterministic md5-gated sampling (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -68,6 +69,7 @@ _DEMOTED = [
     "sort_pagination",             # O5 ≡ second sort-family row next to sort_topk_orders (green r01+r02)
     "agg_cube",                    # grouping-set family ≡ agg_rollup (both green r02; rollup stays in-window)
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
+    "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
 ]
 
 

@@ -1,0 +1,166 @@
+"""Deterministic corpus sampling + training-shard writer.
+
+Large-scale training-data pipelines downsample by stratum (keep all
+high-quality documents, a fraction of mid, a sliver of low) and then
+write the kept corpus as size-bounded shards. Both must be
+DETERMINISTIC at 100 TB: a resumed or re-run job must keep exactly the
+same documents and produce exactly the same shard assignment, with no
+driver-side state and no RNG seed coordination across executors.
+
+The mechanism is hash-gated sampling: a document is kept iff the first
+4 hex chars of ``md5(salt || ':' || key)`` fall below a per-stratum
+threshold (``rate * 65536`` rendered as 4-char hex). That makes the
+keep decision a pure codegen'd column expression — one scan, no
+shuffle, no state — and reproducible on any engine with md5 (the
+DuckDB oracle twin in plans/datapipe_queries.py runs the same bytes).
+
+Shard assignment is ``pmod(xxhash64(key), num_shards)``: stable under
+re-partitioning, independent of input order, and balanced for
+non-adversarial keys. The writer emits one directory per shard
+(``shard=<k>/``) with Spark's ``maxRecordsPerFile`` bounding file
+size, plus a manifest computed from the written files' footers.
+
+Reference scope anchor: the reference samples/filters its change
+stream row-at-a-time in Python (src/simulators/db_mutator.py random
+mix); this module is the Spark-native, deterministic generalization
+for the corpus domain.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_key",
+    "hash_sample",
+    "stratified_hash_sample",
+    "write_training_shards",
+]
+
+SAMPLE_KEY_BITS = 16  # 4 hex chars → 65536 buckets; rate granularity 1/65536
+
+
+def sample_key(key: Column, salt: str = "corpus-sample") -> Column:
+    """First 4 hex chars of md5('<salt>:<key>') — the deterministic
+    per-row draw in [0, 65536) rendered as lowercase hex."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 4
+    )
+
+
+def _rate_threshold(rate: float) -> str:
+    """Hex threshold t such that P(sample_key < t) == floor(rate*65536)/65536.
+    Callers handle rate<=0 / rate>=1; this covers the open interval."""
+    if not 0.0 < rate < 1.0:
+        raise ValueError(f"rate must be in (0,1), got {rate}")
+    return format(int(rate * 65536), "04x")
+
+
+def keep_expr(key: Column, rate: float, salt: str = "corpus-sample") -> Column:
+    """Boolean keep decision at `rate` — pure column expression."""
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    return sample_key(key, salt) < F.lit(_rate_threshold(rate))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "corpus-sample"
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows whose hash draw < rate.
+
+    One scan, zero shuffle; the filter is codegen'd and pushed as far
+    as Catalyst allows. Re-running keeps the identical row set.
+    """
+    return df.where(keep_expr(F.col(key_col), rate, salt))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    salt: str = "corpus-sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling.
+
+    `rates` maps stratum value → keep rate. The keep decision is a
+    single CASE over codegen'd md5 prefixes: no shuffle, no RNG state,
+    stable across retries/backfills — the property that matters when a
+    100 TB sampling job restarts halfway.
+
+    Adds a ``sample_key`` column (the hex draw) for auditability.
+    """
+    skey = sample_key(F.col(key_col), salt)
+    keep: Column = F.lit(default_rate >= 1.0)
+    for value, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        if rate >= 1.0:
+            branch = F.lit(True)
+        elif rate <= 0.0:
+            branch = F.lit(False)
+        else:
+            branch = skey < F.lit(_rate_threshold(rate))
+        keep = F.when(cond, branch).otherwise(keep)
+    return df.withColumn("sample_key", skey).where(keep)
+
+
+def shard_id(key: Column, num_shards: int) -> Column:
+    """Stable shard assignment: pmod(xxhash64(key), n). Input-order
+    independent, so a re-run (or a different partitioning upstream)
+    lands every row in the same shard."""
+    return F.pmod(F.xxhash64(key.cast("string")), F.lit(num_shards)).cast("int")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int = 64,
+    max_records_per_file: int = 100_000,
+    order_col: str | None = None,
+) -> dict:
+    """Write `df` as `num_shards` hash-sharded parquet directories with
+    bounded file sizes, returning a manifest dict (also persisted as
+    ``_manifest.json`` under `path`).
+
+    Scale posture: one hash shuffle on the shard id (required for
+    co-located shards), `maxRecordsPerFile` splits oversized shards
+    into multiple files without a second shuffle, and the manifest is
+    built from parquet footers (O(#files) driver work, never row data).
+    `sortWithinPartitions` gives deterministic in-file order without a
+    global sort.
+    """
+    sharded = df.withColumn("shard", shard_id(F.col(key_col), num_shards))
+    writer = sharded.repartition(num_shards, "shard")
+    writer = writer.sortWithinPartitions(order_col or key_col)
+    (
+        writer.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    root = Path(path)
+    shards = {}
+    total_rows = 0
+    spark = df.sparkSession
+    for d in sorted(root.glob("shard=*")):
+        files = sorted(p.name for p in d.glob("*.parquet"))
+        n = spark.read.parquet(str(d)).count()  # footer-only count
+        shards[d.name.split("=", 1)[1]] = {"files": files, "rows": n}
+        total_rows += n
+    manifest = {
+        "num_shards": num_shards,
+        "key_col": key_col,
+        "max_records_per_file": max_records_per_file,
+        "total_rows": total_rows,
+        "shards": shards,
+    }
+    (root / "_manifest.json").write_text(json.dumps(manifest, indent=2, sort_keys=True))
+    return manifest

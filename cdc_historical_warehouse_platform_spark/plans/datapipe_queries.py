@@ -663,3 +663,82 @@ def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DATAPIPE_QUERIES["multimodal_frame_sample"] = (q_multimodal_frame_sample, None)
+
+
+def q_corpus_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified corpus downsampling: bucket every
+    document by quality stratum (high ≥ 0.8 / mid ≥ 0.65 / low) and
+    keep all high, half of mid, 1/8 of low via md5-prefix hash gating
+    (operators/sampling.py).
+
+    Scale shape: the entire decision is one codegen'd projection +
+    filter over the scan — no shuffle, no RNG state, identical keep
+    set on re-run/backfill. The sample_key column makes every keep
+    decision auditable. This is the standard curation step between
+    quality scoring and dedup in a 100 TB corpus build."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text")).alias("quality_score"),
+    ).withColumn(
+        "stratum",
+        F.when(F.col("quality_score") >= 0.8, F.lit("high"))
+        .when(F.col("quality_score") >= 0.65, F.lit("mid"))
+        .otherwise(F.lit("low")),
+    )
+    kept = stratified_hash_sample(
+        base,
+        key_col="doc_id",
+        stratum_col="stratum",
+        rates={"high": 1.0, "mid": 0.5, "low": 0.125},
+    )
+    return kept.select(
+        "doc_id", "lang", "stratum", "sample_key", "quality_score"
+    ).orderBy("doc_id")
+
+
+# rate thresholds: 0.5*65536 = 0x8000, 0.125*65536 = 0x2000 (lockstep
+# with operators/sampling.py _rate_threshold)
+SQL_SAMPLE_STRATIFIED = rf"""
+WITH qbase AS (
+  SELECT doc_id, lang,
+         greatest(length(text), 1) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS lt,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+ratios AS (
+  SELECT doc_id, lang,
+         n_punct / n_chars AS punct_ratio,
+         CAST(len(list_filter(lt, x -> x IN ({_SW_LIST}))) AS DOUBLE)
+           / greatest(len(lt), 1) AS stopword_ratio,
+         CAST(len(t) AS DOUBLE) AS n_tok
+  FROM qbase),
+quality AS (
+  SELECT doc_id, lang,
+         floor(((least(n_tok / 20.0, 1.0)
+              + least(stopword_ratio * 4.0, 1.0)
+              + (1.0 - least(punct_ratio * 5.0, 1.0))) / 3.0) * 1000000.0) / 1000000.0 AS quality_score
+  FROM ratios),
+strata AS (
+  SELECT doc_id, lang, quality_score,
+         CASE WHEN quality_score >= 0.8 THEN 'high'
+              WHEN quality_score >= 0.65 THEN 'mid'
+              ELSE 'low' END AS stratum,
+         substr(md5('corpus-sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+  FROM quality)
+SELECT doc_id, lang, stratum, sample_key, quality_score
+FROM strata
+WHERE CASE stratum WHEN 'high' THEN TRUE
+                   WHEN 'mid' THEN sample_key < '8000'
+                   ELSE sample_key < '2000' END
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_sample_stratified"] = (
+    q_corpus_sample_stratified,
+    SQL_SAMPLE_STRATIFIED,
+)

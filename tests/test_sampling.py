@@ -1,0 +1,143 @@
+"""Deterministic sampling + shard-writer: properties the oracle gate
+can't express (re-run determinism, shard disjointness, file bounds)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.sampling import (
+    _rate_threshold,
+    hash_sample,
+    keep_expr,
+    shard_id,
+    stratified_hash_sample,
+    write_training_shards,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_rate_threshold_hex():
+    assert _rate_threshold(0.5) == "8000"
+    assert _rate_threshold(0.125) == "2000"
+    assert _rate_threshold(1 / 65536) == "0001"
+    with pytest.raises(ValueError):
+        _rate_threshold(0.0)
+    with pytest.raises(ValueError):
+        _rate_threshold(1.0)
+
+
+def test_hash_sample_deterministic_and_python_reproducible(docs):
+    kept1 = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.25).select("doc_id").collect())
+    kept2 = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.25).select("doc_id").collect())
+    assert kept1 == kept2
+    # the keep decision is plain md5 — recompute it in Python
+    expected = [
+        r.doc_id
+        for r in docs.select("doc_id").collect()
+        if hashlib.md5(f"corpus-sample:{r.doc_id}".encode()).hexdigest()[:4] < "4000"
+    ]
+    assert kept1 == sorted(expected)
+    # rate lands near the target on uniform keys
+    n = docs.count()
+    assert abs(len(kept1) / n - 0.25) < 0.08
+
+
+def test_hash_sample_monotone_nesting(docs):
+    """A row kept at rate r is kept at every rate > r — hash gating
+    gives nested samples (resize a sample without re-drawing)."""
+    k10 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.10).select("doc_id").collect()}
+    k50 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.50).select("doc_id").collect()}
+    assert k10 <= k50
+
+
+def test_keep_expr_degenerate_rates(docs):
+    n = docs.count()
+    assert docs.where(keep_expr(F.col("doc_id"), 1.0)).count() == n
+    assert docs.where(keep_expr(F.col("doc_id"), 0.0)).count() == 0
+
+
+def test_stratified_rates_and_audit_column(docs):
+    base = docs.withColumn(
+        "stratum", F.when(F.col("doc_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd"))
+    )
+    kept = stratified_hash_sample(
+        base, "doc_id", "stratum", rates={"even": 1.0, "odd": 0.25}
+    )
+    rows = kept.select("doc_id", "stratum", "sample_key").collect()
+    evens = [r for r in rows if r.stratum == "even"]
+    odds = [r for r in rows if r.stratum == "odd"]
+    n_even = base.where("stratum = 'even'").count()
+    n_odd = base.where("stratum = 'odd'").count()
+    assert len(evens) == n_even  # rate 1.0 keeps everything
+    assert 0 < len(odds) < n_odd
+    for r in odds:
+        assert r.sample_key < "4000"
+        assert (
+            hashlib.md5(f"corpus-sample:{r.doc_id}".encode()).hexdigest()[:4]
+            == r.sample_key
+        )
+
+
+def test_stratified_unlisted_stratum_dropped_by_default(docs):
+    base = docs.withColumn("stratum", F.lit("unlisted"))
+    assert stratified_hash_sample(base, "doc_id", "stratum", rates={"known": 1.0}).count() == 0
+
+
+def test_shard_id_stable_under_reordering(docs):
+    a = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", shard_id(F.col("doc_id"), 8).alias("s")).collect()
+    }
+    b = {
+        r.doc_id: r.s
+        for r in docs.orderBy(F.rand(seed=7))
+        .repartition(3)
+        .select("doc_id", shard_id(F.col("doc_id"), 8).alias("s"))
+        .collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(8))
+
+
+def test_write_training_shards_manifest_and_bounds(docs, tmp_path):
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs.select("doc_id", "lang", "text"),
+        out,
+        key_col="doc_id",
+        num_shards=4,
+        max_records_per_file=10,
+    )
+    n = docs.count()
+    assert manifest["total_rows"] == n
+    assert len(manifest["shards"]) == 4
+    # every file respects the record bound
+    spark = docs.sparkSession
+    for k, meta in manifest["shards"].items():
+        d = Path(out) / f"shard={k}"
+        for fname in meta["files"]:
+            assert spark.read.parquet(str(d / fname)).count() <= 10
+    # round-trip: exactly the input rows, each exactly once
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+    # manifest persisted and identical to the returned dict
+    on_disk = json.loads((Path(out) / "_manifest.json").read_text())
+    assert on_disk == manifest
+    # shard assignment matches the shard_id expression (re-run stable)
+    expected = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", shard_id(F.col("doc_id"), 4).alias("s")).collect()
+    }
+    actual = {r.doc_id: int(r.shard) for r in back.select("doc_id", "shard").collect()}
+    assert actual == expected
