@@ -55,6 +55,7 @@ _PRIORITY = [
     "ann_ivf_topk",           # rows-only by design (recall pinned in pytest); first driver row (new r03)
     "multimodal_frame_sample",  # rows-only by design (Arrow path pinned to JVM twin); first driver row (new r03)
     "corpus_sample_stratified",  # hash-exact oracle; deterministic md5-gated sampling (new r03)
+    "dedup_components",          # hash-exact oracle (recursive-CTE twin); transitive canonicalization (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -70,6 +71,7 @@ _DEMOTED = [
     "agg_cube",                    # grouping-set family ≡ agg_rollup (both green r02; rollup stays in-window)
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
     "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
+    "events_sliding_window",       # ST8 family ≡ events_tumbling_window + events_session_windows (green r02)
 ]
 
 

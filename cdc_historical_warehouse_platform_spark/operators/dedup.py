@@ -45,6 +45,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "connected_components",
     "simhash64",
     "simhash_pairs",
     "embedding_near_dup_pairs",
@@ -248,6 +249,67 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph:
+    every node labeled with the MIN doc id reachable from it — the
+    canonicalization step that resolves TRANSITIVE duplicate chains
+    (a~b, b~c ⇒ one canonical a), which pairwise keep-lists can't.
+
+    Min-label propagation: each round joins labels across edges and
+    takes the elementwise min; converges once no label changes.
+    Rounds = graph diameter; near-dup clusters are shallow (dups of a
+    common source), so this is small in practice — `max_iter` guards
+    pathological chains. Per round: one shuffle join + one groupBy,
+    with `localCheckpoint` truncating lineage so the plan doesn't grow
+    3^n across iterations (the known Catalyst trap). The driver-side
+    convergence check reads one count per round, never row data.
+
+    Returns (doc_id, component_id) for every node that appears in a
+    pair; singletons are by definition their own component and are
+    left to the caller (joining them in would shuffle the full corpus
+    for rows whose answer is the identity).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_labels = edges.join(
+            labels, edges["v"] == labels["node"]
+        ).select(F.col("u").alias("node"), "label")
+        new_labels = (
+            neighbor_labels.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
 
 

@@ -742,3 +742,48 @@ DATAPIPE_QUERIES["corpus_sample_stratified"] = (
     q_corpus_sample_stratified,
     SQL_SAMPLE_STRATIFIED,
 )
+
+
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive dedup canonicalization: connected components over the
+    MinHash-LSH near-dup pair graph (Jaccard ≥ 0.5), labeling every
+    duplicated document with the min doc_id of its duplicate cluster.
+    The step after pair generation in a real corpus build — pairwise
+    keep-lists can't resolve a~b~c chains; components can.
+
+    Scale shape: pairs come from the banded-LSH tier (two corpus
+    passes, no all-pairs join); label propagation then runs on the
+    PAIR graph only — corpus-size-independent. Oracle: DuckDB
+    recursive CTE computing min reachable id over the same exact pair
+    set (LSH recall 1.0 is pinned by tests + the minhash driver row).
+    """
+    from cdc_historical_warehouse_platform_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, bands=32, rows_per_band=2, threshold=0.5)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_sql_shingles(None)},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON i.doc_a = sa.doc_id
+  JOIN sz sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= 0.5),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node)
+SELECT node AS doc_id, MIN(label) AS component_id
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["dedup_components"] = (q_dedup_components, SQL_DEDUP_COMPONENTS)

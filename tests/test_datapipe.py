@@ -370,3 +370,34 @@ def test_multimodal_resize_and_frame_sample(spark, docs):
     }
     assert arrow == jvm and arrow
     assert any(idx > 0 for _, idx in arrow)  # genuinely row-expanding
+
+
+def test_connected_components_chain_and_islands(spark):
+    from cdc_historical_warehouse_platform_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r.doc_id: r.component_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from cdc_historical_warehouse_platform_spark.operators.dedup import connected_components
+
+    # a 12-node path exercises multi-round propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.component_id for r in connected_components(pairs).collect()}
+    assert got == {i: 100 for i in range(100, 113)}
+
+
+def test_connected_components_empty_pairs(spark):
+    from cdc_historical_warehouse_platform_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
