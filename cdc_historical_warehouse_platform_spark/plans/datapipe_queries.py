@@ -563,9 +563,12 @@ def q_corpus_keep_decisions(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: quality + fingerprint are map-only projections; the
     canonical id is one groupBy on a 16-byte fingerprint; near-dup
-    inherits the stop-shingle-capped self-join; the verdict is two
-    left joins on doc_id. Priority is low_quality > exact_dup >
-    near_dup so the decision is deterministic and SQL-expressible."""
+    pairs come from the banded MinHash-LSH tier (two corpus passes,
+    candidate-only verification — the 100 TB path; its output equals
+    the exact Jaccard pair set, pinned by tests and the
+    dedup_minhash_lsh driver row); the verdict is two left joins on
+    doc_id. Priority is low_quality > exact_dup > near_dup so the
+    decision is deterministic and SQL-expressible."""
     from cdc_historical_warehouse_platform_spark.operators import text as _T
 
     docs = load_table(spark, sf, "documents")
@@ -578,7 +581,7 @@ def q_corpus_keep_decisions(spark: SparkSession, sf: str) -> DataFrame:
     )
     canon = base.groupBy("__fp").agg(F.min("doc_id").alias("__canonical"))
     near = (
-        jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=JACCARD_MAX_DOC_FREQ)
+        minhash_lsh_pairs(docs, n=3, bands=32, rows_per_band=2, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("__near", F.lit(True))
@@ -600,7 +603,7 @@ def q_corpus_keep_decisions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_CORPUS_KEEP = f"""
-WITH {_sql_shingles(JACCARD_MAX_DOC_FREQ)},
+WITH {_sql_shingles(None)},
 pairs AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
