@@ -29,6 +29,7 @@ __all__ = [
     "start_scd2_stream",
     "windowed_event_counts",
     "sliding_event_value",
+    "streaming_exact_dedup",
 ]
 
 
@@ -127,3 +128,33 @@ def sliding_event_value(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "user_id", "n")
     )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tier of the exact-dedup family (operators/dedup.py):
+    drop content-identical re-deliveries as documents arrive.
+
+    The md5 fingerprint of the normalized text is computed map-side
+    (codegen'd, no Python), so streaming state is ONE 16-byte key per
+    distinct document — never the document body. With an event-time
+    column the state is bounded by the watermark
+    (``dropDuplicatesWithinWatermark``: re-deliveries arriving within
+    `delay` are dropped, older state is evicted — the 100 TB posture);
+    without one, ``dropDuplicates`` keeps global exact semantics with
+    state growing in distinct-corpus size. State lives in the
+    checkpoint, so dedup survives restarts (pinned by
+    tests/test_streaming.py across two availableNow runs).
+    """
+    from cdc_historical_warehouse_platform_spark.operators.text import fingerprint
+
+    fp = stream_df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    if event_time_col is not None:
+        return fp.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return fp.dropDuplicates(["fingerprint"])

@@ -241,3 +241,76 @@ def test_watermark_drops_late_events(tmp_path, spark):
     emitted = finalized[before:]
     # the late event must not re-emit the 08:00 window
     assert all(r["window_start"] != dt.datetime(2026, 5, 1, 8, 0) for r in emitted)
+
+
+def test_streaming_exact_dedup_across_restarts(spark, tmp_path):
+    """Content-identical re-deliveries are dropped, including across a
+    stream restart (state recovered from the checkpoint)."""
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        q = (
+            streaming_exact_dedup(stream, text_col="text")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "something else"), (3, "third doc")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    # second delivery: doc 4 is a normalized dup of doc 1, doc 5 is new
+    spark.createDataFrame(
+        [(4, "Hello,   WORLD!"), (5, "genuinely new")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 5]
+
+
+def test_streaming_exact_dedup_watermarked_variant(spark, tmp_path):
+    """The watermark-bounded variant drops a re-delivery arriving
+    within the delay window."""
+    import datetime as dt
+
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import streaming_exact_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [
+            (1, "hello world", t0),
+            (2, "Hello,   WORLD!", t0 + dt.timedelta(minutes=1)),
+            (3, "other", t0 + dt.timedelta(minutes=2)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        str(src)
+    )
+    q = (
+        streaming_exact_dedup(stream, text_col="text", event_time_col="ts", delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_wm").collect())
+    assert got == [1, 3]
