@@ -56,6 +56,8 @@ _PRIORITY = [
     "multimodal_frame_sample",  # rows-only by design (Arrow path pinned to JVM twin); first driver row (new r03)
     "corpus_sample_stratified",  # hash-exact oracle; deterministic md5-gated sampling (new r03)
     "dedup_components",          # hash-exact oracle (recursive-CTE twin); transitive canonicalization (new r03)
+    "text_repetition_scores",    # hash-exact oracle; Gopher-style intra-doc repetition (new r03)
+    "corpus_pack_sequences",     # hash-exact oracle; distributed prefix-sum packing (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -72,6 +74,8 @@ _DEMOTED = [
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
     "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
     "events_sliding_window",       # ST8 family ≡ events_tumbling_window + events_session_windows (green r02)
+    "window_cumulative_revenue",   # running-window family; shape kept in-window by corpus_pack_sequences (green r02)
+    "join_full_outer",             # outer-join family ≡ join_outer_coalesce (green r02)
 ]
 
 

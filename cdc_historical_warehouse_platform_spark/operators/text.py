@@ -22,6 +22,8 @@ __all__ = [
     "token_count",
     "bpe_ish_token_count",
     "ngrams_from_tokens",
+    "ngram_list_from_tokens",
+    "dup_ngram_fraction",
     "word_ngrams",
     "char_ngrams",
     "punct_ratio",
@@ -90,6 +92,31 @@ def ngrams_from_tokens(t: Column, n: int = 3) -> Column:
     )
     empty = F.array().cast("array<string>")
     return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(empty))
+
+
+def ngram_list_from_tokens(t: Column, n: int = 2) -> Column:
+    """NON-distinct n-gram list (order-preserving) from a materialized
+    token array — the repetition-analysis counterpart of
+    :func:`ngrams_from_tokens` (same projection-boundary warning)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(t) >= n, grams).otherwise(empty)
+
+
+def dup_ngram_fraction(t: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the SAME document — the Gopher-style intra-doc
+    repetition signal (boilerplate/spam detector). Integer counts, one
+    double division: bit-exact across engines."""
+    g = ngram_list_from_tokens(t, n)
+    total = F.size(g)
+    dup = (total - F.size(F.array_distinct(g))).cast("double")
+    return F.when(total > 0, dup / total).otherwise(F.lit(0.0))
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:

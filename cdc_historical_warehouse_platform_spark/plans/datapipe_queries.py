@@ -790,3 +790,93 @@ ORDER BY doc_id
 """
 
 DATAPIPE_QUERIES["dedup_components"] = (q_dedup_components, SQL_DEDUP_COMPONENTS)
+
+
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition scoring (the Gopher-rule family):
+    fraction of words / bigrams / trigrams that repeat earlier
+    occurrences in the same document — the boilerplate/spam signal a
+    quality pipeline applies before dedup. Map-only: one codegen'd
+    projection per doc, no shuffle except the deterministic ORDER BY."""
+    docs = load_table(spark, sf, "documents")
+    base = docs.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    t = F.col("__t")
+    n_tok = F.size(t)
+    dup_words = (n_tok - F.size(F.array_distinct(t))).cast("double")
+    return base.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, dup_words / n_tok).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        TX.dup_ngram_fraction(t, 2).alias("dup_bigram_frac"),
+        TX.dup_ngram_fraction(t, 3).alias("dup_trigram_frac"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, t,
+         list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                        i -> t[i] || ' ' || t[i+1]) AS g2,
+         list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+  FROM toks)
+SELECT doc_id,
+       CAST(len(t) AS INT) AS n_tokens,
+       CASE WHEN len(t) > 0
+            THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN len(g2) > 0
+            THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(g3) > 0
+            THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM grams
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["text_repetition_scores"] = (q_text_repetition, SQL_TEXT_REPETITION)
+
+
+def q_corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every document's global token
+    offset, training-sequence id and in-sequence position for
+    seq_len=2048, via the distributed two-phase prefix sum in
+    operators/packing.py (no single-task global window — the oracle
+    twin IS the naive global window, proving the distributed
+    decomposition exact)."""
+    from cdc_historical_warehouse_platform_spark.operators.packing import packed_sequence_ids
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        packed_sequence_ids(base, "n_tokens", seq_len=2048, order_col="doc_id")
+        .select("doc_id", "n_tokens", "tokens_before", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS tokens_before
+  FROM toks)
+SELECT doc_id, n_tokens, tokens_before,
+       CAST((tokens_before - tokens_before % 2048) / 2048 AS BIGINT) AS pack_id,
+       CAST(tokens_before % 2048 AS BIGINT) AS pack_offset
+FROM cum
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_pack_sequences"] = (q_corpus_pack_sequences, SQL_PACK_SEQUENCES)

@@ -401,3 +401,68 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_packed_sequence_ids_matches_naive_global_window(spark):
+    from pyspark.sql import Window
+    from cdc_historical_warehouse_platform_spark.operators.packing import packed_sequence_ids
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(0, 1000, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    # tiny bucket size forces many buckets + non-trivial offsets
+    got = {
+        r.doc_id: (r.tokens_before, r.pack_id, r.pack_offset)
+        for r in packed_sequence_ids(
+            df, "n_tokens", seq_len=256, bucket_size=64
+        ).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r.doc_id: (r.tb, r.tb // 256, r.tb % 256)
+        for r in df.withColumn(
+            "tb", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_packed_sequence_ids_deterministic_under_repartition(spark):
+    from cdc_historical_warehouse_platform_spark.operators.packing import packed_sequence_ids
+
+    df = spark.createDataFrame(
+        [(i, i % 97 + 1) for i in range(500)], "doc_id long, n_tokens int"
+    )
+    a = sorted(
+        map(tuple, packed_sequence_ids(df, "n_tokens").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            packed_sequence_ids(
+                df.orderBy(F.rand(seed=3)).repartition(7), "n_tokens"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_dup_ngram_fraction_edges(spark):
+    from cdc_historical_warehouse_platform_spark.operators.text import dup_ngram_fraction, tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # all bigrams identical: 2 dups of 3
+            (2, "a b c d"),          # no repeats
+            (3, "x"),                # too short for bigrams
+            (4, ""),                 # empty
+        ],
+        ["doc_id", "text"],
+    )
+    base = df.select("doc_id", tokens(F.col("text")).alias("__t"))
+    got = {
+        r.doc_id: round(r.f, 6)
+        for r in base.select(
+            "doc_id", dup_ngram_fraction(F.col("__t"), 2).alias("f")
+        ).collect()
+    }
+    assert got == {1: round(2 / 3, 6), 2: 0.0, 3: 0.0, 4: 0.0}
