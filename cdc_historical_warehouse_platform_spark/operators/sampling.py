@@ -147,14 +147,24 @@ def write_training_shards(
         .parquet(path)
     )
     root = Path(path)
-    shards = {}
-    total_rows = 0
+    # one count job grouped by (shard, file) — O(#files) rows to the
+    # driver, never a per-shard job loop
     spark = df.sparkSession
-    for d in sorted(root.glob("shard=*")):
-        files = sorted(p.name for p in d.glob("*.parquet"))
-        n = spark.read.parquet(str(d)).count()  # footer-only count
-        shards[d.name.split("=", 1)[1]] = {"files": files, "rows": n}
-        total_rows += n
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.col("shard"), F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    shards: dict = {}
+    total_rows = 0
+    for r in per_file:
+        entry = shards.setdefault(str(r.shard), {"files": [], "rows": 0})
+        entry["files"].append(r.file.rsplit("/", 1)[-1])
+        entry["rows"] += r.rows
+        total_rows += r.rows
+    for entry in shards.values():
+        entry["files"].sort()
     manifest = {
         "num_shards": num_shards,
         "key_col": key_col,

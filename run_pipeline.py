@@ -18,6 +18,8 @@ Usage:
   python run_pipeline.py status    [--workdir DIR]
   python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
                                    [--order-key K]
+  python run_pipeline.py corpus    --input SF_DIR --output DIR
+                                   [--num-shards N] [--max-records-per-file N]
 """
 
 from __future__ import annotations
@@ -65,7 +67,7 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "command",
-        choices=["seed", "simulate", "extract", "load", "status", "validate"],
+        choices=["seed", "simulate", "extract", "load", "status", "validate", "corpus"],
     )
     ap.add_argument("--workdir", default="./warehouse_data")
     ap.add_argument("--orders", type=int, default=10)
@@ -99,6 +101,18 @@ def main() -> int:
         default=None,
         help="validate --report: order to sample (default: most-versioned key)",
     )
+    ap.add_argument(
+        "--input",
+        default=None,
+        help="corpus: sf-style directory containing documents.parquet",
+    )
+    ap.add_argument(
+        "--output",
+        default=None,
+        help="corpus: output directory for the sharded kept corpus",
+    )
+    ap.add_argument("--num-shards", type=int, default=8)
+    ap.add_argument("--max-records-per-file", type=int, default=100_000)
     args = ap.parse_args()
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -160,6 +174,45 @@ def main() -> int:
             )
         )
         return 0 if ok else 1
+    elif args.command == "corpus":
+        # the composed training-data build: keep decisions (quality →
+        # exact dedup → LSH near-dup) → hash-sharded bounded parquet
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
+        from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
+            q_corpus_keep_decisions,
+        )
+
+        if not args.input or not args.output:
+            print(json.dumps({"error": "corpus requires --input and --output"}))
+            return 1
+        docs = spark.read.parquet(str(Path(args.input) / "documents.parquet"))
+        decisions = q_corpus_keep_decisions(spark, args.input)
+        counts = {
+            r.decision: r.n
+            for r in decisions.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        kept = docs.join(
+            decisions.filter(F.col("decision") == "kept").select("doc_id"), "doc_id"
+        )
+        manifest = write_training_shards(
+            kept,
+            args.output,
+            key_col="doc_id",
+            num_shards=args.num_shards,
+            max_records_per_file=args.max_records_per_file,
+        )
+        print(
+            json.dumps(
+                {
+                    "decisions": counts,
+                    "kept_rows": manifest["total_rows"],
+                    "num_shards": manifest["num_shards"],
+                    "output": args.output,
+                }
+            )
+        )
     return 0
 
 
