@@ -8,7 +8,7 @@ Prints exactly ONE JSON line:
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect bottleneck). The suite spans the engine's load-bearing
 paths: SCD2 build, scan-heavy agg, 5-way join, window, sessionization,
-MinHash-LSH dedup, vector top-k.
+MinHash-LSH dedup, vector top-k, and the composed corpus keep pipeline.
 """
 
 from __future__ import annotations
@@ -31,6 +31,10 @@ HEADLINE = [
     "events_session_windows",
     "dedup_minhash_lsh",
     "knn_cosine_brute",
+    # added r03 (the warm-metric re-base round): the composed
+    # training-data keep pipeline — quality → exact dedup → LSH
+    # near-dup — so the LLM tier's end-to-end path is benched per-round
+    "corpus_keep_decisions",
 ]
 
 
@@ -68,8 +72,13 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = run(name)
+    # best-of-2 warm passes: single warm runs still drift ±30% on a
+    # shared VM (observed on byte-identical code); the per-query min is
+    # the stable steady-state signal round-over-round comparisons need
     for name in HEADLINE:
         warm[name] = run(name)
+    for name in HEADLINE:
+        warm[name] = min(warm[name], run(name))
 
     total = round(sum(warm.values()), 3)
     print(
