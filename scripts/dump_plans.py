@@ -28,9 +28,13 @@ NOTES = {
         "sort-merge the fact-fact join only."
     ),
     "dedup_minhash_lsh": (
-        "Linear signature pass (explode + single groupBy agg with 64 fused "
-        "min-aggregates), bucket self-join on band keys only, candidate-only "
-        "verification via array_intersect."
+        "Two corpus passes total. Pass 1 (signature): each shingle string is "
+        "xxhash64'd ONCE, the 64 signature values re-hash the 8-byte long "
+        "(explode + single groupBy with 64 fused min-aggregates). Band bucket "
+        "self-join yields candidates, localCheckpoint'd so the three "
+        "downstream branches don't re-run the signature pipeline (12 "
+        "FileScans -> 2). Pass 2 (verify): shingle sets built only for docs "
+        "in a candidate pair (semi-join), exact Jaccard via array_intersect."
     ),
     "knn_cosine_brute": (
         "Queries broadcast (BroadcastNestedLoopJoin over 10 rows); the corpus "
