@@ -58,6 +58,8 @@ _PRIORITY = [
     "dedup_components",          # hash-exact oracle (recursive-CTE twin); transitive canonicalization (new r03)
     "text_repetition_scores",    # hash-exact oracle; Gopher-style intra-doc repetition (new r03)
     "corpus_pack_sequences",     # hash-exact oracle; distributed prefix-sum packing (new r03)
+    "text_pii_redaction",        # hash-exact oracle; regexp PII audit + redaction (new r03)
+    "corpus_decontaminate",      # hash-exact oracle; eval-set n-gram decontamination (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)

@@ -50,6 +50,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup_pairs",
     "banded_embedding_near_dup",
+    "decontaminate",
 ]
 
 
@@ -142,6 +143,48 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with an evaluation/benchmark set (the standard guard against
+    test-set leakage into training data; production pipelines use
+    n=8–13 — n is a parameter here because the synthetic corpus has a
+    tiny vocabulary).
+
+    Returns one row per CONTAMINATED corpus doc:
+    ``doc_id, n_contaminated_ngrams, n_ngrams, contamination_frac``.
+
+    Scale shape: the eval set is tiny relative to a 100 TB corpus, so
+    its distinct n-gram set is broadcast — the corpus is shingled in a
+    single map pass and never shuffled before the per-doc aggregation;
+    no self-join, no cartesian anywhere. Shingle arrays are distinct
+    per doc (ngrams_from_tokens), so plain counts are distinct counts.
+    """
+    eval_ngrams = (
+        _shingles(eval_df, text_col, id_col, n).select("shingle").distinct()
+    )
+    corpus_sh = _shingles(corpus, text_col, id_col, n)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        corpus_sh.join(F.broadcast(eval_ngrams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .withColumn(
+            "contamination_frac",
+            F.col("n_contaminated_ngrams").cast("double") / F.col("n_ngrams"),
+        )
+        .select("doc_id", "n_contaminated_ngrams", "n_ngrams", "contamination_frac")
     )
 
 

@@ -34,6 +34,9 @@ __all__ = [
     "quality_score",
     "lang_id",
     "rolling_hash",
+    "PII_PATTERNS",
+    "pii_counts",
+    "redact_pii",
     "STOPWORDS",
 ]
 
@@ -182,6 +185,38 @@ def quality_score(col: Column) -> Column:
     # and binary-based in DuckDB (splits on ties)
     score = (len_ok + sw_ok + punct_ok) / F.lit(3.0)
     return F.floor(score * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+# PII patterns, shared verbatim with the DuckDB oracle twin. Kept in
+# the Java∩RE2 common subset: no look-around, no backrefs, no \b (word
+# boundaries are unicode-aware in Java but ASCII in RE2 — a parity
+# trap), ASCII character classes only. Redaction order matters and is
+# fixed (email → phone → ipv4): the email pattern consumes dots/digits
+# that could otherwise seed a partial ipv4 match.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category PII match counts on the RAW text (pre-redaction) —
+    the audit columns a compliance pass reports per document."""
+    return {
+        f"n_{kind}": _count_matches(col, pattern)
+        for kind, pattern, _tok in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its category token, in the fixed
+    PII_PATTERNS order. Pure regexp_replace chain — JVM codegen, one
+    pass per pattern, no Python in the hot path."""
+    out = col
+    for _kind, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
 
 
 def lang_id(col: Column) -> Column:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from cdc_historical_warehouse_platform_spark.operators import text as TX
 from cdc_historical_warehouse_platform_spark.operators.dedup import (
     banded_embedding_near_dup,
+    decontaminate,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     jaccard_pairs,
@@ -880,3 +881,108 @@ ORDER BY doc_id
 """
 
 DATAPIPE_QUERIES["corpus_pack_sequences"] = (q_corpus_pack_sequences, SQL_PACK_SEQUENCES)
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII audit + redaction: per-category match counts on the raw text
+    and an md5 of the redacted text (byte-exact proof of the redaction
+    without shipping documents around).
+
+    The synthetic corpus contains no natural PII, so a deterministic
+    synthetic tail (email + ipv4 + phone, derived from doc_id) is
+    appended to every 7th doc INSIDE the query — identical expression
+    in the oracle — making the redaction genuinely exercised. Pure
+    regexp chain, JVM codegen, single corpus scan, no shuffle before
+    the final sort."""
+    docs = load_table(spark, sf, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@example.org or 10.0.%d.1 tel 555-%03d-1234",
+                F.col("doc_id"),
+                F.col("doc_id") % 256,
+                F.col("doc_id") % 1000,
+            ),
+        ),
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", injected.alias("__t"))
+    red = TX.redact_pii(F.col("__t"))
+    counts = TX.pii_counts(F.col("__t"))
+    return base.select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+_PII_SQL_TEMPLATE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || printf(' contact user%d@example.org or 10.0.%d.1 tel 555-%03d-1234',
+                                  doc_id, doc_id % 256, doc_id % 1000)
+              ELSE text END AS t
+  FROM documents),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           'EMAIL_P', '<EMAIL>', 'g'),
+           'PHONE_P', '<PHONE>', 'g'),
+           'IPV4_P', '<IP>', 'g') AS rt
+  FROM base)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, 'EMAIL_P')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, 'PHONE_P')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t, 'IPV4_P')) AS INT) AS n_ipv4,
+       md5(rt) AS redacted_md5,
+       CAST(length(rt) AS INT) AS redacted_len
+FROM red
+ORDER BY doc_id
+"""
+
+# Substitute the shared patterns verbatim (plain .replace — the
+# patterns contain regex braces that str.format/f-strings would eat).
+SQL_PII = (
+    _PII_SQL_TEMPLATE.replace("EMAIL_P", TX.PII_PATTERNS[0][1])
+    .replace("PHONE_P", TX.PII_PATTERNS[1][1])
+    .replace("IPV4_P", TX.PII_PATTERNS[2][1])
+)
+
+DATAPIPE_QUERIES["text_pii_redaction"] = (q_pii_redaction, SQL_PII)
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:decontaminate):
+    every 97th doc plays the held-out eval set; corpus docs sharing any
+    word 3-gram with it are flagged with overlap counts. Eval n-gram
+    set is broadcast; the corpus is shingled in one map pass and only
+    shuffles for its own per-doc aggregation."""
+    docs = load_table(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, eval_df, n=3).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t FROM norm),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+x AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+eval AS (SELECT DISTINCT shingle FROM x WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, shingle FROM x WHERE doc_id % 97 <> 0),
+sz AS (SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY 1),
+hits AS (SELECT c.doc_id, count(*) AS n_contaminated_ngrams
+         FROM corpus c JOIN eval e USING (shingle) GROUP BY 1)
+SELECT h.doc_id, h.n_contaminated_ngrams, sz.n_ngrams,
+       CAST(h.n_contaminated_ngrams AS DOUBLE) / sz.n_ngrams AS contamination_frac
+FROM hits h JOIN sz USING (doc_id)
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_decontaminate"] = (q_corpus_decontaminate, SQL_DECONTAMINATE)

@@ -466,3 +466,61 @@ def test_dup_ngram_fraction_edges(spark):
         ).collect()
     }
     assert got == {1: round(2 / 3, 6), 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_pii_redaction_counts_and_tokens(spark):
+    from cdc_historical_warehouse_platform_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com now"),
+            (2, "call 555-123-4567 or visit 192.168.0.1 today"),
+            (3, "no pii here at all"),
+            (4, "two mails a@b.io c@d.org one ip 10.0.0.255"),
+        ],
+        ["doc_id", "text"],
+    )
+    t = F.col("text")
+    got = {
+        r.doc_id: (r.n_email, r.n_phone, r.n_ipv4, r.red)
+        for r in df.select(
+            "doc_id",
+            *[c.alias(k) for k, c in pii_counts(t).items()],
+            redact_pii(t).alias("red"),
+        ).collect()
+    }
+    assert got[1] == (1, 0, 0, "mail <EMAIL> now")
+    assert got[2] == (0, 1, 1, "call <PHONE> or visit <IP> today")
+    assert got[3] == (0, 0, 0, "no pii here at all")
+    assert got[4] == (2, 0, 1, "two mails <EMAIL> <EMAIL> one ip <IP>")
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from cdc_historical_warehouse_platform_spark.operators.dedup import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quick brown fox seen in the park"),   # shares 'quick brown fox'
+            (2, "completely unrelated words entirely here"),
+            (3, "over the lazy dog went the quick brown fox again"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_contaminated_ngrams, r.n_ngrams)
+        for r in decontaminate(corpus, eval_df, n=3).collect()
+    }
+    # doc 2 shares nothing -> absent; docs 1 and 3 flagged
+    assert set(got) == {1, 3}
+    assert got[1][0] == 1  # 'quick brown fox'
+    # doc 3: 'over the lazy','the lazy dog','the quick brown','quick brown fox'
+    assert got[3][0] == 4
+    f = {
+        r.doc_id: r.contamination_frac
+        for r in decontaminate(corpus, eval_df, n=3).collect()
+    }
+    assert all(0.0 < v <= 1.0 for v in f.values())
