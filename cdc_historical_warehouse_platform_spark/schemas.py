@@ -132,10 +132,13 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided parquet table (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and floor-divide to microseconds
-    (identical truncation to DuckDB's ``CAST(ts AS TIMESTAMP)``, so
-    oracle comparisons stay exact).
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects — read nanos as long and
+    floor-divide to microseconds, matching DuckDB's ``CAST(ts AS
+    TIMESTAMP)`` truncation) or TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ — cast to the session-TZ timestamp type so both
+    encodings produce identical TimestampType columns). The encoding is
+    detected from the parquet footer, never assumed.
 
     The session timezone is pinned to UTC on every load: the driver
     harness supplies its own SparkSession, and timestamp collect /
@@ -147,7 +150,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
