@@ -60,6 +60,9 @@ _PRIORITY = [
     "corpus_pack_sequences",     # hash-exact oracle; distributed prefix-sum packing (new r03)
     "text_pii_redaction",        # hash-exact oracle; regexp PII audit + redaction (new r03)
     "corpus_decontaminate",      # hash-exact oracle; eval-set n-gram decontamination (new r03)
+    "corpus_source_mix",         # hash-exact oracle; data-mixing weights per source (new r03)
+    "corpus_length_buckets",     # hash-exact oracle; curriculum length histogram (new r03)
+    "semdedup_keep",             # rows-only by design (cluster-boundary miss; pytest pins recall) (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)

@@ -50,6 +50,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup_pairs",
     "banded_embedding_near_dup",
+    "semdedup",
     "decontaminate",
 ]
 
@@ -594,4 +595,71 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    refine: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster-then-compare, per the
+    public SemDeDup method — Abbas et al. 2023, arXiv:2303.09540):
+    coarse-quantize the embedding space, then compute exact cosine
+    ONLY within a cluster and drop every vector that has a smaller-id
+    in-cluster neighbor above ``threshold``. Returns one row per input
+    vector: (id, list_id, keep).
+
+    Scale shape (the whole point of the cluster partition):
+
+    - centroid fit reuses :func:`similarity.ivf_centroids` — driver
+      state is bounded by n_lists × dim, never corpus size;
+    - cluster assignment is a map-only literal-centroid expression —
+      zero shuffle, vectors never replicated;
+    - the pair comparison is ONE equi-join on ``list_id``, so the
+      quadratic term is bounded by the largest cluster (O(n²/k) total
+      for balanced clusters) instead of the corpus. At 100 TB, scale
+      ``n_lists`` with the corpus to hold cluster size constant and
+      let AQE's skew-join split any hot cluster.
+
+    Approximation is cluster-boundary-only: a near-dup pair split
+    across two clusters is missed (the published method accepts the
+    same miss). Identical vectors always co-cluster (same argmax), so
+    exact-duplicate recall is 1.0 — pinned, with the pair⊆brute-force
+    precision check, in tests/test_datapipe.py.
+    """
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        _nearest_list_expr,
+        cosine,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(
+        emb, n_lists=n_lists, refine=refine, corpus_id=id_col, corpus_vec=vec_col
+    )
+    assigned = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _nearest_list_expr(F.col(vec_col), cents).alias("list_id"),
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "list_id")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "list_id")
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            "id",
+            "list_id",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
     )

@@ -986,3 +986,167 @@ ORDER BY doc_id
 """
 
 DATAPIPE_QUERIES["corpus_decontaminate"] = (q_corpus_decontaminate, SQL_DECONTAMINATE)
+
+
+def q_corpus_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing table: per-source token counts, quality, and the
+    deterministic down-sampling rate that rebalances the corpus to a
+    UNIFORM source mix (the DoReMi/data-mixture framing reduced to its
+    closed form: weight_i ∝ 1/share_i, rate_i = min_share/share_i so
+    the most under-represented source keeps everything).
+
+    Determinism across engines: token sums are integers; avg_quality
+    divides an exact DECIMAL sum of per-row 6-dp quality scores (float
+    partial-sum order never enters); shares/weights/rates are single
+    divisions of integers. The source-level aggregate is tiny
+    (|sources| rows), so the unpartitioned window for the totals is a
+    constant-size single partition — not a scale term."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    per = docs.select(
+        "source",
+        TX.token_count(t).alias("__tok"),
+        TX.quality_score(t).cast("decimal(18,6)").alias("__q"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.sum("__q").alias("__qsum"),
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("__total", F.sum("n_tokens").over(w))
+        .withColumn("__nsrc", F.count(F.lit(1)).over(w))
+        .withColumn("__min_tok", F.min("n_tokens").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("__qsum").cast("double") / F.col("n_docs")).alias("avg_quality"),
+            (F.col("n_tokens").cast("double") / F.col("__total")).alias("token_share"),
+            (
+                F.col("__total").cast("double")
+                / (F.col("__nsrc") * F.col("n_tokens"))
+            ).alias("mix_weight"),
+            (F.col("__min_tok").cast("double") / F.col("n_tokens")).alias(
+                "sampling_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SOURCE_MIX = rf"""
+WITH base AS (
+  SELECT source,
+         greatest(length(text), 1) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS lt,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+per AS (
+  SELECT source, len(t) AS tok,
+         CAST(floor(((least(CAST(len(t) AS DOUBLE) / 20.0, 1.0)
+            + least((CAST(len(list_filter(lt, x -> x IN ({_SW_LIST}))) AS DOUBLE)
+                     / greatest(len(lt), 1)) * 4.0, 1.0)
+            + (1.0 - least((n_punct / n_chars) * 5.0, 1.0))) / 3.0) * 1000000.0)
+            / 1000000.0 AS DECIMAL(18,6)) AS q
+  FROM base),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS n_tokens, sum(q) AS qsum
+  FROM per GROUP BY 1)
+SELECT source,
+       n_docs,
+       n_tokens,
+       CAST(qsum AS DOUBLE) / n_docs AS avg_quality,
+       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+       CAST(sum(n_tokens) OVER () AS DOUBLE)
+         / (count(*) OVER () * n_tokens) AS mix_weight,
+       CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens AS sampling_rate
+FROM agg
+ORDER BY source
+"""
+
+DATAPIPE_QUERIES["corpus_source_mix"] = (q_corpus_source_mix, SQL_SOURCE_MIX)
+
+
+def q_corpus_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum/packing planner: per-(lang, token-length-bucket) doc
+    and token counts plus each bucket's share of its language. Fixed
+    CASE bucket edges (quartile-ish for the synthetic corpus) keep the
+    bucketing integer-exact in both engines — no float log2 whose
+    last-ulp could flip a boundary doc. Map-only projection + one
+    grouped aggregate; the per-lang share window runs on the tiny
+    aggregate, partitioned by lang."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    n = TX.bpe_ish_token_count(F.col("text"))
+    bucket = (
+        F.when(n <= 25, F.lit("le_025"))
+        .when(n <= 50, F.lit("le_050"))
+        .when(n <= 75, F.lit("le_075"))
+        .otherwise(F.lit("gt_075"))
+    )
+    agg = (
+        docs.select("lang", n.alias("__n"), bucket.alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+            F.max("__n").cast("bigint").alias("max_tokens"),
+        )
+    )
+    w = Window.partitionBy("lang")
+    return (
+        agg.withColumn(
+            "doc_share",
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+SQL_LENGTH_BUCKETS = r"""
+WITH per AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n
+  FROM documents),
+agg AS (
+  SELECT lang,
+         CASE WHEN n <= 25 THEN 'le_025'
+              WHEN n <= 50 THEN 'le_050'
+              WHEN n <= 75 THEN 'le_075'
+              ELSE 'gt_075' END AS len_bucket,
+         count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(max(n) AS BIGINT) AS max_tokens
+  FROM per GROUP BY 1, 2)
+SELECT lang, len_bucket, n_docs, n_tokens, max_tokens,
+       CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) AS doc_share
+FROM agg
+ORDER BY lang, len_bucket
+"""
+
+DATAPIPE_QUERIES["corpus_length_buckets"] = (q_corpus_length_buckets, SQL_LENGTH_BUCKETS)
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup keep/drop decision per embedding (operators/dedup.py:
+    semdedup): cluster with the deterministic IVF coarse quantizer,
+    exact-cosine compare only within clusters, drop the larger id of
+    every pair ≥ 0.95. Registered rows-only: the cluster partition is
+    inherently approximate at cluster boundaries (the published method
+    accepts the same miss), so pytest pins exact-duplicate recall and
+    pair-precision against the brute-force tier instead of a SQL twin
+    (the ANN pattern — see ann_ivf_topk)."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return semdedup(emb, threshold=0.95, n_lists=16, refine=1).orderBy("id")
+
+
+DATAPIPE_QUERIES["semdedup_keep"] = (q_semdedup, None)

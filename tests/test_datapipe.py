@@ -524,3 +524,60 @@ def test_decontaminate_flags_planted_overlap(spark):
         for r in decontaminate(corpus, eval_df, n=3).collect()
     }
     assert all(0.0 < v <= 1.0 for v in f.values())
+
+
+def test_semdedup_drops_planted_exact_duplicates(spark, emb):
+    from cdc_historical_warehouse_platform_spark.operators.dedup import semdedup
+
+    # Plant exact duplicates: ids 10000+k carry the same vector as id k.
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    out = semdedup(corpus, threshold=0.95, n_lists=8, refine=1).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == corpus.count()  # exactly one decision per vector
+    # Identical vectors always share the argmax cluster, so every planted
+    # duplicate (the larger id of its pair) must be dropped.
+    for k in range(10):
+        assert by_id[10000 + k]["keep"] is False
+    # Precision: every dropped id has a genuine smaller-id cosine>=t
+    # neighbor in the brute-force (exact, no clustering) pair set.
+    dropped = {i for i, r in by_id.items() if not r["keep"]}
+    brute_b = {
+        r["id_b"]
+        for r in embedding_near_dup_pairs(corpus, threshold=0.95).collect()
+    }
+    assert dropped <= brute_b
+    assert dropped, "fixture should plant at least the 10 duplicates"
+
+
+def test_source_mix_invariants(spark, docs):
+    from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import q_corpus_source_mix
+
+    rows = q_corpus_source_mix(spark, SF_DIR).collect()
+    assert rows
+    shares = [r["token_share"] for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-12
+    # rate_i = min_share/share_i: bounded by 1, and exactly 1 for the
+    # smallest source (everything of the under-represented is kept)
+    rates = [r["sampling_rate"] for r in rows]
+    assert all(0 < x <= 1.0 for x in rates)
+    assert max(rates) == 1.0
+    # uniform-target weights: weight_i * share_i == 1/n_sources
+    n = len(rows)
+    for r in rows:
+        assert abs(r["mix_weight"] * r["token_share"] - 1.0 / n) < 1e-12
+
+
+def test_length_buckets_shares_sum_to_one(spark, docs):
+    from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import q_corpus_length_buckets
+
+    rows = q_corpus_length_buckets(spark, SF_DIR).collect()
+    assert rows
+    per_lang: dict[str, float] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0.0) + r["doc_share"]
+        assert r["n_docs"] > 0 and r["n_tokens"] >= r["max_tokens"] > 0
+    for lang, s in per_lang.items():
+        assert abs(s - 1.0) < 1e-12, lang

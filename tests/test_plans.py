@@ -75,4 +75,5 @@ def test_registry_contract():
         "ann_ivf_topk",
         "multimodal_frame_sample",
         "agg_approx_aggregates",
+        "semdedup_keep",
     }
