@@ -63,6 +63,7 @@ _PRIORITY = [
     "corpus_source_mix",         # hash-exact oracle; data-mixing weights per source (new r03)
     "corpus_length_buckets",     # hash-exact oracle; curriculum length histogram (new r03)
     "semdedup_keep",             # rows-only by design (cluster-boundary miss; pytest pins recall) (new r03)
+    "text_lm_surprisal",         # hash-exact oracle; unigram-LM quality scoring in integer micro-bits (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)

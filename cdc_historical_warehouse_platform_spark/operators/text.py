@@ -251,3 +251,64 @@ def rolling_hash(col: Column, mod: int = 2147483647, base: int = 31) -> Column:
         lambda acc, c: (acc * base + c) % mod,
     )
     return F.when(F.length(col) > 0, folded).otherwise(F.lit(0).cast("long"))
+
+
+def unigram_surprisal(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Model-based quality scoring with a corpus unigram LM (the
+    CCNet/KenLM-filter idea reduced to its distributed core): fit
+    token→count over the whole corpus, then score each doc by its mean
+    token surprisal, −log2(count/total) averaged over tokens. Low
+    bits/token ≈ in-distribution text; high ≈ rare-token noise.
+
+    Returns ``(doc_id, n_tokens, surprisal_microbits, bits_per_token)``.
+
+    Cross-engine exactness: per-token surprisal is quantized ONCE to
+    integer micro-bits — floor((log2(total) − log2(cnt)) · 1e6) — so
+    the per-doc reduction is an exact integer sum (no float partial-sum
+    order anywhere) and ``bits_per_token`` is a single IEEE division.
+    The only float op is log2 of an integer; a cross-libm 1-ulp wobble
+    would have to land within ~1e-10 of a floor boundary to matter.
+
+    Scale shape: one explode + one groupBy fits the model (map-side
+    combine reduces each partition to its distinct tokens); scoring
+    joins tokens to the vocab — broadcast here (vocab ≪ corpus by
+    Heaps' law; sublinear in corpus size), hash-join on token when a
+    100 TB vocab outgrows the broadcast threshold; then one groupBy on
+    doc_id. The corpus total rides the (tiny) vocab via an unpartitioned
+    window over the aggregate, never a driver collect.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = vocab.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy())
+    )
+    s_micro = F.floor(
+        (F.log2(F.col("total")) - F.log2(F.col("cnt"))) * F.lit(1000000.0)
+    )
+    scored = toks.join(F.broadcast(vocab), "token").select(
+        "doc_id", s_micro.alias("__s")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__s").alias("surprisal_microbits"),
+        )
+        .withColumn(
+            "bits_per_token",
+            F.col("surprisal_microbits").cast("double")
+            / (F.col("n_tokens") * F.lit(1000000.0)),
+        )
+    )

@@ -1150,3 +1150,36 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DATAPIPE_QUERIES["semdedup_keep"] = (q_semdedup, None)
+
+
+def q_text_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM surprisal scores (operators/text.py:
+    unigram_surprisal): corpus-fit token frequencies → per-doc mean
+    −log2 p(token) in exact integer micro-bits. The model-based
+    quality-filter tier (CCNet/KenLM family) next to the heuristic
+    text_quality_scores."""
+    docs = load_table(spark, sf, "documents")
+    return TX.unigram_surprisal(docs).orderBy("doc_id")
+
+
+SQL_LM_SURPRISAL = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, unnest(list_filter(string_split(nt, ' '), x -> x <> '')) AS token
+         FROM norm),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+vt AS (SELECT token, cnt, sum(cnt) OVER () AS total FROM vocab),
+per AS (
+  SELECT t.doc_id,
+         CAST(floor((log2(CAST(v.total AS DOUBLE)) - log2(CAST(v.cnt AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS s
+  FROM toks t JOIN vt v USING (token))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(s) AS BIGINT) AS surprisal_microbits,
+       CAST(sum(s) AS DOUBLE) / (count(*) * 1000000.0) AS bits_per_token
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["text_lm_surprisal"] = (q_text_lm_surprisal, SQL_LM_SURPRISAL)

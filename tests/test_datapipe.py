@@ -581,3 +581,22 @@ def test_length_buckets_shares_sum_to_one(spark, docs):
         assert r["n_docs"] > 0 and r["n_tokens"] >= r["max_tokens"] > 0
     for lang, s in per_lang.items():
         assert abs(s - 1.0) < 1e-12, lang
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    # 'zzz' appears once in the corpus, 'the' dominates: the rare-token
+    # doc must score strictly more bits/token than the common-token doc,
+    # and the exact integer accounting must hold per row.
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zzz"), (3, "the zzz the")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in TX.unigram_surprisal(df).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 1
+    assert rows[2]["bits_per_token"] > rows[1]["bits_per_token"]
+    for r in rows.values():
+        assert r["bits_per_token"] == r["surprisal_microbits"] / (r["n_tokens"] * 1e6)
+    # total = 8 tokens: the×6, zzz×2 -> surprisal(the) = log2(8/6)
+    import math
+    expect_the = math.floor((math.log2(8) - math.log2(6)) * 1e6)
+    assert rows[1]["surprisal_microbits"] == 4 * expect_the
