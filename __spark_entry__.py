@@ -64,6 +64,7 @@ _PRIORITY = [
     "corpus_length_buckets",     # hash-exact oracle; curriculum length histogram (new r03)
     "semdedup_keep",             # rows-only by design (cluster-boundary miss; pytest pins recall) (new r03)
     "text_lm_surprisal",         # hash-exact oracle; unigram-LM quality scoring in integer micro-bits (new r03)
+    "text_tfidf_keywords",       # hash-exact oracle; per-doc top-k TF-IDF keywords, integer micro-nat scores (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -76,7 +77,8 @@ _DEMOTED = [
     "window_small_quantity_revenue",  # agg-over-join ≡ agg_pricing_summary family (green r02)
     "scalar_string_functions",     # F-coverage overlap with scalar_functions (green r02)
     "sort_pagination",             # O5 ≡ second sort-family row next to sort_topk_orders (green r01+r02)
-    "agg_cube",                    # grouping-set family ≡ agg_rollup (both green r02; rollup stays in-window)
+    "agg_cube",                    # grouping-set family ≡ agg_rollup (both green r02)
+    "agg_rollup",                  # grouping-set family fully proven green r02 (cube+rollup); window slot ceded to text_tfidf_keywords
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
     "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
     "events_sliding_window",       # ST8 family ≡ events_tumbling_window + events_session_windows (green r02)

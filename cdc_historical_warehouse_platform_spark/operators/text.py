@@ -312,3 +312,61 @@ def unigram_surprisal(
             / (F.col("n_tokens") * F.lit(1000000.0)),
         )
     )
+
+
+def tfidf_top_keywords(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> "DataFrame":
+    """Per-document top-k keywords by TF-IDF. Classic text-analysis
+    tier: tf = in-doc token count, idf = ln(N/df) over the corpus,
+    keywords = the k highest-scoring tokens (ties broken by token asc —
+    fully deterministic output).
+
+    Cross-engine exactness: idf is quantized ONCE per token to integer
+    micro-nats — floor((ln N − ln df)·1e6) — so the score tf·idf_micro
+    and the ranking are pure integer arithmetic. N is embedded as a
+    literal from one distributed count() at plan-build time (an
+    aggregate action, same pattern as similarity.ivf_centroids — never
+    a data-sized collect), which keeps ln(N) constant-folded and avoids
+    a 1-row crossJoin that would plan as BroadcastNestedLoopJoin.
+
+    Scale shape: explode → groupBy(doc, token) [one shuffle with
+    map-side combine] → groupBy(token) for df [second, vocab-sized] →
+    broadcast vocab join back (hash join on token when a 100 TB vocab
+    outgrows the threshold) → per-doc window bounded by doc token
+    count. No unpartitioned window anywhere.
+    """
+    from pyspark.sql import Window
+    import math
+
+    n_docs = df.count()
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf_micro = F.floor(
+        (F.lit(math.log(n_docs)) - F.log(F.col("df_docs"))) * F.lit(1000000.0)
+    )
+    scored = tf.join(F.broadcast(vocab.select("token", idf_micro.alias("__idf"))), "token")
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("__idf")).desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            "tf",
+            (F.col("tf") * F.col("__idf")).alias("tfidf_micro"),
+        )
+    )

@@ -1183,3 +1183,34 @@ ORDER BY doc_id
 """
 
 DATAPIPE_QUERIES["text_lm_surprisal"] = (q_text_lm_surprisal, SQL_LM_SURPRISAL)
+
+
+def q_text_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/text.py:
+    tfidf_top_keywords) — integer micro-nat scoring, deterministic
+    tie-break, hash-exact oracle."""
+    docs = load_table(spark, sf, "documents")
+    return TX.tfidf_top_keywords(docs, k=3).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, unnest(list_filter(string_split(nt, ' '), x -> x <> '')) AS token
+         FROM norm),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (
+  SELECT token,
+         CAST(floor((ln((SELECT count(*) FROM documents)) - ln(count(*)))
+                    * 1000000.0) AS BIGINT) AS idf
+  FROM tf GROUP BY token),
+ranked AS (
+  SELECT t.doc_id, t.token, t.tf, t.tf * v.idf AS tfidf_micro,
+         CAST(row_number() OVER (PARTITION BY t.doc_id
+                                 ORDER BY t.tf * v.idf DESC, t.token ASC) AS INT) AS rank
+  FROM tf t JOIN vocab v USING (token))
+SELECT doc_id, rank, token, tf, tfidf_micro
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+DATAPIPE_QUERIES["text_tfidf_keywords"] = (q_text_tfidf_keywords, SQL_TFIDF)

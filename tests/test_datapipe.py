@@ -600,3 +600,27 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     import math
     expect_the = math.floor((math.log2(8) - math.log2(6)) * 1e6)
     assert rows[1]["surprisal_microbits"] == 4 * expect_the
+
+
+def test_tfidf_keywords_rank_rare_tokens_first(spark):
+    # 'apple' is unique to doc 1 while 'the' is corpus-wide: idf must
+    # rank 'apple' above 'the' despite equal tf; k bounds output per doc.
+    df = spark.createDataFrame(
+        [(1, "the apple the apple"), (2, "the pear"), (3, "the plum")],
+        ["doc_id", "text"],
+    )
+    out = TX.tfidf_top_keywords(df, k=2).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        assert len(rows) <= 2
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, len(rows) + 1)
+        )
+    top1 = {r["doc_id"]: r["token"] for r in out if r["rank"] == 1}
+    assert top1[1] == "apple"
+    assert top1[2] == "pear" and top1[3] == "plum"
+    # corpus-wide token scores zero: ln(3/3) = 0
+    the_rows = [r for r in out if r["token"] == "the"]
+    assert all(r["tfidf_micro"] == 0 for r in the_rows)
