@@ -65,6 +65,8 @@ _PRIORITY = [
     "semdedup_keep",             # rows-only by design (cluster-boundary miss; pytest pins recall) (new r03)
     "text_lm_surprisal",         # hash-exact oracle; unigram-LM quality scoring in integer micro-bits (new r03)
     "text_tfidf_keywords",       # hash-exact oracle; per-doc top-k TF-IDF keywords, integer micro-nat scores (new r03)
+    "corpus_chunk_spans",        # hash-exact oracle; context-window chunking with overlap, map-only (new r03)
+    "corpus_sample_quality_weighted",  # hash-exact oracle; per-row-rate deterministic sampling (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -79,6 +81,8 @@ _DEMOTED = [
     "sort_pagination",             # O5 ≡ second sort-family row next to sort_topk_orders (green r01+r02)
     "agg_cube",                    # grouping-set family ≡ agg_rollup (both green r02)
     "agg_rollup",                  # grouping-set family fully proven green r02 (cube+rollup); window slot ceded to text_tfidf_keywords
+    "join_anti",                   # anti-membership proven green r02; EXCEPT family stays in-window via setop_except_intersect
+    "events_tumbling_window",      # ST8 family proven green r02; session windows (the hard case) stay in-window
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
     "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
     "events_sliding_window",       # ST8 family ≡ events_tumbling_window + events_session_windows (green r02)

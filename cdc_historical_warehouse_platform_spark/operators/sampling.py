@@ -38,6 +38,7 @@ __all__ = [
     "sample_key",
     "hash_sample",
     "stratified_hash_sample",
+    "weighted_keep_expr",
     "write_training_shards",
 ]
 
@@ -67,6 +68,24 @@ def keep_expr(key: Column, rate: float, salt: str = "corpus-sample") -> Column:
     if rate <= 0.0:
         return F.lit(False)
     return sample_key(key, salt) < F.lit(_rate_threshold(rate))
+
+
+def weighted_keep_expr(
+    key: Column, rate: Column, salt: str = "corpus-sample"
+) -> Column:
+    """Per-ROW-rate deterministic keep decision: keep iff the md5 draw
+    < floor(rate·65536)/65536, where ``rate`` is a column in [0,1]
+    (e.g. a quality score — keep probability proportional to quality).
+
+    Same zero-shuffle, restart-stable gate as :func:`keep_expr`, but
+    the threshold is rendered per row: fixed-width lowercase hex of
+    floor(rate·65536) via printf('%04x', ...) — identical in Spark and
+    DuckDB — compared lexicographically against the 4-hex draw
+    (integer compare at fixed width, no hex parsing anywhere).
+    rate ≥ 1 short-circuits: its 5-hex threshold would compare wrongly
+    against 4-hex draws."""
+    thr = F.format_string("%04x", (rate * F.lit(65536.0)).cast("bigint"))
+    return (rate >= F.lit(1.0)) | (sample_key(key, salt) < thr)
 
 
 def hash_sample(

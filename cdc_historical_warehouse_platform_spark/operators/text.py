@@ -370,3 +370,58 @@ def tfidf_top_keywords(
             (F.col("tf") * F.col("__idf")).alias("tfidf_micro"),
         )
     )
+
+
+def chunk_token_spans(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> "DataFrame":
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window chunking step of a training/RAG pipeline (the
+    inverse of sequence packing: packing concatenates short docs,
+    chunking splits long ones).
+
+    Returns ``(doc_id, chunk_id, start_token, n_chunk_tokens,
+    chunk_text)``: chunk i covers tokens [i·stride, i·stride+chunk)
+    with stride = chunk_tokens − overlap; the final chunk may be
+    short. Empty docs yield zero chunks.
+
+    Pure integer arithmetic + array slicing (whole-stage codegen, no
+    UDF, map-only — zero shuffle at any scale); the chunk count per
+    doc is ceil((n − chunk)/stride) + 1, computed with integer ops so
+    the DuckDB twin is hash-exact. The sequence() is guarded for the
+    zero-chunk case (Spark's sequence auto-descends when end < start).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("__t"),
+    )
+    n = F.size("__t")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0).cast("long"))
+        .when(n <= chunk_tokens, F.lit(1).cast("long"))
+        .otherwise(
+            F.floor((n - chunk_tokens + stride - 1).cast("double") / stride) + 1
+        )
+    )
+    ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = base.select(
+        "doc_id", "__t", F.explode_outer(ids).alias("chunk_id")
+    ).filter(F.col("chunk_id").isNotNull())
+    start = (F.col("chunk_id") * stride).cast("int")
+    sl = F.slice(F.col("__t"), start + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.alias("start_token"),
+        F.size(sl).alias("n_chunk_tokens"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+    )

@@ -1214,3 +1214,82 @@ ORDER BY doc_id, rank
 """
 
 DATAPIPE_QUERIES["text_tfidf_keywords"] = (q_text_tfidf_keywords, SQL_TFIDF)
+
+
+def q_corpus_chunk_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking (operators/text.py:chunk_token_spans):
+    32-token chunks, 8-token overlap, map-only."""
+    docs = load_table(spark, sf, "documents")
+    return TX.chunk_token_spans(docs, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+SQL_CHUNK_SPANS = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t FROM norm),
+meta AS (SELECT doc_id, t, len(t) AS n FROM toks),
+spans AS (
+  SELECT doc_id, t,
+         unnest(range(0, CASE WHEN n <= 0 THEN 0
+                              WHEN n <= 32 THEN 1
+                              ELSE ((n - 32 + 23) // 24) + 1 END)) AS chunk_id
+  FROM meta),
+sliced AS (
+  SELECT doc_id, chunk_id,
+         list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32) AS sl
+  FROM spans)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * 24 AS INT) AS start_token,
+       CAST(len(sl) AS INT) AS n_chunk_tokens,
+       array_to_string(sl, ' ') AS chunk_text
+FROM sliced
+ORDER BY doc_id, chunk_id
+"""
+
+DATAPIPE_QUERIES["corpus_chunk_spans"] = (q_corpus_chunk_spans, SQL_CHUNK_SPANS)
+
+
+def q_corpus_sample_quality_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability equals
+    the document's quality score (operators/sampling.py:
+    weighted_keep_expr — md5 draw vs per-row fixed-width hex
+    threshold; zero shuffle, restart-stable). Returns every doc with
+    its draw, threshold, and keep decision — auditable, and the kept
+    set is reproducible across engines."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import sample_key, weighted_keep_expr
+
+    docs = load_table(spark, sf, "documents")
+    q = TX.quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q.alias("quality_score"),
+        sample_key(F.col("doc_id")).alias("sample_key"),
+        weighted_keep_expr(F.col("doc_id"), q).alias("kept"),
+    ).orderBy("doc_id")
+
+
+_SQL_QUALITY_EXPR = rf"""floor(((least(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) / 20.0, 1.0)
+  + least((CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''), x -> x IN ({_SW_LIST}))) AS DOUBLE)
+           / greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1)) * 4.0, 1.0)
+  + (1.0 - least((CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / greatest(length(text), 1)) * 5.0, 1.0))) / 3.0)
+  * 1000000.0) / 1000000.0"""
+
+SQL_SAMPLE_QUALITY_WEIGHTED = f"""
+WITH scored AS (
+  SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality_score,
+         substr(md5('corpus-sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+  FROM documents)
+SELECT doc_id, quality_score, sample_key,
+       (quality_score >= 1.0 OR
+        sample_key < printf('%04x', CAST(floor(quality_score * 65536.0) AS BIGINT)))
+         AS kept
+FROM scored
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_sample_quality_weighted"] = (
+    q_corpus_sample_quality_weighted,
+    SQL_SAMPLE_QUALITY_WEIGHTED,
+)

@@ -624,3 +624,43 @@ def test_tfidf_keywords_rank_rare_tokens_first(spark):
     # corpus-wide token scores zero: ln(3/3) = 0
     the_rows = [r for r in out if r["token"] == "the"]
     assert all(r["tfidf_micro"] == 0 for r in the_rows)
+
+
+def test_chunk_spans_cover_and_overlap(spark):
+    from cdc_historical_warehouse_platform_spark.operators.text import chunk_token_spans
+
+    text = " ".join(f"w{i}" for i in range(70))  # 70 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_token_spans(df, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 70 tokens, chunk 32 stride 24 -> ceil((70-32)/24)+1 = 3 chunks
+    assert [r["start_token"] for r in by_doc[1]] == [0, 24, 48]
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [32, 32, 22]
+    # overlap: chunk i+1 repeats the last 8 tokens of chunk i
+    c0, c1 = by_doc[1][0]["chunk_text"].split(), by_doc[1][1]["chunk_text"].split()
+    assert c0[-8:] == c1[:8]
+    # every token position covered exactly once ignoring overlaps
+    assert c0[:24] + c1[:24] + by_doc[1][2]["chunk_text"].split() == text.split()
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    assert 3 not in by_doc  # empty doc -> zero chunks
+
+
+def test_weighted_sampling_rate_tracks_quality(spark):
+    from cdc_historical_warehouse_platform_spark.operators.sampling import weighted_keep_expr
+
+    # rate column 0.0 / 1.0 extremes are exact; mid-rate keeps roughly
+    # rate fraction (deterministic, so the observed fraction is fixed)
+    df = spark.range(0, 2000).select(F.col("id"))
+    kept_all = df.filter(weighted_keep_expr(F.col("id"), F.lit(1.0))).count()
+    kept_none = df.filter(weighted_keep_expr(F.col("id"), F.lit(0.0))).count()
+    assert (kept_all, kept_none) == (2000, 0)
+    kept_half = df.filter(weighted_keep_expr(F.col("id"), F.lit(0.5))).count()
+    assert abs(kept_half / 2000 - 0.5) < 0.05
+    # determinism under repartition
+    again = df.repartition(13).filter(weighted_keep_expr(F.col("id"), F.lit(0.5))).count()
+    assert again == kept_half
