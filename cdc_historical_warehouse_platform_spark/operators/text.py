@@ -278,10 +278,12 @@ def unigram_surprisal(
     joins tokens to the vocab — broadcast here (vocab ≪ corpus by
     Heaps' law; sublinear in corpus size), hash-join on token when a
     100 TB vocab outgrows the broadcast threshold; then one groupBy on
-    doc_id. The corpus total rides the (tiny) vocab via an unpartitioned
-    window over the aggregate, never a driver collect.
+    doc_id. The corpus token total is embedded as a literal from one
+    distributed count() at plan-build (the ivf_centroids / tfidf
+    pattern) — an unpartitioned window over the vocab would funnel
+    every distinct token through a single partition at 100 TB.
     """
-    from pyspark.sql import Window
+    import math
 
     toks = (
         df.select(
@@ -290,12 +292,10 @@ def unigram_surprisal(
         )
         .filter(F.col("token").isNotNull())
     )
+    total = toks.count()
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = vocab.withColumn(
-        "total", F.sum("cnt").over(Window.partitionBy())
-    )
     s_micro = F.floor(
-        (F.log2(F.col("total")) - F.log2(F.col("cnt"))) * F.lit(1000000.0)
+        (F.lit(math.log2(total)) - F.log2(F.col("cnt"))) * F.lit(1000000.0)
     )
     scored = toks.join(F.broadcast(vocab), "token").select(
         "doc_id", s_micro.alias("__s")
