@@ -1,0 +1,84 @@
+"""Property-based checks for the corpus operators: chunking must
+reconstruct the token stream for ANY document, and the deterministic
+sampling gate must be monotone in the rate (a higher rate keeps a
+strict superset — the property that makes staged down-sampling
+composable). Example counts are small because each example runs real
+Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.sampling import weighted_keep_expr
+from cdc_historical_warehouse_platform_spark.operators.text import (
+    chunk_token_spans,
+    normalize_text,
+    tokens,
+)
+
+# Documents: random words over a small alphabet, possibly with junk
+# punctuation/whitespace that normalization strips.
+word = st.text(alphabet="abc019", min_size=1, max_size=5)
+doc = st.lists(word, min_size=0, max_size=90).map(" ".join)
+docs_strategy = st.lists(doc, min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy, chunk=st.integers(4, 40), overlap=st.integers(0, 3))
+def test_chunks_reconstruct_tokens_for_any_doc(spark, texts, chunk, overlap):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    stride = chunk - overlap
+    out = chunk_token_spans(df, chunk_tokens=chunk, overlap=overlap).collect()
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, expect in toks.items():
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_id"])
+        if not expect:
+            assert rows == []  # empty doc -> zero chunks
+            continue
+        # stride-prefix concatenation reconstructs the token stream
+        rebuilt: list[str] = []
+        for r in rows[:-1]:
+            assert r["n_chunk_tokens"] == chunk  # only the tail may be short
+            rebuilt.extend(r["chunk_text"].split(" ")[:stride])
+        rebuilt.extend(rows[-1]["chunk_text"].split(" "))
+        assert rebuilt == expect
+        # spans: contiguous starts, bounded sizes
+        assert [r["start_token"] for r in rows] == [
+            i * stride for i in range(len(rows))
+        ]
+        assert all(0 < r["n_chunk_tokens"] <= chunk for r in rows)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    r1=st.floats(0.0, 1.0, allow_nan=False),
+    r2=st.floats(0.0, 1.0, allow_nan=False),
+)
+def test_weighted_gate_monotone_in_rate(spark, r1, r2):
+    lo, hi = sorted([r1, r2])
+    df = spark.range(0, 300)
+    kept_lo = {
+        r["id"] for r in df.filter(weighted_keep_expr(F.col("id"), F.lit(lo))).collect()
+    }
+    kept_hi = {
+        r["id"] for r in df.filter(weighted_keep_expr(F.col("id"), F.lit(hi))).collect()
+    }
+    assert kept_lo <= kept_hi
