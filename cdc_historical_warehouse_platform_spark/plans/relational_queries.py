@@ -1118,3 +1118,63 @@ def q_salted_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 RELATIONAL_QUERIES["window_salted_topk"] = (q_salted_topk, SQL_TOP_PER_CUSTOMER)
+
+
+def q_unpivot_balances(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot / melt (the inverse of agg_pivot): per-nation customer
+    vs supplier account-balance totals as (nation, side, total) long
+    rows via DataFrame.unpivot — wide→long is a zero-shuffle map after
+    the two small aggregates. Decimal-exact sums (cast to double only
+    at the output boundary) keep the DuckDB twin hash-exact."""
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    cb = c.groupBy("c_nationkey").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("customer_total")
+    )
+    sb = s.groupBy("s_nationkey").agg(
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("supplier_total")
+    )
+    wide = (
+        n.select("n_nationkey", "n_name")
+        .join(cb, n.n_nationkey == cb.c_nationkey, "left")
+        .join(sb, n.n_nationkey == sb.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("customer_total"), F.lit(0)).cast("double").alias("customer_total"),
+            F.coalesce(F.col("supplier_total"), F.lit(0)).cast("double").alias("supplier_total"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ids=["n_name"],
+            values=["customer_total", "supplier_total"],
+            variableColumnName="side",
+            valueColumnName="total",
+        )
+        .orderBy("n_name", "side")
+    )
+
+
+SQL_UNPIVOT_BALANCES = """
+WITH cb AS (
+  SELECT c_nationkey AS nk, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS customer_total
+  FROM customer GROUP BY 1),
+sb AS (
+  SELECT s_nationkey AS nk, CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supplier_total
+  FROM supplier GROUP BY 1),
+wide AS (
+  SELECT n.n_name,
+         COALESCE(cb.customer_total, 0) AS customer_total,
+         COALESCE(sb.supplier_total, 0) AS supplier_total
+  FROM nation n
+  LEFT JOIN cb ON n.n_nationkey = cb.nk
+  LEFT JOIN sb ON n.n_nationkey = sb.nk)
+SELECT n_name, side, total FROM (
+  SELECT n_name, 'customer_total' AS side, customer_total AS total FROM wide
+  UNION ALL
+  SELECT n_name, 'supplier_total' AS side, supplier_total AS total FROM wide)
+ORDER BY n_name, side
+"""
+
+RELATIONAL_QUERIES["relational_unpivot"] = (q_unpivot_balances, SQL_UNPIVOT_BALANCES)
