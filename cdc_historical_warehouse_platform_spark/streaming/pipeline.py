@@ -30,6 +30,7 @@ __all__ = [
     "windowed_event_counts",
     "sliding_event_value",
     "streaming_exact_dedup",
+    "streaming_corpus_keep",
 ]
 
 
@@ -158,3 +159,32 @@ def streaming_exact_dedup(
             ["fingerprint"]
         )
     return fp.dropDuplicates(["fingerprint"])
+
+
+def streaming_corpus_keep(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    quality_threshold: float = 0.68,
+    event_time_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch corpus keep pipeline
+    (plans/datapipe_queries.py:q_corpus_keep_decisions, minus the
+    near-dup tier, which needs corpus-wide signatures): documents
+    flow through the quality gate as a stateless codegen'd filter,
+    then the exact-dedup tier drops content-identical re-deliveries
+    with 16-byte-per-doc state (watermark-bounded when an event-time
+    column exists — see streaming_exact_dedup).
+
+    Stateless filter BEFORE stateful dedup is the scale-relevant
+    order: low-quality documents never enter the state store, so state
+    size tracks the kept corpus, not the raw feed.
+    """
+    from cdc_historical_warehouse_platform_spark.operators.text import quality_score
+
+    kept = stream_df.withColumn(
+        "quality_score", quality_score(F.col(text_col))
+    ).filter(F.col("quality_score") >= quality_threshold)
+    return streaming_exact_dedup(
+        kept, text_col=text_col, event_time_col=event_time_col, delay=delay
+    )

@@ -314,3 +314,41 @@ def test_streaming_exact_dedup_watermarked_variant(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_wm").collect())
     assert got == [1, 3]
+
+
+def test_streaming_corpus_keep_filters_then_dedups(spark, tmp_path):
+    """Quality gate runs before the stateful dedup (low-quality docs
+    never enter state); dups of KEPT docs are dropped; a dup of a
+    FILTERED doc is judged on its own quality."""
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import streaming_corpus_keep
+    from cdc_historical_warehouse_platform_spark.operators.text import quality_score
+    from pyspark.sql import functions as F
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on "
+        "with a long enough sentence for the quality gate to pass"
+    )
+    junk = "!!! ??? !!!"
+    rows = [(1, good), (2, junk), (3, good)]  # 3 dups 1 post-normalization
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    qvals = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert qvals[1] >= 0.68 and qvals[2] < 0.68  # fixture sanity
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    df.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_corpus_keep(stream, text_col="text", quality_threshold=0.68)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == [1]  # junk filtered, duplicate dropped
