@@ -44,7 +44,9 @@ __all__ = [
     "exact_dedup",
     "jaccard_pairs",
     "minhash_signature",
+    "minhash_band_buckets",
     "minhash_lsh_pairs",
+    "incremental_minhash_dedup",
     "connected_components",
     "simhash64",
     "simhash_pairs",
@@ -217,6 +219,43 @@ def minhash_signature(
     return base.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(doc_id, bucket) band-bucket assignments — the persistable LSH
+    index: each doc lands in `bands` buckets keyed by the xxhash64 of
+    its band's signature rows. ``minhash_lsh_pairs`` self-joins this;
+    ``incremental_minhash_dedup`` joins a NEW batch's buckets against a
+    STORED copy, which is what makes corpus-building incremental (the
+    existing corpus is never re-signatured)."""
+    sig = minhash_signature(df, text_col, id_col, n, bands * rows_per_band)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        .cast("string")
+        .alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -234,27 +273,7 @@ def minhash_lsh_pairs(
     - miss probability per true pair = (1 − j^r)^b — with b=32, r=2,
       j≥0.7 that is < 1e-8.
     """
-    sig = minhash_signature(df, text_col, id_col, n, bands * rows_per_band)
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        .cast("string")
-        .alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    buckets = minhash_band_buckets(df, text_col, id_col, n, bands, rows_per_band)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "bucket")
     b2 = buckets.select(F.col("doc_id").alias("doc_b"), "bucket")
     candidates = (
@@ -663,3 +682,95 @@ def semdedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    stored_buckets: DataFrame,
+    stored_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW document batch against an already-built corpus using
+    its persisted LSH index — the CDC idea applied to corpus building:
+    each incremental load touches only the new batch plus the candidate
+    rows it collides with; the existing corpus is NEVER re-signatured.
+
+    ``stored_buckets`` is the persisted output of
+    :func:`minhash_band_buckets` over the kept corpus (e.g. in a
+    VersionedTable); ``stored_docs`` holds the kept documents' text
+    (fetched only for verification candidates). Returns
+    ``(kept_new_docs, kept_new_buckets)`` — append the second to the
+    store to complete the increment.
+
+    A new doc is dropped if it exact-Jaccard-matches (≥ threshold) a
+    stored doc OR a smaller-id doc within its own batch (greedy batch
+    semantics: near-dup is not transitive at a threshold, so, like any
+    single-pass dedup, chains crossing the batch boundary resolve
+    greedily).
+
+    Scale shape: signature/banding is one linear pass over the NEW
+    batch only; the cross join against the store is a hash equi-join
+    on bucket whose build side is the (small) new-batch bucket set;
+    verification tokenizes candidate docs only (semi-join first, both
+    corpora). Store growth is `bands` rows per kept doc — the same
+    16-byte-per-key regime as the streaming dedup state.
+    """
+    nb = minhash_band_buckets(
+        new_docs, text_col, id_col, n, bands, rows_per_band
+    ).localCheckpoint(eager=True)
+
+    cross = (
+        nb.select(F.col("doc_id").alias("new_id"), "bucket")
+        .join(
+            stored_buckets.select(F.col("doc_id").alias("old_id"), "bucket"),
+            "bucket",
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    intra = (
+        nb.select(F.col("doc_id").alias("new_id"), "bucket")
+        .join(nb.select(F.col("doc_id").alias("old_id"), "bucket"), "bucket")
+        .filter(F.col("old_id") < F.col("new_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    candidates = cross.unionByName(intra).distinct().localCheckpoint(eager=True)
+
+    new_ids = candidates.select(F.col("new_id").alias("__id")).distinct()
+    old_ids = candidates.select(F.col("old_id").alias("__id")).distinct()
+    new_sets = _shingle_sets(
+        new_docs.join(new_ids, F.col(id_col) == F.col("__id"), "semi"),
+        text_col, id_col, n,
+    )
+    old_sets = _shingle_sets(
+        stored_docs.unionByName(new_docs)
+        .join(old_ids, F.col(id_col) == F.col("__id"), "semi"),
+        text_col, id_col, n,
+    )
+    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_old")))
+    union = F.size(F.col("sh_new")) + F.size(F.col("sh_old")) - inter
+    dropped = (
+        candidates.join(
+            new_sets.select(F.col("doc_id").alias("new_id"), F.col("sh_set").alias("sh_new")),
+            "new_id",
+        )
+        .join(
+            old_sets.select(F.col("doc_id").alias("old_id"), F.col("sh_set").alias("sh_old")),
+            "old_id",
+        )
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    kept = new_docs.join(dropped, id_col, "anti")
+    kept_buckets = nb.join(
+        dropped.select(F.col(id_col).alias("doc_id")), "doc_id", "anti"
+    )
+    return kept, kept_buckets

@@ -664,3 +664,36 @@ def test_weighted_sampling_rate_tracks_quality(spark):
     # determinism under repartition
     again = df.repartition(13).filter(weighted_keep_expr(F.col("id"), F.lit(0.5))).count()
     assert again == kept_half
+
+
+def test_incremental_minhash_dedup_matches_full_rebuild(spark):
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_buckets,
+        minhash_lsh_pairs,
+    )
+
+    base_words = [f"w{i}" for i in range(30)]
+    a = " ".join(base_words)
+    a_nearzz = " ".join(base_words[:-1] + ["zz"])  # ~high jaccard vs a
+    fresh = " ".join(f"x{i}" for i in range(30))
+    fresh_near = " ".join([f"x{i}" for i in range(29)] + ["yy"])
+    batch1 = spark.createDataFrame([(1, a), (2, "totally different words here " * 3)], ["doc_id", "text"])
+    batch2 = spark.createDataFrame(
+        [(10, a_nearzz), (11, fresh), (12, fresh_near)], ["doc_id", "text"]
+    )
+    store = minhash_band_buckets(batch1).localCheckpoint(eager=True)
+
+    kept, kept_buckets = incremental_minhash_dedup(
+        batch2, stored_buckets=store, stored_docs=batch1, threshold=0.5
+    )
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # 10 collides with stored doc 1; 12 is an intra-batch near-dup of 11
+    assert kept_ids == [11]
+    assert sorted({r["doc_id"] for r in kept_buckets.collect()}) == [11]
+
+    # equivalence: the incrementally-built corpus contains no near-dup
+    # pair that a full-rebuild pipeline would have caught
+    corpus = batch1.unionByName(kept)
+    residual = minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    assert residual == []
