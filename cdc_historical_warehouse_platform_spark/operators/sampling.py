@@ -144,10 +144,16 @@ def write_training_shards(
     num_shards: int = 64,
     max_records_per_file: int = 100_000,
     order_col: str | None = None,
+    mode: str = "overwrite",
 ) -> dict:
     """Write `df` as `num_shards` hash-sharded parquet directories with
     bounded file sizes, returning a manifest dict (also persisted as
     ``_manifest.json`` under `path`).
+
+    ``mode="append"`` adds new files into the EXISTING shard layout
+    (hash assignment is stable, so a doc's shard never changes across
+    appends — the incremental-corpus path) and rebuilds the manifest
+    over all footers.
 
     Scale posture: one hash shuffle on the shard id (required for
     co-located shards), `maxRecordsPerFile` splits oversized shards
@@ -160,7 +166,7 @@ def write_training_shards(
     writer = sharded.repartition(num_shards, "shard")
     writer = writer.sortWithinPartitions(order_col or key_col)
     (
-        writer.write.mode("overwrite")
+        writer.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("shard")
         .parquet(path)

@@ -18,7 +18,7 @@ Usage:
   python run_pipeline.py status    [--workdir DIR]
   python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
                                    [--order-key K]
-  python run_pipeline.py corpus    --input SF_DIR --output DIR
+  python run_pipeline.py corpus    --input SF_DIR --output DIR\n  python run_pipeline.py corpus-append --input NEW_SF_DIR --output DIR
                                    [--num-shards N] [--max-records-per-file N]
 """
 
@@ -67,7 +67,10 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "command",
-        choices=["seed", "simulate", "extract", "load", "status", "validate", "corpus"],
+        choices=[
+            "seed", "simulate", "extract", "load", "status", "validate",
+            "corpus", "corpus-append",
+        ],
     )
     ap.add_argument("--workdir", default="./warehouse_data")
     ap.add_argument("--orders", type=int, default=10)
@@ -203,12 +206,76 @@ def main() -> int:
             num_shards=args.num_shards,
             max_records_per_file=args.max_records_per_file,
         )
+        # persist the dedup state alongside the shards so later
+        # corpus-append loads never reprocess the kept corpus:
+        # _kept_docs mirrors the kept text, _lsh_index the band buckets
+        # (underscore-prefixed dirs are invisible to parquet readers of
+        # the shard layout).
+        from cdc_historical_warehouse_platform_spark.operators.dedup import minhash_band_buckets
+
+        out = Path(args.output)
+        kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
+        minhash_band_buckets(kept).write.mode("overwrite").parquet(
+            str(out / "_lsh_index")
+        )
         print(
             json.dumps(
                 {
                     "decisions": counts,
                     "kept_rows": manifest["total_rows"],
                     "num_shards": manifest["num_shards"],
+                    "output": args.output,
+                }
+            )
+        )
+    elif args.command == "corpus-append":
+        # incremental corpus load: quality-gate the NEW batch, dedup it
+        # against the persisted LSH index (the existing corpus is never
+        # re-signatured), append kept docs into the same shard layout
+        # and extend the dedup state.
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.operators.dedup import incremental_minhash_dedup
+        from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
+        from cdc_historical_warehouse_platform_spark.operators.text import quality_score
+
+        if not args.input or not args.output:
+            print(json.dumps({"error": "corpus-append requires --input and --output"}))
+            return 1
+        out = Path(args.output)
+        if not (out / "_lsh_index").exists():
+            print(json.dumps({"error": f"no corpus state under {args.output}; run corpus first"}))
+            return 1
+        new_docs = spark.read.parquet(str(Path(args.input) / "documents.parquet"))
+        stored_buckets = spark.read.parquet(str(out / "_lsh_index"))
+        stored_docs = spark.read.parquet(str(out / "_kept_docs"))
+        n_new = new_docs.count()
+        quality_ok = new_docs.filter(quality_score(F.col("text")) >= 0.68)
+        n_quality = quality_ok.count()
+        kept, kept_buckets = incremental_minhash_dedup(
+            quality_ok, stored_buckets=stored_buckets, stored_docs=stored_docs
+        )
+        # materialize before the three writes below reuse it
+        kept = kept.localCheckpoint(eager=True)
+        manifest = write_training_shards(
+            kept,
+            args.output,
+            key_col="doc_id",
+            num_shards=args.num_shards,
+            max_records_per_file=args.max_records_per_file,
+            mode="append",
+        )
+        kept.write.mode("append").parquet(str(out / "_kept_docs"))
+        kept_buckets.write.mode("append").parquet(str(out / "_lsh_index"))
+        n_kept = kept.count()
+        print(
+            json.dumps(
+                {
+                    "new_docs": n_new,
+                    "low_quality": n_new - n_quality,
+                    "near_dup": n_quality - n_kept,
+                    "appended": n_kept,
+                    "corpus_rows": manifest["total_rows"],
                     "output": args.output,
                 }
             )

@@ -141,3 +141,27 @@ def test_write_training_shards_manifest_and_bounds(docs, tmp_path):
     }
     actual = {r.doc_id: int(r.shard) for r in back.select("doc_id", "shard").collect()}
     assert actual == expected
+
+
+def test_write_training_shards_append_extends_layout(docs, tmp_path):
+    from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
+
+    spark = docs.sparkSession
+    first = docs.filter(F.col("doc_id") < 50)
+    extra = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 70))
+    out = str(tmp_path / "shards")
+    m1 = write_training_shards(first, out, key_col="doc_id", num_shards=4)
+    m2 = write_training_shards(
+        extra, out, key_col="doc_id", num_shards=4, mode="append"
+    )
+    assert m1["total_rows"] == 50 and m2["total_rows"] == 70
+    back = spark.read.parquet(out)
+    assert back.count() == 70
+    # shard assignment is stable: a doc present since the first write
+    # sits in the same shard the appended manifest reports
+    ids = {r["doc_id"] for r in back.filter(F.col("shard") == 0).collect()}
+    again = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).filter(F.col("shard") == 0).collect()
+    }
+    assert ids == again and m2["num_shards"] == 4
