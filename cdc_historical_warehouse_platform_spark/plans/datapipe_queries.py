@@ -1293,3 +1293,59 @@ DATAPIPE_QUERIES["corpus_sample_quality_weighted"] = (
     q_corpus_sample_quality_weighted,
     SQL_SAMPLE_QUALITY_WEIGHTED,
 )
+
+
+def q_corpus_zipf_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token rank-frequency table (the Zipf diagnostic every
+    corpus report ships): top-100 tokens by count with dense rank and
+    cumulative coverage of the token stream. Pure integer counts plus
+    one division per row — hash-exact oracle. One explode + one
+    groupBy(token); the rank/cumsum window runs over the top-100 slice
+    only (TakeOrderedAndProject bounds the sort at any corpus size)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    total = toks.count()
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_coverage",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double")
+            / F.lit(float(total)),
+        )
+        .select("rank", "token", "cnt", "cum_coverage")
+        .orderBy("rank")
+    )
+
+
+SQL_ZIPF = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT unnest(list_filter(string_split(nt, ' '), x -> x <> '')) AS token FROM norm),
+tot AS (SELECT count(*) AS n FROM toks),
+top AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+  ORDER BY cnt DESC, token ASC LIMIT 100),
+ranked AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+  FROM top)
+SELECT rank, token, cnt, cum / (SELECT n FROM tot) AS cum_coverage
+FROM ranked
+ORDER BY rank
+"""
+
+DATAPIPE_QUERIES["corpus_zipf_stats"] = (q_corpus_zipf_stats, SQL_ZIPF)
