@@ -283,8 +283,6 @@ def unigram_surprisal(
     pattern) — an unpartitioned window over the vocab would funnel
     every distinct token through a single partition at 100 TB.
     """
-    import math
-
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -294,8 +292,12 @@ def unigram_surprisal(
     )
     total = toks.count()
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE log2 of the IEEE-exact ratio, never log2(a) − log2(b): with two
+    # separately-rounded logs an exact power-of-2 ratio (common with
+    # repeated counts) can land one ulp below its integer log and floor
+    # to N−1 in one engine but N in the other.
     s_micro = F.floor(
-        (F.lit(math.log2(total)) - F.log2(F.col("cnt"))) * F.lit(1000000.0)
+        F.log2(F.lit(float(total)) / F.col("cnt")) * F.lit(1000000.0)
     )
     scored = toks.join(F.broadcast(vocab), "token").select(
         "doc_id", s_micro.alias("__s")
@@ -340,7 +342,6 @@ def tfidf_top_keywords(
     count. No unpartitioned window anywhere.
     """
     from pyspark.sql import Window
-    import math
 
     n_docs = df.count()
     toks = (
@@ -352,8 +353,9 @@ def tfidf_top_keywords(
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    # single ln of the exact ratio (see unigram_surprisal's log note)
     idf_micro = F.floor(
-        (F.lit(math.log(n_docs)) - F.log(F.col("df_docs"))) * F.lit(1000000.0)
+        F.log(F.lit(float(n_docs)) / F.col("df_docs")) * F.lit(1000000.0)
     )
     scored = tf.join(F.broadcast(vocab.select("token", idf_micro.alias("__idf"))), "token")
     w = Window.partitionBy("doc_id").orderBy(
@@ -424,4 +426,71 @@ def chunk_token_spans(
         start.alias("start_token"),
         F.size(sl).alias("n_chunk_tokens"),
         F.concat_ws(" ", sl).alias("chunk_text"),
+    )
+
+
+def bigram_surprisal(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Conditional bigram-LM scoring — the context-sensitive step up
+    from :func:`unigram_surprisal`: per-doc mean of
+    −log2 p(w2 | w1) = −log2( c(w1 w2) / c(w1 ·) ), where c(w1 ·)
+    counts w1 as a bigram prefix. Repetitive/templated text scores low
+    bits (its continuations are predictable), scrambled text high —
+    the repetition-vs-novelty diagnostic a pure unigram model misses.
+
+    Same exactness scheme as the unigram tier: per-bigram surprisal is
+    quantized once to integer micro-bits (floor((log2 c1 − log2 c12)
+    · 1e6)) so per-doc reductions are exact integer sums.
+
+    Scale shape: one explode over order-preserving bigram lists → one
+    groupBy(bigram) for the model; prefix totals are a second (smaller)
+    aggregate over the bigram vocab, never the corpus; scoring re-joins
+    the corpus bigram stream to the scored vocab (broadcast; hash join
+    at 100 TB vocab) → one groupBy(doc). Docs with <2 tokens have no
+    bigrams and drop out (mirrored by the oracle).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("__t"),
+    )
+    big = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(ngram_list_from_tokens(F.col("__t"), 2)).alias("bg"),
+        )
+        .filter(F.col("bg").isNotNull())
+    )
+    vocab2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    pref = (
+        vocab2.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    scored_vocab = (
+        vocab2.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(pref, "w1")
+        .select(
+            "bg",
+            # single log2 of the exact ratio — see unigram_surprisal
+            F.floor(
+                F.log2(F.col("c1").cast("double") / F.col("c12"))
+                * F.lit(1000000.0)
+            ).alias("__s"),
+        )
+    )
+    return (
+        big.join(F.broadcast(scored_vocab), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__s").alias("surprisal_microbits"),
+        )
+        .withColumn(
+            "bits_per_bigram",
+            F.col("surprisal_microbits").cast("double")
+            / (F.col("n_bigrams") * F.lit(1000000.0)),
+        )
     )

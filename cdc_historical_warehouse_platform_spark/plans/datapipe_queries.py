@@ -1170,7 +1170,7 @@ vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
 vt AS (SELECT token, cnt, sum(cnt) OVER () AS total FROM vocab),
 per AS (
   SELECT t.doc_id,
-         CAST(floor((log2(CAST(v.total AS DOUBLE)) - log2(CAST(v.cnt AS DOUBLE)))
+         CAST(floor(log2(CAST(v.total AS DOUBLE) / v.cnt)
                     * 1000000.0) AS BIGINT) AS s
   FROM toks t JOIN vt v USING (token))
 SELECT doc_id,
@@ -1200,7 +1200,7 @@ toks AS (SELECT doc_id, unnest(list_filter(string_split(nt, ' '), x -> x <> ''))
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
 vocab AS (
   SELECT token,
-         CAST(floor((ln((SELECT count(*) FROM documents)) - ln(count(*)))
+         CAST(floor(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(*))
                     * 1000000.0) AS BIGINT) AS idf
   FROM tf GROUP BY token),
 ranked AS (
@@ -1349,3 +1349,40 @@ ORDER BY rank
 """
 
 DATAPIPE_QUERIES["corpus_zipf_stats"] = (q_corpus_zipf_stats, SQL_ZIPF)
+
+
+def q_text_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional bigram-LM surprisal (operators/text.py:
+    bigram_surprisal) — context-sensitive counterpart of
+    text_lm_surprisal, exact integer micro-bit accounting."""
+    docs = load_table(spark, sf, "documents")
+    return TX.bigram_surprisal(docs).orderBy("doc_id")
+
+
+SQL_BIGRAM_SURPRISAL = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t FROM norm),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks),
+vocab2 AS (SELECT bg, count(*) AS c12 FROM big GROUP BY 1),
+pref AS (
+  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM vocab2 GROUP BY 1),
+scored AS (
+  SELECT v.bg,
+         CAST(floor(log2(CAST(p.c1 AS DOUBLE) / v.c12)
+                    * 1000000.0) AS BIGINT) AS s
+  FROM vocab2 v JOIN pref p ON string_split(v.bg, ' ')[1] = p.w1)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(s.s) AS BIGINT) AS surprisal_microbits,
+       CAST(sum(s.s) AS DOUBLE) / (count(*) * 1000000.0) AS bits_per_bigram
+FROM big b JOIN scored s USING (bg)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+DATAPIPE_QUERIES["text_bigram_surprisal"] = (q_text_bigram_surprisal, SQL_BIGRAM_SURPRISAL)

@@ -697,3 +697,24 @@ def test_incremental_minhash_dedup_matches_full_rebuild(spark):
     corpus = batch1.unionByName(kept)
     residual = minhash_lsh_pairs(corpus, threshold=0.5).collect()
     assert residual == []
+
+
+def test_bigram_surprisal_scores_repetition_low(spark):
+    from cdc_historical_warehouse_platform_spark.operators.text import bigram_surprisal
+
+    # doc 1 repeats one bigram pattern; doc 2 uses the same words in
+    # unique orders -> conditional surprisal must rank 2 above 1
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),
+            (2, "a a b b a b b a"),
+            (3, "x"),  # <2 tokens -> no bigrams -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == 7 and rows[2]["n_bigrams"] == 7
+    assert rows[2]["bits_per_bigram"] > rows[1]["bits_per_bigram"]
+    for r in rows.values():
+        assert r["bits_per_bigram"] == r["surprisal_microbits"] / (r["n_bigrams"] * 1e6)
