@@ -70,6 +70,7 @@ _PRIORITY = [
     "relational_unpivot",        # hash-exact oracle; wide→long melt via DataFrame.unpivot (new r03)
     "corpus_zipf_stats",         # hash-exact oracle; token rank-frequency + cumulative coverage (new r03)
     "text_bigram_surprisal",     # hash-exact oracle; conditional bigram-LM scoring (new r03)
+    "corpus_paragraph_dedup",    # hash-exact oracle; sub-document boilerplate-chunk dedup (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -89,6 +90,7 @@ _DEMOTED = [
     "join_semi",                   # semi-membership proven green r02; window slot ceded to relational_unpivot
     "agg_stats_quantiles",         # stats/quantile family proven green r02; exact quantiles also inside agg_approx_aggregates' oracle row
     "window_lag_lead",             # lag/lead family proven green r01+r02; window family stays repped by window_top_per_customer
+    "sql_api_revenue_by_segment",  # spark.sql() API surface proven green r02; relational joins stay repped by join_revenue_by_nation
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
     "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
     "events_sliding_window",       # ST8 family ≡ events_tumbling_window + events_session_windows (green r02)

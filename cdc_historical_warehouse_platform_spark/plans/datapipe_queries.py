@@ -1386,3 +1386,58 @@ ORDER BY b.doc_id
 """
 
 DATAPIPE_QUERIES["text_bigram_surprisal"] = (q_text_bigram_surprisal, SQL_BIGRAM_SURPRISAL)
+
+
+def q_corpus_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup: split every doc into
+    non-overlapping 32-token chunks (operators/text.py:
+    chunk_token_spans) and fingerprint each chunk — repeated
+    fingerprints are boilerplate passages shared across documents, the
+    thing document-level dedup cannot see. Returns every repeated
+    chunk with its occurrence/document counts and canonical location.
+    Map-only chunking + one groupBy on a 16-byte key — the exact-dedup
+    scale shape applied one level down."""
+    docs = load_table(spark, sf, "documents")
+    chunks = TX.chunk_token_spans(docs, chunk_tokens=32, overlap=0)
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.md5(F.col("chunk_text")).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t FROM norm),
+meta AS (SELECT doc_id, t, len(t) AS n FROM toks),
+spans AS (
+  SELECT doc_id, t,
+         unnest(range(0, CASE WHEN n <= 0 THEN 0
+                              WHEN n <= 32 THEN 1
+                              ELSE ((n - 32 + 31) // 32) + 1 END)) AS chunk_id
+  FROM meta),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ')) AS fingerprint
+  FROM spans)
+SELECT fingerprint,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS canonical_doc
+FROM chunks
+GROUP BY fingerprint
+HAVING count(*) > 1
+ORDER BY fingerprint
+"""
+
+DATAPIPE_QUERIES["corpus_paragraph_dedup"] = (q_corpus_paragraph_dedup, SQL_PARAGRAPH_DEDUP)
