@@ -71,6 +71,7 @@ _PRIORITY = [
     "corpus_zipf_stats",         # hash-exact oracle; token rank-frequency + cumulative coverage (new r03)
     "text_bigram_surprisal",     # hash-exact oracle; conditional bigram-LM scoring (new r03)
     "corpus_paragraph_dedup",    # hash-exact oracle; sub-document boilerplate-chunk dedup (new r03)
+    "window_range_frame",        # hash-exact oracle; time-based RANGE frame (trailing 30-day revenue) (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -91,6 +92,7 @@ _DEMOTED = [
     "agg_stats_quantiles",         # stats/quantile family proven green r02; exact quantiles also inside agg_approx_aggregates' oracle row
     "window_lag_lead",             # lag/lead family proven green r01+r02; window family stays repped by window_top_per_customer
     "sql_api_revenue_by_segment",  # spark.sql() API surface proven green r02; relational joins stay repped by join_revenue_by_nation
+    "join_outer_coalesce",         # outer-join/P9 family proven green r01+r02 (full_outer also demoted-green)
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
     "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
     "events_sliding_window",       # ST8 family ≡ events_tumbling_window + events_session_windows (green r02)

@@ -1178,3 +1178,49 @@ ORDER BY n_name, side
 """
 
 RELATIONAL_QUERIES["relational_unpivot"] = (q_unpivot_balances, SQL_UNPIVOT_BALANCES)
+
+
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame windowed aggregation — the time-based frame the
+    ROWS-frame queries can't express: each order's trailing-30-day
+    revenue for its customer (peers included by VALUE distance, not
+    row position, so same-day orders share a frame regardless of
+    order). Spark needs a numeric range key: days-since-epoch with
+    rangeBetween(-30, 0) ≡ DuckDB's RANGE BETWEEN INTERVAL 30 DAYS
+    PRECEDING. Frame sums run in DECIMAL so the running accumulation
+    is order-independent and the oracle hash-exact."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_30d_revenue"),
+            F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d_revenue,
+       count(*) OVER w AS trailing_30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+RELATIONAL_QUERIES["window_range_frame"] = (q_window_range_frame, SQL_WINDOW_RANGE_FRAME)
