@@ -72,6 +72,7 @@ _PRIORITY = [
     "text_bigram_surprisal",     # hash-exact oracle; conditional bigram-LM scoring (new r03)
     "corpus_paragraph_dedup",    # hash-exact oracle; sub-document boilerplate-chunk dedup (new r03)
     "window_range_frame",        # hash-exact oracle; time-based RANGE frame (trailing 30-day revenue) (new r03)
+    "window_ntile_percentile",   # hash-exact oracle; ntile/percent_rank/cume_dist over a total order (new r03)
 ]
 _DEMOTED = [
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
@@ -93,6 +94,7 @@ _DEMOTED = [
     "window_lag_lead",             # lag/lead family proven green r01+r02; window family stays repped by window_top_per_customer
     "sql_api_revenue_by_segment",  # spark.sql() API surface proven green r02; relational joins stay repped by join_revenue_by_nation
     "join_outer_coalesce",         # outer-join/P9 family proven green r01+r02 (full_outer also demoted-green)
+    "agg_pivot",                   # reshape family proven green r02; the inverse direction stays in-window via relational_unpivot
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
     "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
     "events_sliding_window",       # ST8 family ≡ events_tumbling_window + events_session_windows (green r02)

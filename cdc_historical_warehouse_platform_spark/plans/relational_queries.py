@@ -1224,3 +1224,42 @@ ORDER BY o_orderkey
 """
 
 RELATIONAL_QUERIES["window_range_frame"] = (q_window_range_frame, SQL_WINDOW_RANGE_FRAME)
+
+
+def q_window_ntile_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-rank window functions over customer balances per
+    market segment: ntile(4) quartile bucket, percent_rank, and
+    cume_dist. The order key is made TOTAL (balance desc, custkey asc)
+    so tie handling can never differ between engines; the only float
+    ops are the two int/int divisions these functions are defined as.
+    One hash exchange on the segment + per-partition sort."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("balance_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+ORDER BY c_custkey
+"""
+
+RELATIONAL_QUERIES["window_ntile_percentile"] = (q_window_ntile_percentile, SQL_WINDOW_NTILE)
