@@ -255,8 +255,12 @@ def main() -> int:
         kept, kept_buckets = incremental_minhash_dedup(
             quality_ok, stored_buckets=stored_buckets, stored_docs=stored_docs
         )
-        # materialize before the three writes below reuse it
+        # materialize BOTH outputs before any write: kept_buckets'
+        # lineage reads the _kept_docs parquet (via stored_docs), and a
+        # lazy evaluation after the append below would re-plan over a
+        # directory that changed mid-job
         kept = kept.localCheckpoint(eager=True)
+        kept_buckets = kept_buckets.localCheckpoint(eager=True)
         manifest = write_training_shards(
             kept,
             args.output,
