@@ -117,7 +117,12 @@ def stratified_hash_sample(
     Adds a ``sample_key`` column (the hex draw) for auditability.
     """
     skey = sample_key(F.col(key_col), salt)
-    keep: Column = F.lit(default_rate >= 1.0)
+    if default_rate >= 1.0:
+        keep: Column = F.lit(True)
+    elif default_rate <= 0.0:
+        keep = F.lit(False)
+    else:  # fractional default: sample unlisted strata at this rate
+        keep = skey < F.lit(_rate_threshold(default_rate))
     for value, rate in rates.items():
         cond = F.col(stratum_col) == F.lit(value)
         if rate >= 1.0:

@@ -102,6 +102,11 @@ def generate_lineage_report(
         .orderBy("valid_from", "surrogate_key")
         .collect()
     )
+    if not versions:  # explicit --order-key with no rows: report, don't crash
+        return (
+            "# SCD Type 2 Lineage Report\n\n"
+            f"Order key {order_key} has no rows in the dimension.\n"
+        )
     totals = dim.agg(
         F.count("*").alias("total"),
         F.sum(F.col("is_current").cast("long")).alias("current"),

@@ -102,14 +102,16 @@ class JdbcSource:
 
     def _with_retry(self, fn: Callable[[], DataFrame]) -> DataFrame:
         last: Exception | None = None
-        for attempt in range(self.max_retries):
+        attempts = max(1, self.max_retries)  # always try at least once
+        for attempt in range(attempts):
             try:
                 return fn()
             except Exception as e:  # noqa: BLE001 — JDBC raises via py4j
                 last = e
-                if attempt < self.max_retries - 1:
+                if attempt < attempts - 1:
                     time.sleep(self.retry_delay_s)
-        raise last  # type: ignore[misc]
+        assert last is not None
+        raise last
 
     # --- the source protocol ------------------------------------------------
 

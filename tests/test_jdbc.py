@@ -188,3 +188,19 @@ def test_extractor_accepts_plain_dataframe_source(tmp_path, spark):
     batch = ext.run_once(now=ts(3))
     assert batch is not None
     assert read_change_batch(spark, batch).count() == 2
+
+
+def test_retry_zero_max_retries_still_attempts_and_raises_cleanly(spark):
+    from cdc_historical_warehouse_platform_spark.sources.jdbc import JdbcSource
+
+    src = JdbcSource(url="jdbc:derby:/nonexistent/nowhere", table="t",
+                     max_retries=0, retry_delay_s=0.0)
+    calls = []
+
+    def boom():
+        calls.append(1)
+        raise RuntimeError("connection refused")
+
+    with pytest.raises(RuntimeError, match="connection refused"):
+        src._with_retry(boom)
+    assert calls == [1]  # exactly one attempt, real error surfaced

@@ -428,3 +428,14 @@ def test_streamed_envelope_byte_identical_to_json_dumps(tmp_path, spark):
             assert [json.loads(l)["id"] for l in log.read_text().splitlines()] == list(range(n))
         else:
             assert not log.exists()
+
+
+def test_lineage_report_nonexistent_key_reports_cleanly(env, spark):
+    from cdc_historical_warehouse_platform_spark.pipeline.lineage import generate_lineage_report
+
+    sim, ext, loader, dim, meta = env
+    sim.seed_orders(3, now=ts(0))
+    ext.run_once(now=ts(1))
+    loader.load_pending()
+    report = generate_lineage_report(spark, dim.read(spark), order_key=999999)
+    assert "999999" in report and "no rows" in report  # not an IndexError

@@ -165,3 +165,18 @@ def test_write_training_shards_append_extends_layout(docs, tmp_path):
         for r in spark.read.parquet(out).filter(F.col("shard") == 0).collect()
     }
     assert ids == again and m2["num_shards"] == 4
+
+
+def test_stratified_fractional_default_rate_samples_unlisted(docs):
+    from cdc_historical_warehouse_platform_spark.operators.sampling import stratified_hash_sample
+
+    # no stratum listed: everything falls through to default_rate=0.5,
+    # which must SAMPLE (not drop) — regression for the fallback that
+    # collapsed fractional defaults to 0
+    out = stratified_hash_sample(
+        docs, key_col="doc_id", stratum_col="lang", rates={}, default_rate=0.5
+    )
+    n = out.count()
+    total = docs.count()
+    assert 0 < n < total
+    assert abs(n / total - 0.5) < 0.1
