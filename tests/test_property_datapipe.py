@@ -82,3 +82,56 @@ def test_weighted_gate_monotone_in_rate(spark, r1, r2):
         r["id"] for r in df.filter(weighted_keep_expr(F.col("id"), F.lit(hi))).collect()
     }
     assert kept_lo <= kept_hi
+
+
+# Random docs drawn from a small word pool so near-dup collisions occur
+# naturally across batches.
+pool = [f"t{i}" for i in range(12)]
+rand_doc = st.lists(st.sampled_from(pool), min_size=6, max_size=14).map(" ".join)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    b1=st.lists(rand_doc, min_size=1, max_size=4),
+    b2=st.lists(rand_doc, min_size=1, max_size=4),
+)
+def test_incremental_dedup_invariants_for_random_batches(spark, b1, b2):
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        jaccard_pairs,
+        minhash_band_buckets,
+    )
+
+    batch1 = spark.createDataFrame(list(enumerate(b1)), ["doc_id", "text"])
+    batch2 = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(b2)], ["doc_id", "text"]
+    )
+    store = minhash_band_buckets(batch1).localCheckpoint(eager=True)
+    kept, _ = incremental_minhash_dedup(
+        batch2, stored_buckets=store, stored_docs=batch1, threshold=0.5
+    )
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    dropped_ids = {100 + i for i in range(len(b2))} - kept_ids
+
+    union_df = batch1.unionByName(batch2)
+    pairs = jaccard_pairs(union_df, threshold=0.5).collect()
+
+    # (1) soundness: every dropped doc has a smaller-id jaccard>=t witness
+    witnesses = {}
+    for r in pairs:
+        witnesses.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    for d in dropped_ids:
+        assert witnesses.get(d), f"{d} dropped without witness"
+    # (2) completeness: no kept NEW doc still matches the stored corpus
+    # or a smaller-id kept new doc (the greedy-canonical set is dup-free)
+    canonical = {r["doc_id"] for r in batch1.collect()} | kept_ids
+    for r in pairs:
+        assert not (
+            r["doc_a"] in canonical
+            and r["doc_b"] in kept_ids
+            and r["doc_b"] > r["doc_a"]
+        ), f"kept {r['doc_b']} still matches canonical {r['doc_a']}"
