@@ -194,6 +194,7 @@ def scd2_merge_parts(
     cur_match = current.select(
         F.col(business_key).alias("__cur_key"),
         _tracked_hash().alias("__cur_hash"),
+        F.col("valid_from").alias("__cur_from"),
     )
     joined = staged.join(
         cur_match, staged[business_key] == cur_match["__cur_key"], "left_outer"
@@ -202,11 +203,17 @@ def scd2_merge_parts(
     is_delete = F.col("operation_type") == "DELETE"
     has_current = F.col("__cur_key").isNotNull()
     is_changed = ~has_current | (F.col("__chg_hash") != F.col("__cur_hash"))
+    # Late-event guard (mirrors the streaming path's older-than-state
+    # skip): a change older than the current version's valid_from is an
+    # out-of-order replay — applying it would expire the newer row with
+    # valid_to < valid_from and install a stale image as current.
+    # Ordered feeds (the extractor's watermark) never produce this.
+    is_late = has_current & (F.col("cdc_timestamp") < F.col("__cur_from"))
 
     # Changes that produce a new current version (INSERT/UPDATE/UPSERT
     # with no identical current row).
     new_versions = (
-        joined.filter(~is_delete & is_changed)
+        joined.filter(~is_delete & is_changed & ~is_late)
         .select(
             F.col(business_key),
             *[F.col(c) for c in _PAYLOAD_COLUMNS],
@@ -225,7 +232,7 @@ def scd2_merge_parts(
     # Keys whose current version must be expired: a real change, or a
     # DELETE of an existing key. Carries the expiry timestamp.
     expire_keys = joined.filter(
-        has_current & (is_delete | is_changed)
+        has_current & ~is_late & (is_delete | is_changed)
     ).select(
         F.col(business_key).alias("__exp_key"),
         F.col("cdc_timestamp").alias("__exp_ts"),

@@ -27,7 +27,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["streaming_current_state", "CURRENT_STATE_SCHEMA"]
 
-# Emitted row: the key's new current image (nulls when deleted).
+# Emitted row: the key's current image. On DELETE the last image is
+# retained with is_deleted=true (matching the batch dimension, whose
+# tombstoned history keeps the final payload); keys with no applied
+# change in a trigger emit nothing.
 CURRENT_STATE_SCHEMA = T.StructType(
     [
         T.StructField("order_key", T.LongType()),
@@ -50,11 +53,11 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-# Same-timestamp tiebreak, identical to the batch path's _op_priority
-# (operators/scd2.py): later lifecycle op wins, so a same-timestamp
-# DELETE beats an UPDATE regardless of arrival order — the two paths
-# must agree on final state for identical inputs.
-_OP_PRIORITY = {"DELETE": 3, "UPDATE": 2, "UPSERT": 2, "INSERT": 1}
+# Same-timestamp tiebreak, SHARED with the batch path (one dict, not a
+# copy — the two paths must agree on final state for identical inputs,
+# and an import can't drift): later lifecycle op wins, so a
+# same-timestamp DELETE beats an UPDATE regardless of arrival order.
+from cdc_historical_warehouse_platform_spark.operators.scd2 import _OP_PRIORITY
 
 
 def _update_key(
@@ -72,6 +75,7 @@ def _update_key(
     else:
         qty, status, ts_us, n_versions, is_deleted = None, None, -1, 0, False
 
+    mutated = False
     for rec in rows.itertuples(index=False):
         rec_us = int(pd.Timestamp(rec.cdc_timestamp).value // 1000)
         if rec_us < ts_us:
@@ -80,20 +84,30 @@ def _update_key(
             if not is_deleted and n_versions > 0:
                 is_deleted = True
                 ts_us = rec_us
+                mutated = True
         else:
+            # normalize before comparing: a null quantity must not
+            # poison the fold (int(NaN) raises) nor spuriously differ
+            new_qty = None if pd.isna(rec.quantity) else int(rec.quantity)
             changed = (
                 is_deleted
                 or n_versions == 0
-                or rec.quantity != qty
+                or new_qty != qty
                 or rec.order_status != status
             )
             if changed:
-                qty = int(rec.quantity)
+                qty = new_qty
                 status = rec.order_status
                 ts_us = rec_us
                 n_versions += 1
                 is_deleted = False
+                mutated = True
 
+    if not mutated:
+        # nothing applied (all-duplicate redelivery, or DELETE of a
+        # never-seen key): leave state untouched — no phantom entry,
+        # no re-emitted unchanged row
+        return
     state.update((qty, status, ts_us, n_versions, is_deleted))
     yield pd.DataFrame(
         [

@@ -200,3 +200,21 @@ def test_build_from_change_log_matches_iterated_merges(spark, change_df):
     b = sorted([tuple(r[c] for c in cols) for r in dim.collect()])
     assert a == b
     assert_invariants(bulk.collect())
+
+
+def test_late_out_of_order_change_is_skipped(spark, change_df):
+    """A change older than the current version's valid_from must be a
+    no-op (mirrors the streaming path's older-than-state skip): it
+    would otherwise expire the newer row with valid_to < valid_from
+    and install a stale image as current."""
+    dim = scd2_merge(
+        empty_dim(spark),
+        change_df([make_change(1, "INSERT", ts(10), quantity=5)]),
+        "b1",
+    )
+    late = change_df([make_change(1, "UPDATE", ts(3), quantity=9)])
+    dim2 = scd2_merge(dim, late, "b2")
+    rows = sorted(dim2.collect(), key=lambda r: (r["order_key"], r["valid_from"]))
+    assert len(rows) == 1  # stale update ignored entirely
+    assert rows[0]["quantity"] == 5 and rows[0]["is_current"]
+    assert rows[0]["valid_from"] == ts(10)

@@ -352,3 +352,45 @@ def test_streaming_corpus_keep_filters_then_dedups(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert got == [1]  # junk filtered, duplicate dropped
+
+
+def test_stateful_no_phantom_state_or_reemission(tmp_path, spark):
+    """A DELETE of a never-seen key must create no state and emit no
+    row, and an all-duplicate redelivery must emit nothing (update-mode
+    sinks would otherwise upsert phantom or unchanged images)."""
+    from cdc_historical_warehouse_platform_spark.streaming.stateful import streaming_current_state
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import read_change_stream
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    emitted: list[dict] = []
+
+    def _run():
+        stream = read_change_stream(spark, cdc_dir)
+        out = streaming_current_state(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _e: emitted.extend(r.asDict() for r in df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt_ph"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        make_change(7, "INSERT", ts(0), quantity=4),
+        make_change(99, "DELETE", ts(1)),  # never inserted
+    ]
+    write_change_batch(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(2), fmt="jsonl"
+    )
+    _run()
+    assert {r["order_key"] for r in emitted} == {7}  # no phantom row for 99
+
+    # identical redelivery: suppressed everywhere, nothing re-emitted
+    before = len(emitted)
+    write_change_batch(
+        spark.createDataFrame([b1[0]], CHANGE_SCHEMA), cdc_dir, extracted_at=ts(3), fmt="jsonl"
+    )
+    _run()
+    assert len(emitted) == before
