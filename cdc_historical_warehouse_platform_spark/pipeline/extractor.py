@@ -64,13 +64,15 @@ class CDCExtractor:
             self.watermark.set(initial_watermark)
 
     def _detect(self, wm: _dt.datetime, now: _dt.datetime) -> DataFrame:
-        changes = detect_changes(self.source.read(self.spark), wm, extracted_at=now)
+        src = self.source.read(self.spark)  # read once: a JdbcSource
+        # re-resolves schema (and partition bounds) per read() call
+        changes = detect_changes(src, wm, extracted_at=now)
         if self.deleted_table is not None and self.deleted_table.exists():
             deleted = self.deleted_table.read(self.spark).filter(
                 F.col("deleted_at") > F.lit(wm)
             )
             tomb = deleted.select(
-                *[F.col(c) for c in self.source.read(self.spark).columns],
+                *[F.col(c) for c in src.columns],
                 F.lit("DELETE").alias("operation_type"),
                 F.col("deleted_at").cast("timestamp").alias("cdc_timestamp"),
                 F.lit(now).cast("timestamp").alias("extracted_at"),
@@ -83,7 +85,12 @@ class CDCExtractor:
         path (None when no changes)."""
         now = now or _dt.datetime.utcnow()
         wm = self.watermark.get(now)
-        changes = self._detect(wm, now)
+        # Materialize the batch ONCE: isEmpty, the batch write, and the
+        # watermark agg would otherwise each re-run the source query —
+        # against a live JDBC source, a row committed between the write
+        # and the watermark scan would advance the watermark past data
+        # never written (permanent loss).
+        changes = self._detect(wm, now).localCheckpoint(eager=True)
         if changes.isEmpty():
             return None
         batch = write_change_batch(
@@ -107,11 +114,22 @@ class CDCExtractor:
         return cycles
 
     def cleanup_old_batches(self, max_age_hours: float = 24.0) -> int:
-        """ST6 retention (log_extractor.py:212-227)."""
+        """ST6 retention (log_extractor.py:212-227). Covers both batch
+        shapes (reference .json files AND jsonl directories — the old
+        file-only glob made retention a silent no-op under fmt="jsonl")
+        plus crash-orphaned hidden .tmp artifacts."""
+        import shutil
+
         cutoff = time.time() - max_age_hours * 3600
         removed = 0
-        for p in self.cdc_dir.glob("changes_*.json"):
+        victims = list(self.cdc_dir.glob("changes_*")) + list(
+            self.cdc_dir.glob(".changes_*.tmp*")
+        )
+        for p in victims:
             if p.stat().st_mtime < cutoff:
-                p.unlink()
+                if p.is_dir():
+                    shutil.rmtree(p)
+                else:
+                    p.unlink()
                 removed += 1
         return removed

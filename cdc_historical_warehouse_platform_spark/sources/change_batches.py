@@ -24,6 +24,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cdc_historical_warehouse_platform_spark.schemas import CHANGE_JSON_SCHEMA, CHANGE_SCHEMA
 
@@ -120,9 +121,15 @@ def write_change_batch(
             F.col(f.name).cast(f.dataType).alias(f.name)
             for f in CHANGE_JSON_SCHEMA.fields
         ]
-        ordered.select(*wire).write.mode("overwrite").json(str(path))
+        # Write into a hidden .tmp dir and rename once complete —
+        # the same atomicity the reference format gets from its .tmp
+        # file. A concurrent loader globbing changes_* must never see
+        # a half-written directory (it would mark the batch processed
+        # and skip the missing rows forever).
+        tmp_dir = out_dir / f".{name}.tmp"
+        ordered.select(*wire).write.mode("overwrite").json(str(tmp_dir))
         n = changes.count()
-        (path / "_batch_metadata.json").write_text(
+        (tmp_dir / "_batch_metadata.json").write_text(
             json.dumps(
                 {
                     "extracted_at": extracted_at.isoformat(),
@@ -131,6 +138,11 @@ def write_change_batch(
                 }
             )
         )
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        tmp_dir.rename(path)
         return path
 
     raise ValueError(f"unknown format {fmt!r}")
@@ -150,8 +162,21 @@ def read_change_batch(spark: SparkSession, path: str | Path) -> DataFrame:
     if path.is_dir():  # jsonl format
         df = spark.read.schema(CHANGE_JSON_SCHEMA).json(str(path))
         return cast_json_changes(df)
-    # reference envelope: multiLine JSON, explode changes[]
-    env = spark.read.option("multiLine", "true").json(str(path))
+    # reference envelope: multiLine JSON, explode changes[]. The
+    # changes element schema is EXPLICIT: inference on an empty
+    # "changes": [] batch (legitimately produced by the writer) yields
+    # a non-struct element type and the c.* star-expansion crashes.
+    env_schema = T.StructType(
+        [T.StructField("changes", T.ArrayType(CHANGE_JSON_SCHEMA))]
+    )
+    env = (
+        spark.read.option("multiLine", "true")
+        .option("mode", "FAILFAST")  # corrupt envelopes must FAIL the
+        # load run (tested contract) — with an explicit schema the
+        # default PERMISSIVE mode would null them out silently
+        .schema(env_schema)
+        .json(str(path))
+    )
     changes = env.select(F.explode("changes").alias("c")).select("c.*")
     present = set(changes.columns)
     selected = changes.select(

@@ -439,3 +439,37 @@ def test_lineage_report_nonexistent_key_reports_cleanly(env, spark):
     loader.load_pending()
     report = generate_lineage_report(spark, dim.read(spark), order_key=999999)
     assert "999999" in report and "no rows" in report  # not an IndexError
+
+
+def test_empty_reference_envelope_roundtrip(tmp_path, spark):
+    """An empty batch ("changes": []) must read back as zero typed rows
+    — schema inference used to give the array a non-struct element type
+    and crash the c.* expansion before the loader's own empty guard."""
+    from cdc_historical_warehouse_platform_spark.sources.change_batches import (
+        read_change_batch,
+        write_change_batch,
+    )
+    from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
+
+    empty = spark.createDataFrame([], CHANGE_SCHEMA)
+    p = write_change_batch(empty, tmp_path, extracted_at=ts(1), watermark=ts(0))
+    back = read_change_batch(spark, p)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == [f.name for f in CHANGE_SCHEMA.fields]
+
+
+def test_cleanup_covers_jsonl_directories(env, spark):
+    """Retention must reclaim jsonl batch DIRECTORIES too — the old
+    file-only glob silently no-op'd under fmt='jsonl'."""
+    import os
+    import time as _time
+
+    sim, ext, loader, dim, meta = env
+    ext.fmt = "jsonl"
+    sim.seed_orders(2, now=ts(0))
+    batch = ext.run_once(now=ts(1))
+    assert batch is not None and batch.is_dir()
+    old = _time.time() - 48 * 3600
+    os.utime(batch, (old, old))
+    assert ext.cleanup_old_batches(max_age_hours=24.0) == 1
+    assert not batch.exists()
