@@ -77,20 +77,21 @@ def extract_binary_features(df: DataFrame) -> DataFrame:
     """
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import math
+        from collections import Counter
 
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL blob: drop, like the JVM twin
+                    continue
                 data = bytes(payload)
-                counts: dict[int, int] = {}
-                for byte in data:
-                    counts[byte] = counts.get(byte, 0) + 1
+                counts = Counter(data)
                 n = len(data) or 1
                 entropy = -sum(
                     (c / n) * math.log2(c / n) for c in counts.values()
                 )
-                import hashlib
 
                 out.append(
                     {
@@ -168,6 +169,8 @@ def resize_binary(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL blob: drop, like the JVM twin
+                    continue
                 data = bytes(payload)
                 n = len(data)
                 resized = (
@@ -214,6 +217,8 @@ def sample_frames(
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL blob: drop, like the JVM twin
+                    continue
                 data = bytes(payload)
                 n_frames = (len(data) + frame_bytes - 1) // frame_bytes
                 for idx in range(0, n_frames, every_n):
@@ -239,13 +244,17 @@ def sample_frames_jvm_twin(
     by plans that prefer staying in codegen when no real codec is
     involved."""
     n_frames = (F.length("payload") + F.lit(frame_bytes - 1)) / F.lit(frame_bytes)
+    # Empty (or null) payloads must yield ZERO frames like the Python
+    # twin — sequence(0, -1, step) throws "Illegal sequence boundaries"
+    idx = F.when(
+        n_frames.cast("int") > 0,
+        F.sequence(F.lit(0), n_frames.cast("int") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(
             "doc_id",
             "payload",
-            F.explode(
-                F.sequence(F.lit(0), n_frames.cast("int") - 1, F.lit(every_n))
-            ).alias("frame_idx"),
+            F.explode(idx).alias("frame_idx"),
         )
         .select(
             "doc_id",

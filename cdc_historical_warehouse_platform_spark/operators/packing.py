@@ -45,6 +45,14 @@ def packed_sequence_ids(
     in `order_col` order), ``pack_id`` (which seq_len-token training
     sequence the document starts in) and ``pack_offset`` (token
     position within it). Deterministic: depends only on the data.
+
+    CONTRACT: ``order_col`` must be reasonably DENSE (consecutive-ish
+    ids) — buckets are value ranges ``floor(id / bucket_size)``, so the
+    per-bucket totals stage stays ~corpus/bucket_size rows. Sparse keys
+    (snowflake/timestamp ids with spacing > bucket_size) degenerate to
+    one bucket per row, making the totals window corpus-sized; for
+    such keys pre-compute a dense rank (one extra shuffle) or pass the
+    timestamp's bucket-sized quantization as ``order_col``.
     """
     with_bucket = df.withColumn(
         "__bucket", F.floor(F.col(order_col) / F.lit(bucket_size)).cast("long")

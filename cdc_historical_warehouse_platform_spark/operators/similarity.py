@@ -100,12 +100,18 @@ def _plane_weight(plane: int | Column, d: Column) -> Column:
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
-    """n-bit random-hyperplane signature of a vector (int result)."""
+    """n-bit random-hyperplane signature of a vector (int result).
+
+    The projection iterates over min(dim, size(vec)) — trusting the
+    ``dim`` parameter alone would read past shorter vectors, null every
+    projection, zero every signature, and silently collapse the bucket
+    join into a full cross product."""
+    end = F.least(F.lit(dim), F.size(vec)) - 1
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
             F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.sequence(F.lit(0), end),
                 lambda i: vec.getItem(i).cast("double") * _plane_weight(p, i),
             ),
             F.lit(0.0),
@@ -212,8 +218,11 @@ def ivf_centroids(
     DECIMAL(38,18) so the mean is exact and order-independent (float
     partial-sum order would make centroids nondeterministic).
     """
+    # xxhash64 accepts any type directly: casting string ids to long
+    # would null them all and silently turn the pseudo-random sample
+    # into "first n_lists ids in plain order" (biased, adjacent seeds)
     seed_rows = (
-        corpus.orderBy(F.xxhash64(F.col(corpus_id).cast("long")), F.col(corpus_id))
+        corpus.orderBy(F.xxhash64(F.col(corpus_id)), F.col(corpus_id))
         .limit(n_lists)
         .select(F.col(corpus_vec).alias("c"))
         .collect()

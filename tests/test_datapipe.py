@@ -718,3 +718,31 @@ def test_bigram_surprisal_scores_repetition_low(spark):
     assert rows[2]["bits_per_bigram"] > rows[1]["bits_per_bigram"]
     for r in rows.values():
         assert r["bits_per_bigram"] == r["surprisal_microbits"] / (r["n_bigrams"] * 1e6)
+
+
+def test_multimodal_null_and_empty_payloads(spark):
+    """NULL payloads drop (not TypeError); empty payloads yield zero
+    frames in BOTH the Arrow worker and the JVM twin (the twin's
+    sequence() used to throw on empty input)."""
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        extract_binary_features,
+        sample_frames,
+        sample_frames_jvm_twin,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, b"some real payload bytes"), (2, None), (3, b"")], schema
+    )
+    feats = extract_binary_features(df).collect()
+    assert [r["doc_id"] for r in feats] == [1, 3]  # null dropped, empty kept
+    py = sample_frames(df).collect()
+    jvm = sample_frames_jvm_twin(df).collect()
+    assert {r["doc_id"] for r in py} == {1}
+    assert {r["doc_id"] for r in jvm} == {1}  # no crash, no rows for 2/3
