@@ -53,7 +53,7 @@ _PRIORITY = [
     "text_rolling_fingerprint",
     "corpus_keep_decisions",  # hash-exact oracle; composed LLM-tier flagship (new r03)
     "ann_ivf_topk",           # rows-only by design (recall pinned in pytest); first driver row (new r03)
-    "multimodal_frame_sample",  # rows-only by design (Arrow path pinned to JVM twin); first driver row (new r03)
+    "multimodal_frame_sample",  # hash-exact oracle as of r04 (ASCII-corpus VARCHAR twin); Arrow path also pytest-pinned to JVM twin
     "corpus_sample_stratified",  # hash-exact oracle; deterministic md5-gated sampling (new r03)
     "dedup_components",          # hash-exact oracle (recursive-CTE twin); transitive canonicalization (new r03)
     "text_repetition_scores",    # hash-exact oracle; Gopher-style intra-doc repetition (new r03)

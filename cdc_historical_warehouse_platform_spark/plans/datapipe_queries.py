@@ -652,9 +652,14 @@ DATAPIPE_QUERIES["corpus_keep_decisions"] = (q_corpus_keep_decisions, SQL_CORPUS
 def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Row-expanding multimodal UDF surface: frame-sample every 2nd
     256-byte "frame" of each binary payload via Arrow-batched
-    mapInPandas. Rows-only (DuckDB has no blob md5); pytest pins the
-    Arrow path byte-for-byte against the declarative JVM substring
-    twin (test_multimodal_resize_and_frame_sample)."""
+    mapInPandas. Hash-exact oracle: DuckDB 1.0 has no BLOB
+    substring/md5, but the driver corpus is ASCII-only at every SF
+    (byte positions == char positions and md5(varchar) hashes the
+    utf-8 bytes), so the VARCHAR twin below is byte-exact — the same
+    assumption ``multimodal_features``' green oracle already relies
+    on. pytest additionally pins the Arrow path byte-for-byte against
+    the declarative JVM substring twin
+    (test_multimodal_resize_and_frame_sample)."""
     from cdc_historical_warehouse_platform_spark.operators.multimodal import (
         attach_binary_payload,
         sample_frames,
@@ -666,7 +671,30 @@ def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-DATAPIPE_QUERIES["multimodal_frame_sample"] = (q_multimodal_frame_sample, None)
+# frame_idx sequence is 0,2,4,... below ceil(n_bytes/256); chunk i covers
+# bytes [i*256, i*256+256). ASCII corpus ⇒ VARCHAR substring/md5 are
+# byte-exact twins of Spark's binary substring/md5 (see docstring).
+SQL_FRAME_SAMPLE = """
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+frames AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, CAST(ceil(n / 256.0) AS INT), 2)) AS frame_idx
+  FROM base)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_md5,
+       CAST(least(256, n - frame_idx * 256) AS INT) AS frame_len
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
+
+DATAPIPE_QUERIES["multimodal_frame_sample"] = (
+    q_multimodal_frame_sample,
+    SQL_FRAME_SAMPLE,
+)
 
 
 def q_corpus_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
