@@ -54,8 +54,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "BUSINESS_KEY",
     "TRACKED_COLUMNS",
+    "PART_COLUMN",
     "dedupe_latest_per_key",
     "scd2_merge",
+    "scd2_merge_tagged",
     "scd2_merge_parts",
     "scd2_build_from_change_log",
     "empty_dim",
@@ -164,6 +166,139 @@ def scd2_merge(
     return historical.unionByName(expired).unionByName(new_current)
 
 
+PART_COLUMN = "__part"
+
+
+def scd2_merge_tagged(
+    current: DataFrame,
+    changes: DataFrame,
+    batch_id: str | None = None,
+    business_key: str = BUSINESS_KEY,
+    change_key: str = "id",
+) -> DataFrame:
+    """Single-probe merge: the current slice is scanned ONCE.
+
+    Returns one DataFrame in dim schema plus a ``__part`` tag
+    (``'current'`` / ``'expired'``). Every current row enters exactly
+    one left join against the broadcast micro-batch and emits 0–2
+    output rows inline (untouched / expired / successor version) via an
+    array+explode — no second expire join against the current slice
+    (the r3 plan probed it twice: once for the hash compare, once to
+    expire; on a 100 TB dimension the current slice is the dominant
+    input, so halving its reads halves per-batch I/O).
+
+    Brand-new keys (in the batch, absent from the dimension) cannot
+    come out of a left join that preserves the current side, and a full
+    outer join cannot broadcast (Spark falls back to shuffling the
+    dimension — strictly worse). They enter through a key-membership
+    subtree instead: a broadcast semi-join that reads ONLY the business
+    key column of the current slice (parquet column pruning makes this
+    a ~1% skinny scan, not a second full pass), then a broadcast
+    anti-join of the micro-batch against the (tiny) matched-key set.
+
+    A storage layer that writes this tagged output once — e.g. one
+    ``partitionBy(__part)`` job (SCD2DimStore.apply_batch) — pays one
+    wide scan + one key-column scan per batch, total.
+    """
+    latest = dedupe_latest_per_key(changes, key=change_key)
+
+    # Stage the batch in __b_-prefixed vocabulary so join output is
+    # unambiguous next to the dim columns.
+    staged = latest.select(
+        F.col(change_key).cast("long").alias("__b_key"),
+        *[F.col(c).alias(f"__b_{c}") for c in _PAYLOAD_COLUMNS],
+        F.col("operation_type").alias("__b_operation_type"),
+        F.col("cdc_timestamp").alias("__b_cdc_timestamp"),
+    ).withColumn("__b_hash", _tracked_hash("__b_"))
+
+    dim_cols = list(current.columns)
+
+    # J1: current slice ⟕ broadcast(batch) — the ONE wide probe.
+    joined = current.join(
+        F.broadcast(staged),
+        current[business_key] == staged["__b_key"],
+        "left_outer",
+    )
+
+    is_delete = F.col("__b_operation_type") == "DELETE"
+    has_match = F.col("__b_key").isNotNull()
+    is_changed = F.col("__b_hash") != _tracked_hash()
+    # Late-event guard (mirrors the streaming path's older-than-state
+    # skip): a change older than the current version's valid_from is an
+    # out-of-order replay — applying it would expire the newer row with
+    # valid_to < valid_from and install a stale image as current.
+    # Ordered feeds (the extractor's watermark) never produce this.
+    is_late = F.col("__b_cdc_timestamp") < F.col("valid_from")
+
+    def _row(part: str, overrides: dict[str, Column]) -> Column:
+        return F.struct(
+            *[overrides.get(c, F.col(c)).alias(c) for c in dim_cols],
+            F.lit(part).alias(PART_COLUMN),
+        )
+
+    untouched = _row("current", {})
+    expired = _row(
+        "expired",
+        {
+            "valid_to": F.col("__b_cdc_timestamp"),
+            "is_current": F.lit(False),
+        },
+    )
+    successor = _row(
+        "current",
+        {
+            **{c: F.col(f"__b_{c}") for c in _PAYLOAD_COLUMNS},
+            "valid_from": F.col("__b_cdc_timestamp"),
+            "valid_to": F.lit(None).cast("timestamp"),
+            "is_current": F.lit(True),
+            "cdc_operation": F.col("__b_operation_type"),
+            "cdc_timestamp": F.col("__b_cdc_timestamp"),
+            "batch_id": F.lit(batch_id).cast("string"),
+            "surrogate_key": _surrogate_key(
+                F.col(business_key), F.col("__b_cdc_timestamp")
+            ),
+        },
+    )
+
+    emit = (
+        F.when(~has_match | is_late, F.array(untouched))
+        .when(is_delete, F.array(expired))
+        .when(is_changed, F.array(expired, successor))
+        .otherwise(F.array(untouched))  # P8 no-op: identical tracked columns
+    )
+    from_current = joined.select(F.explode(emit).alias("__row")).select("__row.*")
+
+    # Brand-new keys: batch rows whose key has no current version.
+    # ``matched`` reads only the business-key column of the dimension
+    # (skinny scan) and is at most |batch| rows — broadcastable.
+    matched = current.select(F.col(business_key).alias("__b_key")).join(
+        F.broadcast(staged.select("__b_key")), "__b_key", "left_semi"
+    )
+    inserts = (
+        staged.join(F.broadcast(matched), "__b_key", "left_anti")
+        # DELETE of a missing key succeeds silently (scd2_loader.py:441-446)
+        .filter(F.col("__b_operation_type") != "DELETE")
+        .select(
+            F.col("__b_key").alias(business_key),
+            *[F.col(f"__b_{c}").alias(c) for c in _PAYLOAD_COLUMNS],
+            F.col("__b_cdc_timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+            F.col("__b_operation_type").alias("cdc_operation"),
+            F.col("__b_cdc_timestamp").alias("cdc_timestamp"),
+            F.lit(batch_id).cast("string").alias("batch_id"),
+        )
+        .withColumn(
+            "surrogate_key", _surrogate_key(F.col(business_key), F.col("valid_from"))
+        )
+        .withColumn(PART_COLUMN, F.lit("current"))
+        .select(*dim_cols, PART_COLUMN)
+    )
+
+    # Union is plan concatenation — no shuffle.
+    return from_current.unionByName(inserts)
+
+
 def scd2_merge_parts(
     current: DataFrame,
     changes: DataFrame,
@@ -178,91 +313,20 @@ def scd2_merge_parts(
     never enters the plan, so a storage layer can overwrite the current
     slice and append the expired rows — per-batch cost is independent
     of history depth, which is what survives a 100 TB dimension.
+
+    Thin filter over :func:`scd2_merge_tagged`. NOTE: consuming the two
+    returned DataFrames in separate actions re-executes the merge plan
+    once each; a storage layer that wants the single-scan guarantee
+    should write the tagged output in one ``partitionBy(__part)`` job
+    instead (see SCD2DimStore.apply_batch).
     """
-    latest = dedupe_latest_per_key(changes, key=change_key)
-
-    # Stage the batch in dim-column vocabulary.
-    staged = latest.select(
-        F.col(change_key).cast("long").alias(business_key),
-        *[F.col(c) for c in _PAYLOAD_COLUMNS],
-        F.col("operation_type"),
-        F.col("cdc_timestamp"),
-    ).withColumn("__chg_hash", _tracked_hash())
-
-    # J1: batch ⟕ current slice. The batch is the small side; broadcast
-    # is Catalyst's choice (micro-batches fall under the threshold).
-    cur_match = current.select(
-        F.col(business_key).alias("__cur_key"),
-        _tracked_hash().alias("__cur_hash"),
-        F.col("valid_from").alias("__cur_from"),
+    tagged = scd2_merge_tagged(
+        current, changes, batch_id, business_key, change_key
     )
-    joined = staged.join(
-        cur_match, staged[business_key] == cur_match["__cur_key"], "left_outer"
-    )
-
-    is_delete = F.col("operation_type") == "DELETE"
-    has_current = F.col("__cur_key").isNotNull()
-    is_changed = ~has_current | (F.col("__chg_hash") != F.col("__cur_hash"))
-    # Late-event guard (mirrors the streaming path's older-than-state
-    # skip): a change older than the current version's valid_from is an
-    # out-of-order replay — applying it would expire the newer row with
-    # valid_to < valid_from and install a stale image as current.
-    # Ordered feeds (the extractor's watermark) never produce this.
-    is_late = has_current & (F.col("cdc_timestamp") < F.col("__cur_from"))
-
-    # Changes that produce a new current version (INSERT/UPDATE/UPSERT
-    # with no identical current row).
-    new_versions = (
-        joined.filter(~is_delete & is_changed & ~is_late)
-        .select(
-            F.col(business_key),
-            *[F.col(c) for c in _PAYLOAD_COLUMNS],
-            F.col("cdc_timestamp").alias("valid_from"),
-            F.lit(None).cast("timestamp").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-            F.col("operation_type").alias("cdc_operation"),
-            F.col("cdc_timestamp"),
-            F.lit(batch_id).cast("string").alias("batch_id"),
-        )
-        .withColumn(
-            "surrogate_key", _surrogate_key(F.col(business_key), F.col("valid_from"))
-        )
-    )
-
-    # Keys whose current version must be expired: a real change, or a
-    # DELETE of an existing key. Carries the expiry timestamp.
-    expire_keys = joined.filter(
-        has_current & ~is_late & (is_delete | is_changed)
-    ).select(
-        F.col(business_key).alias("__exp_key"),
-        F.col("cdc_timestamp").alias("__exp_ts"),
-    )
-
-    # Expire matched current rows in place (valid_to = change ts).
-    cur_joined = current.join(
-        expire_keys, current[business_key] == expire_keys["__exp_key"], "left_outer"
-    )
-    untouched_current = cur_joined.filter(F.col("__exp_key").isNull()).select(
-        *[F.col(c) for c in current.columns]
-    )
-    expired_current = cur_joined.filter(F.col("__exp_key").isNotNull()).select(
-        *[
-            F.col("__exp_ts").alias("valid_to")
-            if c == "valid_to"
-            else F.lit(False).alias("is_current")
-            if c == "is_current"
-            else F.col(c)
-            for c in current.columns
-        ]
-    )
-
-    new_versions = new_versions.select(*[F.col(c) for c in current.columns])
-
-    # Union is plan concatenation — no shuffle.
-    return (
-        untouched_current.unionByName(new_versions),
-        expired_current,
-    )
+    dim_cols = [c for c in tagged.columns if c != PART_COLUMN]
+    new_current = tagged.filter(F.col(PART_COLUMN) == "current").select(*dim_cols)
+    expired = tagged.filter(F.col(PART_COLUMN) == "expired").select(*dim_cols)
+    return new_current, expired
 
 
 def scd2_build_from_change_log(

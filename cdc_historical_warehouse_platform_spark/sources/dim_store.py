@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
 from pathlib import Path
@@ -27,7 +28,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge_parts
+from cdc_historical_warehouse_platform_spark.operators.scd2 import (
+    PART_COLUMN,
+    empty_dim,
+    scd2_merge_tagged,
+)
 from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
 
 __all__ = ["SCD2DimStore"]
@@ -104,25 +109,53 @@ class SCD2DimStore:
     ) -> bool:
         """Merge one change batch; returns False for a replayed txn.
 
-        Write order: history segment first, then current overwrite, then
-        the pointer. A crash before the pointer swap leaves readers on
-        the previous consistent pair; the replay (same ``txn_id``)
-        recomputes both sub-table writes (their own txn guards make the
-        half-written ones no-ops) and finally swaps the pointer.
+        Single-scan write: the tagged merge (scd2_merge_tagged) runs as
+        ONE ``partitionBy(__part)`` job into a hidden staging directory
+        — the current slice is scanned once per batch — and the two
+        partition directories are then *adopted* (filesystem moves, no
+        second job) as the next history segment and current version.
+
+        Write order: stage job first, then history adopt, then current
+        adopt, then the pointer. A crash before the pointer swap leaves
+        readers on the previous consistent pair; the replay (same
+        ``txn_id``) recomputes the stage and re-adopts (the sub-tables'
+        txn guards make half-done adopts no-ops) and finally swaps the
+        pointer. Stale stage dirs from crashed runs are reclaimed on
+        entry (single-writer, like the extractor's .tmp reclaim).
         """
         meta = self._read_pointer()
         txns = list(meta.get("txns", [])) if meta else []
         if txn_id in txns:
             return False
 
-        cur = self.read_current(spark)
-        new_current, expired = scd2_merge_parts(cur, changes, batch_id=batch_id)
+        for stale in self.path.glob("._stage_*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
-        if expired.isEmpty():
+        cur = self.read_current(spark)
+        tagged = scd2_merge_tagged(cur, changes, batch_id=batch_id)
+        dim_schema = tagged.drop(PART_COLUMN).schema
+        dim_columns = [c for c in tagged.columns if c != PART_COLUMN]
+
+        stage = self.path / f"._stage_{os.getpid()}"
+        tagged.write.mode("overwrite").partitionBy(PART_COLUMN).parquet(str(stage))
+
+        expired_dir = stage / f"{PART_COLUMN}=expired"
+        current_dir = stage / f"{PART_COLUMN}=current"
+        if expired_dir.exists():
+            hist_v = self.history.append_dir(
+                expired_dir, dim_schema.json(), dim_columns, txn_id=txn_id
+            )
+        else:  # no expirations this batch — history version unchanged
             hist_v = meta["history_version"] if meta else -1
-        else:
-            hist_v = self.history.append(expired, txn_id=txn_id)
-        cur_v = self.current.commit(new_current, txn_id=txn_id)
+        if current_dir.exists():
+            cur_v = self.current.commit_dir(
+                current_dir, dim_schema.json(), dim_columns, txn_id=txn_id
+            )
+        else:  # dimension emptied (or first batch all-DELETE)
+            cur_v = self.current.commit(
+                empty_dim(spark, dim_schema), txn_id=txn_id
+            )
+        shutil.rmtree(stage, ignore_errors=True)
 
         new_version = (meta["version"] + 1) if meta else 0
         self._write_pointer(

@@ -166,6 +166,85 @@ class VersionedTable:
         )
         return new_version
 
+    def commit_dir(
+        self, src: Path, schema_json: str, columns: list[str], txn_id: str | None = None
+    ) -> int:
+        """Adopt an already-written (unpartitioned) parquet directory as
+        the next version — a filesystem move, no Spark job.
+
+        This is what lets one Spark write produce segments for several
+        tables (SCD2DimStore stages a single ``partitionBy(__part)`` job
+        and adopts each partition directory into its sub-table): the
+        expensive scan happens exactly once, in the caller's job.
+        """
+        meta = self._read_pointer()
+        txns = list(meta.get("txns", [])) if meta else []
+        if txn_id is not None and txn_id in txns:
+            return meta["version"]
+
+        new_version = (meta["version"] + 1) if meta else 0
+        vdir = self.path / f"v{new_version}"
+        if vdir.exists():  # crash-replay leftovers from a torn adopt
+            shutil.rmtree(vdir)
+        shutil.move(str(src), str(vdir))
+        if txn_id is not None:
+            txns.append(txn_id)
+        manifests = dict(meta.get("manifests", {})) if meta else {}
+        manifests[str(new_version)] = [vdir.name]
+        self._write_pointer(
+            {
+                "version": new_version,
+                "dir": vdir.name,
+                "segments": [vdir.name],
+                "manifests": manifests,
+                "committed_at": time.time(),
+                "txns": txns,
+                "schema": schema_json,
+                "columns": columns,
+                "partition_by": [],
+            }
+        )
+        return new_version
+
+    def append_dir(
+        self, src: Path, schema_json: str, columns: list[str], txn_id: str | None = None
+    ) -> int:
+        """`append`'s twin of :meth:`commit_dir` — adopt a pre-written
+        parquet directory as a new append segment (manifest grows by one
+        directory; existing segments untouched)."""
+        meta = self._read_pointer()
+        if meta and meta.get("partition_by"):
+            raise ValueError("append not supported on partitioned tables")
+        txns = list(meta.get("txns", [])) if meta else []
+        if txn_id is not None and txn_id in txns:
+            return meta["version"]
+        new_version = (meta["version"] + 1) if meta else 0
+        segdir = self.path / f"v{new_version}"
+        if segdir.exists():
+            shutil.rmtree(segdir)
+        shutil.move(str(src), str(segdir))
+        segments = (list(meta.get("segments", [meta["dir"]])) if meta else []) + [
+            segdir.name
+        ]
+        if txn_id is not None:
+            txns.append(txn_id)
+        manifests = dict(meta.get("manifests", {})) if meta else {}
+        manifests[str(new_version)] = segments
+        self._write_pointer(
+            {
+                "version": new_version,
+                "dir": segdir.name,
+                "segments": segments,
+                "manifests": manifests,
+                "committed_at": time.time(),
+                "txns": txns,
+                "schema": schema_json,
+                "columns": columns,
+                "partition_by": [],
+            }
+        )
+        return new_version
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read the latest (or a time-travel) version.
 

@@ -218,3 +218,39 @@ def test_late_out_of_order_change_is_skipped(spark, change_df):
     assert len(rows) == 1  # stale update ignored entirely
     assert rows[0]["quantity"] == 5 and rows[0]["is_current"]
     assert rows[0]["valid_from"] == ts(10)
+
+
+def test_merge_tagged_single_probe_plan(spark, change_df, tmp_path):
+    """The 100 TB contract of scd2_merge_tagged: the current slice is
+    scanned ONCE wide; the only other dimension read is the
+    column-pruned key-membership scan. A regression here means a
+    second full pass over the dominant input re-appeared."""
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import (
+        scd2_merge,
+        scd2_merge_tagged,
+    )
+
+    seed = change_df([make_change(i, "INSERT", ts(0)) for i in range(1, 50)])
+    scd2_merge(empty_dim(spark), seed, "b1").write.mode("overwrite").parquet(
+        str(tmp_path / "dim")
+    )
+    cur = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("is_current"))
+    batch = change_df(
+        [make_change(1, "UPDATE", ts(60), quantity=9)]
+        + [make_change(1000, "INSERT", ts(60))]
+    )
+    plan = (
+        scd2_merge_tagged(cur, batch, "b2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 2, f"expected 1 wide + 1 skinny scan, got:\n{scans}"
+    wide = [s for s in scans if "valid_from" in s]
+    skinny = [s for s in scans if s not in wide]
+    assert len(wide) == 1 and len(skinny) == 1
+    # the membership scan must be column-pruned to the key (+ the
+    # pushed is_current partition filter), never the full payload
+    assert "order_key" in skinny[0] and "customer_id" not in skinny[0]
+    assert "SortMergeJoin" not in plan  # dimension is never shuffled
