@@ -694,6 +694,7 @@ def incremental_minhash_dedup(
     bands: int = 32,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    stored_fps: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW document batch against an already-built corpus using
     its persisted LSH index — the CDC idea applied to corpus building:
@@ -719,7 +720,41 @@ def incremental_minhash_dedup(
     verification tokenizes candidate docs only (semi-join first, both
     corpora). Store growth is `bands` rows per kept doc — the same
     16-byte-per-key regime as the streaming dedup state.
+
+    Exact-fingerprint tier (runs FIRST, like the full build's
+    quality → exact → near-dup order): docs with fewer than ``n``
+    tokens have an empty shingle set, so they get no LSH buckets and
+    the Jaccard tier can never drop their exact duplicates (union=0 →
+    null jaccard). The md5-of-normalized-text tier catches them — and
+    every other exact duplicate — against the store and within the
+    batch (min-id wins). ``stored_fps`` is the persisted fingerprint
+    column of the kept corpus (corpus-append's ``_fp_index``); when
+    None it is derived from ``stored_docs`` (one extra pass — fine
+    for tests, pass the index in production). The store probe is a
+    broadcast semi-join against the new batch's (tiny, distinct)
+    fingerprint set: the fp index is scanned one 16-byte column wide
+    and never shuffled.
     """
+    fp_new = new_docs.select(
+        F.col(id_col).alias("__fid"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    if stored_fps is None:
+        stored_fps = stored_docs.select(fingerprint(F.col(text_col)).alias("fp"))
+    hit_fps = stored_fps.select("fp").join(
+        F.broadcast(fp_new.select("fp").distinct()), "fp", "left_semi"
+    )
+    drop_store = fp_new.join(F.broadcast(hit_fps), "fp", "left_semi").select("__fid")
+    w_fp = Window.partitionBy("fp").orderBy("__fid")
+    drop_intra = (
+        fp_new.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") > 1)
+        .select("__fid")
+    )
+    exact_dropped = drop_store.unionByName(drop_intra).distinct()
+    new_docs = new_docs.join(
+        exact_dropped.select(F.col("__fid").alias(id_col)), id_col, "anti"
+    )
+
     nb = minhash_band_buckets(
         new_docs, text_col, id_col, n, bands, rows_per_band
     ).localCheckpoint(eager=True)

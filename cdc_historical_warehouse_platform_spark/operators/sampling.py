@@ -82,9 +82,14 @@ def weighted_keep_expr(
     floor(rate·65536) via printf('%04x', ...) — identical in Spark and
     DuckDB — compared lexicographically against the 4-hex draw
     (integer compare at fixed width, no hex parsing anywhere).
-    rate ≥ 1 short-circuits: its 5-hex threshold would compare wrongly
-    against 4-hex draws."""
-    thr = F.format_string("%04x", (rate * F.lit(65536.0)).cast("bigint"))
+    Out-of-domain rates are clamped at BOTH ends inside the
+    expression: rate ≥ 1 short-circuits (its 5-hex threshold would
+    compare wrongly against 4-hex draws), and rate < 0 is floored to 0
+    — a negative bigint would otherwise render via Java %04x as
+    16-char two's-complement hex, compare greater than every 4-hex
+    draw, silently keep ~every row, and diverge from DuckDB's printf."""
+    clamped = F.greatest(rate, F.lit(0.0))
+    thr = F.format_string("%04x", (clamped * F.lit(65536.0)).cast("bigint"))
     return (rate >= F.lit(1.0)) | (sample_key(key, salt) < thr)
 
 

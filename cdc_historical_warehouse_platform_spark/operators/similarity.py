@@ -105,7 +105,12 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Colu
     The projection iterates over min(dim, size(vec)) — trusting the
     ``dim`` parameter alone would read past shorter vectors, null every
     projection, zero every signature, and silently collapse the bucket
-    join into a full cross product."""
+    join into a full cross product. Empty (size-0) vectors get a NULL
+    signature for the same reason: sequence(0, -1) auto-descends to
+    [0, -1] instead of being empty, so the all-zero signature would
+    re-open the bucket-collapse hole just for zero-length arrays —
+    NULL never equi-joins, so empty vectors simply drop out of every
+    banding path."""
     end = F.least(F.lit(dim), F.size(vec)) - 1
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -118,7 +123,7 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Colu
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
-    return sig
+    return F.when(F.size(vec) > 0, sig).otherwise(F.lit(None).cast("long"))
 
 
 def lsh_bucket_ann(

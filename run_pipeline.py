@@ -212,12 +212,20 @@ def main() -> int:
         # (underscore-prefixed dirs are invisible to parquet readers of
         # the shard layout).
         from cdc_historical_warehouse_platform_spark.operators.dedup import minhash_band_buckets
+        from cdc_historical_warehouse_platform_spark.operators.text import fingerprint
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import write_marker
 
         out = Path(args.output)
         kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
         minhash_band_buckets(kept).write.mode("overwrite").parquet(
             str(out / "_lsh_index")
         )
+        kept.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        ).write.mode("overwrite").parquet(str(out / "_fp_index"))
+        # all state written → publish the commit marker (crash before
+        # this line = rebuild; corpus-append repairs against it)
+        write_marker(out, epoch=0)
         print(
             json.dumps(
                 {
@@ -237,7 +245,12 @@ def main() -> int:
 
         from cdc_historical_warehouse_platform_spark.operators.dedup import incremental_minhash_dedup
         from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
-        from cdc_historical_warehouse_platform_spark.operators.text import quality_score
+        from cdc_historical_warehouse_platform_spark.operators.text import fingerprint, quality_score
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
+            read_marker,
+            repair,
+            write_marker,
+        )
 
         if not args.input or not args.output:
             print(json.dumps({"error": "corpus-append requires --input and --output"}))
@@ -246,14 +259,28 @@ def main() -> int:
         if not (out / "_lsh_index").exists():
             print(json.dumps({"error": f"no corpus state under {args.output}; run corpus first"}))
             return 1
+        # roll back any torn epoch BEFORE reading state: data files not
+        # listed in the commit marker are crashed-append leftovers
+        repaired = repair(out)
         new_docs = spark.read.parquet(str(Path(args.input) / "documents.parquet"))
         stored_buckets = spark.read.parquet(str(out / "_lsh_index"))
         stored_docs = spark.read.parquet(str(out / "_kept_docs"))
+        if not (out / "_fp_index").exists():
+            # pre-r4 state: one-time backfill of the fingerprint index
+            # from the kept corpus (unlisted in the old marker, so a
+            # crash here is rolled back and re-backfilled next run)
+            stored_docs.select(
+                "doc_id", fingerprint(F.col("text")).alias("fp")
+            ).write.parquet(str(out / "_fp_index"))
+        stored_fps = spark.read.parquet(str(out / "_fp_index"))
         n_new = new_docs.count()
         quality_ok = new_docs.filter(quality_score(F.col("text")) >= 0.68)
         n_quality = quality_ok.count()
         kept, kept_buckets = incremental_minhash_dedup(
-            quality_ok, stored_buckets=stored_buckets, stored_docs=stored_docs
+            quality_ok,
+            stored_buckets=stored_buckets,
+            stored_docs=stored_docs,
+            stored_fps=stored_fps,
         )
         # materialize BOTH outputs before any write: kept_buckets'
         # lineage reads the _kept_docs parquet (via stored_docs), and a
@@ -271,6 +298,11 @@ def main() -> int:
         )
         kept.write.mode("append").parquet(str(out / "_kept_docs"))
         kept_buckets.write.mode("append").parquet(str(out / "_lsh_index"))
+        kept.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        ).write.mode("append").parquet(str(out / "_fp_index"))
+        # every write of this epoch landed → atomically publish it
+        write_marker(out, epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1)
         n_kept = kept.count()
         print(
             json.dumps(
@@ -279,6 +311,7 @@ def main() -> int:
                     "low_quality": n_new - n_quality,
                     "near_dup": n_quality - n_kept,
                     "appended": n_kept,
+                    "repaired_files": len(repaired["removed"]),
                     "corpus_rows": manifest["total_rows"],
                     "output": args.output,
                 }

@@ -746,3 +746,105 @@ def test_multimodal_null_and_empty_payloads(spark):
     jvm = sample_frames_jvm_twin(df).collect()
     assert {r["doc_id"] for r in py} == {1}
     assert {r["doc_id"] for r in jvm} == {1}  # no crash, no rows for 2/3
+
+
+def test_incremental_dedup_exact_tier_catches_short_docs(spark):
+    """Docs with fewer than n=3 tokens have empty shingle sets — no LSH
+    buckets, null jaccard — so only the exact-fingerprint tier can drop
+    their duplicates (r4 ADVICE fix). Store dup, intra-batch dup, and a
+    distinct short doc must all resolve correctly, and normalization
+    (case/whitespace) must apply."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_buckets,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(1, "ok go"), (2, "some longer stored document here")], ["doc_id", "text"]
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (10, "OK   go"),     # exact dup of stored 1 after normalization
+            (11, "new short"),   # fresh short doc -> kept
+            (12, "new short"),   # intra-batch dup of 11 -> dropped
+            (13, "completely different long document text"),
+        ],
+        ["doc_id", "text"],
+    )
+    store = minhash_band_buckets(batch1).localCheckpoint(eager=True)
+    kept, kept_buckets = incremental_minhash_dedup(
+        batch2, stored_buckets=store, stored_docs=batch1, threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    # bucket state only grows for kept docs (short docs have none)
+    assert {r["doc_id"] for r in kept_buckets.collect()} == {13}
+
+
+def test_hyperplane_signature_null_for_empty_vectors(spark):
+    """Empty vectors must get a NULL signature (never the all-zero
+    signature that would collapse them into one hot bucket) and drop
+    out of banding joins entirely."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 1.0]), (2, []), (3, [0.5, -0.25, 1.0])],
+        ["id", "vec"],
+    )
+    rows = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", hyperplane_signature(F.col("vec"), n_planes=8, dim=3).alias("sig")
+        ).collect()
+    }
+    assert rows[2] is None
+    assert rows[1] is not None and rows[1] == rows[3]
+
+
+def test_weighted_keep_expr_clamps_negative_rates(spark):
+    """A negative per-row rate (bad upstream score) must keep nothing —
+    not render as 16-char two's-complement hex and keep ~everything."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import (
+        weighted_keep_expr,
+    )
+
+    df = spark.range(0, 500)
+    kept_neg = df.filter(weighted_keep_expr(F.col("id"), F.lit(-0.25))).count()
+    assert kept_neg == 0
+    kept_half = df.filter(weighted_keep_expr(F.col("id"), F.lit(0.5))).count()
+    assert 0 < kept_half < 500
+
+
+def test_corpus_state_repair_rolls_back_torn_epoch(tmp_path):
+    """Crash between corpus-append's physically separate writes must be
+    rolled back by the marker protocol: unlisted data files deleted,
+    committed files untouched, epoch preserved."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
+        read_marker,
+        repair,
+        write_marker,
+    )
+
+    out = tmp_path / "corpus"
+    for d in ("_kept_docs", "_lsh_index", "_fp_index", "shard=0"):
+        (out / d).mkdir(parents=True)
+        (out / d / "part-0.parquet").write_bytes(b"committed")
+    write_marker(out, epoch=3)
+
+    # torn epoch: some writes landed, the marker never did
+    (out / "_kept_docs" / "part-1.parquet").write_bytes(b"torn")
+    (out / "shard=0" / "part-9.parquet").write_bytes(b"torn")
+
+    result = repair(out)
+    assert result["epoch"] == 3
+    assert sorted(result["removed"]) == [
+        "_kept_docs/part-1.parquet",
+        "shard=0/part-9.parquet",
+    ]
+    assert (out / "_kept_docs" / "part-0.parquet").exists()
+    assert not (out / "_kept_docs" / "part-1.parquet").exists()
+    assert not (out / "shard=0" / "part-9.parquet").exists()
+    # idempotent on clean state
+    assert repair(out)["removed"] == []
+    assert read_marker(out)["epoch"] == 3

@@ -85,9 +85,11 @@ def test_weighted_gate_monotone_in_rate(spark, r1, r2):
 
 
 # Random docs drawn from a small word pool so near-dup collisions occur
-# naturally across batches.
+# naturally across batches. min_size=1 deliberately includes docs with
+# fewer than n=3 tokens: their shingle sets are empty, so only the
+# exact-fingerprint tier can dedup them (the r4 ADVICE fix).
 pool = [f"t{i}" for i in range(12)]
-rand_doc = st.lists(st.sampled_from(pool), min_size=6, max_size=14).map(" ".join)
+rand_doc = st.lists(st.sampled_from(pool), min_size=1, max_size=14).map(" ".join)
 
 
 @settings(
@@ -119,19 +121,36 @@ def test_incremental_dedup_invariants_for_random_batches(spark, b1, b2):
 
     union_df = batch1.unionByName(batch2)
     pairs = jaccard_pairs(union_df, threshold=0.5).collect()
+    # exact-fingerprint pairs are witnesses too (the tier that catches
+    # empty-shingle docs, which jaccard_pairs null-drops at union=0)
+    from cdc_historical_warehouse_platform_spark.operators.text import fingerprint
 
-    # (1) soundness: every dropped doc has a smaller-id jaccard>=t witness
+    by_fp: dict = {}
+    for r in union_df.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    ).collect():
+        by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    fp_pairs = [
+        (a, b)
+        for ids in by_fp.values()
+        for a in ids
+        for b in ids
+        if a < b
+    ]
+
+    # (1) soundness: every dropped doc has a smaller-id witness —
+    # jaccard>=t or an identical fingerprint
     witnesses = {}
     for r in pairs:
         witnesses.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    for a, b in fp_pairs:
+        witnesses.setdefault(b, set()).add(a)
     for d in dropped_ids:
         assert witnesses.get(d), f"{d} dropped without witness"
     # (2) completeness: no kept NEW doc still matches the stored corpus
     # or a smaller-id kept new doc (the greedy-canonical set is dup-free)
     canonical = {r["doc_id"] for r in batch1.collect()} | kept_ids
-    for r in pairs:
+    for a, b in [(r["doc_a"], r["doc_b"]) for r in pairs] + fp_pairs:
         assert not (
-            r["doc_a"] in canonical
-            and r["doc_b"] in kept_ids
-            and r["doc_b"] > r["doc_a"]
-        ), f"kept {r['doc_b']} still matches canonical {r['doc_a']}"
+            a in canonical and b in kept_ids and b > a
+        ), f"kept {b} still matches canonical {a}"
