@@ -624,6 +624,7 @@ def semdedup(
     threshold: float = 0.95,
     n_lists: int = 16,
     refine: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (cluster-then-compare, per the
     public SemDeDup method — Abbas et al. 2023, arXiv:2303.09540):
@@ -635,7 +636,9 @@ def semdedup(
     Scale shape (the whole point of the cluster partition):
 
     - centroid fit reuses :func:`similarity.ivf_centroids` — driver
-      state is bounded by n_lists × dim, never corpus size;
+      state is bounded by n_lists × dim, never corpus size; pass
+      ``centroids`` (e.g. from a persisted sources/ann_index.IVFIndex)
+      to skip the inline re-fit entirely;
     - cluster assignment is a map-only literal-centroid expression —
       zero shuffle, vectors never replicated;
     - the pair comparison is ONE equi-join on ``list_id``, so the
@@ -656,8 +659,12 @@ def semdedup(
         ivf_centroids,
     )
 
-    cents = ivf_centroids(
-        emb, n_lists=n_lists, refine=refine, corpus_id=id_col, corpus_vec=vec_col
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            emb, n_lists=n_lists, refine=refine, corpus_id=id_col, corpus_vec=vec_col
+        )
     )
     assigned = emb.select(
         F.col(id_col).alias("id"),

@@ -36,6 +36,8 @@ __all__ = [
     "hyperplane_signature",
     "lsh_bucket_ann",
     "ivf_centroids",
+    "probed_queries",
+    "ivf_search",
     "ivf_topk",
 ]
 
@@ -258,38 +260,16 @@ def ivf_centroids(
     return cents
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def probed_queries(
     queries: DataFrame,
-    k: int = 10,
-    n_lists: int = 16,
+    cents: list[list[float]],
     n_probes: int = 2,
-    refine: int = 1,
-    corpus_id: str = "vec_id",
-    corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
 ) -> DataFrame:
-    """IVF approximate top-k — the brief's second ANN scale path
-    ("IVF or LSH-bucketed variant") next to lsh_bucket_ann.
-
-    Index: each corpus vector gets the list_id of its nearest coarse
-    centroid — a map-only literal expression, zero corpus shuffle.
-    Search: each query probes its ``n_probes`` closest lists, the
-    probed query set is broadcast, and scoring touches only corpus
-    rows whose list_id is probed (~n_probes/n_lists of the data per
-    query batch). Same output schema as cosine_topk.
-    """
-    cents = ivf_centroids(corpus, n_lists, refine, corpus_id, corpus_vec)
-
-    assigned = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cv"),
-        _nearest_list_expr(F.col(corpus_vec), cents).alias("list_id"),
-    )
-
-    # per-query probe list: top-n_probes centroids by cosine, computed
-    # with the same literal structs — map-only on the (small) query set
+    """Per-query probe set: each query exploded to its ``n_probes``
+    closest lists by centroid cosine — map-only literal expressions on
+    the (small) query side. Columns: query_id, __qv, list_id."""
     probe_structs = F.array(
         *[
             F.struct(
@@ -299,7 +279,7 @@ def ivf_topk(
             for i, lit_c in enumerate(_centroid_literals(cents))
         ]
     )
-    probed = (
+    return (
         queries.select(
             F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
         )
@@ -315,6 +295,22 @@ def ivf_topk(
         .select("query_id", "__qv", "list_id")
     )
 
+
+def ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 10,
+    n_probes: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Search an (already-assigned) IVF corpus: ``assigned`` has
+    columns (neighbor_id, __cv, list_id). The probed query set is
+    broadcast and scoring touches only corpus rows whose list_id is
+    probed. Shared by the inline :func:`ivf_topk` and the persisted
+    ``IVFIndex.probe`` path."""
+    probed = probed_queries(queries, cents, n_probes, query_id, query_vec)
     scored = (
         assigned.join(F.broadcast(probed), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -332,3 +328,45 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probes: int = 2,
+    refine: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k — the brief's second ANN scale path
+    ("IVF or LSH-bucketed variant") next to lsh_bucket_ann.
+
+    Index: each corpus vector gets the list_id of its nearest coarse
+    centroid — a map-only literal expression, zero corpus shuffle.
+    Search: each query probes its ``n_probes`` closest lists, the
+    probed query set is broadcast, and scoring touches only corpus
+    rows whose list_id is probed (~n_probes/n_lists of the data per
+    query batch). Same output schema as cosine_topk.
+
+    One-shot convenience: rebuilds the quantizer inline unless
+    ``centroids`` is passed. A probe-many workload should build the
+    index ONCE (sources/ann_index.IVFIndex.build) and call
+    ``IVFIndex.probe`` — zero corpus passes per query batch beyond the
+    probed lists.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_lists, refine, corpus_id, corpus_vec)
+    )
+    assigned = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _nearest_list_expr(F.col(corpus_vec), cents).alias("list_id"),
+    )
+    return ivf_search(assigned, queries, cents, k, n_probes, query_id, query_vec)

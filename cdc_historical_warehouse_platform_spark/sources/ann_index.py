@@ -1,0 +1,169 @@
+"""Persisted IVF ANN index: build once, probe many, append increments.
+
+The r3 inline :func:`~cdc_historical_warehouse_platform_spark.operators.similarity.ivf_topk`
+re-fits the coarse quantizer on every call (``refine`` full corpus
+passes + a bounded driver collect). That is the right shape for a
+one-shot query, but a production ANN serving/probing workload pays the
+build exactly once. This module is the IVF twin of the corpus-append
+LSH state (run_pipeline.py ``_lsh_index``):
+
+- ``IVFIndex.build``: fit centroids (deterministic seeds + Lloyd
+  steps), assign every corpus vector to its nearest list — one linear
+  pass — and persist ``(vec_id, embedding, list_id)`` clustered by
+  list into a :class:`VersionedTable`; centroids land in a tiny
+  atomic JSON sidecar (n_lists × dim floats).
+- ``IVFIndex.append``: assign ONLY the new vectors with the stored
+  centroids (map-only, zero passes over the existing index) and
+  append a segment — standard IVF semantics: the index grows, the
+  quantizer stays fixed until a rebuild.
+- ``IVFIndex.probe``: zero corpus passes beyond the probed lists —
+  the assignments scan carries a pushed ``list_id IN (...)`` filter
+  (segments are written clustered+sorted by list_id, so parquet
+  row-group stats skip everything else), and scoring joins the
+  broadcast probed-query set exactly like the inline path.
+
+Atomicity: the assignments table has VersionedTable's atomic pointer;
+the centroids sidecar is tmp+``os.replace``. ``build`` writes
+centroids first, assignments second — a reader sees the old complete
+index until the assignments pointer lands (probe reads centroids that
+match-or-predate assignments; both rewritten together on rebuild).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.similarity import (
+    _nearest_list_expr,
+    ivf_centroids,
+    ivf_search,
+    probed_queries,
+)
+from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+__all__ = ["IVFIndex"]
+
+_CENTROIDS = "_centroids.json"
+
+
+class IVFIndex:
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.assignments = VersionedTable(self.path / "assignments")
+
+    # --- state -------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return (self.path / _CENTROIDS).exists() and self.assignments.exists()
+
+    def centroids(self) -> list[list[float]]:
+        return json.loads((self.path / _CENTROIDS).read_text())["centroids"]
+
+    def _write_centroids(self, cents: list[list[float]], meta: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._cent_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"centroids": cents, **meta}, f)
+            os.replace(tmp, self.path / _CENTROIDS)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    @staticmethod
+    def _assign(
+        vectors: DataFrame,
+        cents: list[list[float]],
+        corpus_id: str,
+        corpus_vec: str,
+    ) -> DataFrame:
+        assigned = vectors.select(
+            F.col(corpus_id).alias("vec_id"),
+            F.col(corpus_vec).alias("embedding"),
+            _nearest_list_expr(F.col(corpus_vec), cents).alias("list_id"),
+        )
+        # cluster + sort by list so probe-time list_id predicates skip
+        # non-probed row groups via parquet min/max stats
+        return assigned.repartition("list_id").sortWithinPartitions("list_id")
+
+    # --- public API --------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str | Path,
+        n_lists: int = 16,
+        refine: int = 1,
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+        txn_id: str | None = None,
+    ) -> "IVFIndex":
+        index = cls(path)
+        cents = ivf_centroids(corpus, n_lists, refine, corpus_id, corpus_vec)
+        index._write_centroids(cents, {"n_lists": n_lists, "refine": refine})
+        index.assignments.commit(
+            cls._assign(corpus, cents, corpus_id, corpus_vec), txn_id=txn_id
+        )
+        return index
+
+    def append(
+        self,
+        new_vectors: DataFrame,
+        corpus_id: str = "vec_id",
+        corpus_vec: str = "embedding",
+        txn_id: str | None = None,
+    ) -> int:
+        """Assign new vectors with the STORED quantizer and append a
+        segment — the existing index is never read or rewritten."""
+        cents = self.centroids()
+        return self.assignments.append(
+            self._assign(new_vectors, cents, corpus_id, corpus_vec),
+            txn_id=txn_id,
+        )
+
+    def probe(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        n_probes: int = 2,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+    ) -> DataFrame:
+        """Top-k search against the persisted index. The assignments
+        scan is prefiltered to the union of probed lists (pushed to
+        parquet), then scored per query against the broadcast probed
+        set — same output schema and same results as the inline
+        ``ivf_topk`` run with this index's centroids."""
+        cents = self.centroids()
+        # the union of probed lists is tiny (≤ |queries|·n_probes ≤
+        # n_lists) — collect it and push an IN-filter into the
+        # assignments scan so non-probed lists are skipped at the
+        # row-group level, not post-scan
+        probed_ids = [
+            r["list_id"]
+            for r in probed_queries(queries, cents, n_probes, query_id, query_vec)
+            .select("list_id")
+            .distinct()
+            .collect()
+        ]
+        assigned = (
+            self.assignments.read(spark)
+            .filter(F.col("list_id").isin(probed_ids))
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("__cv"),
+                "list_id",
+            )
+        )
+        return ivf_search(
+            assigned, queries, cents, k, n_probes, query_id, query_vec
+        )

@@ -20,6 +20,10 @@ Usage:
                                    [--order-key K]
   python run_pipeline.py corpus    --input SF_DIR --output DIR\n  python run_pipeline.py corpus-append --input NEW_SF_DIR --output DIR
                                    [--num-shards N] [--max-records-per-file N]
+  python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
+  python run_pipeline.py ann-append --input NEW_SF_DIR --output DIR
+  python run_pipeline.py ann-query  --input SF_DIR --output DIR
+                                   [--k N] [--n-probes N] [--n-queries N]
 """
 
 from __future__ import annotations
@@ -70,6 +74,7 @@ def main() -> int:
         choices=[
             "seed", "simulate", "extract", "load", "status", "validate",
             "corpus", "corpus-append",
+            "ann-build", "ann-append", "ann-query",
         ],
     )
     ap.add_argument("--workdir", default="./warehouse_data")
@@ -116,6 +121,13 @@ def main() -> int:
     )
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--max-records-per-file", type=int, default=100_000)
+    ap.add_argument("--n-lists", type=int, default=16, help="ann-build: IVF lists")
+    ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
+    ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query")
+    ap.add_argument(
+        "--n-queries", type=int, default=10,
+        help="ann-query: probe with the first N vectors of --input",
+    )
     args = ap.parse_args()
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -304,6 +316,67 @@ def main() -> int:
         # every write of this epoch landed → atomically publish it
         write_marker(out, epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1)
         n_kept = kept.count()
+    elif args.command in ("ann-build", "ann-append", "ann-query"):
+        # persisted IVF ANN index: build once, append increments with
+        # the stored quantizer, probe with zero corpus passes beyond
+        # the probed lists (sources/ann_index.py)
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.sources.ann_index import IVFIndex
+
+        if not args.input or not args.output:
+            print(json.dumps({"error": f"{args.command} requires --input and --output"}))
+            return 1
+        emb = spark.read.parquet(str(Path(args.input) / "embeddings.parquet"))
+        if args.command == "ann-build":
+            index = IVFIndex.build(emb, args.output, n_lists=args.n_lists)
+            print(
+                json.dumps(
+                    {
+                        "vectors": emb.count(),
+                        "n_lists": args.n_lists,
+                        "version": index.assignments.version(),
+                        "output": args.output,
+                    }
+                )
+            )
+        elif args.command == "ann-append":
+            index = IVFIndex(args.output)
+            if not index.exists():
+                print(json.dumps({"error": f"no index under {args.output}; run ann-build first"}))
+                return 1
+            v = index.append(emb)
+            print(
+                json.dumps(
+                    {"appended": emb.count(), "version": v, "output": args.output}
+                )
+            )
+        else:  # ann-query
+            index = IVFIndex(args.output)
+            if not index.exists():
+                print(json.dumps({"error": f"no index under {args.output}; run ann-build first"}))
+                return 1
+            queries = emb.filter(F.col("vec_id") < args.n_queries).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            hits = index.probe(
+                spark, queries, k=args.k, n_probes=args.n_probes
+            ).collect()
+            print(
+                json.dumps(
+                    {
+                        "queries": len({r["query_id"] for r in hits}),
+                        "results": len(hits),
+                        "top1": {
+                            str(r["query_id"]): r["neighbor_id"]
+                            for r in hits
+                            if r["rank"] == 1
+                        },
+                    },
+                    sort_keys=True,
+                )
+            )
         print(
             json.dumps(
                 {
