@@ -73,14 +73,38 @@ _PRIORITY = [
     "corpus_paragraph_dedup",    # hash-exact oracle; sub-document boilerplate-chunk dedup (new r03)
     "window_range_frame",        # hash-exact oracle; time-based RANGE frame (trailing 30-day revenue) (new r03)
     "window_ntile_percentile",   # hash-exact oracle; ntile/percent_rank/cume_dist over a total order (new r03)
+    # --- r04 rotation: promoted back from _DEMOTED (last driver-green r02;
+    # local check_oracle green every round since — re-verify before their
+    # local-only streak gets long; the scd2 validation rows also re-cover
+    # the r04 single-probe merge rewrite through the driver gate) ---
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_confusion",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "scd2_flag_consistency_check",
+    "scd2_timestamp_continuity",
+    "scd2_version_timeline",
+    "scd2_interval_integrity",
 ]
 _DEMOTED = [
+    # --- r04 rotation: driver-green r01-r03 (three consecutive rounds);
+    # slots ceded to the ten rows promoted back above. Family coverage
+    # stays in-window via the noted siblings. ---
+    "scd2_current_state",          # P4 ≡ promoted scd2_version_timeline + flag checks (green r01-r03)
+    "scd2_validation_summary",     # A1/V ≡ promoted scd2_interval_integrity + timestamp_continuity (green r01-r03)
+    "scd2_duplicate_current_check",  # A6 ≡ agg_grouped_having family (green r01-r03)
+    "agg_conditional_counts",      # A2; agg family repped by agg_pricing_summary in-window (green r01-r03)
+    "agg_union_metric_rows",       # U1; setop_except_intersect stays in-window (green r01-r03)
+    "join_asof_events",            # J3; scd2_as_of stays in-window (green r01-r03)
+    "sort_topk_orders",            # O4; window_top family demoted-green, ntile row in-window (green r01-r03)
+    "scalar_functions",            # F; string funcs exercised by promoted text rows (green r01-r03)
+    "filter_point_lookup_current",  # P3 ≡ filter_key_history (green r01-r03)
+    "window_top_per_customer",     # W2; window_range_frame + ntile stay in-window (green r01-r03)
+    # --- pre-r04 demotions ---
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
     "window_salted_topk",          # oracle-equal to window_top_per_customer (green r02)
-    "scd2_flag_consistency_check",  # V-overlap with scd2_validation_summary (green r02)
-    "scd2_timestamp_continuity",   # V/W3 overlap with window_lag_lead (green r02)
-    "scd2_version_timeline",       # subsumed by scd2_dim_history; P9 ≡ join_outer_coalesce (green r02)
-    "scd2_interval_integrity",     # V-overlap with scd2_validation_summary (green r02)
     "join_unshipped_revenue",      # J+ composite ≡ join_revenue_by_nation (green r02)
     "window_small_quantity_revenue",  # agg-over-join ≡ agg_pricing_summary family (green r02)
     "scalar_string_functions",     # F-coverage overlap with scalar_functions (green r02)

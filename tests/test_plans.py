@@ -73,7 +73,6 @@ def test_registry_contract():
         "dedup_simhash",
         "ann_lsh_topk",
         "ann_ivf_topk",
-        "multimodal_frame_sample",
         "agg_approx_aggregates",
         "semdedup_keep",
     }
