@@ -35,7 +35,35 @@ HEADLINE = [
     # training-data keep pipeline — quality → exact dedup → LSH
     # near-dup — so the LLM tier's end-to-end path is benched per-round
     "corpus_keep_decisions",
+    # added r04: the two heaviest remaining LLM-tier paths get the same
+    # regression tracking as the relational suite
+    "corpus_pack_sequences",
+    "text_tfidf_keywords",
 ]
+
+
+def corpus_append_cycle(spark, sf_dir: str, out: str, offset: int) -> float:
+    """One timed incremental corpus-append: a synthetic new batch (half
+    exact duplicates of the corpus — exercising the fingerprint tier —
+    half token-reversed fresh docs — exercising signature + append)
+    deduped against the persisted state and appended, marker included.
+    The store grows by the fresh half each cycle, so warm passes carry
+    a mild upward drift; min-of-2 still tracks the steady state."""
+    from pyspark.sql import functions as F
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_append
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup_half = docs.filter(F.col("doc_id") % 2 == 0)
+    fresh_half = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "text", F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    )
+    new_batch = dup_half.unionByName(fresh_half).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(offset)
+    )
+    t0 = time.perf_counter()
+    corpus_append(spark, new_batch, out)
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -79,6 +107,26 @@ def main() -> None:
         warm[name] = run(name)
     for name in HEADLINE:
         warm[name] = min(warm[name], run(name))
+
+    # incremental corpus-append cycle (r04): one untimed state build,
+    # then cold + 2 warm timed appends with distinct id spaces
+    import shutil
+    import tempfile
+
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_build
+
+        corpus_build(spark, sf_dir, corpus_dir)
+        cold["corpus_append_cycle"] = corpus_append_cycle(
+            spark, sf_dir, corpus_dir, 10_000_000
+        )
+        warm["corpus_append_cycle"] = min(
+            corpus_append_cycle(spark, sf_dir, corpus_dir, 20_000_000),
+            corpus_append_cycle(spark, sf_dir, corpus_dir, 30_000_000),
+        )
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
 
     total = round(sum(warm.values()), 3)
     print(

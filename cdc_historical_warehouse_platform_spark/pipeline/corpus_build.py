@@ -1,0 +1,148 @@
+"""Composed training-corpus build + incremental append.
+
+The pipeline bodies behind ``run_pipeline.py corpus`` /
+``corpus-append`` (and bench.py's incremental cycle): quality gate →
+exact-fingerprint dedup → LSH near-dup → hash-sharded parquet, with
+the dedup state (``_kept_docs``, ``_lsh_index``, ``_fp_index``)
+persisted next to the shards so appends never reprocess the kept
+corpus, all under the crash-atomic ``_corpus_commit`` marker
+(pipeline/corpus_state.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.dedup import (
+    incremental_minhash_dedup,
+    minhash_band_buckets,
+)
+from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
+from cdc_historical_warehouse_platform_spark.operators.text import fingerprint, quality_score
+from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
+    read_marker,
+    repair,
+    write_marker,
+)
+
+__all__ = ["corpus_build", "corpus_append"]
+
+QUALITY_THRESHOLD = 0.68
+
+
+def corpus_build(
+    spark: SparkSession,
+    input_dir: str,
+    output: str,
+    num_shards: int = 8,
+    max_records_per_file: int = 100_000,
+) -> dict:
+    """Full build: keep decisions over ``input_dir``/documents.parquet,
+    sharded kept corpus + persisted dedup state under ``output``."""
+    from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
+        q_corpus_keep_decisions,
+    )
+
+    docs = spark.read.parquet(str(Path(input_dir) / "documents.parquet"))
+    decisions = q_corpus_keep_decisions(spark, input_dir)
+    counts = {
+        r.decision: r.n
+        for r in decisions.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = docs.join(
+        decisions.filter(F.col("decision") == "kept").select("doc_id"), "doc_id"
+    )
+    manifest = write_training_shards(
+        kept,
+        output,
+        key_col="doc_id",
+        num_shards=num_shards,
+        max_records_per_file=max_records_per_file,
+    )
+    out = Path(output)
+    kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
+    minhash_band_buckets(kept).write.mode("overwrite").parquet(str(out / "_lsh_index"))
+    kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
+        "overwrite"
+    ).parquet(str(out / "_fp_index"))
+    # all state written → publish the commit marker (crash before this
+    # line = rebuild; corpus_append repairs against it)
+    write_marker(out, epoch=0)
+    return {
+        "decisions": counts,
+        "kept_rows": manifest["total_rows"],
+        "num_shards": manifest["num_shards"],
+        "output": output,
+    }
+
+
+def corpus_append(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    output: str,
+    num_shards: int = 8,
+    max_records_per_file: int = 100_000,
+) -> dict:
+    """Incremental load: quality-gate the NEW batch, dedup it against
+    the persisted state (exact-fingerprint + LSH; the existing corpus
+    is never re-signatured), append kept docs into the shard layout,
+    extend the state, publish the next epoch marker."""
+    out = Path(output)
+    if not (out / "_lsh_index").exists():
+        raise FileNotFoundError(f"no corpus state under {output}; run corpus_build first")
+    # roll back any torn epoch BEFORE reading state: data files not
+    # listed in the commit marker are crashed-append leftovers
+    repaired = repair(out)
+    stored_buckets = spark.read.parquet(str(out / "_lsh_index"))
+    stored_docs = spark.read.parquet(str(out / "_kept_docs"))
+    if not (out / "_fp_index").exists():
+        # pre-r4 state: one-time backfill of the fingerprint index from
+        # the kept corpus (unlisted in the old marker, so a crash here
+        # is rolled back and re-backfilled next run)
+        stored_docs.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        ).write.parquet(str(out / "_fp_index"))
+    stored_fps = spark.read.parquet(str(out / "_fp_index"))
+    n_new = new_docs.count()
+    quality_ok = new_docs.filter(quality_score(F.col("text")) >= QUALITY_THRESHOLD)
+    n_quality = quality_ok.count()
+    kept, kept_buckets = incremental_minhash_dedup(
+        quality_ok,
+        stored_buckets=stored_buckets,
+        stored_docs=stored_docs,
+        stored_fps=stored_fps,
+    )
+    # materialize BOTH outputs before any write: kept_buckets' lineage
+    # reads the _kept_docs parquet (via stored_docs), and a lazy
+    # evaluation after the append below would re-plan over a directory
+    # that changed mid-job
+    kept = kept.localCheckpoint(eager=True)
+    kept_buckets = kept_buckets.localCheckpoint(eager=True)
+    manifest = write_training_shards(
+        kept,
+        output,
+        key_col="doc_id",
+        num_shards=num_shards,
+        max_records_per_file=max_records_per_file,
+        mode="append",
+    )
+    kept.write.mode("append").parquet(str(out / "_kept_docs"))
+    kept_buckets.write.mode("append").parquet(str(out / "_lsh_index"))
+    kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
+        "append"
+    ).parquet(str(out / "_fp_index"))
+    # every write of this epoch landed → atomically publish it
+    write_marker(out, epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1)
+    n_kept = kept.count()
+    return {
+        "new_docs": n_new,
+        "low_quality": n_new - n_quality,
+        "near_dup": n_quality - n_kept,
+        "appended": n_kept,
+        "repaired_files": len(repaired["removed"]),
+        "corpus_rows": manifest["total_rows"],
+        "output": output,
+    }

@@ -191,131 +191,47 @@ def main() -> int:
         return 0 if ok else 1
     elif args.command == "corpus":
         # the composed training-data build: keep decisions (quality →
-        # exact dedup → LSH near-dup) → hash-sharded bounded parquet
-        from pyspark.sql import functions as F
-
-        from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
-        from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
-            q_corpus_keep_decisions,
-        )
+        # exact dedup → LSH near-dup) → hash-sharded bounded parquet +
+        # persisted dedup state (pipeline/corpus_build.py)
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_build
 
         if not args.input or not args.output:
             print(json.dumps({"error": "corpus requires --input and --output"}))
             return 1
-        docs = spark.read.parquet(str(Path(args.input) / "documents.parquet"))
-        decisions = q_corpus_keep_decisions(spark, args.input)
-        counts = {
-            r.decision: r.n
-            for r in decisions.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        kept = docs.join(
-            decisions.filter(F.col("decision") == "kept").select("doc_id"), "doc_id"
-        )
-        manifest = write_training_shards(
-            kept,
-            args.output,
-            key_col="doc_id",
-            num_shards=args.num_shards,
-            max_records_per_file=args.max_records_per_file,
-        )
-        # persist the dedup state alongside the shards so later
-        # corpus-append loads never reprocess the kept corpus:
-        # _kept_docs mirrors the kept text, _lsh_index the band buckets
-        # (underscore-prefixed dirs are invisible to parquet readers of
-        # the shard layout).
-        from cdc_historical_warehouse_platform_spark.operators.dedup import minhash_band_buckets
-        from cdc_historical_warehouse_platform_spark.operators.text import fingerprint
-        from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import write_marker
-
-        out = Path(args.output)
-        kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
-        minhash_band_buckets(kept).write.mode("overwrite").parquet(
-            str(out / "_lsh_index")
-        )
-        kept.select(
-            "doc_id", fingerprint(F.col("text")).alias("fp")
-        ).write.mode("overwrite").parquet(str(out / "_fp_index"))
-        # all state written → publish the commit marker (crash before
-        # this line = rebuild; corpus-append repairs against it)
-        write_marker(out, epoch=0)
         print(
             json.dumps(
-                {
-                    "decisions": counts,
-                    "kept_rows": manifest["total_rows"],
-                    "num_shards": manifest["num_shards"],
-                    "output": args.output,
-                }
+                corpus_build(
+                    spark,
+                    args.input,
+                    args.output,
+                    num_shards=args.num_shards,
+                    max_records_per_file=args.max_records_per_file,
+                )
             )
         )
     elif args.command == "corpus-append":
-        # incremental corpus load: quality-gate the NEW batch, dedup it
-        # against the persisted LSH index (the existing corpus is never
-        # re-signatured), append kept docs into the same shard layout
-        # and extend the dedup state.
-        from pyspark.sql import functions as F
-
-        from cdc_historical_warehouse_platform_spark.operators.dedup import incremental_minhash_dedup
-        from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
-        from cdc_historical_warehouse_platform_spark.operators.text import fingerprint, quality_score
-        from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
-            read_marker,
-            repair,
-            write_marker,
-        )
+        # incremental corpus load against the persisted dedup state
+        # (crash-atomic via the _corpus_commit marker)
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_append
 
         if not args.input or not args.output:
             print(json.dumps({"error": "corpus-append requires --input and --output"}))
             return 1
-        out = Path(args.output)
-        if not (out / "_lsh_index").exists():
+        if not (Path(args.output) / "_lsh_index").exists():
             print(json.dumps({"error": f"no corpus state under {args.output}; run corpus first"}))
             return 1
-        # roll back any torn epoch BEFORE reading state: data files not
-        # listed in the commit marker are crashed-append leftovers
-        repaired = repair(out)
         new_docs = spark.read.parquet(str(Path(args.input) / "documents.parquet"))
-        stored_buckets = spark.read.parquet(str(out / "_lsh_index"))
-        stored_docs = spark.read.parquet(str(out / "_kept_docs"))
-        if not (out / "_fp_index").exists():
-            # pre-r4 state: one-time backfill of the fingerprint index
-            # from the kept corpus (unlisted in the old marker, so a
-            # crash here is rolled back and re-backfilled next run)
-            stored_docs.select(
-                "doc_id", fingerprint(F.col("text")).alias("fp")
-            ).write.parquet(str(out / "_fp_index"))
-        stored_fps = spark.read.parquet(str(out / "_fp_index"))
-        n_new = new_docs.count()
-        quality_ok = new_docs.filter(quality_score(F.col("text")) >= 0.68)
-        n_quality = quality_ok.count()
-        kept, kept_buckets = incremental_minhash_dedup(
-            quality_ok,
-            stored_buckets=stored_buckets,
-            stored_docs=stored_docs,
-            stored_fps=stored_fps,
+        print(
+            json.dumps(
+                corpus_append(
+                    spark,
+                    new_docs,
+                    args.output,
+                    num_shards=args.num_shards,
+                    max_records_per_file=args.max_records_per_file,
+                )
+            )
         )
-        # materialize BOTH outputs before any write: kept_buckets'
-        # lineage reads the _kept_docs parquet (via stored_docs), and a
-        # lazy evaluation after the append below would re-plan over a
-        # directory that changed mid-job
-        kept = kept.localCheckpoint(eager=True)
-        kept_buckets = kept_buckets.localCheckpoint(eager=True)
-        manifest = write_training_shards(
-            kept,
-            args.output,
-            key_col="doc_id",
-            num_shards=args.num_shards,
-            max_records_per_file=args.max_records_per_file,
-            mode="append",
-        )
-        kept.write.mode("append").parquet(str(out / "_kept_docs"))
-        kept_buckets.write.mode("append").parquet(str(out / "_lsh_index"))
-        kept.select(
-            "doc_id", fingerprint(F.col("text")).alias("fp")
-        ).write.mode("append").parquet(str(out / "_fp_index"))
-        # every write of this epoch landed → atomically publish it
-        write_marker(out, epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1)
-        n_kept = kept.count()
     elif args.command in ("ann-build", "ann-append", "ann-query"):
         # persisted IVF ANN index: build once, append increments with
         # the stored quantizer, probe with zero corpus passes beyond
