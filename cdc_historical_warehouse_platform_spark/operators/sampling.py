@@ -162,16 +162,27 @@ def write_training_shards(
 
     ``mode="append"`` adds new files into the EXISTING shard layout
     (hash assignment is stable, so a doc's shard never changes across
-    appends — the incremental-corpus path) and rebuilds the manifest
-    over all footers.
+    appends — the incremental-corpus path) and MERGES the manifest:
+    only files not already listed are counted, so an append's cost is
+    O(batch), never O(corpus) — re-scanning every shard footer per
+    increment (the r3 behavior) would make the thousandth append of a
+    100 TB corpus pay for the whole layout.
 
     Scale posture: one hash shuffle on the shard id (required for
     co-located shards), `maxRecordsPerFile` splits oversized shards
     into multiple files without a second shuffle, and the manifest is
-    built from parquet footers (O(#files) driver work, never row data).
-    `sortWithinPartitions` gives deterministic in-file order without a
-    global sort.
+    built from parquet footers (O(#new files) driver work, never row
+    data). `sortWithinPartitions` gives deterministic in-file order
+    without a global sort.
     """
+    root = Path(path)
+    prev: dict | None = None
+    if mode == "append":
+        try:
+            prev = json.loads((root / "_manifest.json").read_text())
+        except FileNotFoundError:
+            prev = None  # appending into a fresh dir: full build below
+
     sharded = df.withColumn("shard", shard_id(F.col(key_col), num_shards))
     writer = sharded.repartition(num_shards, "shard")
     writer = writer.sortWithinPartitions(order_col or key_col)
@@ -181,30 +192,55 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    root = Path(path)
-    # one count job grouped by (shard, file) — O(#files) rows to the
-    # driver, never a per-shard job loop
     spark = df.sparkSession
-    per_file = (
-        spark.read.parquet(path)
-        .groupBy(F.col("shard"), F.input_file_name().alias("file"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .collect()
-    )
-    shards: dict = {}
-    total_rows = 0
-    for r in per_file:
-        entry = shards.setdefault(str(r.shard), {"files": [], "rows": 0})
-        entry["files"].append(r.file.rsplit("/", 1)[-1])
-        entry["rows"] += r.rows
-        total_rows += r.rows
+    if prev is None:
+        # one count job grouped by (shard, file) — O(#files) rows to
+        # the driver, never a per-shard job loop
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.col("shard"), F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        shards: dict = {}
+        for r in per_file:
+            entry = shards.setdefault(str(r.shard), {"files": [], "rows": 0})
+            entry["files"].append(r.file.rsplit("/", 1)[-1])
+            entry["rows"] += r.rows
+    else:
+        # incremental merge: count ONLY files the previous manifest
+        # does not list (this append's output), then add them in
+        shards = {
+            s: {"files": list(m["files"]), "rows": m["rows"]}
+            for s, m in prev["shards"].items()
+        }
+        known = {s: set(m["files"]) for s, m in prev["shards"].items()}
+        new_paths = [
+            str(f)
+            for sdir in root.glob("shard=*")
+            for f in sdir.glob("*.parquet")
+            if f.name not in known.get(sdir.name.split("=", 1)[1], set())
+        ]
+        if new_paths:
+            per_file = (
+                spark.read.parquet(*new_paths)
+                .groupBy(F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            )
+            for r in per_file:
+                parts = r.file.split("/")
+                sh = [p for p in parts if p.startswith("shard=")][-1].split("=", 1)[1]
+                entry = shards.setdefault(sh, {"files": [], "rows": 0})
+                entry["files"].append(parts[-1])
+                entry["rows"] += r.rows
     for entry in shards.values():
         entry["files"].sort()
     manifest = {
         "num_shards": num_shards,
         "key_col": key_col,
         "max_records_per_file": max_records_per_file,
-        "total_rows": total_rows,
+        "total_rows": sum(e["rows"] for e in shards.values()),
         "shards": shards,
     }
     (root / "_manifest.json").write_text(json.dumps(manifest, indent=2, sort_keys=True))

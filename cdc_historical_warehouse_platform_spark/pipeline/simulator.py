@@ -34,12 +34,22 @@ class OrderSimulator:
         source: VersionedTable,
         deleted_table: VersionedTable | None = None,
         seed: int = 42,
+        sample_pool: int | None = None,
     ):
+        """``sample_pool``: when set, each mutation cycle draws its
+        update/delete targets from a deterministic pseudo-random LIMIT
+        sample of that size instead of collecting every source id —
+        the full collect is exact reference parity (db_mutator.py:83)
+        and fine for the test-harness-sized tables it was written for,
+        but O(|source|) driver memory if the simulator is ever pointed
+        at a big table."""
         self.spark = spark
         self.source = source
         self.deleted = deleted_table
         self.rng = random.Random(seed)
         self._next_id = 1
+        self.sample_pool = sample_pool
+        self._cycle = 0
 
     def _now(self, now: _dt.datetime | None) -> _dt.datetime:
         return now or _dt.datetime.utcnow()
@@ -77,14 +87,34 @@ class OrderSimulator:
         """One cycle of the 30/40/20 op mix; returns op counts."""
         now = self._now(now)
         orders = self._orders()
-        ids = [r["id"] for r in orders.select("id").collect()]
-        self._next_id = (max(ids) + 1) if ids else self._next_id
+        self._cycle += 1
+        if self.sample_pool is None:
+            # exact reference parity (db_mutator.py:83): collect every id
+            ids = [r["id"] for r in orders.select("id").collect()]
+            n_rows = len(ids)
+            self._next_id = (max(ids) + 1) if ids else self._next_id
+        else:
+            # bounded driver memory: max/count in one agg row, targets
+            # from a per-cycle deterministic pseudo-random LIMIT sample
+            stats = orders.agg(
+                F.max("id").alias("mx"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]
+            n_rows = stats["n"]
+            if stats["mx"] is not None:
+                self._next_id = stats["mx"] + 1
+            ids = [
+                r["id"]
+                for r in orders.select("id")
+                .orderBy(F.xxhash64(F.col("id"), F.lit(self._cycle)), F.col("id"))
+                .limit(self.sample_pool)
+                .collect()
+            ]
 
         n_ins = self.rng.randint(1, 3) if self.rng.random() < 0.3 else 0
         n_upd = min(len(ids), self.rng.randint(1, 3)) if self.rng.random() < 0.4 else 0
         n_del = (
             min(2, self.rng.randint(1, 2))
-            if (self.rng.random() < 0.2 and len(ids) > 10)
+            if (self.rng.random() < 0.2 and n_rows > 10)
             else 0
         )
 

@@ -473,3 +473,25 @@ def test_cleanup_covers_jsonl_directories(env, spark):
     os.utime(batch, (old, old))
     assert ext.cleanup_old_batches(max_age_hours=24.0) == 1
     assert not batch.exists()
+
+
+def test_simulator_sample_pool_bounds_driver_collect(spark, tmp_path):
+    """sample_pool mode must mutate correctly while collecting at most
+    pool-size ids per cycle (the big-table-safe variant of the
+    reference's full id collect)."""
+    from cdc_historical_warehouse_platform_spark.pipeline.simulator import OrderSimulator
+    from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+    src = VersionedTable(tmp_path / "orders")
+    sim = OrderSimulator(spark, src, seed=7, sample_pool=5)
+    sim.seed_orders(25)
+    before = src.read(spark).count()
+    total_ops = {"inserts": 0, "updates": 0, "deletes": 0}
+    for _ in range(5):
+        ops = sim.mutate_once()
+        for k in total_ops:
+            total_ops[k] += ops[k]
+    after = src.read(spark).count()
+    assert after == before + total_ops["inserts"] - total_ops["deletes"]
+    # ids keep advancing past the seeded range (max-id agg, not collect)
+    assert sim._next_id > 25

@@ -180,3 +180,43 @@ def test_stratified_fractional_default_rate_samples_unlisted(docs):
     total = docs.count()
     assert 0 < n < total
     assert abs(n / total - 0.5) < 0.1
+
+
+def test_append_manifest_merges_without_rescanning(docs, tmp_path):
+    """Append must count only ITS new files and merge the previous
+    manifest (O(batch) per increment, never O(corpus)) — and the merged
+    manifest must be identical to what a full rescan would produce."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
+
+    spark = docs.sparkSession
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs.filter(F.col("doc_id") < 60), out, key_col="doc_id", num_shards=4
+    )
+    m2 = write_training_shards(
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)),
+        out,
+        key_col="doc_id",
+        num_shards=4,
+        mode="append",
+    )
+    assert m2["total_rows"] == 90
+    # ground truth from an actual full read of the layout
+    per_shard = {
+        str(r["shard"]): r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {s: m["rows"] for s, m in m2["shards"].items()} == per_shard
+    # every data file on disk is accounted for exactly once
+    on_disk = {
+        (sdir.name.split("=", 1)[1], f.name)
+        for sdir in Path(out).glob("shard=*")
+        for f in sdir.glob("*.parquet")
+    }
+    in_manifest = {
+        (s, f) for s, m in m2["shards"].items() for f in m["files"]
+    }
+    assert on_disk == in_manifest
