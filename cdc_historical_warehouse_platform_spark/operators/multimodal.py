@@ -9,11 +9,14 @@ North-star requirement. The pattern for 100 TB multimodal tables:
   (``mapInPandas``) so bytes cross the JVM↔Python boundary once per
   batch, not per row;
 - real codecs (PIL / librosa / av) are not in this container, so the
-  decode step is STUBBED: ``decode_image``/``decode_audio`` raise
-  ``NotImplementedError`` unless the library import succeeds, and the
-  tested path uses a deterministic byte-level feature extractor
-  (length, checksum, byte histogram entropy) — the Spark-side schema,
-  partitioning, UDF signature and batch shape are all real.
+  codec call itself is STUBBED: ``decode_image``/``decode_audio``
+  raise ``NotImplementedError`` unless the library import succeeds —
+  but the decode→resize→feature PIPELINES are real and tested: they
+  take an injectable ``decoder`` callable (r4), default to the
+  codec-backed adapters, and are exercised end-to-end with
+  deterministic raw decoders (``raw_image_decoder`` /
+  ``raw_audio_decoder``), so a user with Pillow/librosa installed
+  runs exactly the tested path with only the first callable swapped.
 """
 
 from __future__ import annotations
@@ -36,6 +39,14 @@ __all__ = [
     "sample_frames",
     "decode_image",
     "decode_audio",
+    "IMAGE_FEATURE_SCHEMA",
+    "extract_image_features",
+    "pil_decoder",
+    "raw_image_decoder",
+    "AUDIO_FEATURE_SCHEMA",
+    "extract_audio_features",
+    "librosa_decoder",
+    "raw_audio_decoder",
 ]
 
 
@@ -270,3 +281,173 @@ def sample_frames_jvm_twin(
             F.length("__chunk").alias("frame_len"),
         )
     )
+
+
+# --- decode → feature paths with injectable decoders (r4) -------------------
+#
+# The r3 gap: decode_image/decode_audio raised unless PIL/librosa
+# imported, so the decode→resize→feature pipeline itself was never
+# exercised. The fix is dependency inversion: the Arrow pipeline takes
+# a ``decoder`` callable (payload bytes → ndarray), the codec-backed
+# decoders are thin adapters onto that seam, and deterministic raw
+# decoders make the WHOLE downstream path (numpy resize, feature math,
+# Arrow batching, schema) testable in this codec-less container. A
+# user with Pillow installed runs the exact tested pipeline — only the
+# first callable differs.
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def pil_decoder(payload: bytes):
+    """payload → (H, W, C) uint8 array via Pillow (raises the honest
+    env stub when Pillow is absent)."""
+    import numpy as np
+
+    img = decode_image(payload)
+    return np.asarray(img.convert("RGB"))
+
+
+def raw_image_decoder(width: int, height: int, channels: int = 1):
+    """Codec-free decoder for raw row-major uint8 payloads of a known
+    shape — the deterministic stand-in that lets the full decode →
+    resize → feature pipeline run and be tested without Pillow."""
+
+    def _dec(payload: bytes):
+        import numpy as np
+
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        expected = width * height * channels
+        if arr.size != expected:
+            raise ValueError(
+                f"raw image payload has {arr.size} bytes, expected {expected}"
+            )
+        return arr.reshape(height, width, channels)
+
+    return _dec
+
+
+def extract_image_features(
+    df: DataFrame,
+    decoder=None,
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """Arrow-batched decode → nearest-neighbor resize → features.
+
+    ``decoder``: payload bytes → (H, W[, C]) uint8 array; defaults to
+    :func:`pil_decoder`. The resize is real resampling math (numpy
+    nearest-index gather), not a byte stand-in — identical for every
+    decoder, so tests with :func:`raw_image_decoder` pin exactly the
+    code a Pillow user runs."""
+    dec = decoder or pil_decoder
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL blob: drop, like the JVM twin
+                    continue
+                arr = np.asarray(dec(bytes(payload)))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w, c = arr.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = np.ascontiguousarray(arr[ys][:, xs])
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "mean_intensity": round(float(arr.mean()), 6),
+                        "resized_md5": hashlib.md5(resized.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_feats, IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def librosa_decoder(payload: bytes):
+    """payload → (waveform float array, sample_rate) via librosa
+    (raises the honest env stub when librosa is absent)."""
+    return decode_audio(payload)
+
+
+def raw_audio_decoder(sample_rate: int = 16000):
+    """Codec-free decoder for raw little-endian int16 mono payloads —
+    the deterministic stand-in that lets the waveform feature path run
+    and be tested without librosa."""
+
+    def _dec(payload: bytes):
+        import numpy as np
+
+        wave = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+        return wave, sample_rate
+
+    return _dec
+
+
+def extract_audio_features(df: DataFrame, decoder=None) -> DataFrame:
+    """Arrow-batched decode → waveform features (duration, RMS, zero
+    crossings). ``decoder``: payload bytes → (1-D float waveform,
+    sample_rate); defaults to :func:`librosa_decoder`."""
+    dec = decoder or librosa_decoder
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL blob: drop, like the JVM twin
+                    continue
+                wave, sr = dec(bytes(payload))
+                wave = np.asarray(wave, dtype=np.float64)
+                n = int(wave.size)
+                rms = float(np.sqrt(np.mean(wave**2))) if n else 0.0
+                zc = int(np.count_nonzero(np.diff(np.signbit(wave)))) if n > 1 else 0
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "sample_rate": int(sr),
+                        "duration_sec": round(n / sr, 6) if sr else 0.0,
+                        "rms": round(rms, 9),
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_feats, AUDIO_FEATURE_SCHEMA)
