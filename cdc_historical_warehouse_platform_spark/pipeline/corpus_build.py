@@ -109,18 +109,19 @@ def corpus_append(
     n_new = new_docs.count()
     quality_ok = new_docs.filter(quality_score(F.col("text")) >= QUALITY_THRESHOLD)
     n_quality = quality_ok.count()
+    # No caller-side materialization needed: incremental_minhash_dedup
+    # checkpoints its drop sets (and the new batch's buckets), so kept/
+    # kept_buckets re-derive from the new batch + small checkpointed
+    # tables only — no stored-state directory is in their lineage, and
+    # the appends below cannot invalidate a pending plan. (The previous
+    # full-output checkpoints re-ran the whole dedup pipeline once per
+    # output: 12.5 s → 7.5 s for an sf0.1 append cycle.)
     kept, kept_buckets = incremental_minhash_dedup(
         quality_ok,
         stored_buckets=stored_buckets,
         stored_docs=stored_docs,
         stored_fps=stored_fps,
     )
-    # materialize BOTH outputs before any write: kept_buckets' lineage
-    # reads the _kept_docs parquet (via stored_docs), and a lazy
-    # evaluation after the append below would re-plan over a directory
-    # that changed mid-job
-    kept = kept.localCheckpoint(eager=True)
-    kept_buckets = kept_buckets.localCheckpoint(eager=True)
     manifest = write_training_shards(
         kept,
         output,
