@@ -42,24 +42,46 @@ HEADLINE = [
 ]
 
 
-def corpus_append_cycle(spark, sf_dir: str, out: str, offset: int) -> float:
+def corpus_append_cycle(spark, sf_dir: str, out: str, cycle: int) -> float:
     """One timed incremental corpus-append: a synthetic new batch (half
     exact duplicates of the corpus — exercising the fingerprint tier —
-    half token-reversed fresh docs — exercising signature + append)
-    deduped against the persisted state and appended, marker included.
-    The store grows by the fresh half each cycle, so warm passes carry
-    a mild upward drift; min-of-2 still tracks the steady state."""
+    half genuinely-fresh docs — exercising signature + append) deduped
+    against the persisted state and appended, marker included.
+
+    Each cycle's fresh half must DIFFER from every earlier cycle's,
+    or warm passes degenerate into drop-everything probes (the fp tier
+    would kill byte-identical re-derivations and the append path would
+    go untimed): cycle 1 reverses the token order, cycles 2/3 apply
+    stride-2/-3 deinterleaves — mutually-low-Jaccard shufflings that
+    keep each doc's token sequence distinct (sorting instead would
+    converge different docs toward near-identical strings and turn the
+    verify step into an artificial near-dup blowup). The store grows
+    by the fresh half each cycle, so warm passes carry a mild upward
+    drift; min-of-2 still tracks the steady state."""
     from pyspark.sql import functions as F
 
     from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_append
 
+    toks = F.split(F.col("text"), " ")
+
+    def _pred(stride: int, r: int):
+        # closure factory: a default-arg lambda would surface as a
+        # 3-parameter function and break pyspark's HOF arity detection
+        return lambda _x, i: i % stride == r
+
+    def deinterleave(stride: int):
+        return F.flatten(
+            F.array(*[F.filter(toks, _pred(stride, r)) for r in range(stride)])
+        )
+
+    transform = {1: F.reverse(toks), 2: deinterleave(2), 3: deinterleave(3)}[cycle]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dup_half = docs.filter(F.col("doc_id") % 2 == 0)
     fresh_half = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
-        "text", F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+        "text", F.array_join(transform, " ")
     )
     new_batch = dup_half.unionByName(fresh_half).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(offset)
+        "doc_id", F.col("doc_id") + F.lit(cycle * 10_000_000)
     )
     t0 = time.perf_counter()
     corpus_append(spark, new_batch, out)
@@ -118,12 +140,10 @@ def main() -> None:
         from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_build
 
         corpus_build(spark, sf_dir, corpus_dir)
-        cold["corpus_append_cycle"] = corpus_append_cycle(
-            spark, sf_dir, corpus_dir, 10_000_000
-        )
+        cold["corpus_append_cycle"] = corpus_append_cycle(spark, sf_dir, corpus_dir, 1)
         warm["corpus_append_cycle"] = min(
-            corpus_append_cycle(spark, sf_dir, corpus_dir, 20_000_000),
-            corpus_append_cycle(spark, sf_dir, corpus_dir, 30_000_000),
+            corpus_append_cycle(spark, sf_dir, corpus_dir, 2),
+            corpus_append_cycle(spark, sf_dir, corpus_dir, 3),
         )
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)

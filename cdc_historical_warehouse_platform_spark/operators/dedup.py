@@ -742,9 +742,15 @@ def incremental_minhash_dedup(
     fingerprint set: the fp index is scanned one 16-byte column wide
     and never shuffled.
     """
+    # NULL text → NULL fingerprint: excluded from the tier entirely
+    # (two unknown texts are not evidence of duplication; NULLs would
+    # otherwise co-partition in the intra-batch window and drop
+    # distinct docs). Empty-NORMALIZED texts (e.g. pure punctuation)
+    # share a real md5('') fingerprint and DO dedup — exact_dedup and
+    # the full build's keep-decision tier group them the same way.
     fp_new = new_docs.select(
         F.col(id_col).alias("__fid"), fingerprint(F.col(text_col)).alias("fp")
-    )
+    ).filter(F.col("fp").isNotNull())
     if stored_fps is None:
         stored_fps = stored_docs.select(fingerprint(F.col(text_col)).alias("fp"))
     hit_fps = stored_fps.select("fp").join(

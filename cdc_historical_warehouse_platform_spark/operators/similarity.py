@@ -304,13 +304,17 @@ def ivf_search(
     n_probes: int = 2,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """Search an (already-assigned) IVF corpus: ``assigned`` has
     columns (neighbor_id, __cv, list_id). The probed query set is
     broadcast and scoring touches only corpus rows whose list_id is
     probed. Shared by the inline :func:`ivf_topk` and the persisted
-    ``IVFIndex.probe`` path."""
-    probed = probed_queries(queries, cents, n_probes, query_id, query_vec)
+    ``IVFIndex.probe`` path — the latter passes its already-built
+    ``probed`` set so the centroid-literal expression tree isn't
+    evaluated twice per query batch."""
+    if probed is None:
+        probed = probed_queries(queries, cents, n_probes, query_id, query_vec)
     scored = (
         assigned.join(F.broadcast(probed), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -98,13 +98,16 @@ def corpus_append(
     repaired = repair(out)
     stored_buckets = spark.read.parquet(str(out / "_lsh_index"))
     stored_docs = spark.read.parquet(str(out / "_kept_docs"))
-    if not (out / "_fp_index").exists():
+    # gate on data files, not the directory: repair() after a torn
+    # backfill unlinks the parquet files but leaves the directory, and
+    # an empty dir would skip the backfill then fail schema inference
+    if not any((out / "_fp_index").glob("*.parquet")):
         # pre-r4 state: one-time backfill of the fingerprint index from
         # the kept corpus (unlisted in the old marker, so a crash here
         # is rolled back and re-backfilled next run)
         stored_docs.select(
             "doc_id", fingerprint(F.col("text")).alias("fp")
-        ).write.parquet(str(out / "_fp_index"))
+        ).write.mode("overwrite").parquet(str(out / "_fp_index"))
     stored_fps = spark.read.parquet(str(out / "_fp_index"))
     n_new = new_docs.count()
     quality_ok = new_docs.filter(quality_score(F.col("text")) >= QUALITY_THRESHOLD)

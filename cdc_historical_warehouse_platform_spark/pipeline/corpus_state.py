@@ -57,6 +57,13 @@ def snapshot(out: Path) -> dict[str, list[str]]:
 
 def write_marker(out: Path, epoch: int) -> dict:
     marker = {"epoch": epoch, "files": snapshot(out)}
+    # the shard manifest is epoch state too: a torn append may have
+    # rewritten it before crashing, so repair must restore the
+    # committed copy alongside deleting the torn data files
+    try:
+        marker["manifest"] = json.loads((out / "_manifest.json").read_text())
+    except FileNotFoundError:
+        pass
     fd, tmp = tempfile.mkstemp(dir=out, prefix="._commit_")
     try:
         with os.fdopen(fd, "w") as f:
@@ -98,4 +105,12 @@ def repair(out: Path) -> dict:
             if str(p) not in committed:
                 p.unlink()
                 removed.append(str(p.relative_to(out)))
+    if removed and "manifest" in marker:
+        # roll the shard manifest back to the committed epoch's copy —
+        # a torn write_training_shards may have merged the (now
+        # deleted) files in; leaving that would list ghost files and
+        # double-count the retried batch's rows forever
+        (out / "_manifest.json").write_text(
+            json.dumps(marker["manifest"], indent=2, sort_keys=True)
+        )
     return {"epoch": marker["epoch"], "removed": sorted(removed)}

@@ -10,8 +10,8 @@ LSH state (run_pipeline.py ``_lsh_index``):
 - ``IVFIndex.build``: fit centroids (deterministic seeds + Lloyd
   steps), assign every corpus vector to its nearest list — one linear
   pass — and persist ``(vec_id, embedding, list_id)`` clustered by
-  list into a :class:`VersionedTable`; centroids land in a tiny
-  atomic JSON sidecar (n_lists × dim floats).
+  list into a :class:`VersionedTable`; centroids land in a tiny JSON
+  sidecar (n_lists × dim floats) named per build epoch.
 - ``IVFIndex.append``: assign ONLY the new vectors with the stored
   centroids (map-only, zero passes over the existing index) and
   append a segment — standard IVF semantics: the index grows, the
@@ -22,11 +22,15 @@ LSH state (run_pipeline.py ``_lsh_index``):
   row-group stats skip everything else), and scoring joins the
   broadcast probed-query set exactly like the inline path.
 
-Atomicity: the assignments table has VersionedTable's atomic pointer;
-the centroids sidecar is tmp+``os.replace``. ``build`` writes
-centroids first, assignments second — a reader sees the old complete
-index until the assignments pointer lands (probe reads centroids that
-match-or-predate assignments; both rewritten together on rebuild).
+Atomicity (the dim_store pattern): readers resolve ONE ``_LATEST``
+pointer naming a (centroids file, assignments version) pair; writes
+land data first (epoch-named centroid sidecar, assignments commit or
+append — old versions stay readable until vacuum) and swap the pointer
+last with an atomic replace. A crash anywhere before the swap leaves
+readers on the previous consistent pair — new centroids are never
+paired with assignments computed under old ones (that silent
+wrong-neighbors failure is exactly what a shared mutable sidecar
+would allow during a rebuild).
 """
 
 from __future__ import annotations
@@ -49,7 +53,7 @@ from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTabl
 
 __all__ = ["IVFIndex"]
 
-_CENTROIDS = "_centroids.json"
+_POINTER = "_LATEST"
 
 
 class IVFIndex:
@@ -58,24 +62,36 @@ class IVFIndex:
         self.path.mkdir(parents=True, exist_ok=True)
         self.assignments = VersionedTable(self.path / "assignments")
 
-    # --- state -------------------------------------------------------------
+    # --- pointer / state ---------------------------------------------------
 
-    def exists(self) -> bool:
-        return (self.path / _CENTROIDS).exists() and self.assignments.exists()
+    def _read_pointer(self) -> dict | None:
+        try:
+            return json.loads((self.path / _POINTER).read_text())
+        except FileNotFoundError:
+            return None
 
-    def centroids(self) -> list[list[float]]:
-        return json.loads((self.path / _CENTROIDS).read_text())["centroids"]
-
-    def _write_centroids(self, cents: list[list[float]], meta: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._cent_")
+    def _write_pointer(self, meta: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr_")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"centroids": cents, **meta}, f)
-            os.replace(tmp, self.path / _CENTROIDS)
+                json.dump(meta, f)
+            os.replace(tmp, self.path / _POINTER)
         except BaseException:
             if os.path.exists(tmp):
                 os.unlink(tmp)
             raise
+
+    def exists(self) -> bool:
+        meta = self._read_pointer()
+        return meta is not None and (self.path / meta["centroids_file"]).exists()
+
+    def centroids(self) -> list[list[float]]:
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"IVF index {self.path} has no committed build")
+        return json.loads((self.path / meta["centroids_file"]).read_text())[
+            "centroids"
+        ]
 
     @staticmethod
     def _assign(
@@ -107,10 +123,18 @@ class IVFIndex:
         txn_id: str | None = None,
     ) -> "IVFIndex":
         index = cls(path)
+        prev = index._read_pointer()
+        epoch = (prev["epoch"] + 1) if prev else 0
         cents = ivf_centroids(corpus, n_lists, refine, corpus_id, corpus_vec)
-        index._write_centroids(cents, {"n_lists": n_lists, "refine": refine})
-        index.assignments.commit(
+        cent_file = f"_centroids_e{epoch}.json"
+        (index.path / cent_file).write_text(
+            json.dumps({"centroids": cents, "n_lists": n_lists, "refine": refine})
+        )
+        v = index.assignments.commit(
             cls._assign(corpus, cents, corpus_id, corpus_vec), txn_id=txn_id
+        )
+        index._write_pointer(
+            {"epoch": epoch, "centroids_file": cent_file, "assignments_version": v}
         )
         return index
 
@@ -122,12 +146,18 @@ class IVFIndex:
         txn_id: str | None = None,
     ) -> int:
         """Assign new vectors with the STORED quantizer and append a
-        segment — the existing index is never read or rewritten."""
+        segment — the existing index is never read or rewritten. The
+        pointer advances only after the segment lands."""
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"IVF index {self.path} has no committed build")
         cents = self.centroids()
-        return self.assignments.append(
+        v = self.assignments.append(
             self._assign(new_vectors, cents, corpus_id, corpus_vec),
             txn_id=txn_id,
         )
+        self._write_pointer({**meta, "assignments_version": v})
+        return v
 
     def probe(
         self,
@@ -142,21 +172,25 @@ class IVFIndex:
         scan is prefiltered to the union of probed lists (pushed to
         parquet), then scored per query against the broadcast probed
         set — same output schema and same results as the inline
-        ``ivf_topk`` run with this index's centroids."""
-        cents = self.centroids()
+        ``ivf_topk`` run with this index's centroids. One pointer
+        resolution pins a consistent (centroids, assignments-version)
+        pair for the whole query."""
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"IVF index {self.path} has no committed build")
+        cents = json.loads((self.path / meta["centroids_file"]).read_text())[
+            "centroids"
+        ]
         # the union of probed lists is tiny (≤ |queries|·n_probes ≤
-        # n_lists) — collect it and push an IN-filter into the
-        # assignments scan so non-probed lists are skipped at the
-        # row-group level, not post-scan
+        # n_lists) — compute the probe set ONCE, collect the list ids,
+        # and push an IN-filter into the assignments scan so non-probed
+        # lists are skipped at the row-group level, not post-scan
+        probed = probed_queries(queries, cents, n_probes, query_id, query_vec)
         probed_ids = [
-            r["list_id"]
-            for r in probed_queries(queries, cents, n_probes, query_id, query_vec)
-            .select("list_id")
-            .distinct()
-            .collect()
+            r["list_id"] for r in probed.select("list_id").distinct().collect()
         ]
         assigned = (
-            self.assignments.read(spark)
+            self.assignments.read(spark, version=meta["assignments_version"])
             .filter(F.col("list_id").isin(probed_ids))
             .select(
                 F.col("vec_id").alias("neighbor_id"),
@@ -165,5 +199,5 @@ class IVFIndex:
             )
         )
         return ivf_search(
-            assigned, queries, cents, k, n_probes, query_id, query_vec
+            assigned, queries, cents, k, n_probes, query_id, query_vec, probed=probed
         )

@@ -293,19 +293,6 @@ def main() -> int:
                     sort_keys=True,
                 )
             )
-        print(
-            json.dumps(
-                {
-                    "new_docs": n_new,
-                    "low_quality": n_new - n_quality,
-                    "near_dup": n_quality - n_kept,
-                    "appended": n_kept,
-                    "repaired_files": len(repaired["removed"]),
-                    "corpus_rows": manifest["total_rows"],
-                    "output": args.output,
-                }
-            )
-        )
     return 0
 
 

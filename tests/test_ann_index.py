@@ -101,3 +101,31 @@ def test_semdedup_accepts_prebuilt_centroids(spark, tmp_path):
     a = sorted((r["id"], r["list_id"], r["keep"]) for r in with_index.collect())
     b = sorted((r["id"], r["list_id"], r["keep"]) for r in rebuilt.collect())
     assert a == b
+
+
+def test_rebuild_crash_leaves_consistent_pair(spark, tmp_path):
+    """A rebuild that dies before the pointer swap must leave probe on
+    the OLD (centroids, assignments) pair — never new centroids over
+    old assignments (silent wrong neighbors)."""
+    emb = _emb(spark)
+    q = _queries(emb)
+    index = IVFIndex.build(emb, tmp_path / "ivf", n_lists=8)
+    before = _rows(index.probe(spark, q, k=10, n_probes=2))
+    ptr_before = (tmp_path / "ivf" / "_LATEST").read_text()
+
+    # simulate the crash window: a new epoch's centroid sidecar lands
+    # (different quantizer params) but neither assignments nor pointer
+    import json
+
+    (tmp_path / "ivf" / "_centroids_e1.json").write_text(
+        json.dumps({"centroids": [[0.0] * 64] * 4, "n_lists": 4, "refine": 0})
+    )
+    assert (tmp_path / "ivf" / "_LATEST").read_text() == ptr_before
+    after = _rows(index.probe(spark, q, k=10, n_probes=2))
+    assert after == before
+
+    # a completed rebuild swaps the pointer to the new epoch atomically
+    index2 = IVFIndex.build(emb, tmp_path / "ivf", n_lists=4)
+    meta = json.loads((tmp_path / "ivf" / "_LATEST").read_text())
+    assert meta["epoch"] == 1 and meta["centroids_file"] == "_centroids_e1.json"
+    assert len(index2.centroids()) == 4

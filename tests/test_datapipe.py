@@ -946,3 +946,63 @@ def test_codec_decoders_are_honest_stubs_without_libs(spark):
     if importlib.util.find_spec("librosa") is None:
         with pytest.raises(Exception, match="librosa"):
             extract_audio_features(df).collect()
+
+
+def test_corpus_state_repair_restores_manifest(tmp_path):
+    """A torn append may have merged its (now rolled-back) files into
+    _manifest.json before crashing — repair must restore the committed
+    epoch's manifest, not leave ghost files double-counting rows."""
+    import json
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
+        repair,
+        write_marker,
+    )
+
+    out = tmp_path / "corpus"
+    (out / "shard=0").mkdir(parents=True)
+    (out / "shard=0" / "part-0.parquet").write_bytes(b"committed")
+    committed_manifest = {"total_rows": 10, "shards": {"0": {"files": ["part-0.parquet"], "rows": 10}}}
+    (out / "_manifest.json").write_text(json.dumps(committed_manifest))
+    write_marker(out, epoch=1)
+
+    # torn epoch: a new shard file landed AND the manifest was rewritten
+    (out / "shard=0" / "part-9.parquet").write_bytes(b"torn")
+    (out / "_manifest.json").write_text(
+        json.dumps({"total_rows": 25, "shards": {"0": {"files": ["part-0.parquet", "part-9.parquet"], "rows": 25}}})
+    )
+
+    result = repair(out)
+    assert result["removed"] == ["shard=0/part-9.parquet"]
+    assert json.loads((out / "_manifest.json").read_text()) == committed_manifest
+
+
+def test_incremental_dedup_null_text_not_collapsed(spark):
+    """Docs with NULL text (NULL fingerprint) must not be deduped
+    against each other — unknown texts are not evidence of
+    duplication — while empty-NORMALIZED texts (pure punctuation)
+    share a real md5('') fingerprint and do dedup, matching
+    exact_dedup's grouping."""
+    from pyspark.sql import types as T
+
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_buckets,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    batch1 = spark.createDataFrame([(1, "some stored doc text here")], schema)
+    batch2 = spark.createDataFrame(
+        [(10, None), (11, None), (12, "!!!"), (13, "???"), (14, "regular fresh doc")],
+        schema,
+    )
+    store = minhash_band_buckets(batch1).localCheckpoint(eager=True)
+    kept, _ = incremental_minhash_dedup(
+        batch2, stored_buckets=store, stored_docs=batch1, threshold=0.5
+    )
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # both NULLs kept; '???' dropped as exact dup of '!!!' (both
+    # normalize to ''); the regular doc kept
+    assert kept_ids == [10, 11, 12, 14]
