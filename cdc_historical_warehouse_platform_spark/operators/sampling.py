@@ -29,6 +29,7 @@ for the corpus domain.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame
@@ -40,6 +41,7 @@ __all__ = [
     "stratified_hash_sample",
     "weighted_keep_expr",
     "write_training_shards",
+    "compact_shards",
 ]
 
 SAMPLE_KEY_BITS = 16  # 4 hex chars → 65536 buckets; rate granularity 1/65536
@@ -245,3 +247,91 @@ def write_training_shards(
     }
     (root / "_manifest.json").write_text(json.dumps(manifest, indent=2, sort_keys=True))
     return manifest
+
+
+def compact_shards(
+    spark,
+    path: str,
+    max_files_per_shard: int = 32,
+    max_records_per_file: int = 100_000,
+    order_col: str | None = None,
+    delete_old: bool = True,
+) -> dict:
+    """OPTIMIZE-style maintenance for the shard layout: shards whose
+    file count exceeds ``max_files_per_shard`` are rewritten into the
+    fewest files honoring ``max_records_per_file``; every other shard
+    is untouched, byte for byte.
+
+    After N incremental appends every shard holds ~N small files —
+    compaction bounds scan-planning cost the same way
+    ``SCD2DimStore.compact_history`` bounds the history manifest.
+
+    Write-ahead shape (composes with the corpus commit marker for
+    crash atomicity): compacted data lands as NEW part files appended
+    into the same shard dirs (the read is pinned to the OLD files by
+    explicit path, so it cannot see its own output), the manifest
+    swaps each victim's file list, and only then are the old files
+    unlinked. With ``delete_old=False`` the caller sequences the
+    deletion after publishing its commit marker —
+    ``pipeline.corpus_build.corpus_compact`` does exactly that, making
+    a crash at ANY point repairable (unlisted files are rolled back,
+    listed files are never deleted first). Per-shard row counts are
+    carried over, never recounted — the data is unchanged by
+    construction.
+
+    Returns ``{"compacted_shards", "files_before", "files_after",
+    "old_files"}`` (``old_files`` relative to ``path``; already
+    deleted unless ``delete_old=False``).
+    """
+    root = Path(path)
+    manifest = json.loads((root / "_manifest.json").read_text())
+    victims = {
+        s: m
+        for s, m in manifest["shards"].items()
+        if len(m["files"]) > max_files_per_shard
+    }
+    if not victims:
+        return {
+            "compacted_shards": 0,
+            "files_before": 0,
+            "files_after": 0,
+            "old_files": [],
+        }
+
+    old_rel = [f"shard={s}/{f}" for s, m in victims.items() for f in m["files"]]
+    old_paths = [str(root / rel) for rel in old_rel]
+    listed_before = {
+        s: {p.name for p in (root / f"shard={s}").glob("*.parquet")} for s in victims
+    }
+    df = spark.read.option("basePath", str(root)).parquet(*old_paths)
+    sort_col = order_col or manifest.get("key_col") or df.columns[0]
+    (
+        df.repartition(len(victims), "shard")
+        .sortWithinPartitions(sort_col)
+        .write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard")
+        .parquet(str(root))
+    )
+
+    files_after = 0
+    for s, m in victims.items():
+        new_files = sorted(
+            p.name
+            for p in (root / f"shard={s}").glob("*.parquet")
+            if p.name not in listed_before[s]
+        )
+        manifest["shards"][s] = {"files": new_files, "rows": m["rows"]}
+        files_after += len(new_files)
+    (root / "_manifest.json").write_text(
+        json.dumps(manifest, indent=2, sort_keys=True)
+    )
+    if delete_old:
+        for p in old_paths:
+            os.unlink(p)
+    return {
+        "compacted_shards": len(victims),
+        "files_before": len(old_rel),
+        "files_after": files_after,
+        "old_files": old_rel,
+    }

@@ -20,7 +20,10 @@ from cdc_historical_warehouse_platform_spark.operators.dedup import (
     incremental_minhash_dedup,
     minhash_band_buckets,
 )
-from cdc_historical_warehouse_platform_spark.operators.sampling import write_training_shards
+from cdc_historical_warehouse_platform_spark.operators.sampling import (
+    compact_shards,
+    write_training_shards,
+)
 from cdc_historical_warehouse_platform_spark.operators.text import fingerprint, quality_score
 from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
     read_marker,
@@ -28,7 +31,7 @@ from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
     write_marker,
 )
 
-__all__ = ["corpus_build", "corpus_append"]
+__all__ = ["corpus_build", "corpus_append", "corpus_compact"]
 
 QUALITY_THRESHOLD = 0.68
 
@@ -150,3 +153,41 @@ def corpus_append(
         "corpus_rows": manifest["total_rows"],
         "output": output,
     }
+
+
+def corpus_compact(
+    spark: SparkSession,
+    output: str,
+    max_files_per_shard: int = 32,
+    max_records_per_file: int = 100_000,
+) -> dict:
+    """Crash-atomic shard compaction: roll back any torn epoch, rewrite
+    over-fragmented shards (compact_shards with deletion deferred),
+    publish the marker listing the NEW files, and only then unlink the
+    old ones. A crash at any point is repairable: before the marker the
+    unlisted compacted files are rolled back; after it, the old files
+    are unlisted and removed by the next repair."""
+    out = Path(output)
+    repaired = repair(out)
+    result = compact_shards(
+        spark,
+        output,
+        max_files_per_shard=max_files_per_shard,
+        max_records_per_file=max_records_per_file,
+        delete_old=False,
+    )
+    if result["compacted_shards"]:
+        # the marker must NOT list the superseded files (a crash mid-
+        # unlink would otherwise leave them committed forever); with
+        # them excluded, the next repair finishes the deletion
+        write_marker(
+            out,
+            epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1,
+            exclude=frozenset(result["old_files"]),
+        )
+        for rel in result["old_files"]:
+            p = out / rel
+            if p.exists():
+                p.unlink()
+    return {**{k: v for k, v in result.items() if k != "old_files"},
+            "repaired_files": len(repaired["removed"])}

@@ -41,22 +41,32 @@ def _data_files(root: Path) -> list[str]:
     )
 
 
-def snapshot(out: Path) -> dict[str, list[str]]:
-    """Relative paths of every data file, per state dir + shard layout."""
+def snapshot(out: Path, exclude: frozenset[str] = frozenset()) -> dict[str, list[str]]:
+    """Relative paths of every data file, per state dir + shard layout.
+    ``exclude``: out-relative paths to omit — used by compaction to
+    publish a marker that does NOT list the superseded files it is
+    about to unlink (listing them would make a crash mid-unlink leave
+    them committed forever)."""
     files: dict[str, list[str]] = {}
     for d in STATE_DIRS:
         if (out / d).exists():
-            files[d] = _data_files(out / d)
+            files[d] = [
+                f for f in _data_files(out / d) if f"{d}/{f}" not in exclude
+            ]
     files["shards"] = sorted(
         str(p.relative_to(out))
         for p in out.rglob("*.parquet")
-        if p.is_file() and not p.relative_to(out).parts[0].startswith("_")
+        if p.is_file()
+        and not p.relative_to(out).parts[0].startswith("_")
+        and str(p.relative_to(out)) not in exclude
     )
     return files
 
 
-def write_marker(out: Path, epoch: int) -> dict:
-    marker = {"epoch": epoch, "files": snapshot(out)}
+def write_marker(
+    out: Path, epoch: int, exclude: frozenset[str] = frozenset()
+) -> dict:
+    marker = {"epoch": epoch, "files": snapshot(out, exclude)}
     # the shard manifest is epoch state too: a torn append may have
     # rewritten it before crashing, so repair must restore the
     # committed copy alongside deleting the torn data files

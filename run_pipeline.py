@@ -20,6 +20,7 @@ Usage:
                                    [--order-key K]
   python run_pipeline.py corpus    --input SF_DIR --output DIR\n  python run_pipeline.py corpus-append --input NEW_SF_DIR --output DIR
                                    [--num-shards N] [--max-records-per-file N]
+  python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
   python run_pipeline.py ann-append --input NEW_SF_DIR --output DIR
   python run_pipeline.py ann-query  --input SF_DIR --output DIR
@@ -73,7 +74,7 @@ def main() -> int:
         "command",
         choices=[
             "seed", "simulate", "extract", "load", "status", "validate",
-            "corpus", "corpus-append",
+            "corpus", "corpus-append", "corpus-compact",
             "ann-build", "ann-append", "ann-query",
         ],
     )
@@ -121,6 +122,10 @@ def main() -> int:
     )
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--max-records-per-file", type=int, default=100_000)
+    ap.add_argument(
+        "--max-files-per-shard", type=int, default=32,
+        help="corpus-compact: rewrite shards exceeding this file count",
+    )
     ap.add_argument("--n-lists", type=int, default=16, help="ann-build: IVF lists")
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
     ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query")
@@ -228,6 +233,24 @@ def main() -> int:
                     new_docs,
                     args.output,
                     num_shards=args.num_shards,
+                    max_records_per_file=args.max_records_per_file,
+                )
+            )
+        )
+    elif args.command == "corpus-compact":
+        # OPTIMIZE-style shard maintenance: bound file counts after
+        # many incremental appends (crash-atomic via the marker)
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_compact
+
+        if not args.output:
+            print(json.dumps({"error": "corpus-compact requires --output"}))
+            return 1
+        print(
+            json.dumps(
+                corpus_compact(
+                    spark,
+                    args.output,
+                    max_files_per_shard=args.max_files_per_shard,
                     max_records_per_file=args.max_records_per_file,
                 )
             )

@@ -220,3 +220,86 @@ def test_append_manifest_merges_without_rescanning(docs, tmp_path):
         (s, f) for s, m in m2["shards"].items() for f in m["files"]
     }
     assert on_disk == in_manifest
+
+
+def test_compact_shards_bounds_files_and_preserves_rows(docs, tmp_path):
+    """Fragmented shards (many tiny appended files) compact into few
+    files with identical rows; untouched shards keep their files."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import compact_shards
+
+    spark = docs.sparkSession
+    out = str(tmp_path / "shards")
+    # 10 appends of 10 docs → ~10 files per shard
+    write_training_shards(
+        docs.filter(F.col("doc_id") < 10), out, key_col="doc_id", num_shards=2
+    )
+    for i in range(1, 10):
+        write_training_shards(
+            docs.filter((F.col("doc_id") >= i * 10) & (F.col("doc_id") < (i + 1) * 10)),
+            out,
+            key_col="doc_id",
+            num_shards=2,
+            mode="append",
+        )
+    before = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    m_before = json.loads((Path(out) / "_manifest.json").read_text())
+    assert any(len(m["files"]) > 3 for m in m_before["shards"].values())
+
+    result = compact_shards(spark, out, max_files_per_shard=3)
+    assert result["compacted_shards"] == 2
+    assert result["files_after"] < result["files_before"]
+
+    m_after = json.loads((Path(out) / "_manifest.json").read_text())
+    assert all(len(m["files"]) <= 3 for m in m_after["shards"].values())
+    # rows carried over, never recounted — and actually identical
+    assert m_after["total_rows"] == m_before["total_rows"]
+    after = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert after == before
+    # manifest matches disk exactly (old files deleted)
+    on_disk = {
+        (sdir.name.split("=", 1)[1], f.name)
+        for sdir in Path(out).glob("shard=*")
+        for f in sdir.glob("*.parquet")
+    }
+    in_manifest = {
+        (s, f) for s, m in m_after["shards"].items() for f in m["files"]
+    }
+    assert on_disk == in_manifest
+
+
+def test_corpus_compact_marker_excludes_superseded_files(docs, tmp_path):
+    """The compaction marker must NOT list the old files it is about to
+    delete — a crash mid-unlink must leave them uncommitted so the next
+    repair finishes the job."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_compact
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
+        read_marker,
+        repair,
+        write_marker,
+    )
+
+    spark = docs.sparkSession
+    out = tmp_path / "corpus"
+    write_training_shards(
+        docs.filter(F.col("doc_id") < 20), str(out), key_col="doc_id", num_shards=2
+    )
+    for i in range(1, 6):
+        write_training_shards(
+            docs.filter((F.col("doc_id") >= i * 20) & (F.col("doc_id") < (i + 1) * 20)),
+            str(out),
+            key_col="doc_id",
+            num_shards=2,
+            mode="append",
+        )
+    write_marker(out, epoch=5)
+    result = corpus_compact(spark, str(out), max_files_per_shard=2)
+    assert result["compacted_shards"] == 2
+    marker = read_marker(out)
+    assert marker["epoch"] == 6
+    # no ghost files: everything the marker lists exists on disk, and
+    # repair on the clean post-compaction state is a no-op
+    for rel in marker["files"]["shards"]:
+        assert (out / rel).exists()
+    assert repair(out)["removed"] == []
+    rows = spark.read.parquet(str(out)).count()
+    assert rows == 120
