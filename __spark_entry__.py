@@ -87,6 +87,9 @@ _PRIORITY = [
     "scd2_timestamp_continuity",
     "scd2_version_timeline",
     "scd2_interval_integrity",
+    # --- new r04: image decode→resize pipeline (raw decoder) through the
+    # driver gate with a hash-exact rpad/substring/md5 DuckDB twin ---
+    "multimodal_image_features",
 ]
 _DEMOTED = [
     # --- r04 rotation: driver-green r01-r03 (three consecutive rounds);
@@ -102,6 +105,7 @@ _DEMOTED = [
     "scalar_functions",            # F; string funcs exercised by promoted text rows (green r01-r03)
     "filter_point_lookup_current",  # P3 ≡ filter_key_history (green r01-r03)
     "window_top_per_customer",     # W2; window_range_frame + ntile stay in-window (green r01-r03)
+    "scd2_change_frequency",       # A3; green r01-r03 AND smoke-checked every round as entry(); slot ceded to multimodal_image_features
     # --- pre-r04 demotions ---
     "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
     "window_salted_topk",          # oracle-equal to window_top_per_customer (green r02)

@@ -697,6 +697,62 @@ DATAPIPE_QUERIES["multimodal_frame_sample"] = (
 )
 
 
+def q_multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """The image decode→resize pipeline through the driver gate: each
+    doc's text is framed as a 16×16 raw grayscale payload (substring+
+    rpad, deterministic), decoded by the codec-free raw decoder, and
+    run through the REAL Arrow pipeline (mapInPandas → numpy
+    nearest-index resize to 4×4 → md5 of the resampled bytes) — the
+    identical code a Pillow user executes, minus only the codec call.
+    Hash-exact oracle: the ASCII corpus makes DuckDB's rpad/substring/
+    md5 byte-exact twins of the byte-level math (the float
+    mean_intensity column is excluded from the registered output —
+    Python banker's rounding vs DuckDB half-away rounding can differ
+    at k/256 midpoints; pytest covers it against numpy instead)."""
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        extract_image_features,
+        raw_image_decoder,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    framed = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.encode(
+            F.rpad(F.substring(F.col("text"), 1, 256), 256, "."), "utf-8"
+        ).alias("payload"),
+    )
+    feats = extract_image_features(
+        framed, decoder=raw_image_decoder(16, 16), out_w=4, out_h=4
+    )
+    return feats.select(
+        "doc_id", "width", "height", "channels", "resized_md5"
+    ).orderBy("doc_id")
+
+
+# 4×4 nearest-index gather from the 16×16 frame: output pixel (y, x)
+# reads input byte (y*16//4)*16 + (x*16//4) → rows/cols 0,4,8,12
+_IMG_POSITIONS = [y * 16 + x + 1 for y in (0, 4, 8, 12) for x in (0, 4, 8, 12)]
+SQL_IMAGE_FEATURES = f"""
+WITH base AS (
+  SELECT doc_id, rpad(substring(text, 1, 256), 256, '.') AS s
+  FROM documents
+  WHERE text IS NOT NULL)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       md5(concat({", ".join(f"substring(s, {p}, 1)" for p in _IMG_POSITIONS)}))
+         AS resized_md5
+FROM base
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["multimodal_image_features"] = (
+    q_multimodal_image_features,
+    SQL_IMAGE_FEATURES,
+)
+
+
 def q_corpus_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified corpus downsampling: bucket every
     document by quality stratum (high ≥ 0.8 / mid ≥ 0.65 / low) and
