@@ -159,6 +159,24 @@ class IVFIndex:
         self._write_pointer({**meta, "assignments_version": v})
         return v
 
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Reclaim superseded state: old assignment versions beyond
+        ``keep_last`` (delegated to VersionedTable.vacuum) and centroid
+        sidecars no epoch pointer references — build-crash orphans and
+        pre-rebuild quantizers. The pointed-to pair is never touched."""
+        removed_versions = self.assignments.vacuum(keep_last=keep_last)
+        meta = self._read_pointer()
+        keep_file = meta["centroids_file"] if meta else None
+        removed_centroids = []
+        for f in sorted(self.path.glob("_centroids_e*.json")):
+            if f.name != keep_file:
+                f.unlink()
+                removed_centroids.append(f.name)
+        return {
+            "removed_versions": removed_versions,
+            "removed_centroids": removed_centroids,
+        }
+
     def probe(
         self,
         spark: SparkSession,

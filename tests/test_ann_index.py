@@ -129,3 +129,24 @@ def test_rebuild_crash_leaves_consistent_pair(spark, tmp_path):
     meta = json.loads((tmp_path / "ivf" / "_LATEST").read_text())
     assert meta["epoch"] == 1 and meta["centroids_file"] == "_centroids_e1.json"
     assert len(index2.centroids()) == 4
+
+
+def test_vacuum_reclaims_old_epochs_keeps_live_pair(spark, tmp_path):
+    import json
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    IVFIndex.build(emb, tmp_path / "ivf", n_lists=8)
+    # a crashed build's orphan sidecar + a completed rebuild
+    (tmp_path / "ivf" / "_centroids_e7.json").write_text(
+        json.dumps({"centroids": [[0.0] * 64] * 2, "n_lists": 2, "refine": 0})
+    )
+    index = IVFIndex.build(emb, tmp_path / "ivf", n_lists=8)
+    before = _rows(index.probe(spark, q, k=5, n_probes=2))
+
+    result = index.vacuum(keep_last=1)
+    assert "_centroids_e0.json" in result["removed_centroids"]
+    assert "_centroids_e7.json" in result["removed_centroids"]
+    # the pointed-to pair survives and probes identically
+    assert index.exists()
+    assert _rows(index.probe(spark, q, k=5, n_probes=2)) == before
