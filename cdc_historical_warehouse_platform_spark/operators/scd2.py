@@ -175,6 +175,7 @@ def scd2_merge_tagged(
     batch_id: str | None = None,
     business_key: str = BUSINESS_KEY,
     change_key: str = "id",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Single-probe merge: the current slice is scanned ONCE.
 
@@ -199,7 +200,18 @@ def scd2_merge_tagged(
     A storage layer that writes this tagged output once — e.g. one
     ``partitionBy(__part)`` job (SCD2DimStore.apply_batch) — pays one
     wide scan + one key-column scan per batch, total.
+
+    ``hint_broadcast`` (default True) is the MICRO-BATCH contract: the
+    batch side is force-broadcast so the dimension is never shuffled —
+    not even the shuffle-write AQE's runtime broadcast conversion
+    would still pay. Pass False when the batch may be dimension-sized
+    (a bulk seed of an empty store — SCD2DimStore does this
+    automatically for its first-ever batch): forcing a broadcast of a
+    20M-row batch OOMs the driver, while the unhinted plan lets
+    Catalyst/AQE fall back to a shuffle join. Bulk HISTORY loads
+    should use :func:`scd2_build_from_change_log` instead.
     """
+    maybe_bcast = F.broadcast if hint_broadcast else (lambda df: df)
     latest = dedupe_latest_per_key(changes, key=change_key)
 
     # Stage the batch in __b_-prefixed vocabulary so join output is
@@ -215,7 +227,7 @@ def scd2_merge_tagged(
 
     # J1: current slice ⟕ broadcast(batch) — the ONE wide probe.
     joined = current.join(
-        F.broadcast(staged),
+        maybe_bcast(staged),
         current[business_key] == staged["__b_key"],
         "left_outer",
     )
@@ -272,10 +284,10 @@ def scd2_merge_tagged(
     # ``matched`` reads only the business-key column of the dimension
     # (skinny scan) and is at most |batch| rows — broadcastable.
     matched = current.select(F.col(business_key).alias("__b_key")).join(
-        F.broadcast(staged.select("__b_key")), "__b_key", "left_semi"
+        maybe_bcast(staged.select("__b_key")), "__b_key", "left_semi"
     )
     inserts = (
-        staged.join(F.broadcast(matched), "__b_key", "left_anti")
+        staged.join(maybe_bcast(matched), "__b_key", "left_anti")
         # DELETE of a missing key succeeds silently (scd2_loader.py:441-446)
         .filter(F.col("__b_operation_type") != "DELETE")
         .select(

@@ -132,7 +132,13 @@ class SCD2DimStore:
             shutil.rmtree(stale, ignore_errors=True)
 
         cur = self.read_current(spark)
-        tagged = scd2_merge_tagged(cur, changes, batch_id=batch_id)
+        # First-ever batch may be a bulk seed the size of the dimension:
+        # skip the micro-batch broadcast hint and let Catalyst/AQE pick
+        # (forcing a dimension-sized broadcast OOMs; every later batch
+        # is the CDC micro-batch contract and stays hinted).
+        tagged = scd2_merge_tagged(
+            cur, changes, batch_id=batch_id, hint_broadcast=meta is not None
+        )
         dim_schema = tagged.drop(PART_COLUMN).schema
         dim_columns = [c for c in tagged.columns if c != PART_COLUMN]
 
