@@ -120,10 +120,17 @@ def jaccard_pairs(
     """
     sh = _shingles(df, text_col, id_col, n)
     if max_doc_freq is not None:
+        # Broadcast the DROP-list, not the keep-list: shingles with
+        # df > cap are the heavy hitters — bounded by corpus_size/cap
+        # at any scale — while the keep-list is ~the whole distinct
+        # shingle dictionary (corpus-sized at 100 TB; force-
+        # broadcasting it was the r4 audit's scale-killer). Anti-join
+        # against the small side is the same filter.
         df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
         sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("df") <= max_doc_freq).select("shingle")),
+            F.broadcast(df_counts.filter(F.col("df") > max_doc_freq).select("shingle")),
             "shingle",
+            "left_anti",
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

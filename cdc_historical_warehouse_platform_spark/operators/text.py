@@ -257,6 +257,7 @@ def unigram_surprisal(
     df: "DataFrame",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> "DataFrame":
     """Model-based quality scoring with a corpus unigram LM (the
     CCNet/KenLM-filter idea reduced to its distributed core): fit
@@ -275,10 +276,12 @@ def unigram_surprisal(
 
     Scale shape: one explode + one groupBy fits the model (map-side
     combine reduces each partition to its distinct tokens); scoring
-    joins tokens to the vocab — broadcast here (vocab ≪ corpus by
-    Heaps' law; sublinear in corpus size), hash-join on token when a
-    100 TB vocab outgrows the broadcast threshold; then one groupBy on
-    doc_id. The corpus token total is embedded as a literal from one
+    joins tokens to the vocab — broadcast-hinted by default (vocab ≪
+    corpus by Heaps' law; sublinear in corpus size); pass
+    ``broadcast_vocab=False`` when a 100 TB vocab outgrows the
+    broadcast threshold and the scoring join must hash-join on token
+    (the hint is forced, so the fallback has to be explicit); then one
+    groupBy on doc_id. The corpus token total is embedded as a literal from one
     distributed count() at plan-build (the ivf_centroids / tfidf
     pattern) — an unpartitioned window over the vocab would funnel
     every distinct token through a single partition at 100 TB.
@@ -299,9 +302,8 @@ def unigram_surprisal(
     s_micro = F.floor(
         F.log2(F.lit(float(total)) / F.col("cnt")) * F.lit(1000000.0)
     )
-    scored = toks.join(F.broadcast(vocab), "token").select(
-        "doc_id", s_micro.alias("__s")
-    )
+    vb = F.broadcast(vocab) if broadcast_vocab else vocab
+    scored = toks.join(vb, "token").select("doc_id", s_micro.alias("__s"))
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -321,6 +323,7 @@ def tfidf_top_keywords(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    broadcast_vocab: bool = True,
 ) -> "DataFrame":
     """Per-document top-k keywords by TF-IDF. Classic text-analysis
     tier: tf = in-doc token count, idf = ln(N/df) over the corpus,
@@ -357,7 +360,8 @@ def tfidf_top_keywords(
     idf_micro = F.floor(
         F.log(F.lit(float(n_docs)) / F.col("df_docs")) * F.lit(1000000.0)
     )
-    scored = tf.join(F.broadcast(vocab.select("token", idf_micro.alias("__idf"))), "token")
+    vb = vocab.select("token", idf_micro.alias("__idf"))
+    scored = tf.join(F.broadcast(vb) if broadcast_vocab else vb, "token")
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf") * F.col("__idf")).desc(), F.col("token").asc()
     )
@@ -433,6 +437,7 @@ def bigram_surprisal(
     df: "DataFrame",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> "DataFrame":
     """Conditional bigram-LM scoring — the context-sensitive step up
     from :func:`unigram_surprisal`: per-doc mean of
@@ -482,7 +487,7 @@ def bigram_surprisal(
         )
     )
     return (
-        big.join(F.broadcast(scored_vocab), "bg")
+        big.join(F.broadcast(scored_vocab) if broadcast_vocab else scored_vocab, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
