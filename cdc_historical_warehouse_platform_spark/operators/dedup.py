@@ -541,6 +541,7 @@ def banded_embedding_near_dup(
     bands: int | None = None,
     signature: str = "expr",
     n_hint: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH
     candidates + exact cosine verification — the bucketed counterpart
@@ -583,10 +584,15 @@ def banded_embedding_near_dup(
     # xxhash64 expression via _plane_weight_matrix) instead of
     # evaluating n_planes × dim hash calls per row — at t=0.99 that is
     # 512 × 64 = 32K xxhash64 per vector, the dominant cost of the
-    # whole operator (measured 76 s → 23 s at 100K vectors).
-    # Projections read the first min(dim, size(vec)) components; pass
-    # ``dim`` matching the embedding dimensionality.
-    dim = 64
+    # whole operator. Projections read the first min(dim, size(vec))
+    # components, so ``dim`` MUST cover the embedding dimensionality —
+    # silently truncating a 768-d corpus to 64 components would break
+    # the (r, B) miss model and lose recall with no error. When not
+    # given, it is derived from the corpus's first vector (one 1-row
+    # job at plan build, the ivf_centroids pattern).
+    if dim is None:
+        first = emb.select(F.size(vec).alias("n")).filter(F.col("n") > 0).limit(1).collect()
+        dim = first[0]["n"] if first else 64
     weights = F.lit(_plane_weight_matrix(n_planes, dim))
     wlen = F.least(F.lit(dim), F.size(vec))
     head = F.slice(vec, F.lit(1), wlen)

@@ -289,6 +289,11 @@ def compact_shards(
         s: m
         for s, m in manifest["shards"].items()
         if len(m["files"]) > max_files_per_shard
+        # skip shards already at their minimal layout: a shard whose
+        # rows NEED more than max_files_per_shard files would otherwise
+        # be fully rewritten on every maintenance run, producing the
+        # identical file count forever
+        and len(m["files"]) > -(-m["rows"] // max_records_per_file)
     }
     if not victims:
         return {

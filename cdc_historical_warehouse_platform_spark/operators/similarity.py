@@ -115,6 +115,12 @@ def _plane_weight_matrix(n_planes: int, dim: int) -> list[list[float]]:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "hyperplane plane weights are derived by a one-time Spark "
+                "job; construct LSH expressions after the SparkSession is "
+                "started (and on a thread where it is active)"
+            )
         rows = (
             spark.range(n_planes * dim)
             .select(
@@ -432,8 +438,10 @@ def hyperplane_bits_arrow(
     use the expression path when bit-exact bucket reproducibility
     across BLAS builds matters more than speed.
 
-    Returns ``(id, __bits)``; short vectors are zero-padded to ``dim``
-    (the expression path's weight-slice gives the same sums) and
+    Returns ``(id, __bits)`` with the id column at its ORIGINAL type
+    (casting to long would null string ids and silently empty the
+    candidate join); short vectors are zero-padded to ``dim`` (the
+    expression path's weight-slice gives the same sums) and
     empty/NULL vectors are dropped (they get NULL signatures there).
     """
     import numpy as np
@@ -442,7 +450,7 @@ def hyperplane_bits_arrow(
     W = np.asarray(_plane_weight_matrix(n_planes, dim), dtype=np.float64)
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", df.schema[id_col].dataType),
             T.StructField("__bits", T.ArrayType(T.IntegerType())),
         ]
     )
@@ -468,7 +476,5 @@ def hyperplane_bits_arrow(
             bits = (proj > 0).astype(np.int32)
             yield pd.DataFrame({"id": rows_ids, "__bits": list(bits)})
 
-    slim = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    )
+    slim = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return slim.mapInPandas(_bits, schema)

@@ -163,7 +163,16 @@ class IVFIndex:
         """Reclaim superseded state: old assignment versions beyond
         ``keep_last`` (delegated to VersionedTable.vacuum) and centroid
         sidecars no epoch pointer references — build-crash orphans and
-        pre-rebuild quantizers. The pointed-to pair is never touched."""
+        pre-rebuild quantizers. The pointed-to pair is never touched:
+        if the pointer pins an assignments version OLDER than the
+        table's latest (a crashed rebuild committed data but never
+        swapped the pointer), ``keep_last`` is widened to cover it —
+        vacuuming the pinned version would turn a recoverable crash
+        into data loss."""
+        meta = self._read_pointer()
+        if meta is not None:
+            pinned_span = self.assignments.version() - meta["assignments_version"] + 1
+            keep_last = max(keep_last, pinned_span)
         removed_versions = self.assignments.vacuum(keep_last=keep_last)
         meta = self._read_pointer()
         keep_file = meta["centroids_file"] if meta else None

@@ -150,3 +150,25 @@ def test_vacuum_reclaims_old_epochs_keeps_live_pair(spark, tmp_path):
     # the pointed-to pair survives and probes identically
     assert index.exists()
     assert _rows(index.probe(spark, q, k=5, n_probes=2)) == before
+
+
+def test_vacuum_never_deletes_pointer_pinned_version(spark, tmp_path):
+    """A crashed rebuild can leave the pointer pinning an OLDER
+    assignments version than the table's latest; vacuum must widen its
+    keep window to cover the pinned version instead of deleting the
+    data the pointer references."""
+    emb = _emb(spark)
+    q = _queries(emb)
+    index = IVFIndex.build(emb, tmp_path / "ivf", n_lists=8)
+    before = _rows(index.probe(spark, q, k=5, n_probes=2))
+    ptr = (tmp_path / "ivf" / "_LATEST").read_text()
+
+    # simulate the crash: two rebuild attempts commit assignments v1,
+    # v2 but die before the pointer swap
+    for _ in range(2):
+        index.assignments.commit(index.assignments.read(spark))
+    (tmp_path / "ivf" / "_LATEST").write_text(ptr)  # pointer still at v0
+
+    index.vacuum(keep_last=1)
+    # the pinned pair must still probe identically
+    assert _rows(index.probe(spark, q, k=5, n_probes=2)) == before

@@ -1080,3 +1080,67 @@ def test_banded_near_dup_arrow_signature_matches_expr(spark, jittered_vecs):
     assert len(expr_pairs) >= 40
     assert arrow_pairs == expr_pairs
     assert hinted_pairs == expr_pairs
+
+
+def test_banded_near_dup_arrow_preserves_string_ids(spark):
+    """The arrow signature path must keep the id column's original
+    type — casting string ids to long nulls them all and silently
+    returns zero pairs."""
+    import random
+
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        banded_embedding_near_dup,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(20):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((f"doc-{i:03d}a", [float(x) for x in base]))
+        rows.append(
+            (f"doc-{i:03d}b", [float(x + rng.gauss(0, 0.01)) for x in base])
+        )
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    expr_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in banded_embedding_near_dup(vecs, threshold=0.95).collect()
+    }
+    arrow_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in banded_embedding_near_dup(
+            vecs, threshold=0.95, signature="arrow"
+        ).collect()
+    }
+    assert len(expr_pairs) >= 20
+    assert arrow_pairs == expr_pairs
+
+
+def test_banded_near_dup_adapts_dim_to_wide_vectors(spark):
+    """A 96-d corpus must not be silently truncated to 64 components:
+    planted near-dups that agree everywhere (but whose first 64
+    components alone would still collide) and ones differing only past
+    component 64 must both be handled by the full-width projection."""
+    import random
+
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        banded_embedding_near_dup,
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(30):
+        base = [rng.gauss(0, 1) for _ in range(96)]
+        rows.append((i * 2, [float(x) for x in base]))
+        rows.append((i * 2 + 1, [float(x + rng.gauss(0, 0.01)) for x in base]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(vecs, threshold=0.95).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in banded_embedding_near_dup(vecs, threshold=0.95).collect()
+    }
+    assert len(exact) >= 30
+    assert banded == exact

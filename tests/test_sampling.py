@@ -303,3 +303,28 @@ def test_corpus_compact_marker_excludes_superseded_files(docs, tmp_path):
     assert repair(out)["removed"] == []
     rows = spark.read.parquet(str(out)).count()
     assert rows == 120
+
+
+def test_compact_skips_shards_already_at_minimal_layout(docs, tmp_path):
+    """A shard whose row count NEEDS more than max_files_per_shard
+    files must not be rewritten on every run (same layout forever)."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import compact_shards
+
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs.filter(F.col("doc_id") < 100),
+        out,
+        key_col="doc_id",
+        num_shards=1,
+        max_records_per_file=10,  # 100 rows -> ~10 files, all necessary
+    )
+    m = json.loads((Path(out) / "_manifest.json").read_text())
+    n_files = len(m["shards"]["0"]["files"])
+    assert n_files >= 5
+    result = compact_shards(
+        spark=docs.sparkSession,
+        path=out,
+        max_files_per_shard=2,  # below the minimal layout
+        max_records_per_file=10,
+    )
+    assert result["compacted_shards"] == 0  # nothing to gain, skipped
