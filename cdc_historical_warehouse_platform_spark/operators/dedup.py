@@ -50,6 +50,8 @@ __all__ = [
     "connected_components",
     "simhash64",
     "simhash_pairs",
+    "simhash64_portable",
+    "simhash_pairs_portable",
     "embedding_near_dup_pairs",
     "banded_embedding_near_dup",
     "semdedup",
@@ -454,6 +456,112 @@ def simhash_pairs(
         .withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _md5_word32(col: Column, pos: int) -> Column:
+    """Unsigned 32-bit word from md5 hex chars [pos, pos+8) — the
+    cross-engine hash primitive: Spark's md5/conv, DuckDB's
+    ``('0x' || substr(md5(x), pos, 8))::BIGINT`` and Python's hashlib
+    all yield the same value for the same UTF-8 input."""
+    return F.conv(F.substring(F.md5(col), pos, 8), 16, 10).cast("long")
+
+
+def simhash64_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash-64 with the token hash drawn from md5 instead of
+    xxhash64, carried as two 32-bit words (``sig_hi``/``sig_lo``) so
+    every intermediate stays inside signed-64 range in any engine.
+
+    Same algorithm as :func:`simhash64` — per-bit ±1 term-frequency
+    votes, signature bit = sign of the vote — but every primitive
+    (md5, substring, hex→int, shift, mask) exists in both Spark and
+    DuckDB, so the whole SimHash tier gains a hash-exact oracle twin
+    (plans/datapipe_queries.SQL_SIMHASH). xxhash64 stays the
+    production fast path (~10× cheaper per token); recall parity of
+    the two variants is pinned in tests/test_datapipe.py."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    ).select(
+        "doc_id",
+        _md5_word32(F.col("token"), 1).alias("w_hi"),
+        _md5_word32(F.col("token"), 9).alias("w_lo"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"w_{w}"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v_{w}_{b}")
+            for w in ("hi", "lo")
+            for b in range(32)
+        ]
+    )
+
+    def word_sig(w: str) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(32):
+            sig = sig + F.when(
+                F.col(f"v_{w}_{b}") > 0, F.lit(1 << b).cast("long")
+            ).otherwise(0)
+        return sig
+
+    return votes.select(
+        "doc_id", word_sig("hi").alias("sig_hi"), word_sig("lo").alias("sig_lo")
+    )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from the portable SimHash: the same 4 × 16-bit
+    pigeonhole banding and Hamming ≤ k verify as :func:`simhash_pairs`,
+    over the split-word signature. Output schema is identical
+    (doc_a, doc_b, hamming)."""
+    sig = simhash64_portable(df, text_col, id_col)
+    chunk_exprs = [
+        F.concat_ws(
+            ":", F.lit("0"), F.col("sig_hi").bitwiseAND(F.lit(0xFFFF)).cast("string")
+        ),
+        F.concat_ws(":", F.lit("1"), F.shiftright(F.col("sig_hi"), 16).cast("string")),
+        F.concat_ws(
+            ":", F.lit("2"), F.col("sig_lo").bitwiseAND(F.lit(0xFFFF)).cast("string")
+        ),
+        F.concat_ws(":", F.lit("3"), F.shiftright(F.col("sig_lo"), 16).cast("string")),
+    ]
+    chunks = sig.select(
+        "doc_id", "sig_hi", "sig_lo", F.explode(F.array(*chunk_exprs)).alias("chunk")
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"),
+        "chunk",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
+        "chunk",
+    )
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -137,7 +137,33 @@ def _plane_weight_matrix(n_planes: int, dim: int) -> list[list[float]]:
     return _WEIGHT_CACHE[key]
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+def portable_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic plane weights in [-1, 1) derived from md5 instead
+    of xxhash64: w(p, i) = (int(md5(f"{p}:{i}")[:8], 16) % 2000001
+    − 1000000) / 1e6. hashlib.md5 here, Spark's ``md5`` and DuckDB's
+    ``md5`` all agree byte-for-byte on ASCII input, so ANY engine —
+    including the DuckDB oracle, with no Spark session — can re-derive
+    the exact same matrix. Used by the driver-checked ANN query so the
+    whole bucketing pipeline has a hash-exact SQL twin; the xxhash64
+    matrix (:func:`_plane_weight_matrix`) stays the default elsewhere."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2000001 - 1000000)
+            / 1e6
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_signature(
+    vec: Column,
+    n_planes: int = 16,
+    dim: int = 64,
+    weights: list[list[float]] | None = None,
+) -> Column:
     """n-bit random-hyperplane signature of a vector (int result).
 
     The plane weights are row-invariant, so they are inlined as
@@ -152,7 +178,8 @@ def hyperplane_signature(vec: Column, n_planes: int = 16, dim: int = 64) -> Colu
     join into a full cross product. Empty (size-0) vectors get a NULL
     signature for the same reason — NULL never equi-joins, so empty
     vectors simply drop out of every banding path."""
-    weights = _plane_weight_matrix(n_planes, dim)
+    if weights is None:
+        weights = _plane_weight_matrix(n_planes, dim)
     wlen = F.least(F.lit(dim), F.size(vec))
     head = F.slice(vec, F.lit(1), wlen)
     sig = F.lit(0).cast("long")
@@ -181,21 +208,24 @@ def lsh_bucket_ann(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    weights: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within hyperplane buckets.
 
     ``probes`` > 1 additionally probes buckets at Hamming distance 1
     (flipping the lowest ``probes - 1`` signature bits), trading query
-    fan-out for recall. Returns the same schema as cosine_topk."""
+    fan-out for recall. ``weights`` overrides the plane matrix (e.g.
+    :func:`portable_plane_weights` for the oracle-checkable variant).
+    Returns the same schema as cosine_topk."""
     csig = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
-        hyperplane_signature(F.col(corpus_vec), n_planes, dim).alias("bucket"),
+        hyperplane_signature(F.col(corpus_vec), n_planes, dim, weights).alias("bucket"),
     )
     qsig = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
-        hyperplane_signature(F.col(query_vec), n_planes, dim).alias("__qsig"),
+        hyperplane_signature(F.col(query_vec), n_planes, dim, weights).alias("__qsig"),
     )
     probe_sigs = [F.col("__qsig")] + [
         F.col("__qsig").bitwiseXOR(F.lit(1 << b)) for b in range(max(0, probes - 1))

@@ -26,6 +26,7 @@ from cdc_historical_warehouse_platform_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    simhash_pairs_portable,
 )
 from cdc_historical_warehouse_platform_spark.operators.multimodal import attach_binary_payload, extract_binary_features
 from cdc_historical_warehouse_platform_spark.operators.similarity import cosine_topk, lsh_bucket_ann
@@ -252,11 +253,65 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming ≤ 3 — the radius the 4×16-bit
-    banding covers completely by pigeonhole) — approximate tier,
-    rows-only check (no SQL twin for weighted-bit votes); recall vs
-    jaccard pairs asserted in tests/test_datapipe.py."""
+    banding covers completely by pigeonhole). Registered via the
+    portable (md5-word) signature so the weighted-bit votes, banding,
+    and Hamming verify all have a hash-exact DuckDB twin
+    (SQL_SIMHASH); the xxhash64 fast path stays pinned to the same
+    recall in tests/test_datapipe.py."""
     docs = load_table(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    return simhash_pairs_portable(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def _sql_simhash() -> str:
+    """DuckDB twin of simhash_pairs_portable — generated, not
+    hand-written, so the 64 bit-vote sums stay in lockstep with the
+    Spark expression tree."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (w_{w} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{w}_{b}"
+        for w in ("hi", "lo")
+        for b in range(32)
+    )
+
+    def sig(w: str) -> str:
+        return " + ".join(
+            f"CASE WHEN v_{w}_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+        )
+
+    return f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+tok AS (SELECT doc_id,
+               unnest(list_filter(string_split(nt, ' '), x -> x <> '')) AS token
+        FROM norm),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT AS w_hi,
+             ('0x' || substr(md5(token), 9, 8))::BIGINT AS w_lo
+      FROM tok),
+votes AS (SELECT doc_id,
+         {votes}
+          FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id,
+               CAST({sig('hi')} AS BIGINT) AS sig_hi,
+               CAST({sig('lo')} AS BIGINT) AS sig_lo
+        FROM votes),
+chunks AS (SELECT doc_id, sig_hi, sig_lo,
+                  unnest(['0:' || CAST(sig_hi & 65535 AS VARCHAR),
+                          '1:' || CAST(sig_hi >> 16 AS VARCHAR),
+                          '2:' || CAST(sig_lo & 65535 AS VARCHAR),
+                          '3:' || CAST(sig_lo >> 16 AS VARCHAR)]) AS chunk
+           FROM sig),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig_hi AS hi_a, a.sig_lo AS lo_a,
+                 b.sig_hi AS hi_b, b.sig_lo AS lo_b
+          FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
 
 
 # --- similarity search -----------------------------------------------------
@@ -416,7 +471,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_exact_groups": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD_PAIRS),
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_JACCARD_PAIRS_UNCAPPED),
-    "dedup_simhash": (q_simhash, None),
+    "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "knn_cosine_brute": (q_knn_brute, SQL_KNN),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ann_ivf, None),

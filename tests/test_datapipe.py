@@ -14,6 +14,7 @@ from cdc_historical_warehouse_platform_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    simhash_pairs_portable,
 )
 from cdc_historical_warehouse_platform_spark.operators.similarity import cosine_topk, lsh_bucket_ann
 from cdc_historical_warehouse_platform_spark.operators.multimodal import (
@@ -69,6 +70,23 @@ def test_simhash_finds_planted_near_dups(spark, docs):
     assert true_pairs, "fixture should contain >=0.9 jaccard pairs"
     recall = len(true_pairs & sim) / len(true_pairs)
     assert recall >= 0.5, f"simhash recall {recall} too low"
+
+
+def test_simhash_portable_matches_xxhash_recall(spark, docs):
+    """The md5-word (oracle-checkable) SimHash variant must find the
+    same planted near-dups the xxhash64 fast path finds — swapping the
+    hash primitive shifts boundary pairs, not true duplicates."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    sim = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs_portable(docs, max_hamming=3).collect()
+    }
+    assert true_pairs, "fixture should contain >=0.9 jaccard pairs"
+    recall = len(true_pairs & sim) / len(true_pairs)
+    assert recall >= 0.5, f"portable simhash recall {recall} too low"
 
 
 def test_ann_lsh_finds_planted_neighbors(spark):
