@@ -29,7 +29,11 @@ from cdc_historical_warehouse_platform_spark.operators.dedup import (
     simhash_pairs_portable,
 )
 from cdc_historical_warehouse_platform_spark.operators.multimodal import attach_binary_payload, extract_binary_features
-from cdc_historical_warehouse_platform_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+from cdc_historical_warehouse_platform_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_ann,
+    portable_plane_weights,
+)
 from cdc_historical_warehouse_platform_spark.schemas import load_table
 
 __all__ = ["DATAPIPE_QUERIES"]
@@ -344,19 +348,86 @@ ORDER BY query_id, rank
 """
 
 
+ANN_LSH_PLANES = 6
+ANN_LSH_DIM = 64
+
+
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (6 planes → 64 buckets, probing the
     exact bucket + all 6 one-bit flips = full Hamming-1 ball) —
-    approximate scale path, rows-only; recall vs brute force asserted
-    in pytest. Plane count scales with corpus size (log2(n/target
-    bucket occupancy)); 6 fits the 500-5000-vector test corpora."""
+    the approximate scale path, now hash-exact: plane weights come
+    from portable_plane_weights (md5-derived, re-derivable in any
+    engine) and the DuckDB twin (SQL_ANN_LSH) replicates signature,
+    probing, and rerank with the same literal weight matrix, so the
+    oracle checks the *bucketing itself*, not just recall. Plane count
+    scales with corpus size (log2(n/target bucket occupancy)); 6 fits
+    the 500-5000-vector test corpora. Recall vs brute force stays
+    asserted in pytest for the xxhash64 fast path."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_bucket_ann(emb, queries, k=10, n_planes=6, probes=7).orderBy(
-        "query_id", "rank"
-    )
+    return lsh_bucket_ann(
+        emb,
+        queries,
+        k=10,
+        n_planes=ANN_LSH_PLANES,
+        probes=ANN_LSH_PLANES + 1,
+        dim=ANN_LSH_DIM,
+        weights=portable_plane_weights(ANN_LSH_PLANES, ANN_LSH_DIM),
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_lsh() -> str:
+    """DuckDB twin of q_ann_lsh — embeds the SAME literal plane-weight
+    matrix the Spark expression uses (both sides take it from
+    portable_plane_weights, so the buckets agree bit-for-bit)."""
+    W = portable_plane_weights(ANN_LSH_PLANES, ANN_LSH_DIM)
+
+    def proj(p: int, v: str) -> str:
+        wlit = "CAST([" + ", ".join(repr(x) for x in W[p]) + "] AS DOUBLE[])"
+        return (
+            f"list_reduce(list_transform(list_zip("
+            f"{v}[1:least({ANN_LSH_DIM}, len({v}))], "
+            f"({wlit})[1:least({ANN_LSH_DIM}, len({v}))]), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        )
+
+    def bucket(v: str) -> str:
+        bits = " + ".join(
+            f"CASE WHEN {proj(p, v)} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(ANN_LSH_PLANES)
+        )
+        return f"CASE WHEN len({v}) > 0 THEN {bits} ELSE NULL END"
+
+    flips = ", ".join(f"xor(qsig, {1 << b})" for b in range(ANN_LSH_PLANES))
+    return f"""
+WITH csig AS (
+  SELECT vec_id AS neighbor_id, embedding,
+         {bucket('embedding')} AS bucket
+  FROM embeddings),
+qsig AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         CAST({bucket('embedding')} AS BIGINT) AS qsig
+  FROM embeddings WHERE vec_id < 10),
+probed AS (
+  SELECT query_id, qv, unnest([qsig, {flips}]) AS bucket FROM qsig),
+scored AS (
+  SELECT DISTINCT p.query_id, c.neighbor_id,
+         {_sql_cosine('p.qv', 'c.embedding')} AS cosine
+  FROM csig c JOIN probed p ON c.bucket = p.bucket
+  WHERE c.neighbor_id <> p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
 
 
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -473,7 +544,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_JACCARD_PAIRS_UNCAPPED),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "knn_cosine_brute": (q_knn_brute, SQL_KNN),
-    "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf, None),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

@@ -111,6 +111,18 @@ def test_ann_lsh_finds_planted_neighbors(spark):
     hits = sum(1 for r in ann if r["neighbor_id"] == r["query_id"] + 1)
     assert hits / 40 >= 0.8, f"planted-neighbor recall {hits}/40"
 
+    # the md5-derived (oracle-checkable) weight matrix must deliver the
+    # same planted-neighbor recall — it changes which boundary pairs
+    # collide, not whether jittered copies land in the same bucket
+    from cdc_historical_warehouse_platform_spark.operators.similarity import portable_plane_weights
+
+    ann_p = lsh_bucket_ann(
+        vecs, queries, k=1, n_planes=6, probes=7,
+        weights=portable_plane_weights(6, 64),
+    ).collect()
+    hits_p = sum(1 for r in ann_p if r["neighbor_id"] == r["query_id"] + 1)
+    assert hits_p / 40 >= 0.8, f"portable-weights recall {hits_p}/40"
+
 
 @pytest.fixture(scope="module")
 def jittered_vecs(spark):
