@@ -287,21 +287,29 @@ def ivf_centroids(
     """IVF coarse quantizer: ``n_lists`` centroid vectors (driver-side
     list — bounded by n_lists × dim, never by corpus size).
 
-    Seeds are the ``n_lists`` corpus vectors with the smallest
-    xxhash64(id) — a deterministic pseudo-random sample, no RNG state.
-    Each ``refine`` round is one distributed Lloyd step: assignment is
-    a map-only literal-centroid expression (zero shuffle), and the
-    element-wise re-average is one posexplode → groupBy(list, pos)
-    aggregate whose map-side combine reduces every partition to at
-    most n_lists × dim partial rows before the exchange. Sums run in
-    DECIMAL(38,18) so the mean is exact and order-independent (float
-    partial-sum order would make centroids nondeterministic).
+    Every step is cross-engine portable, so the whole quantizer — and
+    therefore IVF assignment, probing, and SemDeDup built on it — has
+    a hash-exact DuckDB oracle twin:
+
+    - Seeds are the ``n_lists`` corpus vectors with the smallest
+      ``md5(cast(id as string))`` — a deterministic pseudo-random
+      sample with no RNG state, re-derivable in any engine (ASCII hex
+      compares identically under Spark and DuckDB binary collation).
+    - Each ``refine`` round is one distributed Lloyd step: assignment
+      is a map-only literal-centroid expression (zero shuffle), and
+      the element-wise re-average is one posexplode →
+      groupBy(list, pos) aggregate whose map-side combine reduces
+      every partition to at most n_lists × dim partial rows before
+      the exchange. Values are quantized to integer picos
+      (floor(v·1e12), exact IEEE in every engine) and summed exactly
+      (DECIMAL(38,0)), so the mean is order-independent AND engine-
+      independent — float partial-sum order can never move a
+      centroid. (Below ~2^53 pico-units per (list, pos) cell the
+      sum→double cast is exact everywhere; beyond that it is still
+      order-independent, merely correctly rounded.)
     """
-    # xxhash64 accepts any type directly: casting string ids to long
-    # would null them all and silently turn the pseudo-random sample
-    # into "first n_lists ids in plain order" (biased, adjacent seeds)
     seed_rows = (
-        corpus.orderBy(F.xxhash64(F.col(corpus_id)), F.col(corpus_id))
+        corpus.orderBy(F.md5(F.col(corpus_id).cast("string")), F.col(corpus_id))
         .limit(n_lists)
         .select(F.col(corpus_vec).alias("c"))
         .collect()
@@ -316,9 +324,15 @@ def ivf_centroids(
             assigned.select("list_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("list_id", "pos")
             .agg(
-                (F.sum(F.col("val").cast("decimal(38,18)")) / F.count(F.lit(1)))
-                .cast("double")
-                .alias("avg_val")
+                (
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * F.lit(1e12))
+                        .cast("long")
+                        .cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(1e12)
+                    / F.count(F.lit(1))
+                ).alias("avg_val")
             )
             .collect()
         )

@@ -433,9 +433,13 @@ SQL_ANN_LSH = _sql_ann_lsh()
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (8 coarse lists, 1 Lloyd refinement, probing the 2
     closest lists per query) — the second approximate scale path next
-    to ann_lsh_topk; rows-only, recall vs brute force asserted in
-    pytest. List count scales with corpus size (≈ sqrt(n) lists at
-    production scale); 8 fits the 500-5000-vector test corpora."""
+    to ann_lsh_topk, now hash-exact: the quantizer (ivf_centroids) is
+    cross-engine portable (md5 seed sample + quantized-pico Lloyd
+    means), so the DuckDB twin re-derives the SAME centroids from
+    scratch in SQL and checks assignment, probing, and rerank
+    bit-for-bit. List count scales with corpus size (≈ sqrt(n) lists
+    at production scale); 8 fits the 500-5000-vector test corpora.
+    Recall vs brute force stays asserted in pytest."""
     from cdc_historical_warehouse_platform_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf, "embeddings")
@@ -445,6 +449,76 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_lists=8, n_probes=2).orderBy(
         "query_id", "rank"
     )
+
+
+def _sql_ivf_cents(n_lists: int) -> str:
+    """Shared CTE chain re-deriving the portable IVF coarse quantizer
+    (similarity.ivf_centroids, refine=1) entirely in DuckDB: md5 seed
+    sample → argmax-cosine assignment to seeds → one Lloyd step with
+    quantized-pico integer means (empty lists keep their seed).
+    Terminates in cvec(list_id, c)."""
+    return f"""
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+              AS INT) AS list_id,
+         embedding AS c
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_lists}),
+a0r AS (
+  SELECT e.vec_id, e.embedding, s.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_sql_cosine('e.embedding', 's.c')} DESC,
+                                     s.list_id) AS rn
+  FROM embeddings e CROSS JOIN seeds s),
+a0 AS (SELECT vec_id, embedding, list_id FROM a0r WHERE rn = 1),
+ex AS (SELECT list_id, u.pos AS pos, u.val AS val FROM (
+         SELECT list_id,
+                unnest(list_transform(range(1, len(embedding) + 1),
+                       i -> struct_pack(pos := i, val := embedding[i]))) AS u
+         FROM a0) t),
+m AS (SELECT list_id, pos,
+             CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 / COUNT(*) AS val
+      FROM ex GROUP BY list_id, pos),
+sx AS (SELECT list_id, u.pos AS pos, CAST(u.val AS DOUBLE) AS val FROM (
+         SELECT list_id,
+                unnest(list_transform(range(1, len(c) + 1),
+                       i -> struct_pack(pos := i, val := c[i]))) AS u
+         FROM seeds) t),
+cents AS (SELECT sx.list_id, sx.pos, COALESCE(m.val, sx.val) AS val
+          FROM sx LEFT JOIN m ON m.list_id = sx.list_id AND m.pos = sx.pos),
+cvec AS (SELECT list_id, list(val ORDER BY pos) AS c FROM cents GROUP BY list_id)"""
+
+
+SQL_ANN_IVF = f"""
+WITH {_sql_ivf_cents(8)},
+a1r AS (
+  SELECT e.vec_id, e.embedding, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_sql_cosine('e.embedding', 'c.c')} DESC,
+                                     c.list_id) AS rn
+  FROM embeddings e CROSS JOIN cvec c),
+a1 AS (SELECT vec_id AS neighbor_id, embedding, list_id FROM a1r WHERE rn = 1),
+pr AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_sql_cosine('q.embedding', 'c.c')} DESC,
+                                     c.list_id) AS rn
+  FROM embeddings q CROSS JOIN cvec c WHERE q.vec_id < 10),
+probed AS (SELECT query_id, qv, list_id FROM pr WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.neighbor_id, {_sql_cosine('p.qv', 'a.embedding')} AS cosine
+  FROM a1 a JOIN probed p ON a.list_id = p.list_id
+  WHERE a.neighbor_id <> p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
 
 
 def _near_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
@@ -545,7 +619,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "knn_cosine_brute": (q_knn_brute, SQL_KNN),
     "ann_lsh_topk": (q_ann_lsh, SQL_ANN_LSH),
-    "ann_ivf_topk": (q_ann_ivf, None),
+    "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }
@@ -1348,18 +1422,37 @@ def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup keep/drop decision per embedding (operators/dedup.py:
     semdedup): cluster with the deterministic IVF coarse quantizer,
     exact-cosine compare only within clusters, drop the larger id of
-    every pair ≥ 0.95. Registered rows-only: the cluster partition is
-    inherently approximate at cluster boundaries (the published method
-    accepts the same miss), so pytest pins exact-duplicate recall and
-    pair-precision against the brute-force tier instead of a SQL twin
-    (the ANN pattern — see ann_ivf_topk)."""
+    every pair ≥ 0.95. Hash-exact as of the portable quantizer: the
+    DuckDB twin re-derives the identical centroids in SQL
+    (_sql_ivf_cents), reproduces the cluster assignment, and applies
+    the same in-cluster drop rule — so the oracle now checks the
+    cluster partition itself, not just aggregate recall (which stays
+    pinned against the brute-force tier in pytest)."""
     from cdc_historical_warehouse_platform_spark.operators.dedup import semdedup
 
     emb = load_table(spark, sf, "embeddings")
     return semdedup(emb, threshold=0.95, n_lists=16, refine=1).orderBy("id")
 
 
-DATAPIPE_QUERIES["semdedup_keep"] = (q_semdedup, None)
+SQL_SEMDEDUP = f"""
+WITH {_sql_ivf_cents(16)},
+a1r AS (
+  SELECT e.vec_id, e.embedding, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_sql_cosine('e.embedding', 'c.c')} DESC,
+                                     c.list_id) AS rn
+  FROM embeddings e CROSS JOIN cvec c),
+a1 AS (SELECT vec_id AS id, embedding AS v, list_id FROM a1r WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.id
+  FROM a1 a JOIN a1 b ON a.list_id = b.list_id AND a.id < b.id
+  WHERE {_sql_cosine('a.v', 'b.v')} >= 0.95)
+SELECT a1.id, a1.list_id, (d.id IS NULL) AS keep
+FROM a1 LEFT JOIN dropped d ON a1.id = d.id
+ORDER BY a1.id
+"""
+
+DATAPIPE_QUERIES["semdedup_keep"] = (q_semdedup, SQL_SEMDEDUP)
 
 
 def q_text_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:

@@ -144,20 +144,46 @@ class IVFIndex:
         corpus_id: str = "vec_id",
         corpus_vec: str = "embedding",
         txn_id: str | None = None,
-    ) -> int:
+        dedup_ids: bool = True,
+    ) -> tuple[int, int]:
         """Assign new vectors with the STORED quantizer and append a
         segment — the existing index is never read or rewritten. The
-        pointer advances only after the segment lands."""
+        pointer advances only after the segment lands.
+
+        CDC semantics on the id column (``dedup_ids``): vectors whose
+        id is already indexed are dropped via a left-anti join against
+        a column-pruned scan of the stored ids, so re-delivering a
+        batch — or overlapping batches — never duplicates index
+        entries (a duplicated id would surface the same neighbor
+        twice in every probe top-k it reaches). The anti-join shuffles
+        bare ids only, the same shape as the loader's ledger
+        anti-filter; pass ``dedup_ids=False`` when the feed is already
+        id-disjoint and the id scan is worth skipping.
+
+        Returns ``(assignments_version, n_appended)``; an
+        all-duplicate batch is a no-op that leaves the version
+        unchanged."""
         meta = self._read_pointer()
         if meta is None:
             raise FileNotFoundError(f"IVF index {self.path} has no committed build")
         cents = self.centroids()
+        fresh = new_vectors
+        if dedup_ids:
+            existing = self.assignments.read(
+                new_vectors.sparkSession, version=meta["assignments_version"]
+            ).select(F.col("vec_id").alias("__indexed_id"))
+            fresh = new_vectors.join(
+                existing, F.col(corpus_id) == F.col("__indexed_id"), "left_anti"
+            )
+        n_appended = fresh.count()
+        if n_appended == 0:
+            return meta["assignments_version"], 0
         v = self.assignments.append(
-            self._assign(new_vectors, cents, corpus_id, corpus_vec),
+            self._assign(fresh, cents, corpus_id, corpus_vec),
             txn_id=txn_id,
         )
         self._write_pointer({**meta, "assignments_version": v})
-        return v
+        return v, n_appended
 
     def vacuum(self, keep_last: int = 2) -> dict:
         """Reclaim superseded state: old assignment versions beyond

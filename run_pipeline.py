@@ -284,10 +284,10 @@ def main() -> int:
             if not index.exists():
                 print(json.dumps({"error": f"no index under {args.output}; run ann-build first"}))
                 return 1
-            v = index.append(emb)
+            v, n_appended = index.append(emb)
             print(
                 json.dumps(
-                    {"appended": emb.count(), "version": v, "output": args.output}
+                    {"appended": n_appended, "version": v, "output": args.output}
                 )
             )
         else:  # ann-query

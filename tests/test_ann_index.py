@@ -57,7 +57,14 @@ def test_append_uses_stored_quantizer(spark, tmp_path):
 
     index = IVFIndex.build(half1, tmp_path / "ivf", n_lists=8)
     v0 = index.assignments.version()
-    index.append(half2)
+    _, n1 = index.append(half2)
+    assert n1 == half2.count()
+    assert index.assignments.version() == v0 + 1
+
+    # CDC idempotence: re-appending an already-indexed batch is a
+    # no-op — no new segment, no duplicate ids in probe results
+    v_same, n_dup = index.append(half2)
+    assert (v_same, n_dup) == (v0 + 1, 0)
     assert index.assignments.version() == v0 + 1
 
     got = index.probe(spark, q, k=10, n_probes=2)
