@@ -42,17 +42,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator proven by another green row); they are parked past the window and
 # remain covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
-    "dedup_simhash",
+    "dedup_simhash",   # hash-exact as of r04 (portable md5 split-word signature twin)
     "knn_cosine_brute",
-    "ann_lsh_topk",
+    "ann_lsh_topk",    # hash-exact as of r04 (portable md5 plane weights; twin checks the bucketing itself)
     "embedding_near_dup",
-    "multimodal_features",
-    "vector_norms_by_label",
     "array_functions_sweep",
     "dedup_keep_list",
     "text_rolling_fingerprint",
     "corpus_keep_decisions",  # hash-exact oracle; composed LLM-tier flagship (new r03)
-    "ann_ivf_topk",           # rows-only by design (recall pinned in pytest); first driver row (new r03)
+    "ann_ivf_topk",           # hash-exact as of r04 (portable IVF quantizer re-derived in the SQL twin)
     "multimodal_frame_sample",  # hash-exact oracle as of r04 (ASCII-corpus VARCHAR twin); Arrow path also pytest-pinned to JVM twin
     "corpus_sample_stratified",  # hash-exact oracle; deterministic md5-gated sampling (new r03)
     "dedup_components",          # hash-exact oracle (recursive-CTE twin); transitive canonicalization (new r03)
@@ -62,7 +60,7 @@ _PRIORITY = [
     "corpus_decontaminate",      # hash-exact oracle; eval-set n-gram decontamination (new r03)
     "corpus_source_mix",         # hash-exact oracle; data-mixing weights per source (new r03)
     "corpus_length_buckets",     # hash-exact oracle; curriculum length histogram (new r03)
-    "semdedup_keep",             # rows-only by design (cluster-boundary miss; pytest pins recall) (new r03)
+    "semdedup_keep",             # hash-exact as of r04 (portable quantizer; twin checks the cluster partition itself)
     "text_lm_surprisal",         # hash-exact oracle; unigram-LM quality scoring in integer micro-bits (new r03)
     "text_tfidf_keywords",       # hash-exact oracle; per-doc top-k TF-IDF keywords, integer micro-nat scores (new r03)
     "corpus_chunk_spans",        # hash-exact oracle; context-window chunking with overlap, map-only (new r03)
@@ -72,7 +70,6 @@ _PRIORITY = [
     "text_bigram_surprisal",     # hash-exact oracle; conditional bigram-LM scoring (new r03)
     "corpus_paragraph_dedup",    # hash-exact oracle; sub-document boilerplate-chunk dedup (new r03)
     "window_range_frame",        # hash-exact oracle; time-based RANGE frame (trailing 30-day revenue) (new r03)
-    "window_ntile_percentile",   # hash-exact oracle; ntile/percent_rank/cume_dist over a total order (new r03)
     # --- r04 rotation: promoted back from _DEMOTED (last driver-green r02;
     # local check_oracle green every round since — re-verify before their
     # local-only streak gets long; the scd2 validation rows also re-cover
@@ -90,8 +87,23 @@ _PRIORITY = [
     # --- new r04: image decode→resize pipeline (raw decoder) through the
     # driver gate with a hash-exact rpad/substring/md5 DuckDB twin ---
     "multimodal_image_features",
+    # --- new r04 (second batch): subquery + grouping-set families never
+    # driver-checked before — EXISTS w/ correlated non-equi predicate (Q4),
+    # scalar-subquery + filtered NOT EXISTS (Q22), IN-over-grouped-HAVING
+    # (Q18), explicit GROUPING SETS w/ grouping_id ---
+    "subquery_exists",
+    "subquery_not_exists",
+    "subquery_in_having",
+    "agg_grouping_sets",
 ]
 _DEMOTED = [
+    # --- r04 second rotation: slots ceded to the four subquery/grouping-set
+    # rows (never driver-checked) promoted above. Family coverage stays
+    # in-window via the noted siblings. ---
+    "json_extraction",           # F13; green r01-r03 (longest multi-round streak in the window)
+    "window_ntile_percentile",   # rank-distribution family; window family repped in-window by window_range_frame (green r03)
+    "multimodal_features",       # multimodal family keeps TWO in-window rows (multimodal_image_features + frame_sample, both hash-exact) (green r03)
+    "vector_norms_by_label",     # array-surface ≡ array_functions_sweep, which stays in-window (green r03)
     # --- r04 rotation: driver-green r01-r03 (three consecutive rounds);
     # slots ceded to the ten rows promoted back above. Family coverage
     # stays in-window via the noted siblings. ---

@@ -1,10 +1,13 @@
 """Training-data pipeline queries: dedup, similarity search, text
 analysis, multimodal plumbing — over `documents` and `embeddings`.
 
-Every deterministic operator gets a DuckDB oracle twin; inherently
-approximate operators (SimHash banding, hyperplane ANN) are registered
-rows-only and covered by pytest recall checks instead (the driver
-records the weaker check; the judge sees which).
+Every operator gets a DuckDB oracle twin — including the approximate
+tiers: as of r04 the driver-checked SimHash / hyperplane-ANN / IVF /
+SemDeDup variants use portable hash primitives (md5-derived token
+hashes, plane weights, and quantizer seeds — re-derivable in Spark,
+DuckDB, and Python alike), so their twins replicate the banding /
+bucketing / clustering itself instead of downgrading to a rows-only
+check. The xxhash64 fast paths stay pinned by pytest recall checks.
 
 The normalization / shingle / cosine SQL is kept in exact lockstep
 with operators/{text,dedup,similarity}.py — integer-count arithmetic

@@ -1263,3 +1263,171 @@ ORDER BY c_custkey
 """
 
 RELATIONAL_QUERIES["window_ntile_percentile"] = (q_window_ntile_percentile, SQL_WINDOW_NTILE)
+
+
+def q_subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS with a correlated non-equi predicate:
+    count orders per priority that have at least one lineitem shipped
+    more than 60 days after the order date. The semi-join keeps the
+    probe side un-duplicated (no DISTINCT needed) and Catalyst pushes
+    the equi part to the join keys, leaving the date comparison as the
+    join residual."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_SUBQUERY_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_subquery_not_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + filtered NOT EXISTS:
+    "dormant rich customers" — balance above the average positive
+    balance AND no order since 2000-01-01 (every synthetic customer
+    has *some* order, so the NOT EXISTS carries a date predicate to
+    stay non-trivial). The scalar average is a 1-row broadcast (no
+    shuffle of the customer side); the NOT EXISTS is a left-anti join
+    against the date-filtered — and therefore much smaller — order
+    key set."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "__avg_bal"
+            )
+        )
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= cutoff)
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _sumd("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SUBQUERY_NOT_EXISTS = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_subquery_in_having(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over a grouped-HAVING subquery: large-order
+    customers. The HAVING aggregate runs decimal-exact; the IN becomes
+    a broadcast semi-join of orders against the (tiny) qualifying key
+    set, so the big lineitem re-join only sees qualifying orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__sq"))
+        .filter(F.col("__sq") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_SUBQUERY_IN_HAVING = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the general form
+    beyond the rollup/cube special cases already covered
+    (agg_rollup/agg_cube). Expressed through the SQL front-end (the
+    DataFrame API only exposes rollup/cube); one Expand + one
+    aggregate exchange, identical plan family to cube."""
+    from cdc_historical_warehouse_platform_spark.schemas import register_testdata_views
+
+    register_testdata_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "subquery_exists": (q_subquery_exists, SQL_SUBQUERY_EXISTS),
+        "subquery_not_exists": (q_subquery_not_exists, SQL_SUBQUERY_NOT_EXISTS),
+        "subquery_in_having": (q_subquery_in_having, SQL_SUBQUERY_IN_HAVING),
+        "agg_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    }
+)
