@@ -76,7 +76,6 @@ _PRIORITY = [
     # the r04 single-probe merge rewrite through the driver gate) ---
     "text_token_stats",
     "text_quality_scores",
-    "text_lang_confusion",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -95,12 +94,18 @@ _PRIORITY = [
     "subquery_not_exists",
     "subquery_in_having",
     "agg_grouping_sets",
+    # --- new r04 (third batch): incremental aggregate maintenance — the
+    # summary is built purely from CDC batch deltas (never a GROUP BY over
+    # the dimension); the oracle recomputes from scratch, so the driver row
+    # checks the incremental-view-maintenance invariant cross-engine ---
+    "scd2_incremental_revenue",
 ]
 _DEMOTED = [
     # --- r04 second rotation: slots ceded to the four subquery/grouping-set
     # rows (never driver-checked) promoted above. Family coverage stays
     # in-window via the noted siblings. ---
     "json_extraction",           # F13; green r01-r03 (longest multi-round streak in the window)
+    "text_lang_confusion",       # lang-ID row green r02; text family keeps 6 in-window rows (token_stats, quality, repetition, surprisal x2, tfidf); slot ceded to scd2_incremental_revenue
     "window_ntile_percentile",   # rank-distribution family; window family repped in-window by window_range_frame (green r03)
     "multimodal_features",       # multimodal family keeps TWO in-window rows (multimodal_image_features + frame_sample, both hash-exact) (green r03)
     "vector_norms_by_label",     # array-surface ≡ array_functions_sweep, which stays in-window (green r03)

@@ -311,3 +311,63 @@ REFERENCE_QUERIES.update(
         ),
     }
 )
+
+
+def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained revenue-per-customer summary
+    (operators/incremental_agg.py — delta aggregation, the
+    incremental-view-maintenance upgrade of the reference's
+    full-recompute reports, verify_scd2.py:283-343).
+
+    The deterministic change log's INSERT wave then UPDATE wave are
+    applied as two CDC batches through ``maintain_group_summary`` —
+    the summary is built purely from batch deltas, never from a
+    GROUP BY over the dimension. The oracle recomputes the same
+    summary from scratch over the final current slice, so equality IS
+    the maintenance invariant, checked cross-engine by the driver."""
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        empty_summary,
+        maintain_group_summary,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders_as_changes(orders)
+    b1 = changes.filter(F.col("operation_type") == "INSERT")
+    b2 = changes.filter(F.col("operation_type") == "UPDATE")
+    dim0 = empty_dim(spark)
+    s1 = maintain_group_summary(
+        empty_summary(spark), dim0.filter(F.col("is_current")), b1
+    )
+    dim1 = scd2_merge(dim0, b1, "b1")
+    s2 = maintain_group_summary(s1, dim1.filter(F.col("is_current")), b2)
+    return s2.select(
+        "customer_id",
+        "n_orders",
+        F.col("measure_sum").cast("double").alias("revenue"),
+    ).orderBy("customer_id")
+
+
+# DIM_SQL projects the report columns only (no total_amount), so the
+# recompute twin derives the current slice straight from the change-log
+# CTE: current = the change with no later change for its key.
+REFERENCE_QUERIES["scd2_incremental_revenue"] = (
+    q_incremental_revenue,
+    f"""
+    WITH changes AS ({ORDERS_AS_CHANGES_SQL}),
+    seq AS (
+      SELECT *,
+             lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM changes
+    )
+    SELECT customer_id,
+           COUNT(*) AS n_orders,
+           -- total_amount = unit_price * quantity (fixture-generated, exact
+           -- at 2 decimals: 2-decimal price x integer qty never rounds)
+           CAST(SUM(CAST(CAST(unit_price * quantity AS DECIMAL(10,2)) AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM seq
+    WHERE valid_to IS NULL
+    GROUP BY customer_id
+    ORDER BY customer_id
+    """,
+)

@@ -1303,33 +1303,30 @@ def q_subquery_not_exists(spark: SparkSession, sf: str) -> DataFrame:
     "dormant rich customers" — balance above the average positive
     balance AND no order since 2000-01-01 (every synthetic customer
     has *some* order, so the NOT EXISTS carries a date predicate to
-    stay non-trivial). The scalar average is a 1-row broadcast (no
-    shuffle of the customer side); the NOT EXISTS is a left-anti join
-    against the date-filtered — and therefore much smaller — order
-    key set."""
-    c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders")
-    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(
-            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
-                "__avg_bal"
-            )
-        )
-    )
-    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
-        F.col("c_acctbal") > F.col("__avg_bal")
-    )
-    recent = o.filter(F.col("o_orderdate") >= cutoff)
-    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
-    return (
-        dormant.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            _sumd("c_acctbal", "total_acctbal"),
-        )
-        .orderBy("c_mktsegment")
+    stay non-trivial). Expressed through the SQL front-end so the
+    uncorrelated scalar average plans as a ScalarSubquery expression
+    (its own tiny stage — NO BroadcastNestedLoopJoin, which the
+    repo-wide plan guard forbids) and the NOT EXISTS plans as a
+    left-anti hash join against the date-FILTERED — and therefore much
+    smaller — order key set (filter pushed into the scan)."""
+    from cdc_historical_warehouse_platform_spark.schemas import register_testdata_views
+
+    register_testdata_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
     )
 
 

@@ -1,0 +1,152 @@
+"""Incremental aggregate maintenance (operators/incremental_agg.py).
+
+The single invariant under test: after ANY sequence of CDC batches, the
+maintained summary is row-identical to a from-scratch GROUP BY over the
+dimension's current slice — across inserts, updates, no-ops, deletes,
+group moves, re-inserts, and late (out-of-order) events, i.e. exactly
+the cases scd2_merge itself handles (lockstep semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+    empty_summary,
+    group_summary,
+    maintain_group_summary,
+)
+from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
+from tests.conftest import make_change
+
+T0 = dt.datetime(2026, 3, 1, 10, 0, 0)
+
+
+def ts(seconds: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def _rows(df):
+    return sorted(
+        ((r["customer_id"], r["n_orders"], r["measure_sum"]) for r in df.collect())
+    )
+
+
+def _run_batches(spark, change_df, batches):
+    """Apply batches through merge + maintenance in lockstep; after each
+    batch assert maintained == recompute."""
+    dim = empty_dim(spark)
+    summary = empty_summary(spark)
+    for i, batch_rows in enumerate(batches):
+        batch = change_df(batch_rows)
+        current = dim.filter(F.col("is_current"))
+        summary = maintain_group_summary(summary, current, batch)
+        dim = scd2_merge(dim, batch, f"b{i}")
+        # materialize both to keep chained plans small and stable
+        summary = summary.localCheckpoint(eager=True)
+        dim = dim.localCheckpoint(eager=True)
+        got = _rows(summary)
+        want = _rows(group_summary(dim.filter(F.col("is_current"))))
+        assert got == want, f"batch {i}: maintained {got} != recompute {want}"
+    return dim, summary
+
+
+def test_insert_update_delete_matches_recompute(spark, change_df):
+    _run_batches(
+        spark,
+        change_df,
+        [
+            # batch 0: three inserts across two customers
+            [
+                make_change(1, "INSERT", ts(0), quantity=2, customer_id=100),
+                make_change(2, "INSERT", ts(1), quantity=3, customer_id=100),
+                make_change(3, "INSERT", ts(2), quantity=1, customer_id=200),
+            ],
+            # batch 1: price update (same group), delete, brand-new key
+            [
+                make_change(1, "UPDATE", ts(60), quantity=2, unit_price="12.50", customer_id=100),
+                make_change(3, "DELETE", ts(61), customer_id=200),
+                make_change(4, "INSERT", ts(62), quantity=5, customer_id=200),
+            ],
+            # batch 2: delete of a missing key (silent) + no-op update
+            [
+                make_change(99, "DELETE", ts(120)),
+                make_change(4, "UPDATE", ts(121), quantity=5, customer_id=200),
+            ],
+        ],
+    )
+
+
+def test_group_move_transfers_between_groups(spark, change_df):
+    dim, summary = _run_batches(
+        spark,
+        change_df,
+        [
+            [make_change(1, "INSERT", ts(0), quantity=4, customer_id=100)],
+            # the order moves wholesale from customer 100 to customer 300
+            [make_change(1, "UPDATE", ts(60), quantity=4, customer_id=300)],
+        ],
+    )
+    rows = _rows(summary)
+    assert [r[0] for r in rows] == [300], f"group 100 should be emptied: {rows}"
+
+
+def test_delete_then_reinsert(spark, change_df):
+    _run_batches(
+        spark,
+        change_df,
+        [
+            [make_change(1, "INSERT", ts(0), quantity=2, customer_id=100)],
+            [make_change(1, "DELETE", ts(60), customer_id=100)],
+            [make_change(1, "INSERT", ts(120), quantity=7, customer_id=100)],
+        ],
+    )
+
+
+def test_late_event_skipped_like_merge(spark, change_df):
+    """An out-of-order change (older than the current version) is a
+    no-op in the merge; the maintained summary must skip it too or the
+    two would drift apart."""
+    _run_batches(
+        spark,
+        change_df,
+        [
+            [make_change(1, "INSERT", ts(100), quantity=2, customer_id=100)],
+            # stale image: cdc_timestamp BEFORE the current valid_from
+            [make_change(1, "UPDATE", ts(50), quantity=9, customer_id=100)],
+        ],
+    )
+
+
+def test_intra_batch_dedup_applies_latest_only(spark, change_df):
+    _run_batches(
+        spark,
+        change_df,
+        [
+            [make_change(1, "INSERT", ts(0), quantity=1, customer_id=100)],
+            # two updates to the same key in one batch: only the ts(61)
+            # image may count
+            [
+                make_change(1, "UPDATE", ts(60), quantity=5, customer_id=100),
+                make_change(1, "UPDATE", ts(61), quantity=8, customer_id=100),
+            ],
+        ],
+    )
+
+
+def test_bootstrap_from_existing_dimension(spark, change_df):
+    """Adopting a pre-existing dimension: bootstrap the summary with
+    group_summary(current), then maintain incrementally."""
+    b0 = change_df(
+        [
+            make_change(1, "INSERT", ts(0), quantity=2, customer_id=100),
+            make_change(2, "INSERT", ts(1), quantity=3, customer_id=200),
+        ]
+    )
+    dim = scd2_merge(empty_dim(spark), b0, "seed")
+    summary = group_summary(dim.filter(F.col("is_current")))
+    b1 = change_df([make_change(2, "UPDATE", ts(60), quantity=6, customer_id=200)])
+    summary = maintain_group_summary(summary, dim.filter(F.col("is_current")), b1)
+    dim = scd2_merge(dim, b1, "b1")
+    assert _rows(summary) == _rows(group_summary(dim.filter(F.col("is_current"))))
