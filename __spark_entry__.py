@@ -77,7 +77,6 @@ _PRIORITY = [
     "text_token_stats",
     "text_quality_scores",
     "dedup_exact_groups",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "scd2_flag_consistency_check",
     "scd2_timestamp_continuity",
@@ -99,6 +98,9 @@ _PRIORITY = [
     # the dimension); the oracle recomputes from scratch, so the driver row
     # checks the incremental-view-maintenance invariant cross-engine ---
     "scd2_incremental_revenue",
+    # --- new r04 (third batch): pure range join (no equi key) via time-bin
+    # bucketing — the CartesianProduct case made shuffle-joinable ---
+    "join_interval_events",
 ]
 _DEMOTED = [
     # --- r04 second rotation: slots ceded to the four subquery/grouping-set
@@ -106,6 +108,7 @@ _DEMOTED = [
     # in-window via the noted siblings. ---
     "json_extraction",           # F13; green r01-r03 (longest multi-round streak in the window)
     "text_lang_confusion",       # lang-ID row green r02; text family keeps 6 in-window rows (token_stats, quality, repetition, surprisal x2, tfidf); slot ceded to scd2_incremental_revenue
+    "dedup_ngram_jaccard",       # jaccard logic re-verified inside dedup_minhash_lsh + dedup_keep_list oracles in-window (green r02); slot ceded to join_interval_events
     "window_ntile_percentile",   # rank-distribution family; window family repped in-window by window_range_frame (green r03)
     "multimodal_features",       # multimodal family keeps TWO in-window rows (multimodal_image_features + frame_sample, both hash-exact) (green r03)
     "vector_norms_by_label",     # array-surface ≡ array_functions_sweep, which stays in-window (green r03)

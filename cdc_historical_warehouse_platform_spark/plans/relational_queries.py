@@ -1428,3 +1428,45 @@ RELATIONAL_QUERIES.update(
         "agg_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     }
 )
+
+
+def q_interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure range join — NO equi key (operators/rangejoin.py): every
+    purchase event within ±5 minutes of any error event (incident
+    correlation). Without the bucketing, Catalyst plans this as a
+    BroadcastNestedLoopJoin (forbidden by the repo plan guard); with
+    it, the plan is a plain hash equi-join on the time bin plus a
+    residual. Delta reported in exact microseconds (unix_micros /
+    epoch_us agree across engines)."""
+    from cdc_historical_warehouse_platform_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    joined = interval_join(
+        errors, purchases, "err_ts", "purchase_ts", -300, 300
+    )
+    return joined.select(
+        "err_id",
+        "purchase_id",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("err_ts"))).alias(
+            "delta_us"
+        ),
+    ).orderBy("err_id", "purchase_id")
+
+
+SQL_INTERVAL_JOIN = """
+SELECT l.event_id AS err_id, r.event_id AS purchase_id,
+       epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+FROM events l JOIN events r
+  ON r.ts >= l.ts - INTERVAL 300 SECOND
+ AND r.ts <= l.ts + INTERVAL 300 SECOND
+WHERE l.event_type = 'error' AND r.event_type = 'purchase'
+ORDER BY err_id, purchase_id
+"""
+
+RELATIONAL_QUERIES["join_interval_events"] = (q_interval_join_events, SQL_INTERVAL_JOIN)
