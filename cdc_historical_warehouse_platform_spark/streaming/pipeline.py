@@ -31,6 +31,7 @@ __all__ = [
     "sliding_event_value",
     "streaming_exact_dedup",
     "streaming_corpus_keep",
+    "streaming_interval_join",
 ]
 
 
@@ -188,3 +189,57 @@ def streaming_corpus_keep(
     return streaming_exact_dedup(
         kept, text_col=text_col, event_time_col=event_time_col, delay=delay
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    watermark: str = "10 minutes",
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Stream-stream inner join on an event-time interval: every
+    (left, right) pair with ``right.ts`` in
+    ``[left.ts + lower, left.ts + upper]`` — the streaming twin of
+    operators/rangejoin.interval_join.
+
+    Structured Streaming REJECTS a stream-stream join whose condition
+    is a pure range (streamJoinStreamWithoutEqualityPredicate...): the
+    symmetric hash join needs a key to hash both state stores by. The
+    batch operator's fixed-width time-bin trick provides exactly that
+    equality — each right row keyed by its bin, each left row exploded
+    across the ≤2 bins its window covers — and the exact interval
+    predicate rides along as the residual, from which Spark derives
+    the state eviction bound: buffered rows are dropped once the other
+    stream's watermark passes their join window, so state on both
+    sides stays bounded by watermark + interval, never unbounded.
+
+    Inputs must be streaming DataFrames with disjoint column names;
+    ``watermark`` bounds how late either side may arrive (ST3)."""
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    if bucket_seconds is None:
+        bucket_seconds = max(upper_seconds - lower_seconds, 1)
+
+    lsec = F.col(left_ts).cast("long")
+    rsec = F.col(right_ts).cast("long")
+    lw = left.withWatermark(left_ts, watermark).withColumn(
+        "__lbin",
+        F.explode(
+            F.sequence(
+                F.floor((lsec + F.lit(lower_seconds)) / F.lit(bucket_seconds)),
+                F.floor((lsec + F.lit(upper_seconds)) / F.lit(bucket_seconds)),
+            )
+        ),
+    )
+    rw = right.withWatermark(right_ts, watermark).withColumn(
+        "__rbin", F.floor(rsec / F.lit(bucket_seconds))
+    )
+    cond = (F.col("__lbin") == F.col("__rbin")) & F.col(right_ts).between(
+        F.col(left_ts) + F.expr(f"INTERVAL {lower_seconds} SECONDS"),
+        F.col(left_ts) + F.expr(f"INTERVAL {upper_seconds} SECONDS"),
+    )
+    return lw.join(rw, cond, "inner").drop("__lbin", "__rbin")

@@ -394,3 +394,49 @@ def test_stateful_no_phantom_state_or_reemission(tmp_path, spark):
     )
     _run()
     assert len(emitted) == before
+
+
+def test_streaming_interval_join_matches_batch(tmp_path, spark):
+    """Stream-stream interval join (ST family beyond the reference):
+    errors x purchases within +/-5 minutes, run as two real file
+    streams, must produce exactly the pairs the batch rangejoin
+    operator produces over the same data."""
+    from cdc_historical_warehouse_platform_spark.operators.rangejoin import interval_join
+    from cdc_historical_warehouse_platform_spark.schemas import load_table
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import streaming_interval_join
+
+    events = load_table(spark, SF_DIR, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    want = sorted(
+        (r["err_id"], r["purchase_id"])
+        for r in interval_join(
+            errors, purchases, "err_ts", "purchase_ts", -300, 300
+        ).collect()
+    )
+    assert want, "fixture should contain interval matches"
+
+    lsrc, rsrc = tmp_path / "errs", tmp_path / "purch"
+    errors.write.parquet(str(lsrc))
+    purchases.write.parquet(str(rsrc))
+    lstream = spark.readStream.schema(errors.schema).parquet(str(lsrc))
+    rstream = spark.readStream.schema(purchases.schema).parquet(str(rsrc))
+    joined = streaming_interval_join(
+        lstream, rstream, "err_ts", "purchase_ts", -300, 300
+    )
+    out_rows = []
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, epoch: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r["err_id"], r["purchase_id"]) for r in out_rows)
+    assert got == want
