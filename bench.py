@@ -39,6 +39,11 @@ HEADLINE = [
     # regression tracking as the relational suite
     "corpus_pack_sequences",
     "text_tfidf_keywords",
+    # added r04 (second batch): the new operator families — delta
+    # aggregation (two chained merges + two maintenance steps) and the
+    # bucketed no-equi-key range join
+    "scd2_incremental_revenue",
+    "join_interval_events",
 ]
 
 
