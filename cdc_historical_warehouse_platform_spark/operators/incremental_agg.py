@@ -102,13 +102,21 @@ def summary_delta(
     """Per-group (Δcount, Δsum) of ONE CDC batch against the PRE-batch
     current slice (the same input the merge itself sees).
 
-    Every affected current row contributes −(1, measure) from its OLD
-    group; every surviving (non-DELETE, non-late) change contributes
-    +(1, measure) to its NEW group — so updates that move a row between
-    groups transfer it, no-ops cancel, deletes subtract, and brand-new
-    keys (entering via the anti-join against the batch-bounded matched
-    key set) add. DELETEs of missing keys fall out silently, matching
-    the merge."""
+    Three algebraic terms, arranged so the current slice is probed
+    exactly ONCE (no anti-join — an anti against "matched keys" would
+    re-evaluate the probe subtree and scan the slice a second time):
+
+    - ``+new`` for EVERY non-DELETE batch row — batch-local, no scan;
+      brand-new keys are covered here for free;
+    - ``−old`` for every matched, non-late row — from the single
+      broadcast-batch inner probe of the column-pruned slice;
+    - ``−new`` correction for matched LATE non-DELETE rows (their
+      ``+new`` above must be revoked: the merge treats them as no-ops)
+      — from the same probe relation.
+
+    Updates that move a row between groups transfer it, no-ops cancel
+    exactly, deletes subtract, late events net to zero, and DELETEs of
+    missing keys fall out silently — all matching the merge."""
     latest = dedupe_latest_per_key(changes, key=change_key)
     staged = latest.select(
         F.col(change_key).cast("long").alias("__b_key"),
@@ -127,36 +135,29 @@ def summary_delta(
         .alias("__c_measure"),
         F.col("valid_from").alias("__c_from"),
     )
+    plus_all = staged.filter(F.col("__b_op") != "DELETE").select(
+        F.col("__b_group").alias(group_col),
+        F.lit(1).cast("long").alias("__dn"),
+        F.col("__b_measure").alias("__dm"),
+    )
     # The one probe of the (column-pruned) current slice.
     matched = cur_slim.join(
         F.broadcast(staged), F.col("__c_key") == F.col("__b_key"), "inner"
     )
-    effective = matched.filter(~(F.col("__b_ts") < F.col("__c_from")))
-    minus = effective.select(
+    is_late = F.col("__b_ts") < F.col("__c_from")
+    minus_old = matched.filter(~is_late).select(
         F.col("__c_group").alias(group_col),
         F.lit(-1).cast("long").alias("__dn"),
         (-F.col("__c_measure")).cast(SUMMARY_MEASURE_TYPE).alias("__dm"),
     )
-    plus_existing = effective.filter(F.col("__b_op") != "DELETE").select(
+    revoke_late = matched.filter(is_late & (F.col("__b_op") != "DELETE")).select(
         F.col("__b_group").alias(group_col),
-        F.lit(1).cast("long").alias("__dn"),
-        F.col("__b_measure").alias("__dm"),
-    )
-    # Brand-new keys: batch rows whose key matched nothing current. The
-    # matched key set is batch-bounded, so the anti-join broadcasts it.
-    new_rows = staged.join(
-        F.broadcast(matched.select(F.col("__b_key").alias("__m_key")).distinct()),
-        F.col("__b_key") == F.col("__m_key"),
-        "left_anti",
-    )
-    plus_new = new_rows.filter(F.col("__b_op") != "DELETE").select(
-        F.col("__b_group").alias(group_col),
-        F.lit(1).cast("long").alias("__dn"),
-        F.col("__b_measure").alias("__dm"),
+        F.lit(-1).cast("long").alias("__dn"),
+        (-F.col("__b_measure")).cast(SUMMARY_MEASURE_TYPE).alias("__dm"),
     )
     return (
-        minus.unionByName(plus_existing)
-        .unionByName(plus_new)
+        plus_all.unionByName(minus_old)
+        .unionByName(revoke_late)
         .groupBy(group_col)
         .agg(
             F.sum("__dn").alias("__dn"),
