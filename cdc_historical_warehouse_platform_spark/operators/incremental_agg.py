@@ -172,17 +172,26 @@ def apply_summary_delta(
     """Upsert the per-group delta into the maintained summary: full
     outer on the group key (summary-sized inputs only), coalesce-add,
     and drop groups whose last order was deleted — so the maintained
-    table stays row-identical to a GROUP BY recompute."""
+    table stays row-identical to a GROUP BY recompute.
+
+    The join is NULL-SAFE (``eqNullSafe``): GROUP BY treats NULL as
+    one ordinary group, so the upsert must merge the summary's NULL
+    row with the delta's NULL row — a plain-equality join would append
+    a fresh NULL row every batch and silently break the recompute
+    invariant for any nullable ``group_col``."""
     s = summary.select(
-        F.col(group_col),
+        F.col(group_col).alias("__s_g"),
         F.col("n_orders").alias("__s_n"),
         F.col("measure_sum").alias("__s_m"),
     )
+    d = delta.select(
+        F.col(group_col).alias("__d_g"), F.col("__dn"), F.col("__dm")
+    )
     zero = F.lit(0).cast(_SUM_TYPE)
     return (
-        s.join(delta, group_col, "full_outer")
+        s.join(d, F.col("__s_g").eqNullSafe(F.col("__d_g")), "full_outer")
         .select(
-            F.col(group_col),
+            F.coalesce(F.col("__s_g"), F.col("__d_g")).alias(group_col),
             (F.coalesce(F.col("__s_n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0)))
             .cast("long")
             .alias("n_orders"),

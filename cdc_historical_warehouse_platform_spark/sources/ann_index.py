@@ -175,6 +175,11 @@ class IVFIndex:
             fresh = new_vectors.join(
                 existing, F.col(corpus_id) == F.col("__indexed_id"), "left_anti"
             )
+            # materialize the anti-join once: n_appended's count() and the
+            # segment write below would otherwise each re-run the
+            # new-vector scan + id scan + anti-join — and could disagree
+            # if the source is live between the two jobs
+            fresh = fresh.localCheckpoint(eager=True)
         n_appended = fresh.count()
         if n_appended == 0:
             return meta["assignments_version"], 0

@@ -218,28 +218,26 @@ def streaming_interval_join(
     sides stays bounded by watermark + interval, never unbounded.
 
     Inputs must be streaming DataFrames with disjoint column names;
-    ``watermark`` bounds how late either side may arrive (ST3)."""
-    if upper_seconds < lower_seconds:
-        raise ValueError("upper_seconds must be >= lower_seconds")
-    if bucket_seconds is None:
-        bucket_seconds = max(upper_seconds - lower_seconds, 1)
+    ``watermark`` bounds how late either side may arrive (ST3). The
+    bin and residual expressions are the batch operator's own builders
+    (operators/rangejoin.py) — one copy of the arithmetic the
+    correctness argument rests on, shared by both engines' paths."""
+    from cdc_historical_warehouse_platform_spark.operators.rangejoin import (
+        _validate,
+        interval_residual,
+        left_bins,
+        right_bin,
+    )
 
-    lsec = F.col(left_ts).cast("long")
-    rsec = F.col(right_ts).cast("long")
+    bucket_seconds = _validate(left, right, lower_seconds, upper_seconds, bucket_seconds)
     lw = left.withWatermark(left_ts, watermark).withColumn(
         "__lbin",
-        F.explode(
-            F.sequence(
-                F.floor((lsec + F.lit(lower_seconds)) / F.lit(bucket_seconds)),
-                F.floor((lsec + F.lit(upper_seconds)) / F.lit(bucket_seconds)),
-            )
-        ),
+        F.explode(left_bins(left_ts, lower_seconds, upper_seconds, bucket_seconds)),
     )
     rw = right.withWatermark(right_ts, watermark).withColumn(
-        "__rbin", F.floor(rsec / F.lit(bucket_seconds))
+        "__rbin", right_bin(right_ts, bucket_seconds)
     )
-    cond = (F.col("__lbin") == F.col("__rbin")) & F.col(right_ts).between(
-        F.col(left_ts) + F.expr(f"INTERVAL {lower_seconds} SECONDS"),
-        F.col(left_ts) + F.expr(f"INTERVAL {upper_seconds} SECONDS"),
+    cond = (F.col("__lbin") == F.col("__rbin")) & interval_residual(
+        left_ts, right_ts, lower_seconds, upper_seconds
     )
     return lw.join(rw, cond, "inner").drop("__lbin", "__rbin")

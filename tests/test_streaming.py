@@ -437,6 +437,6 @@ def test_streaming_interval_join_matches_batch(tmp_path, spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream-stream join did not finish in 180s"
     got = sorted((r["err_id"], r["purchase_id"]) for r in out_rows)
     assert got == want
