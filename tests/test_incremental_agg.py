@@ -150,3 +150,45 @@ def test_bootstrap_from_existing_dimension(spark, change_df):
     summary = maintain_group_summary(summary, dim.filter(F.col("is_current")), b1)
     dim = scd2_merge(dim, b1, "b1")
     assert _rows(summary) == _rows(group_summary(dim.filter(F.col("is_current"))))
+
+
+def test_null_group_keys_merge_not_duplicate(spark, change_df):
+    """GROUP BY treats NULL as one ordinary group; the upsert join must
+    merge the summary's NULL row with the delta's NULL row (null-safe
+    equality) instead of appending a fresh NULL row every batch."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        apply_summary_delta,
+    )
+
+    field = T.StructField("g", T.StringType(), True)
+    summary = spark.createDataFrame(
+        [(None, 2, decimal.Decimal("20.00")), ("a", 1, decimal.Decimal("5.00"))],
+        T.StructType(
+            [
+                field,
+                T.StructField("n_orders", T.LongType(), False),
+                T.StructField("measure_sum", T.DecimalType(38, 2), True),
+            ]
+        ),
+    )
+    delta = spark.createDataFrame(
+        [(None, 1, decimal.Decimal("7.00")), ("b", 1, decimal.Decimal("3.00"))],
+        T.StructType(
+            [
+                field,
+                T.StructField("__dn", T.LongType(), False),
+                T.StructField("__dm", T.DecimalType(38, 2), True),
+            ]
+        ),
+    )
+    out = {r["g"]: (r["n_orders"], r["measure_sum"]) for r in
+           apply_summary_delta(summary, delta, group_col="g").collect()}
+    assert out == {
+        None: (3, decimal.Decimal("27.00")),
+        "a": (1, decimal.Decimal("5.00")),
+        "b": (1, decimal.Decimal("3.00")),
+    }
