@@ -3,7 +3,6 @@
 
 from __future__ import annotations
 
-import io
 import re
 import sys
 from pathlib import Path
@@ -75,17 +74,27 @@ def main() -> None:
         lines = [line for line in plan.splitlines() if line.strip()][:40]
         return "\n".join(line[:150] for line in lines)
 
-    out = io.StringIO()
-    out.write(
-        "# PLANS — physical-plan evidence for the headline suite (sf0.1)\n\n"
-        "Generated from `.explain`-level output (`executedPlan`, AQE pre-final).\n"
-        "What to look for per query is annotated; expression ids stripped for\n"
-        "readability. Regenerate with `python scripts/dump_plans.py`.\n\n"
-    )
+    # SURGICAL regeneration: PLANS.md carries many hand-written analysis
+    # sections beyond the NOTES queries (merge plans, corpus-append,
+    # stress evidence, r4 notes). Only the "## <name>" blocks named in
+    # NOTES are replaced in place; everything else — including manual
+    # sections interleaved between them — is preserved byte-for-byte.
+    # (The previous full-rewrite behavior would have silently deleted
+    # every manual section.)
+    path = REPO / "PLANS.md"
+    text = path.read_text()
+
+    def replace_section(text: str, name: str, body: str) -> str:
+        pat = re.compile(rf"(?ms)^## {re.escape(name)}\n.*?(?=^## |\Z)")
+        if pat.search(text):
+            return pat.sub(body.replace("\\", "\\\\"), text, count=1)
+        return text.rstrip() + "\n\n" + body
+
     for name, note in NOTES.items():
-        out.write(f"## {name}\n\n{note}\n\n```\n{grab(name)}\n```\n\n")
-    (REPO / "PLANS.md").write_text(out.getvalue())
-    print("PLANS.md written")
+        body = f"## {name}\n\n{note}\n\n```\n{grab(name)}\n```\n\n"
+        text = replace_section(text, name, body)
+    path.write_text(text)
+    print("PLANS.md updated in place (manual sections preserved)")
 
 
 if __name__ == "__main__":
