@@ -31,12 +31,56 @@ class SCD2Loader:
         dim_store: SCD2DimStore,
         cdc_dir: str | Path,
         metadata: PipelineMetadataManager | None = None,
+        summary_store=None,
     ):
         self.spark = spark
         self.dim = dim_store
         self.cdc_dir = Path(cdc_dir)
         self.ledger = ProcessedLedger(self.cdc_dir / ".scd2_processed_files")
         self.metadata = metadata
+        # optional maintained rollup (operators/incremental_agg.py): a
+        # VersionedTable holding revenue-per-customer, kept in sync from
+        # batch DELTAS instead of per-run recomputes
+        self.summary = summary_store
+
+    def _maintain_summary(self, changes, txn_id: str) -> None:
+        """Incremental-view maintenance of the summary table for one
+        batch, BEFORE the dimension advances (the delta is defined
+        against the pre-batch current slice).
+
+        Crash/replay safety without a cross-store transaction: the
+        summary commits first under the same txn_id the dim uses.
+        - crash after summary, before dim: the replay's summary commit
+          is a txn no-op and the dim applies — converged.
+        - replay after both landed (ledger unmarked): both txn no-ops.
+        The delta algebra itself is also idempotent against an
+        already-advanced dimension (every term cancels), so even a
+        lost summary txn file degrades to a zero-delta commit."""
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+            empty_summary,
+            group_summary,
+            maintain_group_summary,
+        )
+        from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim
+
+        if self.dim.exists():
+            current = self.dim.read_current(self.spark)
+        else:
+            current = empty_dim(self.spark).filter(F.col("is_current"))
+        if self.summary.exists():
+            prev = self.summary.read(self.spark)
+        else:
+            # adopting a pre-existing dimension: bootstrap from recompute
+            prev = (
+                group_summary(current)
+                if self.dim.exists()
+                else empty_summary(self.spark)
+            )
+        self.summary.commit(
+            maintain_group_summary(prev, current, changes), txn_id=txn_id
+        )
 
     def process_batch_file(self, batch_path: str | Path) -> bool:
         """One batch: id → ledger check → merge → commit → mark
@@ -48,12 +92,15 @@ class SCD2Loader:
         batch_id = generate_batch_id(changes)
         if self.ledger.is_processed(batch_path.name, batch_id):
             return False
+        txn_id = f"{batch_path.name}|{batch_id}"
+        if self.summary is not None:
+            self._maintain_summary(changes, txn_id)
         # the store's txn guard backs the ledger: a crash between the
         # pointer swap and the mark leaves the replay a no-op
         applied = self.dim.apply_batch(
             self.spark,
             changes,
-            txn_id=f"{batch_path.name}|{batch_id}",
+            txn_id=txn_id,
             batch_id=batch_id,
         )
         self.ledger.mark(batch_path.name, batch_id)

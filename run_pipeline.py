@@ -6,6 +6,7 @@ Commands operate on a workdir layout:
   <workdir>/source_orders/      versioned source table
   <workdir>/deleted_orders/     tombstone table (DELETE capture)
   <workdir>/dim_orders_history/ SCD2 dimension
+  <workdir>/summary_customer_revenue/  maintained rollup (load --summary)
   <workdir>/pipeline_metadata/  run history
   <workdir>/cdc_logs/           change batches + state files
 
@@ -14,7 +15,8 @@ Usage:
   python run_pipeline.py simulate  [--workdir DIR] [--cycles N]
   python run_pipeline.py extract   [--workdir DIR] [--cycles N] [--backfill]
                                    [--source-url JDBC_URL [--source-table T]]
-  python run_pipeline.py load      [--workdir DIR]
+  python run_pipeline.py load      [--workdir DIR] [--summary]
+  python run_pipeline.py summary   [--workdir DIR]   # IVM check; exit 1 on drift
   python run_pipeline.py status    [--workdir DIR]
   python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
                                    [--order-key K]
@@ -74,9 +76,16 @@ def main() -> int:
         "command",
         choices=[
             "seed", "simulate", "extract", "load", "status", "validate",
+            "summary",
             "corpus", "corpus-append", "corpus-compact",
             "ann-build", "ann-append", "ann-query",
         ],
+    )
+    ap.add_argument(
+        "--summary",
+        action="store_true",
+        help="load: also maintain the revenue-per-customer rollup "
+        "incrementally from batch deltas (verify with the `summary` command)",
     )
     ap.add_argument("--workdir", default="./warehouse_data")
     ap.add_argument("--orders", type=int, default=10)
@@ -159,7 +168,46 @@ def main() -> int:
             batch = ext.run_once()
             print(json.dumps({"batch": str(batch) if batch else None}))
     elif args.command == "load":
+        if args.summary:
+            from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+            loader.summary = VersionedTable(
+                Path(args.workdir) / "summary_customer_revenue"
+            )
         print(json.dumps(loader.load_pending()))
+    elif args.command == "summary":
+        # IVM validation surface: the maintained rollup must hash-equal a
+        # from-scratch GROUP BY over the dimension's current slice
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.operators.incremental_agg import group_summary
+        from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+        store = VersionedTable(Path(args.workdir) / "summary_customer_revenue")
+        if not store.exists():
+            print(json.dumps({"error": "no maintained summary; run load --summary"}))
+            return 1
+        maintained = store.read(spark)
+        recomputed = group_summary(dim.read_current(spark))
+        mism = (
+            maintained.withColumnRenamed("n_orders", "mn")
+            .withColumnRenamed("measure_sum", "mm")
+            .join(recomputed, "customer_id", "full_outer")
+            .filter(
+                ~F.col("mn").eqNullSafe(F.col("n_orders"))
+                | ~F.col("mm").eqNullSafe(F.col("measure_sum"))
+            )
+            .count()
+        )
+        out = {
+            "groups": maintained.count(),
+            "total_orders": maintained.agg(F.sum("n_orders")).collect()[0][0],
+            "total_revenue": str(maintained.agg(F.sum("measure_sum")).collect()[0][0]),
+            "matches_recompute": mism == 0,
+            "mismatched_groups": mism,
+        }
+        print(json.dumps(out))
+        return 0 if mism == 0 else 1
     elif args.command == "status":
         out = {
             "source_rows": sim._orders().count(),

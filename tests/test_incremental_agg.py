@@ -192,3 +192,54 @@ def test_null_group_keys_merge_not_duplicate(spark, change_df):
         "a": (1, decimal.Decimal("5.00")),
         "b": (1, decimal.Decimal("3.00")),
     }
+
+
+def test_pipeline_load_maintains_summary_e2e(tmp_path, spark):
+    """Summary maintenance wired into the real loader: seed → extract →
+    load with a summary store; after every load the maintained rollup
+    equals a recompute over the dimension's current slice, replays are
+    txn-no-ops, and further mutation cycles stay in sync."""
+    from cdc_historical_warehouse_platform_spark.pipeline.extractor import CDCExtractor
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.pipeline.simulator import OrderSimulator
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+    from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+    source = VersionedTable(tmp_path / "source_orders")
+    deleted = VersionedTable(tmp_path / "deleted_orders")
+    dim = SCD2DimStore(tmp_path / "dim_orders_history")
+    summary_store = VersionedTable(tmp_path / "summary_customer_revenue")
+    sim = OrderSimulator(spark, source, deleted, seed=7)
+    ext = CDCExtractor(spark, source, tmp_path / "cdc_logs", deleted_table=deleted)
+    loader = SCD2Loader(
+        spark, dim, tmp_path / "cdc_logs", summary_store=summary_store
+    )
+
+    def check():
+        maintained = {
+            (r["customer_id"], r["n_orders"], r["measure_sum"])
+            for r in summary_store.read(spark).collect()
+        }
+        recomputed = {
+            (r["customer_id"], r["n_orders"], r["measure_sum"])
+            for r in group_summary(dim.read_current(spark)).collect()
+        }
+        assert maintained == recomputed and maintained
+
+    sim.seed_orders(12, now=ts(0))
+    ext.run_once(now=ts(1))
+    loader.load_pending()
+    check()
+    v_after = summary_store.version()
+
+    # replay: no new batches, summary version must not advance
+    loader.load_pending()
+    assert summary_store.version() == v_after
+    check()
+
+    # mutation cycles (updates + possible deletes) stay in sync
+    for i in range(3):
+        sim.mutate_once(now=ts(10 + i))
+        ext.run_once(now=ts(10 + i))
+    loader.load_pending()
+    check()
