@@ -332,14 +332,23 @@ def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
 
     orders = load_table(spark, sf_dir, "orders")
-    changes = orders_as_changes(orders)
+    # Materialize the synthesized change log once (lazy localCheckpoint):
+    # it feeds b1 twice (s1's delta + dim1's merge) and b2 once, and in
+    # the real pipeline the batch files ARE materialized before the merge
+    # (pipeline/loader.py) — without this boundary the window over orders
+    # is recomputed three times (measured sf0.1: 16.4 s → 6.0 s cold).
+    changes = orders_as_changes(orders).localCheckpoint(eager=False)
     b1 = changes.filter(F.col("operation_type") == "INSERT")
     b2 = changes.filter(F.col("operation_type") == "UPDATE")
     dim0 = empty_dim(spark)
     s1 = maintain_group_summary(
         empty_summary(spark), dim0.filter(F.col("is_current")), b1
     )
-    dim1 = scd2_merge(dim0, b1, "b1")
+    # Same boundary for the advanced dimension: after batch 1 the loader
+    # commits dim1 to the versioned store before batch 2's delta probes
+    # it. Truncating here keeps the two maintenance steps as separate
+    # bounded jobs instead of one deep chained plan.
+    dim1 = scd2_merge(dim0, b1, "b1").localCheckpoint(eager=False)
     s2 = maintain_group_summary(s1, dim1.filter(F.col("is_current")), b2)
     return s2.select(
         "customer_id",
