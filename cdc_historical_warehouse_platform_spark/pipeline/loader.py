@@ -21,7 +21,44 @@ from cdc_historical_warehouse_platform_spark.pipeline.state import ProcessedLedg
 from cdc_historical_warehouse_platform_spark.sources.change_batches import discover_batches, read_change_batch
 from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
 
-__all__ = ["SCD2Loader"]
+__all__ = ["SCD2Loader", "maintain_summary_store"]
+
+
+def maintain_summary_store(spark, dim_store, summary_store, changes, txn_id: str) -> None:
+    """Incremental-view maintenance of a summary table for one batch,
+    BEFORE the dimension advances (the delta is defined against the
+    pre-batch current slice). Shared by the batch loader and the
+    streaming foreachBatch path so both engines carry ONE copy of the
+    bootstrap + commit-ordering rules.
+
+    Crash/replay safety without a cross-store transaction: the summary
+    commits first under the same txn_id the dim uses.
+    - crash after summary, before dim: the replay's summary commit is a
+      txn no-op and the dim applies — converged.
+    - replay after both landed (ledger/checkpoint unmarked): both txn
+      no-ops.
+    The delta algebra itself is also idempotent against an
+    already-advanced dimension (every term cancels), so even a lost
+    summary txn file degrades to a zero-delta commit."""
+    from pyspark.sql import functions as F
+
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        empty_summary,
+        group_summary,
+        maintain_group_summary,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim
+
+    if dim_store.exists():
+        current = dim_store.read_current(spark)
+    else:
+        current = empty_dim(spark).filter(F.col("is_current"))
+    if summary_store.exists():
+        prev = summary_store.read(spark)
+    else:
+        # adopting a pre-existing dimension: bootstrap from recompute
+        prev = group_summary(current) if dim_store.exists() else empty_summary(spark)
+    summary_store.commit(maintain_group_summary(prev, current, changes), txn_id=txn_id)
 
 
 class SCD2Loader:
@@ -43,45 +80,6 @@ class SCD2Loader:
         # batch DELTAS instead of per-run recomputes
         self.summary = summary_store
 
-    def _maintain_summary(self, changes, txn_id: str) -> None:
-        """Incremental-view maintenance of the summary table for one
-        batch, BEFORE the dimension advances (the delta is defined
-        against the pre-batch current slice).
-
-        Crash/replay safety without a cross-store transaction: the
-        summary commits first under the same txn_id the dim uses.
-        - crash after summary, before dim: the replay's summary commit
-          is a txn no-op and the dim applies — converged.
-        - replay after both landed (ledger unmarked): both txn no-ops.
-        The delta algebra itself is also idempotent against an
-        already-advanced dimension (every term cancels), so even a
-        lost summary txn file degrades to a zero-delta commit."""
-        from pyspark.sql import functions as F
-
-        from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
-            empty_summary,
-            group_summary,
-            maintain_group_summary,
-        )
-        from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim
-
-        if self.dim.exists():
-            current = self.dim.read_current(self.spark)
-        else:
-            current = empty_dim(self.spark).filter(F.col("is_current"))
-        if self.summary.exists():
-            prev = self.summary.read(self.spark)
-        else:
-            # adopting a pre-existing dimension: bootstrap from recompute
-            prev = (
-                group_summary(current)
-                if self.dim.exists()
-                else empty_summary(self.spark)
-            )
-        self.summary.commit(
-            maintain_group_summary(prev, current, changes), txn_id=txn_id
-        )
-
     def process_batch_file(self, batch_path: str | Path) -> bool:
         """One batch: id → ledger check → merge → commit → mark
         (scd2_loader.py:476-548). Returns False for a skipped replay."""
@@ -94,7 +92,7 @@ class SCD2Loader:
             return False
         txn_id = f"{batch_path.name}|{batch_id}"
         if self.summary is not None:
-            self._maintain_summary(changes, txn_id)
+            maintain_summary_store(self.spark, self.dim, self.summary, changes, txn_id)
         # the store's txn guard backs the ledger: a crash between the
         # pointer swap and the mark leaves the replay a no-op
         applied = self.dim.apply_batch(

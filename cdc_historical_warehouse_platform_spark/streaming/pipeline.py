@@ -59,6 +59,7 @@ def start_scd2_stream(
     checkpoint_dir: str | Path,
     available_now: bool = True,
     processing_time: str = "10 seconds",
+    summary_store=None,
 ) -> StreamingQuery:
     """Continuous SCD2 maintenance: every micro-batch runs the same
     merge the batch loader uses against the split dim store, committed
@@ -68,6 +69,14 @@ def start_scd2_stream(
     ``available_now=True`` = one-shot drain (single_run_extractor
     semantics); otherwise a ``processingTime`` trigger (the reference's
     10 s extraction cadence, .env.example:19).
+
+    With ``summary_store`` (a VersionedTable) the stream ALSO maintains
+    the revenue-per-customer rollup incrementally inside the same
+    micro-batch, via the shared loader helper
+    (pipeline/loader.maintain_summary_store): the summary commits first
+    under the epoch's txn id, so a crash anywhere in the epoch replays
+    to txn no-ops on both stores — streaming gets the batch path's
+    incremental-view-maintenance guarantee with zero new algebra.
     """
     changes = read_change_stream(spark, cdc_dir)
 
@@ -75,10 +84,15 @@ def start_scd2_stream(
         if batch_df.isEmpty():
             return
         batch_id = generate_batch_id(batch_df)
+        txn_id = f"epoch:{epoch_id}:{batch_id}"
+        if summary_store is not None:
+            from cdc_historical_warehouse_platform_spark.pipeline.loader import maintain_summary_store
+
+            maintain_summary_store(spark, dim_store, summary_store, batch_df, txn_id)
         dim_store.apply_batch(
             spark,
             batch_df,
-            txn_id=f"epoch:{epoch_id}:{batch_id}",
+            txn_id=txn_id,
             batch_id=batch_id,
         )
 

@@ -66,6 +66,68 @@ def test_scd2_stream_available_now(tmp_path, spark):
     assert dim.version() == v
 
 
+def test_scd2_stream_maintains_summary(tmp_path, spark):
+    """Streaming IVM: with a summary_store the foreachBatch path keeps
+    the revenue-per-customer rollup bit-equal to a from-scratch
+    recompute over the dimension's current slice after every drain, and
+    a no-new-data restart advances neither store."""
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import group_summary
+    from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    dim = SCD2DimStore(tmp_path / "dim")
+    summary = VersionedTable(tmp_path / "summary")
+
+    def check():
+        maintained = {
+            (r["customer_id"], r["n_orders"], r["measure_sum"])
+            for r in summary.read(spark).collect()
+        }
+        recomputed = {
+            (r["customer_id"], r["n_orders"], r["measure_sum"])
+            for r in group_summary(dim.read_current(spark)).collect()
+        }
+        assert maintained == recomputed and maintained
+
+    b1 = [
+        make_change(i, "INSERT", ts(i), quantity=i, customer_id=100 + (i % 2))
+        for i in range(1, 5)
+    ]
+    write_change_batch(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(5), fmt="jsonl"
+    )
+    q = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, summary_store=summary
+    )
+    q.awaitTermination(120)
+    check()
+
+    # update (group move), delete, and a fresh insert in the next epoch
+    b2 = [
+        make_change(1, "UPDATE", ts(10), quantity=9, customer_id=101),
+        make_change(2, "DELETE", ts(11)),
+        make_change(7, "INSERT", ts(12), quantity=3, customer_id=102),
+    ]
+    write_change_batch(
+        spark.createDataFrame(b2, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(13), fmt="jsonl"
+    )
+    q2 = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, summary_store=summary
+    )
+    q2.awaitTermination(120)
+    check()
+
+    # no-new-data restart: neither store's version advances
+    dv, sv = dim.version(), summary.version()
+    q3 = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, summary_store=summary
+    )
+    q3.awaitTermination(120)
+    assert dim.version() == dv and summary.version() == sv
+    check()
+
+
 def test_windowed_event_counts_streaming_matches_batch(tmp_path, spark):
     """Run the ST8 tumbling-window agg as a real stream over the events
     parquet and compare to the batch run of the same function."""
