@@ -92,6 +92,7 @@ _PRIORITY = [
     "subquery_exists",
     "subquery_not_exists",
     "subquery_in_having",
+    "subquery_correlated_scalar",  # new r04 (fourth batch): Q17-shape correlated scalar subquery, decimal-exact threshold
     "agg_grouping_sets",
     # --- new r04 (third batch): incremental aggregate maintenance — the
     # summary is built purely from CDC batch deltas (never a GROUP BY over
@@ -103,6 +104,9 @@ _PRIORITY = [
     "join_interval_events",
 ]
 _DEMOTED = [
+    # --- r04 fourth rotation: slot ceded to subquery_correlated_scalar
+    # (never driver-checked). ---
+    "join_revenue_by_nation",    # J+ star join; green r01-r03 AND benched per-round; join family repped in-window by subquery_exists/in_having joins + join_interval_events
     # --- r04 second rotation: slots ceded to the four subquery/grouping-set
     # rows (never driver-checked) promoted above. Family coverage stays
     # in-window via the noted siblings. ---

@@ -1420,11 +1420,68 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+def q_subquery_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape — CORRELATED scalar subquery in the WHERE
+    clause: revenue from lineitems whose quantity is below half the
+    average quantity ordered for that same part, by brand. The last
+    subquery form not yet driver-checked (Q4 EXISTS, Q22 uncorrelated
+    scalar + NOT EXISTS, Q18 IN-over-HAVING are siblings).
+
+    Exactness: the avg comparison is restated as
+    ``2 * qty * COUNT(*) < SUM(qty)`` in DECIMAL, so no float
+    division can flip a boundary row between engines. Catalyst
+    decorrelates each scalar subquery into a per-partkey aggregate
+    left-joined on the correlation key (RewriteCorrelatedScalarSubquery)
+    — no BroadcastNestedLoopJoin / CartesianProduct anywhere (pinned by
+    tests/test_plans.py). Cost note: the two subqueries become two
+    column-pruned (l_partkey, l_quantity) aggregate scans beside the
+    base scan; the hand-optimized single-aggregate join shape is what
+    subquery_in_having's `big` subtree already demonstrates — this
+    entry deliberately exercises the front-end form."""
+    from cdc_historical_warehouse_platform_spark.schemas import register_testdata_views
+
+    register_testdata_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS lost_revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 2 *
+              (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    )
+
+
+SQL_SUBQUERY_CORRELATED_SCALAR = """
+SELECT p.p_brand,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS lost_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 2 *
+      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
 RELATIONAL_QUERIES.update(
     {
         "subquery_exists": (q_subquery_exists, SQL_SUBQUERY_EXISTS),
         "subquery_not_exists": (q_subquery_not_exists, SQL_SUBQUERY_NOT_EXISTS),
         "subquery_in_having": (q_subquery_in_having, SQL_SUBQUERY_IN_HAVING),
+        "subquery_correlated_scalar": (
+            q_subquery_correlated_scalar,
+            SQL_SUBQUERY_CORRELATED_SCALAR,
+        ),
         "agg_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     }
 )
