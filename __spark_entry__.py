@@ -102,11 +102,19 @@ _PRIORITY = [
     # --- new r04 (third batch): pure range join (no equi key) via time-bin
     # bucketing — the CartesianProduct case made shuffle-joinable ---
     "join_interval_events",
+    # --- new r04 (fourth batch): int8 scalar-quantized ANN (the memory
+    # tier; int64-exact arithmetic so the twin replays the quantized
+    # ranking itself) and the two-phase per-source document cap (gate +
+    # rank; both phases replayed by the oracle) ---
+    "ann_sq_topk",
+    "corpus_domain_caps",
 ]
 _DEMOTED = [
-    # --- r04 fourth rotation: slot ceded to subquery_correlated_scalar
-    # (never driver-checked). ---
+    # --- r04 fourth rotation: slots ceded to subquery_correlated_scalar,
+    # ann_sq_topk, and corpus_domain_caps (never driver-checked). ---
     "join_revenue_by_nation",    # J+ star join; green r01-r03 AND benched per-round; join family repped in-window by subquery_exists/in_having joins + join_interval_events
+    "scd2_as_of",                # J3 point-in-time; green r01-r03; family covered by demoted-green join_asof_events + in-window scd2 timeline rows
+    "agg_pricing_summary",       # A-family scan agg; green r01-r03 AND benched per-round; agg family repped in-window by agg_grouping_sets + agg_approx_aggregates
     # --- r04 second rotation: slots ceded to the four subquery/grouping-set
     # rows (never driver-checked) promoted above. Family coverage stays
     # in-window via the noted siblings. ---

@@ -1747,3 +1747,111 @@ ORDER BY fingerprint
 """
 
 DATAPIPE_QUERIES["corpus_paragraph_dedup"] = (q_corpus_paragraph_dedup, SQL_PARAGRAPH_DEDUP)
+
+
+def q_ann_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar-quantized cosine top-k (operators/similarity.sq_topk)
+    — the memory tier of the ANN stack: the corpus scans 4× fewer
+    bytes than float32 per probe batch. Exact-by-construction across
+    engines: the quantization is one IEEE-deterministic expression,
+    the dot/norm sums are int64, and only the final score is a double
+    ratio — the DuckDB twin replays all of it, so the driver row
+    checks the quantized ranking itself. Recall vs the full-precision
+    ranking is pinned separately in pytest."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import sq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+SQL_IDOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)), (x, y) -> x + y)"
+)
+
+SQL_ANN_SQ = f"""
+WITH qz AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings),
+qv AS (
+  SELECT vec_id,
+         CASE WHEN s > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS INT))
+              ELSE list_transform(embedding, x -> 0) END AS q
+  FROM qz),
+scored AS (
+  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         CAST({SQL_IDOT.format(a='cc.q', b='qq.q')} AS DOUBLE)
+           / sqrt(CAST({SQL_IDOT.format(a='cc.q', b='cc.q')}
+                       * {SQL_IDOT.format(a='qq.q', b='qq.q')} AS DOUBLE)) AS qcosine
+  FROM qv qq CROSS JOIN qv cc
+  WHERE qq.vec_id < 10 AND cc.vec_id <> qq.vec_id
+    AND {SQL_IDOT.format(a='cc.q', b='cc.q')} > 0
+    AND {SQL_IDOT.format(a='qq.q', b='qq.q')} > 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY qcosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, qcosine
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+DOMAIN_CAP = 5
+DOMAIN_CAP_SAFETY = 4
+
+
+def q_corpus_domain_caps(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.cap_per_source):
+    at most DOMAIN_CAP docs per source, chosen deterministically by
+    md5 order. At sf0.01 every source is over-cap, so the driver row
+    exercises BOTH phases — the 8-hex prefix gate (p < 1) and the
+    rank on the gated remnant. The oracle replays both phases, so a
+    silent divergence in either one hash-fails."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        cap_per_source(
+            docs, DOMAIN_CAP, safety=DOMAIN_CAP_SAFETY
+        )
+        .select("source", "doc_id", "cap_rank")
+        .orderBy("source", "cap_rank")
+    )
+
+
+SQL_DOMAIN_CAPS = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+d AS (SELECT doc_id, source,
+             md5('domain-cap:' || CAST(doc_id AS VARCHAR)) AS draw
+      FROM documents),
+g AS (
+  SELECT d.doc_id, d.source, d.draw,
+         least(1.0, {DOMAIN_CAP_SAFETY * DOMAIN_CAP}.0 / CAST(c.n AS DOUBLE)) AS p
+  FROM d JOIN counts c ON d.source = c.source),
+gated AS (
+  SELECT * FROM g
+  WHERE p >= 1.0
+     OR substr(draw, 1, 8) < printf('%08x', CAST(floor(p * 4294967296.0) AS BIGINT))),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS cap_rank
+  FROM gated)
+SELECT source, doc_id, cap_rank
+FROM ranked WHERE cap_rank <= {DOMAIN_CAP}
+ORDER BY source, cap_rank
+"""
+
+
+DATAPIPE_QUERIES.update(
+    {
+        "ann_sq_topk": (q_ann_sq_topk, SQL_ANN_SQ),
+        "corpus_domain_caps": (q_corpus_domain_caps, SQL_DOMAIN_CAPS),
+    }
+)

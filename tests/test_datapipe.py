@@ -1184,3 +1184,79 @@ def test_banded_near_dup_adapts_dim_to_wide_vectors(spark):
     }
     assert len(exact) >= 30
     assert banded == exact
+
+
+def test_sq_topk_recall_vs_full_precision(spark):
+    """Int8 scalar quantization must preserve the cosine ranking almost
+    exactly: recall@10 vs the full-precision brute-force ranking on the
+    real embeddings, plus a planted-nearest-neighbor check (the
+    jittered copy must stay rank 1 after quantization)."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import cosine_topk, sq_topk
+    from cdc_historical_warehouse_platform_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=10).collect()
+    quant = sq_topk(emb, queries, k=10).collect()
+    by_q_exact: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    by_q_quant: dict = {}
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q_quant) == set(by_q_exact)
+    overlap = sum(
+        len(by_q_exact[q] & by_q_quant[q]) for q in by_q_exact
+    ) / sum(len(by_q_exact[q]) for q in by_q_exact)
+    assert overlap >= 0.85, f"sq recall@10 {overlap:.3f} vs full precision"
+
+    # planted: jittered duplicates must survive quantization as rank 1
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(30):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i * 2, [float(x) for x in base]))
+        rows.append((i * 2 + 1, [float(x + rng.gauss(0, 0.02)) for x in base]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pq = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = sq_topk(vecs, pq, k=1).collect()
+    hits = sum(1 for r in top1 if r["neighbor_id"] == r["query_id"] + 1)
+    assert hits / 30 >= 0.95, f"planted recall {hits}/30 after int8 quantization"
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    """Quantized values stay in [-127, 127]; max-|v| element hits ±127;
+    the zero vector quantizes to all zeros (and is dropped by sq_topk's
+    zero-norm filter rather than scored as NaN)."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import quantize_int8, sq_topk
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [3.0, 2.9, -3.0, 1.5]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["vec_id"]: r["q"]
+        for r in vecs.select(
+            "vec_id", quantize_int8(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert got[1] == [64, -127, 32, 0]          # floor(x*127/1.0 + .5)
+    assert got[2] == [0, 0, 0, 0]
+    assert got[3] == [127, 123, -127, 64]       # floor(2.9*127/3 + .5) = 123
+    assert all(-127 <= v <= 127 for q in got.values() for v in q)
+
+    queries = vecs.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert sq_topk(vecs, queries, k=5).count() == 0  # zero-norm query dropped

@@ -24,9 +24,11 @@ FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
 # Brute-force-BY-DESIGN tier: the broadcast side is a deliberately
 # small query set, the corpus stays un-shuffled — the documented exact
-# baseline next to the ANN paths. Everything else must justify itself
-# here or fix its plan.
-ALL_PAIRS_BY_DESIGN = {"knn_cosine_brute"}
+# baseline next to the ANN paths. ann_sq_topk is the same flat-scan
+# shape over the int8-quantized corpus (4× fewer bytes per scan); the
+# bucketed/clustered tiers (LSH/IVF) remain the probe-many scale path.
+# Everything else must justify itself here or fix its plan.
+ALL_PAIRS_BY_DESIGN = {"knn_cosine_brute", "ann_sq_topk"}
 
 
 def _entry_module():

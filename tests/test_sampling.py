@@ -328,3 +328,77 @@ def test_compact_skips_shards_already_at_minimal_layout(docs, tmp_path):
         max_records_per_file=10,
     )
     assert result["compacted_shards"] == 0  # nothing to gain, skipped
+
+
+def test_cap_per_source_equals_naive_rank(spark, docs):
+    """The two-phase (gate → rank) implementation must equal the naive
+    single-phase window rank wherever the gate passes ≥ cap rows — on
+    the real corpus AND on a skewed synthetic corpus where one source
+    dwarfs the cap (the case the gate exists for)."""
+    from pyspark.sql import Window
+
+    from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
+
+    def naive(df, cap):
+        draw = F.md5(
+            F.concat(F.lit("domain-cap:"), F.col("doc_id").cast("string"))
+        )
+        w = Window.partitionBy("source").orderBy(
+            draw.asc(), F.col("doc_id").asc()
+        )
+        return (
+            df.withColumn("cap_rank", F.row_number().over(w))
+            .filter(F.col("cap_rank") <= cap)
+            .select("source", "doc_id", "cap_rank")
+        )
+
+    for cap in (1, 3, 10):
+        got = {
+            tuple(r)
+            for r in cap_per_source(docs, cap)
+            .select("source", "doc_id", "cap_rank")
+            .collect()
+        }
+        want = {tuple(r) for r in naive(docs, cap).collect()}
+        assert got == want, f"cap={cap}: two-phase diverged from naive rank"
+
+    # skewed: one hot source with 400 docs, two small ones; gate engages
+    # (p = 4*10/400 = 0.1) and must still keep exactly the naive top-10
+    rows = [("hot", i) for i in range(400)] + [
+        ("small_a", 1000),
+        ("small_b", 2000),
+        ("small_b", 2001),
+    ]
+    skewed = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        tuple(r)
+        for r in cap_per_source(skewed, 10).select("source", "doc_id", "cap_rank").collect()
+    }
+    want = {tuple(r) for r in naive(skewed, 10).collect()}
+    assert got == want
+    per_source = {
+        r["source"]: r["n"]
+        for r in cap_per_source(skewed, 10)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_source == {"hot": 10, "small_a": 1, "small_b": 2}
+
+
+def test_cap_per_source_rerun_stable(spark, docs):
+    """Same kept set on a re-run over a reshuffled input — the
+    determinism a 100 TB restart depends on."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
+
+    a = {
+        tuple(r)
+        for r in cap_per_source(docs, 5).select("source", "doc_id").collect()
+    }
+    b = {
+        tuple(r)
+        for r in cap_per_source(docs.repartition(13), 5)
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert a == b
