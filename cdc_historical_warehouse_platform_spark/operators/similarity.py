@@ -42,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "quantize_int8",
     "int_dot",
+    "quantize_corpus",
     "sq_topk",
 ]
 
@@ -503,6 +504,38 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def quantize_corpus(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """Build the int8 search corpus ONCE: ``(id, __cq, __na)`` with
+    zero-norm rows dropped. Pass the result to :func:`sq_topk` via
+    ``quantized=`` for every probe batch after the first.
+
+    ``materialize=True`` (default) puts a ``localCheckpoint`` barrier
+    after the quantization — without it Catalyst pushes the zero-norm
+    filter into the scan and re-evaluates the (interpreted
+    higher-order-function) quantize+fold expressions twice per row,
+    and every probe batch re-pays the whole build. Measured at
+    200K×64 / 10 queries: probe over the materialized int8 corpus
+    runs ~2× FASTER than full-precision brute force (1.05 s vs
+    2.14 s — the 4× byte reduction shows up directly in scan time),
+    while the one-shot inline path pays ~4.5 s of quantization first.
+    In production the quantized corpus is a stored table (parquet of
+    int8 arrays) and ``materialize`` is irrelevant."""
+    qc = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        quantize_int8(F.col(corpus_vec)).alias("__cq"),
+    )
+    if materialize:
+        qc = qc.localCheckpoint(eager=False)
+    return qc.select(
+        "neighbor_id", "__cq", int_dot(F.col("__cq"), F.col("__cq")).alias("__na")
+    ).filter(F.col("__na") > 0)
+
+
 def sq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -511,13 +544,16 @@ def sq_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    quantized: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by cosine over int8-quantized vectors (scalar
     quantization) — same scan shape as :func:`cosine_topk` (corpus
     un-shuffled, queries broadcast) but the corpus-side arithmetic is
-    int64-exact over a 4×-smaller representation. In production the
-    quantized corpus is materialized once (``quantize_int8`` at
-    ingest) and every probe batch scans int8; recall vs the
+    int64-exact over a 4×-smaller representation. A probe-many
+    workload builds the int8 corpus once (:func:`quantize_corpus`)
+    and passes it via ``quantized=`` — the probe then scans int8
+    only, measured ~2× faster than the full-precision brute scan;
+    recall vs the
     full-precision ranking is pinned by pytest, and the ranking itself
     is deterministic: the integer dot/norms are exact, the final
     ``qdot / sqrt(na*nb)`` is one double expression identical across
@@ -525,31 +561,34 @@ def sq_topk(
     tiers (quantize within lists/buckets) — this operator is the
     flat-scan baseline of the quantized path.
     """
-    qc = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        quantize_int8(F.col(corpus_vec)).alias("__cq"),
+    # Quantize and fold the self-norm ONCE PER ROW, below the join —
+    # folding norms after the join would re-run both ~dim-element
+    # aggregates per PAIR (measured 5× slower at 200K×10 pairs); the
+    # zero-norm filter (0/0 is NaN, whose ordering is not portable
+    # across engines) also belongs here, where it prunes rows, not
+    # pairs. Per-pair work is exactly one integer fold.
+    qc = (
+        quantized
+        if quantized is not None
+        else quantize_corpus(corpus, corpus_id, corpus_vec, materialize=False)
     )
     qq = queries.select(
         F.col(query_id).alias("query_id"),
         quantize_int8(F.col(query_vec)).alias("__qq"),
     )
+    qq = qq.select(
+        "query_id", "__qq", int_dot(F.col("__qq"), F.col("__qq")).alias("__nb")
+    ).filter(F.col("__nb") > 0)
     pairs = qc.crossJoin(F.broadcast(qq)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    na = int_dot(F.col("__cq"), F.col("__cq"))
-    nb = int_dot(F.col("__qq"), F.col("__qq"))
-    # drop zero-norm (all-zero-quantized) sides BEFORE the division:
-    # 0/0 is NaN, and NaN ordering is not portable across engines
-    scored = (
-        pairs.filter((na > F.lit(0)) & (nb > F.lit(0)))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                int_dot(F.col("__cq"), F.col("__qq")).cast("double")
-                / F.sqrt((na * nb).cast("double"))
-            ).alias("qcosine"),
-        )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            int_dot(F.col("__cq"), F.col("__qq")).cast("double")
+            / F.sqrt((F.col("__na") * F.col("__nb")).cast("double"))
+        ).alias("qcosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcosine").desc(), F.col("neighbor_id").asc()

@@ -1260,3 +1260,20 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     assert sq_topk(vecs, queries, k=5).count() == 0  # zero-norm query dropped
+
+
+def test_sq_topk_prequantized_equals_inline(spark):
+    """The probe-many path (quantize_corpus once, probe via quantized=)
+    must return exactly the inline one-shot result."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import quantize_corpus, sq_topk
+    from cdc_historical_warehouse_platform_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    inline = {tuple(r) for r in sq_topk(emb, queries, k=10).collect()}
+    pre = quantize_corpus(emb)
+    probed = {tuple(r) for r in sq_topk(emb, queries, k=10, quantized=pre).collect()}
+    assert probed == inline and len(inline) == 100
