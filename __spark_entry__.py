@@ -130,9 +130,9 @@ _DEMOTED = [
     "scd2_current_state",          # P4 ≡ promoted scd2_version_timeline + flag checks (green r01-r03)
     "scd2_validation_summary",     # A1/V ≡ promoted scd2_interval_integrity + timestamp_continuity (green r01-r03)
     "scd2_duplicate_current_check",  # A6 ≡ agg_grouped_having family (green r01-r03)
-    "agg_conditional_counts",      # A2; agg family repped by agg_pricing_summary in-window (green r01-r03)
+    "agg_conditional_counts",      # A2; agg family repped in-window by agg_grouping_sets + agg_approx_aggregates (green r01-r03)
     "agg_union_metric_rows",       # U1; setop_except_intersect stays in-window (green r01-r03)
-    "join_asof_events",            # J3; scd2_as_of stays in-window (green r01-r03)
+    "join_asof_events",            # J3; as-of semantics also exercised by the in-window scd2 timeline rows (version_timeline, timestamp_continuity); scd2_as_of itself demoted-green r01-r03
     "sort_topk_orders",            # O4; window_top family demoted-green, ntile row in-window (green r01-r03)
     "scalar_functions",            # F; string funcs exercised by promoted text rows (green r01-r03)
     "filter_point_lookup_current",  # P3 ≡ filter_key_history (green r01-r03)

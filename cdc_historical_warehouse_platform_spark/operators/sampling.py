@@ -188,7 +188,13 @@ def cap_per_source(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     draw = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # NULL-SAFE counts join: GROUP BY (and the window partition below)
+    # treat NULL source as one ordinary group, so the gate must too — a
+    # plain-equality join would silently DROP every NULL-source doc
+    # instead of capping the NULL group.
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).select(
+        F.col(source_col).alias("__src"), "__n"
+    )
     p = F.least(
         F.lit(1.0), F.lit(float(safety * cap)) / F.col("__n").cast("double")
     )
@@ -199,8 +205,9 @@ def cap_per_source(
     )
     gated = (
         df.withColumn("__draw", draw)
-        .join(F.broadcast(counts), source_col)
+        .join(F.broadcast(counts), F.col(source_col).eqNullSafe(F.col("__src")))
         .filter((p >= F.lit(1.0)) | (F.substring("__draw", 1, 8) < thr))
+        .drop("__src")
     )
     w = Window.partitionBy(source_col).orderBy(
         F.col("__draw").asc(), F.col(key_col).asc()

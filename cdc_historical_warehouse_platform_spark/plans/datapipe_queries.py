@@ -1834,7 +1834,7 @@ d AS (SELECT doc_id, source,
 g AS (
   SELECT d.doc_id, d.source, d.draw,
          least(1.0, {DOMAIN_CAP_SAFETY * DOMAIN_CAP}.0 / CAST(c.n AS DOUBLE)) AS p
-  FROM d JOIN counts c ON d.source = c.source),
+  FROM d JOIN counts c ON d.source IS NOT DISTINCT FROM c.source),
 gated AS (
   SELECT * FROM g
   WHERE p >= 1.0

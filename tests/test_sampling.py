@@ -402,3 +402,19 @@ def test_cap_per_source_rerun_stable(spark, docs):
         .collect()
     }
     assert a == b
+
+
+def test_cap_per_source_null_source_capped_not_dropped(spark):
+    """NULL source is one ordinary group (GROUP BY / window-partition
+    semantics): it must be CAPPED like any other, never dropped by the
+    counts join."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
+
+    rows = [("a", 1), ("a", 2), (None, 3), (None, 4), (None, 5), ("b", 6)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    kept = cap_per_source(df, 2).select("source", "doc_id").collect()
+    by_src: dict = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src[None]) == 2  # capped, not dropped
+    assert by_src["a"] == {1, 2} and by_src["b"] == {6}
