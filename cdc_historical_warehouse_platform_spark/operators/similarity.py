@@ -44,6 +44,7 @@ __all__ = [
     "int_dot",
     "quantize_corpus",
     "sq_topk",
+    "sq_ivf_search",
 ]
 
 
@@ -421,6 +422,57 @@ def ivf_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def sq_ivf_search(
+    assigned_q: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 10,
+    n_probes: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    probed: DataFrame | None = None,
+) -> DataFrame:
+    """Search an IVF-assigned INT8 corpus (the IVF-SQ composition —
+    coarse quantizer for pruning, scalar quantizer for storage, per
+    the standard inverted-file + SQ8 design): ``assigned_q`` has
+    columns (neighbor_id, __cq, __na, list_id) — int8 vectors and
+    precomputed integer self-norms, NO full-precision copy. Probing
+    (centroid selection) runs on the full-precision query vector; the
+    list-local scoring is one integer fold per candidate, identical
+    arithmetic to :func:`sq_topk`. Output schema matches ivf_search
+    with ``qcosine`` instead of ``cosine``."""
+    if probed is None:
+        probed = probed_queries(queries, cents, n_probes, query_id, query_vec)
+    pq = probed.select(
+        "query_id",
+        "list_id",
+        quantize_int8(F.col("__qv")).alias("__qq"),
+    )
+    pq = pq.select(
+        "query_id", "list_id", "__qq", int_dot(F.col("__qq"), F.col("__qq")).alias("__nb")
+    ).filter(F.col("__nb") > 0)
+    scored = (
+        assigned_q.join(F.broadcast(pq), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                int_dot(F.col("__cq"), F.col("__qq")).cast("double")
+                / F.sqrt((F.col("__na") * F.col("__nb")).cast("double"))
+            ).alias("qcosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qcosine")
     )
 
 

@@ -45,9 +45,12 @@ from pyspark.sql import functions as F
 
 from cdc_historical_warehouse_platform_spark.operators.similarity import (
     _nearest_list_expr,
+    int_dot,
     ivf_centroids,
     ivf_search,
     probed_queries,
+    quantize_int8,
+    sq_ivf_search,
 )
 from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
 
@@ -99,12 +102,32 @@ class IVFIndex:
         cents: list[list[float]],
         corpus_id: str,
         corpus_vec: str,
+        quantize: str | None = None,
     ) -> DataFrame:
-        assigned = vectors.select(
-            F.col(corpus_id).alias("vec_id"),
-            F.col(corpus_vec).alias("embedding"),
-            _nearest_list_expr(F.col(corpus_vec), cents).alias("list_id"),
-        )
+        """``quantize="int8"`` stores the IVF-SQ layout — int8 vector +
+        precomputed integer self-norm, NO full-precision copy (the
+        standard inverted-file + scalar-quantizer composition: coarse
+        quantizer prunes lists, SQ shrinks what each list stores ~4×).
+        List assignment always runs on the full-precision input."""
+        list_id = _nearest_list_expr(F.col(corpus_vec), cents).alias("list_id")
+        if quantize == "int8":
+            assigned = vectors.select(
+                F.col(corpus_id).alias("vec_id"),
+                quantize_int8(F.col(corpus_vec)).alias("__cq"),
+                list_id,
+            )
+            assigned = assigned.select(
+                "vec_id",
+                "__cq",
+                int_dot(F.col("__cq"), F.col("__cq")).alias("__na"),
+                "list_id",
+            ).filter(F.col("__na") > 0)
+        else:
+            assigned = vectors.select(
+                F.col(corpus_id).alias("vec_id"),
+                F.col(corpus_vec).alias("embedding"),
+                list_id,
+            )
         # cluster + sort by list so probe-time list_id predicates skip
         # non-probed row groups via parquet min/max stats
         return assigned.repartition("list_id").sortWithinPartitions("list_id")
@@ -121,7 +144,10 @@ class IVFIndex:
         corpus_id: str = "vec_id",
         corpus_vec: str = "embedding",
         txn_id: str | None = None,
+        quantize: str | None = None,
     ) -> "IVFIndex":
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         index = cls(path)
         prev = index._read_pointer()
         epoch = (prev["epoch"] + 1) if prev else 0
@@ -131,10 +157,15 @@ class IVFIndex:
             json.dumps({"centroids": cents, "n_lists": n_lists, "refine": refine})
         )
         v = index.assignments.commit(
-            cls._assign(corpus, cents, corpus_id, corpus_vec), txn_id=txn_id
+            cls._assign(corpus, cents, corpus_id, corpus_vec, quantize), txn_id=txn_id
         )
         index._write_pointer(
-            {"epoch": epoch, "centroids_file": cent_file, "assignments_version": v}
+            {
+                "epoch": epoch,
+                "centroids_file": cent_file,
+                "assignments_version": v,
+                "quantize": quantize,
+            }
         )
         return index
 
@@ -184,7 +215,7 @@ class IVFIndex:
         if n_appended == 0:
             return meta["assignments_version"], 0
         v = self.assignments.append(
-            self._assign(fresh, cents, corpus_id, corpus_vec),
+            self._assign(fresh, cents, corpus_id, corpus_vec, meta.get("quantize")),
             txn_id=txn_id,
         )
         self._write_pointer({**meta, "assignments_version": v})
@@ -247,14 +278,21 @@ class IVFIndex:
         probed_ids = [
             r["list_id"] for r in probed.select("list_id").distinct().collect()
         ]
-        assigned = (
-            self.assignments.read(spark, version=meta["assignments_version"])
-            .filter(F.col("list_id").isin(probed_ids))
-            .select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("__cv"),
-                "list_id",
+        scan = self.assignments.read(
+            spark, version=meta["assignments_version"]
+        ).filter(F.col("list_id").isin(probed_ids))
+        if meta.get("quantize") == "int8":
+            assigned_q = scan.select(
+                F.col("vec_id").alias("neighbor_id"), "__cq", "__na", "list_id"
             )
+            return sq_ivf_search(
+                assigned_q, queries, cents, k, n_probes, query_id, query_vec,
+                probed=probed,
+            )
+        assigned = scan.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+            "list_id",
         )
         return ivf_search(
             assigned, queries, cents, k, n_probes, query_id, query_vec, probed=probed

@@ -24,6 +24,7 @@ Usage:
                                    [--num-shards N] [--max-records-per-file N]
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
+                                   [--int8]   # IVF-SQ: int8 storage layout
   python run_pipeline.py ann-append --input NEW_SF_DIR --output DIR
   python run_pipeline.py ann-query  --input SF_DIR --output DIR
                                    [--k N] [--n-probes N] [--n-queries N]
@@ -136,6 +137,12 @@ def main() -> int:
         help="corpus-compact: rewrite shards exceeding this file count",
     )
     ap.add_argument("--n-lists", type=int, default=16, help="ann-build: IVF lists")
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="ann-build: store the IVF-SQ layout (int8 vectors + integer "
+        "norms, no full-precision copy); appends/probes follow the stored mode",
+    )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
     ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query")
     ap.add_argument(
@@ -316,12 +323,18 @@ def main() -> int:
             return 1
         emb = spark.read.parquet(str(Path(args.input) / "embeddings.parquet"))
         if args.command == "ann-build":
-            index = IVFIndex.build(emb, args.output, n_lists=args.n_lists)
+            index = IVFIndex.build(
+                emb,
+                args.output,
+                n_lists=args.n_lists,
+                quantize="int8" if args.int8 else None,
+            )
             print(
                 json.dumps(
                     {
                         "vectors": emb.count(),
                         "n_lists": args.n_lists,
+                        "quantize": "int8" if args.int8 else None,
                         "version": index.assignments.version(),
                         "output": args.output,
                     }

@@ -179,3 +179,97 @@ def test_vacuum_never_deletes_pointer_pinned_version(spark, tmp_path):
     index.vacuum(keep_last=1)
     # the pinned pair must still probe identically
     assert _rows(index.probe(spark, q, k=5, n_probes=2)) == before
+
+
+def test_int8_index_probe_matches_manual_sq_scoring(spark, tmp_path):
+    """IVF-SQ composition: an int8 index stores NO full-precision
+    vectors (schema check — the memory tier must be real), and its
+    probe equals manually SQ-scoring the probed lists of a
+    full-precision index built from the same corpus (same deterministic
+    centroids → same list partition → exact equality, not recall)."""
+    from pyspark.sql import Window
+
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        int_dot,
+        quantize_int8,
+    )
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    full = IVFIndex.build(emb, tmp_path / "full", n_lists=8)
+    int8 = IVFIndex.build(emb, tmp_path / "int8", n_lists=8, quantize="int8")
+    assert full.centroids() == int8.centroids()
+
+    stored = int8.assignments.read(spark)
+    assert "embedding" not in stored.columns
+    assert dict(stored.dtypes)["__cq"] == "array<tinyint>"
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["qcosine"], 9))
+        for r in int8.probe(spark, q, k=10, n_probes=2).collect()
+    )
+
+    # manual expectation: quantize the full index's stored assignments
+    # and score with the same integer arithmetic over the same probed
+    # lists
+    from cdc_historical_warehouse_platform_spark.operators.similarity import probed_queries
+
+    probed = probed_queries(q, full.centroids(), n_probes=2)
+    pq = probed.select(
+        "query_id", "list_id", quantize_int8(F.col("__qv")).alias("__qq")
+    )
+    pq = pq.select(
+        "query_id", "list_id", "__qq",
+        int_dot(F.col("__qq"), F.col("__qq")).alias("__nb"),
+    ).filter(F.col("__nb") > 0)
+    cand = (
+        full.assignments.read(spark)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            quantize_int8(F.col("embedding")).alias("__cq"),
+            "list_id",
+        )
+        .select(
+            "neighbor_id", "__cq",
+            int_dot(F.col("__cq"), F.col("__cq")).alias("__na"), "list_id",
+        )
+        .filter(F.col("__na") > 0)
+        .join(F.broadcast(pq), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (
+                int_dot(F.col("__cq"), F.col("__qq")).cast("double")
+                / F.sqrt((F.col("__na") * F.col("__nb")).cast("double"))
+            ).alias("qcosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["qcosine"], 9))
+        for r in cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    )
+    assert got == want and len(got) == 50
+
+
+def test_int8_index_append_keeps_layout_and_dedups(spark, tmp_path):
+    """Appends into an int8 index keep the quantized layout (stored
+    quantize mode, not a per-call flag) and id-dedup still works."""
+    emb = _emb(spark)
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    index = IVFIndex.build(half1, tmp_path / "ivf8", n_lists=8, quantize="int8")
+    _, n1 = index.append(half2)
+    assert n1 == half2.count()
+    stored = index.assignments.read(spark)
+    assert "embedding" not in stored.columns
+    assert stored.count() == emb.count()
+    # re-delivery is a no-op
+    _, n2 = index.append(half2)
+    assert n2 == 0
+    # probe still answers over the grown index
+    assert index.probe(spark, _queries(emb), k=5, n_probes=2).count() == 25
