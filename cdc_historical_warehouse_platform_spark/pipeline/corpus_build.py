@@ -34,6 +34,40 @@ from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
 __all__ = ["corpus_build", "corpus_append", "corpus_compact"]
 
 QUALITY_THRESHOLD = 0.68
+_CAPS_FILE = "_source_caps.json"
+
+
+def _cap_against_quota(
+    kept: DataFrame, counts: DataFrame, max_per_source: int
+) -> DataFrame:
+    """Cap a NEW batch's kept docs against each source's REMAINING
+    quota (``max_per_source`` minus docs already in the corpus).
+
+    Incremental semantics are first-come: the corpus is append-only,
+    so a later doc can never evict an earlier-kept one — within each
+    batch the winners are the md5-smallest (deterministic, engine
+    independent, same draw as operators/sampling.cap_per_source), and
+    across batches the quota just drains. That is the standard
+    production shape for per-domain quotas in a streaming corpus
+    build; the one-shot global-rank semantics remain available via
+    cap_per_source over a full rebuild.
+
+    ``counts`` has (source, n_kept); null-safe join so a NULL source
+    is one ordinary quota group."""
+    from pyspark.sql import Window
+
+    draw = F.md5(F.concat(F.lit("domain-cap:"), F.col("doc_id").cast("string")))
+    c = counts.select(F.col("source").alias("__src"), F.col("n_kept").alias("__used"))
+    w = Window.partitionBy("source").orderBy(draw.asc(), F.col("doc_id").asc())
+    return (
+        kept.join(F.broadcast(c), F.col("source").eqNullSafe(F.col("__src")), "left")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.lit(max_per_source) - F.coalesce(F.col("__used"), F.lit(0))
+        )
+        .drop("__src", "__used", "__rk")
+    )
 
 
 def corpus_build(
@@ -42,9 +76,19 @@ def corpus_build(
     output: str,
     num_shards: int = 8,
     max_records_per_file: int = 100_000,
+    max_per_source: int | None = None,
 ) -> dict:
     """Full build: keep decisions over ``input_dir``/documents.parquet,
-    sharded kept corpus + persisted dedup state under ``output``."""
+    sharded kept corpus + persisted dedup state under ``output``.
+
+    ``max_per_source`` adds the per-domain quota stage (at most N kept
+    docs per source, md5-rank deterministic — operators/sampling.
+    cap_per_source) AFTER quality + dedup; the per-source kept counts
+    persist as ``_source_counts`` so corpus_append enforces the
+    REMAINING quota on every increment."""
+    import json as _json
+
+    from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
     from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
         q_corpus_keep_decisions,
     )
@@ -58,6 +102,13 @@ def corpus_build(
     kept = docs.join(
         decisions.filter(F.col("decision") == "kept").select("doc_id"), "doc_id"
     )
+    out = Path(output)
+    if max_per_source is not None:
+        kept = cap_per_source(kept, max_per_source).drop("cap_rank")
+        kept = kept.localCheckpoint(eager=True)  # one derivation for shards+state
+        counts["over_source_cap"] = (
+            counts.get("kept", 0) - kept.count()
+        )
     manifest = write_training_shards(
         kept,
         output,
@@ -65,12 +116,16 @@ def corpus_build(
         num_shards=num_shards,
         max_records_per_file=max_records_per_file,
     )
-    out = Path(output)
     kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
     minhash_band_buckets(kept).write.mode("overwrite").parquet(str(out / "_lsh_index"))
     kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
         "overwrite"
     ).parquet(str(out / "_fp_index"))
+    if max_per_source is not None:
+        kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
+            "overwrite"
+        ).parquet(str(out / "_source_counts"))
+        (out / _CAPS_FILE).write_text(_json.dumps({"max_per_source": max_per_source}))
     # all state written → publish the commit marker (crash before this
     # line = rebuild; corpus_append repairs against it)
     write_marker(out, epoch=0)
@@ -91,8 +146,10 @@ def corpus_append(
 ) -> dict:
     """Incremental load: quality-gate the NEW batch, dedup it against
     the persisted state (exact-fingerprint + LSH; the existing corpus
-    is never re-signatured), append kept docs into the shard layout,
-    extend the state, publish the next epoch marker."""
+    is never re-signatured), enforce any per-source quota the build
+    declared (``_source_caps.json`` + append-only ``_source_counts``
+    state), append kept docs into the shard layout, extend the state,
+    publish the next epoch marker."""
     out = Path(output)
     if not (out / "_lsh_index").exists():
         raise FileNotFoundError(f"no corpus state under {output}; run corpus_build first")
@@ -128,6 +185,30 @@ def corpus_append(
         stored_docs=stored_docs,
         stored_fps=stored_fps,
     )
+    # per-domain quota stage (present iff the build used max_per_source):
+    # cap the new batch against each source's REMAINING quota, and keep
+    # the LSH-bucket state consistent with what actually ships — buckets
+    # of quota-dropped docs must never enter _lsh_index (they would be
+    # state for docs not in the corpus)
+    caps_file = out / _CAPS_FILE
+    n_over_cap = 0
+    if caps_file.exists():
+        import json as _json
+
+        max_per_source = _json.loads(caps_file.read_text())["max_per_source"]
+        used = (
+            spark.read.parquet(str(out / "_source_counts"))
+            .groupBy("source")
+            .agg(F.sum("n_kept").alias("n_kept"))
+        )
+        n_dedup_kept = kept.count()
+        kept = _cap_against_quota(kept, used, max_per_source).localCheckpoint(
+            eager=True
+        )
+        n_over_cap = n_dedup_kept - kept.count()
+        kept_buckets = kept_buckets.join(
+            kept.select("doc_id"), "doc_id", "left_semi"
+        )
     manifest = write_training_shards(
         kept,
         output,
@@ -141,13 +222,19 @@ def corpus_append(
     kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
         "append"
     ).parquet(str(out / "_fp_index"))
+    if caps_file.exists():
+        # LSM-style: append this epoch's per-source counts; readers sum
+        kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
+            "append"
+        ).parquet(str(out / "_source_counts"))
     # every write of this epoch landed → atomically publish it
     write_marker(out, epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1)
     n_kept = kept.count()
     return {
         "new_docs": n_new,
         "low_quality": n_new - n_quality,
-        "near_dup": n_quality - n_kept,
+        "near_dup": n_quality - n_kept - n_over_cap,
+        "over_source_cap": n_over_cap,
         "appended": n_kept,
         "repaired_files": len(repaired["removed"]),
         "corpus_rows": manifest["total_rows"],

@@ -32,7 +32,10 @@ from pathlib import Path
 __all__ = ["MARKER", "STATE_DIRS", "snapshot", "write_marker", "read_marker", "repair"]
 
 MARKER = "_corpus_commit"
-STATE_DIRS = ("_kept_docs", "_lsh_index", "_fp_index")
+# _source_counts (r4, per-domain quotas) is append-only LSM-style rows
+# (source, n_kept per epoch), summed at read — append-only is what
+# keeps it repairable under this marker protocol
+STATE_DIRS = ("_kept_docs", "_lsh_index", "_fp_index", "_source_counts")
 
 
 def _data_files(root: Path) -> list[str]:

@@ -22,6 +22,7 @@ Usage:
                                    [--order-key K]
   python run_pipeline.py corpus    --input SF_DIR --output DIR\n  python run_pipeline.py corpus-append --input NEW_SF_DIR --output DIR
                                    [--num-shards N] [--max-records-per-file N]
+                                   [--max-per-source N]  # corpus: per-domain quota
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
@@ -132,6 +133,13 @@ def main() -> int:
     )
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--max-records-per-file", type=int, default=100_000)
+    ap.add_argument(
+        "--max-per-source",
+        type=int,
+        default=None,
+        help="corpus: per-source quota (at most N kept docs per source); "
+        "persisted so corpus-append enforces the remaining quota",
+    )
     ap.add_argument(
         "--max-files-per-shard", type=int, default=32,
         help="corpus-compact: rewrite shards exceeding this file count",
@@ -266,6 +274,7 @@ def main() -> int:
                     args.output,
                     num_shards=args.num_shards,
                     max_records_per_file=args.max_records_per_file,
+                    max_per_source=args.max_per_source,
                 )
             )
         )

@@ -1277,3 +1277,64 @@ def test_sq_topk_prequantized_equals_inline(spark):
     pre = quantize_corpus(emb)
     probed = {tuple(r) for r in sq_topk(emb, queries, k=10, quantized=pre).collect()}
     assert probed == inline and len(inline) == 100
+
+
+def test_corpus_per_source_quota_build_and_append(spark, tmp_path):
+    """Per-domain quota through the composed pipeline: the build caps
+    every source, the persisted _source_counts state makes appends
+    drain only the REMAINING quota, bucket state stays consistent with
+    the shipped corpus, and a re-delivered batch is a no-op."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+    )
+
+    out = str(tmp_path / "c")
+    r = corpus_build(spark, "/root/testdata/sf0.001", out, max_per_source=3)
+    assert r["decisions"].get("over_source_cap", 0) >= 0
+    corpus = spark.read.parquet(out)
+    per_src = {
+        row["source"]: row["n"]
+        for row in corpus.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_src and all(n <= 3 for n in per_src.values()), per_src
+
+    # fresh batch: new ids, token-reversed text (kills exact + near dup
+    # against the built corpus), same sources → quota must bind
+    new = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    a1 = corpus_append(spark, new, out)
+    corpus2 = spark.read.parquet(out)
+    per_src2 = {
+        row["source"]: row["n"]
+        for row in corpus2.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 3 for n in per_src2.values()), per_src2
+    assert a1["over_source_cap"] + a1["appended"] + a1["near_dup"] + a1[
+        "low_quality"
+    ] == a1["new_docs"]
+
+    # LSH state must only carry docs that actually shipped
+    lsh_ids = {
+        row["doc_id"]
+        for row in spark.read.parquet(str(tmp_path / "c" / "_lsh_index"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    corpus_ids = {row["doc_id"] for row in corpus2.select("doc_id").collect()}
+    assert lsh_ids <= corpus_ids
+
+    # re-delivery: every doc is either already kept (fp tier) or its
+    # source's quota is exhausted — nothing appends
+    a2 = corpus_append(spark, new, out)
+    assert a2["appended"] == 0
