@@ -31,6 +31,7 @@ __all__ = [
     "sliding_event_value",
     "streaming_exact_dedup",
     "streaming_corpus_keep",
+    "streaming_enrich",
     "streaming_interval_join",
 ]
 
@@ -203,6 +204,35 @@ def streaming_corpus_keep(
     return streaming_exact_dedup(
         kept, text_col=text_col, event_time_col=event_time_col, delay=delay
     )
+
+
+def streaming_enrich(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: decorate a change/event stream
+    with dimension attributes (the lookup-join every CDC consumer
+    needs — e.g. changes ⟕ current customer attributes).
+
+    Structured Streaming evaluates the STATIC side fresh per
+    micro-batch (no state store involved — this is the stateless join
+    class, unlike stream-stream), so a dim that is re-read from a
+    versioned store between triggers naturally serves current
+    attributes. ``broadcast_dim`` (default) hints the dim as the build
+    side — the stream side never shuffles, which is the posture for a
+    high-rate feed against a bounded dimension; disable it for a huge
+    dim and let AQE pick (the stream side then shuffles per batch).
+    Only inner/left joins are allowed: right/full would need to emit
+    dim rows with no stream match, which the unbounded stream can
+    never finalize (Spark rejects them at analysis for the same
+    reason)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"stream-static join must be inner or left, got {how!r}")
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream_df.join(d, on, how)
 
 
 def streaming_interval_join(

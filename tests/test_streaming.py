@@ -502,3 +502,60 @@ def test_streaming_interval_join_matches_batch(tmp_path, spark):
     assert q.awaitTermination(180), "stream-stream join did not finish in 180s"
     got = sorted((r["err_id"], r["purchase_id"]) for r in out_rows)
     assert got == want
+
+
+def test_streaming_enrich_stream_static_join(tmp_path, spark):
+    """Stream-static lookup join: a change stream enriched with current
+    dim attributes per micro-batch; the static side is re-read fresh
+    between triggers, so attribute updates between drains are visible
+    to later batches. Batch twin compared for the first drain."""
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import streaming_enrich
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    b1 = [make_change(i, "INSERT", ts(i), customer_id=100 + i) for i in range(1, 4)]
+    write_change_batch(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(4), fmt="jsonl"
+    )
+    dim_path = tmp_path / "cust"
+    spark.createDataFrame(
+        [(101, "GOLD"), (102, "SILVER")], "customer_id int, tier string"
+    ).write.parquet(str(dim_path))
+    cust = spark.read.parquet(str(dim_path))
+
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import read_change_stream
+
+    stream = read_change_stream(spark, cdc_dir)
+    enriched = streaming_enrich(
+        stream.select("id", "customer_id", "operation_type"), cust, on="customer_id"
+    )
+    sink = tmp_path / "out"
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["tier"]) for r in spark.read.parquet(str(sink)).collect()
+    }
+    # left join: unmatched customer (103) survives with NULL tier
+    assert got == {(1, "GOLD"), (2, "SILVER"), (3, None)}
+
+    # batch twin over the same inputs agrees
+    from cdc_historical_warehouse_platform_spark.sources.change_batches import read_change_batch
+
+    batches = sorted(cdc_dir.glob("changes_*"))
+    batch = read_change_batch(spark, batches[0])
+    want = {
+        (r["id"], r["tier"])
+        for r in batch.select("id", "customer_id").join(cust, "customer_id", "left").collect()
+    }
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_enrich(stream, cust, on="customer_id", how="full_outer")
