@@ -154,3 +154,46 @@ def test_incremental_dedup_invariants_for_random_batches(spark, b1, b2):
         assert not (
             a in canonical and b in kept_ids and b > a
         ), f"kept {b} still matches canonical {a}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 60), min_size=1, max_size=5),
+    cap=st.integers(1, 8),
+    safety=st.integers(2, 6),
+)
+def test_cap_per_source_two_phase_equals_naive_for_any_distribution(
+    spark, sizes, cap, safety
+):
+    """The gate→rank cap must equal the naive full-window rank for ANY
+    source-size distribution, cap, and safety factor (the gate keeps a
+    provable prefix of each source's rank order; this drives the
+    boundary cases — single-doc sources, cap ≥ n, gate barely engaged)."""
+    from pyspark.sql import Window
+
+    from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
+
+    rows = [
+        (f"s{si}", si * 1000 + i) for si, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        tuple(r)
+        for r in cap_per_source(df, cap, safety=safety)
+        .select("source", "doc_id", "cap_rank")
+        .collect()
+    }
+    draw = F.md5(F.concat(F.lit("domain-cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(draw.asc(), F.col("doc_id").asc())
+    want = {
+        tuple(r)
+        for r in df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= cap)
+        .select("source", "doc_id", "cap_rank")
+        .collect()
+    }
+    assert got == want
