@@ -108,6 +108,11 @@ _PRIORITY = [
     # rank; both phases replayed by the oracle) ---
     "ann_sq_topk",
     "corpus_domain_caps",
+    # --- new r04 (fifth batch): MIN/MAX incremental maintenance — the
+    # non-delta-maintainable aggregate class via the dirty-group hybrid;
+    # oracle recomputes from scratch, so the row checks the hybrid's IVM
+    # invariant cross-engine ---
+    "scd2_incremental_extrema",
 ]
 _DEMOTED = [
     # --- r04 fourth rotation: slots ceded to subquery_correlated_scalar,
@@ -115,6 +120,7 @@ _DEMOTED = [
     "join_revenue_by_nation",    # J+ star join; green r01-r03 AND benched per-round; join family repped in-window by subquery_exists/in_having joins + join_interval_events
     "scd2_as_of",                # J3 point-in-time; green r01-r03; family covered by demoted-green join_asof_events + in-window scd2 timeline rows
     "agg_pricing_summary",       # A-family scan agg; green r01-r03 AND benched per-round; agg family repped in-window by agg_grouping_sets + agg_approx_aggregates
+    "setop_except_intersect",    # U2/U3; green r01-r03; anti-membership family also demoted-green (join_anti) — slot ceded to scd2_incremental_extrema
     # --- r04 second rotation: slots ceded to the four subquery/grouping-set
     # rows (never driver-checked) promoted above. Family coverage stays
     # in-window via the noted siblings. ---

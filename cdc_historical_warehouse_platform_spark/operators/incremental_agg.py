@@ -48,6 +48,8 @@ __all__ = [
     "summary_delta",
     "apply_summary_delta",
     "maintain_group_summary",
+    "group_extrema",
+    "maintain_group_extrema",
 ]
 
 # Wide enough that no realistic corpus overflows a per-group sum of
@@ -220,3 +222,209 @@ def maintain_group_summary(
         current, changes, group_col, measure_col, business_key, change_key
     )
     return apply_summary_delta(summary, delta, group_col)
+
+
+# --- MIN/MAX maintenance (the non-delta-maintainable class) ----------------
+#
+# COUNT and SUM are self-maintainable: every change contributes an
+# algebraic delta. MIN/MAX are NOT under deletes/updates — removing the
+# row that held a group's extremum says nothing about the runner-up
+# without looking at the group again. The standard IVM answer (and ours)
+# is the hybrid: inserts improve extrema cheaply (least/greatest), and
+# only groups whose REMOVED value ties the stored extremum are marked
+# dirty and recomputed from their post-batch contents. Per-batch cost:
+# O(batch + dirty-group contents), with dirty groups <= batch keys.
+
+
+def group_extrema(
+    current: DataFrame,
+    group_col: str = "customer_id",
+    measure_col: str = "total_amount",
+) -> DataFrame:
+    """From-scratch per-group (count, min, max) over the current slice —
+    the recompute twin maintain_group_extrema must equal. NULL measures
+    coalesce to 0, matching group_summary's SUM semantics."""
+    m = F.coalesce(F.col(measure_col), F.lit(0)).cast(SUMMARY_MEASURE_TYPE)
+    return current.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(m).alias("measure_min"),
+        F.max(m).alias("measure_max"),
+    )
+
+
+def maintain_group_extrema(
+    prev: DataFrame,
+    current: DataFrame,
+    changes: DataFrame,
+    group_col: str = "customer_id",
+    measure_col: str = "total_amount",
+    business_key: str = BUSINESS_KEY,
+    change_key: str = "id",
+) -> DataFrame:
+    """One extrema-maintenance step against the PRE-batch current slice
+    (same contract as maintain_group_summary; same latest-per-key /
+    op-reroute / late-skip semantics as the merge).
+
+    Plan shape: probe #1 is the same broadcast-batch key probe of the
+    column-pruned current slice the sum path uses (classifies removals
+    and additions); probe #2 touches the current slice ONLY for dirty
+    groups (broadcast semi-join on the group key) — a group is dirty
+    iff a removed value ties its stored min or max, so |dirty| is
+    bounded by the batch, never the dimension. Clean groups update with
+    pure column arithmetic (count delta + least/greatest against the
+    additions' per-group extrema)."""
+    latest = dedupe_latest_per_key(changes, key=change_key)
+    staged = latest.select(
+        F.col(change_key).cast("long").alias("__b_key"),
+        F.col(group_col).alias("__b_group"),
+        F.coalesce(F.col(measure_col), F.lit(0))
+        .cast(SUMMARY_MEASURE_TYPE)
+        .alias("__b_measure"),
+        F.col("operation_type").alias("__b_op"),
+        F.col("cdc_timestamp").alias("__b_ts"),
+    )
+    cur_slim = current.select(
+        F.col(business_key).alias("__c_key"),
+        F.col(group_col).alias("__c_group"),
+        F.coalesce(F.col(measure_col), F.lit(0))
+        .cast(SUMMARY_MEASURE_TYPE)
+        .alias("__c_measure"),
+        F.col("valid_from").alias("__c_from"),
+    )
+    # probe #1: the one by-key probe of the current slice
+    matched = cur_slim.join(
+        F.broadcast(staged), F.col("__c_key") == F.col("__b_key"), "inner"
+    )
+    not_late = ~(F.col("__b_ts") < F.col("__c_from"))
+    # rows leaving their group: every matched non-late change removes
+    # the old version (DELETE removes it for good, UPDATE/INSERT-reroute
+    # replaces it — possibly in another group)
+    removals = matched.filter(not_late).select(
+        F.col("__b_key").alias("__r_key"),
+        F.col("__c_group").alias("__g"),
+        F.col("__c_measure").alias("__old_m"),
+    )
+    # rows entering a group: every non-DELETE change except matched-late
+    # no-ops (anti on the late key set keeps this batch-local)
+    late_keys = matched.filter(~not_late).select(F.col("__b_key").alias("__l_key"))
+    additions = (
+        staged.filter(F.col("__b_op") != "DELETE")
+        .join(
+            F.broadcast(late_keys),
+            F.col("__b_key") == F.col("__l_key"),
+            "left_anti",
+        )
+        .select(
+            F.col("__b_group").alias("__g"), F.col("__b_measure").alias("__new_m")
+        )
+    )
+    removals = removals.localCheckpoint(eager=False)
+    additions = additions.localCheckpoint(eager=False)
+
+    p = prev.select(
+        F.col(group_col).alias("__g"),
+        F.col("n_rows").alias("__p_n"),
+        F.col("measure_min").alias("__p_min"),
+        F.col("measure_max").alias("__p_max"),
+    )
+    # dirty: a removed value ties the stored extremum of its group (a
+    # conservative superset — duplicate extremum values recompute to the
+    # same answer). Removals are batch-sized → broadcast into prev.
+    dirty = (
+        p.join(F.broadcast(removals), p["__g"].eqNullSafe(removals["__g"]), "inner")
+        .filter(
+            (F.col("__old_m") == F.col("__p_min"))
+            | (F.col("__old_m") == F.col("__p_max"))
+        )
+        .select(p["__g"])
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    removed_keys = removals.select("__r_key").distinct()
+    # probe #2: dirty-group contents AFTER the batch = surviving current
+    # rows (removed keys excluded) + this batch's additions, both
+    # restricted to dirty groups
+    survivors = (
+        cur_slim.join(
+            F.broadcast(dirty),
+            F.col("__c_group").eqNullSafe(dirty["__g"]),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(removed_keys),
+            F.col("__c_key") == F.col("__r_key"),
+            "left_anti",
+        )
+        .select(F.col("__c_group").alias("__g"), F.col("__c_measure").alias("__m"))
+    )
+    added_in_dirty = additions.join(
+        F.broadcast(dirty), additions["__g"].eqNullSafe(dirty["__g"]), "left_semi"
+    ).select("__g", F.col("__new_m").alias("__m"))
+    recomputed = (
+        survivors.unionByName(added_in_dirty)
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("__r_n"),
+            F.min("__m").alias("__r_min"),
+            F.max("__m").alias("__r_max"),
+        )
+    )
+
+    # clean-path per-group deltas: count change + the additions' extrema
+    add_agg = additions.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__a_n"),
+        F.min("__new_m").alias("__a_min"),
+        F.max("__new_m").alias("__a_max"),
+    )
+    rem_agg = removals.groupBy("__g").agg(F.count(F.lit(1)).alias("__rm_n"))
+
+    merged = (
+        p.withColumnRenamed("__g", "__pg")
+        .join(add_agg, F.col("__pg").eqNullSafe(add_agg["__g"]), "full_outer")
+        .withColumn("__mg", F.coalesce(F.col("__pg"), add_agg["__g"]))
+        .drop(add_agg["__g"])
+        .drop("__pg")
+        .join(rem_agg, F.col("__mg").eqNullSafe(rem_agg["__g"]), "left")
+        .drop(rem_agg["__g"])
+        .join(
+            dirty.withColumnRenamed("__g", "__dg"),
+            F.col("__mg").eqNullSafe(F.col("__dg")),
+            "left",
+        )
+        .join(
+            recomputed.withColumnRenamed("__g", "__rg"),
+            F.col("__mg").eqNullSafe(F.col("__rg")),
+            "left",
+        )
+    )
+    # prev-less groups (pure additions) are never dirty — there is no
+    # stored extremum to falsify
+    is_dirty = F.col("__dg").isNotNull()
+    n_clean = (
+        F.coalesce(F.col("__p_n"), F.lit(0))
+        + F.coalesce(F.col("__a_n"), F.lit(0))
+        - F.coalesce(F.col("__rm_n"), F.lit(0))
+    ).cast("long")
+    out = merged.select(
+        F.col("__mg").alias(group_col),
+        F.when(is_dirty, F.coalesce(F.col("__r_n"), F.lit(0)).cast("long"))
+        .otherwise(n_clean)
+        .alias("n_rows"),
+        F.when(is_dirty, F.col("__r_min"))
+        .otherwise(
+            F.least(
+                F.coalesce(F.col("__p_min"), F.col("__a_min")),
+                F.coalesce(F.col("__a_min"), F.col("__p_min")),
+            )
+        )
+        .alias("measure_min"),
+        F.when(is_dirty, F.col("__r_max"))
+        .otherwise(
+            F.greatest(
+                F.coalesce(F.col("__p_max"), F.col("__a_max")),
+                F.coalesce(F.col("__a_max"), F.col("__p_max")),
+            )
+        )
+        .alias("measure_max"),
+    )
+    return out.filter(F.col("n_rows") > 0)

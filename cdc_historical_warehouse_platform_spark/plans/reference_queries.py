@@ -380,3 +380,62 @@ REFERENCE_QUERIES["scd2_incremental_revenue"] = (
     ORDER BY customer_id
     """,
 )
+
+
+def q_incremental_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-customer MIN/MAX order value
+    (operators/incremental_agg.maintain_group_extrema) — the aggregate
+    class that is NOT purely delta-maintainable: removing a group's
+    extremum holder says nothing about the runner-up, so the operator
+    marks exactly those groups dirty and recomputes them from their
+    post-batch contents (inserts still improve extrema with pure
+    column arithmetic). Same two-batch fixture as
+    scd2_incremental_revenue; the oracle recomputes min/max from
+    scratch over the final current slice, so equality IS the hybrid's
+    maintenance invariant, checked cross-engine by the driver — and
+    the UPDATE wave guarantees dirty groups actually occur."""
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        group_extrema,
+        maintain_group_extrema,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders_as_changes(orders).localCheckpoint(eager=False)
+    b1 = changes.filter(F.col("operation_type") == "INSERT")
+    b2 = changes.filter(F.col("operation_type") == "UPDATE")
+    dim0 = empty_dim(spark)
+    e1 = maintain_group_extrema(
+        group_extrema(dim0.filter(F.col("is_current"))),
+        dim0.filter(F.col("is_current")),
+        b1,
+    )
+    dim1 = scd2_merge(dim0, b1, "b1").localCheckpoint(eager=False)
+    e2 = maintain_group_extrema(e1, dim1.filter(F.col("is_current")), b2)
+    return e2.select(
+        "customer_id",
+        "n_rows",
+        F.col("measure_min").cast("double").alias("min_order_value"),
+        F.col("measure_max").cast("double").alias("max_order_value"),
+    ).orderBy("customer_id")
+
+
+REFERENCE_QUERIES["scd2_incremental_extrema"] = (
+    q_incremental_extrema,
+    f"""
+    WITH changes AS ({ORDERS_AS_CHANGES_SQL}),
+    seq AS (
+      SELECT *,
+             lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM changes
+    )
+    SELECT customer_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(CAST(CAST(unit_price * quantity AS DECIMAL(10,2)) AS DECIMAL(28,2))) AS DOUBLE) AS min_order_value,
+           CAST(MAX(CAST(CAST(unit_price * quantity AS DECIMAL(10,2)) AS DECIMAL(28,2))) AS DOUBLE) AS max_order_value
+    FROM seq
+    WHERE valid_to IS NULL
+    GROUP BY customer_id
+    ORDER BY customer_id
+    """,
+)

@@ -243,3 +243,103 @@ def test_pipeline_load_maintains_summary_e2e(tmp_path, spark):
         ext.run_once(now=ts(10 + i))
     loader.load_pending()
     check()
+
+
+# --- MIN/MAX maintenance (dirty-group hybrid) ------------------------------
+
+
+def _ext_rows(df):
+    return sorted(
+        (r["customer_id"], r["n_rows"], r["measure_min"], r["measure_max"])
+        for r in df.collect()
+    )
+
+
+def _run_extrema_batches(spark, change_df, batches):
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        group_extrema,
+        maintain_group_extrema,
+    )
+
+    dim = empty_dim(spark)
+    ext = group_extrema(empty_dim(spark).filter(F.col("is_current")))
+    for i, batch_rows in enumerate(batches):
+        batch = change_df(batch_rows)
+        current = dim.filter(F.col("is_current"))
+        ext = maintain_group_extrema(ext, current, batch)
+        dim = scd2_merge(dim, batch, f"b{i}")
+        ext = ext.localCheckpoint(eager=True)
+        dim = dim.localCheckpoint(eager=True)
+        got = _ext_rows(ext)
+        want = _ext_rows(group_extrema(dim.filter(F.col("is_current"))))
+        assert got == want, f"batch {i}: maintained {got} != recompute {want}"
+    return dim, ext
+
+
+def test_extrema_insert_update_delete_matches_recompute(spark, change_df):
+    """The hybrid stays equal to recompute through the full op mix —
+    including the hard case: deleting/updating away the row that HELD a
+    group's min or max (dirty-group recompute), and the cheap cases
+    (insert improving an extremum; removing a non-extreme row)."""
+    _run_extrema_batches(
+        spark,
+        change_df,
+        [
+            # c100: 5, 10, 20 — extremes at 5 and 20
+            [
+                make_change(1, "INSERT", ts(0), quantity=1, unit_price="5.00"),
+                make_change(2, "INSERT", ts(1), quantity=1, unit_price="10.00"),
+                make_change(3, "INSERT", ts(2), quantity=1, unit_price="20.00"),
+            ],
+            # delete the MAX holder (dirty) + insert a non-extreme (clean)
+            [
+                make_change(3, "DELETE", ts(10)),
+                make_change(4, "INSERT", ts(11), quantity=1, unit_price="7.00"),
+            ],
+            # update the MIN holder upward (dirty on removal side)
+            [make_change(1, "UPDATE", ts(20), quantity=1, unit_price="8.00")],
+            # remove a non-extreme row (clean path), then empty the group
+            [make_change(2, "DELETE", ts(30))],
+            [
+                make_change(1, "DELETE", ts(40)),
+                make_change(4, "DELETE", ts(41)),
+            ],
+        ],
+    )
+
+
+def test_extrema_group_move_and_late_events(spark, change_df):
+    """A group move must dirty the source group when the mover held its
+    extremum and improve the target cheaply; late events are no-ops."""
+    _run_extrema_batches(
+        spark,
+        change_df,
+        [
+            [
+                make_change(1, "INSERT", ts(0), quantity=1, unit_price="50.00", customer_id=100),
+                make_change(2, "INSERT", ts(1), quantity=1, unit_price="10.00", customer_id=100),
+                make_change(3, "INSERT", ts(2), quantity=1, unit_price="30.00", customer_id=200),
+            ],
+            # id 1 (holder of c100's max) moves to c200, beating its max
+            [make_change(1, "UPDATE", ts(10), quantity=1, unit_price="50.00", customer_id=200)],
+            # late: older than id 2's valid_from — must change nothing
+            [make_change(2, "UPDATE", ts(0), quantity=9, unit_price="99.00", customer_id=100)],
+        ],
+    )
+
+
+def test_extrema_duplicate_extremum_values(spark, change_df):
+    """Two rows sharing the min: deleting one must keep the min (the
+    dirty recompute sees the surviving duplicate)."""
+    _run_extrema_batches(
+        spark,
+        change_df,
+        [
+            [
+                make_change(1, "INSERT", ts(0), quantity=1, unit_price="5.00"),
+                make_change(2, "INSERT", ts(1), quantity=1, unit_price="5.00"),
+                make_change(3, "INSERT", ts(2), quantity=1, unit_price="9.00"),
+            ],
+            [make_change(1, "DELETE", ts(10))],
+        ],
+    )
