@@ -31,6 +31,7 @@ __all__ = [
     "sliding_event_value",
     "streaming_exact_dedup",
     "streaming_corpus_keep",
+    "sessionized_event_counts",
     "streaming_enrich",
     "streaming_interval_join",
 ]
@@ -203,6 +204,35 @@ def streaming_corpus_keep(
     ).filter(F.col("quality_score") >= quality_threshold)
     return streaming_exact_dedup(
         kept, text_col=text_col, event_time_col=event_time_col, delay=delay
+    )
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """ST8's third member as a native stream: per-user session windows
+    via ``F.session_window`` (dynamic gap-close state Spark maintains
+    in the state store; sessions finalize when the watermark passes
+    their gap — the streaming twin of the batch lag+cumsum
+    sessionization in plans/relational_queries.q_session_windows).
+    Works on batch DataFrames too, which is how the test pins
+    stream ≡ batch over the same events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
     )
 
 

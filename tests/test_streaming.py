@@ -559,3 +559,49 @@ def test_streaming_enrich_stream_static_join(tmp_path, spark):
 
     with _pytest.raises(ValueError):
         streaming_enrich(stream, cust, on="customer_id", how="full_outer")
+
+
+def test_sessionized_event_counts_streaming_matches_batch(tmp_path, spark):
+    """Native session_window as a real stream over the events parquet
+    equals the batch run of the same function (complete output after an
+    availableNow drain)."""
+    from cdc_historical_warehouse_platform_spark.schemas import load_table
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import sessionized_event_counts
+
+    events = load_table(spark, SF_DIR, "events")
+    batch_out = {
+        (r["session_start"], r["user_id"]): (r["n_events"], r["total_value"])
+        for r in sessionized_event_counts(events).collect()
+    }
+    assert batch_out
+
+    src_dir = tmp_path / "events_src"
+    events.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    out_rows = []
+
+    def _sink(df, epoch):
+        out_rows.extend(df.collect())
+
+    # session windows reject update mode (sessions merge as events
+    # arrive); complete mode re-emits the full merged state each
+    # trigger, so the LAST epoch's rows are the finalized sessions
+    epochs: list[list] = []
+
+    def _sink_epochs(df, epoch):
+        epochs.append(df.collect())
+
+    q = (
+        sessionized_event_counts(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(_sink_epochs)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_out = {
+        (r["session_start"], r["user_id"]): (r["n_events"], r["total_value"])
+        for r in epochs[-1]
+    }
+    assert stream_out == batch_out
