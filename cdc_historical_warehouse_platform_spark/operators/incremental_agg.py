@@ -387,7 +387,14 @@ def maintain_group_extrema(
         .join(rem_agg, F.col("__mg").eqNullSafe(rem_agg["__g"]), "left")
         .drop(rem_agg["__g"])
         .join(
-            dirty.withColumnRenamed("__g", "__dg"),
+            # explicit flag column, NOT a null test on the join key: the
+            # NULL group's matched key is itself NULL, so __dg.isNotNull()
+            # would silently route a dirty NULL group down the clean path
+            # (stale extremum — exactly the invariant breach the dirty
+            # path exists to prevent)
+            dirty.select(
+                F.col("__g").alias("__dg"), F.lit(True).alias("__dirty")
+            ),
             F.col("__mg").eqNullSafe(F.col("__dg")),
             "left",
         )
@@ -399,7 +406,7 @@ def maintain_group_extrema(
     )
     # prev-less groups (pure additions) are never dirty — there is no
     # stored extremum to falsify
-    is_dirty = F.col("__dg").isNotNull()
+    is_dirty = F.coalesce(F.col("__dirty"), F.lit(False))
     n_clean = (
         F.coalesce(F.col("__p_n"), F.lit(0))
         + F.coalesce(F.col("__a_n"), F.lit(0))

@@ -40,6 +40,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "weighted_keep_expr",
+    "cap_draw",
     "cap_per_source",
     "write_training_shards",
     "compact_shards",
@@ -143,6 +144,15 @@ def stratified_hash_sample(
     return df.withColumn("sample_key", skey).where(keep)
 
 
+def cap_draw(key: Column, salt: str = "domain-cap") -> Column:
+    """The full-md5 draw the per-source cap ranks by. ONE copy, shared
+    by :func:`cap_per_source` and the pipeline's incremental quota
+    stage (pipeline/corpus_build._cap_against_quota) — if build and
+    append epochs ranked by different draws, different docs would win
+    the quota depending on which path admitted them."""
+    return F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+
+
 def cap_per_source(
     df: DataFrame,
     cap: int,
@@ -172,22 +182,27 @@ def cap_per_source(
        window shuffle moves ~``#sources·safety·cap`` rows, never the
        corpus.
 
-    Equality with the naive form holds whenever the gate passes at
-    least ``cap`` rows of an over-cap source; the shortfall is a
-    deterministic function of the data with Chernoff probability
-    ≤ exp(-cap·(safety-1)²/(2·safety)) (< 1e-9 at cap=20, safety=4),
-    degrades to keeping slightly FEWER than cap (never wrong rows),
-    and is pinned equal to the naive form by pytest on real and
-    skewed-synthetic corpora. The 32-bit gate keeps the floor error
-    below one row until a single source exceeds ~2³² documents.
+    The gate keeps at least ``cap`` rows of an over-cap source except
+    with Chernoff probability ≤ exp(-cap·(safety-1)²/(2·safety))
+    (< 1e-9 at cap=20, safety=4 — but NOT small at tiny cap·safety),
+    so the result is made EXACTLY equal to the naive form by a repair
+    pass: sources whose gated rank kept fewer than ``min(cap, n)``
+    rows are re-ranked WITHOUT the gate. The suspect set is usually
+    empty, and AQE's empty-relation propagation then skips the repair
+    subtree's scan at runtime — the steady-state cost stays two
+    corpus passes (counts + gate). Equality for any distribution /
+    cap / safety is hypothesis-pinned. The 32-bit gate keeps the
+    floor error below one row until a single source exceeds ~2³²
+    documents.
 
     Adds ``cap_rank`` (1-based md5 rank within the source). Output
     row set is identical on any engine with md5 — the DuckDB twin in
-    plans/datapipe_queries.py replays both phases byte-for-byte.
+    plans/datapipe_queries.py replays both phases byte-for-byte
+    (repair pass included).
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    draw = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    draw = cap_draw(F.col(key_col), salt)
     # NULL-SAFE counts join: GROUP BY (and the window partition below)
     # treat NULL source as one ordinary group, so the gate must too — a
     # plain-equality join would silently DROP every NULL-source doc
@@ -195,6 +210,7 @@ def cap_per_source(
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).select(
         F.col(source_col).alias("__src"), "__n"
     )
+    counts = counts.localCheckpoint(eager=False)  # one derivation, two consumers
     p = F.least(
         F.lit(1.0), F.lit(float(safety * cap)) / F.col("__n").cast("double")
     )
@@ -212,11 +228,50 @@ def cap_per_source(
     w = Window.partitionBy(source_col).orderBy(
         F.col("__draw").asc(), F.col(key_col).asc()
     )
-    return (
+    kept1 = (
         gated.withColumn("cap_rank", F.row_number().over(w))
         .filter(F.col("cap_rank") <= cap)
         .drop("__draw", "__n")
+        # the repair pass below consumes kept1 twice (suspect detection
+        # + anti-filter); the barrier also keeps the equality exact if
+        # the input is nondeterministic
+        .localCheckpoint(eager=False)
     )
+    # repair: a source whose gated prefix under-filled (kept < min(cap, n))
+    # is re-ranked without the gate — exact equality with the naive form
+    # for ANY cap/safety. Suspects are empty in the common case and AQE
+    # collapses the semi-join subtree to empty without scanning.
+    kept_counts = kept1.groupBy(source_col).agg(F.count(F.lit(1)).alias("__k"))
+    suspects = (
+        counts.join(
+            kept_counts,
+            F.col("__src").eqNullSafe(kept_counts[source_col]),
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("__k"), F.lit(0))
+            < F.least(F.lit(cap), F.col("__n").cast("int"))
+        )
+        .select("__src")
+        .localCheckpoint(eager=False)
+    )
+    repaired = (
+        df.join(
+            F.broadcast(suspects),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+            "left_semi",
+        )
+        .withColumn("__draw", draw)
+        .withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= cap)
+        .drop("__draw")
+    )
+    clean = kept1.join(
+        F.broadcast(suspects),
+        F.col(source_col).eqNullSafe(F.col("__src")),
+        "left_anti",
+    )
+    return clean.unionByName(repaired)
 
 
 def shard_id(key: Column, num_shards: int) -> Column:

@@ -455,7 +455,11 @@ def sq_ivf_search(
         "query_id", "list_id", "__qq", int_dot(F.col("__qq"), F.col("__qq")).alias("__nb")
     ).filter(F.col("__nb") > 0)
     scored = (
-        assigned_q.join(F.broadcast(pq), "list_id")
+        # zero-norm corpus rows may be stored (the persisted index keeps
+        # them for id-dedup idempotence) — they have no defined cosine,
+        # so they drop here, before the division can make NaN
+        assigned_q.filter(F.col("__na") > 0)
+        .join(F.broadcast(pq), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

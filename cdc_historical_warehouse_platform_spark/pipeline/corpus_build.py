@@ -56,7 +56,9 @@ def _cap_against_quota(
     is one ordinary quota group."""
     from pyspark.sql import Window
 
-    draw = F.md5(F.concat(F.lit("domain-cap:"), F.col("doc_id").cast("string")))
+    from cdc_historical_warehouse_platform_spark.operators.sampling import cap_draw
+
+    draw = cap_draw(F.col("doc_id"))
     c = counts.select(F.col("source").alias("__src"), F.col("n_kept").alias("__used"))
     w = Window.partitionBy("source").orderBy(draw.asc(), F.col("doc_id").asc())
     return (
@@ -143,13 +145,20 @@ def corpus_append(
     output: str,
     num_shards: int = 8,
     max_records_per_file: int = 100_000,
+    max_per_source: int | None = None,
 ) -> dict:
     """Incremental load: quality-gate the NEW batch, dedup it against
     the persisted state (exact-fingerprint + LSH; the existing corpus
     is never re-signatured), enforce any per-source quota the build
     declared (``_source_caps.json`` + append-only ``_source_counts``
     state), append kept docs into the shard layout, extend the state,
-    publish the next epoch marker."""
+    publish the next epoch marker.
+
+    ``max_per_source`` here ADOPTS (or overrides) the quota mid-stream:
+    the caps file is (re)written and, for a corpus built without
+    quotas, ``_source_counts`` is backfilled once from the kept corpus
+    — already-stored docs count against the new quota, they are never
+    evicted (append-only corpus)."""
     out = Path(output)
     if not (out / "_lsh_index").exists():
         raise FileNotFoundError(f"no corpus state under {output}; run corpus_build first")
@@ -192,10 +201,19 @@ def corpus_append(
     # state for docs not in the corpus)
     caps_file = out / _CAPS_FILE
     n_over_cap = 0
-    if caps_file.exists():
-        import json as _json
+    import json as _json
 
+    if max_per_source is not None:
+        # adopt/override the quota mid-stream
+        caps_file.write_text(_json.dumps({"max_per_source": max_per_source}))
+    if caps_file.exists():
         max_per_source = _json.loads(caps_file.read_text())["max_per_source"]
+        # pre-quota corpus: one-time backfill of the counts state from
+        # the kept corpus (same gate-on-data-files pattern as _fp_index)
+        if not any((out / "_source_counts").glob("*.parquet")):
+            stored_docs.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_kept")
+            ).write.mode("overwrite").parquet(str(out / "_source_counts"))
         used = (
             spark.read.parquet(str(out / "_source_counts"))
             .groupBy("source")

@@ -1839,12 +1839,33 @@ gated AS (
   SELECT * FROM g
   WHERE p >= 1.0
      OR substr(draw, 1, 8) < printf('%08x', CAST(floor(p * 4294967296.0) AS BIGINT))),
-ranked AS (
-  SELECT source, doc_id,
-         row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS cap_rank
-  FROM gated)
-SELECT source, doc_id, cap_rank
-FROM ranked WHERE cap_rank <= {DOMAIN_CAP}
+kept1 AS (
+  SELECT source, doc_id, cap_rank FROM (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS cap_rank
+    FROM gated) r
+  WHERE cap_rank <= {DOMAIN_CAP}),
+-- repair pass (operator parity): sources whose gated prefix kept fewer
+-- than min(cap, n) rows re-rank without the gate
+suspects AS (
+  SELECT c.source
+  FROM counts c
+  LEFT JOIN (SELECT source, COUNT(*) AS k FROM kept1 GROUP BY source) kc
+    ON c.source IS NOT DISTINCT FROM kc.source
+  WHERE COALESCE(kc.k, 0) < least({DOMAIN_CAP}, c.n)),
+repaired AS (
+  SELECT source, doc_id, cap_rank FROM (
+    SELECT d.source, d.doc_id,
+           row_number() OVER (PARTITION BY d.source ORDER BY d.draw, d.doc_id) AS cap_rank
+    FROM d
+    WHERE d.source IN (SELECT source FROM suspects)
+       OR (d.source IS NULL AND EXISTS (SELECT 1 FROM suspects WHERE source IS NULL))) r
+  WHERE cap_rank <= {DOMAIN_CAP})
+SELECT source, doc_id, cap_rank FROM kept1
+WHERE source NOT IN (SELECT source FROM suspects WHERE source IS NOT NULL)
+  AND NOT (source IS NULL AND EXISTS (SELECT 1 FROM suspects WHERE source IS NULL))
+UNION ALL
+SELECT source, doc_id, cap_rank FROM repaired
 ORDER BY source, cap_rank
 """
 

@@ -109,19 +109,37 @@ class IVFIndex:
         standard inverted-file + scalar-quantizer composition: coarse
         quantizer prunes lists, SQ shrinks what each list stores ~4×).
         List assignment always runs on the full-precision input."""
-        list_id = _nearest_list_expr(F.col(corpus_vec), cents).alias("list_id")
+        # zero vectors have no centroid cosine (0/0 → ArithmeticException
+        # under ANSI); park them deterministically in list 0 — probes
+        # never score them (zero-norm filter at search time)
+        vnorm2 = F.aggregate(
+            F.transform(
+                F.col(corpus_vec), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        list_id = (
+            F.when(vnorm2 > 0, _nearest_list_expr(F.col(corpus_vec), cents))
+            .otherwise(F.lit(0))
+            .alias("list_id")
+        )
         if quantize == "int8":
             assigned = vectors.select(
                 F.col(corpus_id).alias("vec_id"),
                 quantize_int8(F.col(corpus_vec)).alias("__cq"),
                 list_id,
             )
+            # zero-norm (all-zero) vectors STAY in the index — dropping
+            # them here would break append's id-dedup idempotence (the
+            # id would look fresh on every re-delivery); the probe path
+            # filters __na > 0 at scoring time instead
             assigned = assigned.select(
                 "vec_id",
                 "__cq",
                 int_dot(F.col("__cq"), F.col("__cq")).alias("__na"),
                 "list_id",
-            ).filter(F.col("__na") > 0)
+            )
         else:
             assigned = vectors.select(
                 F.col(corpus_id).alias("vec_id"),
@@ -289,10 +307,20 @@ class IVFIndex:
                 assigned_q, queries, cents, k, n_probes, query_id, query_vec,
                 probed=probed,
             )
-        assigned = scan.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("__cv"),
-            "list_id",
+        # stored zero vectors (kept for append idempotence) have no
+        # cosine — drop them before scoring divides by their norm
+        cv_norm2 = F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            scan.filter(cv_norm2 > 0)
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("__cv"),
+                "list_id",
+            )
         )
         return ivf_search(
             assigned, queries, cents, k, n_probes, query_id, query_vec, probed=probed

@@ -215,10 +215,15 @@ def sessionized_event_counts(
     """ST8's third member as a native stream: per-user session windows
     via ``F.session_window`` (dynamic gap-close state Spark maintains
     in the state store; sessions finalize when the watermark passes
-    their gap — the streaming twin of the batch lag+cumsum
-    sessionization in plans/relational_queries.q_session_windows).
-    Works on batch DataFrames too, which is how the test pins
-    stream ≡ batch over the same events."""
+    their gap). Same FAMILY as the batch lag+cumsum sessionization
+    (plans/relational_queries.q_session_windows) but NOT row-identical
+    to it: ``session_window`` splits when the gap is >= the threshold
+    (merges overlapping [ts, ts+gap) intervals) where the batch query
+    splits only when strictly greater, and reports ``session_end`` as
+    last_event_ts + gap where the batch query reports max(ts) — don't
+    pin one against the other. This function IS batch/stream
+    equivalent with itself, which is what the test pins (the same
+    events through both execution modes)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))

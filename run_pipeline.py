@@ -137,8 +137,10 @@ def main() -> int:
         "--max-per-source",
         type=int,
         default=None,
-        help="corpus: per-source quota (at most N kept docs per source); "
-        "persisted so corpus-append enforces the remaining quota",
+        help="corpus: per-source quota (at most N kept docs per source), "
+        "persisted so corpus-append enforces the remaining quota; on "
+        "corpus-append it adopts/overrides the quota mid-stream "
+        "(existing docs count against it, never evicted)",
     )
     ap.add_argument(
         "--max-files-per-shard", type=int, default=32,
@@ -298,6 +300,7 @@ def main() -> int:
                     args.output,
                     num_shards=args.num_shards,
                     max_records_per_file=args.max_records_per_file,
+                    max_per_source=args.max_per_source,
                 )
             )
         )

@@ -273,3 +273,30 @@ def test_int8_index_append_keeps_layout_and_dedups(spark, tmp_path):
     assert n2 == 0
     # probe still answers over the grown index
     assert index.probe(spark, _queries(emb), k=5, n_probes=2).count() == 25
+
+
+def test_int8_index_zero_vector_append_idempotent(spark, tmp_path):
+    """A zero embedding must be INDEXED (not silently dropped) so
+    append's id-dedup stays idempotent; probes just never score it
+    (zero-norm filter at search time, not at storage time)."""
+    base = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5, -0.25]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    index = IVFIndex.build(base, tmp_path / "ivf0", n_lists=2, quantize="int8")
+    zero_batch = spark.createDataFrame(
+        [(100, [0.0, 0.0, 0.0, 0.0]), (101, [1.0, 2.0, 3.0, 4.0])],
+        ["vec_id", "embedding"],
+    )
+    _, n1 = index.append(zero_batch)
+    assert n1 == 2  # the zero vector IS stored
+    _, n2 = index.append(zero_batch)
+    assert n2 == 0  # re-delivery is a no-op, zero vector included
+    stored = {r["vec_id"] for r in index.assignments.read(spark).select("vec_id").collect()}
+    assert 100 in stored
+    q = base.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = index.probe(spark, q, k=20, n_probes=2).collect()
+    assert all(r["neighbor_id"] != 100 for r in hits)  # never scored
+    assert all(r["qcosine"] == r["qcosine"] for r in hits)  # no NaN

@@ -1338,3 +1338,47 @@ def test_corpus_per_source_quota_build_and_append(spark, tmp_path):
     # source's quota is exhausted — nothing appends
     a2 = corpus_append(spark, new, out)
     assert a2["appended"] == 0
+
+
+def test_corpus_quota_adopted_on_append(spark, tmp_path):
+    """A corpus built WITHOUT a quota can adopt one on append:
+    _source_counts backfills once from the kept corpus, existing docs
+    count against the quota (never evicted), and the new batch only
+    fills the remaining headroom."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+    )
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, "/root/testdata/sf0.001", out)  # no quota
+    before = spark.read.parquet(out)
+    n_before = before.count()
+    max_src_before = max(
+        r["n"] for r in before.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+
+    new = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    a = corpus_append(spark, new, out, max_per_source=max_src_before)
+    after = spark.read.parquet(out)
+    # existing docs never evicted...
+    assert after.count() >= n_before
+    # ...and already-full sources admit nothing new (counts were
+    # backfilled), so any source still never exceeds its pre-quota max
+    # plus the headroom the quota allows
+    per_src = {
+        r["source"]: r["n"]
+        for r in after.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= max_src_before for n in per_src.values()), per_src
+    assert a["over_source_cap"] >= 0

@@ -343,3 +343,59 @@ def test_extrema_duplicate_extremum_values(spark, change_df):
             [make_change(1, "DELETE", ts(10))],
         ],
     )
+
+
+def test_extrema_null_group_dirty_path(spark):
+    """The NULL group must take the dirty path like any other group:
+    deleting the NULL group's max holder has to surface the runner-up
+    (a join-key null test would silently route NULL down the clean
+    path and keep the stale max). CHANGE_SCHEMA's customer_id is
+    non-nullable, so this drives the operator directly with a nullable
+    twin schema."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        group_extrema,
+        maintain_group_extrema,
+    )
+
+    cur_schema = T.StructType(
+        [
+            T.StructField("order_key", T.LongType()),
+            T.StructField("customer_id", T.IntegerType(), True),
+            T.StructField("total_amount", T.DecimalType(10, 2), True),
+            T.StructField("valid_from", T.TimestampType()),
+        ]
+    )
+    d = decimal.Decimal
+    current = spark.createDataFrame(
+        [
+            (1, None, d("5.00"), ts(0)),
+            (2, None, d("20.00"), ts(1)),
+            (3, 100, d("7.00"), ts(2)),
+        ],
+        cur_schema,
+    )
+    prev = group_extrema(current)
+    ch_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("customer_id", T.IntegerType(), True),
+            T.StructField("total_amount", T.DecimalType(10, 2), True),
+            T.StructField("operation_type", T.StringType()),
+            T.StructField("cdc_timestamp", T.TimestampType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [(2, None, d("20.00"), "DELETE", ts(10))], ch_schema
+    )
+    out = {
+        (r["customer_id"], r["n_rows"], r["measure_min"], r["measure_max"])
+        for r in maintain_group_extrema(prev, current, batch).collect()
+    }
+    assert out == {
+        (None, 1, d("5.00"), d("5.00")),  # runner-up surfaced, not stale 20.00
+        (100, 1, d("7.00"), d("7.00")),
+    }
