@@ -114,6 +114,38 @@ def main() -> None:
     out["delta_vs_recompute_mismatches"] = diff
     assert diff == 0, f"maintained summary diverged on {diff} groups"
 
+    # ---- 1b. MIN/MAX extrema maintenance (dirty-group hybrid) ----------
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        group_extrema,
+        maintain_group_extrema,
+    )
+
+    t = time.time()
+    prev_ext = group_extrema(current).localCheckpoint(eager=True)
+    out["extrema_bootstrap_s"] = round(time.time() - t, 2)
+    t = time.time()
+    maintained_ext = maintain_group_extrema(prev_ext, current, batch).localCheckpoint(
+        eager=True
+    )
+    out["extrema_maintain_s"] = round(time.time() - t, 2)
+    t = time.time()
+    expect_ext = group_extrema(survivors.unionByName(additions))
+    ediff = (
+        maintained_ext.withColumnRenamed("n_rows", "en")
+        .withColumnRenamed("measure_min", "emin")
+        .withColumnRenamed("measure_max", "emax")
+        .join(expect_ext, "customer_id", "full_outer")
+        .filter(
+            ~F.col("en").eqNullSafe(F.col("n_rows"))
+            | ~F.col("emin").eqNullSafe(F.col("measure_min"))
+            | ~F.col("emax").eqNullSafe(F.col("measure_max"))
+        )
+        .count()
+    )
+    out["extrema_verify_s"] = round(time.time() - t, 2)
+    out["extrema_vs_recompute_mismatches"] = ediff
+    assert ediff == 0, f"maintained extrema diverged on {ediff} groups"
+
     # ---- 2. interval join ----------------------------------------------
     span_s = 30 * 86400
     base = dt.datetime(2026, 1, 1)
