@@ -113,6 +113,10 @@ _PRIORITY = [
     # oracle recomputes from scratch, so the row checks the hybrid's IVM
     # invariant cross-engine ---
     "scd2_incremental_extrema",
+    # --- new r04 (fifth batch): token-budget mixture sampling — the
+    # closed-form composition of source-mix weights with the
+    # deterministic md5 gate (corpus assembly to a budget) ---
+    "corpus_token_budget",
 ]
 _DEMOTED = [
     # --- r04 fourth rotation: slots ceded to subquery_correlated_scalar,
@@ -121,6 +125,7 @@ _DEMOTED = [
     "scd2_as_of",                # J3 point-in-time; green r01-r03; family covered by demoted-green join_asof_events + in-window scd2 timeline rows
     "agg_pricing_summary",       # A-family scan agg; green r01-r03 AND benched per-round; agg family repped in-window by agg_grouping_sets + agg_approx_aggregates
     "setop_except_intersect",    # U2/U3; green r01-r03; anti-membership family also demoted-green (join_anti) — slot ceded to scd2_incremental_extrema
+    "events_session_windows",    # ST8 session (batch lag+cumsum); green r02+r03; family also covered by demoted-green tumbling/sliding rows AND the r04 streaming-native session-window pytest — slot ceded to corpus_token_budget
     # --- r04 second rotation: slots ceded to the four subquery/grouping-set
     # rows (never driver-checked) promoted above. Family coverage stays
     # in-window via the noted siblings. ---

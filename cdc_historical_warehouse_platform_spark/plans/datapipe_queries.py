@@ -1876,3 +1876,89 @@ DATAPIPE_QUERIES.update(
         "corpus_domain_caps": (q_corpus_domain_caps, SQL_DOMAIN_CAPS),
     }
 )
+
+
+TOKEN_BUDGET_FRACTION = 0.4
+
+
+def q_corpus_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture sampling — assemble a corpus of (at most)
+    ``TOKEN_BUDGET_FRACTION`` of the total tokens at a UNIFORM source
+    mix: each source gets budget/|sources| tokens of allocation, its
+    keep rate is min(1, allocation / its tokens), and documents are
+    gated deterministically at that rate (weighted_keep_expr — md5
+    draw vs fixed-width hex threshold, zero shuffle). The closed-form
+    composition of corpus_source_mix's weights with the deterministic
+    sampler: the standard "hit a token budget at a target mix" step of
+    corpus assembly, restart-stable at any scale.
+
+    Determinism across engines: token sums are integers, the budget is
+    floor(total · fraction), rates are two chained divisions evaluated
+    in the same order, and the gate is the shared printf('%04x')
+    pattern. Expected kept tokens per source ≈ min(T_s, budget/S) —
+    an expectation, not a cap (document sizes vary); the audit columns
+    make the draw checkable row by row."""
+    from pyspark.sql import Window
+
+    from cdc_historical_warehouse_platform_spark.operators.sampling import weighted_keep_expr
+
+    docs = load_table(spark, sf, "documents")
+    per = docs.select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    rates = (
+        per.groupBy("source")
+        .agg(F.sum("n_tokens").alias("__ts"))
+        .withColumn("__total", F.sum("__ts").over(w))
+        .withColumn("__nsrc", F.count(F.lit(1)).over(w))
+        .select(
+            F.col("source").alias("__src"),
+            F.least(
+                F.lit(1.0),
+                (
+                    F.floor(F.col("__total") * F.lit(TOKEN_BUDGET_FRACTION)).cast(
+                        "double"
+                    )
+                    / F.col("__nsrc")
+                )
+                / F.col("__ts").cast("double"),
+            ).alias("keep_rate"),
+        )
+    )
+    return (
+        per.join(F.broadcast(rates), F.col("source") == F.col("__src"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("keep_rate"),
+            weighted_keep_expr(F.col("doc_id"), F.col("keep_rate")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH per AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens
+  FROM documents),
+agg AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS ts FROM per GROUP BY source),
+rates AS (
+  SELECT source,
+         least(1.0,
+               (CAST(floor(SUM(ts) OVER () * {TOKEN_BUDGET_FRACTION}) AS DOUBLE)
+                / COUNT(*) OVER ())
+               / CAST(ts AS DOUBLE)) AS keep_rate
+  FROM agg)
+SELECT p.doc_id, p.source, p.n_tokens, r.keep_rate,
+       (r.keep_rate >= 1.0 OR
+        substr(md5('corpus-sample:' || CAST(p.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(floor(r.keep_rate * 65536.0) AS BIGINT))) AS kept
+FROM per p JOIN rates r ON p.source = r.source
+ORDER BY p.doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_token_budget"] = (q_corpus_token_budget, SQL_TOKEN_BUDGET)
