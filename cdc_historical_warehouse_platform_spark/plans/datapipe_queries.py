@@ -1927,7 +1927,9 @@ def q_corpus_token_budget(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        per.join(F.broadcast(rates), F.col("source") == F.col("__src"))
+        # null-safe: a NULL source is one ordinary mix group (GROUP BY
+        # semantics) — plain equality would silently drop its docs
+        per.join(F.broadcast(rates), F.col("source").eqNullSafe(F.col("__src")))
         .select(
             "doc_id",
             "source",
@@ -1957,7 +1959,7 @@ SELECT p.doc_id, p.source, p.n_tokens, r.keep_rate,
        (r.keep_rate >= 1.0 OR
         substr(md5('corpus-sample:' || CAST(p.doc_id AS VARCHAR)), 1, 4)
           < printf('%04x', CAST(floor(r.keep_rate * 65536.0) AS BIGINT))) AS kept
-FROM per p JOIN rates r ON p.source = r.source
+FROM per p JOIN rates r ON p.source IS NOT DISTINCT FROM r.source
 ORDER BY p.doc_id
 """
 

@@ -1382,3 +1382,38 @@ def test_corpus_quota_adopted_on_append(spark, tmp_path):
     }
     assert all(n <= max_src_before for n in per_src.values()), per_src
     assert a["over_source_cap"] >= 0
+
+
+def test_corpus_token_budget_hits_budget_and_handles_null_source(spark):
+    """Kept tokens land near the budget (md5 gate realizes the rate in
+    expectation), over-budget sources are down-sampled while
+    under-allocated ones keep everything, and a NULL source is one
+    ordinary mix group (null-safe rates join)."""
+    from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
+        TOKEN_BUDGET_FRACTION,
+        q_corpus_token_budget,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_corpus_token_budget(spark, SF_DIR).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    kept = sum(r["n_tokens"] for r in rows if r["kept"])
+    budget = int(total * TOKEN_BUDGET_FRACTION)
+    assert 0.7 * budget <= kept <= 1.3 * budget, (kept, budget)
+    full_rate_sources = {r["source"] for r in rows if r["keep_rate"] >= 1.0}
+    for r in rows:
+        if r["source"] in full_rate_sources:
+            assert r["kept"]  # under-allocated sources keep everything
+
+    # NULL source: gated like any other group, never dropped
+    docs = spark.createDataFrame(
+        [(i, "some reasonably long test document text here", None
+          if i % 2 else "s0", 40) for i in range(40)],
+        "doc_id long, text string, source string, n_chars int",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = q_corpus_token_budget(spark, d).collect()
+    assert sum(1 for r in out if r["source"] is None) == 20  # present, gated
