@@ -192,6 +192,14 @@ class SCD2DimStore:
         if len(segments) <= max_segments:
             return False
         hist = self.history.read(spark, version=meta["history_version"])
+        # the consolidated rewrite is the moment layout is free: range-
+        # cluster + sort by (business key, valid_from) so key-history
+        # scans (P5/J3 as-of probes) prune row groups via footer stats
+        # instead of reading every append-era segment
+        hist = hist.repartitionByRange(
+            max(hist.sparkSession.sparkContext.defaultParallelism // 2, 1),
+            "order_key",
+        ).sortWithinPartitions("order_key", "valid_from")
         new_hv = self.history.commit(hist)  # one consolidated segment
         self._write_pointer({**meta, "history_version": new_hv})
         return True
