@@ -44,6 +44,12 @@ def zorder_key(
         raise ValueError("z-ordering needs at least 2 columns (sort for 1)")
     if bits * n > 63:
         raise ValueError(f"bits*cols = {bits * n} exceeds 63")
+    if not (len(mins) == len(maxs) == n):
+        # zip() would silently drop the unbounded columns from the key
+        raise ValueError(
+            f"bounds must cover every column: {n} cols, "
+            f"{len(mins)} mins, {len(maxs)} maxs"
+        )
     cells = (1 << bits) - 1
     quantized = []
     for c, lo, hi in zip(cols, mins, maxs):
@@ -54,7 +60,15 @@ def zorder_key(
         q = F.floor(
             (c.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(float(cells))
         ).cast("long")
-        quantized.append(F.greatest(F.lit(0), F.least(F.lit(cells), q)))
+        # NULL handling must come FIRST: least/greatest SKIP nulls, so a
+        # NULL value would otherwise clamp to the TOP cell and co-locate
+        # every NULL row with the max-corner rows, widening those files'
+        # stats on the other columns. NULLs cluster at the low corner.
+        quantized.append(
+            F.when(c.isNull(), F.lit(0).cast("long")).otherwise(
+                F.greatest(F.lit(0), F.least(F.lit(cells), q))
+            )
+        )
     key = F.lit(0).cast("long")
     for i in range(bits):
         for j, q in enumerate(quantized):
@@ -87,6 +101,13 @@ def write_zordered(
     for c in cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
     row = df.agg(*aggs).collect()[0]
+    for c in cols:
+        if row[f"__min_{c}"] is None:
+            raise ValueError(
+                f"cannot derive z-order bounds for {c!r}: empty input or "
+                "all-NULL column (write unclustered, or supply bounds "
+                "via zorder_key directly)"
+            )
     mins = [float(row[f"__min_{c}"]) for c in cols]
     maxs = [float(row[f"__max_{c}"]) for c in cols]
     key = zorder_key([F.col(c) for c in cols], mins, maxs, bits)

@@ -1951,7 +1951,10 @@ agg AS (
 rates AS (
   SELECT source,
          least(1.0,
-               (CAST(floor(SUM(ts) OVER () * {TOKEN_BUDGET_FRACTION}) AS DOUBLE)
+               -- CAST the fraction to DOUBLE: DuckDB would otherwise do
+               -- this floor in exact DECIMAL while Spark does it in
+               -- double, and the two diverge for totals >= ~2^52
+               (CAST(floor(SUM(ts) OVER () * CAST({TOKEN_BUDGET_FRACTION} AS DOUBLE)) AS DOUBLE)
                 / COUNT(*) OVER ())
                / CAST(ts AS DOUBLE)) AS keep_rate
   FROM agg)

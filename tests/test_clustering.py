@@ -93,3 +93,30 @@ def test_zorder_append_clamps_out_of_range(spark, tmp_path):
     )
     expect = spark.range(1).select(full.alias("z")).collect()[0]["z"]
     assert val == expect  # clamped to the top-corner cell
+
+
+def test_zorder_nulls_cluster_low_and_bad_inputs_error(spark, tmp_path):
+    """NULL values cluster at the LOW corner (least/greatest skip nulls,
+    so without the explicit branch they'd land at the TOP cell next to
+    the max rows); empty/all-NULL inputs and mismatched bounds raise
+    clear errors instead of TypeError/silent truncation."""
+    import pytest
+
+    df = spark.createDataFrame([(None, 3), (0, 3)], "x int, y int")
+    got = {
+        r["x"]: r["z"]
+        for r in df.select(
+            "x",
+            zorder_key([F.col("x"), F.col("y")], [0, 0], [3, 3], bits=2).alias("z"),
+        ).collect()
+    }
+    assert got[None] == got[0] == 0b1010  # NULL ≡ low corner on x
+
+    with pytest.raises(ValueError, match="bounds must cover"):
+        zorder_key([F.col("x"), F.col("y")], [0], [3, 3], bits=2)
+    with pytest.raises(ValueError, match="empty input or all-NULL"):
+        write_zordered(
+            spark.createDataFrame([], "a int, b int"),
+            str(tmp_path / "zz"),
+            ["a", "b"],
+        )
