@@ -163,7 +163,7 @@ _DEMOTED = [
     "join_semi",                   # semi-membership proven green r02; window slot ceded to relational_unpivot
     "agg_stats_quantiles",         # stats/quantile family proven green r02; exact quantiles also inside agg_approx_aggregates' oracle row
     "window_lag_lead",             # lag/lead family proven green r01+r02; window family stays repped by window_top_per_customer
-    "sql_api_revenue_by_segment",  # spark.sql() API surface proven green r02; relational joins stay repped by join_revenue_by_nation
+    "sql_api_revenue_by_segment",  # spark.sql() API surface proven green r02; relational joins stay repped in-window by subquery_exists/in_having + join_interval_events
     "join_outer_coalesce",         # outer-join/P9 family proven green r01+r02 (full_outer also demoted-green)
     "agg_pivot",                   # reshape family proven green r02; the inverse direction stays in-window via relational_unpivot
     "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)

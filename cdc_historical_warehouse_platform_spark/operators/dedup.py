@@ -935,9 +935,17 @@ def incremental_minhash_dedup(
     # distinct docs). Empty-NORMALIZED texts (e.g. pure punctuation)
     # share a real md5('') fingerprint and DO dedup — exact_dedup and
     # the full build's keep-decision tier group them the same way.
-    fp_new = new_docs.select(
-        F.col(id_col).alias("__fid"), fingerprint(F.col(text_col)).alias("fp")
-    ).filter(F.col("fp").isNotNull())
+    fp_new = (
+        new_docs.select(
+            F.col(id_col).alias("__fid"), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .filter(F.col("fp").isNotNull())
+        # consumed three times below (store probe's broadcast build,
+        # store-hit anti, intra-batch window) — the lazy barrier keeps
+        # normalize+md5 from running once per consumer. Two narrow
+        # columns, batch-sized.
+        .localCheckpoint(eager=False)
+    )
     if stored_fps is None:
         stored_fps = stored_docs.select(fingerprint(F.col(text_col)).alias("fp"))
     hit_fps = stored_fps.select("fp").join(

@@ -63,16 +63,31 @@ def packed_sequence_ids(
     )
     totals = with_bucket.groupBy("__bucket").agg(
         F.sum(F.col(token_col).cast("long")).alias("__tot")
+    ).withColumn(
+        "__sb", F.floor(F.col("__bucket") / F.lit(bucket_size)).cast("long")
     )
-    # exclusive prefix over per-bucket totals: one ordered window over
-    # corpus_size/bucket_size rows — driver-scale by construction
-    prev = (
-        Window.orderBy("__bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # exclusive prefix over per-bucket totals, hierarchically: within
+    # each superbucket an ordered window (partitioned — never a global
+    # sort-to-one-partition), plus a cross-superbucket offset from a
+    # non-equi self-join over corpus/bucket_size² rows (exact longs;
+    # ~40 rows even at 10^10 documents)
+    w_in = Window.partitionBy("__sb").orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets = totals.select(
-        "__bucket",
-        F.coalesce(F.sum("__tot").over(prev), F.lit(0)).alias("__offset"),
+    within = totals.withColumn(
+        "__within", F.coalesce(F.sum("__tot").over(w_in), F.lit(0).cast("long"))
+    )
+    sb_totals = totals.groupBy("__sb").agg(F.sum("__tot").alias("__sbt"))
+    sb_prev = sb_totals.select(
+        F.col("__sb").alias("__sb2"), F.col("__sbt").alias("__sbt2")
+    )
+    sb_off = (
+        sb_totals.join(F.broadcast(sb_prev), F.col("__sb2") < F.col("__sb"), "left")
+        .groupBy("__sb")
+        .agg(F.coalesce(F.sum("__sbt2"), F.lit(0).cast("long")).alias("__sboff"))
+    )
+    offsets = within.join(F.broadcast(sb_off), "__sb").select(
+        "__bucket", (F.col("__sboff") + F.col("__within")).alias("__offset")
     )
     out = cum.join(F.broadcast(offsets), "__bucket")
     tokens_before = F.col("__offset") + F.col("__cum") - F.col(token_col).cast("long")

@@ -249,8 +249,11 @@ def cap_per_source(
             "left",
         )
         .filter(
-            F.coalesce(F.col("__k"), F.lit(0))
-            < F.least(F.lit(cap), F.col("__n").cast("int"))
+            # compare in long: casting __n to int would wrap (or throw
+            # under ANSI) past 2^31 docs per source — exactly the hot
+            # sources the cap targets
+            F.coalesce(F.col("__k"), F.lit(0)).cast("long")
+            < F.least(F.lit(cap).cast("long"), F.col("__n"))
         )
         .select("__src")
         .localCheckpoint(eager=False)

@@ -178,8 +178,18 @@ def corpus_append(
             "doc_id", fingerprint(F.col("text")).alias("fp")
         ).write.mode("overwrite").parquet(str(out / "_fp_index"))
     stored_fps = spark.read.parquet(str(out / "_fp_index"))
+    # one materialization of the incoming batch (triggered by the count
+    # right below): every tier scans it — without this barrier each of
+    # the ~8 downstream consumers re-derives the caller's arbitrary
+    # upstream lineage. Batch-sized (never corpus-sized), so the
+    # checkpoint is bounded at any corpus scale.
+    new_docs = new_docs.localCheckpoint(eager=False)
     n_new = new_docs.count()
-    quality_ok = new_docs.filter(quality_score(F.col("text")) >= QUALITY_THRESHOLD)
+    # quality_score is a regex cascade — pin the filtered batch too so
+    # the dedup tiers and the 4 final writes don't re-score per pass
+    quality_ok = new_docs.filter(
+        quality_score(F.col("text")) >= QUALITY_THRESHOLD
+    ).localCheckpoint(eager=False)
     n_quality = quality_ok.count()
     # No caller-side materialization needed: incremental_minhash_dedup
     # checkpoints its drop sets (and the new batch's buckets), so kept/
@@ -203,11 +213,13 @@ def corpus_append(
     n_over_cap = 0
     import json as _json
 
-    if max_per_source is not None:
-        # adopt/override the quota mid-stream
-        caps_file.write_text(_json.dumps({"max_per_source": max_per_source}))
-    if caps_file.exists():
+    # quota adoption/override is deferred to just before the epoch
+    # marker below: writing _source_caps.json here would make a crash
+    # mid-epoch adopt the new quota even though the epoch rolls back
+    adopt_caps = max_per_source is not None
+    if not adopt_caps and caps_file.exists():
         max_per_source = _json.loads(caps_file.read_text())["max_per_source"]
+    if max_per_source is not None:
         # pre-quota corpus: one-time backfill of the counts state from
         # the kept corpus (same gate-on-data-files pattern as _fp_index)
         if not any((out / "_source_counts").glob("*.parquet")):
@@ -240,11 +252,15 @@ def corpus_append(
     kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
         "append"
     ).parquet(str(out / "_fp_index"))
-    if caps_file.exists():
+    if max_per_source is not None:
         # LSM-style: append this epoch's per-source counts; readers sum
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "append"
         ).parquet(str(out / "_source_counts"))
+    if adopt_caps:
+        # adoption becomes durable only alongside the epoch it shipped
+        # in (all parquet writes above have landed at this point)
+        caps_file.write_text(_json.dumps({"max_per_source": max_per_source}))
     # every write of this epoch landed → atomically publish it
     write_marker(out, epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1)
     n_kept = kept.count()

@@ -1285,11 +1285,9 @@ def q_corpus_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     Determinism across engines: token sums are integers; avg_quality
     divides an exact DECIMAL sum of per-row 6-dp quality scores (float
     partial-sum order never enters); shares/weights/rates are single
-    divisions of integers. The source-level aggregate is tiny
-    (|sources| rows), so the unpartitioned window for the totals is a
-    constant-size single partition — not a scale term."""
-    from pyspark.sql import Window
-
+    divisions of integers. The corpus-wide totals come from a 1-row
+    second-level aggregate broadcast back over the per-source rows —
+    no unpartitioned window, no shuffle-to-one-partition."""
     docs = load_table(spark, sf, "documents")
     t = F.col("text")
     per = docs.select(
@@ -1302,11 +1300,15 @@ def q_corpus_source_mix(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("__tok").alias("n_tokens"),
         F.sum("__q").alias("__qsum"),
     )
-    w = Window.partitionBy()
+    totals = agg.agg(
+        F.sum("n_tokens").alias("__total"),
+        F.count(F.lit(1)).alias("__nsrc"),
+        F.min("n_tokens").alias("__min_tok"),
+    )
     return (
-        agg.withColumn("__total", F.sum("n_tokens").over(w))
-        .withColumn("__nsrc", F.count(F.lit(1)).over(w))
-        .withColumn("__min_tok", F.min("n_tokens").over(w))
+        # 1-row totals broadcast back over the per-source rows: plans
+        # as a scalar-build BNLJ — map-side, lint-admitted explicitly
+        agg.crossJoin(F.broadcast(totals))
         .select(
             "source",
             "n_docs",
@@ -1606,10 +1608,9 @@ def q_corpus_zipf_stats(spark: SparkSession, sf: str) -> DataFrame:
     corpus report ships): top-100 tokens by count with dense rank and
     cumulative coverage of the token stream. Pure integer counts plus
     one division per row — hash-exact oracle. One explode + one
-    groupBy(token); the rank/cumsum window runs over the top-100 slice
-    only (TakeOrderedAndProject bounds the sort at any corpus size)."""
-    from pyspark.sql import Window
-
+    groupBy(token); rank/cumsum run over the top-100 slice only via a
+    broadcast self-join (TakeOrderedAndProject bounds the sort at any
+    corpus size; no unpartitioned window in the plan)."""
     docs = load_table(spark, sf, "documents")
     toks = docs.select(
         F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("token")
@@ -1620,16 +1621,28 @@ def q_corpus_zipf_stats(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(100)
+        # consumed twice by the rank self-join below; the lazy barrier
+        # keeps the agg+limit subtree from executing twice
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    # rank + cumulative coverage over the (fixed-size) top-100 via a
+    # broadcast non-equi self-join instead of an unpartitioned window:
+    # rank = 1 + |strictly ahead|, cum = self + sum(ahead) — identical
+    # under the (cnt DESC, token ASC) total order, and never a
+    # sort-to-one-partition in the plan
+    ahead = top.select(F.col("cnt").alias("cnt2"), F.col("token").alias("token2"))
+    is_ahead = (F.col("cnt2") > F.col("cnt")) | (
+        (F.col("cnt2") == F.col("cnt")) & (F.col("token2") < F.col("token"))
+    )
     return (
-        top.withColumn("rank", F.row_number().over(w))
-        .withColumn(
-            "cum_coverage",
-            F.sum("cnt").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ).cast("double")
-            / F.lit(float(total)),
+        top.join(F.broadcast(ahead), is_ahead, "left")
+        .groupBy("token", "cnt")
+        .agg(
+            (F.count("token2") + F.lit(1)).cast("int").alias("rank"),
+            (
+                (F.coalesce(F.sum("cnt2"), F.lit(0)) + F.col("cnt")).cast("double")
+                / F.lit(float(total))
+            ).alias("cum_coverage"),
         )
         .select("rank", "token", "cnt", "cum_coverage")
         .orderBy("rank")
@@ -1862,8 +1875,10 @@ repaired AS (
        OR (d.source IS NULL AND EXISTS (SELECT 1 FROM suspects WHERE source IS NULL))) r
   WHERE cap_rank <= {DOMAIN_CAP})
 SELECT source, doc_id, cap_rank FROM kept1
-WHERE source NOT IN (SELECT source FROM suspects WHERE source IS NOT NULL)
-  AND NOT (source IS NULL AND EXISTS (SELECT 1 FROM suspects WHERE source IS NULL))
+-- null-safe anti vs suspects (NOT IN would NULL-drop NULL-source rows
+-- whenever any non-null suspect exists; Spark side is eqNullSafe left_anti)
+WHERE NOT EXISTS (
+  SELECT 1 FROM suspects s WHERE s.source IS NOT DISTINCT FROM kept1.source)
 UNION ALL
 SELECT source, doc_id, cap_rank FROM repaired
 ORDER BY source, cap_rank
@@ -1898,20 +1913,22 @@ def q_corpus_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     pattern. Expected kept tokens per source ≈ min(T_s, budget/S) —
     an expectation, not a cap (document sizes vary); the audit columns
     make the draw checkable row by row."""
-    from pyspark.sql import Window
-
     from cdc_historical_warehouse_platform_spark.operators.sampling import weighted_keep_expr
 
     docs = load_table(spark, sf, "documents")
     per = docs.select(
         "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
     )
-    w = Window.partitionBy()
+    per_source = per.groupBy("source").agg(F.sum("n_tokens").alias("__ts"))
+    # corpus-wide totals as a 1-row aggregate broadcast back over the
+    # per-source rows (no unpartitioned window; the shared per-source
+    # exchange is deduped by ReuseExchange)
+    totals = per_source.agg(
+        F.sum("__ts").alias("__total"), F.count(F.lit(1)).alias("__nsrc")
+    )
     rates = (
-        per.groupBy("source")
-        .agg(F.sum("n_tokens").alias("__ts"))
-        .withColumn("__total", F.sum("__ts").over(w))
-        .withColumn("__nsrc", F.count(F.lit(1)).over(w))
+        # 1-row totals broadcast back over per-source rows (scalar BNLJ)
+        per_source.crossJoin(F.broadcast(totals))
         .select(
             F.col("source").alias("__src"),
             F.least(

@@ -20,15 +20,27 @@ import pytest
 
 from tests.conftest import SF_DIR
 
-FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
-
 # Brute-force-BY-DESIGN tier: the broadcast side is a deliberately
 # small query set, the corpus stays un-shuffled — the documented exact
 # baseline next to the ANN paths. ann_sq_topk is the same flat-scan
 # shape over the int8-quantized corpus (4× fewer bytes per scan); the
 # bucketed/clustered tiers (LSH/IVF) remain the probe-many scale path.
+#
+# Bounded-rank tier: rank/prefix-sum over an input that is bounded BY
+# CONSTRUCTION, expressed as a non-equi self-join so no unpartitioned
+# window (sort-to-one-partition) appears in the plan. Both join sides
+# are provably tiny at ANY corpus size:
+# - corpus_zipf_stats: rank+cumsum over a LIMIT-100 slice (100×100);
+# - corpus_pack_sequences: cross-superbucket offsets over
+#   corpus/bucket_size² rows (≈40 rows even at 10^10 documents — the
+#   per-bucket level below it uses a properly partitioned window).
 # Everything else must justify itself here or fix its plan.
-ALL_PAIRS_BY_DESIGN = {"knn_cosine_brute", "ann_sq_topk"}
+ALL_PAIRS_BY_DESIGN = {
+    "knn_cosine_brute",
+    "ann_sq_topk",
+    "corpus_zipf_stats",
+    "corpus_pack_sequences",
+}
 
 
 def _entry_module():
@@ -39,6 +51,45 @@ def _entry_module():
     return mod
 
 
+def _walk(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def _is_scalar_subtree(node):
+    """True iff the subtree provably emits ≤1 row: a keyless (global)
+    aggregate, possibly under narrowing wrappers."""
+    name = node.getClass().getSimpleName()
+    while name in ("ProjectExec", "FilterExec", "CoalesceExec"):
+        node = node.children().apply(0)
+        name = node.getClass().getSimpleName()
+    return name in (
+        "HashAggregateExec",
+        "SortAggregateExec",
+        "ObjectHashAggregateExec",
+    ) and node.groupingExpressions().isEmpty()
+
+
+def _all_pairs_hits(df) -> list[str]:
+    """CartesianProduct always offends; BroadcastNestedLoopJoin offends
+    unless its build side is a scalar (≤1-row) subtree — broadcasting a
+    global aggregate back over its input is a map-side pattern, not an
+    all-pairs join (Catalyst folds any constant-key equi-join down to
+    exactly this shape)."""
+    hits = []
+    for node in _walk(df._jdf.queryExecution().sparkPlan()):
+        name = node.getClass().getSimpleName()
+        if name == "CartesianProductExec":
+            hits.append("CartesianProduct")
+        elif name == "BroadcastNestedLoopJoinExec":
+            idx = 1 if "Right" in node.buildSide().toString() else 0
+            if not _is_scalar_subtree(node.children().apply(idx)):
+                hits.append("BroadcastNestedLoopJoin")
+    return hits
+
+
 def test_no_query_plan_contains_all_pairs_join(spark):
     mod = _entry_module()
     offenders = {}
@@ -46,8 +97,7 @@ def test_no_query_plan_contains_all_pairs_join(spark):
         if name in ALL_PAIRS_BY_DESIGN:
             continue
         df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().sparkPlan().toString()
-        hits = [n for n in FORBIDDEN_NODES if n in plan]
+        hits = _all_pairs_hits(df)
         if hits:
             offenders[name] = hits
     assert offenders == {}
