@@ -42,83 +42,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator proven by another green row); they are parked past the window and
 # remain covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
-    "dedup_simhash",   # hash-exact as of r04 (portable md5 split-word signature twin)
-    "knn_cosine_brute",
-    "ann_lsh_topk",    # hash-exact as of r04 (portable md5 plane weights; twin checks the bucketing itself)
-    "embedding_near_dup",
-    "array_functions_sweep",
-    "dedup_keep_list",
-    "text_rolling_fingerprint",
-    "corpus_keep_decisions",  # hash-exact oracle; composed LLM-tier flagship (new r03)
-    "ann_ivf_topk",           # hash-exact as of r04 (portable IVF quantizer re-derived in the SQL twin)
-    "multimodal_frame_sample",  # hash-exact oracle as of r04 (ASCII-corpus VARCHAR twin); Arrow path also pytest-pinned to JVM twin
-    "corpus_sample_stratified",  # hash-exact oracle; deterministic md5-gated sampling (new r03)
-    "dedup_components",          # hash-exact oracle (recursive-CTE twin); transitive canonicalization (new r03)
-    "text_repetition_scores",    # hash-exact oracle; Gopher-style intra-doc repetition (new r03)
-    "corpus_pack_sequences",     # hash-exact oracle; distributed prefix-sum packing (new r03)
-    "text_pii_redaction",        # hash-exact oracle; regexp PII audit + redaction (new r03)
-    "corpus_decontaminate",      # hash-exact oracle; eval-set n-gram decontamination (new r03)
-    "corpus_source_mix",         # hash-exact oracle; data-mixing weights per source (new r03)
-    "corpus_length_buckets",     # hash-exact oracle; curriculum length histogram (new r03)
-    "semdedup_keep",             # hash-exact as of r04 (portable quantizer; twin checks the cluster partition itself)
-    "text_lm_surprisal",         # hash-exact oracle; unigram-LM quality scoring in integer micro-bits (new r03)
-    "text_tfidf_keywords",       # hash-exact oracle; per-doc top-k TF-IDF keywords, integer micro-nat scores (new r03)
-    "corpus_chunk_spans",        # hash-exact oracle; context-window chunking with overlap, map-only (new r03)
-    "corpus_sample_quality_weighted",  # hash-exact oracle; per-row-rate deterministic sampling (new r03)
-    "relational_unpivot",        # hash-exact oracle; wide→long melt via DataFrame.unpivot (new r03)
-    "corpus_zipf_stats",         # hash-exact oracle; token rank-frequency + cumulative coverage (new r03)
-    "text_bigram_surprisal",     # hash-exact oracle; conditional bigram-LM scoring (new r03)
-    "corpus_paragraph_dedup",    # hash-exact oracle; sub-document boilerplate-chunk dedup (new r03)
-    "window_range_frame",        # hash-exact oracle; time-based RANGE frame (trailing 30-day revenue) (new r03)
-    # --- r04 rotation: promoted back from _DEMOTED (last driver-green r02;
-    # local check_oracle green every round since — re-verify before their
-    # local-only streak gets long; the scd2 validation rows also re-cover
-    # the r04 single-probe merge rewrite through the driver gate) ---
-    "text_token_stats",
-    "text_quality_scores",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "scd2_flag_consistency_check",
-    "scd2_timestamp_continuity",
-    "scd2_version_timeline",
-    "scd2_interval_integrity",
-    # --- new r04: image decode→resize pipeline (raw decoder) through the
-    # driver gate with a hash-exact rpad/substring/md5 DuckDB twin ---
+    # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
+    # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
+    # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
+    "subquery_sole_late_supplier",
+    "agg_important_parts",
+    "join_top_quarter_supplier",
+    "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
+    # --- rewritten r05 (unpartitioned-window elimination / oracle
+    # null-safety) — must re-verify through the driver gate ---
+    "corpus_source_mix",       # totals now a 1-row broadcast, not a global window
+    "corpus_token_budget",     # same rewrite
+    "corpus_zipf_stats",       # rank/cumsum now a bounded self-join
+    "corpus_pack_sequences",   # hierarchical prefix-sum (superbucket offsets)
+    "corpus_domain_caps",      # oracle anti filter made null-safe
+    # --- r05 rotation: promoted back from _DEMOTED (last driver-green
+    # r02 — the three-round local-only streak is the rotation trigger) ---
+    "agg_grouped_having",
+    "window_salted_topk",
+    "join_unshipped_revenue",
+    "window_small_quantity_revenue",
+    "scalar_string_functions",
+    "sort_pagination",
+    "agg_cube",
+    "join_anti",
+    "events_tumbling_window",
+    "window_lag_lead",
+    # --- r04-first-verified rows (driver streak = 1): keep one more
+    # round before they become demotion candidates ---
     "multimodal_image_features",
-    # --- new r04 (second batch): subquery + grouping-set families never
-    # driver-checked before — EXISTS w/ correlated non-equi predicate (Q4),
-    # scalar-subquery + filtered NOT EXISTS (Q22), IN-over-grouped-HAVING
-    # (Q18), explicit GROUPING SETS w/ grouping_id ---
     "subquery_exists",
     "subquery_not_exists",
     "subquery_in_having",
-    "subquery_correlated_scalar",  # new r04 (fourth batch): Q17-shape correlated scalar subquery, decimal-exact threshold
+    "subquery_correlated_scalar",
     "agg_grouping_sets",
-    # --- new r04 (third batch): incremental aggregate maintenance — the
-    # summary is built purely from CDC batch deltas (never a GROUP BY over
-    # the dimension); the oracle recomputes from scratch, so the driver row
-    # checks the incremental-view-maintenance invariant cross-engine ---
     "scd2_incremental_revenue",
-    # --- new r04 (third batch): pure range join (no equi key) via time-bin
-    # bucketing — the CartesianProduct case made shuffle-joinable ---
     "join_interval_events",
-    # --- new r04 (fourth batch): int8 scalar-quantized ANN (the memory
-    # tier; int64-exact arithmetic so the twin replays the quantized
-    # ranking itself) and the two-phase per-source document cap (gate +
-    # rank; both phases replayed by the oracle) ---
     "ann_sq_topk",
-    "corpus_domain_caps",
-    # --- new r04 (fifth batch): MIN/MAX incremental maintenance — the
-    # non-delta-maintainable aggregate class via the dirty-group hybrid;
-    # oracle recomputes from scratch, so the row checks the hybrid's IVM
-    # invariant cross-engine ---
     "scd2_incremental_extrema",
-    # --- new r04 (fifth batch): token-budget mixture sampling — the
-    # closed-form composition of source-mix weights with the
-    # deterministic md5 gate (corpus assembly to a budget) ---
-    "corpus_token_budget",
+    # --- hash-exact twins first verified r04 (portable-quantizer /
+    # md5-signature oracles): streak = 1, keep in-window ---
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_frame_sample",
+    "semdedup_keep",
+    # --- multi-round keeps: the historically-risky banded tier plus
+    # family anchors cited by demotion notes below ---
+    "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate
+    "array_functions_sweep",   # cited by vector_norms_by_label demotion
+    "corpus_sample_stratified",  # cited by corpus_sample_quality_weighted demotion
+    "dedup_components",
+    "text_pii_redaction",
+    "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
+    "corpus_paragraph_dedup",
+    "window_range_frame",
+    "dedup_keep_list",
+    "text_rolling_fingerprint",
+    "dedup_exact_groups",
+    "text_token_stats",
+    "text_quality_scores",
+    "scd2_flag_consistency_check",
+    "scd2_timestamp_continuity",
+    "scd2_version_timeline",
 ]
 _DEMOTED = [
+    # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
+    # slots ceded to the four never-checked r05 rows and the ten
+    # promoted three-round-stale rows. Benched rows keep per-round
+    # regression tracking through BENCH_r{N} regardless of the window.
+    "knn_cosine_brute",          # exact ANN baseline; green r03+r04 AND benched per-round
+    "corpus_keep_decisions",     # composed flagship; green r03+r04 AND benched per-round
+    "dedup_minhash_lsh",         # green r02-r04 AND benched per-round; jaccard logic also inside dedup_keep_list's oracle (in-window)
+    "text_tfidf_keywords",       # green r03+r04 AND benched per-round
+    "text_repetition_scores",    # green r03+r04; text family keeps 5 in-window rows
+    "corpus_decontaminate",      # green r03+r04; broadcast-anti shape also in dedup_keep_list
+    "corpus_length_buckets",     # green r03+r04; histogram family trivial next to in-window grouping sets
+    "corpus_chunk_spans",        # green r03+r04; map-only posexplode shape
+    "corpus_sample_quality_weighted",  # green r03+r04; md5-gate shared with in-window corpus_sample_stratified
+    "relational_unpivot",        # green r03+r04; reshape family also demoted-green agg_pivot
+    "text_lm_surprisal",         # green r03+r04; bigram variant (the harder case) stays in-window
+    "scd2_interval_integrity",   # green r04; continuity+flag checks stay in-window
     # --- r04 fourth rotation: slots ceded to subquery_correlated_scalar,
     # ann_sq_topk, and corpus_domain_caps (never driver-checked). ---
     "join_revenue_by_nation",    # J+ star join; green r01-r03 AND benched per-round; join family repped in-window by subquery_exists/in_having joins + join_interval_events
@@ -150,19 +154,9 @@ _DEMOTED = [
     "window_top_per_customer",     # W2; window_range_frame + ntile stay in-window (green r01-r03)
     "scd2_change_frequency",       # A3; green r01-r03 AND smoke-checked every round as entry(); slot ceded to multimodal_image_features
     # --- pre-r04 demotions ---
-    "agg_grouped_having",          # A6 ≡ scd2_duplicate_current_check (green r02)
-    "window_salted_topk",          # oracle-equal to window_top_per_customer (green r02)
-    "join_unshipped_revenue",      # J+ composite ≡ join_revenue_by_nation (green r02)
-    "window_small_quantity_revenue",  # agg-over-join ≡ agg_pricing_summary family (green r02)
-    "scalar_string_functions",     # F-coverage overlap with scalar_functions (green r02)
-    "sort_pagination",             # O5 ≡ second sort-family row next to sort_topk_orders (green r01+r02)
-    "agg_cube",                    # grouping-set family ≡ agg_rollup (both green r02)
     "agg_rollup",                  # grouping-set family fully proven green r02 (cube+rollup); window slot ceded to text_tfidf_keywords
-    "join_anti",                   # anti-membership proven green r02; EXCEPT family stays in-window via setop_except_intersect
-    "events_tumbling_window",      # ST8 family proven green r02; session windows (the hard case) stay in-window
     "join_semi",                   # semi-membership proven green r02; window slot ceded to relational_unpivot
     "agg_stats_quantiles",         # stats/quantile family proven green r02; exact quantiles also inside agg_approx_aggregates' oracle row
-    "window_lag_lead",             # lag/lead family proven green r01+r02; window family stays repped by window_top_per_customer
     "sql_api_revenue_by_segment",  # spark.sql() API surface proven green r02; relational joins stay repped in-window by subquery_exists/in_having + join_interval_events
     "join_outer_coalesce",         # outer-join/P9 family proven green r01+r02 (full_outer also demoted-green)
     "agg_pivot",                   # reshape family proven green r02; the inverse direction stays in-window via relational_unpivot

@@ -439,3 +439,48 @@ REFERENCE_QUERIES["scd2_incremental_extrema"] = (
     ORDER BY customer_id
     """,
 )
+
+
+def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distinct-customer count per order
+    priority via mergeable HLL sketches (operators/sketches.py) — the
+    aggregate class where neither delta arithmetic (SUM/COUNT) nor the
+    dirty-group hybrid (MIN/MAX) works: COUNT(DISTINCT) needs
+    duplicate-insensitive, mergeable state. Orders arrive as two date
+    waves; each wave is sketched independently and unioned into the
+    state (register-max merge — order-insensitive, replay-safe), and
+    the report reads estimates off the stored state with zero passes
+    over history.
+
+    Estimates are deterministic for the input set but engine-specific
+    (Apache DataSketches HLL), so this is a rows-only driver row; the
+    maintenance invariant (incremental within 2% of from-scratch —
+    sketch unions drop the HIP estimator, so bit-equality is not the
+    contract), replay idempotence, and the error envelope vs exact
+    COUNT(DISTINCT) are pinned by tests/test_sketches.py."""
+    from cdc_historical_warehouse_platform_spark.operators.sketches import (
+        group_distinct_sketch,
+        merge_sketch_state,
+        with_distinct_estimate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("2000-07-01")
+    b1 = orders.filter(split)
+    b2 = orders.filter(~split)
+    state = group_distinct_sketch(b1, ["o_orderpriority"], "o_custkey")
+    state = merge_sketch_state(
+        state, group_distinct_sketch(b2, ["o_orderpriority"], "o_custkey"),
+        ["o_orderpriority"],
+    )
+    return (
+        with_distinct_estimate(state, "distinct_customers")
+        .select("o_orderpriority", "distinct_customers")
+        .orderBy("o_orderpriority")
+    )
+
+
+# rows-only BY DESIGN: the HLL estimate is not reproducible in DuckDB
+# (different sketch implementation); the maintenance invariant is
+# pinned Spark-vs-Spark in tests/test_sketches.py instead.
+REFERENCE_QUERIES["agg_distinct_sketch_rollup"] = (q_distinct_sketch_rollup, None)

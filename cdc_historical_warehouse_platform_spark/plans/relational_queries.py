@@ -1527,3 +1527,180 @@ ORDER BY err_id, purchase_id
 """
 
 RELATIONAL_QUERIES["join_interval_events"] = (q_interval_join_events, SQL_INTERVAL_JOIN)
+
+
+def q_subquery_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT EXISTS pair over the SAME
+    correlated table with different predicates: suppliers who were the
+    ONLY late supplier (shipped > 90 days after the order date) in a
+    finished multi-supplier order. The semi-join keeps orders that
+    involve a second supplier; the anti-join removes orders where any
+    OTHER supplier was also late — its residual references BOTH outer
+    tables (the probe row's supplier and its order's date), the classic
+    doubly-correlated NOT EXISTS. Both plan as hash joins on
+    l_orderkey with non-equi residuals; supplier is broadcast."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = li.join(o, li.l_orderkey == o.o_orderkey).filter(F.col("l_shipdate") > late)
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    multi = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    sole = multi.join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > late),
+        "left_anti",
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+SQL_SOLE_LATE_SUPPLIER = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders o
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+RELATIONAL_QUERIES["subquery_sole_late_supplier"] = (
+    q_subquery_sole_late_supplier,
+    SQL_SOLE_LATE_SUPPLIER,
+)
+
+
+def q_agg_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape — grouped HAVING against a scalar derived from
+    the GLOBAL aggregate: parts whose lineitem revenue exceeds 1.2×
+    the mean part revenue (TPC-H scales Q11's fraction by 1/SF; the
+    mean-multiple form is the same plan shape and stays selective at
+    every scale factor). The global (total, count) is a 1-row keyless
+    aggregate broadcast back over the per-part rows (scalar-build
+    BNLJ — map-side; the repo plan guard admits exactly this shape),
+    and the threshold compare stays in exact integer-DECIMAL
+    arithmetic (v·n·10 > total·12) so membership is
+    engine-independent — no float boundary can flip a row."""
+    li = load_table(spark, sf, "lineitem")
+    rev = (
+        _dec("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(28,4)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("__v"))
+    total = per_part.agg(
+        F.sum("__v").alias("__total"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__v") * F.col("__n") * F.lit(10) > F.col("__total") * F.lit(12)
+        )
+        .select("l_partkey", F.col("__v").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS v
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT SUM(v) AS total, COUNT(*) AS n FROM per_part)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM per_part, t
+WHERE v * n * 10 > total * 12
+ORDER BY part_value DESC, l_partkey
+"""
+
+RELATIONAL_QUERIES["agg_important_parts"] = (q_agg_important_parts, SQL_IMPORTANT_PARTS)
+
+
+def q_join_top_quarter_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape — view + MAX-scalar equality: the supplier(s)
+    with the highest revenue over 1996Q1. The per-supplier revenue
+    "view" is computed once; its 1-row MAX is broadcast and matched by
+    an EQUI join on the exact DECIMAL revenue value (ties all
+    returned, per the spec), so both the winner set and the value are
+    engine-independent. The shared revenue subtree is deduped by
+    ReuseExchange."""
+    li = load_table(spark, sf, "lineitem")
+    rev = (
+        _dec("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).cast("decimal(28,4)")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(
+            F.broadcast(best), F.col("total_revenue") == F.col("__max_rev")
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_QUARTER_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+RELATIONAL_QUERIES["join_top_quarter_supplier"] = (
+    q_join_top_quarter_supplier,
+    SQL_TOP_QUARTER_SUPPLIER,
+)

@@ -119,12 +119,8 @@ def test_registry_contract():
     # round and still carries a local oracle (never rows-only)
     for name in names[50:]:
         assert name in o, f"{name} is outside the window without an oracle"
-    # rows-only queries are the documented approximate tiers only
+    # rows-only queries are the documented not-SQL-expressible tier
+    # only (every former approximate tier gained a portable-twin
+    # oracle in r04; the HLL estimate has no DuckDB twin by nature)
     rows_only = {n for n in q if n not in o}
-    assert rows_only <= {
-        "dedup_simhash",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "agg_approx_aggregates",
-        "semdedup_keep",
-    }
+    assert rows_only <= {"agg_distinct_sketch_rollup"}
