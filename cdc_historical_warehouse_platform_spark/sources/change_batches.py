@@ -32,6 +32,7 @@ __all__ = [
     "batch_name",
     "write_change_batch",
     "read_change_batch",
+    "read_change_batch_with_drift",
     "discover_batches",
     "cast_json_changes",
 ]
@@ -188,6 +189,54 @@ def read_change_batch(spark: SparkSession, path: str | Path) -> DataFrame:
         ]
     )
     return selected
+
+
+def read_change_batch_with_drift(
+    spark: SparkSession, path: str | Path
+) -> "tuple[DataFrame, dict]":
+    """Drift-aware batch read: infer the batch's ACTUAL schema, align
+    it to the CHANGE_SCHEMA contract (operators/schema_drift.py), and
+    return ``(typed_changes, drift_report)``.
+
+    :func:`read_change_batch` tolerates drift silently (explicit-schema
+    JSON reads null out missing fields and drop extra ones — the right
+    default for the hot load path). This variant is the operational
+    seam: same aligned output, plus the report that tells an operator
+    WHICH columns a producer added/dropped/retyped — the signal to
+    evolve the contract deliberately. Two JSON-inference artifacts are
+    NOT reported as drift: string→contract casts (the reference
+    stringifies decimals/timestamps via default=str) and
+    bigint→integral casts (every JSON integer infers as bigint, so the
+    wire cannot distinguish a producer's int from long — out-of-range
+    values still land NULL via try_cast rather than failing the load).
+    """
+    from cdc_historical_warehouse_platform_spark.operators.schema_drift import align_to_schema
+
+    path = Path(path)
+    if path.is_dir():  # jsonl format
+        raw = spark.read.json(str(path))
+    else:
+        env = spark.read.option("multiLine", "true").json(str(path))
+        if "changes" not in env.columns or not isinstance(
+            env.schema["changes"].dataType, T.ArrayType
+        ) or not isinstance(
+            env.schema["changes"].dataType.elementType, T.StructType
+        ):
+            # empty "changes": [] infers a non-struct element type —
+            # no rows means no drift to report
+            return read_change_batch(spark, path), {
+                "missing": [], "extra": [], "widened": [], "narrowed": []
+            }
+        raw = env.select(F.explode("changes").alias("c")).select("c.*")
+    # JSON-inference artifacts (see docstring) are not drift
+    aligned, report = align_to_schema(raw, CHANGE_SCHEMA, allow_narrowing=True)
+    report["narrowed"] = [
+        t
+        for t in report["narrowed"]
+        if t[1] != "string"
+        and not (t[1] == "bigint" and t[2] in ("tinyint", "smallint", "int"))
+    ]
+    return aligned, report
 
 
 def discover_batches(cdc_dir: str | Path) -> list[Path]:

@@ -1,0 +1,141 @@
+"""Schema-drift alignment (operators/schema_drift.py) and the
+drift-aware batch reader (sources/change_batches.py).
+
+The reference breaks on any operational-schema change; the engine's
+contract is: keep loading, report the drift. Pinned here: the
+widening/narrowing policy matrix, the report contents, and that a
+drifted reference-format batch still flows through the SCD2 merge.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_historical_warehouse_platform_spark.operators.schema_drift import (
+    SchemaDriftError,
+    align_to_schema,
+)
+from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
+from cdc_historical_warehouse_platform_spark.sources.change_batches import (
+    read_change_batch_with_drift,
+)
+
+
+def test_missing_and_extra_columns(spark):
+    df = spark.createDataFrame([(1, "x", "surprise")], ["id", "name", "new_col"])
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("gone_col", T.DoubleType()),
+        ]
+    )
+    aligned, report = align_to_schema(df, target)
+    assert aligned.columns == ["id", "name", "gone_col"]
+    assert report["missing"] == ["gone_col"]
+    assert report["extra"] == ["new_col"]
+    assert report["widened"] == [("id", "bigint", "bigint")] or report["widened"] == []
+    row = aligned.collect()[0]
+    assert row["gone_col"] is None and row["name"] == "x"
+
+
+def test_widening_matrix(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 3)],
+        T.StructType(
+            [
+                T.StructField("a", T.IntegerType()),
+                T.StructField("b", T.FloatType()),
+                T.StructField("c", T.IntegerType()),
+            ]
+        ),
+    )
+    target = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("c", T.DecimalType(12, 2)),
+        ]
+    )
+    aligned, report = align_to_schema(df, target)
+    assert {w[0] for w in report["widened"]} == {"a", "b", "c"}
+    assert not report["narrowed"]
+    assert [f.dataType for f in aligned.schema.fields] == [
+        T.LongType(),
+        T.DoubleType(),
+        T.DecimalType(12, 2),
+    ]
+
+
+def test_narrowing_rejected_then_try_cast(spark):
+    df = spark.createDataFrame(
+        [(2**40,), (7,)],
+        T.StructType([T.StructField("v", T.LongType())]),
+    )
+    target = T.StructType([T.StructField("v", T.IntegerType())])
+    with pytest.raises(SchemaDriftError):
+        align_to_schema(df, target)
+    aligned, report = align_to_schema(df, target, allow_narrowing=True)
+    assert report["narrowed"] == [("v", "bigint", "int")]
+    vals = {r["v"] for r in aligned.collect()}
+    assert vals == {None, 7}  # 2**40 unrepresentable -> NULL, not a crash
+
+
+def test_decimal_policy(spark):
+    df = spark.createDataFrame(
+        [(None,)], T.StructType([T.StructField("d", T.DecimalType(10, 2))])
+    )
+    ok, rep = align_to_schema(
+        df, T.StructType([T.StructField("d", T.DecimalType(12, 4))])
+    )
+    assert rep["widened"] == [("d", "decimal(10,2)", "decimal(12,4)")]
+    with pytest.raises(SchemaDriftError):
+        align_to_schema(df, T.StructType([T.StructField("d", T.DecimalType(10, 1))]))
+
+
+def test_drifted_reference_batch_loads_and_reports(spark, tmp_path):
+    # a producer upgraded: added `channel`, stopped sending `product_id`
+    row = {
+        "id": 1,
+        "customer_id": 77,
+        "quantity": 2,
+        "unit_price": "39.99",
+        "total_amount": "79.98",
+        "order_status": "pending",
+        "order_date": "2024-01-02T03:04:05",
+        "operation_type": "INSERT",
+        "cdc_timestamp": "2024-01-02T03:04:05.123456",
+        "extracted_at": "2024-01-02T03:05:00",
+        "channel": "mobile",  # drift: new upstream column
+        # drift: product_id missing
+    }
+    p = tmp_path / "changes_20240102_030500_000.json"
+    p.write_text(json.dumps({"batch_metadata": {}, "changes": [row]}, indent=2))
+    changes, report = read_change_batch_with_drift(spark, p)
+    assert "channel" in report["extra"]
+    assert "product_id" in report["missing"]
+    assert not report["narrowed"]  # stringified payload is not drift
+    # casts are nullable, so compare names+types (read_change_batch
+    # yields the same nullability relaxation)
+    assert [(f.name, f.dataType) for f in changes.schema.fields] == [
+        (f.name, f.dataType) for f in CHANGE_SCHEMA.fields
+    ]
+    # the aligned batch flows through the flagship merge
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
+
+    dim = scd2_merge(empty_dim(spark), changes, "b1")
+    out = dim.filter(F.col("is_current")).collect()
+    assert len(out) == 1 and out[0]["product_id"] is None
+    assert float(out[0]["unit_price"]) == 39.99
+
+
+def test_empty_envelope_reports_no_drift(spark, tmp_path):
+    p = tmp_path / "changes_20240102_030500_001.json"
+    p.write_text(json.dumps({"batch_metadata": {}, "changes": []}, indent=2))
+    changes, report = read_change_batch_with_drift(spark, p)
+    assert changes.count() == 0
+    assert report == {"missing": [], "extra": [], "widened": [], "narrowed": []}
