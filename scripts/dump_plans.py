@@ -55,6 +55,55 @@ NOTES = {
         "per row, never the vectors. Embeddings re-enter via two equi-joins "
         "on the pruned candidate set for the exact cosine verify."
     ),
+    "corpus_pack_sequences": (
+        "r5 rewrite: the exclusive prefix over per-bucket token totals is "
+        "hierarchical — a window PARTITIONED by superbucket (never a global "
+        "sort-to-one-partition) plus a cross-superbucket offset from a "
+        "broadcast non-equi self-join over corpus/bucket_size^2 rows (~40 "
+        "rows at 10^10 docs). The per-doc cumsum stays partitioned by "
+        "bucket; offsets re-enter via two broadcast hash joins."
+    ),
+    "corpus_zipf_stats": (
+        "r5 rewrite: rank + cumulative coverage over the LIMIT-100 slice via "
+        "a broadcast non-equi self-join (rank = 1 + |strictly ahead|) "
+        "instead of an unpartitioned window — the TakeOrderedAndProject "
+        "bounds both sides at any corpus size, and no WindowExec moves all "
+        "data to one partition."
+    ),
+    "corpus_source_mix": (
+        "r5 rewrite: corpus-wide totals come from a 1-row keyless aggregate "
+        "broadcast back over the per-source rows (scalar-build BNLJ — "
+        "map-side; structurally admitted by the plan guard); the shared "
+        "per-source exchange is deduped by ReuseExchange, so the documents "
+        "scan happens once."
+    ),
+    "subquery_sole_late_supplier": (
+        "Q21 shape: semi-join (another supplier exists in the order) and "
+        "anti-join (no OTHER supplier was late — residual references both "
+        "the probe row's supplier and its order's date) both plan as hash "
+        "joins on l_orderkey; supplier is broadcast; one exchange for the "
+        "final per-supplier count."
+    ),
+    "agg_important_parts": (
+        "Q11 shape: per-part DECIMAL revenue, 1-row (total, n) keyless "
+        "aggregate broadcast back (scalar-build BNLJ), membership decided "
+        "in exact integer-DECIMAL arithmetic — the plan's only join has a "
+        "provably-1-row build side."
+    ),
+    "join_top_quarter_supplier": (
+        "Q15 shape: the revenue view's MAX is matched by an EQUI "
+        "BroadcastHashJoin on the exact DECIMAL value (ties returned), "
+        "supplier broadcast; the shared revenue subtree is deduped by "
+        "ReuseExchange at runtime."
+    ),
+    "agg_distinct_sketch_rollup": (
+        "Mergeable-sketch COUNT(DISTINCT) maintenance: per-wave HLL "
+        "sketches built by ObjectHashAggregate (partial sketches merged "
+        "map-side, the exchange moves one ~2^lgk-byte sketch per group per "
+        "task, never raw values); the state merge is a null-safe full-outer "
+        "SortMergeJoin on the group key; the estimate is a single "
+        "expression over the stored sketch."
+    ),
 }
 
 
