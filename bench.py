@@ -44,6 +44,10 @@ HEADLINE = [
     # bucketed no-equi-key range join
     "scd2_incremental_revenue",
     "join_interval_events",
+    # added r05: the doubly-correlated subquery family (the heaviest
+    # new relational shape) and the mergeable-sketch maintenance path
+    "subquery_sole_late_supplier",
+    "agg_distinct_sketch_rollup",
 ]
 
 

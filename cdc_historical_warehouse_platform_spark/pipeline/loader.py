@@ -69,6 +69,7 @@ class SCD2Loader:
         cdc_dir: str | Path,
         metadata: PipelineMetadataManager | None = None,
         summary_store=None,
+        drift_policy: str = "silent",
     ):
         self.spark = spark
         self.dim = dim_store
@@ -79,12 +80,29 @@ class SCD2Loader:
         # VersionedTable holding revenue-per-customer, kept in sync from
         # batch DELTAS instead of per-run recomputes
         self.summary = summary_store
+        # "silent" (default): explicit-schema reads tolerate producer
+        # drift quietly — the hot path. "report": infer each batch's
+        # actual wire schema (read_change_batch_with_drift) and surface
+        # per-batch drift in the run result + pipeline metadata.
+        if drift_policy not in ("silent", "report"):
+            raise ValueError(f"unknown drift_policy {drift_policy!r}")
+        self.drift_policy = drift_policy
+        self.drift_events: list[dict] = []
 
     def process_batch_file(self, batch_path: str | Path) -> bool:
         """One batch: id → ledger check → merge → commit → mark
         (scd2_loader.py:476-548). Returns False for a skipped replay."""
         batch_path = Path(batch_path)
-        changes = read_change_batch(self.spark, batch_path)
+        if self.drift_policy == "report":
+            from cdc_historical_warehouse_platform_spark.sources.change_batches import (
+                read_change_batch_with_drift,
+            )
+
+            changes, drift = read_change_batch_with_drift(self.spark, batch_path)
+            if any(drift.values()):
+                self.drift_events.append({"batch": batch_path.name, **drift})
+        else:
+            changes = read_change_batch(self.spark, batch_path)
         if changes.isEmpty():
             return True
         batch_id = generate_batch_id(changes)
@@ -109,6 +127,7 @@ class SCD2Loader:
         returns run summary (scd2_loader.py:550-659 semantics)."""
         run_id = None
         t0 = time.time()
+        self.drift_events = []
         if self.metadata is not None:
             run_id = self.metadata.start_run()
         processed = skipped = failed = 0
@@ -138,9 +157,16 @@ class SCD2Loader:
                 records_successful=processed,
                 records_failed=failed,
                 error_message=error,
-                performance_metrics={"elapsed_sec": round(time.time() - t0, 3)},
+                performance_metrics={
+                    "elapsed_sec": round(time.time() - t0, 3),
+                    **(
+                        {"batches_with_drift": len(self.drift_events)}
+                        if self.drift_policy == "report"
+                        else {}
+                    ),
+                },
             )
-        return {
+        result = {
             "run_id": run_id,
             "status": status,
             "processed": processed,
@@ -148,6 +174,9 @@ class SCD2Loader:
             "failed": failed,
             "error": error,
         }
+        if self.drift_policy == "report":
+            result["drift"] = self.drift_events
+        return result
 
     def summary_statistics(self) -> dict:
         """A1: the loader's table-summary aggregate (scd2_loader.py:661-683)."""

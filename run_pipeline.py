@@ -15,7 +15,7 @@ Usage:
   python run_pipeline.py simulate  [--workdir DIR] [--cycles N]
   python run_pipeline.py extract   [--workdir DIR] [--cycles N] [--backfill]
                                    [--source-url JDBC_URL [--source-table T]]
-  python run_pipeline.py load      [--workdir DIR] [--summary]
+  python run_pipeline.py load      [--workdir DIR] [--summary] [--drift-report]
   python run_pipeline.py summary   [--workdir DIR]   # IVM check; exit 1 on drift
   python run_pipeline.py status    [--workdir DIR]
   python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
@@ -88,6 +88,13 @@ def main() -> int:
         action="store_true",
         help="load: also maintain the revenue-per-customer rollup "
         "incrementally from batch deltas (verify with the `summary` command)",
+    )
+    ap.add_argument(
+        "--drift-report",
+        action="store_true",
+        help="load: infer each batch's actual wire schema and report "
+        "producer drift (added/dropped/retyped columns) in the run "
+        "result and pipeline metadata instead of tolerating it silently",
     )
     ap.add_argument("--workdir", default="./warehouse_data")
     ap.add_argument("--orders", type=int, default=10)
@@ -191,6 +198,8 @@ def main() -> int:
             loader.summary = VersionedTable(
                 Path(args.workdir) / "summary_customer_revenue"
             )
+        if args.drift_report:
+            loader.drift_policy = "report"
         print(json.dumps(loader.load_pending()))
     elif args.command == "summary":
         # IVM validation surface: the maintained rollup must hash-equal a

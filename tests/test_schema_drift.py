@@ -139,3 +139,42 @@ def test_empty_envelope_reports_no_drift(spark, tmp_path):
     changes, report = read_change_batch_with_drift(spark, p)
     assert changes.count() == 0
     assert report == {"missing": [], "extra": [], "widened": [], "narrowed": []}
+
+
+def test_loader_drift_report_mode(spark, tmp_path):
+    """SCD2Loader(drift_policy="report") loads a drifted batch AND
+    surfaces the drift in the run result; the silent default stays
+    report-free."""
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    cdc_dir = tmp_path / "cdc_logs"
+    cdc_dir.mkdir()
+    row = {
+        "id": 5,
+        "customer_id": 1,
+        "product_id": 2,
+        "quantity": 1,
+        "unit_price": "10.00",
+        "total_amount": "10.00",
+        "order_status": "pending",
+        "order_date": "2024-01-02T03:04:05",
+        "operation_type": "INSERT",
+        "cdc_timestamp": "2024-01-02T03:04:05.123456",
+        "extracted_at": "2024-01-02T03:05:00",
+        "loyalty_tier": "gold",  # drift
+    }
+    (cdc_dir / "changes_20240102_030500_000.json").write_text(
+        json.dumps({"batch_metadata": {}, "changes": [row]}, indent=2)
+    )
+    dim = SCD2DimStore(tmp_path / "dim")
+    loader = SCD2Loader(spark, dim, cdc_dir, drift_policy="report")
+    result = loader.load_pending()
+    assert result["processed"] == 1
+    assert len(result["drift"]) == 1
+    assert result["drift"][0]["batch"] == "changes_20240102_030500_000.json"
+    assert "loyalty_tier" in result["drift"][0]["extra"]
+    assert dim.read_current(spark).count() == 1
+    # silent default: same load, no drift key
+    with pytest.raises(ValueError):
+        SCD2Loader(spark, dim, cdc_dir, drift_policy="bogus")
