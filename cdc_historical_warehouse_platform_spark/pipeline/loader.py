@@ -21,7 +21,11 @@ from cdc_historical_warehouse_platform_spark.pipeline.state import ProcessedLedg
 from cdc_historical_warehouse_platform_spark.sources.change_batches import discover_batches, read_change_batch
 from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
 
-__all__ = ["SCD2Loader", "maintain_summary_store"]
+__all__ = [
+    "SCD2Loader",
+    "maintain_summary_store",
+    "maintain_distinct_sketch_store",
+]
 
 
 def maintain_summary_store(spark, dim_store, summary_store, changes, txn_id: str) -> None:
@@ -61,6 +65,37 @@ def maintain_summary_store(spark, dim_store, summary_store, changes, txn_id: str
     summary_store.commit(maintain_group_summary(prev, current, changes), txn_id=txn_id)
 
 
+def maintain_distinct_sketch_store(spark, sketch_store, changes, txn_id: str) -> None:
+    """Mergeable-sketch maintenance for one batch: distinct products
+    EVER observed per customer (operators/sketches.py), the
+    COUNT(DISTINCT) sibling of maintain_summary_store. Shared by the
+    batch loader and the streaming foreachBatch path.
+
+    Sketches cannot retract, so the metric is ever-seen distinct (the
+    standard sketch-rollup semantics) — DELETE changes carry no new
+    observation and are excluded. Replay safety is double: the store's
+    txn guard makes a replayed commit a no-op, and even a forced
+    re-union of the same batch is a register-max no-op by sketch
+    idempotence."""
+    from pyspark.sql import functions as F
+
+    from cdc_historical_warehouse_platform_spark.operators.sketches import (
+        group_distinct_sketch,
+        merge_sketch_state,
+    )
+
+    delta = group_distinct_sketch(
+        changes.filter(F.col("operation_type") != "DELETE"),
+        ["customer_id"],
+        "product_id",
+    )
+    if sketch_store.exists():
+        state = merge_sketch_state(sketch_store.read(spark), delta, ["customer_id"])
+    else:
+        state = delta
+    sketch_store.commit(state, txn_id=txn_id)
+
+
 class SCD2Loader:
     def __init__(
         self,
@@ -70,6 +105,7 @@ class SCD2Loader:
         metadata: PipelineMetadataManager | None = None,
         summary_store=None,
         drift_policy: str = "silent",
+        sketch_store=None,
     ):
         self.spark = spark
         self.dim = dim_store
@@ -80,6 +116,10 @@ class SCD2Loader:
         # VersionedTable holding revenue-per-customer, kept in sync from
         # batch DELTAS instead of per-run recomputes
         self.summary = summary_store
+        # optional mergeable-sketch rollup (operators/sketches.py):
+        # distinct products ever seen per customer, unioned from batch
+        # observations — COUNT(DISTINCT) at fixed state per group
+        self.sketches = sketch_store
         # "silent" (default): explicit-schema reads tolerate producer
         # drift quietly — the hot path. "report": infer each batch's
         # actual wire schema (read_change_batch_with_drift) and surface
@@ -111,6 +151,8 @@ class SCD2Loader:
         txn_id = f"{batch_path.name}|{batch_id}"
         if self.summary is not None:
             maintain_summary_store(self.spark, self.dim, self.summary, changes, txn_id)
+        if self.sketches is not None:
+            maintain_distinct_sketch_store(self.spark, self.sketches, changes, txn_id)
         # the store's txn guard backs the ledger: a crash between the
         # pointer swap and the mark leaves the replay a no-op
         applied = self.dim.apply_batch(

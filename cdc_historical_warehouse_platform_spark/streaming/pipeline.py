@@ -62,6 +62,7 @@ def start_scd2_stream(
     available_now: bool = True,
     processing_time: str = "10 seconds",
     summary_store=None,
+    sketch_store=None,
 ) -> StreamingQuery:
     """Continuous SCD2 maintenance: every micro-batch runs the same
     merge the batch loader uses against the split dim store, committed
@@ -79,6 +80,10 @@ def start_scd2_stream(
     under the epoch's txn id, so a crash anywhere in the epoch replays
     to txn no-ops on both stores — streaming gets the batch path's
     incremental-view-maintenance guarantee with zero new algebra.
+    ``sketch_store`` does the same for the mergeable-sketch
+    COUNT(DISTINCT) rollup (pipeline/loader.
+    maintain_distinct_sketch_store) — doubly replay-safe: txn guard
+    plus register-max idempotence of the sketch union itself.
     """
     changes = read_change_stream(spark, cdc_dir)
 
@@ -91,6 +96,12 @@ def start_scd2_stream(
             from cdc_historical_warehouse_platform_spark.pipeline.loader import maintain_summary_store
 
             maintain_summary_store(spark, dim_store, summary_store, batch_df, txn_id)
+        if sketch_store is not None:
+            from cdc_historical_warehouse_platform_spark.pipeline.loader import (
+                maintain_distinct_sketch_store,
+            )
+
+            maintain_distinct_sketch_store(spark, sketch_store, batch_df, txn_id)
         dim_store.apply_batch(
             spark,
             batch_df,

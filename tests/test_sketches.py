@@ -3,9 +3,12 @@
 The registered query `agg_distinct_sketch_rollup` is rows-only at the
 driver gate (estimates are engine-specific), so everything checkable
 is pinned here Spark-vs-Spark: the maintenance invariant (incremental
-merge ≡ from-scratch, exactly), merge associativity/commutativity and
-replay idempotence, the error envelope vs exact COUNT(DISTINCT), NULL
-group handling, and the bounded-state property.
+merge tracks from-scratch within the documented 2% envelope —
+DataSketches unions drop the HIP estimator, so bit-equality is not
+the contract), merge-order insensitivity, replay idempotence, the
+error envelope vs exact COUNT(DISTINCT), NULL group handling, the
+bounded-state property, and the batch/streaming store-maintenance
+seam (pipeline/loader.maintain_distinct_sketch_store).
 """
 
 from __future__ import annotations
@@ -117,3 +120,65 @@ def test_state_is_bounded(spark):
         F.octet_length(SKETCH_COL).alias("n")
     ).collect()[0]["n"]
     assert sz(big) <= 16 * sz(small)  # ~2^lgk bytes, not O(distinct)
+
+
+def test_sketch_store_maintenance_batch_and_stream(tmp_path, spark):
+    """The shared maintain_distinct_sketch_store seam: streaming
+    foreachBatch keeps distinct-products-ever-per-customer within the
+    HLL envelope of the exact count over all observed non-DELETE
+    changes, replays are no-ops, and DELETEs add no observation."""
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+    from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+    from cdc_historical_warehouse_platform_spark.sources.change_batches import write_change_batch
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import start_scd2_stream
+    from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
+    from tests.conftest import make_change
+
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2026, 5, 1, 8, 0, 0) + dt.timedelta(minutes=m)
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    dim = SCD2DimStore(tmp_path / "dim")
+    sketches = VersionedTable(tmp_path / "sketches")
+
+    b1 = [
+        make_change(i, "INSERT", ts(i), customer_id=100 + (i % 2), product_id=i)
+        for i in range(1, 9)
+    ]
+    write_change_batch(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(9), fmt="jsonl"
+    )
+    q = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, sketch_store=sketches
+    )
+    q.awaitTermination(120)
+
+    # second epoch: repeat product (no new distinct), new product, DELETE
+    b2 = [
+        make_change(1, "UPDATE", ts(10), customer_id=101, product_id=1),
+        make_change(9, "INSERT", ts(11), customer_id=100, product_id=99),
+        make_change(2, "DELETE", ts(12), customer_id=100, product_id=777),
+    ]
+    write_change_batch(
+        spark.createDataFrame(b2, CHANGE_SCHEMA), cdc_dir, extracted_at=ts(13), fmt="jsonl"
+    )
+    q2 = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, sketch_store=sketches
+    )
+    q2.awaitTermination(120)
+
+    est = _estimates(sketches.read(spark))
+    # exact ever-seen distinct products (DELETE row excluded):
+    # cust 100: products {2,4,6,8,99} = 5; cust 101: {1,3,5,7} u {1} = 4
+    assert est == {(100,): 5, (101,): 4}  # tiny counts -> HLL exact
+
+    # no-new-data restart: store version does not advance
+    sv = sketches.version()
+    q3 = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, sketch_store=sketches
+    )
+    q3.awaitTermination(120)
+    assert sketches.version() == sv
