@@ -329,7 +329,10 @@ def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         empty_summary,
         maintain_group_summary,
     )
-    from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import (
+        empty_dim,
+        scd2_build_from_change_log,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     # Materialize the synthesized change log once (lazy localCheckpoint):
@@ -347,8 +350,12 @@ def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same boundary for the advanced dimension: after batch 1 the loader
     # commits dim1 to the versioned store before batch 2's delta probes
     # it. Truncating here keeps the two maintenance steps as separate
-    # bounded jobs instead of one deep chained plan.
-    dim1 = scd2_merge(dim0, b1, "b1").localCheckpoint(eager=False)
+    # bounded jobs instead of one deep chained plan. The INSERT wave
+    # lands in an EMPTY dim, so the one-pass bulk-build path applies
+    # (scd2.py: "Bulk HISTORY loads should use scd2_build_from_change_
+    # log") — identical output to scd2_merge for one change per key,
+    # without the merge's join machinery.
+    dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
     s2 = maintain_group_summary(s1, dim1.filter(F.col("is_current")), b2)
     return s2.select(
         "customer_id",
@@ -398,7 +405,10 @@ def q_incremental_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_extrema,
         maintain_group_extrema,
     )
-    from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim, scd2_merge
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import (
+        empty_dim,
+        scd2_build_from_change_log,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     changes = orders_as_changes(orders).localCheckpoint(eager=False)
@@ -410,7 +420,8 @@ def q_incremental_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim0.filter(F.col("is_current")),
         b1,
     )
-    dim1 = scd2_merge(dim0, b1, "b1").localCheckpoint(eager=False)
+    # bulk-build for the empty-dim INSERT wave (see q_incremental_revenue)
+    dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
     e2 = maintain_group_extrema(e1, dim1.filter(F.col("is_current")), b2)
     return e2.select(
         "customer_id",
