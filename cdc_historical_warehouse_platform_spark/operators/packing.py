@@ -65,7 +65,11 @@ def packed_sequence_ids(
         F.sum(F.col(token_col).cast("long")).alias("__tot")
     ).withColumn(
         "__sb", F.floor(F.col("__bucket") / F.lit(bucket_size)).cast("long")
-    )
+    # consumed by three subtrees below (within-prefix window, super-
+    # bucket totals, and the offset join's probe side) — the lazy
+    # barrier keeps the corpus-wide aggregate from executing per
+    # consumer. Tiny: corpus/bucket_size rows of three longs.
+    ).localCheckpoint(eager=False)
     # exclusive prefix over per-bucket totals, hierarchically: within
     # each superbucket an ordered window (partitioned — never a global
     # sort-to-one-partition), plus a cross-superbucket offset from a

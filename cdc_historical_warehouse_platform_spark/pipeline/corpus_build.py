@@ -127,10 +127,18 @@ def corpus_build(
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "overwrite"
         ).parquet(str(out / "_source_counts"))
-        (out / _CAPS_FILE).write_text(_json.dumps({"max_per_source": max_per_source}))
     # all state written → publish the commit marker (crash before this
-    # line = rebuild; corpus_append repairs against it)
-    write_marker(out, epoch=0)
+    # line = rebuild; corpus_append repairs against it). The quota
+    # rides the marker so its adoption is atomic with the epoch.
+    write_marker(
+        out,
+        epoch=0,
+        extra=(
+            {"max_per_source": max_per_source}
+            if max_per_source is not None
+            else None
+        ),
+    )
     return {
         "decisions": counts,
         "kept_rows": manifest["total_rows"],
@@ -150,15 +158,18 @@ def corpus_append(
     """Incremental load: quality-gate the NEW batch, dedup it against
     the persisted state (exact-fingerprint + LSH; the existing corpus
     is never re-signatured), enforce any per-source quota the build
-    declared (``_source_caps.json`` + append-only ``_source_counts``
-    state), append kept docs into the shard layout, extend the state,
-    publish the next epoch marker.
+    declared (recorded in the commit marker + append-only
+    ``_source_counts`` state; legacy ``_source_caps.json`` corpora are
+    read transparently), append kept docs into the shard layout,
+    extend the state, publish the next epoch marker.
 
     ``max_per_source`` here ADOPTS (or overrides) the quota mid-stream:
-    the caps file is (re)written and, for a corpus built without
-    quotas, ``_source_counts`` is backfilled once from the kept corpus
-    — already-stored docs count against the new quota, they are never
-    evicted (append-only corpus)."""
+    the new quota is recorded IN the epoch's commit marker (one atomic
+    rename — adoption and epoch commit are a single event, no crash
+    window) and, for a corpus built without quotas, ``_source_counts``
+    is backfilled once from the kept corpus — already-stored docs
+    count against the new quota, they are never evicted (append-only
+    corpus)."""
     out = Path(output)
     if not (out / "_lsh_index").exists():
         raise FileNotFoundError(f"no corpus state under {output}; run corpus_build first")
@@ -209,16 +220,21 @@ def corpus_append(
     # the LSH-bucket state consistent with what actually ships — buckets
     # of quota-dropped docs must never enter _lsh_index (they would be
     # state for docs not in the corpus)
-    caps_file = out / _CAPS_FILE
     n_over_cap = 0
     import json as _json
 
-    # quota adoption/override is deferred to just before the epoch
-    # marker below: writing _source_caps.json here would make a crash
-    # mid-epoch adopt the new quota even though the epoch rolls back
-    adopt_caps = max_per_source is not None
-    if not adopt_caps and caps_file.exists():
-        max_per_source = _json.loads(caps_file.read_text())["max_per_source"]
+    # quota adoption/override rides the epoch's commit marker (below),
+    # so a crash mid-epoch can never adopt the new quota while the
+    # epoch's data rolls back — there is no separate caps write at all
+    if max_per_source is None:
+        m = read_marker(out) or {}
+        if "max_per_source" in m:
+            max_per_source = m["max_per_source"]
+        elif (out / _CAPS_FILE).exists():
+            # pre-r5 corpora recorded the quota in a side file
+            max_per_source = _json.loads((out / _CAPS_FILE).read_text())[
+                "max_per_source"
+            ]
     if max_per_source is not None:
         # pre-quota corpus: one-time backfill of the counts state from
         # the kept corpus (same gate-on-data-files pattern as _fp_index)
@@ -257,12 +273,18 @@ def corpus_append(
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "append"
         ).parquet(str(out / "_source_counts"))
-    if adopt_caps:
-        # adoption becomes durable only alongside the epoch it shipped
-        # in (all parquet writes above have landed at this point)
-        caps_file.write_text(_json.dumps({"max_per_source": max_per_source}))
-    # every write of this epoch landed → atomically publish it
-    write_marker(out, epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1)
+    # every write of this epoch landed → atomically publish it (the
+    # active quota is recorded in the same atomic rename, so adoption
+    # and epoch commit are one event)
+    write_marker(
+        out,
+        epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1,
+        extra=(
+            {"max_per_source": max_per_source}
+            if max_per_source is not None
+            else None
+        ),
+    )
     n_kept = kept.count()
     return {
         "new_docs": n_new,

@@ -67,9 +67,22 @@ def snapshot(out: Path, exclude: frozenset[str] = frozenset()) -> dict[str, list
 
 
 def write_marker(
-    out: Path, epoch: int, exclude: frozenset[str] = frozenset()
+    out: Path,
+    epoch: int,
+    exclude: frozenset[str] = frozenset(),
+    extra: dict | None = None,
 ) -> dict:
     marker = {"epoch": epoch, "files": snapshot(out, exclude)}
+    # epoch-scoped config (today: the per-source quota) rides the
+    # marker so its adoption is atomic WITH the epoch — a crash can
+    # never leave config adopted while the epoch's data rolls back.
+    # Unspecified keys carry forward from the committed marker so
+    # callers that don't know about them (compaction) can't drop them.
+    prev = read_marker(out)
+    if prev and "max_per_source" in prev:
+        marker["max_per_source"] = prev["max_per_source"]
+    if extra:
+        marker.update(extra)
     # the shard manifest is epoch state too: a torn append may have
     # rewritten it before crashing, so repair must restore the
     # committed copy alongside deleting the torn data files

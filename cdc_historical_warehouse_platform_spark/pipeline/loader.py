@@ -133,18 +133,20 @@ class SCD2Loader:
         """One batch: id → ledger check → merge → commit → mark
         (scd2_loader.py:476-548). Returns False for a skipped replay."""
         batch_path = Path(batch_path)
+        drift = None
         if self.drift_policy == "report":
             from cdc_historical_warehouse_platform_spark.sources.change_batches import (
                 read_change_batch_with_drift,
             )
 
             changes, drift = read_change_batch_with_drift(self.spark, batch_path)
-            if any(drift.values()):
-                self.drift_events.append({"batch": batch_path.name, **drift})
         else:
             changes = read_change_batch(self.spark, batch_path)
         if changes.isEmpty():
+            # no rows = no schema evidence; never a drift event
             return True
+        if drift is not None and any(drift.values()):
+            self.drift_events.append({"batch": batch_path.name, **drift})
         batch_id = generate_batch_id(changes)
         if self.ledger.is_processed(batch_path.name, batch_id):
             return False

@@ -204,17 +204,29 @@ def read_change_batch_with_drift(
     seam: same aligned output, plus the report that tells an operator
     WHICH columns a producer added/dropped/retyped — the signal to
     evolve the contract deliberately. Two JSON-inference artifacts are
-    NOT reported as drift: string→contract casts (the reference
-    stringifies decimals/timestamps via default=str) and
+    NOT reported as drift: string→decimal/timestamp/date casts (the
+    reference stringifies exactly those via default=str) and
     bigint→integral casts (every JSON integer infers as bigint, so the
     wire cannot distinguish a producer's int from long — out-of-range
     values still land NULL via try_cast rather than failing the load).
+    A string column arriving for an integral/boolean contract column
+    IS reported (that is a retype or corruption, the very signal the
+    silent path's FAILFAST read turns into a hard error). Caveat for
+    Spark-written jsonl batches: JSON has no column manifest and the
+    writer omits null fields, so a column that is null in EVERY row is
+    indistinguishable from a dropped column and reports as missing.
     """
     from cdc_historical_warehouse_platform_spark.operators.schema_drift import align_to_schema
 
+    _no_drift = {"missing": [], "extra": [], "widened": [], "narrowed": []}
     path = Path(path)
     if path.is_dir():  # jsonl format
         raw = spark.read.json(str(path))
+        if not raw.columns or raw.isEmpty():
+            # an empty batch carries no schema evidence at all —
+            # without this guard it would misreport every contract
+            # column as producer-dropped, on every run
+            return read_change_batch(spark, path), dict(_no_drift)
     else:
         env = spark.read.option("multiLine", "true").json(str(path))
         if "changes" not in env.columns or not isinstance(
@@ -224,16 +236,16 @@ def read_change_batch_with_drift(
         ):
             # empty "changes": [] infers a non-struct element type —
             # no rows means no drift to report
-            return read_change_batch(spark, path), {
-                "missing": [], "extra": [], "widened": [], "narrowed": []
-            }
+            return read_change_batch(spark, path), dict(_no_drift)
         raw = env.select(F.explode("changes").alias("c")).select("c.*")
-    # JSON-inference artifacts (see docstring) are not drift
+    # JSON-inference artifacts (see docstring) are not drift; a string
+    # column for an integral/boolean contract column stays reported
     aligned, report = align_to_schema(raw, CHANGE_SCHEMA, allow_narrowing=True)
+    _stringified = ("decimal", "timestamp", "date")
     report["narrowed"] = [
         t
         for t in report["narrowed"]
-        if t[1] != "string"
+        if not (t[1] == "string" and t[2].startswith(_stringified))
         and not (t[1] == "bigint" and t[2] in ("tinyint", "smallint", "int"))
     ]
     return aligned, report

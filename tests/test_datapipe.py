@@ -1417,3 +1417,57 @@ def test_corpus_token_budget_hits_budget_and_handles_null_source(spark):
         docs.write.parquet(f"{d}/documents.parquet")
         out = q_corpus_token_budget(spark, d).collect()
     assert sum(1 for r in out if r["source"] is None) == 20  # present, gated
+
+
+def test_corpus_quota_adoption_rides_the_marker(spark, tmp_path):
+    """r5: the adopted quota lives IN the commit marker (one atomic
+    rename — adoption cannot survive an epoch rollback because it IS
+    epoch state), no side file is written, and later appends without
+    the argument keep enforcing it. Compaction's marker rewrite must
+    carry it forward."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+        corpus_compact,
+    )
+    from pathlib import Path
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import read_marker
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, "/root/testdata/sf0.001", out)  # no quota
+    assert "max_per_source" not in (read_marker(Path(out)) or {})
+
+    new = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            (F.col("doc_id") + 20_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    corpus_append(spark, new, out, max_per_source=5)
+    m = read_marker(Path(out))
+    assert m["max_per_source"] == 5
+    assert not (Path(out) / "_source_caps.json").exists()
+
+    # a quota-less append keeps enforcing the marker's quota
+    new2 = new.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zweite welle"))
+    )
+    corpus_append(spark, new2, out)
+    per_src_appended = (
+        spark.read.parquet(out)
+        .filter(F.col("doc_id") >= 20_000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= 5 for r in per_src_appended), per_src_appended
+
+    # compaction rewrites the marker; the quota must survive
+    corpus_compact(spark, out, max_files_per_shard=1)
+    assert read_marker(Path(out))["max_per_source"] == 5

@@ -56,15 +56,37 @@ def _walk(node):
     children = node.children()
     for i in range(children.size()):
         yield from _walk(children.apply(i))
+    # subquery physical plans live OUTSIDE children() (plan.toString
+    # prints them via innerChildren) — without this, an all-pairs join
+    # inside a scalar/IN subquery would escape the lint entirely
+    subqueries = node.subqueries()
+    for i in range(subqueries.size()):
+        yield from _walk(subqueries.apply(i))
+
+
+# row-count-preserving (or narrowing) wrappers a build side may sit
+# under in a fully-prepared physical plan
+_UNWRAP = (
+    "ProjectExec",
+    "FilterExec",
+    "CoalesceExec",
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "BroadcastExchangeExec",
+)
 
 
 def _is_scalar_subtree(node):
     """True iff the subtree provably emits ≤1 row: a keyless (global)
-    aggregate, possibly under narrowing wrappers."""
-    name = node.getClass().getSimpleName()
-    while name in ("ProjectExec", "FilterExec", "CoalesceExec"):
-        node = node.children().apply(0)
+    aggregate, possibly under wrappers."""
+    while True:
         name = node.getClass().getSimpleName()
+        if name in _UNWRAP:
+            node = node.children().apply(0)
+        elif name == "ReusedExchangeExec":
+            node = node.child()
+        else:
+            break
     return name in (
         "HashAggregateExec",
         "SortAggregateExec",
@@ -77,9 +99,12 @@ def _all_pairs_hits(df) -> list[str]:
     unless its build side is a scalar (≤1-row) subtree — broadcasting a
     global aggregate back over its input is a map-side pattern, not an
     all-pairs join (Catalyst folds any constant-key equi-join down to
-    exactly this shape)."""
+    exactly this shape). Walks the PREPARED plan (executedPlan, AQE
+    off) because subquery physical plans only exist after preparation —
+    at sparkPlan stage a subquery still holds its logical plan and an
+    all-pairs join inside it would be invisible."""
     hits = []
-    for node in _walk(df._jdf.queryExecution().sparkPlan()):
+    for node in _walk(df._jdf.queryExecution().executedPlan()):
         name = node.getClass().getSimpleName()
         if name == "CartesianProductExec":
             hits.append("CartesianProduct")
@@ -93,13 +118,20 @@ def _all_pairs_hits(df) -> list[str]:
 def test_no_query_plan_contains_all_pairs_join(spark):
     mod = _entry_module()
     offenders = {}
-    for name, fn in mod.queries().items():
-        if name in ALL_PAIRS_BY_DESIGN:
-            continue
-        df = fn(spark, SF_DIR)
-        hits = _all_pairs_hits(df)
-        if hits:
-            offenders[name] = hits
+    # AQE off so executedPlan is the fully-prepared static plan
+    # (PlanSubqueries included) rather than an AdaptiveSparkPlanExec
+    # wrapper that plans lazily at execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, fn in mod.queries().items():
+            if name in ALL_PAIRS_BY_DESIGN:
+                continue
+            df = fn(spark, SF_DIR)
+            hits = _all_pairs_hits(df)
+            if hits:
+                offenders[name] = hits
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert offenders == {}
 
 

@@ -38,7 +38,7 @@ def test_missing_and_extra_columns(spark):
     assert aligned.columns == ["id", "name", "gone_col"]
     assert report["missing"] == ["gone_col"]
     assert report["extra"] == ["new_col"]
-    assert report["widened"] == [("id", "bigint", "bigint")] or report["widened"] == []
+    assert report["widened"] == []  # src == dst is handled before widening
     row = aligned.collect()[0]
     assert row["gone_col"] is None and row["name"] == "x"
 
@@ -178,3 +178,50 @@ def test_loader_drift_report_mode(spark, tmp_path):
     # silent default: same load, no drift key
     with pytest.raises(ValueError):
         SCD2Loader(spark, dim, cdc_dir, drift_policy="bogus")
+
+
+def test_empty_jsonl_batch_reports_no_drift(spark, tmp_path):
+    """An empty jsonl batch carries no schema evidence — it must not
+    misreport every contract column as producer-dropped."""
+    import datetime as dt
+
+    from cdc_historical_warehouse_platform_spark.sources.change_batches import (
+        write_change_batch,
+    )
+
+    p = write_change_batch(
+        spark.createDataFrame([], CHANGE_SCHEMA),
+        tmp_path,
+        extracted_at=dt.datetime(2024, 1, 2, 3, 5),
+        fmt="jsonl",
+    )
+    changes, report = read_change_batch_with_drift(spark, p)
+    assert changes.count() == 0
+    assert report == {"missing": [], "extra": [], "widened": [], "narrowed": []}
+
+
+def test_string_retype_is_reported_not_swallowed(spark, tmp_path):
+    """A producer retyping an integral column to string (or shipping
+    corrupt values) must surface in the drift report — the silent path
+    turns this into a FAILFAST error, so report mode's tolerate-and-
+    load must at least carry the signal."""
+    row = {
+        "id": 1,
+        "customer_id": 77,
+        "product_id": 2,
+        "quantity": "two",  # retype/corruption
+        "unit_price": "39.99",
+        "total_amount": "79.98",
+        "order_status": "pending",
+        "order_date": "2024-01-02T03:04:05",
+        "operation_type": "INSERT",
+        "cdc_timestamp": "2024-01-02T03:04:05.123456",
+        "extracted_at": "2024-01-02T03:05:00",
+    }
+    p = tmp_path / "changes_20240102_030500_002.json"
+    p.write_text(json.dumps({"batch_metadata": {}, "changes": [row]}, indent=2))
+    changes, report = read_change_batch_with_drift(spark, p)
+    assert ("quantity", "string", "int") in report["narrowed"]
+    # stringified decimal/timestamp payload stays unreported
+    assert not any(c in ("unit_price", "cdc_timestamp") for c, _, _ in report["narrowed"])
+    assert changes.collect()[0]["quantity"] is None  # try_cast, not a crash
