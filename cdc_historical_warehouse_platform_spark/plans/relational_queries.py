@@ -1704,3 +1704,87 @@ RELATIONAL_QUERIES["join_top_quarter_supplier"] = (
     q_join_top_quarter_supplier,
     SQL_TOP_QUARTER_SUPPLIER,
 )
+
+
+def q_join_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — top-2
+    customers by balance per nation through the SQL front-end.
+    Catalyst decorrelates the per-nation LIMIT into a rank rewrite
+    (DecorrelateInnerQuery), so the plan is a window over one shuffle
+    on the join key — never a per-nation loop. Total order inside the
+    LATERAL (balance DESC, custkey ASC) keeps ties deterministic."""
+    from cdc_historical_warehouse_platform_spark.schemas import register_testdata_views
+
+    register_testdata_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey,
+               CAST(l.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 2
+        ) l
+        ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey
+        """
+    )
+
+
+SQL_LATERAL_TOPK = """
+SELECT n.n_name, l.c_custkey, CAST(l.c_acctbal AS DOUBLE) AS c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 2
+) l
+ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey
+"""
+
+RELATIONAL_QUERIES["join_lateral_topk"] = (q_join_lateral_topk, SQL_LATERAL_TOPK)
+
+
+def q_setop_all_variants(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL
+    (DataFrame.intersectAll / exceptAll), the bag-semantics variants
+    next to the DISTINCT forms already covered: per order-priority,
+    how many F-status order rows survive each operation against the
+    P-status bag. Summarized by a count per (op, priority) so the
+    result is small and ordering-free."""
+    o = load_table(spark, sf, "orders")
+    f_rows = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    p_rows = o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    inter = (
+        f_rows.intersectAll(p_rows)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("setop", F.lit("intersect_all"))
+    )
+    exc = (
+        f_rows.exceptAll(p_rows)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("setop", F.lit("except_all"))
+    )
+    return inter.unionByName(exc).select("setop", "o_orderpriority", "n").orderBy(
+        "setop", "o_orderpriority"
+    )
+
+
+SQL_SETOP_ALL = """
+WITH f_rows AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+p_rows AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'),
+i AS (SELECT o_orderpriority FROM f_rows INTERSECT ALL SELECT o_orderpriority FROM p_rows),
+e AS (SELECT o_orderpriority FROM f_rows EXCEPT ALL SELECT o_orderpriority FROM p_rows)
+SELECT 'intersect_all' AS setop, o_orderpriority, COUNT(*) AS n FROM i GROUP BY o_orderpriority
+UNION ALL
+SELECT 'except_all' AS setop, o_orderpriority, COUNT(*) AS n FROM e GROUP BY o_orderpriority
+ORDER BY setop, o_orderpriority
+"""
+
+RELATIONAL_QUERIES["setop_all_variants"] = (q_setop_all_variants, SQL_SETOP_ALL)
