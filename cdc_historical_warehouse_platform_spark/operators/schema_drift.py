@@ -115,4 +115,11 @@ def align_to_schema(
             cols.append(
                 F.col(f.name).try_cast(f.dataType.simpleString()).alias(f.name)
             )
-    return df.select(*cols), report
+    try:
+        aligned = df.select(*cols)
+    except Exception as e:  # AnalysisException: not castable at all
+        raise SchemaDriftError(
+            "incompatible drift: a column cannot be cast to its contract "
+            f"type even with try_cast — evolve the contract schema ({e})"
+        ) from None
+    return aligned, report

@@ -225,3 +225,60 @@ def test_string_retype_is_reported_not_swallowed(spark, tmp_path):
     # stringified decimal/timestamp payload stays unreported
     assert not any(c in ("unit_price", "cdc_timestamp") for c, _, _ in report["narrowed"])
     assert changes.collect()[0]["quantity"] is None  # try_cast, not a crash
+
+
+def test_alignment_properties(spark):
+    """Property sweep over the widening lattice: for every (src, dst)
+    type pair, align_to_schema either (a) passes src==dst through,
+    (b) widens losslessly and reports it, or (c) raises under strict
+    and try_casts under allow_narrowing — and the aligned schema
+    always equals the target's names+types."""
+    from hypothesis import given, settings, strategies as st
+
+    types = [
+        T.ByteType(),
+        T.ShortType(),
+        T.IntegerType(),
+        T.LongType(),
+        T.FloatType(),
+        T.DoubleType(),
+        T.DecimalType(10, 2),
+        T.DecimalType(18, 4),
+        T.StringType(),
+        T.DateType(),
+        T.TimestampType(),
+        T.BooleanType(),
+    ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(src=st.sampled_from(types), dst=st.sampled_from(types))
+    def check(src, dst):
+        df = spark.createDataFrame([], T.StructType([T.StructField("c", src)]))
+        target = T.StructType([T.StructField("c", dst)])
+        try:
+            aligned, report = align_to_schema(df, target)
+        except SchemaDriftError:
+            # strict rejection must be the lossy class; the tolerant
+            # mode either try_casts (reporting it) or raises again for
+            # pairs Spark cannot cast at all (e.g. byte -> date)
+            try:
+                aligned, report = align_to_schema(df, target, allow_narrowing=True)
+            except SchemaDriftError:
+                return
+            assert report["narrowed"] == [
+                ("c", src.simpleString(), dst.simpleString())
+            ]
+        else:
+            if src == dst:
+                assert report == {
+                    "missing": [], "extra": [], "widened": [], "narrowed": []
+                }
+            else:
+                assert report["widened"] == [
+                    ("c", src.simpleString(), dst.simpleString())
+                ]
+        assert [(f.name, f.dataType) for f in aligned.schema.fields] == [
+            ("c", dst)
+        ]
+
+    check()
