@@ -30,6 +30,7 @@ path.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -117,9 +118,9 @@ def align_to_schema(
             )
     try:
         aligned = df.select(*cols)
-    except Exception as e:  # AnalysisException: not castable at all
+    except AnalysisException as e:  # not castable even with try_cast
         raise SchemaDriftError(
             "incompatible drift: a column cannot be cast to its contract "
             f"type even with try_cast — evolve the contract schema ({e})"
-        ) from None
+        ) from e
     return aligned, report

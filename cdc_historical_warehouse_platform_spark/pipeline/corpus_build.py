@@ -129,16 +129,11 @@ def corpus_build(
         ).parquet(str(out / "_source_counts"))
     # all state written → publish the commit marker (crash before this
     # line = rebuild; corpus_append repairs against it). The quota
-    # rides the marker so its adoption is atomic with the epoch.
-    write_marker(
-        out,
-        epoch=0,
-        extra=(
-            {"max_per_source": max_per_source}
-            if max_per_source is not None
-            else None
-        ),
-    )
+    # rides the marker so its adoption is atomic with the epoch —
+    # passed unconditionally: None EXPLICITLY CLEARS a stale quota
+    # when rebuilding in place over an old quota corpus (whose
+    # _source_counts this build did not rewrite).
+    write_marker(out, epoch=0, extra={"max_per_source": max_per_source})
     return {
         "decisions": counts,
         "kept_rows": manifest["total_rows"],

@@ -77,12 +77,17 @@ def write_marker(
     # marker so its adoption is atomic WITH the epoch — a crash can
     # never leave config adopted while the epoch's data rolls back.
     # Unspecified keys carry forward from the committed marker so
-    # callers that don't know about them (compaction) can't drop them.
+    # callers that don't know about them (compaction) can't drop them;
+    # an explicit None in ``extra`` REMOVES a key (a fresh quota-less
+    # build over an old quota corpus must not resurrect the quota).
     prev = read_marker(out)
     if prev and "max_per_source" in prev:
         marker["max_per_source"] = prev["max_per_source"]
-    if extra:
-        marker.update(extra)
+    for k, v in (extra or {}).items():
+        if v is None:
+            marker.pop(k, None)
+        else:
+            marker[k] = v
     # the shard manifest is epoch state too: a torn append may have
     # rewritten it before crashing, so repair must restore the
     # committed copy alongside deleting the torn data files

@@ -143,7 +143,11 @@ class SCD2Loader:
         else:
             changes = read_change_batch(self.spark, batch_path)
         if changes.isEmpty():
-            # no rows = no schema evidence; never a drift event
+            # no rows = no schema evidence; never a drift event. Mark
+            # the (immutable) file so later runs skip it by name —
+            # otherwise every run re-reads it forever, and in report
+            # mode each re-read pays a full schema-inference pass.
+            self.ledger.mark(batch_path.name, "empty")
             return True
         if drift is not None and any(drift.values()):
             self.drift_events.append({"batch": batch_path.name, **drift})

@@ -1471,3 +1471,20 @@ def test_corpus_quota_adoption_rides_the_marker(spark, tmp_path):
     # compaction rewrites the marker; the quota must survive
     corpus_compact(spark, out, max_files_per_shard=1)
     assert read_marker(Path(out))["max_per_source"] == 5
+
+
+def test_rebuild_in_place_clears_stale_quota(spark, tmp_path):
+    """r5 fix: a quota-less corpus_build over a directory previously
+    built WITH a quota must not resurrect the old quota from the
+    carried-forward marker (its _source_counts describe the deleted
+    corpus)."""
+    from pathlib import Path
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_build
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import read_marker
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, "/root/testdata/sf0.001", out, max_per_source=3)
+    assert read_marker(Path(out))["max_per_source"] == 3
+    corpus_build(spark, "/root/testdata/sf0.001", out)  # rebuild, no quota
+    assert "max_per_source" not in (read_marker(Path(out)) or {})

@@ -121,6 +121,7 @@ def test_no_query_plan_contains_all_pairs_join(spark):
     # AQE off so executedPlan is the fully-prepared static plan
     # (PlanSubqueries included) rather than an AdaptiveSparkPlanExec
     # wrapper that plans lazily at execution
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name, fn in mod.queries().items():
@@ -131,7 +132,7 @@ def test_no_query_plan_contains_all_pairs_join(spark):
             if hits:
                 offenders[name] = hits
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     assert offenders == {}
 
 

@@ -282,3 +282,24 @@ def test_alignment_properties(spark):
         ]
 
     check()
+
+
+def test_empty_batch_marked_processed_once(spark, tmp_path):
+    """r5 fix: an empty batch is ledger-marked so later runs skip it by
+    name instead of re-reading (and, in report mode, re-inferring) it
+    forever."""
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    cdc_dir = tmp_path / "cdc_logs"
+    cdc_dir.mkdir()
+    (cdc_dir / "changes_20240102_030500_009.json").write_text(
+        json.dumps({"batch_metadata": {}, "changes": []}, indent=2)
+    )
+    loader = SCD2Loader(
+        spark, SCD2DimStore(tmp_path / "dim"), cdc_dir, drift_policy="report"
+    )
+    r1 = loader.load_pending()
+    assert r1["processed"] == 1 and r1["drift"] == []
+    r2 = loader.load_pending()
+    assert r2["processed"] == 0 and r2["skipped"] == 1
