@@ -157,3 +157,50 @@ def test_registry_contract():
     # oracle in r04; the HLL estimate has no DuckDB twin by nature)
     rows_only = {n for n in q if n not in o}
     assert rows_only <= {"agg_distinct_sketch_rollup"}
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """100-TB capability pin: Spark's runtime bloom-filter join pruning
+    (on by default in the session config) injects a might_contain
+    filter on the fact side of a selective fact-fact join, so at
+    cluster scale the lineitem scan drops non-matching rows before the
+    shuffle. It is gated by a 10 GB application-side scan threshold —
+    invisible at sf0.01 — so this pin lowers the threshold to prove
+    the plan rewrite actually fires for our join shapes."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: bloom filters target non-broadcast joins
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan
+        # and the default config keeps the feature on
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
