@@ -88,8 +88,6 @@ def corpus_build(
     cap_per_source) AFTER quality + dedup; the per-source kept counts
     persist as ``_source_counts`` so corpus_append enforces the
     REMAINING quota on every increment."""
-    import json as _json
-
     from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
     from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
         q_corpus_keep_decisions,
@@ -127,12 +125,23 @@ def corpus_build(
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "overwrite"
         ).parquet(str(out / "_source_counts"))
+    if max_per_source is None:
+        # quota-less rebuild over an old quota corpus: the previous
+        # corpus's counts state describes DELETED documents — left on
+        # disk it would be snapshotted as committed and poison a later
+        # quota adoption's backfill gate
+        import shutil as _shutil
+
+        _shutil.rmtree(out / "_source_counts", ignore_errors=True)
+    # the marker is the quota's only home now; a surviving legacy side
+    # file would resurrect a cleared quota through corpus_append's
+    # pre-r5 fallback read
+    (out / _CAPS_FILE).unlink(missing_ok=True)
     # all state written → publish the commit marker (crash before this
     # line = rebuild; corpus_append repairs against it). The quota
     # rides the marker so its adoption is atomic with the epoch —
     # passed unconditionally: None EXPLICITLY CLEARS a stale quota
-    # when rebuilding in place over an old quota corpus (whose
-    # _source_counts this build did not rewrite).
+    # when rebuilding in place over an old quota corpus.
     write_marker(out, epoch=0, extra={"max_per_source": max_per_source})
     return {
         "decisions": counts,

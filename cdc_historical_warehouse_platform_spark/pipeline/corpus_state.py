@@ -76,13 +76,15 @@ def write_marker(
     # epoch-scoped config (today: the per-source quota) rides the
     # marker so its adoption is atomic WITH the epoch — a crash can
     # never leave config adopted while the epoch's data rolls back.
-    # Unspecified keys carry forward from the committed marker so
-    # callers that don't know about them (compaction) can't drop them;
-    # an explicit None in ``extra`` REMOVES a key (a fresh quota-less
-    # build over an old quota corpus must not resurrect the quota).
+    # ALL non-structural keys carry forward from the committed marker
+    # so callers that don't know about them (compaction) can't drop
+    # them; an explicit None in ``extra`` REMOVES a key (a fresh
+    # quota-less build over an old quota corpus must not resurrect
+    # the quota).
     prev = read_marker(out)
-    if prev and "max_per_source" in prev:
-        marker["max_per_source"] = prev["max_per_source"]
+    for k, v in (prev or {}).items():
+        if k not in ("epoch", "files", "manifest"):
+            marker[k] = v
     for k, v in (extra or {}).items():
         if v is None:
             marker.pop(k, None)

@@ -144,9 +144,14 @@ class SCD2Loader:
             changes = read_change_batch(self.spark, batch_path)
         if changes.isEmpty():
             # no rows = no schema evidence; never a drift event. Mark
-            # the (immutable) file so later runs skip it by name —
-            # otherwise every run re-reads it forever, and in report
-            # mode each re-read pays a full schema-inference pass.
+            # the file so later runs skip it by name — otherwise every
+            # run re-reads it forever (in report mode paying a full
+            # schema-inference pass each time). Ledger semantics are
+            # name-based and treat processed files as immutable (the
+            # reference's .processed_files contract; our extractor
+            # never writes empty batches and never reuses a name) — a
+            # producer that rewrites a processed batch name is already
+            # outside that contract for non-empty batches too.
             self.ledger.mark(batch_path.name, "empty")
             return True
         if drift is not None and any(drift.values()):

@@ -1488,3 +1488,50 @@ def test_rebuild_in_place_clears_stale_quota(spark, tmp_path):
     assert read_marker(Path(out))["max_per_source"] == 3
     corpus_build(spark, "/root/testdata/sf0.001", out)  # rebuild, no quota
     assert "max_per_source" not in (read_marker(Path(out)) or {})
+
+
+def test_rebuild_clears_legacy_caps_file_and_stale_counts(spark, tmp_path):
+    """r5 fix: a quota-less rebuild over a LEGACY (pre-r5) quota corpus
+    removes both the side caps file (whose fallback read would
+    resurrect the cleared quota) and the previous corpus's
+    _source_counts (which describe deleted documents and would poison
+    a later adoption's one-time backfill)."""
+    import json
+    from pathlib import Path
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+    )
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import read_marker
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, "/root/testdata/sf0.001", out, max_per_source=3)
+    # simulate a pre-r5 corpus: quota in the side file, not the marker
+    (Path(out) / "_source_caps.json").write_text(json.dumps({"max_per_source": 3}))
+
+    corpus_build(spark, "/root/testdata/sf0.001", out)  # quota-less rebuild
+    assert not (Path(out) / "_source_caps.json").exists()
+    assert not list((Path(out) / "_source_counts").glob("*.parquet"))
+    assert "max_per_source" not in (read_marker(Path(out)) or {})
+
+    # a later adoption backfills counts from the REBUILT corpus, not
+    # the deleted one: kept sources never exceed the adopted quota
+    new = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            (F.col("doc_id") + 30_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    corpus_append(spark, new, out, max_per_source=1_000_000)
+    counts = spark.read.parquet(str(Path(out) / "_source_counts"))
+    stored = spark.read.parquet(str(Path(out) / "_kept_docs"))
+    # backfilled+epoch counts sum to exactly the kept corpus size
+    assert (
+        counts.agg(F.sum("n_kept")).collect()[0][0] == stored.count()
+    )
