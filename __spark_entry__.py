@@ -50,6 +50,7 @@ _PRIORITY = [
     "join_top_quarter_supplier",
     "join_lateral_topk",        # new r05: correlated LATERAL + LIMIT (decorrelated rank rewrite)
     "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
+    "agg_exact_percentiles",    # new r05: percentile_cont ordered-set aggregate (bit-exact cross-engine)
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
@@ -97,7 +98,6 @@ _PRIORITY = [
     "dedup_components",
     "text_pii_redaction",
     "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
-    "window_range_frame",
     "dedup_keep_list",
     "dedup_exact_groups",
     "text_token_stats",
@@ -113,6 +113,7 @@ _DEMOTED = [
     # regression tracking through BENCH_r{N} regardless of the window.
     "knn_cosine_brute",          # exact ANN baseline; green r03+r04 AND benched per-round
     "text_rolling_fingerprint",  # green r03+r04; fingerprint shape also in-window via dedup_exact_groups — slot ceded to join_lateral_topk
+    "window_range_frame",        # green r03+r04; window family repped in-window by promoted window_salted_topk + window_lag_lead — slot ceded to agg_exact_percentiles
     "corpus_paragraph_dedup",    # green r03+r04; sub-document exact-dedup shape ≡ in-window dedup_exact_groups — slot ceded to setop_all_variants
     "corpus_keep_decisions",     # composed flagship; green r03+r04 AND benched per-round
     "dedup_minhash_lsh",         # green r02-r04 AND benched per-round; jaccard logic also inside dedup_keep_list's oracle (in-window)

@@ -1788,3 +1788,45 @@ ORDER BY setop, o_orderpriority
 """
 
 RELATIONAL_QUERIES["setop_all_variants"] = (q_setop_all_variants, SQL_SETOP_ALL)
+
+
+def q_agg_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles — percentile_cont (the ordered-set
+    aggregate) per order priority. Both engines implement the same SQL
+    interpolation formula (lo + (hi-lo)·frac over the sorted group) in
+    double arithmetic, so the result is bit-exact cross-engine — the
+    exact tier next to agg_approx_aggregates' sketch-based quantiles.
+    One shuffle on the group key; Spark plans WITHIN GROUP as a
+    sort-based aggregate, not a global sort."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("median_price"),
+            F.expr(
+                "percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p90_price"),
+            F.expr(
+                "percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p99_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_EXACT_PERCENTILES = """
+SELECT o_orderpriority,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+RELATIONAL_QUERIES["agg_exact_percentiles"] = (
+    q_agg_exact_percentiles,
+    SQL_EXACT_PERCENTILES,
+)
