@@ -139,7 +139,7 @@ _DEMOTED = [
     "json_extraction",           # F13; green r01-r03 (longest multi-round streak in the window)
     "text_lang_confusion",       # lang-ID row green r02; text family keeps 6 in-window rows (token_stats, quality, repetition, surprisal x2, tfidf); slot ceded to scd2_incremental_revenue
     "dedup_ngram_jaccard",       # jaccard logic re-verified inside dedup_minhash_lsh + dedup_keep_list oracles in-window (green r02); slot ceded to join_interval_events
-    "window_ntile_percentile",   # rank-distribution family; window family repped in-window by window_range_frame (green r03)
+    "window_ntile_percentile",   # rank-distribution family; window family repped in-window by promoted window_salted_topk + window_lag_lead (green r03)
     "multimodal_features",       # multimodal family keeps TWO in-window rows (multimodal_image_features + frame_sample, both hash-exact) (green r03)
     "vector_norms_by_label",     # array-surface ≡ array_functions_sweep, which stays in-window (green r03)
     # --- r04 rotation: driver-green r01-r03 (three consecutive rounds);
@@ -154,7 +154,7 @@ _DEMOTED = [
     "sort_topk_orders",            # O4; window_top family demoted-green, ntile row in-window (green r01-r03)
     "scalar_functions",            # F; string funcs exercised by promoted text rows (green r01-r03)
     "filter_point_lookup_current",  # P3 ≡ filter_key_history (green r01-r03)
-    "window_top_per_customer",     # W2; window_range_frame + ntile stay in-window (green r01-r03)
+    "window_top_per_customer",     # W2; window family repped in-window by promoted window_salted_topk + window_lag_lead (green r01-r03)
     "scd2_change_frequency",       # A3; green r01-r03 AND smoke-checked every round as entry(); slot ceded to multimodal_image_features
     # --- pre-r04 demotions ---
     "agg_rollup",                  # grouping-set family fully proven green r02 (cube+rollup); window slot ceded to text_tfidf_keywords
