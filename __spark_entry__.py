@@ -51,6 +51,7 @@ _PRIORITY = [
     "join_lateral_topk",        # new r05: correlated LATERAL + LIMIT (decorrelated rank rewrite)
     "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
     "agg_exact_percentiles",    # new r05: percentile_cont ordered-set aggregate (bit-exact cross-engine)
+    "agg_linear_regression",    # new r05: OLS slope/intercept/R² from exact-decimal moments (regr_* done deterministically)
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
@@ -96,7 +97,6 @@ _PRIORITY = [
     "array_functions_sweep",   # cited by vector_norms_by_label demotion
     "corpus_sample_stratified",  # cited by corpus_sample_quality_weighted demotion
     "dedup_components",
-    "text_pii_redaction",
     "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
     "dedup_keep_list",
     "dedup_exact_groups",
@@ -125,6 +125,7 @@ _DEMOTED = [
     "corpus_sample_quality_weighted",  # green r03+r04; md5-gate shared with in-window corpus_sample_stratified
     "relational_unpivot",        # green r03+r04; reshape family also demoted-green agg_pivot
     "text_lm_surprisal",         # green r03+r04; bigram variant (the harder case) stays in-window
+    "text_pii_redaction",        # green r03+r04; regexp surface also in-window via text_quality_scores — slot ceded to agg_linear_regression
     "scd2_interval_integrity",   # green r04; continuity+flag checks stay in-window
     # --- r04 fourth rotation: slots ceded to subquery_correlated_scalar,
     # ann_sq_topk, and corpus_domain_caps (never driver-checked). ---

@@ -1830,3 +1830,86 @@ RELATIONAL_QUERIES["agg_exact_percentiles"] = (
     q_agg_exact_percentiles,
     SQL_EXACT_PERCENTILES,
 )
+
+
+def q_agg_linear_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates the deterministic way: per-priority OLS
+    slope/intercept/R² of order value vs order date (days since
+    epoch). Built-in regr_slope/corr sum float products in partition
+    order (non-reproducible across parallelism AND engines), so the
+    moments are accumulated in EXACT integer/DECIMAL arithmetic —
+    order-independent at any partitioning — and only the final
+    closed-form arithmetic runs in double, with an identical
+    expression tree on both engines. One shuffle on the group key."""
+    o = load_table(spark, sf, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("x"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    agg = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).alias("syy"),
+        F.sum((F.col("x").cast("decimal(10,0)") * F.col("y")).cast("decimal(38,2)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    slope = num / den_x
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope"),
+        ((sy - (num / den_x) * sx) / n).alias("intercept"),
+        ((num * num) / (den_x * den_y)).alias("r2"),
+    ).orderBy("o_orderpriority")
+
+
+# DuckDB's wide-DECIMAL→DOUBLE cast is not correctly rounded once the
+# value exceeds ~17 significant digits (observed: 253968519192240.4127
+# → .44 instead of the nearest double .4; Spark/Java round correctly),
+# so the oracle routes the two 18-digit moments through VARCHAR, whose
+# strtod IS correctly rounded. Narrow aggregates cast directly.
+SQL_LINEAR_REGRESSION = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders),
+agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(x*x) AS sxx,
+         SUM(y) AS sy, SUM(CAST(y*y AS DECIMAL(38,4))) AS syy,
+         SUM(CAST(CAST(x AS DECIMAL(10,0)) * y AS DECIMAL(38,2))) AS sxy
+  FROM base GROUP BY o_orderpriority)
+SELECT o_orderpriority, n,
+  (CAST(n AS DOUBLE)*CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope,
+  (CAST(sy AS DOUBLE)
+     - ((CAST(n AS DOUBLE)*CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+       * CAST(sx AS DOUBLE))
+    / CAST(n AS DOUBLE) AS intercept,
+  ((CAST(n AS DOUBLE)*CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+   * (CAST(n AS DOUBLE)*CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))
+    / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+       * (CAST(n AS DOUBLE)*CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r2
+FROM agg
+ORDER BY o_orderpriority
+"""
+
+RELATIONAL_QUERIES["agg_linear_regression"] = (
+    q_agg_linear_regression,
+    SQL_LINEAR_REGRESSION,
+)
