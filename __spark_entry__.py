@@ -52,6 +52,7 @@ _PRIORITY = [
     "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
     "agg_exact_percentiles",    # new r05: percentile_cont ordered-set aggregate (bit-exact cross-engine)
     "agg_linear_regression",    # new r05: OLS slope/intercept/R² from exact-decimal moments (regr_* done deterministically)
+    "events_resample_ffill",    # new r05: hourly resample + forward-fill gap filling (map-side spine, running last-ignorenulls)
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
@@ -95,7 +96,6 @@ _PRIORITY = [
     # family anchors cited by demotion notes below ---
     "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate
     "array_functions_sweep",   # cited by vector_norms_by_label demotion
-    "corpus_sample_stratified",  # cited by corpus_sample_quality_weighted demotion
     "dedup_components",
     "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
     "dedup_keep_list",
@@ -122,10 +122,11 @@ _DEMOTED = [
     "corpus_decontaminate",      # green r03+r04; broadcast-anti shape also in dedup_keep_list
     "corpus_length_buckets",     # green r03+r04; histogram family trivial next to in-window grouping sets
     "corpus_chunk_spans",        # green r03+r04; map-only posexplode shape
-    "corpus_sample_quality_weighted",  # green r03+r04; md5-gate shared with in-window corpus_sample_stratified
+    "corpus_sample_quality_weighted",  # green r03+r04; md5-gate shared with demoted-green corpus_sample_stratified and in-window corpus_token_budget
     "relational_unpivot",        # green r03+r04; reshape family also demoted-green agg_pivot
     "text_lm_surprisal",         # green r03+r04; bigram variant (the harder case) stays in-window
     "text_pii_redaction",        # green r03+r04; regexp surface also in-window via text_quality_scores — slot ceded to agg_linear_regression
+    "corpus_sample_stratified",  # green r03+r04; the md5-gate draw it shares with corpus_sample_quality_weighted is exercised in-window by corpus_token_budget + corpus_domain_caps — slot ceded to events_resample_ffill
     "scd2_interval_integrity",   # green r04; continuity+flag checks stay in-window
     # --- r04 fourth rotation: slots ceded to subquery_correlated_scalar,
     # ann_sq_topk, and corpus_domain_caps (never driver-checked). ---

@@ -1913,3 +1913,80 @@ RELATIONAL_QUERIES["agg_linear_regression"] = (
     q_agg_linear_regression,
     SQL_LINEAR_REGRESSION,
 )
+
+
+def q_events_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resample + gap fill — the missing-interval operator
+    every metrics warehouse needs: per event type, an hourly spine for
+    one day, average event value where data exists, and forward-fill
+    (last observation carried forward) across empty hours. The spine
+    comes from a map-side sequence explode (never a join), the hourly
+    aggregate is DECIMAL-exact before the double division, and the
+    fill is one `last(..., ignorenulls)` running window per type —
+    exactly the plan shape at any scale: spine size is types×24
+    regardless of event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-02 00:00:00"))
+    )
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("__vsum"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # cast the exact DECIMAL sum to double BEFORE the division (decimal
+    # division would truncate at the decimal scale; both engines divide
+    # doubles here)
+    avg = F.col("__vsum").cast("double") / F.col("n_events")
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            avg.alias("avg_value"),
+        )
+        .withColumn("filled_value", F.last("avg_value", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("avg_value").isNull())
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_RESAMPLE_FFILL = """
+WITH ev AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'),
+hourly AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(28,6))) AS vsum
+  FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, CAST(h.h AS INT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev) t, generate_series(0, 23) h(h))
+SELECT event_type, hour,
+       COALESCE(n_events, 0) AS n_events,
+       CAST(vsum AS DOUBLE) / n_events AS avg_value,
+       last_value(CAST(vsum AS DOUBLE) / n_events IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (vsum IS NULL) AS is_gap
+FROM spine LEFT JOIN hourly USING (event_type, hour)
+ORDER BY event_type, hour
+"""
+
+RELATIONAL_QUERIES["events_resample_ffill"] = (
+    q_events_resample_ffill,
+    SQL_RESAMPLE_FFILL,
+)
