@@ -1892,20 +1892,30 @@ agg AS (
          SUM(x) AS sx, SUM(x*x) AS sxx,
          SUM(y) AS sy, SUM(CAST(y*y AS DECIMAL(38,4))) AS syy,
          SUM(CAST(CAST(x AS DECIMAL(10,0)) * y AS DECIMAL(38,2))) AS sxy
-  FROM base GROUP BY o_orderpriority)
+  FROM base GROUP BY o_orderpriority),
+-- every wide-decimal moment goes DOUBLE via VARCHAR (DuckDB's direct
+-- wide-DECIMAL cast is not correctly rounded past ~2^53 stored units;
+-- sy is hugeint-backed too, not just the 18-digit syy/sxy); the
+-- integral moments cast exactly
+casts AS (
+  SELECT o_orderpriority, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd
+  FROM agg),
+m AS (
+  SELECT o_orderpriority, n, nd, sxd, syd,
+         nd*sxyd - sxd*syd AS num,
+         nd*sxxd - sxd*sxd AS den_x,
+         nd*syyd - syd*syd AS den_y
+  FROM casts)
 SELECT o_orderpriority, n,
-  (CAST(n AS DOUBLE)*CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope,
-  (CAST(sy AS DOUBLE)
-     - ((CAST(n AS DOUBLE)*CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
-       * CAST(sx AS DOUBLE))
-    / CAST(n AS DOUBLE) AS intercept,
-  ((CAST(n AS DOUBLE)*CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-   * (CAST(n AS DOUBLE)*CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))
-    / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
-       * (CAST(n AS DOUBLE)*CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r2
-FROM agg
+       num/den_x AS slope,
+       (syd - (num/den_x)*sxd)/nd AS intercept,
+       (num*num)/(den_x*den_y) AS r2
+FROM m
 ORDER BY o_orderpriority
 """
 
@@ -1925,8 +1935,6 @@ def q_events_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
     fill is one `last(..., ignorenulls)` running window per type —
     exactly the plan shape at any scale: spine size is types×24
     regardless of event volume."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf, "events").filter(
         (F.col("ts") >= F.lit("2024-01-01 00:00:00"))
         & (F.col("ts") < F.lit("2024-01-02 00:00:00"))
@@ -1937,8 +1945,11 @@ def q_events_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,6)")).alias("__vsum"),
     )
+    # derive the type set from the already-aggregated hourly result
+    # (types x <=24 rows); ReuseExchange dedupes the shared aggregate,
+    # so events are scanned once — never a second full-volume pass
     spine = (
-        ev.select("event_type")
+        hourly.select("event_type")
         .distinct()
         .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour"))
     )
@@ -1977,8 +1988,8 @@ spine AS (
   FROM (SELECT DISTINCT event_type FROM ev) t, generate_series(0, 23) h(h))
 SELECT event_type, hour,
        COALESCE(n_events, 0) AS n_events,
-       CAST(vsum AS DOUBLE) / n_events AS avg_value,
-       last_value(CAST(vsum AS DOUBLE) / n_events IGNORE NULLS)
+       CAST(CAST(vsum AS VARCHAR) AS DOUBLE) / n_events AS avg_value,
+       last_value(CAST(CAST(vsum AS VARCHAR) AS DOUBLE) / n_events IGNORE NULLS)
          OVER (PARTITION BY event_type ORDER BY hour
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
        (vsum IS NULL) AS is_gap
