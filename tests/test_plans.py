@@ -204,3 +204,22 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_duckdb_wide_decimal_cast_hazard_is_real_and_varchar_route_is_safe():
+    """Documents the cross-engine hazard behind the VARCHAR-routed
+    casts in SQL_LINEAR_REGRESSION / SQL_RESAMPLE_FFILL: DuckDB's
+    direct wide-DECIMAL→DOUBLE cast is not correctly rounded once the
+    stored integer exceeds ~2^53, while Spark/Java and strtod are.
+    If a DuckDB upgrade ever fixes the direct cast, this test fails on
+    its first assert — the cue that the VARCHAR routing can go."""
+    import duckdb
+
+    val = "253968519192240.4127"  # observed misrounding case (18 digits)
+    direct, routed = duckdb.sql(
+        f"""SELECT CAST(CAST('{val}' AS DECIMAL(38,4)) AS DOUBLE),
+                   CAST(CAST(CAST('{val}' AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)"""
+    ).fetchall()[0]
+    strict = float(val)  # Python strtod: correctly rounded
+    assert direct != strict, "DuckDB fixed the direct cast — drop the VARCHAR routing"
+    assert routed == strict
