@@ -53,6 +53,7 @@ _PRIORITY = [
     "agg_exact_percentiles",    # new r05: percentile_cont ordered-set aggregate (bit-exact cross-engine)
     "agg_linear_regression",    # new r05: OLS slope/intercept/R² from exact-decimal moments (regr_* done deterministically)
     "events_resample_ffill",    # new r05: hourly resample + forward-fill gap filling (map-side spine, running last-ignorenulls)
+    "setop_union_by_name",      # new r05: unionByName(allowMissingColumns) ≡ UNION ALL BY NAME
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
@@ -96,7 +97,6 @@ _PRIORITY = [
     # family anchors cited by demotion notes below ---
     "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate
     "array_functions_sweep",   # cited by vector_norms_by_label demotion
-    "dedup_components",
     "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
     "dedup_keep_list",
     "dedup_exact_groups",
@@ -127,6 +127,7 @@ _DEMOTED = [
     "text_lm_surprisal",         # green r03+r04; bigram variant (the harder case) stays in-window
     "text_pii_redaction",        # green r03+r04; regexp surface also in-window via text_quality_scores — slot ceded to agg_linear_regression
     "corpus_sample_stratified",  # green r03+r04; the md5-gate draw it shares with corpus_sample_quality_weighted is exercised in-window by corpus_token_budget + corpus_domain_caps — slot ceded to events_resample_ffill
+    "dedup_components",          # green r03+r04 (recursive-CTE twin, the heaviest oracle); transitive-chain semantics also pytest-pinned — slot ceded to setop_union_by_name
     "scd2_interval_integrity",   # green r04; continuity+flag checks stay in-window
     # --- r04 fourth rotation: slots ceded to subquery_correlated_scalar,
     # ann_sq_topk, and corpus_domain_caps (never driver-checked). ---

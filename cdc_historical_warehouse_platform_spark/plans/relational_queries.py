@@ -2001,3 +2001,62 @@ RELATIONAL_QUERIES["events_resample_ffill"] = (
     q_events_resample_ffill,
     SQL_RESAMPLE_FFILL,
 )
+
+
+def q_setop_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-flexible union — unionByName(allowMissingColumns=True),
+    the API that makes heterogeneous-source consolidation writable
+    without hand-aligned selects: order events and lineitem events
+    with partially overlapping columns union by NAME (position-proof),
+    absent columns null-filled. DuckDB's UNION ALL BY NAME is the
+    exact twin. Aggregated per source tag so the row is small and
+    decimal-exact."""
+    o = load_table(spark, sf, "orders").select(
+        F.lit("order").alias("src"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        F.lit("line").alias("src"),
+        F.col("l_orderkey").alias("key"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extended"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    u = o.unionByName(li, allowMissingColumns=True)
+    return (
+        u.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("priority").alias("n_priority"),
+            F.count("flag").alias("n_flag"),
+            F.sum("total").cast("double").alias("sum_total"),
+            F.sum("extended").cast("double").alias("sum_extended"),
+        )
+        .orderBy("src")
+    )
+
+
+SQL_UNION_BY_NAME = """
+WITH u AS (
+  SELECT 'order' AS src, o_orderkey AS key,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+         o_orderpriority AS priority
+  FROM orders
+  UNION ALL BY NAME
+  SELECT 'line' AS src, l_orderkey AS key,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS extended,
+         l_returnflag AS flag
+  FROM lineitem)
+SELECT src, COUNT(*) AS n,
+       COUNT(priority) AS n_priority,
+       COUNT(flag) AS n_flag,
+       CAST(SUM(total) AS DOUBLE) AS sum_total,
+       CAST(SUM(extended) AS DOUBLE) AS sum_extended
+FROM u GROUP BY src ORDER BY src
+"""
+
+RELATIONAL_QUERIES["setop_union_by_name"] = (
+    q_setop_union_by_name,
+    SQL_UNION_BY_NAME,
+)
