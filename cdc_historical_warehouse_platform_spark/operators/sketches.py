@@ -88,7 +88,11 @@ def merge_sketch_state(
     merged = (
         F.when(F.col("__s_sk").isNull(), F.col("__d_sk"))
         .when(F.col("__d_sk").isNull(), F.col("__s_sk"))
-        .otherwise(F.hll_union("__s_sk", "__d_sk"))
+        # allowDifferentLgConfigK: persisted state may predate a
+        # DEFAULT_LGK change (or a caller may build deltas at a custom
+        # lgk) — the union downgrades to the smaller lgk instead of
+        # failing the whole merge at runtime
+        .otherwise(F.hll_union("__s_sk", "__d_sk", True))
     )
     return s.join(d, cond, "full_outer").select(
         *[

@@ -28,6 +28,12 @@ __all__ = [
 ]
 
 
+def _empty_mark(batch_path: Path) -> str:
+    """Ledger id for an empty batch, keyed to the file's byte size so a
+    rewritten file under the same name invalidates the mark."""
+    return f"empty:{batch_path.stat().st_size}"
+
+
 def maintain_summary_store(spark, dim_store, summary_store, changes, txn_id: str) -> None:
     """Incremental-view maintenance of a summary table for one batch,
     BEFORE the dimension advances (the delta is defined against the
@@ -146,19 +152,20 @@ class SCD2Loader:
             # no rows = no schema evidence; never a drift event. Mark
             # the file so later runs skip it by name — otherwise every
             # run re-reads it forever (in report mode paying a full
-            # schema-inference pass each time). Ledger semantics are
-            # name-based and treat processed files as immutable (the
-            # reference's .processed_files contract; our extractor
-            # never writes empty batches and never reuses a name) — a
-            # producer that rewrites a processed batch name is already
-            # outside that contract for non-empty batches too.
-            self.ledger.mark(batch_path.name, "empty")
+            # schema-inference pass each time). The mark is keyed to the
+            # file's byte size, so a producer that (contract-violating)
+            # rewrites a once-empty file under the same name has its new
+            # rows picked up on the next run instead of being silently
+            # skipped forever.
+            self.ledger.mark(batch_path.name, _empty_mark(batch_path))
             return True
-        if drift is not None and any(drift.values()):
-            self.drift_events.append({"batch": batch_path.name, **drift})
         batch_id = generate_batch_id(changes)
         if self.ledger.is_processed(batch_path.name, batch_id):
             return False
+        # record drift only for batches actually applied — a direct
+        # replay of a processed batch must not re-report its drift
+        if drift is not None and any(drift.values()):
+            self.drift_events.append({"batch": batch_path.name, **drift})
         txn_id = f"{batch_path.name}|{batch_id}"
         if self.summary is not None:
             maintain_summary_store(self.spark, self.dim, self.summary, changes, txn_id)
@@ -186,9 +193,17 @@ class SCD2Loader:
         processed = skipped = failed = 0
         error: str | None = None
         try:
-            seen = self.ledger.processed_names()
+            seen_ids: dict[str, set[str]] = {}
+            for name, bid in self.ledger.entries():
+                seen_ids.setdefault(name, set()).add(bid)
             for batch in discover_batches(self.cdc_dir):
-                if batch.name in seen:
+                ids = seen_ids.get(batch.name)
+                if ids is not None and (
+                    # a real (or legacy-sentinel) mark: processed, skip by name
+                    any(not i.startswith("empty:") for i in ids)
+                    # size-keyed empty mark still matches the bytes on disk
+                    or _empty_mark(batch) in ids
+                ):
                     skipped += 1
                     continue
                 if self.process_batch_file(batch):

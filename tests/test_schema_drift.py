@@ -303,3 +303,74 @@ def test_empty_batch_marked_processed_once(spark, tmp_path):
     assert r1["processed"] == 1 and r1["drift"] == []
     r2 = loader.load_pending()
     assert r2["processed"] == 0 and r2["skipped"] == 1
+
+
+def test_direct_replay_does_not_rereport_drift(spark, tmp_path):
+    """r6 fix (ADVICE): process_batch_file called directly on an
+    already-processed batch must not append a duplicate drift event —
+    the drift record belongs to the apply, not the read."""
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    cdc_dir = tmp_path / "cdc_logs"
+    cdc_dir.mkdir()
+    row = {
+        "id": 9,
+        "customer_id": 1,
+        "product_id": 2,
+        "quantity": 1,
+        "unit_price": "10.00",
+        "total_amount": "10.00",
+        "order_status": "pending",
+        "order_date": "2024-01-02T03:04:05",
+        "operation_type": "INSERT",
+        "cdc_timestamp": "2024-01-02T03:04:05.123456",
+        "extracted_at": "2024-01-02T03:05:00",
+        "loyalty_tier": "gold",  # drift
+    }
+    p = cdc_dir / "changes_20240102_030500_000.json"
+    p.write_text(json.dumps({"batch_metadata": {}, "changes": [row]}, indent=2))
+    loader = SCD2Loader(
+        spark, SCD2DimStore(tmp_path / "dim"), cdc_dir, drift_policy="report"
+    )
+    assert loader.process_batch_file(p) is True
+    assert len(loader.drift_events) == 1
+    assert loader.process_batch_file(p) is False  # ledger replay skip
+    assert len(loader.drift_events) == 1  # not re-reported
+
+
+def test_rewritten_empty_batch_is_picked_up(spark, tmp_path):
+    """r6 fix (ADVICE): the empty-batch ledger mark is keyed to file
+    size, so a producer that rewrites a once-empty file under the same
+    name gets its rows loaded on the next run instead of silently
+    skipped forever."""
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    cdc_dir = tmp_path / "cdc_logs"
+    cdc_dir.mkdir()
+    p = cdc_dir / "changes_20240102_030500_000.json"
+    p.write_text(json.dumps({"batch_metadata": {}, "changes": []}, indent=2))
+    dim = SCD2DimStore(tmp_path / "dim")
+    loader = SCD2Loader(spark, dim, cdc_dir)
+    r1 = loader.load_pending()
+    assert r1["processed"] == 1
+    r2 = loader.load_pending()
+    assert r2["processed"] == 0 and r2["skipped"] == 1  # empty mark holds
+    row = {
+        "id": 11,
+        "customer_id": 1,
+        "product_id": 2,
+        "quantity": 1,
+        "unit_price": "10.00",
+        "total_amount": "10.00",
+        "order_status": "pending",
+        "order_date": "2024-01-02T03:04:05",
+        "operation_type": "INSERT",
+        "cdc_timestamp": "2024-01-02T03:04:05.123456",
+        "extracted_at": "2024-01-02T03:05:00",
+    }
+    p.write_text(json.dumps({"batch_metadata": {}, "changes": [row]}, indent=2))
+    r3 = loader.load_pending()
+    assert r3["processed"] == 1
+    assert dim.read_current(spark).count() == 1

@@ -182,3 +182,16 @@ def test_sketch_store_maintenance_batch_and_stream(tmp_path, spark):
     )
     q3.awaitTermination(120)
     assert sketches.version() == sv
+
+
+def test_merge_tolerates_mixed_lgk(spark):
+    """r6 fix (ADVICE): state persisted at one lgk merges with deltas
+    built at another (hll_union allowDifferentLgConfigK) instead of
+    failing at runtime after a DEFAULT_LGK change."""
+    a = spark.range(0, 1000).withColumn("g", F.lit("x"))
+    b = spark.range(500, 1500).withColumn("g", F.lit("x"))
+    state = group_distinct_sketch(a, ["g"], "id", lgk=12)
+    delta = group_distinct_sketch(b, ["g"], "id", lgk=10)
+    merged = with_distinct_estimate(merge_sketch_state(state, delta, ["g"]))
+    est = merged.collect()[0]["distinct_count"]
+    assert abs(est - 1500) / 1500 < 0.1
