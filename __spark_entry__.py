@@ -42,6 +42,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator proven by another green row); they are parked past the window and
 # remain covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
+    # --- new r06: the remaining TPC-H shapes (plans/tpch_queries.py),
+    # completing full 22-query TPC-H shape coverage — never
+    # driver-checked, hoisted to the front of the window ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_relationship",
+    "tpch_q19_disjunctive_brackets",
+    "tpch_q20_excess_shippers",
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
@@ -71,27 +86,14 @@ _PRIORITY = [
     "scalar_string_functions",
     "sort_pagination",
     "agg_cube",
-    "join_anti",
     "events_tumbling_window",
     "window_lag_lead",
-    # --- r04-first-verified rows (driver streak = 1): keep one more
-    # round before they become demotion candidates ---
+    # --- r05-first-or-second-verified rows kept one more round ---
     "multimodal_image_features",
-    "subquery_exists",
-    "subquery_not_exists",
-    "subquery_in_having",
-    "subquery_correlated_scalar",
-    "agg_grouping_sets",
     "scd2_incremental_revenue",
     "join_interval_events",
-    "ann_sq_topk",
-    "scd2_incremental_extrema",
-    # --- hash-exact twins first verified r04 (portable-quantizer /
-    # md5-signature oracles): streak = 1, keep in-window ---
-    "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "multimodal_frame_sample",
     "semdedup_keep",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
@@ -100,13 +102,27 @@ _PRIORITY = [
     "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
     "dedup_keep_list",
     "dedup_exact_groups",
-    "text_token_stats",
     "text_quality_scores",
     "scd2_flag_consistency_check",
     "scd2_timestamp_continuity",
-    "scd2_version_timeline",
 ]
 _DEMOTED = [
+    # --- r06 rotation: slots ceded to the 12 new TPC-H rows (never
+    # driver-checked). Each demoted row is driver-green two-plus
+    # consecutive rounds (r04+r05 unless noted) and its operator family
+    # stays in-window via the noted sibling. ---
+    "subquery_exists",           # EXISTS family repped in-window by subquery_sole_late_supplier (Q21 EXISTS + NOT EXISTS)
+    "subquery_not_exists",       # same Q21 sibling covers doubly-correlated NOT EXISTS
+    "subquery_in_having",        # IN-subquery family repped by tpch_q20 (nested IN chain) + tpch_q16 (NOT IN)
+    "subquery_correlated_scalar",  # correlated-scalar family repped by tpch_q2 (correlated MIN)
+    "agg_grouping_sets",         # grouping-set family demoted-green (cube+rollup) + in-window agg_important_parts
+    "ann_sq_topk",               # ANN family keeps ann_lsh_topk + ann_ivf_topk in-window
+    "scd2_incremental_extrema",  # IVM family keeps scd2_incremental_revenue in-window
+    "dedup_simhash",             # dedup family keeps dedup_exact_groups/keep_list + embedding_near_dup in-window
+    "multimodal_frame_sample",   # multimodal family keeps multimodal_image_features in-window
+    "text_token_stats",          # green r03-r05 (longest streak); text family keeps quality_scores + bigram_surprisal in-window
+    "scd2_version_timeline",     # timeline semantics kept in-window via scd2_timestamp_continuity + flag_consistency_check
+    "join_anti",                 # anti-join shape now also in-window via tpch_q16's NOT-IN anti-join
     # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
     # slots ceded to the four never-checked r05 rows and the ten
     # promoted three-round-stale rows. Benched rows keep per-round
@@ -189,6 +205,12 @@ def _registry() -> dict[str, tuple]:
         from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import DATAPIPE_QUERIES
 
         out.update(DATAPIPE_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from cdc_historical_warehouse_platform_spark.plans.tpch_queries import TPCH_QUERIES
+
+        out.update(TPCH_QUERIES)
     except ImportError:
         pass
 
