@@ -57,6 +57,9 @@ _PRIORITY = [
     "tpch_q16_supplier_relationship",
     "tpch_q19_disjunctive_brackets",
     "tpch_q20_excess_shippers",
+    # --- new r06: sketch-bounded exact top-k frequent items
+    # (Misra-Gries candidates + exact verify, operators/heavy_hitters.py) ---
+    "text_heavy_hitters",
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
@@ -86,7 +89,6 @@ _PRIORITY = [
     "scalar_string_functions",
     "sort_pagination",
     "agg_cube",
-    "events_tumbling_window",
     "window_lag_lead",
     # --- r05-first-or-second-verified rows kept one more round ---
     "multimodal_image_features",
@@ -123,6 +125,7 @@ _DEMOTED = [
     "text_token_stats",          # green r03-r05 (longest streak); text family keeps quality_scores + bigram_surprisal in-window
     "scd2_version_timeline",     # timeline semantics kept in-window via scd2_timestamp_continuity + flag_consistency_check
     "join_anti",                 # anti-join shape now also in-window via tpch_q16's NOT-IN anti-join
+    "events_tumbling_window",    # green r02+r05; window family keeps window_salted_topk + window_lag_lead in-window (slot ceded to text_heavy_hitters)
     # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
     # slots ceded to the four never-checked r05 rows and the ten
     # promoted three-round-stale rows. Benched rows keep per-round

@@ -48,6 +48,12 @@ HEADLINE = [
     # new relational shape) and the mergeable-sketch maintenance path
     "subquery_sole_late_supplier",
     "agg_distinct_sketch_rollup",
+    # added r06: the two heaviest of the twelve new TPC-H shapes — the
+    # 5-table LIKE-filtered profit star (Q9) and the correlated-MIN
+    # catalog query (Q2) — so the completed TPC-H tier is tracked
+    # round-over-round
+    "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
 ]
 
 

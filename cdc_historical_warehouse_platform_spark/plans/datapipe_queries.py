@@ -1984,3 +1984,38 @@ ORDER BY p.doc_id
 """
 
 DATAPIPE_QUERIES["corpus_token_budget"] = (q_corpus_token_budget, SQL_TOKEN_BUDGET)
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 most frequent tokens via the sketch-bounded heavy-hitter
+    path (operators/heavy_hitters.py): per-partition Misra-Gries
+    summaries → merged candidates → exact verify of candidates only.
+    The shuffle moves O(partitions × m) summary rows instead of one
+    row per distinct token — the 100 TB shape for a top-k question
+    over a billion-token vocabulary. Output counts are EXACT (the
+    sketch only bounds which items get counted; candidates ⊇ the true
+    top-k whenever the k-th count exceeds the summed decrement mass,
+    which tests/test_heavy_hitters.py pins and the registered corpus
+    satisfies with wide margin), so the oracle is the plain exact
+    top-k SQL."""
+    from cdc_historical_warehouse_platform_spark.operators.heavy_hitters import top_k_frequent
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    topk, _guarantee = top_k_frequent(toks, "token", k=50, m=4096)
+    return topk.select(F.col("item").alias("token"), "cnt")
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH norm AS (SELECT {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT unnest(list_filter(string_split(nt, ' '), x -> x <> '')) AS token FROM norm)
+SELECT token, COUNT(*) AS cnt
+FROM toks
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 50
+"""
+
+DATAPIPE_QUERIES["text_heavy_hitters"] = (q_text_heavy_hitters, SQL_HEAVY_HITTERS)

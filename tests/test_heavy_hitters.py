@@ -1,0 +1,105 @@
+"""Heavy-hitter operator (operators/heavy_hitters.py): MG candidates +
+exact verify. Pinned: equality with the naive exact top-k when the
+runtime guarantee holds, soundness of the merged error bound at
+adversarially tiny summary sizes, partitioning invariance of the
+final (exact-count) answer, and the no-truncation fast path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.heavy_hitters import (
+    _ERR,
+    mg_summaries,
+    top_k_frequent,
+)
+
+
+def _zipfish(spark, n_items: int = 200, scale: int = 2000):
+    """Deterministic Zipf-ish item stream: item_i repeated scale//(i+1)
+    times — heavy head, long tail."""
+    rows = []
+    for i in range(n_items):
+        rows.extend([(f"item_{i:04d}",)] * max(1, scale // (i + 1)))
+    return spark.createDataFrame(rows, ["token"]).repartition(8)
+
+
+def _naive_topk(df, k):
+    return (
+        df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+        .collect()
+    )
+
+
+def test_matches_naive_exact_topk(spark):
+    df = _zipfish(spark)
+    topk, guarantee = top_k_frequent(df, "token", k=10, m=512)
+    g = guarantee.collect()[0]
+    assert g["provably_exact"]
+    got = [(r["item"], r["cnt"]) for r in topk.collect()]
+    want = [(r["token"], r["cnt"]) for r in _naive_topk(df, 10)]
+    assert got == want
+
+
+def test_error_bound_sound_at_tiny_m(spark):
+    """With m far below the vocabulary, excluded items must all have
+    true count ≤ the reported bound (the mergeable-summaries
+    guarantee), and surviving merged counts underestimate truth."""
+    df = _zipfish(spark, n_items=500, scale=3000)
+    merged = (
+        mg_summaries(df, "token", m=16)
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("mg_cnt"))
+        .collect()
+    )
+    bound = sum(r["mg_cnt"] for r in merged if r["item"] == _ERR)
+    survivors = {r["item"]: r["mg_cnt"] for r in merged if r["item"] != _ERR}
+    truth = {
+        r["token"]: r["cnt"]
+        for r in df.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for item, true_cnt in truth.items():
+        if item not in survivors:
+            assert true_cnt <= bound, (item, true_cnt, bound)
+        else:
+            assert survivors[item] <= true_cnt  # never overestimates
+
+
+def test_partitioning_invariance_when_guaranteed(spark):
+    df = _zipfish(spark)
+    outs = []
+    for parts in (2, 16):
+        topk, guarantee = top_k_frequent(df.repartition(parts), "token", k=8, m=512)
+        assert guarantee.collect()[0]["provably_exact"]
+        outs.append([(r["item"], r["cnt"]) for r in topk.collect()])
+    assert outs[0] == outs[1]
+
+
+def test_no_truncation_fast_path_small_vocab(spark):
+    """Vocabulary below m: bound 0, provably exact even when the
+    vocabulary is smaller than k."""
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3 + [("c",)], ["token"])
+    topk, guarantee = top_k_frequent(df, "token", k=50, m=64)
+    g = guarantee.collect()[0]
+    assert g["error_bound"] == 0 and g["provably_exact"]
+    assert [(r["item"], r["cnt"]) for r in topk.collect()] == [
+        ("a", 5),
+        ("b", 3),
+        ("c", 1),
+    ]
+
+
+def test_guarantee_degrades_honestly(spark):
+    """At an m so small the k-th count cannot beat the bound, the
+    operator must SAY so rather than claim exactness (output may still
+    be correct — the flag is about provability)."""
+    df = _zipfish(spark, n_items=1000, scale=1000)
+    _topk, guarantee = top_k_frequent(df.repartition(16), "token", k=100, m=8)
+    g = guarantee.collect()[0]
+    assert g["error_bound"] > 0
+    assert not g["provably_exact"]
