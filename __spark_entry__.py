@@ -58,8 +58,10 @@ _PRIORITY = [
     "tpch_q19_disjunctive_brackets",
     "tpch_q20_excess_shippers",
     # --- new r06: sketch-bounded exact top-k frequent items
-    # (Misra-Gries candidates + exact verify, operators/heavy_hitters.py) ---
+    # (Misra-Gries candidates + exact verify, operators/heavy_hitters.py)
+    # and distribution-shaped IVM (maintained per-group histograms) ---
     "text_heavy_hitters",
+    "scd2_incremental_histogram",
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
@@ -94,7 +96,6 @@ _PRIORITY = [
     "multimodal_image_features",
     "scd2_incremental_revenue",
     "join_interval_events",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "semdedup_keep",
     # --- multi-round keeps: the historically-risky banded tier plus
@@ -118,7 +119,7 @@ _DEMOTED = [
     "subquery_in_having",        # IN-subquery family repped by tpch_q20 (nested IN chain) + tpch_q16 (NOT IN)
     "subquery_correlated_scalar",  # correlated-scalar family repped by tpch_q2 (correlated MIN)
     "agg_grouping_sets",         # grouping-set family demoted-green (cube+rollup) + in-window agg_important_parts
-    "ann_sq_topk",               # ANN family keeps ann_lsh_topk + ann_ivf_topk in-window
+    "ann_sq_topk",               # ANN family keeps ann_ivf_topk in-window
     "scd2_incremental_extrema",  # IVM family keeps scd2_incremental_revenue in-window
     "dedup_simhash",             # dedup family keeps dedup_exact_groups/keep_list + embedding_near_dup in-window
     "multimodal_frame_sample",   # multimodal family keeps multimodal_image_features in-window
@@ -126,6 +127,7 @@ _DEMOTED = [
     "scd2_version_timeline",     # timeline semantics kept in-window via scd2_timestamp_continuity + flag_consistency_check
     "join_anti",                 # anti-join shape now also in-window via tpch_q16's NOT-IN anti-join
     "events_tumbling_window",    # green r02+r05; window family keeps window_salted_topk + window_lag_lead in-window (slot ceded to text_heavy_hitters)
+    "ann_lsh_topk",              # green r04+r05; ANN family keeps ann_ivf_topk in-window + pytest recall pins (slot ceded to scd2_incremental_histogram)
     # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
     # slots ceded to the four never-checked r05 rows and the ten
     # promoted three-round-stale rows. Benched rows keep per-round

@@ -50,6 +50,13 @@ __all__ = [
     "maintain_group_summary",
     "group_extrema",
     "maintain_group_extrema",
+    "histogram_bucket",
+    "histogram_bucket_sql",
+    "empty_histogram",
+    "group_histogram",
+    "maintain_group_histogram",
+    "unpack_histogram",
+    "histogram_quantile",
 ]
 
 # Wide enough that no realistic corpus overflows a per-group sum of
@@ -435,3 +442,152 @@ def maintain_group_extrema(
         .alias("measure_max"),
     )
     return out.filter(F.col("n_rows") > 0)
+
+
+# --- Histogram maintenance (distribution-shaped IVM) -----------------------
+#
+# Per-group equi-width histograms are fully delta-maintainable (bucket
+# counts are COUNTs), so they ride the exact summary_delta machinery
+# with one twist: the maintained key is the COMPOSITE (group, bucket)
+# pair, packed into a struct so every existing code path (null-safe
+# upsert, drop-empty-groups, single current-slice probe) applies
+# unchanged. Read-time percentile estimates come off the maintained
+# state at zero scan cost with error bounded by the bucket width — the
+# streaming answer to "p95 order value per customer" that the exact
+# percentile query (agg_exact_percentiles) recomputes from scratch.
+
+
+def histogram_bucket(measure_col: str, lo: float, hi: float, nb: int):
+    """Equi-width bucket index (0..nb-1, clamped) as an INT column.
+
+    The measure is cast to DOUBLE first: decimal→double conversion and
+    double divide/floor are correctly-rounded IEEE in every engine, so
+    the bucket assignment is bit-reproducible cross-engine (the SQL
+    twin is histogram_bucket_sql)."""
+    w = (hi - lo) / nb
+    x = F.coalesce(F.col(measure_col), F.lit(0)).cast(SUMMARY_MEASURE_TYPE).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(w))
+    return F.least(F.lit(nb - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw)).cast("int")
+
+
+def histogram_bucket_sql(measure_sql: str, lo: float, hi: float, nb: int) -> str:
+    """DuckDB twin of histogram_bucket over a SQL measure expression."""
+    w = (hi - lo) / nb
+    return (
+        f"CAST(least({nb - 1}, greatest(0, "
+        f"floor((CAST(CAST({measure_sql} AS DECIMAL(28,2)) AS DOUBLE) - {lo!r}) / {w!r}))) AS INT)"
+    )
+
+
+def _hist_group_field(group_field: T.StructField) -> T.StructField:
+    return T.StructField(
+        "__hist_key",
+        T.StructType([group_field, T.StructField("bucket", T.IntegerType(), False)]),
+        False,
+    )
+
+
+def _with_hist_key(df: DataFrame, group_col: str, measure_col: str, lo, hi, nb) -> DataFrame:
+    return df.withColumn(
+        "__hist_key",
+        F.struct(
+            F.col(group_col).alias(group_col),
+            histogram_bucket(measure_col, lo, hi, nb).alias("bucket"),
+        ),
+    )
+
+
+def empty_histogram(
+    spark: SparkSession,
+    group_field: T.StructField | None = None,
+) -> DataFrame:
+    """An empty maintained histogram (struct(group,bucket), n, sum)."""
+    field = group_field or T.StructField("customer_id", T.IntegerType(), True)
+    return spark.createDataFrame([], _summary_schema(_hist_group_field(field)))
+
+
+def group_histogram(
+    current: DataFrame,
+    group_col: str = "customer_id",
+    measure_col: str = "total_amount",
+    lo: float = 0.0,
+    hi: float = 6_000_000.0,
+    nb: int = 24,
+) -> DataFrame:
+    """From-scratch per-(group, bucket) counts + sums over the current
+    slice — the recompute twin the incremental path must equal."""
+    keyed = _with_hist_key(current, group_col, measure_col, lo, hi, nb)
+    return group_summary(keyed, "__hist_key", measure_col)
+
+
+def maintain_group_histogram(
+    hist: DataFrame,
+    current: DataFrame,
+    changes: DataFrame,
+    group_col: str = "customer_id",
+    measure_col: str = "total_amount",
+    lo: float = 0.0,
+    hi: float = 6_000_000.0,
+    nb: int = 24,
+    business_key: str = BUSINESS_KEY,
+    change_key: str = "id",
+) -> DataFrame:
+    """One histogram-maintenance step against the PRE-batch current
+    slice (same contract and batch semantics as maintain_group_summary;
+    a version moving between buckets transfers exactly like a row
+    moving between groups)."""
+    cur_keyed = _with_hist_key(current, group_col, measure_col, lo, hi, nb)
+    chg_keyed = _with_hist_key(changes, group_col, measure_col, lo, hi, nb)
+    return maintain_group_summary(
+        hist, cur_keyed, chg_keyed, "__hist_key", measure_col, business_key, change_key
+    )
+
+
+def unpack_histogram(hist: DataFrame, group_col: str = "customer_id") -> DataFrame:
+    """Flatten the maintained struct key back to report columns."""
+    return hist.select(
+        F.col(f"__hist_key.{group_col}").alias(group_col),
+        F.col("__hist_key.bucket").alias("bucket"),
+        F.col("n_orders"),
+        F.col("measure_sum"),
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    p: float,
+    group_col: str = "customer_id",
+    lo: float = 0.0,
+    hi: float = 6_000_000.0,
+    nb: int = 24,
+) -> DataFrame:
+    """Per-group interpolated p-quantile estimate read straight off the
+    maintained bucket counts (no data scan). Error ≤ one bucket width.
+
+    Rank target = ceil(p·n) (nearest-rank); the estimate interpolates
+    linearly inside the bucket containing that rank. Windows partition
+    by group — never an unpartitioned sort."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / nb
+    flat = unpack_histogram(hist, group_col)
+    win = Window.partitionBy(group_col).orderBy("bucket")
+    cum = flat.withColumn("cum", F.sum("n_orders").over(win)).withColumn(
+        "total", F.sum("n_orders").over(Window.partitionBy(group_col))
+    )
+    target = F.ceil(F.lit(p) * F.col("total")).cast("long")
+    hit = cum.filter(F.col("cum") >= target).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(group_col).orderBy("bucket")),
+    ).filter(F.col("rn") == 1)
+    frac = (
+        (target - (F.col("cum") - F.col("n_orders"))).cast("double")
+        / F.col("n_orders").cast("double")
+    )
+    return hit.select(
+        group_col,
+        (F.lit(float(lo)) + (F.col("bucket").cast("double") + frac) * F.lit(w)).alias(
+            f"q{int(p * 100)}_estimate"
+        ),
+        F.col("total").alias("n_rows"),
+    )

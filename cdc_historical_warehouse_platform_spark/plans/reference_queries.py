@@ -452,6 +452,75 @@ REFERENCE_QUERIES["scd2_incremental_extrema"] = (
 )
 
 
+def q_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-customer order-value histogram
+    (operators/incremental_agg.py histogram tier) — distribution-shaped
+    IVM: per-(customer, equi-width bucket) counts and sums maintained
+    purely from batch deltas on the composite struct key, the state
+    that serves read-time percentile estimates (histogram_quantile)
+    with zero scans. Same two-batch fixture as
+    scd2_incremental_revenue; the oracle recomputes bucket membership
+    from scratch over the final current slice with the identical
+    bucket arithmetic (decimal→double→floor is correctly-rounded IEEE
+    in both engines), so equality IS the maintenance invariant."""
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        empty_histogram,
+        maintain_group_histogram,
+        unpack_histogram,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import (
+        empty_dim,
+        scd2_build_from_change_log,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders_as_changes(orders).localCheckpoint(eager=False)
+    b1 = changes.filter(F.col("operation_type") == "INSERT")
+    b2 = changes.filter(F.col("operation_type") == "UPDATE")
+    dim0 = empty_dim(spark)
+    h1 = maintain_group_histogram(
+        empty_histogram(spark), dim0.filter(F.col("is_current")), b1
+    )
+    # bulk-build for the empty-dim INSERT wave (see q_incremental_revenue)
+    dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
+    h2 = maintain_group_histogram(h1, dim1.filter(F.col("is_current")), b2)
+    return (
+        unpack_histogram(h2)
+        .select(
+            "customer_id",
+            "bucket",
+            "n_orders",
+            F.col("measure_sum").cast("double").alias("bucket_value"),
+        )
+        .orderBy("customer_id", "bucket")
+    )
+
+
+from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (  # noqa: E402
+    histogram_bucket_sql as _hb_sql,
+)
+
+REFERENCE_QUERIES["scd2_incremental_histogram"] = (
+    q_incremental_histogram,
+    f"""
+    WITH changes AS ({ORDERS_AS_CHANGES_SQL}),
+    seq AS (
+      SELECT *,
+             lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM changes
+    )
+    SELECT customer_id,
+           {_hb_sql("unit_price * quantity", 0.0, 6_000_000.0, 24)} AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(unit_price * quantity AS DECIMAL(10,2)) AS DECIMAL(28,2))) AS DOUBLE) AS bucket_value
+    FROM seq
+    WHERE valid_to IS NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+
 def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained distinct-customer count per order
     priority via mergeable HLL sketches (operators/sketches.py) — the

@@ -399,3 +399,93 @@ def test_extrema_null_group_dirty_path(spark):
         (None, 1, d("5.00"), d("5.00")),  # runner-up surfaced, not stale 20.00
         (100, 1, d("7.00"), d("7.00")),
     }
+
+
+# --- histogram maintenance (distribution-shaped IVM) -----------------------
+
+from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (  # noqa: E402
+    empty_histogram,
+    group_histogram,
+    histogram_quantile,
+    maintain_group_histogram,
+    unpack_histogram,
+)
+
+# tight edges so single-order value moves cross bucket boundaries
+_HLO, _HHI, _HNB = 0.0, 100.0, 10
+
+
+def _hist_rows(df):
+    return sorted(
+        (
+            (r["customer_id"], r["bucket"], r["n_orders"], r["measure_sum"])
+            for r in df.collect()
+        )
+    )
+
+
+def _run_hist_batches(spark, change_df, batches):
+    """Apply batches through merge + histogram maintenance in lockstep;
+    after each batch assert maintained == recompute."""
+    dim = empty_dim(spark)
+    hist = empty_histogram(spark)
+    for i, batch_rows in enumerate(batches):
+        batch = change_df(batch_rows)
+        current = dim.filter(F.col("is_current"))
+        hist = maintain_group_histogram(
+            hist, current, batch, lo=_HLO, hi=_HHI, nb=_HNB
+        )
+        dim = scd2_merge(dim, batch, f"b{i}")
+        hist = hist.localCheckpoint(eager=True)
+        dim = dim.localCheckpoint(eager=True)
+        got = _hist_rows(unpack_histogram(hist))
+        want = _hist_rows(
+            unpack_histogram(
+                group_histogram(
+                    dim.filter(F.col("is_current")), lo=_HLO, hi=_HHI, nb=_HNB
+                )
+            )
+        )
+        assert got == want, f"batch {i}: maintained {got} != recompute {want}"
+    return dim, hist
+
+
+def test_histogram_matches_recompute_across_ops(spark, change_df):
+    _run_hist_batches(
+        spark,
+        change_df,
+        [
+            [
+                make_change(1, "INSERT", ts(0), quantity=2, customer_id=100),   # 20 → b2
+                make_change(2, "INSERT", ts(1), quantity=5, customer_id=100),   # 50 → b5
+                make_change(3, "INSERT", ts(2), quantity=1, customer_id=200),   # 10 → b1
+            ],
+            # bucket move within a group + delete + clamped overflow value
+            [
+                make_change(1, "UPDATE", ts(60), quantity=8, customer_id=100),  # 20→80: b2→b8
+                make_change(3, "DELETE", ts(61), customer_id=200),
+                make_change(4, "INSERT", ts(62), quantity=50, unit_price="99.00", customer_id=200),  # 4950 → clamped b9
+            ],
+            # no-op (cancels exactly) + late event (skipped) + group move
+            [
+                make_change(4, "UPDATE", ts(120), quantity=50, unit_price="99.00", customer_id=200),
+                make_change(1, "UPDATE", ts(30), quantity=9, customer_id=100),  # late: older than ts(60)
+                make_change(2, "UPDATE", ts(121), quantity=5, customer_id=300),
+            ],
+        ],
+    )
+
+
+def test_histogram_quantile_within_bucket_width(spark, change_df):
+    """The read-time quantile estimate must land within one bucket
+    width of the exact per-group percentile."""
+    rows = [
+        make_change(i, "INSERT", ts(i), quantity=q, customer_id=100)
+        for i, q in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9], start=1)  # 10..90
+    ]
+    dim, hist = _run_hist_batches(spark, change_df, [rows])
+    est = histogram_quantile(hist, 0.5, lo=_HLO, hi=_HHI, nb=_HNB).collect()
+    assert len(est) == 1
+    # exact median of 10..90 is 50; bucket width is 10
+    assert abs(est[0]["q50_estimate"] - 50.0) <= 10.0
+    assert est[0]["n_rows"] == 9
