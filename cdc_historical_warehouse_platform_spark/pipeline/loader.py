@@ -25,6 +25,7 @@ __all__ = [
     "SCD2Loader",
     "maintain_summary_store",
     "maintain_distinct_sketch_store",
+    "maintain_histogram_store",
 ]
 
 
@@ -71,6 +72,37 @@ def maintain_summary_store(spark, dim_store, summary_store, changes, txn_id: str
     summary_store.commit(maintain_group_summary(prev, current, changes), txn_id=txn_id)
 
 
+def maintain_histogram_store(spark, dim_store, histogram_store, changes, txn_id: str) -> None:
+    """Distribution-shaped IVM for one batch: the per-(customer,
+    order-value bucket) histogram (operators/incremental_agg.py
+    histogram tier), the distribution sibling of
+    maintain_summary_store. Shared by the batch loader and the
+    streaming foreachBatch path; identical crash/replay posture —
+    histogram commits first under the dim's txn_id, and the delta
+    algebra is idempotent against an already-advanced dimension."""
+    from pyspark.sql import functions as F
+
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        empty_histogram,
+        group_histogram,
+        maintain_group_histogram,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import empty_dim
+
+    if dim_store.exists():
+        current = dim_store.read_current(spark)
+    else:
+        current = empty_dim(spark).filter(F.col("is_current"))
+    if histogram_store.exists():
+        prev = histogram_store.read(spark)
+    else:
+        # adopting a pre-existing dimension: bootstrap from recompute
+        prev = group_histogram(current) if dim_store.exists() else empty_histogram(spark)
+    histogram_store.commit(
+        maintain_group_histogram(prev, current, changes), txn_id=txn_id
+    )
+
+
 def maintain_distinct_sketch_store(spark, sketch_store, changes, txn_id: str) -> None:
     """Mergeable-sketch maintenance for one batch: distinct products
     EVER observed per customer (operators/sketches.py), the
@@ -112,6 +144,7 @@ class SCD2Loader:
         summary_store=None,
         drift_policy: str = "silent",
         sketch_store=None,
+        histogram_store=None,
     ):
         self.spark = spark
         self.dim = dim_store
@@ -126,6 +159,10 @@ class SCD2Loader:
         # distinct products ever seen per customer, unioned from batch
         # observations — COUNT(DISTINCT) at fixed state per group
         self.sketches = sketch_store
+        # optional maintained distribution (incremental_agg histogram
+        # tier): per-(customer, value-bucket) counts kept from deltas,
+        # serving read-time percentile estimates with zero scans
+        self.histograms = histogram_store
         # "silent" (default): explicit-schema reads tolerate producer
         # drift quietly — the hot path. "report": infer each batch's
         # actual wire schema (read_change_batch_with_drift) and surface
@@ -171,6 +208,8 @@ class SCD2Loader:
             maintain_summary_store(self.spark, self.dim, self.summary, changes, txn_id)
         if self.sketches is not None:
             maintain_distinct_sketch_store(self.spark, self.sketches, changes, txn_id)
+        if self.histograms is not None:
+            maintain_histogram_store(self.spark, self.dim, self.histograms, changes, txn_id)
         # the store's txn guard backs the ledger: a crash between the
         # pointer swap and the mark leaves the replay a no-op
         applied = self.dim.apply_batch(

@@ -63,6 +63,7 @@ def start_scd2_stream(
     processing_time: str = "10 seconds",
     summary_store=None,
     sketch_store=None,
+    histogram_store=None,
 ) -> StreamingQuery:
     """Continuous SCD2 maintenance: every micro-batch runs the same
     merge the batch loader uses against the split dim store, committed
@@ -84,6 +85,9 @@ def start_scd2_stream(
     COUNT(DISTINCT) rollup (pipeline/loader.
     maintain_distinct_sketch_store) — doubly replay-safe: txn guard
     plus register-max idempotence of the sketch union itself.
+    ``histogram_store`` maintains the per-(customer, value-bucket)
+    distribution the same way (pipeline/loader.
+    maintain_histogram_store) — same txn-first commit ordering.
     """
     changes = read_change_stream(spark, cdc_dir)
 
@@ -102,6 +106,12 @@ def start_scd2_stream(
             )
 
             maintain_distinct_sketch_store(spark, sketch_store, batch_df, txn_id)
+        if histogram_store is not None:
+            from cdc_historical_warehouse_platform_spark.pipeline.loader import (
+                maintain_histogram_store,
+            )
+
+            maintain_histogram_store(spark, dim_store, histogram_store, batch_df, txn_id)
         dim_store.apply_batch(
             spark,
             batch_df,

@@ -489,3 +489,81 @@ def test_histogram_quantile_within_bucket_width(spark, change_df):
     # exact median of 10..90 is 50; bucket width is 10
     assert abs(est[0]["q50_estimate"] - 50.0) <= 10.0
     assert est[0]["n_rows"] == 9
+
+
+def test_histogram_store_maintenance_batch_and_stream(tmp_path, spark):
+    """The shared maintain_histogram_store seam: the streaming
+    foreachBatch path keeps the maintained histogram row-identical to
+    a from-scratch recompute over the dim's current slice, replays are
+    txn no-ops, and the batch loader produces the identical state."""
+    import datetime as dt
+
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
+    from cdc_historical_warehouse_platform_spark.sources.change_batches import write_change_batch
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+    from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import start_scd2_stream
+
+    def sts(m):
+        return dt.datetime(2026, 5, 1, 8, 0, 0) + dt.timedelta(minutes=m)
+
+    def recompute_rows(dim_store):
+        cur = dim_store.read_current(spark)
+        return _hist_rows(unpack_histogram(group_histogram(cur)))
+
+    b1 = [
+        make_change(i, "INSERT", sts(i), quantity=i, customer_id=100 + (i % 2))
+        for i in range(1, 9)
+    ]
+    b2 = [
+        make_change(1, "UPDATE", sts(10), quantity=9, customer_id=101),
+        make_change(2, "DELETE", sts(11), customer_id=100),
+        make_change(9, "INSERT", sts(12), quantity=3, customer_id=100),
+    ]
+
+    # streaming path
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    dim = SCD2DimStore(tmp_path / "dim")
+    hist = VersionedTable(tmp_path / "hist")
+    write_change_batch(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), cdc_dir, extracted_at=sts(9), fmt="jsonl"
+    )
+    q = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, histogram_store=hist
+    )
+    q.awaitTermination(120)
+    write_change_batch(
+        spark.createDataFrame(b2, CHANGE_SCHEMA), cdc_dir, extracted_at=sts(13), fmt="jsonl"
+    )
+    q2 = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, histogram_store=hist
+    )
+    q2.awaitTermination(120)
+    stream_rows = _hist_rows(unpack_histogram(hist.read(spark)))
+    assert stream_rows == recompute_rows(dim)
+
+    # no-new-data restart: store version does not advance
+    hv = hist.version()
+    q3 = start_scd2_stream(
+        spark, cdc_dir, dim, tmp_path / "ckpt", available_now=True, histogram_store=hist
+    )
+    q3.awaitTermination(120)
+    assert hist.version() == hv
+
+    # batch-loader path over the same batches → identical state
+    cdc2 = tmp_path / "cdc2"
+    cdc2.mkdir()
+    dim2 = SCD2DimStore(tmp_path / "dim2")
+    hist2 = VersionedTable(tmp_path / "hist2")
+    write_change_batch(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), cdc2, extracted_at=sts(9)
+    )
+    write_change_batch(
+        spark.createDataFrame(b2, CHANGE_SCHEMA), cdc2, extracted_at=sts(13)
+    )
+    loader = SCD2Loader(spark, dim2, cdc2, histogram_store=hist2)
+    r = loader.load_pending()
+    assert r["processed"] == 2 and r["failed"] == 0
+    assert _hist_rows(unpack_histogram(hist2.read(spark))) == stream_rows
