@@ -8,25 +8,34 @@ at 100 TB of text that is billions of distinct tokens through the
 shuffle to answer a top-50 question. The production pattern bounds
 the shuffle by the summary size instead of the vocabulary:
 
+0. **Hash items to int64 JVM-side** (`xxhash64`) before anything
+   crosses into Python: Arrow then moves 8-byte longs instead of
+   strings and the pandas fold runs on int64 (both several times
+   faster), and the merge/verify joins carry longs. A hash collision
+   only MERGES two items' counts in the sketch — counts never shrink,
+   so the candidate-superset guarantee below survives collisions
+   unconditionally; the exact verify counts REAL items (grouped by
+   the original column), so collisions cannot corrupt the output.
 1. **Per-partition Misra-Gries summaries** (`mapInPandas`, Arrow
-   batches; exact pandas value_counts merged into a dict, truncated
-   by the mergeable-summaries rule — subtract the (m+1)-th largest
+   batches; per-batch value_counts folded vectorized, truncated by
+   the mergeable-summaries rule — subtract the (m+1)-th largest
    count from every entry, keep positives) → ≤ m rows per partition,
-   plus one `(None, decremented_mass)` row carrying the partition's
+   plus one `(null, decremented_mass)` row carrying the partition's
    error bound.
-2. **Merge**: one groupBy(item).sum over ≤ P·m rows (P = partitions)
+2. **Merge**: one groupBy(hash).sum over ≤ P·m rows (P = partitions)
    — the merged counts underestimate true counts by at most the
    summed decrement mass E (Agarwal et al., "Mergeable Summaries",
    PODS 2012: MG summaries merge with additive error bounds).
    Every item with true count > E survives ⇒ candidates ⊇ the true
    top-k whenever the k-th true count exceeds E.
-3. **Exact verify**: broadcast the candidate ids, semi-join the item
-   stream, exact count of candidates only, deterministic
-   (count DESC, item ASC) top-k. The output is EXACT counts — the
-   sketch only bounds which items are counted — so the result is
-   hash-stable across partitionings whenever the superset guarantee
-   holds, and `top_k_frequent` can CHECK that guarantee at runtime
-   (k-th exact count > E ⇒ provably equal to the true top-k).
+3. **Exact verify**: broadcast the candidate hashes, semi-join the
+   item stream on its hash, exact count of candidates only,
+   deterministic (count DESC, item ASC) top-k. The output is EXACT
+   counts — the sketch only bounds which items are counted — so the
+   result is hash-stable across partitionings whenever the superset
+   guarantee holds, and `top_k_frequent` CHECKS that guarantee at
+   runtime (k-th exact count > E ⇒ provably equal to the true
+   top-k; an excluded hash bounds every colliding item's count).
 
 No reference counterpart (the reference has no text analytics); this
 is the sketch-tier sibling of operators/sketches.py (COUNT DISTINCT →
@@ -43,55 +52,76 @@ from pyspark.sql import functions as F
 
 __all__ = ["mg_summaries", "top_k_frequent"]
 
-# sentinel item for the per-partition decrement-mass (error bound) row
-_ERR = "\0__mg_error__"
 
-
-def _mg_truncate(counts: dict, m: int) -> tuple[dict, int]:
+def _mg_truncate(counts: "pd.Series", m: int) -> tuple["pd.Series", int]:
     """Mergeable-summaries truncation: keep the m largest entries after
     subtracting the (m+1)-th largest count from everything. Returns
-    (truncated counts, decremented mass added to the error bound)."""
+    (truncated counts, decrement added to the error bound). Vectorized
+    (nlargest + boolean mask)."""
     if len(counts) <= m:
         return counts, 0
-    vals = sorted(counts.values(), reverse=True)
-    thr = vals[m]  # (m+1)-th largest
-    out = {}
-    for item, c in counts.items():
-        c2 = c - thr
-        if c2 > 0:
-            out[item] = c2
+    thr = int(counts.nlargest(m + 1).iloc[-1])  # (m+1)-th largest
+    out = counts[counts > thr] - thr
     return out, thr  # per-item underestimate grows by ≤ thr per truncation
 
 
 def mg_summaries(items: DataFrame, col: str, m: int = 4096) -> DataFrame:
-    """Per-partition Misra-Gries summaries of the ``col`` item stream.
+    """Per-partition Misra-Gries summaries of the ``col`` item stream,
+    keyed by ``xxhash64(col)``.
 
-    Output schema ``(item string, cnt long)``: ≤ m summary rows per
-    input partition plus one ``(_ERR, total_decrement)`` row per
-    partition whose cnt sums to the global error bound E — merged
-    counts underestimate true counts by at most E.
+    Output schema ``(h long, cnt long)``: ≤ m summary rows per input
+    partition plus one ``(null, decremented_mass)`` row per partition
+    whose cnt sums to the global error bound E — merged counts
+    underestimate true (per-hash) counts by at most E.
     """
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict = {}
-        err = 0
-        for pdf in batches:
-            vc = pdf[col].dropna().value_counts()
-            for item, c in vc.items():
-                counts[item] = counts.get(item, 0) + int(c)
-            if len(counts) > 4 * m:
-                counts, thr = _mg_truncate(counts, m)
-                err += thr
-        counts, thr = _mg_truncate(counts, m)
-        err += thr
-        out = pd.DataFrame(
-            {"item": list(counts.keys()) + [_ERR], "cnt": list(counts.values()) + [err]}
-        )
-        yield out.astype({"item": "string", "cnt": "int64"})
+        # Accumulate RAW int64 arrays and fold with one np.unique per
+        # ~4M-row chunk (a single vectorized count beats per-batch
+        # value_counts by an order of magnitude; Arrow transfer is then
+        # the dominant cost). Memory stays bounded: ≤ chunk_rows × 8 B
+        # of raw hashes plus a ≤ 4m-entry merged summary.
+        import numpy as np
 
-    return items.select(F.col(col).alias(col)).mapInPandas(
-        summarize, schema="item string, cnt long"
-    )
+        chunk_rows = 4_000_000
+        merged = pd.Series(dtype="int64")
+        pending: list = []
+        pending_rows = 0
+        err = 0
+
+        def fold(merged, pending, err):
+            vals, cnts = np.unique(np.concatenate(pending), return_counts=True)
+            s = pd.concat([merged, pd.Series(cnts, index=vals)])
+            merged = s.groupby(level=0).sum()
+            if len(merged) > 4 * m:
+                merged, thr = _mg_truncate(merged, m)
+                err += thr
+            return merged, err
+
+        for pdf in batches:
+            arr = pdf["h"].to_numpy()
+            pending.append(arr)
+            pending_rows += len(arr)
+            if pending_rows >= chunk_rows:
+                merged, err = fold(merged, pending, err)
+                pending, pending_rows = [], 0
+        if pending:
+            merged, err = fold(merged, pending, err)
+        merged, thr = _mg_truncate(merged, m)
+        err += thr
+        # nullable Int64 for the hash column: a plain list with None
+        # would coerce to float64 and silently destroy the low bits of
+        # the 64-bit hashes
+        out = pd.DataFrame(
+            {
+                "h": pd.array(list(merged.index) + [None], dtype="Int64"),
+                "cnt": list(merged.astype("int64")) + [err],
+            }
+        )
+        yield out.astype({"cnt": "int64"})
+
+    hashed = items.select(F.xxhash64(F.col(col)).alias("h"))
+    return hashed.mapInPandas(summarize, schema="h long, cnt long")
 
 
 def top_k_frequent(
@@ -104,25 +134,26 @@ def top_k_frequent(
     order; ``guarantee_df`` is a 1-row frame with the summed error
     bound ``error_bound`` and ``provably_exact`` — true iff the k-th
     exact count strictly exceeds the bound, i.e. no excluded item can
-    outrank the returned set. The caller decides whether to retry with
-    a larger m when the guarantee fails (the testdata corpora hold it
-    with wide margin at m=4096; tests pin the bound's soundness at
-    adversarially tiny m).
+    outrank the returned set (an excluded HASH upper-bounds every item
+    colliding into it, so the check is collision-safe). The caller
+    decides whether to retry with a larger m when the guarantee fails
+    (the testdata corpora hold it with wide margin at m=4096; tests
+    pin the bound's soundness at adversarially tiny m).
     """
     merged = (
         mg_summaries(items, col, m)
-        .groupBy("item")
+        .groupBy("h")
         .agg(F.sum("cnt").alias("mg_cnt"))
         # consumed by both the error row and the candidate join
         .localCheckpoint(eager=False)
     )
-    error_bound = merged.filter(F.col("item") == _ERR).select(
+    error_bound = merged.filter(F.col("h").isNull()).select(
         F.coalesce(F.sum("mg_cnt"), F.lit(0)).alias("error_bound")
     )
-    candidates = merged.filter(F.col("item") != _ERR).select("item")
+    candidates = merged.filter(F.col("h").isNotNull()).select("h")
     exact = (
-        items.select(F.col(col).alias("item"))
-        .join(F.broadcast(candidates), "item", "left_semi")
+        items.select(F.col(col).alias("item"), F.xxhash64(F.col(col)).alias("h"))
+        .join(F.broadcast(candidates), "h", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("item").asc())
@@ -131,8 +162,8 @@ def top_k_frequent(
     )
     kth = exact.select(F.min("cnt").alias("kth_cnt"), F.count(F.lit(1)).alias("n"))
     # exact iff: no truncation ever happened (bound 0 ⇒ candidates =
-    # the full vocabulary, which also covers vocabularies smaller than
-    # k), or the k-th exact count strictly beats the bound
+    # the full hashed vocabulary, which also covers vocabularies
+    # smaller than k), or the k-th exact count strictly beats the bound
     guarantee = kth.crossJoin(error_bound).select(
         "error_bound",
         (

@@ -96,6 +96,37 @@ NOTES = {
         "supplier broadcast; the shared revenue subtree is deduped by "
         "ReuseExchange at runtime."
     ),
+    "tpch_q2_min_cost_supplier": (
+        "Q2 shape (r6): the EUROPE supplier catalog is one two-phase "
+        "HashAggregate; the correlated MIN decorrelates into a per-part "
+        "min + EQUI SortMergeJoin on (normalized min_price, partkey) — "
+        "never a per-row subquery; part/nation/region broadcast; "
+        "TakeOrderedAndProject bounds the top-100 at any scale."
+    ),
+    "tpch_q9_product_profit": (
+        "Q9 shape (r6): LIKE-filtered part dim pushed into a "
+        "BroadcastHashJoin build side (Contains filter evaluated on the "
+        "2-column pruned part scan), all four dims broadcast, profit "
+        "expression folded into the partial aggregate — one exchange on "
+        "(nation, year) for the final rollup."
+    ),
+    "text_heavy_hitters": (
+        "r6 sketch-bounded exact top-k: per-partition Misra-Gries "
+        "summaries via ONE ArrowEvalPython/mapInPandas pass (vectorized "
+        "value_counts folding), merged by a groupBy over <= P*m summary "
+        "rows — the exchange is bounded by the summary size, never the "
+        "vocabulary; exact verify re-scans the stream but shuffles only "
+        "broadcast-semi-joined candidates. localCheckpoint truncates the "
+        "displayed plan at the verified top-k."
+    ),
+    "scd2_incremental_histogram": (
+        "r6 distribution IVM: the batch delta is a three-way union "
+        "aggregated once on the composite (group, bucket) struct key; "
+        "the current slice is probed ONCE per maintenance step "
+        "(broadcast-batch inner join on the business key); the state "
+        "upsert is a null-safe full-outer SortMergeJoin over "
+        "histogram-sized inputs only — the dimension is never rescanned."
+    ),
     "agg_distinct_sketch_rollup": (
         "Mergeable-sketch COUNT(DISTINCT) maintenance: per-wave HLL "
         "sketches built by ObjectHashAggregate (partial sketches merged "

@@ -11,7 +11,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdc_historical_warehouse_platform_spark.operators.heavy_hitters import (
-    _ERR,
     mg_summaries,
     top_k_frequent,
 )
@@ -49,25 +48,29 @@ def test_matches_naive_exact_topk(spark):
 def test_error_bound_sound_at_tiny_m(spark):
     """With m far below the vocabulary, excluded items must all have
     true count ≤ the reported bound (the mergeable-summaries
-    guarantee), and surviving merged counts underestimate truth."""
+    guarantee), and surviving merged counts underestimate truth.
+    Summaries are keyed by xxhash64, so truth is compared per hash."""
     df = _zipfish(spark, n_items=500, scale=3000)
     merged = (
         mg_summaries(df, "token", m=16)
-        .groupBy("item")
+        .groupBy("h")
         .agg(F.sum("cnt").alias("mg_cnt"))
         .collect()
     )
-    bound = sum(r["mg_cnt"] for r in merged if r["item"] == _ERR)
-    survivors = {r["item"]: r["mg_cnt"] for r in merged if r["item"] != _ERR}
+    bound = sum(r["mg_cnt"] for r in merged if r["h"] is None)
+    survivors = {r["h"]: r["mg_cnt"] for r in merged if r["h"] is not None}
     truth = {
-        r["token"]: r["cnt"]
-        for r in df.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        r["h"]: r["cnt"]
+        for r in df.groupBy(F.xxhash64("token").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
-    for item, true_cnt in truth.items():
-        if item not in survivors:
-            assert true_cnt <= bound, (item, true_cnt, bound)
+    assert bound > 0  # m=16 over 500 items must truncate
+    for h, true_cnt in truth.items():
+        if h not in survivors:
+            assert true_cnt <= bound, (h, true_cnt, bound)
         else:
-            assert survivors[item] <= true_cnt  # never overestimates
+            assert survivors[h] <= true_cnt  # never overestimates
 
 
 def test_partitioning_invariance_when_guaranteed(spark):
