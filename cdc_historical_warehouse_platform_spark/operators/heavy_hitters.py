@@ -50,7 +50,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mg_summaries", "top_k_frequent"]
+__all__ = [
+    "mg_summaries",
+    "top_k_frequent",
+    "empty_hh_state",
+    "merge_hh_state",
+    "hh_state_report",
+]
 
 
 def _mg_truncate(counts: "pd.Series", m: int) -> tuple["pd.Series", int]:
@@ -172,3 +178,107 @@ def top_k_frequent(
         ).alias("provably_exact"),
     )
     return exact, guarantee
+
+
+# --- Incremental state tier (batch-maintained MG summaries) ---------------
+#
+# MG summaries are mergeable (the property that makes step 2 above
+# correct), so they also serve as BATCH-MAINTAINED state: keep one
+# summary-sized (h, cnt) frame per corpus, union each new batch's
+# per-partition summaries into it, and re-truncate — the fifth
+# maintained-aggregate class next to SUM/COUNT (delta), MIN/MAX
+# (dirty-group hybrid), COUNT DISTINCT (HLL union), and histograms
+# (bucket deltas): frequency top-k under append-only streams. The
+# accumulated error bound rides the state as the null-hash row, so any
+# epoch can check "item X provably heavy?" without rescanning history.
+
+
+def empty_hh_state(spark) -> DataFrame:
+    """An empty maintained heavy-hitter state ``(h long, cnt long)``."""
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("h", T.LongType(), True),
+                T.StructField("cnt", T.LongType(), False),
+            ]
+        ),
+    )
+
+
+def merge_hh_state(
+    state: DataFrame, batch_items: DataFrame, col: str, m: int = 4096
+) -> DataFrame:
+    """One maintenance step: fold a new batch's MG summaries into the
+    persisted state and re-truncate.
+
+    All inputs to the union are summary-sized (state ≤ 4m rows, batch
+    summaries ≤ P·m rows), so the merge shuffles bounded rows no
+    matter how large the batch or how long the history. Truncation is
+    expressed Spark-side (the (m+1)-th largest via a bounded
+    TakeOrderedAndProject + 1-row broadcast — no driver collect): when
+    the merged summary exceeds 4m entries, subtract that threshold
+    from every entry, drop non-positives, and ADD it to the null-hash
+    error row — the invariant ``true_count(h) − state_count(h) ≤
+    error_row`` holds across any number of maintenance steps (MG
+    merge bound, Agarwal et al. PODS 2012)."""
+    delta = mg_summaries(batch_items, col, m)
+    merged = (
+        state.unionByName(delta)
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    entries = merged.filter(F.col("h").isNotNull())
+    # (m+1)-th largest entry value, 0 when no truncation is needed —
+    # a bounded top-(m+1) (TakeOrderedAndProject) then a 1-row agg
+    thr_df = (
+        entries.select("cnt")
+        .orderBy(F.col("cnt").desc())
+        .limit(m + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) >= m + 1, F.min("cnt"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("__thr")
+        )
+    )
+    n_entries = entries.count()  # summary-sized; decides truncation
+    if n_entries <= 4 * m:
+        return merged
+    truncated = (
+        entries.crossJoin(F.broadcast(thr_df))
+        .select("h", (F.col("cnt") - F.col("__thr")).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    err = (
+        merged.filter(F.col("h").isNull())
+        .crossJoin(F.broadcast(thr_df))
+        .select("h", (F.col("cnt") + F.col("__thr")).alias("cnt"))
+    )
+    return truncated.unionByName(err)
+
+
+def hh_state_report(state: DataFrame, k: int) -> DataFrame:
+    """Top-k heavy hitters straight off the maintained state: hash,
+    count lower bound, the state's error bound (count upper bound =
+    lower + bound), and whether the entry is PROVABLY heavier than
+    every hash absent from the state (lower bound > error bound)."""
+    bound = state.filter(F.col("h").isNull()).select(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("error_bound")
+    )
+    return (
+        state.filter(F.col("h").isNotNull())
+        .orderBy(F.col("cnt").desc(), F.col("h").asc())
+        .limit(k)
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "h",
+            F.col("cnt").alias("cnt_lower"),
+            (F.col("cnt") + F.col("error_bound")).alias("cnt_upper"),
+            "error_bound",
+            (F.col("cnt") > F.col("error_bound")).alias("provably_heavy"),
+        )
+    )

@@ -106,3 +106,73 @@ def test_guarantee_degrades_honestly(spark):
     g = guarantee.collect()[0]
     assert g["error_bound"] > 0
     assert not g["provably_exact"]
+
+
+# --- incremental state tier ------------------------------------------------
+
+from cdc_historical_warehouse_platform_spark.operators.heavy_hitters import (  # noqa: E402
+    empty_hh_state,
+    hh_state_report,
+    merge_hh_state,
+)
+
+
+def test_hh_state_bound_sound_across_batches(spark):
+    """After folding B batches into the maintained state, every hash
+    absent from the state must have true total count ≤ the state's
+    error row, present hashes never overestimate truth, and the state
+    stays bounded (≤ 4m entries). Uses m far below the vocabulary so
+    truncation actually fires across merges."""
+    m = 16
+    state = empty_hh_state(spark)
+    batches = [
+        _zipfish(spark, n_items=300, scale=1500),
+        _zipfish(spark, n_items=400, scale=2500),
+        _zipfish(spark, n_items=200, scale=1000),
+    ]
+    for b in batches:
+        state = merge_hh_state(state, b, "token", m=m).localCheckpoint(eager=True)
+    rows = state.collect()
+    bound = sum(r["cnt"] for r in rows if r["h"] is None)
+    survivors = {r["h"]: r["cnt"] for r in rows if r["h"] is not None}
+    assert bound > 0
+    assert len(survivors) <= 4 * m
+    total = batches[0]
+    for b in batches[1:]:
+        total = total.unionByName(b)
+    truth = {
+        r["h"]: r["cnt"]
+        for r in total.groupBy(F.xxhash64("token").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for h, cnt in truth.items():
+        if h not in survivors:
+            assert cnt <= bound, (h, cnt, bound)
+        else:
+            assert survivors[h] <= cnt
+
+
+def test_hh_state_report_provably_heavy(spark):
+    """With ample m the state carries exact counts (bound may be >0
+    from within-pass truncation only when m is small; here it is 0)
+    and the report marks the head provably heavy with tight bounds."""
+    state = empty_hh_state(spark)
+    for _ in range(2):
+        state = merge_hh_state(
+            state, _zipfish(spark, n_items=100, scale=1000), "token", m=1024
+        ).localCheckpoint(eager=True)
+    rep = hh_state_report(state, k=5).collect()
+    assert len(rep) == 5
+    assert all(r["provably_heavy"] for r in rep)
+    assert rep[0]["error_bound"] == 0
+    # head item appeared 1000× per batch → exact 2000 when bound is 0
+    top = (
+        _zipfish(spark, n_items=100, scale=1000)
+        .groupBy("token")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert rep[0]["cnt_lower"] == 2 * top["count"]
