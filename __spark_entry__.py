@@ -62,6 +62,10 @@ _PRIORITY = [
     # and distribution-shaped IVM (maintained per-group histograms) ---
     "text_heavy_hitters",
     "scd2_incremental_histogram",
+    # --- new r06: classic warehouse report shapes over the events
+    # stream (cohort retention matrix; ordered funnel) ---
+    "events_cohort_retention",
+    "events_funnel_steps",
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
@@ -93,11 +97,9 @@ _PRIORITY = [
     "agg_cube",
     "window_lag_lead",
     # --- r05-first-or-second-verified rows kept one more round ---
-    "multimodal_image_features",
     "scd2_incremental_revenue",
     "join_interval_events",
     "ann_ivf_topk",
-    "semdedup_keep",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
     "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate
@@ -122,12 +124,14 @@ _DEMOTED = [
     "ann_sq_topk",               # ANN family keeps ann_ivf_topk in-window
     "scd2_incremental_extrema",  # IVM family keeps scd2_incremental_revenue in-window
     "dedup_simhash",             # dedup family keeps dedup_exact_groups/keep_list + embedding_near_dup in-window
-    "multimodal_frame_sample",   # multimodal family keeps multimodal_image_features in-window
+    "multimodal_frame_sample",   # green r04+r05; multimodal family fully demoted-green this round (both rows green two rounds; Arrow plumbing pytest-pinned)
     "text_token_stats",          # green r03-r05 (longest streak); text family keeps quality_scores + bigram_surprisal in-window
     "scd2_version_timeline",     # timeline semantics kept in-window via scd2_timestamp_continuity + flag_consistency_check
     "join_anti",                 # anti-join shape now also in-window via tpch_q16's NOT-IN anti-join
     "events_tumbling_window",    # green r02+r05; window family keeps window_salted_topk + window_lag_lead in-window (slot ceded to text_heavy_hitters)
     "ann_lsh_topk",              # green r04+r05; ANN family keeps ann_ivf_topk in-window + pytest recall pins (slot ceded to scd2_incremental_histogram)
+    "multimodal_image_features",  # green r04+r05; multimodal plumbing also pinned by pytest Arrow-batch tests (slot ceded to events_cohort_retention)
+    "semdedup_keep",             # green r04+r05; semantic-dedup recall pytest-pinned, embedding_near_dup stays in-window (slot ceded to events_funnel_steps)
     # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
     # slots ceded to the four never-checked r05 rows and the ten
     # promoted three-round-stale rows. Benched rows keep per-round

@@ -2060,3 +2060,157 @@ RELATIONAL_QUERIES["setop_union_by_name"] = (
     q_setop_union_by_name,
     SQL_UNION_BY_NAME,
 )
+
+
+def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix over the events stream (r6): users are
+    cohorted by first-activity week; each (cohort_week, week_offset)
+    cell counts distinct users active that many weeks later, with the
+    retention rate against the cohort size. The classic warehouse
+    report shape: a per-entity MIN (first touch) joined back onto the
+    fact, two grouped distinct-counts, one ratio.
+
+    Scale shape: first-touch is a groupBy(user) min (one shuffle on
+    user_id, no window); the join back is an equi-join on user_id that
+    co-partitions with the groupBy at cluster scale; cells and cohort
+    sizes are two grouped aggregates over integer weeks. Integer week
+    arithmetic (datediff // 7) is exact in both engines."""
+    ev = load_table(spark, sf, "events")
+    origin = F.lit("2024-01-01")
+    week = lambda c: F.floor(F.datediff(F.to_date(c), F.to_date(origin)) / 7).cast("int")  # noqa: E731
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = first.select("user_id", week(F.col("first_ts")).alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    cells = (
+        ev.select("user_id", week(F.col("ts")).alias("event_week"))
+        .join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("event_week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            (F.col("active_users").cast("double") / F.col("cohort_size").cast("double")).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+cohorts AS (
+  SELECT user_id,
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(first_ts AS DATE)) / 7.0) AS INT) AS cohort_week
+  FROM first),
+sizes AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size FROM cohorts GROUP BY 1),
+cells AS (
+  SELECT c.cohort_week,
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7.0) AS INT) - c.cohort_week AS week_offset,
+         COUNT(DISTINCT e.user_id) AS active_users
+  FROM events e JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2)
+SELECT cohort_week, week_offset, active_users, cohort_size,
+       CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention_rate
+FROM cells JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+RELATIONAL_QUERIES["events_cohort_retention"] = (
+    q_events_cohort_retention,
+    SQL_COHORT_RETENTION,
+)
+
+
+def q_events_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis (r6): view → click → purchase, each step
+    strictly AFTER the user's previous step (sequence semantics, not
+    mere membership). Per step: earliest qualifying timestamp per user
+    via a grouped MIN over the step's events filtered against the
+    previous step's time — three chained groupBy-min + equi-joins on
+    user_id, no window, no per-user iteration. The report row set is
+    fixed-size (one per step) with conversion against step 1.
+
+    At cluster scale each chain link is one co-partitioned shuffle on
+    user_id; step frames shrink monotonically so the later joins
+    broadcast."""
+    ev = load_table(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        v.agg(F.count(F.lit(1)).alias("users")).select(F.lit(1).alias("step"), F.lit("view").alias("step_name"), "users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("users")).select(F.lit(2).alias("step"), F.lit("click_after_view").alias("step_name"), "users")
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("users")).select(F.lit(3).alias("step"), F.lit("purchase_after_click").alias("step_name"), "users")
+        )
+    )
+    base = v.agg(F.count(F.lit(1)).alias("base_users"))
+    return (
+        steps.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "step_name",
+            "users",
+            (F.col("users").cast("double") / F.col("base_users").cast("double")).alias(
+                "conversion_vs_first"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+steps AS (
+  SELECT 1 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM v) AS users
+  UNION ALL
+  SELECT 2, 'click_after_view', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p))
+SELECT step, step_name, users,
+       CAST(users AS DOUBLE) / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS conversion_vs_first
+FROM steps
+ORDER BY step
+"""
+
+RELATIONAL_QUERIES["events_funnel_steps"] = (
+    q_events_funnel_steps,
+    SQL_FUNNEL_STEPS,
+)
