@@ -66,6 +66,8 @@ _PRIORITY = [
     # stream (cohort retention matrix; ordered funnel) ---
     "events_cohort_retention",
     "events_funnel_steps",
+    # --- new r06: Delta-CDF-style diff between two dim versions ---
+    "scd2_version_diff",
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
@@ -98,7 +100,6 @@ _PRIORITY = [
     "window_lag_lead",
     # --- r05-first-or-second-verified rows kept one more round ---
     "scd2_incremental_revenue",
-    "join_interval_events",
     "ann_ivf_topk",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
@@ -132,6 +133,7 @@ _DEMOTED = [
     "ann_lsh_topk",              # green r04+r05; ANN family keeps ann_ivf_topk in-window + pytest recall pins (slot ceded to scd2_incremental_histogram)
     "multimodal_image_features",  # green r04+r05; multimodal plumbing also pinned by pytest Arrow-batch tests (slot ceded to events_cohort_retention)
     "semdedup_keep",             # green r04+r05; semantic-dedup recall pytest-pinned, embedding_near_dup stays in-window (slot ceded to events_funnel_steps)
+    "join_interval_events",      # green r04+r05 AND benched per-round; range-join family also stress-pinned (slot ceded to scd2_version_diff)
     # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
     # slots ceded to the four never-checked r05 rows and the ten
     # promoted three-round-stale rows. Benched rows keep per-round

@@ -564,3 +564,72 @@ def q_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (different sketch implementation); the maintenance invariant is
 # pinned Spark-vs-Spark in tests/test_sketches.py instead.
 REFERENCE_QUERIES["agg_distinct_sketch_rollup"] = (q_distinct_sketch_rollup, None)
+
+
+def q_scd2_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two dimension versions (r6): the
+    Delta-CDF-style question "what changed between the dim as of batch
+    1 and as of batch 2" answered from the two states themselves —
+    rows present only in the later state are the post-images (new
+    current versions + the expired copies of updated rows), rows
+    present only in the earlier state are the pre-images. Multiset
+    difference (exceptAll) both ways, so even exact-duplicate rows
+    diff correctly. The same mechanism serves the versioned store's
+    time travel (sources/tables.py VersionedTable): read two epochs,
+    diff them — no change log required."""
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import scd2_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders_as_changes(orders).localCheckpoint(eager=False)
+    b1 = changes.filter(F.col("operation_type") == "INSERT")
+    b2 = changes.filter(F.col("operation_type") == "UPDATE")
+    pick = lambda d: d.select(  # noqa: E731
+        *[
+            F.col(c).cast("double").alias(c) if c == "unit_price" else F.col(c)
+            for c in _DIM_COLS
+        ]
+    )
+    dim1 = pick(
+        scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
+    )
+    dim2 = pick(
+        scd2_merge(
+            scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False),
+            b2,
+            "b2",
+        )
+    )
+    post = dim2.exceptAll(dim1).withColumn("change_type", F.lit("postimage"))
+    pre = dim1.exceptAll(dim2).withColumn("change_type", F.lit("preimage"))
+    return post.unionByName(pre).orderBy(
+        "order_key", "valid_from", "change_type"
+    )
+
+
+REFERENCE_QUERIES["scd2_version_diff"] = (
+    q_scd2_version_diff,
+    f"""
+    WITH changes AS ({ORDERS_AS_CHANGES_SQL}),
+    seq2 AS (
+      SELECT *, lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM changes),
+    dim2 AS (
+      SELECT id AS order_key, customer_id, product_id, quantity,
+             CAST(unit_price AS DOUBLE) AS unit_price, order_status, order_date,
+             cdc_timestamp AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+      FROM seq2),
+    ins AS (SELECT * FROM changes WHERE operation_type = 'INSERT'),
+    seq1 AS (
+      SELECT *, lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM ins),
+    dim1 AS (
+      SELECT id AS order_key, customer_id, product_id, quantity,
+             CAST(unit_price AS DOUBLE) AS unit_price, order_status, order_date,
+             cdc_timestamp AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+      FROM seq1)
+    SELECT *, 'postimage' AS change_type FROM (SELECT * FROM dim2 EXCEPT ALL SELECT * FROM dim1)
+    UNION ALL
+    SELECT *, 'preimage' AS change_type FROM (SELECT * FROM dim1 EXCEPT ALL SELECT * FROM dim2)
+    ORDER BY order_key, valid_from, change_type
+    """,
+)
