@@ -127,6 +127,26 @@ NOTES = {
         "upsert is a null-safe full-outer SortMergeJoin over "
         "histogram-sized inputs only — the dimension is never rescanned."
     ),
+    "events_cohort_retention": (
+        "r6 cohort matrix: first-touch is a groupBy(user) min — one hash "
+        "exchange on user_id, no window; the join back co-partitions with "
+        "it (ReuseExchange-friendly), cohort sizes broadcast; week "
+        "arithmetic is integer datediff//7, exact in both engines."
+    ),
+    "events_funnel_steps": (
+        "r6 ordered funnel: three chained groupBy-min + equi-joins on "
+        "user_id with strict happens-after filters — no window, no "
+        "per-user iteration; step frames shrink monotonically so later "
+        "joins broadcast; the report is three 1-row aggregates unioned "
+        "with a broadcast base for conversion."
+    ),
+    "scd2_version_diff": (
+        "r6 change-data-feed: multiset exceptAll both ways between the "
+        "two dim states — each plans as a partial-aggregate-style "
+        "HashAggregate pair on the full row (count-diff semantics), one "
+        "exchange per direction, no join at all; pre/post images labeled "
+        "by a literal column."
+    ),
     "agg_distinct_sketch_rollup": (
         "Mergeable-sketch COUNT(DISTINCT) maintenance: per-wave HLL "
         "sketches built by ObjectHashAggregate (partial sketches merged "
