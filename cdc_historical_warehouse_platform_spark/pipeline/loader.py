@@ -145,6 +145,7 @@ class SCD2Loader:
         drift_policy: str = "silent",
         sketch_store=None,
         histogram_store=None,
+        quarantine_dir: str | Path | None = None,
     ):
         self.spark = spark
         self.dim = dim_store
@@ -169,6 +170,16 @@ class SCD2Loader:
         # per-batch drift in the run result + pipeline metadata.
         if drift_policy not in ("silent", "report"):
             raise ValueError(f"unknown drift_policy {drift_policy!r}")
+        # row-level bad-record routing: uncastable/invalid rows land in
+        # a parquet quarantine sink instead of silently nulling out
+        # (the row-level upgrade of the reference's records_failed
+        # counter). The quarantine reader owns the wire-level read, so
+        # it composes with the silent policy only — drift REPORTING
+        # already re-infers the wire schema and would race it.
+        if quarantine_dir is not None and drift_policy == "report":
+            raise ValueError("quarantine_dir is incompatible with drift_policy='report'")
+        self.quarantine_dir = Path(quarantine_dir) if quarantine_dir else None
+        self.quarantined = 0
         self.drift_policy = drift_policy
         self.drift_events: list[dict] = []
 
@@ -183,6 +194,12 @@ class SCD2Loader:
             )
 
             changes, drift = read_change_batch_with_drift(self.spark, batch_path)
+        elif self.quarantine_dir is not None:
+            from cdc_historical_warehouse_platform_spark.sources.change_batches import (
+                read_change_batch_with_quarantine,
+            )
+
+            changes, bad = read_change_batch_with_quarantine(self.spark, batch_path)
         else:
             changes = read_change_batch(self.spark, batch_path)
         if changes.isEmpty():
@@ -199,6 +216,19 @@ class SCD2Loader:
         batch_id = generate_batch_id(changes)
         if self.ledger.is_processed(batch_path.name, batch_id):
             return False
+        # quarantine sink: append AFTER the replay check so re-loads do
+        # not duplicate rows; a crash between this write and the ledger
+        # mark can re-append (at-least-once — a diagnostics sink, keyed
+        # by batch name for reconciliation)
+        if self.quarantine_dir is not None:
+            from pyspark.sql import functions as F
+
+            n_bad = bad.count()
+            if n_bad:
+                bad.withColumn("batch_file", F.lit(batch_path.name)).write.mode(
+                    "append"
+                ).parquet(str(self.quarantine_dir))
+            self.quarantined += n_bad
         # record drift only for batches actually applied — a direct
         # replay of a processed batch must not re-report its drift
         if drift is not None and any(drift.values()):
@@ -227,6 +257,7 @@ class SCD2Loader:
         run_id = None
         t0 = time.time()
         self.drift_events = []
+        self.quarantined = 0
         if self.metadata is not None:
             run_id = self.metadata.start_run()
         processed = skipped = failed = 0
@@ -283,6 +314,8 @@ class SCD2Loader:
         }
         if self.drift_policy == "report":
             result["drift"] = self.drift_events
+        if self.quarantine_dir is not None:
+            result["quarantined"] = self.quarantined
         return result
 
     def summary_statistics(self) -> dict:

@@ -33,6 +33,7 @@ __all__ = [
     "write_change_batch",
     "read_change_batch",
     "read_change_batch_with_drift",
+    "read_change_batch_with_quarantine",
     "discover_batches",
     "cast_json_changes",
 ]
@@ -258,3 +259,87 @@ def discover_batches(cdc_dir: str | Path) -> list[Path]:
     files = [p for p in cdc_dir.glob("changes_*.json")]
     dirs = [p for p in cdc_dir.glob("changes_*") if p.is_dir()]
     return sorted(files + dirs, key=lambda p: p.name)
+
+
+# --- bad-record quarantine (r6) --------------------------------------------
+
+# Wire-level all-strings twin of CHANGE_JSON_SCHEMA: nothing is lost at
+# read time, so uncastable values can be ROUTED instead of silently
+# nulled (explicit-schema JSON reads null out bad tokens — right for
+# the hot path, silent-corruption-shaped when a producer breaks).
+CHANGE_WIRE_SCHEMA = T.StructType(
+    [T.StructField(f.name, T.StringType(), True) for f in CHANGE_SCHEMA.fields]
+)
+
+_QUARANTINE_OPS = ("INSERT", "UPDATE", "DELETE")
+# fields whose silent null-out would corrupt merge semantics: identity,
+# ordering, dispatch, and the tracked measures
+_QUARANTINE_CRITICAL = ("id", "quantity", "unit_price", "cdc_timestamp")
+
+
+def read_change_batch_with_quarantine(
+    spark: SparkSession, path: str | Path
+) -> "tuple[DataFrame, DataFrame]":
+    """Row-level bad-record routing: read the batch at the string wire
+    level, cast to the contract, and split into ``(good_typed,
+    quarantined)`` — the row-level upgrade of the reference's
+    run-level ``records_failed`` counter (pipeline_metadata.py).
+
+    A row quarantines when a critical field was PRESENT on the wire
+    but failed its cast (id/quantity/unit_price/cdc_timestamp), when
+    id is missing entirely, or when operation_type is missing or not
+    INSERT/UPDATE/DELETE. ``quarantined`` carries the ORIGINAL wire
+    strings plus a ``quarantine_reason`` column listing every failed
+    check — the operator sees exactly what the producer sent.
+
+    Scale shape: one read, one Project with the cast expressions and
+    the reason array — the split is two filters over the same typed
+    frame (no shuffle, no second file pass)."""
+    path = Path(path)
+    if path.is_dir():  # jsonl format
+        raw = spark.read.schema(CHANGE_WIRE_SCHEMA).json(str(path))
+    else:
+        env_schema = T.StructType(
+            [T.StructField("changes", T.ArrayType(CHANGE_WIRE_SCHEMA))]
+        )
+        env = (
+            spark.read.option("multiLine", "true")
+            .option("mode", "FAILFAST")
+            .schema(env_schema)
+            .json(str(path))
+        )
+        raw = env.select(F.explode("changes").alias("c")).select("c.*")
+
+    # try_cast, not cast: the session runs ANSI mode, where a plain
+    # cast THROWS on malformed input — the quarantine tier exists
+    # precisely to route those rows, so casts must yield NULL here
+    typed_cols = {
+        f.name: F.col(f.name).try_cast(CHANGE_SCHEMA[f.name].dataType)
+        for f in CHANGE_SCHEMA.fields
+    }
+    checks = [
+        F.when(F.col("id").isNull(), F.lit("missing:id")),
+        F.when(
+            F.col("operation_type").isNull()
+            | ~F.col("operation_type").isin(*_QUARANTINE_OPS),
+            F.lit("bad:operation_type"),
+        ),
+    ]
+    for name in _QUARANTINE_CRITICAL:
+        checks.append(
+            F.when(
+                F.col(name).isNotNull() & typed_cols[name].isNull(),
+                F.lit(f"uncastable:{name}"),
+            )
+        )
+    reason = F.array_join(
+        F.filter(F.array(*checks), lambda x: x.isNotNull()), ","
+    )
+    tagged = raw.withColumn("quarantine_reason", reason).localCheckpoint(
+        eager=False
+    )
+    good = tagged.filter(F.col("quarantine_reason") == "").select(
+        *[typed_cols[f.name].alias(f.name) for f in CHANGE_SCHEMA.fields]
+    )
+    quarantined = tagged.filter(F.col("quarantine_reason") != "")
+    return good, quarantined

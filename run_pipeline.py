@@ -16,6 +16,7 @@ Usage:
   python run_pipeline.py extract   [--workdir DIR] [--cycles N] [--backfill]
                                    [--source-url JDBC_URL [--source-table T]]
   python run_pipeline.py load      [--workdir DIR] [--summary] [--drift-report]
+                                   [--quarantine-dir DIR]
   python run_pipeline.py summary   [--workdir DIR]   # IVM check; exit 1 on drift
   python run_pipeline.py status    [--workdir DIR]
   python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
@@ -88,6 +89,14 @@ def main() -> int:
         action="store_true",
         help="load: also maintain the revenue-per-customer rollup "
         "incrementally from batch deltas (verify with the `summary` command)",
+    )
+    ap.add_argument(
+        "--quarantine-dir",
+        default=None,
+        help="load: route rows with uncastable/invalid critical fields "
+        "into this parquet quarantine sink (original wire strings + "
+        "reason) instead of silently nulling them; incompatible with "
+        "--drift-report",
     )
     ap.add_argument(
         "--drift-report",
@@ -200,6 +209,11 @@ def main() -> int:
             )
         if args.drift_report:
             loader.drift_policy = "report"
+        if args.quarantine_dir:
+            if args.drift_report:
+                print(json.dumps({"error": "--quarantine-dir is incompatible with --drift-report"}))
+                return 1
+            loader.quarantine_dir = Path(args.quarantine_dir)
         print(json.dumps(loader.load_pending()))
     elif args.command == "summary":
         # IVM validation surface: the maintained rollup must hash-equal a

@@ -374,3 +374,60 @@ def test_rewritten_empty_batch_is_picked_up(spark, tmp_path):
     r3 = loader.load_pending()
     assert r3["processed"] == 1
     assert dim.read_current(spark).count() == 1
+
+
+def test_quarantine_routes_bad_rows(spark, tmp_path):
+    """r6: row-level bad-record routing — uncastable or invalid rows
+    land in the quarantine sink with their ORIGINAL wire strings and a
+    reason list; good rows still load; replays do not duplicate the
+    quarantine; counts surface in the run result."""
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    cdc_dir = tmp_path / "cdc_logs"
+    cdc_dir.mkdir()
+    good = {
+        "id": 1,
+        "customer_id": 1,
+        "product_id": 2,
+        "quantity": 1,
+        "unit_price": "10.00",
+        "total_amount": "10.00",
+        "order_status": "pending",
+        "order_date": "2024-01-02T03:04:05",
+        "operation_type": "INSERT",
+        "cdc_timestamp": "2024-01-02T03:04:05.123456",
+        "extracted_at": "2024-01-02T03:05:00",
+    }
+    bad_qty = dict(good, id=2, quantity="plenty")        # uncastable:quantity
+    bad_op = dict(good, id=3, operation_type="UPSERT")   # bad:operation_type
+    bad_ts = dict(good, id=4, cdc_timestamp="not-a-ts")  # uncastable:cdc_timestamp
+    no_id = {k: v for k, v in good.items() if k != "id"}  # missing:id
+    p = cdc_dir / "changes_20240102_030500_000.json"
+    p.write_text(
+        json.dumps(
+            {"batch_metadata": {}, "changes": [good, bad_qty, bad_op, bad_ts, no_id]},
+            indent=2,
+        )
+    )
+    qdir = tmp_path / "quarantine"
+    dim = SCD2DimStore(tmp_path / "dim")
+    loader = SCD2Loader(spark, dim, cdc_dir, quarantine_dir=qdir)
+    r1 = loader.load_pending()
+    assert r1["processed"] == 1 and r1["quarantined"] == 4
+    assert dim.read_current(spark).count() == 1  # only the good row
+    q = spark.read.parquet(str(qdir))
+    rows = {r["id"]: r for r in q.collect()}
+    assert rows["2"]["quarantine_reason"] == "uncastable:quantity"
+    assert rows["2"]["quantity"] == "plenty"  # original wire value kept
+    assert rows["3"]["quarantine_reason"] == "bad:operation_type"
+    assert rows["4"]["quarantine_reason"] == "uncastable:cdc_timestamp"
+    assert rows[None]["quarantine_reason"].startswith("missing:id")
+    assert all(r["batch_file"] == p.name for r in rows.values())
+    # replay: no new quarantine rows, no reprocessing
+    r2 = loader.load_pending()
+    assert r2["processed"] == 0 and r2["quarantined"] == 0
+    assert spark.read.parquet(str(qdir)).count() == 4
+    # drift-report mode is incompatible by contract
+    with pytest.raises(ValueError):
+        SCD2Loader(spark, dim, cdc_dir, quarantine_dir=qdir, drift_policy="report")
