@@ -30,9 +30,12 @@ __all__ = [
 
 
 def _empty_mark(batch_path: Path) -> str:
-    """Ledger id for an empty batch, keyed to the file's byte size so a
-    rewritten file under the same name invalidates the mark."""
-    return f"empty:{batch_path.stat().st_size}"
+    """Ledger id for a no-loadable-rows batch, keyed to the file's byte
+    size AND mtime so any rewrite under the same name (even one that
+    happens to keep the size) invalidates the mark. Legacy size-only
+    marks simply stop matching and the (empty) file is re-read once."""
+    st = batch_path.stat()
+    return f"empty:{st.st_size}:{st.st_mtime_ns}"
 
 
 def maintain_summary_store(spark, dim_store, summary_store, changes, txn_id: str) -> None:
@@ -183,6 +186,16 @@ class SCD2Loader:
         self.drift_policy = drift_policy
         self.drift_events: list[dict] = []
 
+    def _write_quarantine(self, bad, batch_path: Path) -> None:
+        from pyspark.sql import functions as F
+
+        n_bad = bad.count()
+        if n_bad:
+            bad.withColumn("batch_file", F.lit(batch_path.name)).write.mode(
+                "append"
+            ).parquet(str(self.quarantine_dir))
+        self.quarantined += n_bad
+
     def process_batch_file(self, batch_path: str | Path) -> bool:
         """One batch: id → ledger check → merge → commit → mark
         (scd2_loader.py:476-548). Returns False for a skipped replay."""
@@ -203,15 +216,20 @@ class SCD2Loader:
         else:
             changes = read_change_batch(self.spark, batch_path)
         if changes.isEmpty():
-            # no rows = no schema evidence; never a drift event. Mark
-            # the file so later runs skip it by name — otherwise every
-            # run re-reads it forever (in report mode paying a full
-            # schema-inference pass each time). The mark is keyed to the
-            # file's byte size, so a producer that (contract-violating)
-            # rewrites a once-empty file under the same name has its new
-            # rows picked up on the next run instead of being silently
-            # skipped forever.
-            self.ledger.mark(batch_path.name, _empty_mark(batch_path))
+            # no LOADABLE rows = no schema evidence; never a drift
+            # event. Mark the file so later runs skip it by name —
+            # otherwise every run re-reads it forever (in report mode
+            # paying a full schema-inference pass each time). The mark
+            # is keyed to size+mtime so a rewritten file is picked up.
+            # In quarantine mode a fully-corrupt batch lands here too —
+            # its bad rows MUST still reach the sink (the very case the
+            # feature exists to surface), once per distinct file state.
+            mark = _empty_mark(batch_path)
+            if self.ledger.is_processed(batch_path.name, mark):
+                return False
+            if self.quarantine_dir is not None:
+                self._write_quarantine(bad, batch_path)
+            self.ledger.mark(batch_path.name, mark)
             return True
         batch_id = generate_batch_id(changes)
         if self.ledger.is_processed(batch_path.name, batch_id):
@@ -221,14 +239,7 @@ class SCD2Loader:
         # mark can re-append (at-least-once — a diagnostics sink, keyed
         # by batch name for reconciliation)
         if self.quarantine_dir is not None:
-            from pyspark.sql import functions as F
-
-            n_bad = bad.count()
-            if n_bad:
-                bad.withColumn("batch_file", F.lit(batch_path.name)).write.mode(
-                    "append"
-                ).parquet(str(self.quarantine_dir))
-            self.quarantined += n_bad
+            self._write_quarantine(bad, batch_path)
         # record drift only for batches actually applied — a direct
         # replay of a processed batch must not re-report its drift
         if drift is not None and any(drift.values()):
@@ -271,7 +282,7 @@ class SCD2Loader:
                 if ids is not None and (
                     # a real (or legacy-sentinel) mark: processed, skip by name
                     any(not i.startswith("empty:") for i in ids)
-                    # size-keyed empty mark still matches the bytes on disk
+                    # size+mtime-keyed empty mark still matches the file state
                     or _empty_mark(batch) in ids
                 ):
                     skipped += 1

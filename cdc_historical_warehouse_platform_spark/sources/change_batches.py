@@ -158,38 +158,32 @@ def cast_json_changes(df: DataFrame) -> DataFrame:
     return df.select(*casts)
 
 
-def read_change_batch(spark: SparkSession, path: str | Path) -> DataFrame:
-    """Read one batch (either format) as a typed changes DataFrame."""
-    path = Path(path)
+def _read_raw(spark: SparkSession, path: Path, element_schema: T.StructType) -> DataFrame:
+    """One raw batch read at ``element_schema``, either format.
+
+    Envelope notes (shared by every reader): the changes element schema
+    is EXPLICIT — inference on an empty "changes": [] batch
+    (legitimately produced by the writer) yields a non-struct element
+    type and the c.* star-expansion crashes; and the read is FAILFAST —
+    corrupt envelopes must FAIL the load run (tested contract), where
+    the default PERMISSIVE mode would null them out silently."""
     if path.is_dir():  # jsonl format
-        df = spark.read.schema(CHANGE_JSON_SCHEMA).json(str(path))
-        return cast_json_changes(df)
-    # reference envelope: multiLine JSON, explode changes[]. The
-    # changes element schema is EXPLICIT: inference on an empty
-    # "changes": [] batch (legitimately produced by the writer) yields
-    # a non-struct element type and the c.* star-expansion crashes.
+        return spark.read.schema(element_schema).json(str(path))
     env_schema = T.StructType(
-        [T.StructField("changes", T.ArrayType(CHANGE_JSON_SCHEMA))]
+        [T.StructField("changes", T.ArrayType(element_schema))]
     )
     env = (
         spark.read.option("multiLine", "true")
-        .option("mode", "FAILFAST")  # corrupt envelopes must FAIL the
-        # load run (tested contract) — with an explicit schema the
-        # default PERMISSIVE mode would null them out silently
+        .option("mode", "FAILFAST")
         .schema(env_schema)
         .json(str(path))
     )
-    changes = env.select(F.explode("changes").alias("c")).select("c.*")
-    present = set(changes.columns)
-    selected = changes.select(
-        *[
-            F.col(f.name).cast(CHANGE_SCHEMA[f.name].dataType).alias(f.name)
-            if f.name in present
-            else F.lit(None).cast(CHANGE_SCHEMA[f.name].dataType).alias(f.name)
-            for f in CHANGE_SCHEMA.fields
-        ]
-    )
-    return selected
+    return env.select(F.explode("changes").alias("c")).select("c.*")
+
+
+def read_change_batch(spark: SparkSession, path: str | Path) -> DataFrame:
+    """Read one batch (either format) as a typed changes DataFrame."""
+    return cast_json_changes(_read_raw(spark, Path(path), CHANGE_JSON_SCHEMA))
 
 
 def read_change_batch_with_drift(
@@ -295,20 +289,7 @@ def read_change_batch_with_quarantine(
     Scale shape: one read, one Project with the cast expressions and
     the reason array — the split is two filters over the same typed
     frame (no shuffle, no second file pass)."""
-    path = Path(path)
-    if path.is_dir():  # jsonl format
-        raw = spark.read.schema(CHANGE_WIRE_SCHEMA).json(str(path))
-    else:
-        env_schema = T.StructType(
-            [T.StructField("changes", T.ArrayType(CHANGE_WIRE_SCHEMA))]
-        )
-        env = (
-            spark.read.option("multiLine", "true")
-            .option("mode", "FAILFAST")
-            .schema(env_schema)
-            .json(str(path))
-        )
-        raw = env.select(F.explode("changes").alias("c")).select("c.*")
+    raw = _read_raw(spark, Path(path), CHANGE_WIRE_SCHEMA)
 
     # try_cast, not cast: the session runs ANSI mode, where a plain
     # cast THROWS on malformed input — the quarantine tier exists

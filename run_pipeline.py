@@ -207,13 +207,21 @@ def main() -> int:
             loader.summary = VersionedTable(
                 Path(args.workdir) / "summary_customer_revenue"
             )
-        if args.drift_report:
-            loader.drift_policy = "report"
-        if args.quarantine_dir:
-            if args.drift_report:
-                print(json.dumps({"error": "--quarantine-dir is incompatible with --drift-report"}))
-                return 1
-            loader.quarantine_dir = Path(args.quarantine_dir)
+        if args.drift_report or args.quarantine_dir:
+            # rebuild the loader through the constructor so its option
+            # validation (e.g. quarantine x drift-report incompatibility)
+            # is the single authority for CLI invocations too
+            from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+
+            loader = SCD2Loader(
+                spark,
+                dim,
+                Path(args.workdir) / "cdc_logs",
+                metadata=loader.metadata,
+                summary_store=loader.summary,
+                drift_policy="report" if args.drift_report else "silent",
+                quarantine_dir=args.quarantine_dir,
+            )
         print(json.dumps(loader.load_pending()))
     elif args.command == "summary":
         # IVM validation surface: the maintained rollup must hash-equal a

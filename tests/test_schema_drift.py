@@ -431,3 +431,49 @@ def test_quarantine_routes_bad_rows(spark, tmp_path):
     # drift-report mode is incompatible by contract
     with pytest.raises(ValueError):
         SCD2Loader(spark, dim, cdc_dir, quarantine_dir=qdir, drift_policy="report")
+
+
+def test_fully_quarantined_batch_still_reaches_sink(spark, tmp_path):
+    """r6 review fix: a batch whose EVERY row quarantines has no
+    loadable rows, but its bad rows must still land in the sink exactly
+    once, and a rewrite of the file (new mtime) must be re-examined."""
+    import time as _time
+
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    cdc_dir = tmp_path / "cdc_logs"
+    cdc_dir.mkdir()
+    row = {
+        "id": 1,
+        "customer_id": 1,
+        "product_id": 2,
+        "quantity": "junk",  # uncastable → whole batch quarantines
+        "unit_price": "10.00",
+        "total_amount": "10.00",
+        "order_status": "pending",
+        "order_date": "2024-01-02T03:04:05",
+        "operation_type": "INSERT",
+        "cdc_timestamp": "2024-01-02T03:04:05.123456",
+        "extracted_at": "2024-01-02T03:05:00",
+    }
+    p = cdc_dir / "changes_20240102_030500_000.json"
+    p.write_text(json.dumps({"batch_metadata": {}, "changes": [row]}, indent=2))
+    qdir = tmp_path / "quarantine"
+    dim = SCD2DimStore(tmp_path / "dim")
+    loader = SCD2Loader(spark, dim, cdc_dir, quarantine_dir=qdir)
+    r1 = loader.load_pending()
+    assert r1["processed"] == 1 and r1["quarantined"] == 1
+    assert spark.read.parquet(str(qdir)).count() == 1
+    # replay: no duplicate quarantine rows
+    r2 = loader.load_pending()
+    assert r2["quarantined"] == 0 and r2["skipped"] == 1
+    assert spark.read.parquet(str(qdir)).count() == 1
+    # rewrite with a FIXED row (new mtime invalidates the empty mark)
+    _time.sleep(0.01)
+    p.write_text(
+        json.dumps({"batch_metadata": {}, "changes": [dict(row, quantity=2)]}, indent=2)
+    )
+    r3 = loader.load_pending()
+    assert r3["processed"] == 1 and r3["quarantined"] == 0
+    assert dim.read_current(spark).count() == 1
