@@ -62,6 +62,7 @@ _PRIORITY = [
     # and distribution-shaped IVM (maintained per-group histograms) ---
     "text_heavy_hitters",
     "scd2_incremental_histogram",
+    "scd2_histogram_quantiles",
     # --- new r06: classic warehouse report shapes over the events
     # stream (cohort retention matrix; ordered funnel) ---
     "events_cohort_retention",
@@ -99,7 +100,6 @@ _PRIORITY = [
     "agg_cube",
     "window_lag_lead",
     # --- r05-first-or-second-verified rows kept one more round ---
-    "scd2_incremental_revenue",
     "ann_ivf_topk",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
@@ -134,6 +134,7 @@ _DEMOTED = [
     "multimodal_image_features",  # green r04+r05; multimodal plumbing also pinned by pytest Arrow-batch tests (slot ceded to events_cohort_retention)
     "semdedup_keep",             # green r04+r05; semantic-dedup recall pytest-pinned, embedding_near_dup stays in-window (slot ceded to events_funnel_steps)
     "join_interval_events",      # green r04+r05 AND benched per-round; range-join family also stress-pinned (slot ceded to scd2_version_diff)
+    "scd2_incremental_revenue",  # green r04+r05 AND benched per-round; IVM family now anchored in-window by the two histogram rows (slot ceded to scd2_histogram_quantiles)
     # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
     # slots ceded to the four never-checked r05 rows and the ten
     # promoted three-round-stale rows. Benched rows keep per-round

@@ -633,3 +633,87 @@ REFERENCE_QUERIES["scd2_version_diff"] = (
     ORDER BY order_key, valid_from, change_type
     """,
 )
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-time percentile estimates off the MAINTAINED histogram
+    state (r6): p50 and p95 per customer, interpolated from the
+    per-(customer, bucket) counts kept by the incremental path — zero
+    scans of the dimension at read time. Same two-batch fixture as
+    scd2_incremental_histogram; the oracle recomputes bucket counts
+    from scratch and applies the identical interpolation formula, so
+    the row is hash-exact: the estimate is deterministic arithmetic
+    over integer counts (nearest-rank target, linear within-bucket
+    interpolation — double ops identical cross-engine)."""
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        empty_histogram,
+        histogram_quantile,
+        maintain_group_histogram,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.scd2 import (
+        empty_dim,
+        scd2_build_from_change_log,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders_as_changes(orders).localCheckpoint(eager=False)
+    b1 = changes.filter(F.col("operation_type") == "INSERT")
+    b2 = changes.filter(F.col("operation_type") == "UPDATE")
+    dim0 = empty_dim(spark)
+    h1 = maintain_group_histogram(
+        empty_histogram(spark), dim0.filter(F.col("is_current")), b1
+    )
+    dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
+    h2 = maintain_group_histogram(h1, dim1.filter(F.col("is_current")), b2).localCheckpoint(
+        eager=False
+    )
+    q50 = histogram_quantile(h2, 0.5)
+    q95 = histogram_quantile(h2, 0.95).select(
+        "customer_id", F.col("q95_estimate")
+    )
+    return q50.join(q95, "customer_id").select(
+        "customer_id", "n_rows", "q50_estimate", "q95_estimate"
+    ).orderBy("customer_id")
+
+
+_HQ_BUCKET = _hb_sql("unit_price * quantity", 0.0, 6_000_000.0, 24)
+
+REFERENCE_QUERIES["scd2_histogram_quantiles"] = (
+    q_histogram_quantiles,
+    f"""
+    WITH changes AS ({ORDERS_AS_CHANGES_SQL}),
+    seq AS (
+      SELECT *, lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM changes),
+    hist AS (
+      SELECT customer_id, {_HQ_BUCKET} AS bucket, COUNT(*) AS n_orders
+      FROM seq WHERE valid_to IS NULL
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT customer_id, bucket, n_orders,
+             SUM(n_orders) OVER (PARTITION BY customer_id ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n_orders) OVER (PARTITION BY customer_id) AS total
+      FROM hist),
+    est AS (
+      SELECT customer_id, bucket, n_orders, cum, total, p.p,
+             CAST(ceil(p.p * total) AS BIGINT) AS target
+      FROM cum CROSS JOIN (SELECT 0.5 AS p UNION ALL SELECT 0.95) p),
+    hit AS (
+      SELECT *, row_number() OVER (PARTITION BY customer_id, p ORDER BY bucket) AS rn
+      FROM est WHERE cum >= target),
+    vals AS (
+      SELECT customer_id, p, total,
+             0.0 + (CAST(bucket AS DOUBLE) +
+                    CAST(target - (cum - n_orders) AS DOUBLE) / CAST(n_orders AS DOUBLE))
+                   * 250000.0 AS est
+      FROM hit WHERE rn = 1)
+    SELECT customer_id,
+           CAST(MAX(total) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN p = 0.5 THEN est END) AS q50_estimate,
+           MAX(CASE WHEN p = 0.95 THEN est END) AS q95_estimate
+    FROM vals
+    GROUP BY customer_id
+    ORDER BY customer_id
+    """,
+)
