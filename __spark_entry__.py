@@ -67,6 +67,7 @@ _PRIORITY = [
     # stream (cohort retention matrix; ordered funnel) ---
     "events_cohort_retention",
     "events_funnel_steps",
+    "events_transition_matrix",
     # --- new r06: Delta-CDF-style diff between two dim versions ---
     "scd2_version_diff",
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
@@ -100,7 +101,6 @@ _PRIORITY = [
     "agg_cube",
     "window_lag_lead",
     # --- r05-first-or-second-verified rows kept one more round ---
-    "ann_ivf_topk",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
     "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate
@@ -135,6 +135,7 @@ _DEMOTED = [
     "semdedup_keep",             # green r04+r05; semantic-dedup recall pytest-pinned, embedding_near_dup stays in-window (slot ceded to events_funnel_steps)
     "join_interval_events",      # green r04+r05 AND benched per-round; range-join family also stress-pinned (slot ceded to scd2_version_diff)
     "scd2_incremental_revenue",  # green r04+r05 AND benched per-round; IVM family now anchored in-window by the two histogram rows (slot ceded to scd2_histogram_quantiles)
+    "ann_ivf_topk",              # green r04+r05; ANN probes also pinned by test_ann_index equality suite (slot ceded to events_transition_matrix)
     # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
     # slots ceded to the four never-checked r05 rows and the ten
     # promoted three-round-stale rows. Benched rows keep per-round

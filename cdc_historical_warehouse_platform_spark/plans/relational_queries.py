@@ -2214,3 +2214,62 @@ RELATIONAL_QUERIES["events_funnel_steps"] = (
     q_events_funnel_steps,
     SQL_FUNNEL_STEPS,
 )
+
+
+def q_events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type transition matrix (r6): per-user time-ordered event
+    stream → consecutive-pair (prev, next) counts with row-normalized
+    transition probabilities — the clickstream Markov diagnostic. One
+    lag window PARTITIONED by user (never a global sort), one grouped
+    count, and a per-prev total via a second small aggregate joined
+    back (25 rows at any scale — broadcast)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_from_prev")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("n_from_prev").cast("double")
+            ).alias("transition_prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+SQL_TRANSITION_MATRIX = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+totals AS (
+  SELECT prev_type, SUM(n_transitions) AS n_from_prev FROM counts GROUP BY 1)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE) / CAST(n_from_prev AS DOUBLE) AS transition_prob
+FROM counts JOIN totals USING (prev_type)
+ORDER BY prev_type, next_type
+"""
+
+RELATIONAL_QUERIES["events_transition_matrix"] = (
+    q_events_transition_matrix,
+    SQL_TRANSITION_MATRIX,
+)
