@@ -100,7 +100,6 @@ _PRIORITY = [
     "sort_pagination",
     "agg_cube",
     "window_lag_lead",
-    # --- r05-first-or-second-verified rows kept one more round ---
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
     "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate

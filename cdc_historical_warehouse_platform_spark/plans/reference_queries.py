@@ -452,21 +452,15 @@ REFERENCE_QUERIES["scd2_incremental_extrema"] = (
 )
 
 
-def q_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incrementally-maintained per-customer order-value histogram
-    (operators/incremental_agg.py histogram tier) — distribution-shaped
-    IVM: per-(customer, equi-width bucket) counts and sums maintained
-    purely from batch deltas on the composite struct key, the state
-    that serves read-time percentile estimates (histogram_quantile)
-    with zero scans. Same two-batch fixture as
-    scd2_incremental_revenue; the oracle recomputes bucket membership
-    from scratch over the final current slice with the identical
-    bucket arithmetic (decimal→double→floor is correctly-rounded IEEE
-    in both engines), so equality IS the maintenance invariant."""
+def _maintained_histogram(spark: SparkSession, sf_dir: str):
+    """Shared two-batch maintained-histogram fixture: the INSERT wave
+    then the UPDATE wave applied through maintain_group_histogram —
+    used by BOTH scd2_incremental_histogram (state equality) and
+    scd2_histogram_quantiles (read path), so the two queries can never
+    silently diverge on the fixture."""
     from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
         empty_histogram,
         maintain_group_histogram,
-        unpack_histogram,
     )
     from cdc_historical_warehouse_platform_spark.operators.scd2 import (
         empty_dim,
@@ -483,7 +477,26 @@ def q_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bulk-build for the empty-dim INSERT wave (see q_incremental_revenue)
     dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
-    h2 = maintain_group_histogram(h1, dim1.filter(F.col("is_current")), b2)
+    return maintain_group_histogram(h1, dim1.filter(F.col("is_current")), b2)
+
+
+
+def q_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-customer order-value histogram
+    (operators/incremental_agg.py histogram tier) — distribution-shaped
+    IVM: per-(customer, equi-width bucket) counts and sums maintained
+    purely from batch deltas on the composite struct key, the state
+    that serves read-time percentile estimates (histogram_quantile)
+    with zero scans. Same two-batch fixture as
+    scd2_incremental_revenue; the oracle recomputes bucket membership
+    from scratch over the final current slice with the identical
+    bucket arithmetic (decimal→double→floor is correctly-rounded IEEE
+    in both engines), so equality IS the maintenance invariant."""
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        unpack_histogram,
+    )
+
+    h2 = _maintained_histogram(spark, sf_dir)
     return (
         unpack_histogram(h2)
         .select(
@@ -639,34 +652,18 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-time percentile estimates off the MAINTAINED histogram
     state (r6): p50 and p95 per customer, interpolated from the
     per-(customer, bucket) counts kept by the incremental path — zero
-    scans of the dimension at read time. Same two-batch fixture as
-    scd2_incremental_histogram; the oracle recomputes bucket counts
-    from scratch and applies the identical interpolation formula, so
-    the row is hash-exact: the estimate is deterministic arithmetic
-    over integer counts (nearest-rank target, linear within-bucket
-    interpolation — double ops identical cross-engine)."""
+    scans of the dimension at read time. Shares the two-batch fixture
+    with scd2_incremental_histogram (_maintained_histogram); the
+    oracle recomputes bucket counts from scratch and applies the
+    identical interpolation formula, so the row is hash-exact: the
+    estimate is deterministic arithmetic over integer counts
+    (nearest-rank target, linear within-bucket interpolation — double
+    ops identical cross-engine)."""
     from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
-        empty_histogram,
         histogram_quantile,
-        maintain_group_histogram,
-    )
-    from cdc_historical_warehouse_platform_spark.operators.scd2 import (
-        empty_dim,
-        scd2_build_from_change_log,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    changes = orders_as_changes(orders).localCheckpoint(eager=False)
-    b1 = changes.filter(F.col("operation_type") == "INSERT")
-    b2 = changes.filter(F.col("operation_type") == "UPDATE")
-    dim0 = empty_dim(spark)
-    h1 = maintain_group_histogram(
-        empty_histogram(spark), dim0.filter(F.col("is_current")), b1
-    )
-    dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
-    h2 = maintain_group_histogram(h1, dim1.filter(F.col("is_current")), b2).localCheckpoint(
-        eager=False
-    )
+    h2 = _maintained_histogram(spark, sf_dir).localCheckpoint(eager=False)
     q50 = histogram_quantile(h2, 0.5)
     q95 = histogram_quantile(h2, 0.95).select(
         "customer_id", F.col("q95_estimate")

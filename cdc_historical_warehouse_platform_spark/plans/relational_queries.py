@@ -2188,15 +2188,20 @@ def q_events_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_FUNNEL_STEPS = """
-WITH v AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+WITH ev AS (
+  -- CAST(ts AS TIMESTAMP): micro-truncate so strict happens-after
+  -- comparisons match Spark's micro-truncated loads if the driver
+  -- ever ships nanosecond parquet timestamps
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
 c AS (
   SELECT e.user_id, MIN(e.ts) AS t2
-  FROM events e JOIN v USING (user_id)
+  FROM ev e JOIN v USING (user_id)
   WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
 p AS (
   SELECT e.user_id, MIN(e.ts) AS t3
-  FROM events e JOIN c USING (user_id)
+  FROM ev e JOIN c USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
 steps AS (
   SELECT 1 AS step, 'view' AS step_name, (SELECT COUNT(*) FROM v) AS users
@@ -2254,7 +2259,9 @@ def q_events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_TRANSITION_MATRIX = """
 WITH pairs AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+  -- CAST(ts AS TIMESTAMP): micro-truncate in case the driver ships
+  -- nanosecond parquet timestamps (load_table truncates Spark-side)
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type,
          event_type AS next_type
   FROM events),
 counts AS (

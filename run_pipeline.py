@@ -213,15 +213,20 @@ def main() -> int:
             # is the single authority for CLI invocations too
             from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
 
-            loader = SCD2Loader(
-                spark,
-                dim,
-                Path(args.workdir) / "cdc_logs",
-                metadata=loader.metadata,
-                summary_store=loader.summary,
-                drift_policy="report" if args.drift_report else "silent",
-                quarantine_dir=args.quarantine_dir,
-            )
+            try:
+                loader = SCD2Loader(
+                    spark,
+                    dim,
+                    Path(args.workdir) / "cdc_logs",
+                    metadata=loader.metadata,
+                    summary_store=loader.summary,
+                    drift_policy="report" if args.drift_report else "silent",
+                    quarantine_dir=args.quarantine_dir,
+                )
+            except ValueError as e:
+                # keep the CLI's JSON-on-stdout error contract
+                print(json.dumps({"error": str(e)}))
+                return 1
         print(json.dumps(loader.load_pending()))
     elif args.command == "summary":
         # IVM validation surface: the maintained rollup must hash-equal a
