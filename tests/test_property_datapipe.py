@@ -197,3 +197,72 @@ def test_cap_per_source_two_phase_equals_naive_for_any_distribution(
         .collect()
     }
     assert got == want
+
+
+# --- quarantine split (r6) -------------------------------------------------
+
+_q_id = st.one_of(st.none(), st.integers(1, 99).map(str), st.just("nope"))
+_q_qty = st.one_of(st.none(), st.integers(1, 9).map(str), st.just("junk"))
+_q_op = st.one_of(st.none(), st.sampled_from(["INSERT", "UPDATE", "DELETE", "UPSERT"]))
+_q_ts = st.one_of(
+    st.just("2024-01-02T03:04:05"), st.just("not-a-ts"), st.none()
+)
+_q_row = st.fixed_dictionaries(
+    {"id": _q_id, "quantity": _q_qty, "operation_type": _q_op, "cdc_timestamp": _q_ts}
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_q_row, min_size=1, max_size=8))
+def test_quarantine_split_partitions_every_batch(spark, rows, tmp_path_factory):
+    """Property: for ANY mix of valid/invalid wire rows, good ∪ bad is a
+    partition of the batch; every good row casts cleanly on its
+    critical fields; every bad row carries at least one reason that is
+    actually true of its wire values."""
+    import json as _json
+
+    from cdc_historical_warehouse_platform_spark.sources.change_batches import (
+        read_change_batch_with_quarantine,
+    )
+
+    base = {
+        "customer_id": 1,
+        "product_id": 2,
+        "unit_price": "10.00",
+        "total_amount": "10.00",
+        "order_status": "pending",
+        "order_date": "2024-01-02T03:04:05",
+        "extracted_at": "2024-01-02T03:05:00",
+    }
+    payload = [dict(base, **r) for r in rows]
+    d = tmp_path_factory.mktemp("q")
+    p = d / "changes_20240102_030500_000.json"
+    p.write_text(_json.dumps({"batch_metadata": {}, "changes": payload}, indent=2))
+    good, bad = read_change_batch_with_quarantine(spark, p)
+    n_good, n_bad = good.count(), bad.count()
+    assert n_good + n_bad == len(payload)
+
+    def valid(r):
+        ok_id = r["id"] is not None and r["id"].isdigit()
+        ok_qty = r["quantity"] is None or r["quantity"].isdigit()
+        ok_op = r["operation_type"] in ("INSERT", "UPDATE", "DELETE")
+        # a null cdc_timestamp is absent-on-wire (missing, not
+        # uncastable) and only the present-but-malformed case routes
+        ok_ts = r["cdc_timestamp"] != "not-a-ts"
+        return ok_id and ok_qty and ok_op and ok_ts
+
+    assert n_good == sum(1 for r in rows if valid(r))
+    for r in bad.collect():
+        assert r["quarantine_reason"] != ""
+        for reason in r["quarantine_reason"].split(","):
+            kind, _, field = reason.partition(":")
+            if kind == "missing":
+                assert r[field] is None
+            elif kind == "uncastable":
+                assert r[field] is not None
+            elif kind == "bad":
+                assert r["operation_type"] not in ("INSERT", "UPDATE", "DELETE")
