@@ -68,6 +68,9 @@ _PRIORITY = [
     "events_cohort_retention",
     "events_funnel_steps",
     "events_transition_matrix",
+    # --- new r06: temperature-weighted source mixing (integer-exact
+    # sqrt weights — the LLM data-mixing knob) ---
+    "corpus_temperature_mix",
     # --- new r06: Delta-CDF-style diff between two dim versions ---
     "scd2_version_diff",
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
@@ -106,7 +109,6 @@ _PRIORITY = [
     "array_functions_sweep",   # cited by vector_norms_by_label demotion
     "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
     "dedup_keep_list",
-    "dedup_exact_groups",
     "text_quality_scores",
     "scd2_flag_consistency_check",
     "scd2_timestamp_continuity",
@@ -134,6 +136,7 @@ _DEMOTED = [
     "semdedup_keep",             # green r04+r05; semantic-dedup recall pytest-pinned, embedding_near_dup stays in-window (slot ceded to events_funnel_steps)
     "join_interval_events",      # green r04+r05 AND benched per-round; range-join family also stress-pinned (slot ceded to scd2_version_diff)
     "scd2_incremental_revenue",  # green r04+r05 AND benched per-round; IVM family now anchored in-window by the two histogram rows (slot ceded to scd2_histogram_quantiles)
+    "dedup_exact_groups",        # green r02-r05; exact-fingerprint shape also in-window via dedup_keep_list's oracle (slot ceded to corpus_temperature_mix)
     "ann_ivf_topk",              # green r04+r05; ANN probes also pinned by test_ann_index equality suite (slot ceded to events_transition_matrix)
     # --- r05 rotation: driver-green r03+r04 (two consecutive rounds),
     # slots ceded to the four never-checked r05 rows and the ten

@@ -2019,3 +2019,74 @@ LIMIT 50
 """
 
 DATAPIPE_QUERIES["text_heavy_hitters"] = (q_text_heavy_hitters, SQL_HEAVY_HITTERS)
+
+
+def q_corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-weighted source mixing (r6) — the standard LLM
+    data-mixing knob: sampling shares ∝ T_s^(1/2) (temperature 2)
+    upweight small sources relative to their raw token share.
+
+    Exactness across engines follows the house integer-quantization
+    trick (cf. the micro-bit surprisal tier): the temperature weight is
+    floor(sqrt(T_s)) — sqrt is correctly-rounded IEEE in both engines
+    and floor makes it an INTEGER, so the share denominators are exact
+    integer sums (a float Σ sqrt(T_s) would be partition-order-
+    dependent and hash-unstable). Shares and upweights are then single
+    double divisions of exact integers. Corpus-wide totals ride a
+    1-row broadcast (no unpartitioned window)."""
+    docs = load_table(spark, sf, "documents")
+    per_source = (
+        docs.select("source", TX.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+        .withColumn(
+            "temp_weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("__tot"), F.sum("temp_weight").alias("__wtot")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("__tot").cast("double")).alias(
+                "raw_share"
+            ),
+            "temp_weight",
+            (
+                F.col("temp_weight").cast("double") / F.col("__wtot").cast("double")
+            ).alias("temp_share"),
+            (
+                (F.col("temp_weight").cast("double") / F.col("__wtot").cast("double"))
+                / (F.col("n_tokens").cast("double") / F.col("__tot").cast("double"))
+            ).alias("upweight"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(sqrt(n_tokens)) AS BIGINT) AS temp_weight
+  FROM per),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot, CAST(SUM(temp_weight) AS BIGINT) AS wtot FROM w)
+SELECT source, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS raw_share,
+       temp_weight,
+       CAST(temp_weight AS DOUBLE) / CAST(wtot AS DOUBLE) AS temp_share,
+       (CAST(temp_weight AS DOUBLE) / CAST(wtot AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS upweight
+FROM w CROSS JOIN tot
+ORDER BY source
+"""
+
+DATAPIPE_QUERIES["corpus_temperature_mix"] = (
+    q_corpus_temperature_mix,
+    SQL_TEMPERATURE_MIX,
+)
