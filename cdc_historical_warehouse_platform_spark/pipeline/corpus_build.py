@@ -31,7 +31,7 @@ from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
     write_marker,
 )
 
-__all__ = ["corpus_build", "corpus_append", "corpus_compact"]
+__all__ = ["corpus_build", "corpus_append", "corpus_compact", "corpus_top_tokens"]
 
 QUALITY_THRESHOLD = 0.68
 _CAPS_FILE = "_source_caps.json"
@@ -79,6 +79,7 @@ def corpus_build(
     num_shards: int = 8,
     max_records_per_file: int = 100_000,
     max_per_source: int | None = None,
+    track_top_tokens: int | None = None,
 ) -> dict:
     """Full build: keep decisions over ``input_dir``/documents.parquet,
     sharded kept corpus + persisted dedup state under ``output``.
@@ -87,7 +88,13 @@ def corpus_build(
     docs per source, md5-rank deterministic — operators/sampling.
     cap_per_source) AFTER quality + dedup; the per-source kept counts
     persist as ``_source_counts`` so corpus_append enforces the
-    REMAINING quota on every increment."""
+    REMAINING quota on every increment.
+
+    ``track_top_tokens``: Misra-Gries summary size m — maintain the
+    kept corpus's token heavy-hitter state (operators/heavy_hitters.py)
+    as ``_hh_state`` LSM rows; appends keep extending it (the m rides
+    the commit marker like the quota) and ``corpus_top_tokens`` reports
+    the exact top-k off the state + one candidate-verify pass."""
     from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
     from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
         q_corpus_keep_decisions,
@@ -125,6 +132,16 @@ def corpus_build(
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "overwrite"
         ).parquet(str(out / "_source_counts"))
+    if track_top_tokens is not None:
+        _hh_delta(kept, track_top_tokens).write.mode("overwrite").parquet(
+            str(out / "_hh_state")
+        )
+    else:
+        # tracking-less rebuild over an old tracked corpus: stale state
+        # must not survive into the new epoch's snapshot
+        import shutil as _shutil
+
+        _shutil.rmtree(out / "_hh_state", ignore_errors=True)
     if max_per_source is None:
         # quota-less rebuild over an old quota corpus: the previous
         # corpus's counts state describes DELETED documents — left on
@@ -142,7 +159,11 @@ def corpus_build(
     # rides the marker so its adoption is atomic with the epoch —
     # passed unconditionally: None EXPLICITLY CLEARS a stale quota
     # when rebuilding in place over an old quota corpus.
-    write_marker(out, epoch=0, extra={"max_per_source": max_per_source})
+    write_marker(
+        out,
+        epoch=0,
+        extra={"max_per_source": max_per_source, "track_top_tokens": track_top_tokens},
+    )
     return {
         "decisions": counts,
         "kept_rows": manifest["total_rows"],
@@ -277,6 +298,11 @@ def corpus_append(
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "append"
         ).parquet(str(out / "_source_counts"))
+    m_track = (read_marker(out) or {}).get("track_top_tokens")
+    if m_track:
+        # heavy-hitter state rides the same LSM + marker protocol: this
+        # epoch's kept-batch MG summaries append; readers merge by sum
+        _hh_delta(kept, m_track).write.mode("append").parquet(str(out / "_hh_state"))
     # every write of this epoch landed → atomically publish it (the
     # active quota is recorded in the same atomic rename, so adoption
     # and epoch commit are one event)
@@ -338,3 +364,62 @@ def corpus_compact(
                 p.unlink()
     return {**{k: v for k, v in result.items() if k != "old_files"},
             "repaired_files": len(repaired["removed"])}
+
+
+def _hh_delta(docs: DataFrame, m: int) -> DataFrame:
+    """Misra-Gries token summaries of a kept-doc frame — the per-epoch
+    LSM rows for ``_hh_state`` (mergeable, so read-time groupBy-sum
+    over all epochs IS the merged summary; operators/heavy_hitters.py)."""
+    from cdc_historical_warehouse_platform_spark.operators import text as TX
+    from cdc_historical_warehouse_platform_spark.operators.heavy_hitters import mg_summaries
+
+    toks = docs.select(
+        F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    return mg_summaries(toks, "token", m)
+
+
+def corpus_top_tokens(spark: SparkSession, output: str, k: int = 50) -> dict:
+    """Exact top-k corpus tokens off the maintained ``_hh_state``: merge
+    the per-epoch MG summaries (one groupBy over summary-sized rows),
+    then ONE candidate-verify pass over the kept corpus — the corpus is
+    scanned once at report time and only broadcast-semi-joined
+    candidate tokens reach the count shuffle, never the vocabulary.
+    Returns the top list, the state's error bound, and whether the
+    result provably equals the true top-k (k-th count > bound)."""
+    from cdc_historical_warehouse_platform_spark.operators import text as TX
+
+    out = Path(output)
+    m_track = (read_marker(out) or {}).get("track_top_tokens")
+    if not m_track:
+        raise FileNotFoundError(
+            f"{output} does not track top tokens; build with track_top_tokens=m"
+        )
+    state = spark.read.parquet(str(out / "_hh_state"))
+    merged = (
+        state.groupBy("h").agg(F.sum("cnt").alias("mg_cnt")).localCheckpoint(eager=False)
+    )
+    bound = merged.filter(F.col("h").isNull()).agg(
+        F.coalesce(F.sum("mg_cnt"), F.lit(0)).alias("b")
+    ).collect()[0]["b"]
+    candidates = merged.filter(F.col("h").isNotNull()).select("h")
+    kept = spark.read.parquet(str(out / "_kept_docs"))
+    toks = kept.select(
+        F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    top = (
+        toks.withColumn("h", F.xxhash64("token"))
+        .join(F.broadcast(candidates), "h", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+        .collect()
+    )
+    kth = min((r["cnt"] for r in top), default=0)
+    return {
+        "top": [{"token": r["token"], "cnt": r["cnt"]} for r in top],
+        "k": k,
+        "error_bound": int(bound),
+        "provably_exact": bound == 0 or (len(top) == k and kth > bound),
+    }

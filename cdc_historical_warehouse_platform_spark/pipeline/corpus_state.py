@@ -35,7 +35,7 @@ MARKER = "_corpus_commit"
 # _source_counts (r4, per-domain quotas) is append-only LSM-style rows
 # (source, n_kept per epoch), summed at read — append-only is what
 # keeps it repairable under this marker protocol
-STATE_DIRS = ("_kept_docs", "_lsh_index", "_fp_index", "_source_counts")
+STATE_DIRS = ("_kept_docs", "_lsh_index", "_fp_index", "_source_counts", "_hh_state")
 
 
 def _data_files(root: Path) -> list[str]:

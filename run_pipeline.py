@@ -80,7 +80,7 @@ def main() -> int:
         choices=[
             "seed", "simulate", "extract", "load", "status", "validate",
             "summary",
-            "corpus", "corpus-append", "corpus-compact",
+            "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
             "ann-build", "ann-append", "ann-query",
         ],
     )
@@ -159,6 +159,14 @@ def main() -> int:
         "(existing docs count against it, never evicted)",
     )
     ap.add_argument(
+        "--track-top-tokens",
+        type=int,
+        default=None,
+        help="corpus: maintain the kept corpus's token heavy-hitter "
+        "state (Misra-Gries summary size m); corpus-append extends it "
+        "automatically; report with the corpus-tokens command",
+    )
+    ap.add_argument(
         "--max-files-per-shard", type=int, default=32,
         help="corpus-compact: rewrite shards exceeding this file count",
     )
@@ -170,7 +178,7 @@ def main() -> int:
         "norms, no full-precision copy); appends/probes follow the stored mode",
     )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
-    ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query")
+    ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query; corpus-tokens: top-k")
     ap.add_argument(
         "--n-queries", type=int, default=10,
         help="ann-query: probe with the first N vectors of --input",
@@ -313,6 +321,7 @@ def main() -> int:
                     num_shards=args.num_shards,
                     max_records_per_file=args.max_records_per_file,
                     max_per_source=args.max_per_source,
+                    track_top_tokens=args.track_top_tokens,
                 )
             )
         )
@@ -340,6 +349,19 @@ def main() -> int:
                 )
             )
         )
+    elif args.command == "corpus-tokens":
+        # exact top-k corpus tokens off the maintained heavy-hitter
+        # state (one candidate-verify pass; pipeline/corpus_build.py)
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_top_tokens
+
+        if not args.output:
+            print(json.dumps({"error": "corpus-tokens requires --output"}))
+            return 1
+        try:
+            print(json.dumps(corpus_top_tokens(spark, args.output, k=args.k)))
+        except FileNotFoundError as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
     elif args.command == "corpus-compact":
         # OPTIMIZE-style shard maintenance: bound file counts after
         # many incremental appends (crash-atomic via the marker)

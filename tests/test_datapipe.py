@@ -1535,3 +1535,59 @@ def test_rebuild_clears_legacy_caps_file_and_stale_counts(spark, tmp_path):
     assert (
         counts.agg(F.sum("n_kept")).collect()[0][0] == stored.count()
     )
+
+
+def test_corpus_top_tokens_tracking(spark, tmp_path):
+    """r6: heavy-hitter state through the corpus pipeline — the build
+    writes _hh_state, appends extend it (LSM rows under the commit
+    marker), and corpus_top_tokens reports the EXACT top-k of the kept
+    corpus with a provable guarantee; torn state files roll back; an
+    untracked corpus refuses the report."""
+    from pathlib import Path
+
+    from cdc_historical_warehouse_platform_spark.operators import text as TX
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+        corpus_top_tokens,
+    )
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import repair
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, "/root/testdata/sf0.001", out, track_top_tokens=1024)
+    # genuinely-new docs: reversed token order, new id space
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    fresh = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "text", F.array_join(F.reverse(toks), " ")
+    ).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    r = corpus_append(spark, fresh, out)
+    assert r["appended"] > 0
+    rep = corpus_top_tokens(spark, out, k=10)
+    assert rep["provably_exact"]
+    # independent exact recompute over the final kept corpus
+    kept = spark.read.parquet(str(Path(out) / "_kept_docs"))
+    want = (
+        kept.select(
+            F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("t")
+        )
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [(e["token"], e["cnt"]) for e in rep["top"]] == [
+        (w["t"], w["cnt"]) for w in want
+    ]
+    # torn epoch: an unlisted _hh_state file is rolled back
+    orphan = Path(out) / "_hh_state" / "part-orphan.parquet"
+    orphan.write_bytes(b"torn")
+    removed = repair(Path(out))["removed"]
+    assert any("_hh_state" in f for f in removed) and not orphan.exists()
+    # untracked corpus refuses
+    out2 = str(tmp_path / "c2")
+    corpus_build(spark, "/root/testdata/sf0.001", out2)
+    with pytest.raises(FileNotFoundError):
+        corpus_top_tokens(spark, out2, k=5)
