@@ -240,6 +240,11 @@ def corpus_append(
         stored_docs=stored_docs,
         stored_fps=stored_fps,
     )
+    # kept is consumed by 4-5 downstream jobs, but an eager caller-side
+    # materialization measures as a wash (±0.2 s per sf0.1 cycle): the
+    # drop-set checkpoints inside incremental_minhash_dedup already make
+    # each re-derivation a cheap anti-join over the pinned batch, so the
+    # checkpoint's own write cancels what it saves. Deliberately lazy.
     # per-domain quota stage (present iff the build used max_per_source):
     # cap the new batch against each source's REMAINING quota, and keep
     # the LSH-bucket state consistent with what actually ships — buckets
