@@ -21,6 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+# Spark's Python workers see PYTHONPATH, not the driver's sys.path — keep
+# Pandas-UDF queries importable when the driver runs from a neutral cwd.
+# Best-effort: only helps sessions created after this import.
+import os  # noqa: E402
+
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO, os.environ.get("PYTHONPATH")) if p
+    )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "mg_summaries",
+    "exact_topk_from_state",
     "top_k_frequent",
     "empty_hh_state",
     "merge_hh_state",
@@ -130,25 +131,22 @@ def mg_summaries(items: DataFrame, col: str, m: int = 4096) -> DataFrame:
     return hashed.mapInPandas(summarize, schema="h long, cnt long")
 
 
-def top_k_frequent(
-    items: DataFrame, col: str, k: int, m: int = 4096
+def exact_topk_from_state(
+    items: DataFrame, summaries: DataFrame, col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Exact top-k frequent items via MG candidates + exact verify.
-
-    Returns ``(topk_df, guarantee_df)``: ``topk_df`` has schema
-    ``(item, cnt)`` — EXACT counts, deterministic (cnt DESC, item ASC)
-    order; ``guarantee_df`` is a 1-row frame with the summed error
-    bound ``error_bound`` and ``provably_exact`` — true iff the k-th
-    exact count strictly exceeds the bound, i.e. no excluded item can
-    outrank the returned set (an excluded HASH upper-bounds every item
-    colliding into it, so the check is collision-safe). The caller
-    decides whether to retry with a larger m when the guarantee fails
-    (the testdata corpora hold it with wide margin at m=4096; tests
-    pin the bound's soundness at adversarially tiny m).
-    """
+    """Steps 2-3 over ANY ``(h, cnt)`` summary rows — fresh per-partition
+    summaries (top_k_frequent) or persisted LSM state rows (the corpus
+    pipeline's ``_hh_state``): merge by sum, exact-verify broadcast
+    candidates against the item stream, return ``(topk_df,
+    guarantee_df)``. ``topk_df`` has schema ``(item, cnt)`` — EXACT
+    counts, deterministic (cnt DESC, item ASC) order; ``guarantee_df``
+    is a 1-row frame with the summed error bound ``error_bound`` and
+    ``provably_exact`` — true iff the k-th exact count strictly
+    exceeds the bound, i.e. no excluded item can outrank the returned
+    set (an excluded HASH upper-bounds every item colliding into it,
+    so the check is collision-safe)."""
     merged = (
-        mg_summaries(items, col, m)
-        .groupBy("h")
+        summaries.groupBy("h")
         .agg(F.sum("cnt").alias("mg_cnt"))
         # consumed by both the error row and the candidate join
         .localCheckpoint(eager=False)
@@ -178,6 +176,18 @@ def top_k_frequent(
         ).alias("provably_exact"),
     )
     return exact, guarantee
+
+
+def top_k_frequent(
+    items: DataFrame, col: str, k: int, m: int = 4096
+) -> tuple[DataFrame, DataFrame]:
+    """Exact top-k frequent items via MG candidates + exact verify
+    (steps 0-3 of the module docstring): fresh per-partition summaries
+    folded through :func:`exact_topk_from_state`. The caller decides
+    whether to retry with a larger m when the guarantee fails (the
+    testdata corpora hold it with wide margin at m=4096; tests pin the
+    bound's soundness at adversarially tiny m)."""
+    return exact_topk_from_state(items, mg_summaries(items, col, m), col, k)
 
 
 # --- Incremental state tier (batch-maintained MG summaries) ---------------

@@ -100,6 +100,8 @@ def corpus_build(
         q_corpus_keep_decisions,
     )
 
+    if track_top_tokens is not None and track_top_tokens < 1:
+        raise ValueError(f"track_top_tokens must be >= 1, got {track_top_tokens}")
     docs = spark.read.parquet(str(Path(input_dir) / "documents.parquet"))
     decisions = q_corpus_keep_decisions(spark, input_dir)
     counts = {
@@ -201,6 +203,10 @@ def corpus_append(
     # roll back any torn epoch BEFORE reading state: data files not
     # listed in the commit marker are crashed-append leftovers
     repaired = repair(out)
+    # ONE marker read for the whole epoch: quota fallback, tracking
+    # setting, and the epoch counter must observe the SAME committed
+    # marker (repair just reconciled disk against it)
+    marker = read_marker(out) or {"epoch": 0}
     stored_buckets = spark.read.parquet(str(out / "_lsh_index"))
     stored_docs = spark.read.parquet(str(out / "_kept_docs"))
     # gate on data files, not the directory: repair() after a torn
@@ -257,9 +263,8 @@ def corpus_append(
     # so a crash mid-epoch can never adopt the new quota while the
     # epoch's data rolls back — there is no separate caps write at all
     if max_per_source is None:
-        m = read_marker(out) or {}
-        if "max_per_source" in m:
-            max_per_source = m["max_per_source"]
+        if "max_per_source" in marker:
+            max_per_source = marker["max_per_source"]
         elif (out / _CAPS_FILE).exists():
             # pre-r5 corpora recorded the quota in a side file
             max_per_source = _json.loads((out / _CAPS_FILE).read_text())[
@@ -303,7 +308,7 @@ def corpus_append(
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "append"
         ).parquet(str(out / "_source_counts"))
-    m_track = (read_marker(out) or {}).get("track_top_tokens")
+    m_track = marker.get("track_top_tokens")
     if m_track:
         # heavy-hitter state rides the same LSM + marker protocol: this
         # epoch's kept-batch MG summaries append; readers merge by sum
@@ -313,7 +318,7 @@ def corpus_append(
     # and epoch commit are one event)
     write_marker(
         out,
-        epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1,
+        epoch=marker["epoch"] + 1,
         extra=(
             {"max_per_source": max_per_source}
             if max_per_source is not None
@@ -371,60 +376,52 @@ def corpus_compact(
             "repaired_files": len(repaired["removed"])}
 
 
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """The corpus token stream (normalize → split), shared by the
+    summary builder and the report's exact-verify pass so the two can
+    never tokenize differently."""
+    from cdc_historical_warehouse_platform_spark.operators import text as TX
+
+    return docs.select(
+        F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("token")
+    ).filter(F.col("token").isNotNull())
+
+
 def _hh_delta(docs: DataFrame, m: int) -> DataFrame:
     """Misra-Gries token summaries of a kept-doc frame — the per-epoch
     LSM rows for ``_hh_state`` (mergeable, so read-time groupBy-sum
     over all epochs IS the merged summary; operators/heavy_hitters.py)."""
-    from cdc_historical_warehouse_platform_spark.operators import text as TX
     from cdc_historical_warehouse_platform_spark.operators.heavy_hitters import mg_summaries
 
-    toks = docs.select(
-        F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("token")
-    ).filter(F.col("token").isNotNull())
-    return mg_summaries(toks, "token", m)
+    return mg_summaries(_doc_tokens(docs), "token", m)
 
 
 def corpus_top_tokens(spark: SparkSession, output: str, k: int = 50) -> dict:
-    """Exact top-k corpus tokens off the maintained ``_hh_state``: merge
-    the per-epoch MG summaries (one groupBy over summary-sized rows),
-    then ONE candidate-verify pass over the kept corpus — the corpus is
-    scanned once at report time and only broadcast-semi-joined
+    """Exact top-k corpus tokens off the maintained ``_hh_state``:
+    repair any torn epoch FIRST (like every other state reader — an
+    uncommitted append's summaries must not count), then merge the
+    per-epoch MG summaries and run the shared candidate-verify pass
+    (operators/heavy_hitters.exact_topk_from_state) over the kept
+    corpus — one scan at report time, and only broadcast-semi-joined
     candidate tokens reach the count shuffle, never the vocabulary.
     Returns the top list, the state's error bound, and whether the
     result provably equals the true top-k (k-th count > bound)."""
-    from cdc_historical_warehouse_platform_spark.operators import text as TX
+    from cdc_historical_warehouse_platform_spark.operators.heavy_hitters import exact_topk_from_state
 
     out = Path(output)
+    repair(out)
     m_track = (read_marker(out) or {}).get("track_top_tokens")
     if not m_track:
         raise FileNotFoundError(
             f"{output} does not track top tokens; build with track_top_tokens=m"
         )
     state = spark.read.parquet(str(out / "_hh_state"))
-    merged = (
-        state.groupBy("h").agg(F.sum("cnt").alias("mg_cnt")).localCheckpoint(eager=False)
-    )
-    bound = merged.filter(F.col("h").isNull()).agg(
-        F.coalesce(F.sum("mg_cnt"), F.lit(0)).alias("b")
-    ).collect()[0]["b"]
-    candidates = merged.filter(F.col("h").isNotNull()).select("h")
     kept = spark.read.parquet(str(out / "_kept_docs"))
-    toks = kept.select(
-        F.explode_outer(TX.tokens(TX.normalize_text(F.col("text")))).alias("token")
-    ).filter(F.col("token").isNotNull())
-    top = (
-        toks.withColumn("h", F.xxhash64("token"))
-        .join(F.broadcast(candidates), "h", "left_semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(k)
-        .collect()
-    )
-    kth = min((r["cnt"] for r in top), default=0)
+    topk, guarantee = exact_topk_from_state(_doc_tokens(kept), state, "token", k)
+    g = guarantee.collect()[0]
     return {
-        "top": [{"token": r["token"], "cnt": r["cnt"]} for r in top],
+        "top": [{"token": r["item"], "cnt": r["cnt"]} for r in topk.collect()],
         "k": k,
-        "error_bound": int(bound),
-        "provably_exact": bound == 0 or (len(top) == k and kth > bound),
+        "error_bound": int(g["error_bound"]),
+        "provably_exact": bool(g["provably_exact"]),
     }

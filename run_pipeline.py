@@ -37,11 +37,18 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import json
+import os
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+# Spark's Python workers are separate processes that see PYTHONPATH, not
+# the driver's sys.path — without this, any Pandas-UDF stage fails with
+# ModuleNotFoundError when the CLI is invoked from outside the repo.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (str(REPO), os.environ.get("PYTHONPATH")) if p
+)
 
 
 def _env(workdir: Path, source_url: str | None = None, source_table: str = "orders"):
