@@ -51,6 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator proven by another green row); they are parked past the window and
 # remain covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
+    # --- new r06 (late batch): DSIR importance weights (hashed-bigram
+    # log-ratio data selection), the BPE trainer's per-round pair
+    # statistic, and ordered string aggregation (LISTAGG) ---
+    "corpus_dsir_weights",
+    "text_bpe_pair_counts",
+    "agg_listagg_ordered",
     # --- new r06: the remaining TPC-H shapes (plans/tpch_queries.py),
     # completing full 22-query TPC-H shape coverage — never
     # driver-checked, hoisted to the front of the window ---

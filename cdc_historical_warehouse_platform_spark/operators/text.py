@@ -499,3 +499,106 @@ def bigram_surprisal(
             / (F.col("n_bigrams") * F.lit(1000000.0)),
         )
     )
+
+
+def _hashed_bigram_bucket(col: Column, n_buckets: int) -> Column:
+    """Portable hash bucket for a bigram string: unsigned 32-bit word
+    from the first 8 md5 hex chars, mod n_buckets — re-derivable in
+    DuckDB as ``('0x' || substr(md5(bg), 1, 8))::BIGINT % n`` (the
+    dedup/_md5_word32 cross-engine primitive)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets).cast(
+        "long"
+    )
+
+
+def dsir_importance_weights(
+    raw: "DataFrame",
+    target: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    broadcast_weights: bool = True,
+) -> "DataFrame":
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw-corpus document by how
+    target-like its hashed-bigram bag is, the standard knob for tilting
+    a 100 TB crawl toward an in-domain exemplar set.
+
+    Both corpora are featurized as bags of hashed word bigrams
+    (``n_buckets`` buckets, portable md5 hash). With Laplace-smoothed
+    bucket unigram models p (target) and q (raw), a doc's importance
+    weight is Σ over its bigram occurrences of log2 p(b)/q(b); docs are
+    then rank-ordered (resampling takes the top slice or samples
+    proportionally).
+
+    Cross-engine exactness (the unigram_surprisal scheme): the
+    per-bucket log-ratio is quantized ONCE to integer micro-bits —
+    floor(log2( ((t_cnt+1)·(r_total+B)) / ((r_cnt+1)·(t_total+B)) )
+    · 1e6) — with the two products computed as exact BIGINTs, so the
+    per-doc reduction is an exact integer sum and the only float ops
+    are one division and one log2 of exact-integer-valued doubles.
+    (Products stay below 2^53 for corpora up to ~90 T bigrams with the
+    default B; shard the totals before that point.)
+
+    Scale shape: one explode + groupBy(bucket) per corpus fits the two
+    models (bucket tables are ≤ B rows — broadcast to the scoring
+    join, or hash-join with ``broadcast_weights=False``); scoring is
+    one map-side join over the raw bigram stream + one groupBy(doc).
+    The target corpus is typically tiny (an eval/domain exemplar set);
+    nothing here scales with raw × target.
+
+    Returns ``(doc_id, n_bigrams, dsir_microbits, logratio_per_bigram)``
+    — higher = more target-like. Docs with <2 tokens have no features
+    and drop out (mirror in callers/oracles).
+    """
+
+    def _bigram_stream(df: "DataFrame") -> "DataFrame":
+        t = df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(normalize_text(F.col(text_col))).alias("__t"),
+        )
+        return (
+            t.select(
+                "doc_id",
+                F.explode_outer(ngram_list_from_tokens(F.col("__t"), 2)).alias("bg"),
+            )
+            .filter(F.col("bg").isNotNull())
+            .select("doc_id", _hashed_bigram_bucket(F.col("bg"), n_buckets).alias("bucket"))
+        )
+
+    raw_bg = _bigram_stream(raw)
+    tgt_bg = _bigram_stream(target)
+    # totals as plan-build literals (the ivf_centroids / tfidf pattern —
+    # an unpartitioned window over the bucket table would single-thread
+    # the model fit for no reason)
+    r_total = raw_bg.count()
+    t_total = tgt_bg.count()
+    r_cnt = raw_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    t_cnt = tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
+    numer = (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1) * F.lit(r_total + n_buckets)
+    denom = (F.col("r_cnt") + 1) * F.lit(t_total + n_buckets)
+    weights = (
+        # raw-side buckets only: scoring joins on the raw stream, so a
+        # bucket never seen in raw can never be looked up
+        r_cnt.join(t_cnt, "bucket", "left")
+        .select(
+            "bucket",
+            F.floor(
+                F.log2(numer.cast("double") / denom.cast("double")) * F.lit(1000000.0)
+            ).alias("__w"),
+        )
+    )
+    wb = F.broadcast(weights) if broadcast_weights else weights
+    return (
+        raw_bg.join(wb, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__w").alias("dsir_microbits"),
+        )
+        .withColumn(
+            "logratio_per_bigram",
+            F.col("dsir_microbits").cast("double")
+            / (F.col("n_bigrams") * F.lit(1000000.0)),
+        )
+    )

@@ -2090,3 +2090,108 @@ DATAPIPE_QUERIES["corpus_temperature_mix"] = (
     q_corpus_temperature_mix,
     SQL_TEMPERATURE_MIX,
 )
+
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SOURCE = "src0"
+
+
+def q_corpus_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (operators/text.py:
+    dsir_importance_weights; Xie et al. 2023, arXiv:2302.03169):
+    every corpus doc scored by the hashed-bigram log-ratio of a
+    target model (the 'src0' source as in-domain exemplar) vs the
+    raw-corpus model — the data-selection knob for tilting a crawl
+    toward a domain. Docs with <2 tokens have no bigram features and
+    drop out (mirrored by the oracle)."""
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    return TX.dsir_importance_weights(docs, target, n_buckets=DSIR_BUCKETS).orderBy(
+        "doc_id"
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH norm AS (SELECT doc_id, source, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, source,
+                list_filter(string_split(nt, ' '), x -> x <> '') AS t
+         FROM norm),
+big AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks),
+feat AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(bg), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+  FROM big),
+tot AS (
+  SELECT count(*) AS r_total,
+         count(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS t_total
+  FROM feat),
+rc AS (SELECT bucket, count(*) AS r_cnt FROM feat GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS t_cnt
+       FROM feat WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1),
+w AS (
+  -- BIGINT products, ONE division, ONE log2 — lockstep with the Spark
+  -- micro-bit quantization (products exact in double at any test SF)
+  SELECT rc.bucket,
+         CAST(floor(log2(
+             CAST((COALESCE(tc.t_cnt, 0) + 1) * (tot.r_total + {DSIR_BUCKETS}) AS DOUBLE)
+           / CAST((rc.r_cnt + 1) * (tot.t_total + {DSIR_BUCKETS}) AS DOUBLE)
+         ) * 1000000.0) AS BIGINT) AS w
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot)
+SELECT f.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(w.w) AS BIGINT) AS dsir_microbits,
+       CAST(sum(w.w) AS DOUBLE) / (count(*) * 1000000.0) AS logratio_per_bigram
+FROM feat f JOIN w USING (bucket)
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_dsir_weights"] = (q_corpus_dsir_weights, SQL_DSIR_WEIGHTS)
+
+
+def q_text_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The first BPE training round (operators/bpe.py): corpus word
+    counts (the only corpus-sized pass), then adjacent CHARACTER pair
+    counts weighted by word frequency — the statistic every merge
+    decision is the argmax of. Top-100 pairs with a total tiebreak.
+    The iterative trainer (bpe_train) is pinned by
+    tests/test_bpe.py against a pure-Python reference; this row makes
+    its per-round statistic driver-checkable."""
+    from cdc_historical_warehouse_platform_spark.operators import bpe as BPE
+
+    docs = load_table(spark, sf, "documents")
+    vocab = BPE.word_counts(docs).withColumn("syms", BPE.split_chars(F.col("word")))
+    return (
+        BPE.pair_counts(vocab)
+        .orderBy(F.col("pair_count").desc(), F.col("left_sym"), F.col("right_sym"))
+        .limit(100)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH norm AS (SELECT {SQL_NORM} AS nt FROM documents),
+words AS (
+  SELECT unnest(list_filter(string_split(nt, ' '), x -> x <> '')) AS w
+  FROM norm),
+wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+pairs AS (
+  -- parallel unnest zips the two per-position lists (ascii corpus:
+  -- substr positions == Spark's codepoint split)
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, CAST(i AS INT), 1))) AS left_sym,
+         unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, CAST(i AS INT) + 1, 1))) AS right_sym,
+         cnt
+  FROM wc)
+SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 100
+"""
+
+DATAPIPE_QUERIES["text_bpe_pair_counts"] = (q_text_bpe_pair_counts, SQL_BPE_PAIR_COUNTS)

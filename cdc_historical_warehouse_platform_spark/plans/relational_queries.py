@@ -2280,3 +2280,36 @@ RELATIONAL_QUERIES["events_transition_matrix"] = (
     q_events_transition_matrix,
     SQL_TRANSITION_MATRIX,
 )
+
+
+def q_agg_listagg_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per region,
+    the comma-joined alphabetical list of its nations. Spark spells it
+    array_join(array_sort(collect_list(...))) — collect_list is
+    order-nondeterministic under parallelism, so the sort INSIDE the
+    aggregate is what makes the result stable (same reason the oracle
+    uses string_agg ... ORDER BY). Grouped sizes are bounded by the
+    dimension fan-out, not the fact table."""
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    return (
+        r.join(n, r["r_regionkey"] == n["n_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_LISTAGG_ORDERED = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+RELATIONAL_QUERIES["agg_listagg_ordered"] = (q_agg_listagg_ordered, SQL_LISTAGG_ORDERED)
