@@ -32,7 +32,15 @@ from pyspark.sql import functions as F
 
 from cdc_historical_warehouse_platform_spark.operators.text import normalize_text, tokens
 
-__all__ = ["word_counts", "split_chars", "pair_counts", "merge_pair", "bpe_train"]
+__all__ = [
+    "word_counts",
+    "split_chars",
+    "pair_counts",
+    "merge_pair",
+    "bpe_train",
+    "apply_merges",
+    "bpe_token_counts",
+]
 
 # checkpoint cadence for the iterated vocab frame (plan-growth guard)
 _CHECKPOINT_EVERY = 4
@@ -146,3 +154,58 @@ def bpe_train(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
     )
     return merges_df, vocab
+
+
+def apply_merges(
+    vocab: DataFrame, merges: list[tuple[str, str]], syms_col: str = "syms"
+) -> DataFrame:
+    """Apply a learned merge list, in order, to a symbol-array frame —
+    the encoder half of BPE. Same fold as training (greedy,
+    non-overlapping), same checkpoint cadence against plan growth.
+    Cost is |merges| vocab-sized transforms — never corpus-sized."""
+    out = vocab
+    for i, (left, right) in enumerate(merges):
+        out = merge_pair(out, left, right, syms_col)
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document token counts under a learned BPE tokenizer —
+    the sizing statistic sequence packing / token budgeting runs on.
+
+    Scale shape: the merge loop runs over the corpus's DISTINCT words
+    (vocab-sized, Heaps-law bounded), producing a word → n_subtokens
+    lookup that joins back to the per-doc word stream (broadcast by
+    default; ``broadcast_vocab=False`` hash-joins when the vocabulary
+    outgrows the broadcast threshold). Returns
+    ``(doc_id, n_words, n_bpe_tokens)``; docs with no words drop out.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("word"),
+    ).filter(F.col("word").isNotNull())
+    seg = (
+        words.select("word")
+        .distinct()
+        .withColumn("syms", split_chars(F.col("word")))
+    )
+    seg = apply_merges(seg, merges).select(
+        "word", F.size("syms").alias("n_subtokens")
+    )
+    sb = F.broadcast(seg) if broadcast_vocab else seg
+    return (
+        words.join(sb, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subtokens").alias("n_bpe_tokens"),
+        )
+    )

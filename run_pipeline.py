@@ -30,6 +30,9 @@ Usage:
   python run_pipeline.py ann-append --input NEW_SF_DIR --output DIR
   python run_pipeline.py ann-query  --input SF_DIR --output DIR
                                    [--k N] [--n-probes N] [--n-queries N]
+  python run_pipeline.py bpe-train  --input SF_DIR --output DIR
+                                   [--num-merges N] [--min-pair-count M]
+  python run_pipeline.py bpe-encode --input SF_DIR --output DIR
 """
 
 from __future__ import annotations
@@ -89,6 +92,7 @@ def main() -> int:
             "summary",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
             "ann-build", "ann-append", "ann-query",
+            "bpe-train", "bpe-encode",
         ],
     )
     ap.add_argument(
@@ -178,6 +182,15 @@ def main() -> int:
         help="corpus-compact: rewrite shards exceeding this file count",
     )
     ap.add_argument("--n-lists", type=int, default=16, help="ann-build: IVF lists")
+    ap.add_argument(
+        "--num-merges", type=int, default=50, help="bpe-train: merge rounds to learn"
+    )
+    ap.add_argument(
+        "--min-pair-count",
+        type=int,
+        default=2,
+        help="bpe-train: stop when the best pair occurs fewer times",
+    )
     ap.add_argument(
         "--int8",
         action="store_true",
@@ -452,6 +465,70 @@ def main() -> int:
                         },
                     },
                     sort_keys=True,
+                )
+            )
+    elif args.command in ("bpe-train", "bpe-encode"):
+        # tokenizer training over the documents corpus: merges + final
+        # word segmentations persist as VersionedTables (atomic commit,
+        # same artifact discipline as the ANN index); encode re-reads
+        # the committed merges and reports token counts under them
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.operators import bpe as BPE
+        from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+        if not args.input or not args.output:
+            print(json.dumps({"error": f"{args.command} requires --input and --output"}))
+            return 1
+        docs = spark.read.parquet(str(Path(args.input) / "documents.parquet"))
+        out = Path(args.output)
+        merges_tbl = VersionedTable(out / "merges")
+        if args.command == "bpe-train":
+            merges_df, vocab_df = BPE.bpe_train(
+                docs,
+                num_merges=args.num_merges,
+                min_pair_count=args.min_pair_count,
+            )
+            mv = merges_tbl.commit(merges_df)
+            vv = VersionedTable(out / "vocab").commit(vocab_df)
+            print(
+                json.dumps(
+                    {
+                        "merges_learned": merges_df.count(),
+                        "vocab_size": vocab_df.count(),
+                        "merges_version": mv,
+                        "vocab_version": vv,
+                        "output": args.output,
+                    }
+                )
+            )
+        else:  # bpe-encode
+            if not merges_tbl.exists():
+                print(
+                    json.dumps(
+                        {"error": f"no merges under {args.output}; run bpe-train first"}
+                    )
+                )
+                return 1
+            merges = [
+                (r["left_sym"], r["right_sym"])
+                for r in merges_tbl.read(spark).orderBy("merge_rank").collect()
+            ]
+            counts = BPE.bpe_token_counts(docs, merges)
+            agg = counts.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_words").alias("total_words"),
+                F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            ).collect()[0]
+            print(
+                json.dumps(
+                    {
+                        "docs": agg["docs"],
+                        "total_words": int(agg["total_words"] or 0),
+                        "total_bpe_tokens": int(agg["total_bpe_tokens"] or 0),
+                        "merges_applied": len(merges),
+                        "output": args.output,
+                    }
                 )
             )
     return 0

@@ -136,3 +136,36 @@ def test_pair_counts_weighted_by_word_frequency(spark):
         for r in BPE.pair_counts(vocab).collect()
     }
     assert got == {("t", "o"): 3, ("b", "e"): 1}
+
+
+def test_apply_merges_reproduces_training_segmentations(spark, docs):
+    merges_df, vocab_df = BPE.bpe_train(docs, num_merges=10)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    # re-encode the training words from scratch through the encoder path
+    fresh = (
+        BPE.word_counts(docs)
+        .select("word")
+        .withColumn("syms", BPE.split_chars(F.col("word")))
+    )
+    got = {r["word"]: r["syms"] for r in BPE.apply_merges(fresh, merges).collect()}
+    want = {r["word"]: r["syms"] for r in vocab_df.collect()}
+    assert got == want
+
+
+def test_token_counts_match_reference(spark, docs):
+    texts = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    ref_merges, ref_vocab = _ref_bpe_train([t for _, t in texts], num_merges=10)
+    merges = [(a, b) for a, b, _ in ref_merges]
+    want = {}
+    for doc_id, t in texts:
+        words = [w for w in _ref_normalize(t).split(" ") if w]
+        if words:
+            want[doc_id] = (len(words), sum(len(ref_vocab[w]) for w in words))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in BPE.bpe_token_counts(docs, merges).collect()
+    }
+    assert got == want
