@@ -124,11 +124,14 @@ _PRIORITY = [
     "array_functions_sweep",   # cited by vector_norms_by_label demotion
     "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
     "dedup_keep_list",
-    "text_quality_scores",
-    "scd2_flag_consistency_check",
-    "scd2_timestamp_continuity",
 ]
 _DEMOTED = [
+    # --- r06 late rotation: slots ceded to corpus_dsir_weights /
+    # text_bpe_pair_counts / agg_listagg_ordered. All three green
+    # r04+r05; families stay in-window per the notes. ---
+    "text_quality_scores",       # text family keeps bigram_surprisal + text_heavy_hitters + text_bpe_pair_counts in-window
+    "scd2_flag_consistency_check",  # scd2 validation family repped in-window by scd2_histogram_quantiles + scd2_version_diff; invariants also pytest-pinned in test_scd2.py
+    "scd2_timestamp_continuity",    # same scd2 validation family; lead-pair continuity also pinned by test_scd2 property tests
     # --- r06 rotation: slots ceded to the 12 new TPC-H rows (never
     # driver-checked). Each demoted row is driver-green two-plus
     # consecutive rounds (r04+r05 unless noted) and its operator family

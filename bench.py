@@ -54,6 +54,10 @@ HEADLINE = [
     # round-over-round
     "tpch_q9_product_profit",
     "tpch_q2_min_cost_supplier",
+    # added r06 (late batch): DSIR importance weights — the heaviest of
+    # the new data-selection paths (two model fits + scored re-join
+    # over the bigram stream)
+    "corpus_dsir_weights",
 ]
 
 

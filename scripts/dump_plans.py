@@ -147,6 +147,25 @@ NOTES = {
         "exchange per direction, no join at all; pre/post images labeled "
         "by a literal column."
     ),
+    "corpus_dsir_weights": (
+        "r6 DSIR data selection: both bucket models are two-phase "
+        "HashAggregates over the hashed-bigram stream (map-side combine "
+        "collapses each partition to <= B buckets before the exchange); "
+        "the raw<-target weight join and the scoring join are "
+        "BroadcastHashJoins (the weight table is <= B rows by "
+        "construction); corpus totals enter as plan-build literals, so "
+        "there is no unpartitioned window anywhere; the per-doc "
+        "reduction is an exact integer sum (micro-bit quantized "
+        "log-ratio), all whole-stage codegen, zero Python."
+    ),
+    "text_bpe_pair_counts": (
+        "r6 BPE per-round statistic: ONE corpus-sized explode+groupBy "
+        "fits the word-count model; the pair explode runs over the "
+        "vocab frame only (Heaps-law bounded) with a two-phase "
+        "HashAggregate on (left, right); TakeOrderedAndProject bounds "
+        "the top-100 — the iterative trainer repeats exactly this shape "
+        "per merge round, so this IS the trainer's hot path."
+    ),
     "agg_distinct_sketch_rollup": (
         "Mergeable-sketch COUNT(DISTINCT) maintenance: per-wave HLL "
         "sketches built by ObjectHashAggregate (partial sketches merged "

@@ -1591,3 +1591,32 @@ def test_corpus_top_tokens_tracking(spark, tmp_path):
     corpus_build(spark, "/root/testdata/sf0.001", out2)
     with pytest.raises(FileNotFoundError):
         corpus_top_tokens(spark, out2, k=5)
+
+
+# --- DSIR importance weights ----------------------------------------------
+
+
+def test_dsir_separates_target_like_from_noise(spark):
+    """Semantic pin for when the oracle row rotates out of the driver
+    window: docs sharing the target domain's vocabulary must outscore
+    docs with disjoint vocabulary (their buckets are absent from the
+    target model, so smoothing drives the log-ratio negative)."""
+    tgt = [(i, "alpha beta gamma delta epsilon zeta " * 4, "tgt") for i in range(5)]
+    noise = [(10 + i, "zig zag zoom quux corge grault " * 4, "web") for i in range(5)]
+    raw = spark.createDataFrame(tgt + noise, "doc_id long, text string, source string")
+    target = raw.filter(F.col("source") == "tgt")
+    w = TX.dsir_importance_weights(raw, target, n_buckets=64)
+    scores = {r["doc_id"]: r["logratio_per_bigram"] for r in w.collect()}
+    assert len(scores) == 10
+    assert min(scores[i] for i in range(5)) > max(scores[10 + i] for i in range(5))
+    # target-like docs are strictly target-tilted, noise strictly away
+    assert all(scores[i] > 0 for i in range(5))
+    assert all(scores[10 + i] < 0 for i in range(5))
+
+
+def test_dsir_weights_invariant_to_partitioning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    target = docs.filter(F.col("source") == "src0")
+    a = TX.dsir_importance_weights(docs.repartition(9), target, n_buckets=256)
+    b = TX.dsir_importance_weights(docs.coalesce(1), target, n_buckets=256)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
