@@ -568,13 +568,25 @@ def dsir_importance_weights(
 
     raw_bg = _bigram_stream(raw)
     tgt_bg = _bigram_stream(target)
-    # totals as plan-build literals (the ivf_centroids / tfidf pattern —
-    # an unpartitioned window over the bucket table would single-thread
-    # the model fit for no reason)
-    r_total = raw_bg.count()
-    t_total = tgt_bg.count()
-    r_cnt = raw_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
-    t_cnt = tgt_bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
+    # ONE model-fit pass per corpus: the bucket tables (≤ B rows) are
+    # checkpointed, and the totals are derived from them by an exact
+    # integer sum — a separate count() action would re-tokenize the
+    # whole corpus just to learn a number the bucket table already
+    # holds. Totals then enter as plan-build literals (the
+    # ivf_centroids / tfidf pattern — an unpartitioned window over the
+    # bucket table would single-thread the fit for no reason).
+    r_cnt = (
+        raw_bg.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("r_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    t_cnt = (
+        tgt_bg.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    r_total = r_cnt.agg(F.coalesce(F.sum("r_cnt"), F.lit(0))).collect()[0][0]
+    t_total = t_cnt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0))).collect()[0][0]
     numer = (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1) * F.lit(r_total + n_buckets)
     denom = (F.col("r_cnt") + 1) * F.lit(t_total + n_buckets)
     weights = (
