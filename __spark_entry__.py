@@ -57,6 +57,7 @@ _PRIORITY = [
     "corpus_dsir_weights",
     "text_bpe_pair_counts",
     "agg_listagg_ordered",
+    "agg_boolean_aggregates",
     # --- new r06: the remaining TPC-H shapes (plans/tpch_queries.py),
     # completing full 22-query TPC-H shape coverage — never
     # driver-checked, hoisted to the front of the window ---
@@ -116,7 +117,6 @@ _PRIORITY = [
     "window_small_quantity_revenue",
     "scalar_string_functions",
     "sort_pagination",
-    "agg_cube",
     "window_lag_lead",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
@@ -129,6 +129,7 @@ _DEMOTED = [
     # --- r06 late rotation: slots ceded to corpus_dsir_weights /
     # text_bpe_pair_counts / agg_listagg_ordered. All three green
     # r04+r05; families stay in-window per the notes. ---
+    "agg_cube",                  # green r01+r02+r05; grouping-set family repped in-window by agg_grouped_having + the new agg_boolean_aggregates; rollup/grouping_sets demoted-green siblings
     "text_quality_scores",       # text family keeps bigram_surprisal + text_heavy_hitters + text_bpe_pair_counts in-window
     "scd2_flag_consistency_check",  # scd2 validation family repped in-window by scd2_histogram_quantiles + scd2_version_diff; invariants also pytest-pinned in test_scd2.py
     "scd2_timestamp_continuity",    # same scd2 validation family; lead-pair continuity also pinned by test_scd2 property tests

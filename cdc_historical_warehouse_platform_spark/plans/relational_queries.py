@@ -2313,3 +2313,39 @@ ORDER BY r_name
 """
 
 RELATIONAL_QUERIES["agg_listagg_ordered"] = (q_agg_listagg_ordered, SQL_LISTAGG_ORDERED)
+
+
+def q_agg_boolean_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean aggregate family (bool_and / bool_or / count_if — ANSI
+    EVERY/ANY): per order priority, whether every order is finalized,
+    whether any crosses the high-value line, and how many do. Pure
+    two-phase HashAggregate (booleans fold map-side like any other
+    partial agg); the count_if twin pins the FILTER-clause shape."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_orderstatus") == "F").alias("all_finalized"),
+            F.bool_or(F.col("o_totalprice") > 200000.0).alias("any_high_value"),
+            F.count_if(F.col("o_totalprice") > 200000.0).alias("n_high_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_BOOLEAN_AGGREGATES = """
+SELECT o_orderpriority,
+       bool_and(o_orderstatus = 'F') AS all_finalized,
+       bool_or(o_totalprice > 200000.0) AS any_high_value,
+       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_high_value,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+RELATIONAL_QUERIES["agg_boolean_aggregates"] = (
+    q_agg_boolean_aggregates,
+    SQL_BOOLEAN_AGGREGATES,
+)
