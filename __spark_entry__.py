@@ -58,6 +58,7 @@ _PRIORITY = [
     "text_bpe_pair_counts",
     "agg_listagg_ordered",
     "agg_boolean_aggregates",
+    "corpus_dsir_resample",
     # --- new r06: the remaining TPC-H shapes (plans/tpch_queries.py),
     # completing full 22-query TPC-H shape coverage — never
     # driver-checked, hoisted to the front of the window ---
@@ -117,7 +118,6 @@ _PRIORITY = [
     "window_small_quantity_revenue",
     "scalar_string_functions",
     "sort_pagination",
-    "window_lag_lead",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
     "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate
@@ -130,6 +130,7 @@ _DEMOTED = [
     # text_bpe_pair_counts / agg_listagg_ordered. All three green
     # r04+r05; families stay in-window per the notes. ---
     "agg_cube",                  # green r01+r02+r05; grouping-set family repped in-window by agg_grouped_having + the new agg_boolean_aggregates; rollup/grouping_sets demoted-green siblings
+    "window_lag_lead",           # green r01+r02+r05; window family repped in-window by window_salted_topk + window_small_quantity_revenue; lag shape also inside events_transition_matrix's oracle
     "text_quality_scores",       # text family keeps bigram_surprisal + text_heavy_hitters + text_bpe_pair_counts in-window
     "scd2_flag_consistency_check",  # scd2 validation family repped in-window by scd2_histogram_quantiles + scd2_version_diff; invariants also pytest-pinned in test_scd2.py
     "scd2_timestamp_continuity",    # same scd2 validation family; lead-pair continuity also pinned by test_scd2 property tests

@@ -2195,3 +2195,59 @@ LIMIT 100
 """
 
 DATAPIPE_QUERIES["text_bpe_pair_counts"] = (q_text_bpe_pair_counts, SQL_BPE_PAIR_COUNTS)
+
+
+# Linear calibration of the DSIR log-ratio onto a [0,1] keep rate for
+# the testdata corpus (observed sf0.01 range ≈ [-1.84, -0.71]); a real
+# deployment fits these to the weight distribution of its own corpus.
+DSIR_RESAMPLE_OFFSET = 1.9
+DSIR_RESAMPLE_SCALE = 1.2
+
+
+def q_corpus_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step the weights
+    exist for (arXiv:2302.03169 §3): keep probability proportional to
+    the (linearly calibrated) importance weight, drawn through the
+    deterministic md5 gate (operators/sampling.py:weighted_keep_expr —
+    zero shuffle, restart-stable, reproducible across engines). Output
+    is auditable: every doc with its weight, rate, draw, and keep
+    decision."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import sample_key, weighted_keep_expr
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    w = TX.dsir_importance_weights(docs, target, n_buckets=DSIR_BUCKETS)
+    rate = (
+        F.col("logratio_per_bigram") + F.lit(DSIR_RESAMPLE_OFFSET)
+    ) / F.lit(DSIR_RESAMPLE_SCALE)
+    return w.select(
+        "doc_id",
+        "logratio_per_bigram",
+        rate.alias("resample_rate"),
+        sample_key(F.col("doc_id"), "dsir-resample").alias("sample_key"),
+        weighted_keep_expr(F.col("doc_id"), rate, "dsir-resample").alias("kept"),
+    ).orderBy("doc_id")
+
+
+SQL_DSIR_RESAMPLE = f"""
+WITH dsir AS ({SQL_DSIR_WEIGHTS}),
+rated AS (
+  SELECT doc_id, logratio_per_bigram,
+         (logratio_per_bigram + {DSIR_RESAMPLE_OFFSET}) / {DSIR_RESAMPLE_SCALE}
+           AS resample_rate,
+         substr(md5('dsir-resample:' || CAST(doc_id AS VARCHAR)), 1, 4)
+           AS sample_key
+  FROM dsir)
+SELECT doc_id, logratio_per_bigram, resample_rate, sample_key,
+       (resample_rate >= 1.0 OR
+        sample_key < printf('%04x',
+          CAST(floor(greatest(resample_rate, 0.0) * 65536.0) AS BIGINT)))
+         AS kept
+FROM rated
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_dsir_resample"] = (
+    q_corpus_dsir_resample,
+    SQL_DSIR_RESAMPLE,
+)
