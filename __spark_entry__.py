@@ -51,6 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator proven by another green row); they are parked past the window and
 # remain covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
+    # --- new r06 (third batch): blocked fuzzy-match join (prefix
+    # blocking + Levenshtein verify), market-basket affinity
+    # (co-occurrence support + lift), and exact higher central
+    # moments (deterministic skewness/kurtosis) ---
+    "join_fuzzy_part_names",
+    "basket_brand_pairs",
+    "agg_higher_moments",
     # --- new r06 (late batch): DSIR importance weights (hashed-bigram
     # log-ratio data selection), the BPE trainer's per-round pair
     # statistic, and ordered string aggregation (LISTAGG) ---
@@ -112,12 +119,9 @@ _PRIORITY = [
     "corpus_domain_caps",      # oracle anti filter made null-safe
     # --- r05 rotation: promoted back from _DEMOTED (last driver-green
     # r02 — the three-round local-only streak is the rotation trigger) ---
-    "agg_grouped_having",
     "window_salted_topk",
     "join_unshipped_revenue",
     "window_small_quantity_revenue",
-    "scalar_string_functions",
-    "sort_pagination",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
     "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate
@@ -126,6 +130,13 @@ _PRIORITY = [
     "dedup_keep_list",
 ]
 _DEMOTED = [
+    # --- r06 third rotation: slots ceded to join_fuzzy_part_names /
+    # basket_brand_pairs / agg_higher_moments. Each demoted row is
+    # driver-green three rounds (r01+r02+r05); families stay in-window
+    # per the notes. ---
+    "agg_grouped_having",        # green r01+r02+r05; HAVING shape repped in-window by agg_important_parts (scalar-fraction HAVING) + tpch_q13's grouped-count
+    "scalar_string_functions",   # green r01/r02+r05; string surface repped in-window by text_bpe_pair_counts + the new join_fuzzy_part_names (substring/levenshtein)
+    "sort_pagination",           # green r01+r02+r05; deterministic-sort family repped in-window by agg_listagg_ordered's within-group ordering
     # --- r06 late rotation: slots ceded to corpus_dsir_weights /
     # text_bpe_pair_counts / agg_listagg_ordered. All three green
     # r04+r05; families stay in-window per the notes. ---

@@ -2349,3 +2349,248 @@ RELATIONAL_QUERIES["agg_boolean_aggregates"] = (
     q_agg_boolean_aggregates,
     SQL_BOOLEAN_AGGREGATES,
 )
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy-match join (Levenshtein with prefix blocking)
+# --------------------------------------------------------------------------
+
+
+def q_fuzzy_part_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution-style fuzzy self-join: pairs of distinct part
+    names within edit distance 3, found WITHOUT an all-pairs compare.
+
+    The scale mechanism is blocking: candidates are generated only
+    inside a deterministic block (2-char name prefix), so the join is
+    a hash equi-join on the block key and the quadratic Levenshtein
+    verify runs per block, bounded by block size — sum(block²), never
+    n². Prefix blocking has the standard documented recall loss
+    (pairs differing in the first two chars are missed); swapping the
+    block key for a phonetic code or a q-gram inverted index changes
+    recall, not the plan shape. At 100 TB the distinct-name reduction
+    happens first (groupBy on name ≪ corpus rows), hot prefixes can
+    be salted, and the verify stays JVM-side (levenshtein is a
+    codegen'd built-in in both engines — no Python anywhere)."""
+    part = load_table(spark, sf, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("parts_a"),
+        F.substring("p_name", 1, 2).alias("blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("parts_b"),
+        F.substring("p_name", 1, 2).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "parts_a", "parts_b", "edit_dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+SQL_FUZZY_PART_NAMES = """
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+blocked AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         a.n_parts AS parts_a, b.n_parts AS parts_b,
+         levenshtein(a.p_name, b.p_name) AS edit_dist
+  FROM names a JOIN names b
+    ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+   AND a.p_name < b.p_name)
+SELECT name_a, name_b, parts_a, parts_b, edit_dist
+FROM blocked WHERE edit_dist <= 3
+ORDER BY name_a, name_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity (co-occurrence support + lift)
+# --------------------------------------------------------------------------
+
+
+def q_basket_brand_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs that appear in the
+    same order, with support counts and lift. The classic association
+    shape (the 2-itemset tier of Apriori) done as relational algebra.
+
+    Scale shape: the basket table (order, brand) is deduped first, so
+    the pair generation is a self equi-join on the basket key whose
+    fan-out is bounded by (distinct brands per order choose 2) — a
+    per-basket constant (≤ 25 brands here), never corpus-quadratic.
+    The dimension (part→brand) and the per-brand marginals are
+    broadcast; the only real shuffle is on the basket key. Lift is
+    computed from exact integer counts — the single double division
+    at the end is deterministic on both engines."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    brand_cnt = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support_cnt"))
+    )
+    ca = brand_cnt.select(
+        F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = brand_cnt.select(
+        F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .where(F.col("support_cnt") >= 20)
+        .select(
+            "brand_a",
+            "brand_b",
+            "support_cnt",
+            (
+                (F.col("support_cnt") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support_cnt").desc(), "brand_a", "brand_b")
+        .limit(25)
+    )
+
+
+SQL_BASKET_BRAND_PAIRS = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
+brand_cnt AS (SELECT p_brand, COUNT(*) AS cnt FROM ob GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support_cnt
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2)
+SELECT brand_a, brand_b, support_cnt,
+       CAST(support_cnt * (SELECT n FROM n_orders) AS DOUBLE)
+         / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+FROM pairs JOIN brand_cnt ca ON ca.p_brand = brand_a
+           JOIN brand_cnt cb ON cb.p_brand = brand_b
+WHERE support_cnt >= 20
+ORDER BY support_cnt DESC, brand_a, brand_b
+LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact higher central moments (skewness / kurtosis, deterministic)
+# --------------------------------------------------------------------------
+
+
+def q_higher_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-flag skewness and excess kurtosis of l_quantity, the
+    deterministic way. Built-in skewness()/kurtosis() stream doubles
+    in partition order (non-reproducible across parallelism AND
+    engines), so the four raw power sums are accumulated in EXACT
+    DECIMAL arithmetic — order-independent at any partitioning — and
+    only the final closed-form arithmetic runs in double, with an
+    identical expression tree on both engines (same trick as
+    q_agg_linear_regression). Map-side partial aggregation applies;
+    one shuffle on the group key, four extra decimal columns of
+    aggregation state per group."""
+    li = load_table(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    x2 = (x * x).cast("decimal(12,4)")
+    base = li.select(
+        "l_returnflag",
+        x.alias("x"),
+        x2.alias("x2"),
+        (x2 * x).cast("decimal(38,6)").alias("x3"),
+        (x2 * x2).cast("decimal(38,8)").alias("x4"),
+    )
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("x").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum("x4").alias("s4"),
+    )
+    nd = F.col("n_rows").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    ex2 = F.col("s2").cast("double") / nd
+    ex3 = F.col("s3").cast("double") / nd
+    ex4 = F.col("s4").cast("double") / nd
+    var_pop = ex2 - mean * mean
+    m3 = ex3 - F.lit(3.0) * mean * ex2 + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        ex4
+        - F.lit(4.0) * mean * ex3
+        + F.lit(6.0) * mean * mean * ex2
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        mean.alias("mean_qty"),
+        var_pop.alias("var_pop"),
+        (m3 / (var_pop * F.sqrt(var_pop))).alias("skewness"),
+        (m4 / (var_pop * var_pop) - F.lit(3.0)).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")
+
+
+# The wide power sums are hugeint-backed in DuckDB, whose direct
+# wide-DECIMAL→DOUBLE cast is not correctly rounded past ~2^53 stored
+# units (see SQL_LINEAR_REGRESSION) — every moment goes DOUBLE via
+# VARCHAR, whose strtod IS correctly rounded; Spark's decimal→double
+# cast is correctly rounded natively.
+SQL_HIGHER_MOMENTS = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(12,2)) AS x,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(12,4)) AS x2
+  FROM lineitem),
+agg AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         SUM(x) AS s1, SUM(x2) AS s2,
+         SUM(CAST(x2 * x AS DECIMAL(38,6))) AS s3,
+         SUM(CAST(x2 * x2 AS DECIMAL(38,8))) AS s4
+  FROM base GROUP BY l_returnflag),
+casts AS (
+  SELECT l_returnflag, n_rows,
+         CAST(n_rows AS DOUBLE) AS nd,
+         CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean,
+         CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ex2,
+         CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ex3,
+         CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ex4
+  FROM agg),
+moments AS (
+  SELECT l_returnflag, n_rows, mean,
+         ex2 - mean * mean AS var_pop,
+         ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean AS m3,
+         ex4 - 4.0 * mean * ex3 + 6.0 * mean * mean * ex2
+             - 3.0 * mean * mean * mean * mean AS m4
+  FROM casts)
+SELECT l_returnflag, n_rows, mean AS mean_qty, var_pop,
+       m3 / (var_pop * sqrt(var_pop)) AS skewness,
+       m4 / (var_pop * var_pop) - 3.0 AS kurtosis_excess
+FROM moments ORDER BY l_returnflag
+"""
+
+
+RELATIONAL_QUERIES.update(
+    {
+        "join_fuzzy_part_names": (q_fuzzy_part_names, SQL_FUZZY_PART_NAMES),
+        "basket_brand_pairs": (q_basket_brand_pairs, SQL_BASKET_BRAND_PAIRS),
+        "agg_higher_moments": (q_higher_moments, SQL_HIGHER_MOMENTS),
+    }
+)
