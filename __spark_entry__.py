@@ -58,6 +58,7 @@ _PRIORITY = [
     "join_fuzzy_part_names",
     "basket_brand_pairs",
     "agg_higher_moments",
+    "layout_zorder_tiles",
     # --- new r06 (late batch): DSIR importance weights (hashed-bigram
     # log-ratio data selection), the BPE trainer's per-round pair
     # statistic, and ordered string aggregation (LISTAGG) ---
@@ -120,7 +121,6 @@ _PRIORITY = [
     # --- r05 rotation: promoted back from _DEMOTED (last driver-green
     # r02 — the three-round local-only streak is the rotation trigger) ---
     "window_salted_topk",
-    "join_unshipped_revenue",
     "window_small_quantity_revenue",
     # --- multi-round keeps: the historically-risky banded tier plus
     # family anchors cited by demotion notes below ---
@@ -134,6 +134,7 @@ _DEMOTED = [
     # basket_brand_pairs / agg_higher_moments. Each demoted row is
     # driver-green three rounds (r01+r02+r05); families stay in-window
     # per the notes. ---
+    "join_unshipped_revenue",    # green r01+r02+r05; multi-table join family repped in-window by tpch_q7/q8/q9/q10 + join_fuzzy_part_names (slot ceded to layout_zorder_tiles)
     "agg_grouped_having",        # green r01+r02+r05; HAVING shape repped in-window by agg_important_parts (scalar-fraction HAVING) + tpch_q13's grouped-count
     "scalar_string_functions",   # green r01/r02+r05; string surface repped in-window by text_bpe_pair_counts + the new join_fuzzy_part_names (substring/levenshtein)
     "sort_pagination",           # green r01+r02+r05; deterministic-sort family repped in-window by agg_listagg_ordered's within-group ordering

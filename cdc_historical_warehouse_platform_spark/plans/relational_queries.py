@@ -2594,3 +2594,64 @@ RELATIONAL_QUERIES.update(
         "agg_higher_moments": (q_higher_moments, SQL_HIGHER_MOMENTS),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout keys (multi-dimensional clustering, operators/layout.py)
+# --------------------------------------------------------------------------
+
+
+def q_zorder_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout keys over orders, summarized per coarse
+    Z-tile. The key interleaves the bits of two quantized dimensions
+    (customer key, order date) so one sort order clusters BOTH — the
+    lakehouse OPTIMIZE-ZORDER primitive behind
+    operators/layout.py::write_zordered. Pure integer shift/mask
+    arithmetic: JVM codegen on Spark, bit-identical SQL on DuckDB, so
+    the layout key itself is oracle-checked bit-for-bit. The tile
+    summary (top 4 bits = 16 quadtree cells) is what a file-skipping
+    manifest sees: tight per-tile key ranges mean tight per-file
+    bounding boxes. Map-only + one 16-group aggregate."""
+    from cdc_historical_warehouse_platform_spark.operators import layout
+
+    o = load_table(spark, sf, "orders")
+    qa = layout.quantize(F.col("o_custkey"), 0, 1500)
+    qb = layout.quantize(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ),
+        0,
+        2557,
+    )
+    keyed = o.select(
+        "o_orderkey", layout.zorder_key2(qa, qb).alias("zkey")
+    )
+    return (
+        keyed.groupBy(F.shiftrightunsigned("zkey", 28).alias("ztile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zkey").alias("zkey_min"),
+            F.max("zkey").alias("zkey_max"),
+        )
+        .orderBy("ztile")
+    )
+
+
+def _sql_zorder_tiles() -> str:
+    from cdc_historical_warehouse_platform_spark.operators import layout
+
+    qa = layout.quantize_sql("o_custkey", 0, 1500)
+    qb = layout.quantize_sql(
+        "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))", 0, 2557
+    )
+    z = layout.zorder_sql(qa, qb)
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey, {z} AS zkey FROM orders)
+SELECT zkey >> 28 AS ztile, COUNT(*) AS n_orders,
+       MIN(zkey) AS zkey_min, MAX(zkey) AS zkey_max
+FROM keyed GROUP BY 1 ORDER BY ztile
+"""
+
+
+RELATIONAL_QUERIES["layout_zorder_tiles"] = (q_zorder_tiles, _sql_zorder_tiles())
