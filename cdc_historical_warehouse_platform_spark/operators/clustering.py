@@ -14,6 +14,13 @@ btree indexes, check_indexes.py).
 Everything is built-in column expressions (shift/mask/or), no Python
 in the row path; the write is one range-repartition + in-partition
 sort — the standard layout-maintenance job you run next to compaction.
+
+Division of labor with operators/layout.py: this module is the
+N-column float-bounds layout JOB (derive bounds, cluster, write plain
+parquet, rely on parquet's own row-group stats); layout.py holds the
+shared bit-interleave core plus the integer-exact engine-portable key
+(oracle-checkable bit-for-bit) and the VersionedTable tier — per-file
+min/max stats manifests and manifest-pruned reads.
 """
 
 from __future__ import annotations
@@ -69,12 +76,9 @@ def zorder_key(
                 F.greatest(F.lit(0), F.least(F.lit(cells), q))
             )
         )
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, q in enumerate(quantized):
-            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
-            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
-    return key
+    from cdc_historical_warehouse_platform_spark.operators.layout import interleave
+
+    return interleave(quantized, bits)
 
 
 def write_zordered(

@@ -24,6 +24,12 @@ warehouse needs once a single filter column stops being enough):
 Everything is integer/bit arithmetic (shift/and/or) — JVM codegen on
 the Spark side and expressible 1:1 in DuckDB SQL, so the key
 computation itself is oracle-checkable bit-for-bit.
+
+Division of labor with operators/clustering.py: clustering.py is the
+generic N-column float-bounds layout job over plain parquet; this
+module owns the shared interleave core, the integer-exact 2×16-bit
+key (``zorder_key2(a, b)`` ≡ ``interleave([b, a], 16)`` — a's bits
+odd, b's even), and the VersionedTable stats/skipping tier.
 """
 
 from __future__ import annotations
@@ -90,8 +96,27 @@ def spread_bits16(col: Column) -> Column:
 
 def zorder_key2(a: Column, b: Column) -> Column:
     """Morton code of two pre-quantized [0, 2^16) columns: bits of
-    ``a`` in odd positions, ``b`` in even — a 32-bit key in a long."""
+    ``a`` in odd positions, ``b`` in even — a 32-bit key in a long.
+    Specialized fast path of :func:`interleave` (8 shift/mask ops vs
+    a 32-round bit loop; same key, pinned equal in tests)."""
     return F.shiftleft(spread_bits16(a), 1).bitwiseOR(spread_bits16(b))
+
+
+def interleave(quantized: list[Column], bits: int) -> Column:
+    """Generic N-column Morton interleave of pre-quantized
+    ``[0, 2^bits)`` long columns — column ``j``'s bit ``i`` lands at
+    position ``i*n + j``. The shared core under both this module's
+    2×16-bit fast path and operators/clustering.py's float-bounds
+    N-column key. ``bits * n`` must fit 63 bits."""
+    n = len(quantized)
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds 63")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
 
 
 def zorder_key2_py(qa: int, qb: int) -> int:

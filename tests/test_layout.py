@@ -33,6 +33,17 @@ def test_zorder_key_matches_python_reference(spark):
         assert got[(qa, qb)] == layout.zorder_key2_py(qa, qb)
 
 
+def test_fast_path_matches_generic_interleave(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randrange(0, 65536), rng.randrange(0, 65536)) for _ in range(100)]
+    df = spark.createDataFrame(pairs, "qa long, qb long")
+    mismatches = df.select(
+        layout.zorder_key2(F.col("qa"), F.col("qb")).alias("fast"),
+        layout.interleave([F.col("qb"), F.col("qa")], 16).alias("generic"),
+    ).where(F.col("fast") != F.col("generic"))
+    assert mismatches.count() == 0
+
+
 def test_quantize_is_integer_exact_and_clamped(spark):
     df = spark.createDataFrame([(-5,), (0,), (750,), (1500,), (99999,)], "v long")
     rows = {
