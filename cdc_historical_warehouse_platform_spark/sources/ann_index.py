@@ -22,6 +22,14 @@ LSH state (run_pipeline.py ``_lsh_index``):
   row-group stats skip everything else), and scoring joins the
   broadcast probed-query set exactly like the inline path.
 
+Storage modes (``quantize=``): ``None`` keeps float vectors; "int8"
+stores the IVF-SQ layout (4× smaller, integer-fold scoring); "pq"
+stores the IVF-PQ layout (operators/pq.py — m single-byte codes per
+vector, ~64× smaller, ADC lookup-table scoring), with the trained
+codebooks living in the same epoch sidecar as the coarse centroids so
+one pointer swap keeps (centroids, codebooks, assignments) a
+consistent triple.
+
 Atomicity (the dim_store pattern): readers resolve ONE ``_LATEST``
 pointer naming a (centroids file, assignments version) pair; writes
 land data first (epoch-named centroid sidecar, assignments commit or
@@ -96,6 +104,14 @@ class IVFIndex:
             "centroids"
         ]
 
+    def _codebooks(self) -> list | None:
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"IVF index {self.path} has no committed build")
+        return json.loads((self.path / meta["centroids_file"]).read_text()).get(
+            "pq_codebooks"
+        )
+
     @staticmethod
     def _assign(
         vectors: DataFrame,
@@ -103,12 +119,17 @@ class IVFIndex:
         corpus_id: str,
         corpus_vec: str,
         quantize: str | None = None,
+        codebooks: list | None = None,
     ) -> DataFrame:
         """``quantize="int8"`` stores the IVF-SQ layout — int8 vector +
         precomputed integer self-norm, NO full-precision copy (the
         standard inverted-file + scalar-quantizer composition: coarse
         quantizer prunes lists, SQ shrinks what each list stores ~4×).
-        List assignment always runs on the full-precision input."""
+        ``quantize="pq"`` stores the IVF-PQ layout — m single-byte-range
+        codes per vector against the trained ``codebooks``
+        (operators/pq.py), the 64×-compression tier for corpora whose
+        float vectors don't fit the cluster. List assignment always
+        runs on the full-precision input."""
         # zero vectors have no centroid cosine (0/0 → ArithmeticException
         # under ANSI); park them deterministically in list 0 — probes
         # never score them (zero-norm filter at search time)
@@ -124,7 +145,19 @@ class IVFIndex:
             .otherwise(F.lit(0))
             .alias("list_id")
         )
-        if quantize == "int8":
+        if quantize == "pq":
+            from cdc_historical_warehouse_platform_spark.operators.pq import encode_pq
+
+            # one map pass: codes + coarse list in the same kernel
+            # (carry_exprs), no encode⋈assign self-join
+            assigned = encode_pq(
+                vectors,
+                codebooks,
+                vec_col=corpus_vec,
+                id_col=corpus_id,
+                carry_exprs={"list_id": list_id},
+            ).withColumnRenamed(corpus_id, "vec_id")
+        elif quantize == "int8":
             assigned = vectors.select(
                 F.col(corpus_id).alias("vec_id"),
                 quantize_int8(F.col(corpus_vec)).alias("__cq"),
@@ -163,19 +196,44 @@ class IVFIndex:
         corpus_vec: str = "embedding",
         txn_id: str | None = None,
         quantize: str | None = None,
+        pq_m: int = 8,
+        pq_k: int = 16,
+        pq_refine: int = 2,
     ) -> "IVFIndex":
-        if quantize not in (None, "int8"):
-            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        if quantize not in (None, "int8", "pq"):
+            raise ValueError(
+                f"quantize must be None, 'int8' or 'pq', got {quantize!r}"
+            )
         index = cls(path)
         prev = index._read_pointer()
         epoch = (prev["epoch"] + 1) if prev else 0
         cents = ivf_centroids(corpus, n_lists, refine, corpus_id, corpus_vec)
+        codebooks = None
+        if quantize == "pq":
+            from cdc_historical_warehouse_platform_spark.operators.pq import (
+                train_pq_codebooks,
+            )
+
+            codebooks = train_pq_codebooks(
+                corpus, pq_m, pq_k, pq_refine, corpus_id, corpus_vec
+            )
         cent_file = f"_centroids_e{epoch}.json"
         (index.path / cent_file).write_text(
-            json.dumps({"centroids": cents, "n_lists": n_lists, "refine": refine})
+            json.dumps(
+                {
+                    "centroids": cents,
+                    "n_lists": n_lists,
+                    "refine": refine,
+                    # PQ codebooks live in the SAME epoch sidecar so the
+                    # pointer swap keeps (centroids, codebooks,
+                    # assignments) consistent as one unit
+                    "pq_codebooks": codebooks,
+                }
+            )
         )
         v = index.assignments.commit(
-            cls._assign(corpus, cents, corpus_id, corpus_vec, quantize), txn_id=txn_id
+            cls._assign(corpus, cents, corpus_id, corpus_vec, quantize, codebooks),
+            txn_id=txn_id,
         )
         index._write_pointer(
             {
@@ -233,7 +291,14 @@ class IVFIndex:
         if n_appended == 0:
             return meta["assignments_version"], 0
         v = self.assignments.append(
-            self._assign(fresh, cents, corpus_id, corpus_vec, meta.get("quantize")),
+            self._assign(
+                fresh,
+                cents,
+                corpus_id,
+                corpus_vec,
+                meta.get("quantize"),
+                self._codebooks() if meta.get("quantize") == "pq" else None,
+            ),
             txn_id=txn_id,
         )
         self._write_pointer({**meta, "assignments_version": v})
@@ -299,6 +364,27 @@ class IVFIndex:
         scan = self.assignments.read(
             spark, version=meta["assignments_version"]
         ).filter(F.col("list_id").isin(probed_ids))
+        if meta.get("quantize") == "pq":
+            from cdc_historical_warehouse_platform_spark.operators.pq import pq_adc_topk
+
+            sidecar = json.loads(
+                (self.path / meta["centroids_file"]).read_text()
+            )
+            # per-query probed lists: each query ADC-scores only rows
+            # of ITS lists (ivf_search's probe-join semantics), on top
+            # of the storage-level union filter above
+            per_query: dict[str, list[int]] = {}
+            for r in probed.select("query_id", "list_id").collect():
+                per_query.setdefault(str(r["query_id"]), []).append(r["list_id"])
+            return pq_adc_topk(
+                scan,
+                sidecar["pq_codebooks"],
+                queries,
+                k=k,
+                query_id=query_id,
+                query_vec=query_vec,
+                probed_lists=per_query,
+            )
         if meta.get("quantize") == "int8":
             assigned_q = scan.select(
                 F.col("vec_id").alias("neighbor_id"), "__cq", "__na", "list_id"

@@ -27,6 +27,7 @@ Usage:
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
+                                   [--pq [--pq-m M] [--pq-k K]]  # IVF-PQ: m-byte codes
   python run_pipeline.py ann-append --input NEW_SF_DIR --output DIR
   python run_pipeline.py ann-query  --input SF_DIR --output DIR
                                    [--k N] [--n-probes N] [--n-queries N]
@@ -196,6 +197,16 @@ def main() -> int:
         action="store_true",
         help="ann-build: store the IVF-SQ layout (int8 vectors + integer "
         "norms, no full-precision copy); appends/probes follow the stored mode",
+    )
+    ap.add_argument(
+        "--pq",
+        action="store_true",
+        help="ann-build: store the IVF-PQ layout (m single-byte codes per "
+        "vector — the 64x-compression tier); appends/probes follow the stored mode",
+    )
+    ap.add_argument("--pq-m", type=int, default=8, help="ann-build --pq: subspaces")
+    ap.add_argument(
+        "--pq-k", type=int, default=16, help="ann-build --pq: codes per subspace"
     )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
     ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query; corpus-tokens: top-k")
@@ -413,18 +424,24 @@ def main() -> int:
             return 1
         emb = spark.read.parquet(str(Path(args.input) / "embeddings.parquet"))
         if args.command == "ann-build":
+            if args.int8 and args.pq:
+                print(json.dumps({"error": "--int8 and --pq are exclusive"}))
+                return 1
+            quantize = "pq" if args.pq else ("int8" if args.int8 else None)
             index = IVFIndex.build(
                 emb,
                 args.output,
                 n_lists=args.n_lists,
-                quantize="int8" if args.int8 else None,
+                quantize=quantize,
+                pq_m=args.pq_m,
+                pq_k=args.pq_k,
             )
             print(
                 json.dumps(
                     {
                         "vectors": emb.count(),
                         "n_lists": args.n_lists,
-                        "quantize": "int8" if args.int8 else None,
+                        "quantize": quantize,
                         "version": index.assignments.version(),
                         "output": args.output,
                     }

@@ -1,0 +1,250 @@
+"""Product quantization (operators/pq.py + IVFIndex quantize='pq').
+
+Pins: (1) encoding picks the exactly-nearest sub-centroid; (2) on a
+codebook-representable corpus ADC is EXACT (equals true cosine, so
+top-k equals brute force); (3) training is deterministic; (4) recall
+on planted clusters clears a floor; (5) the persisted IVF-PQ index
+stores only codes (no float vectors), appends idempotently, and
+per-query probe masking keeps each query inside its own lists."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators import pq
+from cdc_historical_warehouse_platform_spark.operators.similarity import cosine_topk
+from cdc_historical_warehouse_platform_spark.sources.ann_index import IVFIndex
+
+DIM = 16
+M = 4
+DSUB = DIM // M
+K = 8
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def codebooks():
+    rng = random.Random(3)
+    return [
+        [[rng.uniform(-1, 1) for _ in range(DSUB)] for _ in range(K)]
+        for _ in range(M)
+    ]
+
+
+@pytest.fixture(scope="module")
+def exact_corpus(spark, codebooks):
+    """Concatenations of random codebook entries; the matching test
+    re-derives each vector's expected codes with a numpy reference of
+    the encoder's own math (normalize → per-subspace L2 argmin)."""
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        picks = [rng.randrange(K) for _ in range(M)]
+        vec = []
+        for s, c in enumerate(picks):
+            vec.extend(codebooks[s][c])
+        rows.append((str(i), vec, picks))
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "vec_id string, embedding array<double>"
+    )
+    return df, rows
+
+
+def _np_expected_codes(vec, codebooks):
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float64)
+    n = math.sqrt(float((v * v).sum()))
+    if n > 0:
+        v = v / n
+    cb = np.asarray(codebooks, dtype=np.float64)
+    sub = v.reshape(M, DSUB)
+    x2 = (sub * sub).sum(axis=1, keepdims=True)
+    c2 = (cb * cb).sum(axis=2)
+    xc = np.einsum("md,mkd->mk", sub, cb)
+    dist = x2 + c2 - 2.0 * xc
+    return list(dist.argmin(axis=1))
+
+
+def test_encode_picks_nearest_subcentroid(spark, codebooks, exact_corpus):
+    df, rows = exact_corpus
+    got = {
+        r["vec_id"]: list(r["__codes"])
+        for r in pq.encode_pq(df, codebooks).collect()
+    }
+    for vid, vec, _picks in rows[:50]:
+        assert got[vid] == _np_expected_codes(vec, codebooks), vid
+
+
+def test_adc_topk_matches_brute_force_on_representable_corpus(spark, codebooks):
+    """Corpus where every NORMALIZED vector is exactly its codebook
+    reconstruction: scale each concatenated pick by 1/its-norm and
+    ALSO scale the codebook copy used for that test — instead we use
+    per-row codebooks trick-free: pick vectors that are exact
+    codebook concatenations AND normalize the codebook entries so
+    each subvector has norm 1/sqrt(M); then any concatenation is unit
+    and reconstruction is exact."""
+    unit_cbs = [
+        [[x / (math.sqrt(sum(y * y for y in e)) * math.sqrt(M)) for x in e] for e in sub]
+        for sub in codebooks
+    ]
+    rng = random.Random(9)
+    rows = []
+    for i in range(200):
+        picks = [rng.randrange(K) for _ in range(M)]
+        vec = []
+        for s, c in enumerate(picks):
+            vec.extend(unit_cbs[s][c])
+        rows.append((str(i), vec))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    codes = pq.encode_pq(df, unit_cbs)
+    queries = df.limit(6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    adc = pq.pq_adc_topk(codes, unit_cbs, queries, k=8).collect()
+    brute = cosine_topk(df, queries, k=8).collect()
+
+    def ranked(rows_, score):
+        out = {}
+        for r in rows_:
+            out.setdefault(str(r["query_id"]), []).append(
+                (round(float(r[score]), 9), str(r["neighbor_id"]))
+            )
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    a, b = ranked(adc, "qcosine"), ranked(brute, "cosine")
+    for q in b:
+        assert [s for s, _ in a[q]] == [s for s, _ in b[q]], q
+
+
+def test_training_is_deterministic(spark):
+    rng = random.Random(1)
+    df = spark.createDataFrame(
+        [
+            (str(i), [rng.uniform(-1, 1) for _ in range(DIM)])
+            for i in range(200)
+        ],
+        "vec_id string, embedding array<double>",
+    ).repartition(7)
+    cb1 = pq.train_pq_codebooks(df, m=M, k=K, refine=2)
+    cb2 = pq.train_pq_codebooks(df.repartition(3), m=M, k=K, refine=2)
+    assert cb1 == cb2
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """40 planted groups of 11 near-duplicates: each member's true
+    top-10 is exactly its 10 group-mates (within-group cosine ≳ .998,
+    cross-group spread far below), so recall@10 measures whether PQ
+    separates groups — the job it exists for — and not the
+    noise-level within-group ordering PQ deliberately erases."""
+    rng = random.Random(17)
+    rows = []
+    gid = 0
+    for g in range(40):
+        c = _unit([rng.uniform(-1, 1) for _ in range(DIM)])
+        for _ in range(11):
+            rows.append((str(gid), [x + rng.gauss(0, 0.03) for x in c]))
+            gid += 1
+    return spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+
+def test_recall_floor_on_planted_groups(spark, clustered):
+    cb = pq.train_pq_codebooks(clustered, m=M, k=K, refine=2)
+    codes = pq.encode_pq(clustered, cb)
+    # one query from each of the first 8 groups (members 0, 11, 22, …)
+    qids = [str(11 * g) for g in range(8)]
+    queries = clustered.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    adc = pq.pq_adc_topk(codes, cb, queries, k=10).collect()
+    brute = cosine_topk(clustered, queries, k=10).collect()
+    bmap, pmap = {}, {}
+    for r in brute:
+        bmap.setdefault(str(r.query_id), set()).add(str(r.neighbor_id))
+    for r in adc:
+        pmap.setdefault(str(r.query_id), set()).add(str(r.neighbor_id))
+    recalls = [len(bmap[q] & pmap[q]) / 10 for q in bmap]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivfpq_index_stores_codes_only_and_appends_idempotently(
+    spark, clustered, tmp_path
+):
+    idx = IVFIndex.build(
+        clustered, tmp_path / "pq", n_lists=4, quantize="pq", pq_m=M, pq_k=K
+    )
+    stored = idx.assignments.read(spark)
+    assert set(stored.columns) == {"vec_id", "__codes", "list_id"}
+    # idempotent re-append
+    v0 = idx.assignments.version()
+    v, n = idx.append(clustered)
+    assert (v, n) == (v0, 0)
+    fresh = clustered.limit(15).select(
+        (F.col("vec_id").cast("long") + 10_000).cast("string").alias("vec_id"),
+        "embedding",
+    )
+    v, n = idx.append(fresh)
+    assert n == 15 and v == v0 + 1
+    # appended rows carry codes under the SAME codebooks
+    again = idx.assignments.read(spark)
+    assert again.count() == stored.count() + 15
+
+
+def test_ivfpq_probe_full_probe_equals_flat_adc(spark, clustered, tmp_path):
+    """With n_probes == n_lists the index probe must equal flat ADC
+    over the whole corpus (modulo float-tie ordering — compare the
+    rounded score sequences)."""
+    idx = IVFIndex.build(
+        clustered, tmp_path / "pq2", n_lists=4, quantize="pq", pq_m=M, pq_k=K
+    )
+    cb = idx._codebooks()
+    queries = clustered.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    via_index = idx.probe(spark, queries, k=7, n_probes=4).collect()
+    codes = pq.encode_pq(clustered, cb)
+    flat = pq.pq_adc_topk(codes, cb, queries, k=7).collect()
+
+    def key(rows_):
+        out = {}
+        for r in rows_:
+            out.setdefault(str(r["query_id"]), []).append(
+                round(float(r["qcosine"]), 9)
+            )
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    assert key(via_index) == key(flat)
+
+
+def test_ivfpq_probe_masks_per_query_lists(spark, clustered, tmp_path):
+    idx = IVFIndex.build(
+        clustered, tmp_path / "pq3", n_lists=4, quantize="pq", pq_m=M, pq_k=K
+    )
+    queries = clustered.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.probe(spark, queries, k=5, n_probes=1).collect()
+    # every neighbor must live in its query's single probed list
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        probed_queries,
+    )
+
+    probed = {
+        str(r["query_id"]): r["list_id"]
+        for r in probed_queries(queries, idx.centroids(), 1).collect()
+    }
+    lists = {
+        str(r["vec_id"]): r["list_id"]
+        for r in idx.assignments.read(spark).collect()
+    }
+    for r in res:
+        assert lists[str(r["neighbor_id"])] == probed[str(r["query_id"])]
