@@ -204,6 +204,68 @@ class SCD2DimStore:
         self._write_pointer({**meta, "history_version": new_hv})
         return True
 
+    def optimize_history(
+        self, spark: SparkSession, n_files: int = 32
+    ) -> dict:
+        """OPTIMIZE ZORDER for the history: rewrite the current history
+        version clustered by the Morton interleave of (order_key,
+        valid_from-day) and record a per-file min/max stats manifest
+        (operators/layout.py). Key-history probes (P5) and as-of scans
+        (J3) then skip files on BOTH dimensions — a 1-D key sort makes
+        time stats useless inside hot keys and vice versa; the Z-curve
+        bounds each file in both.
+
+        Runs at compaction cadence (layout maintenance, not per batch);
+        readers are unaffected until the atomic pointer swap. Returns
+        {files, history_version}."""
+        from cdc_historical_warehouse_platform_spark.operators import layout
+
+        meta = self._read_pointer()
+        if meta is None or meta["history_version"] < 0:
+            return {"files": 0, "history_version": -1}
+        hist = self.history.read(spark, version=meta["history_version"])
+        bounds = hist.agg(
+            F.min("order_key").alias("klo"),
+            F.max("order_key").alias("khi"),
+            F.min(F.unix_timestamp("valid_from")).alias("tlo"),
+            F.max(F.unix_timestamp("valid_from")).alias("thi"),
+        ).collect()[0]
+        if bounds["klo"] is None:
+            return {"files": 0, "history_version": meta["history_version"]}
+        day = (F.unix_timestamp("valid_from") / 86400).cast("long")
+        key = layout.zorder_key2(
+            layout.quantize(F.col("order_key"), bounds["klo"], max(bounds["khi"], bounds["klo"] + 1)),
+            layout.quantize(day, bounds["tlo"] // 86400, max(bounds["thi"] // 86400, bounds["tlo"] // 86400 + 1)),
+        )
+        new_hv = layout.write_zordered(
+            self.history, hist, key, ["order_key", "valid_from"], n_files=n_files
+        )
+        self._write_pointer({**meta, "history_version": new_hv})
+        stats = json.loads(layout._stats_file(self.history, new_hv).read_text())
+        return {"files": len(stats), "history_version": new_hv}
+
+    def read_history_for_keys(
+        self, spark: SparkSession, key_lo: int, key_hi: int
+    ) -> tuple[DataFrame, dict]:
+        """Key-range history probe through the skipping manifest: scans
+        only files whose order_key box intersects [key_lo, key_hi]
+        (falls back to a full filtered read when the history was never
+        optimized). Returns (DataFrame, {files_read, files_total})."""
+        from cdc_historical_warehouse_platform_spark.operators import layout
+
+        meta = self._read_pointer()
+        if meta is None or meta["history_version"] < 0:
+            return empty_dim(spark).filter(F.lit(False)), {
+                "files_read": 0,
+                "files_total": 0,
+            }
+        return layout.read_pruned(
+            self.history,
+            spark,
+            {"order_key": (key_lo, key_hi)},
+            version=meta["history_version"],
+        )
+
     def summary(self, spark: SparkSession) -> dict:
         dim = self.read(spark)
         row = dim.agg(

@@ -18,6 +18,8 @@ Usage:
   python run_pipeline.py load      [--workdir DIR] [--summary] [--drift-report]
                                    [--quarantine-dir DIR]
   python run_pipeline.py summary   [--workdir DIR]   # IVM check; exit 1 on drift
+  python run_pipeline.py optimize  [--workdir DIR] [--max-segments N]
+                                   [--history-files N]  # compact + z-order history
   python run_pipeline.py status    [--workdir DIR]
   python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
                                    [--order-key K]
@@ -90,7 +92,7 @@ def main() -> int:
         "command",
         choices=[
             "seed", "simulate", "extract", "load", "status", "validate",
-            "summary",
+            "summary", "optimize",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
             "ann-build", "ann-append", "ann-query",
             "bpe-train", "bpe-encode",
@@ -209,6 +211,18 @@ def main() -> int:
         "--pq-k", type=int, default=16, help="ann-build --pq: codes per subspace"
     )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
+    ap.add_argument(
+        "--max-segments",
+        type=int,
+        default=32,
+        help="optimize: consolidate history when it exceeds this many segments",
+    )
+    ap.add_argument(
+        "--history-files",
+        type=int,
+        default=32,
+        help="optimize: target file count for the z-ordered history rewrite",
+    )
     ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query; corpus-tokens: top-k")
     ap.add_argument(
         "--n-queries", type=int, default=10,
@@ -300,6 +314,21 @@ def main() -> int:
         }
         print(json.dumps(out))
         return 0 if mism == 0 else 1
+    elif args.command == "optimize":
+        # layout maintenance at compaction cadence: consolidate history
+        # segments, then Z-order the consolidated history by
+        # (order_key, valid_from-day) with a file-stats manifest so
+        # key-history and as-of probes skip files on both dimensions
+        if not dim.exists():
+            print(json.dumps({"error": "dim table empty"}))
+            return 1
+        compacted = dim.compact_history(spark, max_segments=args.max_segments)
+        result = dim.optimize_history(spark, n_files=args.history_files)
+        print(
+            json.dumps(
+                {"compacted": compacted, **result, "workdir": str(workdir)}
+            )
+        )
     elif args.command == "status":
         out = {
             "source_rows": sim._orders().count(),

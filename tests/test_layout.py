@@ -168,3 +168,54 @@ def test_read_pruned_without_manifest_falls_back(spark, orders, tmp_path):
         pruned.count()
         == zt.read(spark).where(F.col("o_custkey") <= 5).count()
     )
+
+
+def test_dim_store_optimize_history_and_key_probe(tmp_path, spark):
+    """optimize_history z-orders the history with a stats manifest;
+    read_history_for_keys prunes files on the key box and returns
+    exactly the full-filter rows (and falls back cleanly before any
+    optimize ran)."""
+    from conftest import CHANGE_SCHEMA, make_change
+    import datetime as dt
+
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    store = SCD2DimStore(tmp_path / "dim")
+
+    def ts(m):
+        return dt.datetime(2026, 2, 1, 12, m % 60, 0)
+
+    keys = list(range(1, 41))
+    b1 = spark.createDataFrame(
+        [make_change(i, "INSERT", ts(0)) for i in keys], CHANGE_SCHEMA
+    )
+    assert store.apply_batch(spark, b1, txn_id="t1")
+    # three update waves -> 120 expired history rows
+    for wave in (1, 2, 3):
+        b = spark.createDataFrame(
+            [
+                make_change(i, "UPDATE", ts(wave), quantity=wave + 1)
+                for i in keys
+            ],
+            CHANGE_SCHEMA,
+        )
+        assert store.apply_batch(spark, b, txn_id=f"u{wave}")
+
+    # fallback path before optimize: full read, no manifest
+    df0, rep0 = store.read_history_for_keys(spark, 5, 10)
+    assert rep0["files_total"] is None
+    expected = sorted(
+        (r.order_key, str(r.valid_from))
+        for r in store.read_history(spark)
+        .where((F.col("order_key") >= 5) & (F.col("order_key") <= 10))
+        .collect()
+    )
+    assert sorted((r.order_key, str(r.valid_from)) for r in df0.collect()) == expected
+
+    result = store.optimize_history(spark, n_files=8)
+    assert result["files"] == 8
+    df1, rep1 = store.read_history_for_keys(spark, 5, 10)
+    assert rep1["files_read"] < rep1["files_total"], rep1
+    assert sorted((r.order_key, str(r.valid_from)) for r in df1.collect()) == expected
+    # the store still satisfies its invariants after the rewrite
+    assert store.read(spark).count() == 160  # 40 current + 120 expired
