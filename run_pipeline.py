@@ -33,6 +33,9 @@ Usage:
   python run_pipeline.py ann-append --input NEW_SF_DIR --output DIR
   python run_pipeline.py ann-query  --input SF_DIR --output DIR
                                    [--k N] [--n-probes N] [--n-queries N]
+  python run_pipeline.py quality-train --input SF_DIR --output DIR
+                                   [--label-sql EXPR] [--iters N]
+  python run_pipeline.py quality-score --input SF_DIR --output DIR [--threshold T]
   python run_pipeline.py bpe-train  --input SF_DIR --output DIR
                                    [--num-merges N] [--min-pair-count M]
   python run_pipeline.py bpe-encode --input SF_DIR --output DIR
@@ -96,6 +99,7 @@ def main() -> int:
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
             "ann-build", "ann-append", "ann-query",
             "bpe-train", "bpe-encode",
+            "quality-train", "quality-score",
         ],
     )
     ap.add_argument(
@@ -211,6 +215,21 @@ def main() -> int:
         "--pq-k", type=int, default=16, help="ann-build --pq: codes per subspace"
     )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
+    ap.add_argument(
+        "--label-sql",
+        default="lang = 'en'",
+        help="quality-train: boolean SQL expression over documents "
+        "columns used as the training label",
+    )
+    ap.add_argument(
+        "--iters", type=int, default=15, help="quality-train: gradient iterations"
+    )
+    ap.add_argument(
+        "--threshold",
+        type=float,
+        default=0.5,
+        help="quality-score: keep docs with predicted quality >= this",
+    )
     ap.add_argument(
         "--max-segments",
         type=int,
@@ -511,6 +530,83 @@ def main() -> int:
                         },
                     },
                     sort_keys=True,
+                )
+            )
+    elif args.command in ("quality-train", "quality-score"):
+        # model-based quality filter: fit the deterministic logistic
+        # classifier on a labeled seed rule, persist the tiny model as
+        # an atomically-replaced JSON artifact, score whole corpora
+        # with a map-only literal-weight expression
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.operators.classifier import (
+            fit_logreg,
+            quality_features,
+            score_logreg,
+        )
+
+        if not args.input or not args.output:
+            print(json.dumps({"error": f"{args.command} requires --input and --output"}))
+            return 1
+        docs = spark.read.parquet(str(Path(args.input) / "documents.parquet"))
+        out = Path(args.output)
+        out.mkdir(parents=True, exist_ok=True)
+        model_file = out / "quality_model.json"
+        if args.command == "quality-train":
+            label = F.expr(args.label_sql).cast("boolean").cast("double")
+            model = fit_logreg(
+                docs,
+                quality_features(F.col("text")),
+                label,
+                iters=args.iters,
+            )
+            fd, tmp = tempfile.mkstemp(dir=out, prefix="._model_")
+            with os.fdopen(fd, "w") as f:
+                json.dump({**model, "label_sql": args.label_sql}, f)
+            os.replace(tmp, model_file)
+            print(
+                json.dumps(
+                    {
+                        "n": model["n"],
+                        "final_loss": round(model["losses"][-1], 6),
+                        "weights": {
+                            k: round(v, 6) for k, v in model["weights"].items()
+                        },
+                        "model": str(model_file),
+                    }
+                )
+            )
+        else:  # quality-score
+            if not model_file.exists():
+                print(
+                    json.dumps(
+                        {"error": f"no model under {args.output}; run quality-train first"}
+                    )
+                )
+                return 1
+            model = json.loads(model_file.read_text())
+            scored = docs.withColumn(
+                "p_quality", score_logreg(quality_features(F.col("text")), model)
+            )
+            agg = scored.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.count(F.when(F.col("p_quality") >= args.threshold, 1)).alias(
+                    "kept"
+                ),
+                F.avg("p_quality").alias("mean_p"),
+            ).collect()[0]
+            print(
+                json.dumps(
+                    {
+                        "docs": agg["docs"],
+                        "kept": agg["kept"],
+                        "threshold": args.threshold,
+                        "mean_p": round(agg["mean_p"], 6),
+                        "label_sql": model.get("label_sql"),
+                    }
                 )
             )
     elif args.command in ("bpe-train", "bpe-encode"):
