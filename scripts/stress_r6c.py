@@ -18,6 +18,12 @@
    time is the 100 TB read-rate story for a corpus 64× smaller than
    its float form.
 
+3. **Logreg quality filter** (operators/classifier.py): N_ROWS
+   separable feature rows, 3 full-batch gradient iterations under TWO
+   different partitionings — asserts the fitted weights and losses
+   are bit-identical (the exact-sum gradient claim at scale) and
+   reports rows/iteration/s.
+
 Usage: python scripts/stress_r6c.py [rows] [vecs] [dim] [queries]
 
 Evidence tooling, not a pytest (runs minutes at large N).
@@ -157,6 +163,33 @@ def main() -> None:
     recall = hits / len(res)
     out["pq_group_recall"] = round(recall, 4)
     assert recall >= 0.9, recall
+
+    # ---- 3. logreg quality filter at scale --------------------------------
+    # n_rows synthetic feature rows, separable by construction; each
+    # iteration is ONE aggregate — assert the bit-reproducibility
+    # claim holds at scale across different partitionings
+    from cdc_historical_warehouse_platform_spark.operators.classifier import fit_logreg
+
+    lab = spark.range(n_rows).select(
+        (F.col("id") % 2).cast("double").alias("y"),
+        (
+            (F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double") / 250.0 - 2.0)
+            + (F.col("id") % 2).cast("double") * 3.0
+        ).alias("x1"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).cast("double") / 500.0).alias(
+            "x2"
+        ),
+    )
+    feats = {"x1": F.col("x1"), "x2": F.col("x2")}
+    t0 = time.time()
+    m1 = fit_logreg(lab.repartition(32), feats, F.col("y"), iters=3)
+    out["logreg_3iters_s"] = round(time.time() - t0, 2)
+    m2 = fit_logreg(lab.repartition(11), feats, F.col("y"), iters=3)
+    assert m1["weights"] == m2["weights"] and m1["losses"] == m2["losses"]
+    out["logreg_rows_per_iter_per_s"] = int(
+        3 * n_rows / max(out["logreg_3iters_s"], 1e-9)
+    )
+    out["logreg_final_loss"] = round(m1["losses"][-1], 6)
 
     print(json.dumps(out))
     spark.stop()
