@@ -331,19 +331,23 @@ def write_training_shards(
     )
     spark = df.sparkSession
     if prev is None:
-        # one count job grouped by (shard, file) — O(#files) rows to
-        # the driver, never a per-shard job loop
-        per_file = (
-            spark.read.parquet(path)
-            .groupBy(F.col("shard"), F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
         shards: dict = {}
-        for r in per_file:
-            entry = shards.setdefault(str(r.shard), {"files": [], "rows": 0})
-            entry["files"].append(r.file.rsplit("/", 1)[-1])
-            entry["rows"] += r.rows
+        # a fully-filtered build writes ZERO files (partitionBy emits
+        # nothing for an empty frame) — reading the dir back would
+        # fail schema inference; an empty manifest is the right answer
+        if any(root.glob("shard=*/*.parquet")):
+            # one count job grouped by (shard, file) — O(#files) rows
+            # to the driver, never a per-shard job loop
+            per_file = (
+                spark.read.parquet(path)
+                .groupBy(F.col("shard"), F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            )
+            for r in per_file:
+                entry = shards.setdefault(str(r.shard), {"files": [], "rows": 0})
+                entry["files"].append(r.file.rsplit("/", 1)[-1])
+                entry["rows"] += r.rows
     else:
         # incremental merge: count ONLY files the previous manifest
         # does not list (this append's output), then add them in

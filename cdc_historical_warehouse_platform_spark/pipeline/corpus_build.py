@@ -80,6 +80,8 @@ def corpus_build(
     max_records_per_file: int = 100_000,
     max_per_source: int | None = None,
     track_top_tokens: int | None = None,
+    quality_model: dict | None = None,
+    quality_model_threshold: float = 0.5,
 ) -> dict:
     """Full build: keep decisions over ``input_dir``/documents.parquet,
     sharded kept corpus + persisted dedup state under ``output``.
@@ -94,7 +96,15 @@ def corpus_build(
     kept corpus's token heavy-hitter state (operators/heavy_hitters.py)
     as ``_hh_state`` LSM rows; appends keep extending it (the m rides
     the commit marker like the quota) and ``corpus_top_tokens`` reports
-    the exact top-k off the state + one candidate-verify pass."""
+    the exact top-k off the state + one candidate-verify pass.
+
+    ``quality_model``: a fitted operators/classifier.py model dict —
+    adds the MODEL-BASED quality gate (predicted quality ≥
+    ``quality_model_threshold``) on top of the heuristic gate, applied
+    before shards/state so filtered docs never enter the dedup
+    indexes. The model rides the commit marker (like the quota), so
+    appends score new batches with the SAME model without being
+    passed it — and a model-less rebuild explicitly clears it."""
     from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
     from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
         q_corpus_keep_decisions,
@@ -112,12 +122,24 @@ def corpus_build(
         decisions.filter(F.col("decision") == "kept").select("doc_id"), "doc_id"
     )
     out = Path(output)
+    n_kept_now = counts.get("kept", 0)
+    if quality_model is not None:
+        from cdc_historical_warehouse_platform_spark.operators.classifier import (
+            quality_features,
+            score_logreg,
+        )
+
+        kept = kept.filter(
+            score_logreg(quality_features(F.col("text")), quality_model)
+            >= quality_model_threshold
+        ).localCheckpoint(eager=True)
+        n_after = kept.count()
+        counts["model_filtered"] = n_kept_now - n_after
+        n_kept_now = n_after
     if max_per_source is not None:
         kept = cap_per_source(kept, max_per_source).drop("cap_rank")
         kept = kept.localCheckpoint(eager=True)  # one derivation for shards+state
-        counts["over_source_cap"] = (
-            counts.get("kept", 0) - kept.count()
-        )
+        counts["over_source_cap"] = n_kept_now - kept.count()
     manifest = write_training_shards(
         kept,
         output,
@@ -164,7 +186,15 @@ def corpus_build(
     write_marker(
         out,
         epoch=0,
-        extra={"max_per_source": max_per_source, "track_top_tokens": track_top_tokens},
+        extra={
+            "max_per_source": max_per_source,
+            "track_top_tokens": track_top_tokens,
+            # None EXPLICITLY CLEARS a stale model on a model-less rebuild
+            "quality_model": quality_model,
+            "quality_model_threshold": (
+                quality_model_threshold if quality_model is not None else None
+            ),
+        },
     )
     return {
         "decisions": counts,
@@ -181,6 +211,8 @@ def corpus_append(
     num_shards: int = 8,
     max_records_per_file: int = 100_000,
     max_per_source: int | None = None,
+    quality_model: dict | None = None,
+    quality_model_threshold: float | None = None,
 ) -> dict:
     """Incremental load: quality-gate the NEW batch, dedup it against
     the persisted state (exact-fingerprint + LSH; the existing corpus
@@ -233,6 +265,27 @@ def corpus_append(
         quality_score(F.col("text")) >= QUALITY_THRESHOLD
     ).localCheckpoint(eager=False)
     n_quality = quality_ok.count()
+    # model-based quality gate: adoption/override rides the epoch's
+    # commit marker exactly like the quota — an append never needs the
+    # model passed again once the corpus declared one
+    if quality_model is None:
+        quality_model = marker.get("quality_model")
+    if quality_model_threshold is None:
+        quality_model_threshold = marker.get("quality_model_threshold", 0.5)
+    n_model_filtered = 0
+    n_pool = n_quality
+    if quality_model is not None:
+        from cdc_historical_warehouse_platform_spark.operators.classifier import (
+            quality_features,
+            score_logreg,
+        )
+
+        quality_ok = quality_ok.filter(
+            score_logreg(quality_features(F.col("text")), quality_model)
+            >= quality_model_threshold
+        ).localCheckpoint(eager=False)
+        n_pool = quality_ok.count()
+        n_model_filtered = n_quality - n_pool
     # No caller-side materialization needed: incremental_minhash_dedup
     # checkpoints its drop sets (and the new batch's buckets), so kept/
     # kept_buckets re-derive from the new batch + small checkpointed
@@ -316,20 +369,19 @@ def corpus_append(
     # every write of this epoch landed → atomically publish it (the
     # active quota is recorded in the same atomic rename, so adoption
     # and epoch commit are one event)
-    write_marker(
-        out,
-        epoch=marker["epoch"] + 1,
-        extra=(
-            {"max_per_source": max_per_source}
-            if max_per_source is not None
-            else None
-        ),
-    )
+    extra: dict = {}
+    if max_per_source is not None:
+        extra["max_per_source"] = max_per_source
+    if quality_model is not None:
+        extra["quality_model"] = quality_model
+        extra["quality_model_threshold"] = quality_model_threshold
+    write_marker(out, epoch=marker["epoch"] + 1, extra=extra or None)
     n_kept = kept.count()
     return {
         "new_docs": n_new,
         "low_quality": n_new - n_quality,
-        "near_dup": n_quality - n_kept - n_over_cap,
+        "model_filtered": n_model_filtered,
+        "near_dup": n_pool - n_kept - n_over_cap,
         "over_source_cap": n_over_cap,
         "appended": n_kept,
         "repaired_files": len(repaired["removed"]),

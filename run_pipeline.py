@@ -23,9 +23,11 @@ Usage:
   python run_pipeline.py status    [--workdir DIR]
   python run_pipeline.py validate  [--workdir DIR] [--report [PATH]]
                                    [--order-key K]
-  python run_pipeline.py corpus    --input SF_DIR --output DIR\n  python run_pipeline.py corpus-append --input NEW_SF_DIR --output DIR
+  python run_pipeline.py corpus    --input SF_DIR --output DIR
+  python run_pipeline.py corpus-append --input NEW_SF_DIR --output DIR
                                    [--num-shards N] [--max-records-per-file N]
                                    [--max-per-source N]  # corpus: per-domain quota
+                                   [--quality-model PATH [--threshold T]]  # model gate
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
@@ -87,6 +89,15 @@ def _env(workdir: Path, source_url: str | None = None, source_table: str = "orde
     ext = CDCExtractor(spark, source, workdir / "cdc_logs", deleted_table=deleted)
     loader = SCD2Loader(spark, dim, workdir / "cdc_logs", metadata=meta)
     return spark, sim, ext, loader, dim, meta
+
+
+def _load_quality_model(args) -> dict | None:
+    """corpus/corpus-append: load a quality-train model JSON when
+    --quality-model was given (None otherwise — corpus_append then
+    adopts whatever model rides the corpus commit marker)."""
+    if not getattr(args, "quality_model", None):
+        return None
+    return json.loads(Path(args.quality_model).read_text())
 
 
 def main() -> int:
@@ -216,6 +227,14 @@ def main() -> int:
     )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
     ap.add_argument(
+        "--quality-model",
+        default=None,
+        help="corpus / corpus-append: path to a quality_model.json from "
+        "quality-train; adds the model-based keep gate (score >= "
+        "--threshold). On corpus-append the model rides the corpus "
+        "commit marker, so passing it again is only needed to override",
+    )
+    ap.add_argument(
         "--label-sql",
         default="lang = 'en'",
         help="quality-train: boolean SQL expression over documents "
@@ -228,7 +247,8 @@ def main() -> int:
         "--threshold",
         type=float,
         default=0.5,
-        help="quality-score: keep docs with predicted quality >= this",
+        help="quality-score / corpus --quality-model: keep docs with "
+        "predicted quality >= this",
     )
     ap.add_argument(
         "--max-segments",
@@ -401,6 +421,8 @@ def main() -> int:
                     max_records_per_file=args.max_records_per_file,
                     max_per_source=args.max_per_source,
                     track_top_tokens=args.track_top_tokens,
+                    quality_model=_load_quality_model(args),
+                    quality_model_threshold=args.threshold,
                 )
             )
         )
@@ -425,6 +447,10 @@ def main() -> int:
                     num_shards=args.num_shards,
                     max_records_per_file=args.max_records_per_file,
                     max_per_source=args.max_per_source,
+                    quality_model=_load_quality_model(args),
+                    quality_model_threshold=(
+                        args.threshold if args.quality_model else None
+                    ),
                 )
             )
         )

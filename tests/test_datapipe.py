@@ -1620,3 +1620,88 @@ def test_dsir_weights_invariant_to_partitioning(spark):
     a = TX.dsir_importance_weights(docs.repartition(9), target, n_buckets=256)
     b = TX.dsir_importance_weights(docs.coalesce(1), target, n_buckets=256)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_corpus_quality_model_gate_build_and_append(spark, tmp_path):
+    """The model-based quality gate through the composed pipeline: the
+    build filters by the classifier score, model-dropped docs never
+    enter the dedup state, the model rides the commit marker so a
+    model-less append scores with the SAME model, and re-delivery
+    stays a no-op."""
+    from cdc_historical_warehouse_platform_spark.operators.classifier import (
+        fit_logreg,
+        quality_features,
+        score_logreg,
+    )
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+    )
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import read_marker
+    from pathlib import Path
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = fit_logreg(
+        docs, quality_features(F.col("text")), (F.col("lang") == "en").cast("double"),
+        iters=6,
+    )
+    # pick a threshold that actually splits this corpus
+    scored = docs.withColumn(
+        "p", score_logreg(quality_features(F.col("text")), model)
+    )
+    thr = scored.agg(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY p)")).collect()[0][0]
+
+    out = str(tmp_path / "c")
+    r = corpus_build(
+        spark, "/root/testdata/sf0.001", out,
+        quality_model=model, quality_model_threshold=thr,
+    )
+    assert r["decisions"].get("model_filtered", 0) > 0, r["decisions"]
+    # every shipped doc clears the gate; dedup state matches the corpus
+    corpus = spark.read.parquet(out)
+    below = (
+        corpus.withColumn(
+            "p", score_logreg(quality_features(F.col("text")), model)
+        )
+        .where(F.col("p") < thr)
+        .count()
+    )
+    assert below == 0
+    lsh_ids = {
+        row["doc_id"]
+        for row in spark.read.parquet(str(tmp_path / "c" / "_lsh_index"))
+        .select("doc_id").distinct().collect()
+    }
+    assert lsh_ids <= {row["doc_id"] for row in corpus.select("doc_id").collect()}
+    marker = read_marker(Path(out))
+    assert marker["quality_model"]["weights"] == model["weights"]
+
+    # model-less append: fresh ids/text, gate must still apply (adopted
+    # from the marker)
+    new = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            (F.col("doc_id") + 50_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    a1 = corpus_append(spark, new, out)
+    assert a1["model_filtered"] > 0, a1
+    assert (
+        a1["low_quality"] + a1["model_filtered"] + a1["near_dup"]
+        + a1["over_source_cap"] + a1["appended"]
+        == a1["new_docs"]
+    )
+    corpus2 = spark.read.parquet(out)
+    below2 = (
+        corpus2.withColumn(
+            "p", score_logreg(quality_features(F.col("text")), model)
+        )
+        .where(F.col("p") < thr)
+        .count()
+    )
+    assert below2 == 0
+    a2 = corpus_append(spark, new, out)
+    assert a2["appended"] == 0
