@@ -51,6 +51,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator proven by another green row); they are parked past the window and
 # remain covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
+    # --- new r06 (fourth batch): gaps-and-islands, deterministic MODE,
+    # exact-integer z-score anomaly flags, and fixed-iteration integer
+    # PageRank (operators/graph.py — iterative algorithm with a
+    # hash-exact unrolled-CTE oracle) ---
+    "events_gap_islands",
+    "agg_mode_frequent",
+    "events_anomaly_zscore",
+    "graph_pagerank_top",
     # --- new r06 (third batch): blocked fuzzy-match join (prefix
     # blocking + Levenshtein verify), market-basket affinity
     # (co-occurrence support + lift), and exact higher central
@@ -101,15 +109,11 @@ _PRIORITY = [
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
-    "subquery_sole_late_supplier",
     "agg_important_parts",
     "join_top_quarter_supplier",
-    "join_lateral_topk",        # new r05: correlated LATERAL + LIMIT (decorrelated rank rewrite)
     "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
     "agg_exact_percentiles",    # new r05: percentile_cont ordered-set aggregate (bit-exact cross-engine)
     "agg_linear_regression",    # new r05: OLS slope/intercept/R² from exact-decimal moments (regr_* done deterministically)
-    "events_resample_ffill",    # new r05: hourly resample + forward-fill gap filling (map-side spine, running last-ignorenulls)
-    "setop_union_by_name",      # new r05: unionByName(allowMissingColumns) ≡ UNION ALL BY NAME
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
@@ -130,6 +134,14 @@ _PRIORITY = [
     "dedup_keep_list",
 ]
 _DEMOTED = [
+    # --- r06 fourth rotation: slots ceded to events_gap_islands /
+    # agg_mode_frequent / events_anomaly_zscore / graph_pagerank_top.
+    # Each demoted row is driver-green r05 (and earlier rounds); the
+    # family notes name the in-window sibling. ---
+    "subquery_sole_late_supplier",  # green r05 AND benched per-round; Q21 EXISTS+NOT-EXISTS family also repped by tpch_q20's nested-IN semi-joins in-window
+    "join_lateral_topk",         # green r05; decorrelated-rank shape ≡ in-window window_salted_topk's two-phase top-k
+    "setop_union_by_name",       # green r05; setop family repped in-window by setop_all_variants (the harder bag-semantics case)
+    "events_resample_ffill",     # green r05; events family keeps cohort/funnel/transition + the new gap_islands/anomaly rows in-window
     # --- r06 third rotation: slots ceded to join_fuzzy_part_names /
     # basket_brand_pairs / agg_higher_moments. Each demoted row is
     # driver-green three rounds (r01+r02+r05); families stay in-window

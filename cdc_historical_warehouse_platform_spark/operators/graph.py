@@ -1,0 +1,81 @@
+"""Iterative graph algorithms as repeated co-partitioned joins.
+
+PageRank over an undirected edge list, computed in INTEGER micro-rank
+units so a fixed iteration count is bit-exact across engines (the
+DuckDB oracle unrolls the same iterations as CTEs; integer floor
+division is deterministic everywhere, unlike float ÷).
+
+The distributed shape is the canonical one: each iteration is one
+equi-join of the rank vector against the edge list on the source key
+followed by one groupBy on the destination key — both shuffle on the
+node id, so at cluster scale the edge list and rank vector stay
+co-partitioned and each iteration moves only the (dst, contribution)
+pairs. No driver-side state: the loop builds one lazy plan of depth
+`iterations` (kept small — PageRank-style diffusion, not convergence;
+for convergence runs, localCheckpoint per iteration caps lineage).
+
+Scale note on units: ranks are held as BIGINT multiples of 1e-6
+(teleport = 150_000, initial mass = 1_000_000 per node). The hottest
+intermediate is `85 * SUM(contrib)` ≈ 85e6 · n_nodes, which stays
+inside int64 up to ~10^11 nodes — beyond any real corpus. Integer
+floor division loses < 1e-6 of mass per hop; the loss is identical in
+every engine, which is the point: determinism over the last decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+# BIGINT micro-rank units: 1.0 of PageRank mass == 1_000_000 units.
+UNIT = 1_000_000
+TELEPORT = 150_000  # 0.15 * UNIT
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list.
+
+    ``edges`` must have BIGINT columns ``src``/``dst`` listing each
+    undirected edge ONCE per direction (i.e. already symmetrized) with
+    no duplicates — every node therefore has out-degree ≥ 1 and at
+    least one in-edge, so there is no dangling-mass term.
+
+    Returns (node BIGINT, rank BIGINT) where rank is in micro-units
+    (see module docstring). rank_0 = UNIT for every node;
+    rank_{i+1}(v) = TELEPORT + (85 * Σ_{u→v} rank_i(u) div deg(u)) div 100.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(UNIT).cast("long").alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(TELEPORT)
+                + F.expr(f"({DAMP_NUM} * contrib) div {DAMP_DEN}")
+            ).cast("long").alias("rank"),
+        )
+    return ranks
+
+
+def pagerank_iteration_sql(prev: str, edges: str = "edges", deg: str = "deg") -> str:
+    """One unrolled oracle iteration: SELECT producing (node, rank)
+    from CTE ``prev`` — DuckDB `//` is floor division, matching
+    Spark's `div` on the all-positive ranks here."""
+    return (
+        f"SELECT e.dst AS node, "
+        f"{TELEPORT} + ({DAMP_NUM} * SUM(r.rank // d.deg)) // {DAMP_DEN} AS rank "
+        f"FROM {edges} e JOIN {deg} d ON e.src = d.src "
+        f"JOIN {prev} r ON e.src = r.node GROUP BY e.dst"
+    )

@@ -2655,3 +2655,240 @@ FROM keyed GROUP BY 1 ORDER BY ztile
 
 
 RELATIONAL_QUERIES["layout_zorder_tiles"] = (q_zorder_tiles, _sql_zorder_tiles())
+
+
+# --------------------------------------------------------------------------
+# r6 fourth batch: gaps-and-islands, deterministic mode, exact z-score
+# anomaly flags, fixed-iteration integer PageRank
+# --------------------------------------------------------------------------
+
+
+def q_events_gap_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands (r6): per-user runs of CONSECUTIVE active days
+    in the events stream — the classic rn-difference trick. A day
+    index minus a per-user row_number over distinct active days is
+    constant exactly within one unbroken run, so grouping on it yields
+    the islands; each reports its start/end day and length.
+
+    Scale shape: the distinct + window + groupBy all partition by
+    user_id (no global window), so one shuffle on the user key serves
+    all three and skew is bounded by one user's active-day count
+    (≤ days in the observation window). Integer day arithmetic only —
+    exact in both engines."""
+    ev = load_table(spark, sf, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+                "day_idx"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    islands = days.withColumn(
+        "island", F.col("day_idx") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("day_idx").alias("start_day"),
+            F.max("day_idx").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    )
+
+
+SQL_GAP_ISLANDS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx
+  FROM events),
+islands AS (
+  SELECT user_id, day_idx,
+         day_idx - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_idx) AS island
+  FROM days)
+SELECT user_id, MIN(day_idx) AS start_day, MAX(day_idx) AS end_day,
+       COUNT(*) AS n_days
+FROM islands GROUP BY user_id, island
+ORDER BY user_id, start_day
+"""
+
+RELATIONAL_QUERIES["events_gap_islands"] = (q_events_gap_islands, SQL_GAP_ISLANDS)
+
+
+def q_agg_mode_frequent(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group MODE (r6): the most frequent
+    o_orderpriority within each (o_orderstatus, order year), ties
+    broken toward the lexically smallest value — built-in mode() has
+    engine-defined tie-breaks, so both sides state the tie-break
+    explicitly (count DESC, value ASC) and hash-agree by construction.
+
+    Scale shape: counts are a two-phase hash aggregate on the full
+    grouping key; the argmax-per-group is a window partitioned by the
+    group (cardinality = groups × priorities, tiny next to the fact) —
+    never a global sort."""
+    o = load_table(spark, sf, "orders")
+    counts = o.groupBy(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderstatus", "order_year").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            "order_year",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus", "order_year")
+    )
+
+
+SQL_MODE_FREQUENT = """
+WITH counts AS (
+  SELECT o_orderstatus, EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS order_year,
+         o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2, 3)
+SELECT o_orderstatus, CAST(order_year AS INT) AS order_year,
+       o_orderpriority AS mode_priority, n AS mode_count
+FROM counts
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_orderstatus, order_year
+  ORDER BY n DESC, o_orderpriority ASC) = 1
+ORDER BY o_orderstatus, order_year
+"""
+
+RELATIONAL_QUERIES["agg_mode_frequent"] = (q_agg_mode_frequent, SQL_MODE_FREQUENT)
+
+
+def q_events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Population z-score outlier flags in EXACT integer arithmetic
+    (r6): an event is anomalous within its event_type when
+    |value − μ| > k·σ. Doubles make that boundary engine-dependent, so
+    both sides restate it over integer cents c = round(100·value):
+        (n·c − S)² > k²·(n·Q − S²),   S = Σc, Q = Σc²
+    — all BIGINT/DECIMAL products, no division, no float compare.
+
+    Scale shape: the per-type moments are one map-side-combined
+    aggregate into a handful of rows, broadcast back onto the fact —
+    the big side is never shuffled. The squared products are kept in
+    DECIMAL(38,0) so the compare cannot overflow at any realistic n
+    (int64 would cap around 10^5 rows/group at cent scale)."""
+    ev = load_table(spark, sf, "events")
+    cents = ev.withColumn(
+        "c", F.round(F.col("value") * 100).cast("long")
+    )
+    stats = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    k = 3
+    joined = cents.join(F.broadcast(stats), "event_type")
+    dev = (F.col("n") * F.col("c") - F.col("s")).cast("decimal(38,0)")
+    var_n2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        - F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+    )
+    return (
+        joined.filter(dev * dev > F.lit(k * k) * var_n2)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH cents AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+  FROM cents GROUP BY 1)
+SELECT event_id, user_id, event_type, value
+FROM cents JOIN stats USING (event_type)
+WHERE CAST(n * c - s AS DECIMAL(38,0)) * CAST(n * c - s AS DECIMAL(38,0))
+      > 9 * (CAST(n AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))
+             - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+ORDER BY event_id
+"""
+
+RELATIONAL_QUERIES["events_anomaly_zscore"] = (
+    q_events_anomaly_zscore,
+    SQL_ANOMALY_ZSCORE,
+)
+
+
+def q_graph_pagerank_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration PageRank (r6) over the customer↔supplier trade
+    graph (an edge where a customer's order contains a supplier's
+    line), via operators/graph.py — integer micro-rank units so three
+    unrolled iterations are bit-exact against the DuckDB CTE oracle.
+    Nodes are disjointly encoded (customer 2k, supplier 2k+1); output
+    is the top-25 nodes by final rank, ties toward the smaller id.
+
+    Scale shape: edge derivation is an equi-join on l_orderkey (fact
+    co-partitioning), then each iteration shuffles only on the node
+    key — the standard distributed PageRank plan. Top-k is
+    TakeOrderedAndProject, never a full sort."""
+    from cdc_historical_warehouse_platform_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iterations=3)
+    return (
+        ranks.select(F.col("node").cast("long").alias("node"), "rank")
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(25)
+    )
+
+
+def _sql_pagerank_top() -> str:
+    from cdc_historical_warehouse_platform_spark.operators.graph import (
+        UNIT,
+        pagerank_iteration_sql,
+    )
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cust_node, l_suppkey * 2 + 1 AS supp_node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node AS src, cust_node AS dst FROM pairs),
+deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({UNIT} AS BIGINT) AS rank FROM deg),
+r1 AS ({pagerank_iteration_sql("r0")}),
+r2 AS ({pagerank_iteration_sql("r1")}),
+r3 AS ({pagerank_iteration_sql("r2")})
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+ORDER BY rank DESC, node ASC LIMIT 25
+"""
+
+
+RELATIONAL_QUERIES["graph_pagerank_top"] = (q_graph_pagerank_top, _sql_pagerank_top())

@@ -1,0 +1,74 @@
+"""operators/graph.py — fixed-iteration integer PageRank.
+
+Pins the determinism contract (bit-identical across partitionings),
+the mass-conservation envelope of the integer arithmetic, and the
+known closed-form case of a symmetric star graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.graph import TELEPORT, UNIT, pagerank
+
+
+def _star_edges(spark, leaves: int = 4):
+    """Hub node 0 connected to `leaves` leaf nodes, symmetrized."""
+    rows = []
+    for leaf in range(1, leaves + 1):
+        rows.append((0, leaf))
+        rows.append((leaf, 0))
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_star_graph_closed_form(spark):
+    """On a 4-leaf star: hub deg=4, leaf deg=1. One exact hand-rolled
+    iteration from uniform ranks must match the operator."""
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(_star_edges(spark, 4), iterations=1).collect()
+    }
+    # hub receives 4 leaves' full rank: 150000 + (85 * 4*UNIT) // 100
+    assert got[0] == TELEPORT + (85 * 4 * UNIT) // 100
+    # each leaf receives hub_rank div 4
+    assert got[1] == TELEPORT + (85 * (UNIT // 4)) // 100
+    assert got[1] == got[2] == got[3] == got[4]
+
+
+def test_hub_outranks_leaves_after_three_iterations(spark):
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(_star_edges(spark, 6), iterations=3).collect()
+    }
+    assert ranks[0] > ranks[1]
+    assert len(ranks) == 7
+
+
+def test_bit_identical_across_partitionings(spark):
+    """The integer arithmetic admits no order-dependence: 1-partition
+    and 16-partition runs must agree to the last unit."""
+    import random
+
+    rng = random.Random(42)
+    pairs = {(rng.randrange(50), 50 + rng.randrange(20)) for _ in range(200)}
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    base = spark.createDataFrame(rows, "src long, dst long")
+    one = pagerank(base.coalesce(1), iterations=3)
+    many = pagerank(base.repartition(16, "src"), iterations=3)
+    a = sorted((r["node"], r["rank"]) for r in one.collect())
+    b = sorted((r["node"], r["rank"]) for r in many.collect())
+    assert a == b
+
+
+def test_mass_envelope(spark):
+    """Integer floor-division only ever LOSES mass: total rank after an
+    iteration is ≤ the float fixpoint total (n·UNIT) and ≥ the all-
+    teleport floor (n·TELEPORT)."""
+    edges = _star_edges(spark, 5)
+    n = 6
+    total = (
+        pagerank(edges, iterations=3)
+        .agg(F.sum("rank").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert n * TELEPORT <= total <= n * UNIT
