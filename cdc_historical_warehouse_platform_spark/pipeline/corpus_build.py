@@ -31,7 +31,7 @@ from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
     write_marker,
 )
 
-__all__ = ["corpus_build", "corpus_append", "corpus_compact", "corpus_top_tokens"]
+__all__ = ["corpus_build", "corpus_append", "corpus_compact", "corpus_forget", "corpus_top_tokens"]
 
 QUALITY_THRESHOLD = 0.68
 _CAPS_FILE = "_source_caps.json"
@@ -426,6 +426,199 @@ def corpus_compact(
                 p.unlink()
     return {**{k: v for k, v in result.items() if k != "old_files"},
             "repaired_files": len(repaired["removed"])}
+
+
+def corpus_forget(
+    spark: SparkSession,
+    doc_ids,
+    output: str,
+    max_records_per_file: int = 100_000,
+) -> dict:
+    """Right-to-be-forgotten: physically remove the given doc_ids from
+    the shard layout AND every piece of dedup state, crash-atomically.
+
+    Work is bounded by the files that actually CONTAIN forgotten docs:
+    a column-pruned (doc_id + input_file_name) scan finds the victim
+    files per directory, only those are rewritten (filtered copies
+    appended as new part files), and the commit marker excludes the
+    superseded files exactly like compaction — a crash before the
+    marker rolls the copies back, a crash after it lets the next
+    repair finish the unlink. At 100 TB the scan is a footer-narrow
+    single-column pass and the rewrite is proportional to the victim
+    files, not the corpus.
+
+    Semantics the state removal buys: the forgotten docs' LSH buckets
+    and fingerprints are dropped too, so a future append of the SAME
+    text is admitted again — "forgotten" means the corpus retains no
+    trace, not a tombstone. Per-source quota headroom is returned by
+    appending NEGATIVE rows to the ``_source_counts`` LSM (readers
+    sum). The heavy-hitter token state cannot retract (Misra-Gries
+    summaries are merge-only), so when tracking is on it is REBUILT
+    from the post-forget corpus in the same epoch — one corpus pass,
+    the documented cost of an exact forget.
+    """
+    out = Path(output)
+    if not (out / "_lsh_index").exists():
+        raise FileNotFoundError(f"no corpus state under {output}; run corpus_build first")
+    repaired = repair(out)
+    marker = read_marker(out) or {"epoch": 0}
+
+    if isinstance(doc_ids, DataFrame):
+        forget = doc_ids.select("doc_id").distinct()
+    else:
+        forget = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        ).distinct()
+    forget = forget.localCheckpoint(eager=True)  # tiny; joined by every tier
+
+    import json as _json
+
+    manifest = _json.loads((out / "_manifest.json").read_text())
+
+    # how many of the requested ids the corpus actually holds, and the
+    # per-source give-back for the quota state — computed from
+    # _kept_docs BEFORE any rewrite touches it
+    kept_docs_dir = str(out / "_kept_docs")
+    held = (
+        spark.read.parquet(kept_docs_dir)
+        .join(forget, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+        .localCheckpoint(eager=True)
+    )
+    n_found = held.agg(F.sum("n_removed")).collect()[0][0] or 0
+
+    old_rel: list[str] = []  # marker-excluded, unlinked after commit
+
+    def _victim_files(read_path: str, base: Path) -> list[str]:
+        """Absolute paths of data files containing >= 1 forgotten doc —
+        ONE column-pruned scan (doc_id + file name), never row data."""
+        rows = (
+            spark.read.parquet(read_path)
+            .select("doc_id", F.input_file_name().alias("__f"))
+            .join(forget, "doc_id", "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        # input_file_name yields URIs; strip the scheme to a local path
+        return sorted(r["__f"].removeprefix("file:") for r in rows)
+
+    # --- shard layout: rewrite only victim files, fix the manifest ---
+    shards_rewritten = 0
+    if any(out.glob("shard=*/*.parquet")):
+        victims = _victim_files(str(out), out)
+        if victims:
+            listed_before = {
+                s: {p.name for p in (out / f"shard={s}").glob("*.parquet")}
+                for s in manifest["shards"]
+            }
+            kept_part = (
+                spark.read.option("basePath", str(out))
+                .parquet(*victims)
+                .join(forget, "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            removed_per_shard = dict(
+                (str(r["shard"]), r["n"])
+                for r in spark.read.option("basePath", str(out))
+                .parquet(*victims)
+                .join(forget, "doc_id", "left_semi")
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            (
+                kept_part.repartition(max(len(removed_per_shard), 1), "shard")
+                .write.mode("append")
+                .option("maxRecordsPerFile", max_records_per_file)
+                .partitionBy("shard")
+                .parquet(str(out))
+            )
+            victim_names: dict[str, set] = {}
+            for v in victims:
+                parts = v.split("/")
+                sh = [p for p in parts if p.startswith("shard=")][-1].split("=", 1)[1]
+                victim_names.setdefault(sh, set()).add(parts[-1])
+                old_rel.append(f"shard={sh}/{parts[-1]}")
+            for sh, names in victim_names.items():
+                entry = manifest["shards"][sh]
+                survivors = [f for f in entry["files"] if f not in names]
+                new_files = sorted(
+                    p.name
+                    for p in (out / f"shard={sh}").glob("*.parquet")
+                    if p.name not in listed_before[sh]
+                )
+                manifest["shards"][sh] = {
+                    "files": sorted(survivors + new_files),
+                    "rows": entry["rows"] - removed_per_shard.get(sh, 0),
+                }
+            shards_rewritten = len(victim_names)
+            manifest["total_rows"] = sum(
+                e["rows"] for e in manifest["shards"].values()
+            )
+            (out / "_manifest.json").write_text(
+                _json.dumps(manifest, indent=2, sort_keys=True)
+            )
+
+    # --- dedup state dirs: same victim-file rewrite, plain layout ---
+    state_files_rewritten = 0
+    for d in ("_kept_docs", "_lsh_index", "_fp_index"):
+        sdir = out / d
+        if not any(sdir.glob("*.parquet")):
+            continue
+        victims = _victim_files(str(sdir), sdir)
+        if not victims:
+            continue
+        kept_part = (
+            spark.read.parquet(*victims)
+            .join(forget, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        kept_part.write.mode("append").option(
+            "maxRecordsPerFile", max_records_per_file
+        ).parquet(str(sdir))
+        old_rel.extend(f"{d}/{v.rsplit('/', 1)[-1]}" for v in victims)
+        state_files_rewritten += len(victims)
+
+    # --- per-source quota give-back: negative LSM rows, readers sum ---
+    if n_found and any((out / "_source_counts").glob("*.parquet")):
+        held.select(
+            "source", (-F.col("n_removed")).cast("long").alias("n_kept")
+        ).write.mode("append").parquet(str(out / "_source_counts"))
+
+    # --- heavy-hitter state: merge-only summaries cannot retract ---
+    m_track = marker.get("track_top_tokens")
+    if n_found and m_track and any((out / "_hh_state").glob("*.parquet")):
+        hh_dir = out / "_hh_state"
+        old_hh = sorted(str(p) for p in hh_dir.glob("*.parquet"))
+        # rebuild over the post-forget corpus, read via the UPDATED
+        # manifest (the superseded shard files are still on disk)
+        live = [
+            str(out / f"shard={s}/{f}")
+            for s, e in manifest["shards"].items()
+            for f in e["files"]
+        ]
+        if live:
+            corpus = spark.read.option("basePath", str(out)).parquet(*live)
+            _hh_delta(corpus, m_track).write.mode("append").parquet(str(hh_dir))
+        old_rel.extend(f"_hh_state/{p.rsplit('/', 1)[-1]}" for p in old_hh)
+
+    # --- publish, then unlink the superseded files ---
+    write_marker(out, epoch=marker["epoch"] + 1, exclude=frozenset(old_rel))
+    for rel in old_rel:
+        p = out / rel
+        if p.exists():
+            p.unlink()
+    return {
+        "requested": forget.count(),
+        "forgotten": n_found,
+        "shards_rewritten": shards_rewritten,
+        "state_files_rewritten": state_files_rewritten,
+        "repaired_files": len(repaired["removed"]),
+        "corpus_rows": manifest["total_rows"],
+        "output": output,
+    }
 
 
 def _doc_tokens(docs: DataFrame) -> DataFrame:

@@ -29,6 +29,7 @@ Usage:
                                    [--max-per-source N]  # corpus: per-domain quota
                                    [--quality-model PATH [--threshold T]]  # model gate
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
+  python run_pipeline.py corpus-forget --output DIR --doc-ids 1,2,3
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
                                    [--pq [--pq-m M] [--pq-k K]]  # IVF-PQ: m-byte codes
@@ -108,6 +109,7 @@ def main() -> int:
             "seed", "simulate", "extract", "load", "status", "validate",
             "summary", "optimize",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
+            "corpus-forget",
             "ann-build", "ann-append", "ann-query",
             "bpe-train", "bpe-encode",
             "quality-train", "quality-score",
@@ -118,6 +120,12 @@ def main() -> int:
         action="store_true",
         help="load: also maintain the revenue-per-customer rollup "
         "incrementally from batch deltas (verify with the `summary` command)",
+    )
+    ap.add_argument(
+        "--doc-ids",
+        default=None,
+        help="corpus-forget: comma-separated doc_ids to physically "
+        "remove from the corpus and its dedup state",
     )
     ap.add_argument(
         "--quarantine-dir",
@@ -464,6 +472,20 @@ def main() -> int:
             return 1
         try:
             print(json.dumps(corpus_top_tokens(spark, args.output, k=args.k)))
+        except FileNotFoundError as e:
+            print(json.dumps({"error": str(e)}))
+            return 1
+    elif args.command == "corpus-forget":
+        # right-to-be-forgotten: physically remove the given docs from
+        # shards + every dedup-state table in one crash-atomic epoch
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_forget
+
+        if not args.output or not args.doc_ids:
+            print(json.dumps({"error": "corpus-forget requires --output and --doc-ids"}))
+            return 1
+        ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+        try:
+            print(json.dumps(corpus_forget(spark, ids, args.output)))
         except FileNotFoundError as e:
             print(json.dumps({"error": str(e)}))
             return 1

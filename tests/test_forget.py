@@ -1,0 +1,111 @@
+"""pipeline/corpus_build.corpus_forget — right-to-be-forgotten.
+
+Pins: physical removal from shards + every dedup-state table, manifest
+and marker consistency, quota give-back, re-admission of re-submitted
+text (no tombstone), the no-op path for unknown ids, and repair
+stability of the committed post-forget epoch.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+    corpus_append,
+    corpus_build,
+    corpus_forget,
+    corpus_top_tokens,
+)
+from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import read_marker, repair
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ids(df, col="doc_id"):
+    return {r[col] for r in df.select(col).distinct().collect()}
+
+
+def test_corpus_forget_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "c")
+    corpus_build(spark, SF, out, track_top_tokens=256)
+    before = spark.read.parquet(out).drop("shard").localCheckpoint(eager=True)
+    kept_ids = sorted(_ids(before))
+    victims = kept_ids[:3]
+    n_before = before.count()
+    epoch_before = read_marker(tmp_path / "c")["epoch"]
+
+    r = corpus_forget(spark, victims, out)
+    assert r["requested"] == 3 and r["forgotten"] == 3
+    assert r["shards_rewritten"] >= 1
+
+    # physically gone from the corpus and every state table
+    after = spark.read.parquet(out)
+    assert _ids(after).isdisjoint(victims)
+    assert after.count() == n_before - 3 == r["corpus_rows"]
+    for d in ("_kept_docs", "_lsh_index", "_fp_index"):
+        assert _ids(spark.read.parquet(str(tmp_path / "c" / d))).isdisjoint(victims), d
+
+    # manifest rows reconcile with the actual layout, marker advanced
+    manifest = json.loads((tmp_path / "c" / "_manifest.json").read_text())
+    assert manifest["total_rows"] == n_before - 3
+    assert read_marker(tmp_path / "c")["epoch"] == epoch_before + 1
+
+    # the committed post-forget state is repair-stable (nothing torn)
+    assert repair(tmp_path / "c")["removed"] == []
+
+    # top-token report still runs exactly over the post-forget corpus
+    report = corpus_top_tokens(spark, out, k=5)
+    assert report["provably_exact"] is True
+
+    # no tombstone: re-submitting the SAME text under the same ids is
+    # admitted again (fp + LSH state really forgot them)
+    resubmit = before.filter(F.col("doc_id").isin([int(v) for v in victims]))
+    a = corpus_append(spark, resubmit, out)
+    assert a["appended"] == 3
+    assert _ids(spark.read.parquet(out)) >= set(victims)
+
+
+def test_corpus_forget_returns_quota_headroom(spark, tmp_path):
+    out = str(tmp_path / "c")
+    corpus_build(spark, SF, out, max_per_source=3)
+    kept = spark.read.parquet(out).localCheckpoint(eager=True)
+    # forget every kept doc of ONE source → its quota fully frees
+    src, n_src = (
+        kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).orderBy("source").collect()[0]
+    )
+    victims = [r["doc_id"] for r in kept.filter(F.col("source") == src).collect()]
+    r = corpus_forget(spark, victims, out)
+    assert r["forgotten"] == n_src
+    counts = (
+        spark.read.parquet(str(tmp_path / "c" / "_source_counts"))
+        .groupBy("source")
+        .agg(F.sum("n_kept").alias("n"))
+    )
+    freed = {row["source"]: row["n"] for row in counts.collect()}
+    assert freed.get(src, 0) == 0
+    # a fresh batch from that source can now fill the quota again
+    fresh = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id").between(100, 160))
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+        .withColumn("source", F.lit(src))
+        .withColumn("text", F.array_join(F.reverse(F.split(F.col("text"), " ")), " "))
+    )
+    a = corpus_append(spark, fresh, out)
+    post = spark.read.parquet(out).filter(F.col("source") == src).count()
+    # quota is live again: the source refills up to (not beyond) the cap
+    assert 1 <= post <= 3
+    assert a["appended"] == post
+
+
+def test_corpus_forget_unknown_ids_is_safe(spark, tmp_path):
+    out = str(tmp_path / "c")
+    corpus_build(spark, SF, out)
+    n = spark.read.parquet(out).count()
+    r = corpus_forget(spark, [99_999_901, 99_999_902], out)
+    assert r["forgotten"] == 0
+    assert r["shards_rewritten"] == 0 and r["state_files_rewritten"] == 0
+    assert spark.read.parquet(out).count() == n
+    assert repair(tmp_path / "c")["removed"] == []
