@@ -166,6 +166,37 @@ NOTES = {
         "the top-100 — the iterative trainer repeats exactly this shape "
         "per merge round, so this IS the trainer's hot path."
     ),
+    "events_gap_islands": (
+        "r6 gaps-and-islands: distinct-FIRST is the scale choice — the "
+        "(user, day) exchange moves map-side-deduped pairs (bounded by "
+        "users x days, not events), then one user_id exchange serves "
+        "BOTH the row_number window and the island groupBy (same "
+        "partitioning, no third shuffle before the presentation sort); "
+        "integer day arithmetic, whole-stage codegen, zero Python."
+    ),
+    "agg_mode_frequent": (
+        "r6 deterministic MODE: two-phase HashAggregate over the full "
+        "grouping key (fact never sees a window); the argmax runs as a "
+        "row_number window over the tiny (group x value) count table — "
+        "partitioned by the group, never a global sort."
+    ),
+    "events_anomaly_zscore": (
+        "r6 exact z-score flags: per-type moments are one map-side-"
+        "combined HashAggregate into a handful of rows, broadcast back "
+        "onto the fact (BroadcastHashJoin — the big side is never "
+        "shuffled); the k-sigma test is a pure DECIMAL comparison "
+        "inside codegen, no division, no Python."
+    ),
+    "graph_pagerank_top": (
+        "r6 fixed-iteration PageRank: edge derivation is a broadcast "
+        "join on the order key + one distinct; each of the 3 "
+        "iterations is a join of the rank vector against the edge list "
+        "on src followed by a groupBy on dst — both hash-partition on "
+        "the node id, so at cluster scale the edge list stays "
+        "co-partitioned and each iteration moves only (dst, contrib) "
+        "pairs; final top-25 is TakeOrderedAndProject, never a full "
+        "sort; all integer arithmetic in codegen."
+    ),
     "agg_distinct_sketch_rollup": (
         "Mergeable-sketch COUNT(DISTINCT) maintenance: per-wave HLL "
         "sketches built by ObjectHashAggregate (partial sketches merged "
