@@ -55,6 +55,7 @@ _PRIORITY = [
     # exact-integer z-score anomaly flags, and fixed-iteration integer
     # PageRank (operators/graph.py — iterative algorithm with a
     # hash-exact unrolled-CTE oracle) ---
+    "corpus_exact_substring_spans",  # ExactSubstr dedup spans (Lee et al. 2021) — hash-exact md5 k-gram pipeline
     "events_gap_islands",
     "agg_mode_frequent",
     "events_anomaly_zscore",
@@ -110,7 +111,6 @@ _PRIORITY = [
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
     "agg_important_parts",
-    "join_top_quarter_supplier",
     "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
     "agg_exact_percentiles",    # new r05: percentile_cont ordered-set aggregate (bit-exact cross-engine)
     "agg_linear_regression",    # new r05: OLS slope/intercept/R² from exact-decimal moments (regr_* done deterministically)
@@ -134,6 +134,8 @@ _PRIORITY = [
     "dedup_keep_list",
 ]
 _DEMOTED = [
+    # --- r06 fifth rotation: slot ceded to corpus_exact_substring_spans ---
+    "join_top_quarter_supplier",  # green r05; the Q15 view+MAX-equi shape's join family stays in-window via tpch_q2 (correlated MIN) + tpch_q9's star
     # --- r06 fourth rotation: slots ceded to events_gap_islands /
     # agg_mode_frequent / events_anomaly_zscore / graph_pagerank_top.
     # Each demoted row is driver-green r05 (and earlier rounds); the

@@ -56,6 +56,8 @@ __all__ = [
     "banded_embedding_near_dup",
     "semdedup",
     "decontaminate",
+    "exact_substring_spans",
+    "remove_duplicate_spans",
 ]
 
 
@@ -1032,3 +1034,100 @@ def incremental_minhash_dedup(
         dropped.select(F.col(id_col).alias("doc_id")), "doc_id", "anti"
     )
     return kept, kept_buckets
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021, arXiv:2107.06499): every
+    k-token span whose token sequence occurs MORE THAN ONCE anywhere in
+    the corpus (across docs or repeated within one), with overlapping
+    flagged spans merged per document.
+
+    Returns (id_col, span_start, span_end, n_positions): 1-based token
+    positions, span covers tokens [span_start, span_end] inclusive,
+    n_positions = flagged k-gram starts merged into the span.
+
+    Spark shape instead of the paper's suffix array: the k-gram stream
+    (id, pos, md5-of-k-tokens) is built map-only with JVM HOFs
+    (transform over sequence + slice — no per-token explode of the
+    corpus), duplicate grams are ONE groupBy on the 32-hex hash
+    (map-side combine collapses each partition's repeats first), and
+    the span merge is the gaps-and-islands lag trick partitioned by
+    doc — every stage shuffles hashes or integers, never text. At
+    100 TB the gram table is the dominant shuffle; that is the
+    published method's inherent cost, and banding it down is what the
+    MinHash tier is for.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda p: F.md5(F.array_join(F.slice(toks, p, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col), F.posexplode(grams_arr).alias("pos0", "g")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    flagged = grams.join(dup.select("g"), "g", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = flagged.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .select(id_col, "span_start", "span_end", "n_positions")
+        .orderBy(id_col, "span_start")
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The cut step: drop every token covered by a flagged span.
+
+    Map-only after ONE equi-join of the (few) spans per doc — the
+    token stream is never exploded: the doc's spans arrive as an array
+    of (start, end) structs and a positional HOF filter keeps tokens
+    outside all of them. Docs with no spans pass through unchanged.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    keep = F.filter(
+        toks,
+        lambda _t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+                F.array_join(keep, " ")
+            ),
+        )
+        .drop("__spans")
+    )

@@ -2251,3 +2251,45 @@ DATAPIPE_QUERIES["corpus_dsir_resample"] = (
     q_corpus_dsir_resample,
     SQL_DSIR_RESAMPLE,
 )
+
+
+def q_corpus_exact_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr dedup spans (r6): every 20-token span occurring more
+    than once anywhere in the corpus, merged per doc — Lee et al. 2021
+    (arXiv:2107.06499) done Spark-shaped (hash-grouped k-gram stream
+    instead of a suffix array; operators/dedup.exact_substring_spans).
+    md5 over the joined token slice is byte-identical in both engines,
+    so the full flag→merge pipeline is hash-exact."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf, "documents")
+    return exact_substring_spans(docs, k=20)
+
+
+SQL_EXACT_SUBSTRING_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, p AS pos, md5(array_to_string(t[p:p+19], ' ')) AS g
+  FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(p)),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM flagged),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + 20 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end,
+       COUNT(*) AS n_positions
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+DATAPIPE_QUERIES["corpus_exact_substring_spans"] = (
+    q_corpus_exact_substring_spans,
+    SQL_EXACT_SUBSTRING_SPANS,
+)
