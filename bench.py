@@ -58,6 +58,9 @@ HEADLINE = [
     # the new data-selection paths (two model fits + scored re-join
     # over the bigram stream)
     "corpus_dsir_weights",
+    # added r06 (fourth batch): ExactSubstr dedup — the corpus-sized
+    # k-gram window path (the heaviest new dedup tier)
+    "corpus_exact_substring_spans",
 ]
 
 

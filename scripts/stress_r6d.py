@@ -22,7 +22,15 @@
    survive n ≫ int64-cent scale. Stats agg is map-side combined; the
    fact side is never shuffled (broadcast stats join).
 
-Usage: python scripts/stress_r6d.py [edges] [rows] [users]
+4. **ExactSubstr dedup** (operators/dedup.exact_substring_spans):
+   N_DOCS synthetic 40-token docs, 1% of them carrying one of 100
+   planted 25-token boilerplate phrases — asserts every planted doc
+   (and ONLY planted docs) gets a span covering the phrase, and
+   reports gram throughput. The gram window shuffle is the method's
+   inherent cost; the planted phrases are the realistic hot-gram skew
+   (each repeated N_DOCS/10000 times).
+
+Usage: python scripts/stress_r6d.py [edges] [rows] [users] [docs]
 
 Evidence tooling, not a pytest (runs minutes at large N).
 """
@@ -48,8 +56,9 @@ def main() -> None:
     n_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
     n_users = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    n_docs = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
     spark = get_spark(app_name="stress-r6d")
-    out: dict = {"edges": n_edges, "rows": n_rows, "users": n_users}
+    out: dict = {"edges": n_edges, "rows": n_rows, "users": n_users, "docs": n_docs}
 
     # --- 1. PageRank determinism + throughput -------------------------
     # bipartite customer(0..C-1)*2 <-> supplier 2k+1; xxhash gives a
@@ -160,6 +169,47 @@ def main() -> None:
     assert flagged["planted_hit"] == n_out, "planted 6-sigma outliers must all flag"
     assert flagged["n_flagged"] == n_out, "no in-band row may flag at k=6"
     out["zscore"] = {"sec": round(t_z, 2), "rows_s": int(n_rows / t_z)}
+
+    # --- 4. ExactSubstr dedup: planted boilerplate at scale ----------
+    from cdc_historical_warehouse_platform_spark.operators.dedup import exact_substring_spans
+
+    k = 25
+    # unique filler: 40 tokens derived from the doc id — no accidental
+    # cross-doc k-grams. Planted docs (id % 100 == 0) append one of
+    # 100 boilerplate phrases, each repeated ~n_docs/10000 times.
+    filler = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda i: F.concat(F.lit("u"), F.conv(F.xxhash64(F.col("id"), i), 10, 16)),
+    )
+    phrase = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.concat(F.lit("bp"), (F.pmod(F.col("id"), F.lit(10_000)) / 100).cast("long"), F.lit("_"), i),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.when(F.col("id") % 100 == 0, F.concat(filler, phrase)).otherwise(filler),
+            " ",
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    spans = exact_substring_spans(docs, k=k)
+    res = spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when((F.col("span_start") == 41) & (F.col("span_end") == 40 + k), 1).otherwise(0)).alias("exact_cover"),
+        F.count_distinct(F.col("doc_id")).alias("docs_with_spans"),
+    ).collect()[0]
+    t_es = time.perf_counter() - t0
+    planted = n_docs // 100
+    assert res["docs_with_spans"] == planted, (res, planted)
+    assert res["n_spans"] == planted and res["exact_cover"] == planted, res
+    n_grams = docs.select(F.sum(F.greatest(F.size(F.split("text", " ")) - k + 1, F.lit(0)))).collect()[0][0]
+    out["exact_substring"] = {
+        "planted_docs": planted,
+        "grams": n_grams,
+        "sec": round(t_es, 2),
+        "grams_s": int(n_grams / t_es),
+    }
 
     print(json.dumps(out))
     spark.stop()
