@@ -63,13 +63,23 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 )
 
 
-def _env(workdir: Path, source_url: str | None = None, source_table: str = "orders"):
+def _env(
+    workdir: Path,
+    source_url: str | None = None,
+    source_table: str = "orders",
+    dim_store: str = "full",
+    dim_key_span: int = 1_000_000,
+):
     from cdc_historical_warehouse_platform_spark.pipeline.extractor import CDCExtractor
     from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
     from cdc_historical_warehouse_platform_spark.pipeline.metadata import PipelineMetadataManager
     from cdc_historical_warehouse_platform_spark.pipeline.simulator import OrderSimulator
     from cdc_historical_warehouse_platform_spark.session import get_spark
-    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import (
+        BucketedSCD2DimStore,
+        MergeOnReadSCD2DimStore,
+        SCD2DimStore,
+    )
     from cdc_historical_warehouse_platform_spark.sources.jdbc import JdbcSource
     from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
 
@@ -84,7 +94,18 @@ def _env(workdir: Path, source_url: str | None = None, source_table: str = "orde
     else:
         source = VersionedTable(workdir / "source_orders")
     deleted = VersionedTable(workdir / "deleted_orders")
-    dim = SCD2DimStore(workdir / "dim_orders_history")
+    # write-amplification tier: "full" rewrites the current slice per
+    # batch (one-job staged adopt), "bucketed" rewrites only touched
+    # key-range buckets, "mor" appends O(batch) delta segments (compact with
+    # the `optimize` command). All three are lockstep-equal
+    # (tests/test_bucketed_dim.py); the store layout self-describes, so
+    # later commands must pass the same choice.
+    dim_cls = {
+        "full": lambda p: SCD2DimStore(p),
+        "bucketed": lambda p: BucketedSCD2DimStore(p, key_span=dim_key_span),
+        "mor": lambda p: MergeOnReadSCD2DimStore(p),
+    }[dim_store]
+    dim = dim_cls(workdir / "dim_orders_history")
     meta = PipelineMetadataManager(spark, workdir / "pipeline_metadata")
     sim = OrderSimulator(spark, source if source_url is None else VersionedTable(workdir / "source_orders"), deleted)
     ext = CDCExtractor(spark, source, workdir / "cdc_logs", deleted_table=deleted)
@@ -120,6 +141,20 @@ def main() -> int:
         action="store_true",
         help="load: also maintain the revenue-per-customer rollup "
         "incrementally from batch deltas (verify with the `summary` command)",
+    )
+    ap.add_argument(
+        "--dim-store",
+        choices=["full", "bucketed", "mor"],
+        default="full",
+        help="SCD2 current-slice layout: full rewrite-per-batch, "
+        "bucketed touched-buckets-only rewrite, or mor (merge-on-read "
+        "delta segments, O(batch) writes; compact via `optimize`)",
+    )
+    ap.add_argument(
+        "--dim-key-span",
+        type=int,
+        default=1_000_000,
+        help="bucketed dim store: consecutive business keys per range bucket",
     )
     ap.add_argument(
         "--doc-ids",
@@ -280,7 +315,11 @@ def main() -> int:
     workdir.mkdir(parents=True, exist_ok=True)
 
     spark, sim, ext, loader, dim, meta = _env(
-        workdir, source_url=args.source_url, source_table=args.source_table
+        workdir,
+        source_url=args.source_url,
+        source_table=args.source_table,
+        dim_store=args.dim_store,
+        dim_key_span=args.dim_key_span,
     )
     if args.backfill:
         from cdc_historical_warehouse_platform_spark.pipeline.state import Watermark
