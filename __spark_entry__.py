@@ -60,6 +60,7 @@ _PRIORITY = [
     "agg_mode_frequent",
     "events_anomaly_zscore",
     "graph_pagerank_top",
+    "graph_khop_distance",  # min-plus BFS sibling of PageRank — 3×-unrolled-CTE oracle
     # --- new r06 (third batch): blocked fuzzy-match join (prefix
     # blocking + Levenshtein verify), market-basket affinity
     # (co-occurrence support + lift), and exact higher central
@@ -110,7 +111,6 @@ _PRIORITY = [
     # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
-    "agg_important_parts",
     "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
     "agg_exact_percentiles",    # new r05: percentile_cont ordered-set aggregate (bit-exact cross-engine)
     "agg_linear_regression",    # new r05: OLS slope/intercept/R² from exact-decimal moments (regr_* done deterministically)
@@ -134,7 +134,9 @@ _PRIORITY = [
     "dedup_keep_list",
 ]
 _DEMOTED = [
-    # --- r06 fifth rotation: slot ceded to corpus_exact_substring_spans ---
+    # --- r06 fifth rotation: slots ceded to corpus_exact_substring_spans
+    # and graph_khop_distance ---
+    "agg_important_parts",       # green r05; the scalar-fraction HAVING shape's family stays in-window via tpch_q16's grouped HAVING + tpch_q14's conditional fraction
     "join_top_quarter_supplier",  # green r05; the Q15 view+MAX-equi shape's join family stays in-window via tpch_q2 (correlated MIN) + tpch_q9's star
     # --- r06 fourth rotation: slots ceded to events_gap_islands /
     # agg_mode_frequent / events_anomaly_zscore / graph_pagerank_top.

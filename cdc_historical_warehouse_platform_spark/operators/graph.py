@@ -79,3 +79,44 @@ def pagerank_iteration_sql(prev: str, edges: str = "edges", deg: str = "deg") ->
         f"FROM {edges} e JOIN {deg} d ON e.src = d.src "
         f"JOIN {prev} r ON e.src = r.node GROUP BY e.dst"
     )
+
+
+def bounded_shortest_paths(
+    edges: DataFrame, seeds: DataFrame, hops: int = 3
+) -> DataFrame:
+    """Min-plus BFS: exact shortest hop-distance from a seed set, out
+    to ``hops`` hops — the OTHER iterative-graph semiring (min/+ where
+    PageRank is +/×), same co-partitioned join-per-iteration shape.
+
+    ``edges``: (src, dst) BIGINT, already symmetrized if undirected.
+    ``seeds``: (node) BIGINT. Returns (node, dist) for every node
+    within ``hops`` of a seed. Pure integer arithmetic — bit-exact
+    against an unrolled-CTE oracle.
+
+    Each iteration relaxes every edge once (join on src, shuffle on the
+    node key) and folds with a min-groupBy — the frontier never needs
+    driver-side state, and unreached nodes simply never enter the
+    frame (no infinity sentinel to overflow)."""
+    dist = seeds.select(F.col("node"), F.lit(0).cast("int").alias("dist"))
+    for _ in range(hops):
+        relax = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def shortest_paths_iteration_sql(prev: str, edges: str = "edges") -> str:
+    """One unrolled oracle iteration for bounded_shortest_paths."""
+    return (
+        f"SELECT node, MIN(dist) AS dist FROM ("
+        f"SELECT node, dist FROM {prev} "
+        f"UNION ALL "
+        f"SELECT e.dst AS node, p.dist + 1 AS dist "
+        f"FROM {edges} e JOIN {prev} p ON e.src = p.node) GROUP BY node"
+    )

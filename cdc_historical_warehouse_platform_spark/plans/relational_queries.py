@@ -2892,3 +2892,71 @@ ORDER BY rank DESC, node ASC LIMIT 25
 
 
 RELATIONAL_QUERIES["graph_pagerank_top"] = (q_graph_pagerank_top, _sql_pagerank_top())
+
+
+def q_graph_khop_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded shortest paths (r6): exact hop-distance out to 3 hops
+    from the supplier nodes of ONE nation over the customer↔supplier
+    trade graph (operators/graph.bounded_shortest_paths — the min-plus
+    sibling of the PageRank query; same node encoding). Distances and
+    the per-distance node counts are pure integers, hash-exact against
+    a 3×-unrolled-CTE oracle.
+
+    Scale shape: identical to PageRank's — each hop is one equi-join +
+    one min-groupBy on the node key; the per-hop output is the reached
+    set, which the groupBy keeps deduplicated (no frontier explosion)."""
+    from cdc_historical_warehouse_platform_spark.operators.graph import bounded_shortest_paths
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    su = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    seeds = su.filter(F.col("s_nationkey") == 0).select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    dist = bounded_shortest_paths(edges, seeds, hops=3)
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
+        .orderBy("dist")
+    )
+
+
+def _sql_khop_distance() -> str:
+    from cdc_historical_warehouse_platform_spark.operators.graph import (
+        shortest_paths_iteration_sql,
+    )
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS cust_node, l_suppkey * 2 + 1 AS supp_node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT cust_node AS src, supp_node AS dst FROM pairs
+  UNION ALL
+  SELECT supp_node AS src, cust_node AS dst FROM pairs),
+d0 AS (
+  SELECT s_suppkey * 2 + 1 AS node, 0 AS dist FROM supplier WHERE s_nationkey = 0),
+d1 AS ({shortest_paths_iteration_sql("d0")}),
+d2 AS ({shortest_paths_iteration_sql("d1")}),
+d3 AS ({shortest_paths_iteration_sql("d2")})
+SELECT dist, COUNT(*) AS n_nodes, MIN(node) AS min_node
+FROM d3 GROUP BY dist ORDER BY dist
+"""
+
+
+RELATIONAL_QUERIES["graph_khop_distance"] = (q_graph_khop_distance, _sql_khop_distance())

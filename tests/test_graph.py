@@ -72,3 +72,35 @@ def test_mass_envelope(spark):
         .collect()[0]["t"]
     )
     assert n * TELEPORT <= total <= n * UNIT
+
+
+def test_bounded_shortest_paths_on_a_path_graph(spark):
+    """0-1-2-3-4 path, seed at 0: dist == node index, capped by hops."""
+    from cdc_historical_warehouse_platform_spark.operators.graph import bounded_shortest_paths
+
+    pairs = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bounded_shortest_paths(edges, seeds, hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 is 4 hops away — absent
+
+
+def test_bounded_shortest_paths_multi_seed_min(spark):
+    """Two seeds: every node takes the NEARER seed's distance."""
+    from cdc_historical_warehouse_platform_spark.operators.graph import bounded_shortest_paths
+
+    pairs = [(i, i + 1) for i in range(6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (6,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bounded_shortest_paths(edges, seeds, hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 0}
