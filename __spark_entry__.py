@@ -56,6 +56,7 @@ _PRIORITY = [
     # PageRank (operators/graph.py — iterative algorithm with a
     # hash-exact unrolled-CTE oracle) ---
     "corpus_exact_substring_spans",  # ExactSubstr dedup spans (Lee et al. 2021) — hash-exact md5 k-gram pipeline
+    "corpus_substring_clean",        # the ExactSubstr CUT step — HOF filter vs unnest+ordered-string_agg oracle
     "events_gap_islands",
     "agg_mode_frequent",
     "events_anomaly_zscore",
@@ -112,7 +113,6 @@ _PRIORITY = [
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
     "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
-    "agg_exact_percentiles",    # new r05: percentile_cont ordered-set aggregate (bit-exact cross-engine)
     "agg_linear_regression",    # new r05: OLS slope/intercept/R² from exact-decimal moments (regr_* done deterministically)
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
@@ -134,8 +134,9 @@ _PRIORITY = [
     "dedup_keep_list",
 ]
 _DEMOTED = [
-    # --- r06 fifth rotation: slots ceded to corpus_exact_substring_spans
-    # and graph_khop_distance ---
+    # --- r06 fifth rotation: slots ceded to corpus_exact_substring_spans,
+    # corpus_substring_clean, and graph_khop_distance ---
+    "agg_exact_percentiles",     # green r05; exact percentile_cont also demoted-green (agg_stats_quantiles), interpolated percentiles in-window via scd2_histogram_quantiles
     "agg_important_parts",       # green r05; the scalar-fraction HAVING shape's family stays in-window via tpch_q16's grouped HAVING + tpch_q14's conditional fraction
     "join_top_quarter_supplier",  # green r05; the Q15 view+MAX-equi shape's join family stays in-window via tpch_q2 (correlated MIN) + tpch_q9's star
     # --- r06 fourth rotation: slots ceded to events_gap_islands /

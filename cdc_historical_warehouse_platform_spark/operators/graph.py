@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "pagerank_iteration_sql", "bounded_shortest_paths", "shortest_paths_iteration_sql"]
 
 # BIGINT micro-rank units: 1.0 of PageRank mass == 1_000_000 units.
 UNIT = 1_000_000

@@ -2293,3 +2293,73 @@ DATAPIPE_QUERIES["corpus_exact_substring_spans"] = (
     q_corpus_exact_substring_spans,
     SQL_EXACT_SUBSTRING_SPANS,
 )
+
+
+def q_corpus_substring_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The ExactSubstr CUT step through the driver gate (r6): rebuild
+    each flagged doc's text with every duplicated-span token removed
+    (operators/dedup.remove_duplicate_spans — positional-HOF filter
+    after one equi-join; the token stream is never exploded). Only
+    docs that HAD spans are returned (untouched docs would dominate
+    the output with byte-identical passthroughs). The oracle takes the
+    opposite physical shape — unnest-with-ordinality + anti-join +
+    ordered string_agg — and must land on the same strings, which is
+    the point: the semantics are engine-independent."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    spans = exact_substring_spans(docs, k=20)
+    flagged = docs.join(spans.select("doc_id").distinct(), "doc_id")
+    return (
+        remove_duplicate_spans(flagged, spans)
+        .select("doc_id", "clean_text", F.length("clean_text").alias("clean_chars"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_SUBSTRING_CLEAN = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, p AS pos, md5(array_to_string(t[p:p+19], ' ')) AS g
+  FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(p)),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM flagged),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + 20 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end
+  FROM isl GROUP BY doc_id, island),
+positions AS (
+  SELECT doc_id, t[p] AS tok, p AS pos
+  FROM toks, unnest(generate_series(1, len(t))) AS u(p)
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM spans)),
+kept AS (
+  SELECT p.doc_id, p.tok, p.pos
+  FROM positions p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.span_start AND s.span_end))
+SELECT doc_id,
+       COALESCE(STRING_AGG(tok, ' ' ORDER BY pos), '') AS clean_text,
+       LENGTH(COALESCE(STRING_AGG(tok, ' ' ORDER BY pos), '')) AS clean_chars
+FROM (SELECT DISTINCT doc_id FROM spans) d
+LEFT JOIN kept USING (doc_id)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_substring_clean"] = (
+    q_corpus_substring_clean,
+    SQL_SUBSTRING_CLEAN,
+)
