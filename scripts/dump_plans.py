@@ -197,6 +197,16 @@ NOTES = {
         "pairs; final top-25 is TakeOrderedAndProject, never a full "
         "sort; all integer arithmetic in codegen."
     ),
+    "corpus_exact_substring_spans": (
+        "r6 ExactSubstr dedup: the k-gram stream is ONE map-only "
+        "project (transform over sequence + slice inside codegen — the "
+        "corpus is never token-exploded), duplicated grams are flagged "
+        "by a single count window partitioned by the md5 (one exchange "
+        "of (hash, id, pos) — the method's inherent shuffle; the "
+        "groupBy+semi-join-back alternative re-derives the dominant "
+        "gram build and measured 1.8x slower), and the span merge is a "
+        "doc-partitioned lag window over the (small) flagged set."
+    ),
     "agg_distinct_sketch_rollup": (
         "Mergeable-sketch COUNT(DISTINCT) maintenance: per-wave HLL "
         "sketches built by ObjectHashAggregate (partial sketches merged "
