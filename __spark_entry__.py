@@ -62,6 +62,7 @@ _PRIORITY = [
     "events_anomaly_zscore",
     "graph_pagerank_top",
     "graph_khop_distance",  # min-plus BFS sibling of PageRank — 3×-unrolled-CTE oracle
+    "ivm_join_view",        # signed-multiplicity join-view maintenance vs direct-join oracle
     # --- new r06 (third batch): blocked fuzzy-match join (prefix
     # blocking + Levenshtein verify), market-basket affinity
     # (co-occurrence support + lift), and exact higher central
@@ -113,7 +114,6 @@ _PRIORITY = [
     # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
     # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
     "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
-    "agg_linear_regression",    # new r05: OLS slope/intercept/R² from exact-decimal moments (regr_* done deterministically)
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
@@ -137,6 +137,7 @@ _DEMOTED = [
     # --- r06 fifth rotation: slots ceded to corpus_exact_substring_spans,
     # corpus_substring_clean, and graph_khop_distance ---
     "agg_exact_percentiles",     # green r05; exact percentile_cont also demoted-green (agg_stats_quantiles), interpolated percentiles in-window via scd2_histogram_quantiles
+    "agg_linear_regression",     # green r05; the exact-decimal-moments discipline stays in-window via agg_higher_moments (the harder 4-moment case)
     "agg_important_parts",       # green r05; the scalar-fraction HAVING shape's family stays in-window via tpch_q16's grouped HAVING + tpch_q14's conditional fraction
     "join_top_quarter_supplier",  # green r05; the Q15 view+MAX-equi shape's join family stays in-window via tpch_q2 (correlated MIN) + tpch_q9's star
     # --- r06 fourth rotation: slots ceded to events_gap_islands /

@@ -2960,3 +2960,80 @@ FROM d3 GROUP BY dist ORDER BY dist
 
 
 RELATIONAL_QUERIES["graph_khop_distance"] = (q_graph_khop_distance, _sql_khop_distance())
+
+
+def q_ivm_join_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-view IVM through the driver gate (r6): maintain the
+    orders ⋈ customer view via signed-multiplicity deltas
+    (operators/ivm_join.py — the first-order rule Δ(A⋈B) = ΔA⋈B ∪
+    (A+ΔA)⋈ΔB) through a deterministic three-step two-sided sequence:
+
+      init: A = pre-1997 orders, B = odd-key customers
+      Δ1:   A += 1997–1998 orders;      B += even-key customers
+      Δ2:   A −= the F-status pre-1997 orders (retraction)
+
+    The Spark side ONLY ever applies deltas; the oracle computes the
+    FINAL states' join directly — equality proves maintenance ≡
+    recompute through the hash gate. Output is the consolidated view
+    rolled up per (nation, orderstatus) with multiset row counts.
+
+    Scale shape: every delta term broadcasts the delta and scans the
+    opposite state once (no state shuffle); the final consolidate +
+    rollup is the read-time aggregation."""
+    from cdc_historical_warehouse_platform_spark.operators.ivm_join import (
+        as_inserts,
+        as_retractions,
+        consolidate,
+        join_view_delta,
+        recompute_join_view,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    a0 = as_inserts(o.filter(F.col("o_orderdate") < F.lit("1997-01-01")))
+    b0 = as_inserts(c.filter(F.col("k") % 2 == 1))
+    d_a1 = as_inserts(
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01"))
+        )
+    )
+    d_b1 = as_inserts(c.filter(F.col("k") % 2 == 0))
+    d_a2 = as_retractions(
+        o.filter(
+            (F.col("o_orderdate") < F.lit("1997-01-01"))
+            & (F.col("o_orderstatus") == "F")
+        )
+    )
+
+    view = recompute_join_view(a0, b0, ["k"])
+    view = view.unionByName(join_view_delta(a0, b0, d_a1, d_b1, ["k"]))
+    a1 = a0.unionByName(d_a1)
+    b1 = b0.unionByName(d_b1)
+    view = view.unionByName(join_view_delta(a1, b1, d_a2, None, ["k"]))
+    return (
+        consolidate(view)
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(F.sum("__mult").cast("long").alias("n_rows"))
+        .orderBy("c_nationkey", "o_orderstatus")
+    )
+
+
+SQL_IVM_JOIN_VIEW = """
+WITH a_final AS (
+  SELECT o_custkey AS k, o_orderstatus FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    AND NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderstatus = 'F')),
+b_final AS (
+  SELECT c_custkey AS k, c_nationkey FROM customer)
+SELECT c_nationkey, o_orderstatus, COUNT(*) AS n_rows
+FROM a_final JOIN b_final USING (k)
+GROUP BY c_nationkey, o_orderstatus
+ORDER BY c_nationkey, o_orderstatus
+"""
+
+RELATIONAL_QUERIES["ivm_join_view"] = (q_ivm_join_view, SQL_IVM_JOIN_VIEW)
