@@ -30,6 +30,7 @@ Usage:
                                    [--quality-model PATH [--threshold T]]  # model gate
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py corpus-forget --output DIR --doc-ids 1,2,3
+  python run_pipeline.py corpus-ingest --input DIR --output DIR [--ingest-format text|jsonl]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
                                    [--pq [--pq-m M] [--pq-k K]]  # IVF-PQ: m-byte codes
@@ -130,7 +131,7 @@ def main() -> int:
             "seed", "simulate", "extract", "load", "status", "validate",
             "summary", "optimize",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
-            "corpus-forget",
+            "corpus-forget", "corpus-ingest",
             "ann-build", "ann-append", "ann-query",
             "bpe-train", "bpe-encode",
             "quality-train", "quality-score",
@@ -155,6 +156,18 @@ def main() -> int:
         type=int,
         default=1_000_000,
         help="bucketed dim store: consecutive business keys per range bucket",
+    )
+    ap.add_argument(
+        "--ingest-format",
+        choices=["text", "jsonl"],
+        default="text",
+        help="corpus-ingest: text = one doc per *.txt file (wholetext), "
+        "jsonl = one doc per line with an explicit FAILFAST schema",
+    )
+    ap.add_argument(
+        "--ingest-source",
+        default="files",
+        help="corpus-ingest (text format): value for the source column",
     )
     ap.add_argument(
         "--doc-ids",
@@ -514,6 +527,26 @@ def main() -> int:
         except FileNotFoundError as e:
             print(json.dumps({"error": str(e)}))
             return 1
+    elif args.command == "corpus-ingest":
+        # raw crawl/export directory -> documents.parquet (the table
+        # corpus_build consumes); ids are path-stable so re-ingesting
+        # the same files re-delivers the same docs (fp-tier dedup)
+        from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+            read_jsonl_documents,
+            read_text_documents,
+        )
+
+        if not args.input or not args.output:
+            print(json.dumps({"error": "corpus-ingest requires --input and --output"}))
+            return 1
+        if args.ingest_format == "jsonl":
+            docs = read_jsonl_documents(spark, args.input)
+        else:
+            docs = read_text_documents(spark, args.input, source=args.ingest_source)
+        out = str(Path(args.output) / "documents.parquet")
+        docs.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(json.dumps({"ingested": n, "format": args.ingest_format, "output": out}))
     elif args.command == "corpus-forget":
         # right-to-be-forgotten: physically remove the given docs from
         # shards + every dedup-state table in one crash-atomic epoch
