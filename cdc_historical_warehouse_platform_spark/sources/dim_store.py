@@ -56,6 +56,22 @@ class SCD2DimStore:
             return None
 
     def _write_pointer(self, meta: dict) -> None:
+        # time-travel log: remember the last few versions' sub-table
+        # pair (the sub-tables retain those versions until their own
+        # vacuum), so read(version=N) can resolve a historical
+        # consistent (current, history) snapshot
+        if "version" in meta and "current_version" in meta:
+            prev = self._read_pointer() or {}
+            log = dict(prev.get("pointer_log", {}))
+            log[str(meta["version"])] = {
+                "current_version": meta["current_version"],
+                "history_version": meta["history_version"],
+            }
+            for v in sorted(map(int, log)):
+                if len(log) <= 8:
+                    break
+                del log[str(v)]
+            meta = {**meta, "pointer_log": log}
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr_")
         try:
             with os.fdopen(fd, "w") as f:
@@ -97,9 +113,19 @@ class SCD2DimStore:
         if meta is None:
             raise FileNotFoundError(f"dim store {self.path} is empty")
         if version is not None and version != meta["version"]:
-            raise NotImplementedError(
-                "time travel over the split store goes through the sub-tables"
-            )
+            entry = meta.get("pointer_log", {}).get(str(version))
+            if entry is None:
+                raise ValueError(
+                    f"version {version} not in the pointer log (kept: "
+                    f"{sorted(map(int, meta.get('pointer_log', {})))}); "
+                    "older versions were trimmed or vacuumed"
+                )
+            cur = self.current.read(spark, version=entry["current_version"])
+            if entry["history_version"] >= 0:
+                hist = self.history.read(spark, version=entry["history_version"])
+            else:
+                hist = empty_dim(spark, cur.schema)
+            return cur.unionByName(hist)
         return self.read_current(spark).unionByName(self.read_history(spark))
 
     # --- the one write path -------------------------------------------------
@@ -506,7 +532,9 @@ class MergeOnReadSCD2DimStore(SCD2DimStore):
 
     # --- resolution ---------------------------------------------------------
 
-    def _resolved(self, spark: SparkSession, meta: dict) -> DataFrame:
+    def _resolved(
+        self, spark: SparkSession, meta: dict, max_seq: int | None = None
+    ) -> DataFrame:
         from pyspark.sql import Window as W
 
         from cdc_historical_warehouse_platform_spark.operators.scd2 import BUSINESS_KEY
@@ -517,11 +545,14 @@ class MergeOnReadSCD2DimStore(SCD2DimStore):
             if meta["current_version"] >= 0
             else empty_dim(spark, StructType.fromJson(json.loads(meta["schema"])))
         )
-        if not meta["delta_segments"]:
+        segments = meta["delta_segments"]
+        if max_seq is not None:
+            segments = [g for g in segments if g["seq"] <= max_seq]
+        if not segments:
             return base
         schema = StructType.fromJson(json.loads(meta["schema"]))
         events = None
-        for seg in meta["delta_segments"]:
+        for seg in segments:
             part = (
                 spark.read.schema(schema)
                 .parquet(str(self.deltas_dir / seg["dir"]))
@@ -564,6 +595,35 @@ class MergeOnReadSCD2DimStore(SCD2DimStore):
         if meta is None:
             return empty_dim(spark)
         return self._resolved(spark, meta)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Time travel for the delta-log store: a historical version is
+        the base at that epoch plus the delta segments with seq ≤
+        version — valid only while the logged base matches the live
+        one (a later compact_current rewrote the base and the old
+        segments are gone)."""
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"dim store {self.path} is empty")
+        if version is None or version == meta["version"]:
+            return self.read_current(spark).unionByName(self.read_history(spark))
+        entry = meta.get("pointer_log", {}).get(str(version))
+        if entry is None:
+            raise ValueError(
+                f"version {version} not in the pointer log (kept: "
+                f"{sorted(map(int, meta.get('pointer_log', {})))})"
+            )
+        if entry["current_version"] != meta["current_version"]:
+            raise ValueError(
+                f"version {version} predates a compact_current fold — "
+                "its delta segments were retired"
+            )
+        cur = self._resolved(spark, meta, max_seq=version)
+        if entry["history_version"] >= 0:
+            hist = self.history.read(spark, version=entry["history_version"])
+        else:
+            hist = empty_dim(spark, cur.schema)
+        return cur.unionByName(hist)
 
     # --- the O(batch)-write path ---------------------------------------------
 
