@@ -60,11 +60,11 @@ class SCD2DimStore:
         # pair (the sub-tables retain those versions until their own
         # vacuum), so read(version=N) can resolve a historical
         # consistent (current, history) snapshot
-        if "version" in meta and "current_version" in meta:
+        if "version" in meta and ("current_version" in meta or "buckets" in meta):
             prev = self._read_pointer() or {}
             log = dict(prev.get("pointer_log", {}))
             log[str(meta["version"])] = {
-                "current_version": meta["current_version"],
+                "current_version": meta.get("current_version"),
                 "history_version": meta["history_version"],
             }
             for v in sorted(map(int, log)):
@@ -471,6 +471,44 @@ class BucketedSCD2DimStore(SCD2DimStore):
             }
         )
         return True
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Time travel for the bucketed store: historical bucket maps
+        are retained in the pointer (last 8 versions, same budget as
+        the base store's pointer log) and superseded bucket dirs stay
+        on disk until vacuum_buckets — so a logged version resolves
+        exactly, or fails loudly after vacuum."""
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"dim store {self.path} is empty")
+        if version is None or version == meta["version"]:
+            return self.read_current(spark).unionByName(self.read_history(spark))
+        vmap = meta.get("maps", {}).get(str(version))
+        entry = meta.get("pointer_log", {}).get(str(version))
+        if vmap is None or entry is None:
+            raise ValueError(
+                f"version {version} not retained (maps kept: "
+                f"{sorted(map(int, meta.get('maps', {})))})"
+            )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        dirs = [str(self.buckets_dir / d) for d in vmap.values()]
+        for d in dirs:
+            if not Path(d).exists():
+                raise ValueError(
+                    f"version {version}'s bucket {d} was vacuumed"
+                )
+        cur = (
+            spark.read.schema(schema).parquet(*dirs)
+            if dirs
+            else empty_dim(spark, schema)
+        )
+        if entry["history_version"] >= 0:
+            hist = self.history.read(spark, version=entry["history_version"])
+        else:
+            hist = empty_dim(spark, schema)
+        return cur.unionByName(hist)
 
     def vacuum_buckets(self, keep_last: int = 2) -> list[str]:
         """Retire bucket directories not referenced by any of the last

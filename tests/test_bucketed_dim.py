@@ -198,3 +198,20 @@ def test_time_travel_reads_mor_store(spark, change_df, tmp_path):
     with _pytest.raises(ValueError, match="compact_current|pointer log"):
         store.read(spark, version=1)
     assert _rows(store.read(spark)) == snapshots[len(BATCHES) - 1]
+
+
+def test_time_travel_reads_bucketed_store(spark, change_df, tmp_path):
+    store = BucketedSCD2DimStore(tmp_path / "b", key_span=4)
+    snapshots = {}
+    for i, rows in enumerate(BATCHES):
+        store.apply_batch(spark, change_df(rows), txn_id=f"t{i}")
+        snapshots[i] = _rows(store.read(spark))
+    for i in range(len(BATCHES)):
+        assert _rows(store.read(spark, version=i)) == snapshots[i], i
+    # vacuum retires superseded dirs -> pre-vacuum versions fail LOUDLY
+    store.vacuum_buckets(keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuum|retained"):
+        store.read(spark, version=0)
+    assert _rows(store.read(spark)) == snapshots[len(BATCHES) - 1]
