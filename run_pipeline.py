@@ -31,6 +31,7 @@ Usage:
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py corpus-forget --output DIR --doc-ids 1,2,3
   python run_pipeline.py corpus-ingest --input DIR --output DIR [--ingest-format text|jsonl]
+  python run_pipeline.py corpus-export --output CORPUS --bpe-dir BPE --export-dir DIR [--seq-len N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
                                    [--pq [--pq-m M] [--pq-k K]]  # IVF-PQ: m-byte codes
@@ -131,7 +132,7 @@ def main() -> int:
             "seed", "simulate", "extract", "load", "status", "validate",
             "summary", "optimize",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
-            "corpus-forget", "corpus-ingest",
+            "corpus-forget", "corpus-ingest", "corpus-export",
             "ann-build", "ann-append", "ann-query",
             "bpe-train", "bpe-encode",
             "quality-train", "quality-score",
@@ -168,6 +169,28 @@ def main() -> int:
         "--ingest-source",
         default="files",
         help="corpus-ingest (text format): value for the source column",
+    )
+    ap.add_argument(
+        "--bpe-dir",
+        default=None,
+        help="corpus-export: directory holding the bpe-train artifacts",
+    )
+    ap.add_argument(
+        "--export-dir",
+        default=None,
+        help="corpus-export: output directory for the packed shards",
+    )
+    ap.add_argument(
+        "--seq-len",
+        type=int,
+        default=2048,
+        help="corpus-export: training sequence length in BPE tokens",
+    )
+    ap.add_argument(
+        "--export-shards",
+        type=int,
+        default=8,
+        help="corpus-export: number of range-sharded output partitions",
     )
     ap.add_argument(
         "--doc-ids",
@@ -729,6 +752,76 @@ def main() -> int:
                     }
                 )
             )
+    elif args.command == "corpus-export":
+        # the final training-data deliverable: kept corpus + trained
+        # tokenizer -> per-doc BPE token counts -> global packing
+        # coordinates (hierarchical prefix sum) -> RANGE-sharded export
+        # so each file holds contiguous training sequences. Composes
+        # corpus_build/forget upstream with bpe-train: the pipeline is
+        # ingest -> build -> (forget) -> export.
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.operators import bpe as BPE
+        from cdc_historical_warehouse_platform_spark.operators.packing import packed_sequence_ids
+        from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+        if not args.output or not args.bpe_dir or not args.export_dir:
+            print(json.dumps({"error": "corpus-export requires --output (corpus), --bpe-dir and --export-dir"}))
+            return 1
+        merges_tbl = VersionedTable(Path(args.bpe_dir) / "merges")
+        if not merges_tbl.exists():
+            print(json.dumps({"error": f"no merges under {args.bpe_dir}; run bpe-train first"}))
+            return 1
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in merges_tbl.read(spark).orderBy("merge_rank").collect()
+        ]
+        docs = spark.read.parquet(args.output).select("doc_id", "text")
+        counts = BPE.bpe_token_counts(docs, merges).join(docs, "doc_id")
+        # packed_sequence_ids buckets on value ranges of order_col —
+        # ingested md5 ids are SPARSE (up to 2^60), so size the bucket
+        # to the actual id span instead of the default dense contract
+        bounds = counts.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+        target_buckets = max(1, min(65536, int(bounds["n"]) // 16384 + 1))
+        bucket_size = max(16384, -(-span // target_buckets))
+        packed = packed_sequence_ids(
+            counts,
+            token_col="n_bpe_tokens",
+            seq_len=args.seq_len,
+            order_col="doc_id",
+            bucket_size=bucket_size,
+        )
+        n_shards = max(1, args.export_shards)
+        (
+            packed.select(
+                "doc_id", "text", "n_bpe_tokens",
+                "tokens_before", "pack_id", "pack_offset",
+            )
+            .repartitionByRange(n_shards, "pack_id")
+            .sortWithinPartitions("pack_id", "pack_offset")
+            .write.mode("overwrite")
+            .parquet(args.export_dir)
+        )
+        agg = spark.read.parquet(args.export_dir).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_bpe_tokens").alias("total_tokens"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "docs": agg["docs"],
+                    "total_tokens": int(agg["total_tokens"] or 0),
+                    "n_packs": int(agg["n_packs"] or 0),
+                    "seq_len": args.seq_len,
+                    "export_dir": args.export_dir,
+                }
+            )
+        )
     elif args.command in ("bpe-train", "bpe-encode"):
         # tokenizer training over the documents corpus: merges + final
         # word segmentations persist as VersionedTables (atomic commit,
