@@ -187,6 +187,13 @@ def main() -> int:
         help="corpus-export: training sequence length in BPE tokens",
     )
     ap.add_argument(
+        "--shuffle-seed",
+        type=int,
+        default=None,
+        help="corpus-export: seeded deterministic global shuffle of the "
+        "training order (omit for doc_id order)",
+    )
+    ap.add_argument(
         "--export-shards",
         type=int,
         default=8,
@@ -778,11 +785,39 @@ def main() -> int:
         ]
         docs = spark.read.parquet(args.output).select("doc_id", "text")
         counts = BPE.bpe_token_counts(docs, merges).join(docs, "doc_id")
+        # training order: doc_id (deterministic corpus order) or, with
+        # --shuffle-seed, a seeded GLOBAL shuffle — the order key is
+        # md5(seed || doc_id) truncated under 2^60, so the same seed
+        # reproduces the same order on any cluster and a different
+        # seed reshuffles; the span-derived bucketing below already
+        # handles the key's sparseness
+        order_col = "doc_id"
+        if args.shuffle_seed is not None:
+            order_col = "__ord"
+            counts = counts.withColumn(
+                order_col,
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(str(args.shuffle_seed)),
+                                F.lit("|"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
         # packed_sequence_ids buckets on value ranges of order_col —
-        # ingested md5 ids are SPARSE (up to 2^60), so size the bucket
-        # to the actual id span instead of the default dense contract
+        # ingested md5 ids (and the shuffle key) are SPARSE (up to
+        # 2^60), so size the bucket to the actual span instead of the
+        # default dense contract
         bounds = counts.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         span = int(bounds["hi"]) - int(bounds["lo"]) + 1
@@ -792,7 +827,7 @@ def main() -> int:
             counts,
             token_col="n_bpe_tokens",
             seq_len=args.seq_len,
-            order_col="doc_id",
+            order_col=order_col,
             bucket_size=bucket_size,
         )
         n_shards = max(1, args.export_shards)
