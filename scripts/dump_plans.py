@@ -197,6 +197,31 @@ NOTES = {
         "pairs; final top-25 is TakeOrderedAndProject, never a full "
         "sort; all integer arithmetic in codegen."
     ),
+    "graph_khop_distance": (
+        "r6 min-plus BFS: each of the 3 hops is one equi-join of the "
+        "distance vector against the edge list plus one min-HashAggregate "
+        "on the node key (map-side combined); the reached set stays "
+        "deduplicated between hops, so the frontier never explodes; "
+        "seeds derive from a broadcast dimension filter; all integer "
+        "arithmetic in codegen."
+    ),
+    "ivm_join_view": (
+        "r6 join-view IVM: every delta term is a BroadcastHashJoin with "
+        "the micro-batch on the build side — the states are scanned "
+        "once each and never shuffled; the final consolidate + rollup "
+        "is a two-phase HashAggregate over the multiset; the oracle "
+        "side computes the final join directly, so the hash equality "
+        "certifies maintenance ≡ recompute."
+    ),
+    "corpus_substring_clean": (
+        "r6 ExactSubstr cut step: the span pipeline is the spans "
+        "query's plan; the cut itself is ONE equi-join of each doc's "
+        "few spans (collect_list into an array) followed by a "
+        "positional HOF filter inside codegen — the token stream is "
+        "never exploded; the oracle deliberately takes the exploded "
+        "shape (generate_series + anti-join + ordered string_agg) and "
+        "must land on identical strings."
+    ),
     "corpus_exact_substring_spans": (
         "r6 ExactSubstr dedup: the k-gram stream is ONE map-only "
         "project (transform over sequence + slice inside codegen — the "
