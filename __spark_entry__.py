@@ -60,6 +60,7 @@ _PRIORITY = [
     "events_gap_islands",
     "agg_mode_frequent",
     "events_anomaly_zscore",
+    "events_resample_interpolate",  # linear gap interpolation — non-negative-numerator div so trunc==floor cross-engine
     "graph_pagerank_top",
     "graph_khop_distance",  # min-plus BFS sibling of PageRank — 3×-unrolled-CTE oracle
     "ivm_join_view",        # signed-multiplicity join-view maintenance vs direct-join oracle
@@ -117,7 +118,6 @@ _PRIORITY = [
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
-    "corpus_source_mix",       # totals now a 1-row broadcast, not a global window
     "corpus_token_budget",     # same rewrite
     "corpus_zipf_stats",       # rank/cumsum now a bounded self-join
     "corpus_pack_sequences",   # hierarchical prefix-sum (superbucket offsets)
@@ -135,7 +135,9 @@ _PRIORITY = [
 ]
 _DEMOTED = [
     # --- r06 fifth rotation: slots ceded to corpus_exact_substring_spans,
-    # corpus_substring_clean, and graph_khop_distance ---
+    # corpus_substring_clean, graph_khop_distance, and
+    # events_resample_interpolate ---
+    "corpus_source_mix",         # green r05 (post-rewrite); mixing family stays in-window via corpus_temperature_mix + corpus_token_budget + corpus_domain_caps
     "agg_exact_percentiles",     # green r05; exact percentile_cont also demoted-green (agg_stats_quantiles), interpolated percentiles in-window via scd2_histogram_quantiles
     "agg_linear_regression",     # green r05; the exact-decimal-moments discipline stays in-window via agg_higher_moments (the harder 4-moment case)
     "agg_important_parts",       # green r05; the scalar-fraction HAVING shape's family stays in-window via tpch_q16's grouped HAVING + tpch_q14's conditional fraction

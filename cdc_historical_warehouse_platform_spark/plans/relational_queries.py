@@ -3037,3 +3037,117 @@ ORDER BY c_nationkey, o_orderstatus
 """
 
 RELATIONAL_QUERIES["ivm_join_view"] = (q_ivm_join_view, SQL_IVM_JOIN_VIEW)
+
+
+def q_events_resample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Resample + LINEAR interpolation (r6) — the ffill sibling for
+    metrics where a gap should slope between its neighbors, not hold
+    flat. Per event type, hourly averages in exact integer MICRO-units
+    (avg = (100·Σcents·10000) div n — truncating div, non-negative),
+    then each empty hour interpolates between its nearest known hours:
+
+        v = (v0·(h1−h) + v1·(h−h0)) div (h1−h0)
+
+    — the weighted form keeps the numerator NON-NEGATIVE, so Spark's
+    truncating `div` and DuckDB's flooring `//` agree (a v1−v0 form
+    would not: the two engines round negative quotients apart).
+    Boundary hours fall back to the nearest known value (bfill before
+    the first observation, ffill after the last).
+
+    Scale shape: one two-phase hourly aggregate (events scanned once,
+    spine derived from the aggregate), then four window functions over
+    the types×24 spine, all partitioned by event_type."""
+    ev = load_table(spark, sf, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-02 00:00:00"))
+    )
+    hourly = ev.groupBy("event_type", F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("__cents"),
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour"))
+    )
+    base = spine.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "known_micro",
+        F.expr("(__cents * 10000) div n_events"),
+    )
+    wp = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    known_hour = F.when(F.col("known_micro").isNotNull(), F.col("hour"))
+    filled = (
+        base.withColumn("__pv", F.last("known_micro", ignorenulls=True).over(wp))
+        .withColumn("__ph", F.last(known_hour, ignorenulls=True).over(wp))
+        .withColumn("__nv", F.first("known_micro", ignorenulls=True).over(wn))
+        .withColumn("__nh", F.first(known_hour, ignorenulls=True).over(wn))
+    )
+    interp = (
+        F.when(F.col("known_micro").isNotNull(), F.col("known_micro"))
+        .when(F.col("__pv").isNull(), F.col("__nv"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .otherwise(
+            F.expr(
+                "(__pv * (__nh - hour) + __nv * (hour - __ph)) div (__nh - __ph)"
+            )
+        )
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.col("known_micro").isNull().alias("is_gap"),
+        interp.cast("long").alias("value_micro"),
+    ).orderBy("event_type", "hour")
+
+
+SQL_RESAMPLE_INTERPOLATE = """
+WITH ev AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'),
+hourly AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+         COUNT(*) AS n_events,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, CAST(h.h AS INT) AS hour
+  FROM (SELECT DISTINCT event_type FROM hourly) t, generate_series(0, 23) h(h)),
+base AS (
+  SELECT s.event_type, s.hour,
+         (cents * 10000) // n_events AS known_micro
+  FROM spine s LEFT JOIN hourly USING (event_type, hour)),
+filled AS (
+  SELECT event_type, hour, known_micro,
+         LAST_VALUE(known_micro IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN known_micro IS NOT NULL THEN hour END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         FIRST_VALUE(known_micro IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN known_micro IS NOT NULL THEN hour END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM base)
+SELECT event_type, hour,
+       known_micro IS NULL AS is_gap,
+       CAST(CASE WHEN known_micro IS NOT NULL THEN known_micro
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE (pv * (nh - hour) + nv * (hour - ph)) // (nh - ph)
+            END AS BIGINT) AS value_micro
+FROM filled
+ORDER BY event_type, hour
+"""
+
+RELATIONAL_QUERIES["events_resample_interpolate"] = (
+    q_events_resample_interpolate,
+    SQL_RESAMPLE_INTERPOLATE,
+)
