@@ -1,0 +1,93 @@
+"""Distributed exact global rank / NTILE — no single-partition window.
+
+``Window.orderBy(...)`` with no partition key moves the whole input to
+ONE partition; fine for a 24-row spine, fatal for a dimension. This
+module computes the same order statistics with the hierarchical
+prefix-sum shape packing.py uses: rows bucket by a VALUE-derived range
+of the leading sort key (deterministic — ``spark_partition_id`` would
+not survive a re-run), ranks are a window WITHIN each bucket plus a
+cross-bucket offset from the (tiny) per-bucket count table. Exact,
+bit-identical at any partitioning, and every window in the plan is
+partitioned.
+
+``exact_ntile`` then maps ranks to SQL NTILE semantics in closed form
+(the first n%k tiles get one extra row), so a DuckDB oracle can use
+native NTILE() while the Spark side never globally sorts — the
+hash-equality of the two IS the proof the formula matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_rank", "exact_ntile"]
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    bucket: Column,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact 1-based rank of every row under ``order_cols`` (which must
+    be a TOTAL order — carry a unique key as the last column).
+
+    ``bucket`` must be a monotone function of the leading sort key
+    (e.g. ``F.floor(col / width)``): bucket order == value order is
+    what lets the offset table replace a global sort. Bucket count is
+    value-range/width — keep it ≥ tasks and ≪ rows.
+    """
+    b = df.withColumn("__rb", bucket.cast("long"))
+    w_in = Window.partitionBy("__rb").orderBy(*order_cols)
+    counts = b.groupBy("__rb").agg(F.count(F.lit(1)).alias("__rn"))
+    lower = counts.select(
+        F.col("__rb").alias("__rb2"), F.col("__rn").alias("__rn2")
+    )
+    # bounded non-equi self-join over the bucket-count table (tiny by
+    # the width contract) — exclusive prefix sum without a global sort
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("__rb2") < F.col("__rb"), "left")
+        .groupBy("__rb")
+        .agg(F.coalesce(F.sum("__rn2"), F.lit(0)).cast("long").alias("__roff"))
+    )
+    return (
+        b.join(F.broadcast(offsets), "__rb")
+        .withColumn(out_col, F.col("__roff") + F.row_number().over(w_in))
+        .drop("__rb", "__roff")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list[Column],
+    bucket: Column,
+    out_col: str,
+) -> DataFrame:
+    """SQL NTILE(k) without an unpartitioned window: global_rank, then
+    the closed form — with n = count, q = n div k, m = n mod k, the
+    first m tiles hold q+1 rows:
+
+        tile(r) = (r-1) div (q+1) + 1                    if r <= m(q+1)
+                  m + (r - m(q+1) - 1) div q + 1         otherwise
+
+    All-positive integer division (trunc == floor in every engine);
+    n enters as a 1-row keyless aggregate cross-joined in (the
+    scalar-build shape the plan guard structurally admits)."""
+    ranked = global_rank(df, order_cols, bucket, out_col="__rr")
+    n1 = df.agg(F.count(F.lit(1)).alias("__n"))
+    K = int(n_tiles)
+    # pure integer arithmetic end to end — a float (r-1)/(q+1) + floor
+    # could flip a tile boundary in the last ulp at dimension-scale n
+    tile = F.expr(
+        f"CASE WHEN __rr <= (__n % {K}) * ((__n div {K}) + 1) "
+        f"THEN (__rr - 1) div ((__n div {K}) + 1) + 1 "
+        f"ELSE (__n % {K}) + ((__rr - (__n % {K}) * ((__n div {K}) + 1) - 1) "
+        f"div greatest(__n div {K}, 1)) + 1 END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__rr", "__n")
+    )

@@ -3151,3 +3151,87 @@ RELATIONAL_QUERIES["events_resample_interpolate"] = (
     q_events_resample_interpolate,
     SQL_RESAMPLE_INTERPOLATE,
 )
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation (r6): per customer, Recency (days from last
+    order to the corpus horizon), Frequency (order count) and Monetary
+    (DECIMAL-exact lifetime total), each cut into quintiles with
+    ntile(5) — the classic marketing-warehouse segmentation. ntile's
+    tie handling is positional, so every ORDER BY carries the customer
+    key as the final tiebreak and both engines walk the identical
+    ordering; output is the per-(r,f,m) segment's size and exact
+    monetary total.
+
+    Scale shape: one grouped aggregate over orders (two-phase), then
+    three ntile windows over the CUSTOMER-level table (dimension-sized,
+    not fact-sized) — at extreme customer counts the same statistic
+    ships as approx-percentile cuts; the exact quintile contract here
+    is what the oracle can certify."""
+    o = load_table(spark, sf, "orders")
+    horizon = F.lit("2001-09-01").cast("date")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(horizon, F.max(F.col("o_orderdate").cast("date"))).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    from cdc_historical_warehouse_platform_spark.operators.rank import exact_ntile
+
+    # three exact-NTILE cuts WITHOUT an unpartitioned window (the
+    # registry's zero-global-sort discipline): hierarchical bucketed
+    # rank + the closed-form tile mapping (operators/rank.py); the
+    # oracle uses native NTILE() — hash equality proves the formula.
+    # Buckets are monotone value ranges of each leading sort key;
+    # DESC orders bucket on the negated value.
+    scored = exact_ntile(
+        per_cust, 5,
+        [F.asc("recency_days"), F.asc("o_custkey")],
+        F.floor(F.col("recency_days") / 64), "r_score",
+    )
+    scored = exact_ntile(
+        scored, 5,
+        [F.desc("frequency"), F.asc("o_custkey")],
+        F.floor(-F.col("frequency") / 4), "f_score",
+    )
+    scored = exact_ntile(
+        scored, 5,
+        [F.desc("monetary"), F.asc("o_custkey")],
+        F.floor(-F.col("monetary") / 10000), "m_score",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            # exact DECIMAL sum, cast to double at the output boundary
+            # (the repo-wide parity convention — toPandas Decimal vs
+            # DuckDB float64 would false-fail the hash otherwise)
+            F.sum("monetary").cast("decimal(28,2)").cast("double").alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+SQL_CUSTOMER_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT *,
+         NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+  FROM per_cust)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       CAST(CAST(SUM(monetary) AS DECIMAL(28,2)) AS DOUBLE) AS segment_value
+FROM scored GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+RELATIONAL_QUERIES["customer_rfm_segments"] = (
+    q_customer_rfm_segments,
+    SQL_CUSTOMER_RFM,
+)

@@ -1,0 +1,81 @@
+"""operators/rank.py — bucketed global rank + closed-form NTILE.
+
+Pins rank exactness vs a local sort, NTILE-formula equality vs SQL
+NTILE semantics at remainder-heavy sizes (n % k ≠ 0), and partitioning
+invariance of the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.rank import exact_ntile, global_rank
+
+
+def _df(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+
+
+def _ref_ntile(n, k, r):
+    q, m = divmod(n, k)
+    if r <= m * (q + 1):
+        return (r - 1) // (q + 1) + 1
+    return m + (r - m * (q + 1) - 1) // max(q, 1) + 1
+
+
+def test_global_rank_matches_local_sort(spark):
+    rng = random.Random(3)
+    vals = [rng.randrange(1000) for _ in range(500)]
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(
+            _df(spark, vals), [F.asc("v"), F.asc("id")], F.floor(F.col("v") / 100)
+        ).collect()
+    }
+    expect = {
+        i: pos + 1
+        for pos, (v, i) in enumerate(sorted((v, i) for i, v in enumerate(vals)))
+    }
+    assert got == expect
+
+
+def test_exact_ntile_matches_sql_semantics_at_remainders(spark):
+    for n in (7, 11, 23, 100, 101):
+        vals = list(range(n))
+        random.Random(n).shuffle(vals)
+        out = exact_ntile(
+            _df(spark, vals), 5, [F.asc("v"), F.asc("id")],
+            F.floor(F.col("v") / 7), "tile",
+        ).collect()
+        for row in out:
+            rank = row["v"] + 1  # v is 0..n-1, so rank == v+1 under asc
+            assert row["tile"] == _ref_ntile(n, 5, rank), (n, rank)
+
+
+def test_partitioning_invariance(spark):
+    vals = [((i * 37) % 211) for i in range(400)]
+    base = _df(spark, vals)
+    a = exact_ntile(
+        base.coalesce(1), 4, [F.asc("v"), F.asc("id")],
+        F.floor(F.col("v") / 32), "tile",
+    )
+    b = exact_ntile(
+        base.repartition(16), 4, [F.asc("v"), F.asc("id")],
+        F.floor(F.col("v") / 32), "tile",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_desc_order_via_negated_bucket(spark):
+    vals = [5, 1, 9, 7, 3]
+    out = {
+        r["v"]: r["rank"]
+        for r in global_rank(
+            _df(spark, vals), [F.desc("v"), F.asc("id")], F.floor(-F.col("v") / 2)
+        ).collect()
+    }
+    assert out == {9: 1, 7: 2, 5: 3, 3: 4, 1: 5}
