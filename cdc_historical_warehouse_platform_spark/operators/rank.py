@@ -38,9 +38,18 @@ def global_rank(
     what lets the offset table replace a global sort. Bucket count is
     value-range/width — keep it ≥ tasks and ≪ rows.
     """
+    # one lazy pin of the input: it feeds the window path, the bucket
+    # counts, and (via exact_ntile) the total-count aggregate — without
+    # the barrier each consumer re-derives the caller's upstream, and
+    # CHAINED rank calls (three RFM cuts) compound that exponentially
+    # (measured: a 113-stage plan collapses to linear with the pins)
+    df = df.localCheckpoint(eager=False)
     b = df.withColumn("__rb", bucket.cast("long"))
     w_in = Window.partitionBy("__rb").orderBy(*order_cols)
-    counts = b.groupBy("__rb").agg(F.count(F.lit(1)).alias("__rn"))
+    # tiny by the width contract; consumed by offsets' both join sides
+    counts = b.groupBy("__rb").agg(F.count(F.lit(1)).alias("__rn")).localCheckpoint(
+        eager=False
+    )
     lower = counts.select(
         F.col("__rb").alias("__rb2"), F.col("__rn").alias("__rn2")
     )

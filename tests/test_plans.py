@@ -40,6 +40,11 @@ ALL_PAIRS_BY_DESIGN = {
     "ann_sq_topk",
     "corpus_zipf_stats",
     "corpus_pack_sequences",
+    # customer_rfm_segments: three bucketed-rank offset joins
+    # (operators/rank.py) — the same bounded non-equi prefix-sum shape
+    # as corpus_pack_sequences, over bucket-COUNT tables whose size is
+    # value-range/width at any customer count
+    "customer_rfm_segments",
 }
 
 
