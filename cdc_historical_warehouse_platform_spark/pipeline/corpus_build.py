@@ -252,6 +252,15 @@ def corpus_append(
             "doc_id", fingerprint(F.col("text")).alias("fp")
         ).write.mode("overwrite").parquet(str(out / "_fp_index"))
     stored_fps = spark.read.parquet(str(out / "_fp_index"))
+    # producer drift guard: align the incoming batch to the STORED
+    # corpus schema (operators/schema_drift.py — the change_batches
+    # discipline applied to documents): extra columns drop, missing
+    # columns null-fill, safe widenings cast, lossy drift raises
+    # loudly instead of poisoning the parquet layout with mixed
+    # schemas that break every later whole-dir read
+    from cdc_historical_warehouse_platform_spark.operators.schema_drift import align_to_schema
+
+    new_docs, drift = align_to_schema(new_docs, stored_docs.schema)
     # one materialization of the incoming batch (triggered by the count
     # right below): every tier scans it — without this barrier each of
     # the ~8 downstream consumers re-derives the caller's arbitrary
@@ -386,6 +395,7 @@ def corpus_append(
         "appended": n_kept,
         "repaired_files": len(repaired["removed"]),
         "corpus_rows": manifest["total_rows"],
+        "schema_drift": {k: v for k, v in drift.items() if v},
         "output": output,
     }
 

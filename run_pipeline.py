@@ -132,7 +132,7 @@ def main() -> int:
             "seed", "simulate", "extract", "load", "status", "validate",
             "summary", "optimize",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
-            "corpus-forget", "corpus-ingest", "corpus-export",
+            "corpus-forget", "corpus-ingest", "corpus-export", "corpus-status",
             "ann-build", "ann-append", "ann-query",
             "bpe-train", "bpe-encode",
             "quality-train", "quality-score",
@@ -577,6 +577,46 @@ def main() -> int:
         docs.write.mode("overwrite").parquet(out)
         n = spark.read.parquet(out).count()
         print(json.dumps({"ingested": n, "format": args.ingest_format, "output": out}))
+    elif args.command == "corpus-status":
+        # read-only operational report: committed epoch, layout and
+        # state sizes, quota usage, tracking/model config — everything
+        # an operator needs before an append/forget/compact decision
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import read_marker
+
+        if not args.output:
+            print(json.dumps({"error": "corpus-status requires --output"}))
+            return 1
+        out = Path(args.output)
+        marker = read_marker(out)
+        if marker is None:
+            print(json.dumps({"error": f"no corpus under {args.output}"}))
+            return 1
+        manifest = json.loads((out / "_manifest.json").read_text())
+        status = {
+            "epoch": marker["epoch"],
+            "corpus_rows": manifest["total_rows"],
+            "num_shards": manifest["num_shards"],
+            "shard_files": sum(len(m["files"]) for m in manifest["shards"].values()),
+            "state_files": {
+                d: len(list((out / d).glob("*.parquet")))
+                for d in ("_kept_docs", "_lsh_index", "_fp_index", "_source_counts", "_hh_state")
+                if (out / d).exists()
+            },
+            "max_per_source": marker.get("max_per_source"),
+            "track_top_tokens": marker.get("track_top_tokens"),
+            "quality_model": bool(marker.get("quality_model")),
+        }
+        if marker.get("max_per_source") and any((out / "_source_counts").glob("*.parquet")):
+            from pyspark.sql import functions as F
+
+            used = (
+                spark.read.parquet(str(out / "_source_counts"))
+                .groupBy("source")
+                .agg(F.sum("n_kept").alias("n"))
+                .collect()
+            )
+            status["quota_used"] = {str(r["source"]): int(r["n"]) for r in used}
+        print(json.dumps(status, sort_keys=True))
     elif args.command == "corpus-forget":
         # right-to-be-forgotten: physically remove the given docs from
         # shards + every dedup-state table in one crash-atomic epoch

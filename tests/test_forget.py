@@ -109,3 +109,36 @@ def test_corpus_forget_unknown_ids_is_safe(spark, tmp_path):
     assert r["shards_rewritten"] == 0 and r["state_files_rewritten"] == 0
     assert spark.read.parquet(out).count() == n
     assert repair(tmp_path / "c")["removed"] == []
+
+
+def test_corpus_append_aligns_producer_drift(spark, tmp_path):
+    """A drifted producer batch (extra column, missing optional column)
+    aligns to the stored corpus schema instead of poisoning the parquet
+    layout; lossy type drift refuses loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_historical_warehouse_platform_spark.operators.schema_drift import SchemaDriftError
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, SF, out)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id").between(50, 80))
+        .withColumn("doc_id", F.col("doc_id") + 70_000)
+        .withColumn("text", F.array_join(F.reverse(F.split(F.col("text"), " ")), " "))
+    )
+    drifted = base.drop("lang").withColumn("crawl_batch", F.lit("b7"))
+    r = corpus_append(spark, drifted, out)
+    assert r["schema_drift"]["extra"] == ["crawl_batch"]
+    assert r["schema_drift"]["missing"] == ["lang"]
+    got = spark.read.parquet(str(tmp_path / "c" / "_kept_docs"))
+    assert "crawl_batch" not in got.columns
+    # whole-dir reads still work: one consistent schema
+    assert spark.read.parquet(out).count() == r["corpus_rows"]
+
+    lossy = base.withColumn("n_chars", F.col("n_chars").cast("string")).withColumn(
+        "n_chars", F.concat(F.col("n_chars"), F.lit("x"))
+    )
+    with pytest.raises(SchemaDriftError):
+        corpus_append(spark, lossy, out)
