@@ -65,6 +65,7 @@ _PRIORITY = [
     "graph_khop_distance",  # min-plus BFS sibling of PageRank — 3×-unrolled-CTE oracle
     "ivm_join_view",        # signed-multiplicity join-view maintenance vs direct-join oracle
     "customer_rfm_segments",  # RFM quintiles via bucketed global rank + closed-form NTILE (no global sort) vs native NTILE oracle
+    "scalar_map_functions",   # MAP-type surface — deterministic sorted-entry maps vs a list-derived string oracle
     # --- new r06 (third batch): blocked fuzzy-match join (prefix
     # blocking + Levenshtein verify), market-basket affinity
     # (co-occurrence support + lift), and exact higher central
@@ -119,7 +120,6 @@ _PRIORITY = [
     "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
-    "corpus_zipf_stats",       # rank/cumsum now a bounded self-join
     "corpus_pack_sequences",   # hierarchical prefix-sum (superbucket offsets)
     "corpus_domain_caps",      # oracle anti filter made null-safe
     # --- r05 rotation: promoted back from _DEMOTED (last driver-green
@@ -139,6 +139,7 @@ _DEMOTED = [
     # events_resample_interpolate ---
     "corpus_source_mix",         # green r05 (post-rewrite); mixing family stays in-window via corpus_temperature_mix + corpus_domain_caps
     "corpus_token_budget",       # green r05 (post-rewrite); md5-gate + budget shape also in-window via corpus_domain_caps + corpus_dsir_resample
+    "corpus_zipf_stats",         # green r05 (post-rewrite); the bounded-rank shape is now also in-window via customer_rfm_segments' offset joins
     "agg_exact_percentiles",     # green r05; exact percentile_cont also demoted-green (agg_stats_quantiles), interpolated percentiles in-window via scd2_histogram_quantiles
     "agg_linear_regression",     # green r05; the exact-decimal-moments discipline stays in-window via agg_higher_moments (the harder 4-moment case)
     "agg_important_parts",       # green r05; the scalar-fraction HAVING shape's family stays in-window via tpch_q16's grouped HAVING + tpch_q14's conditional fraction

@@ -3235,3 +3235,69 @@ RELATIONAL_QUERIES["customer_rfm_segments"] = (
     q_customer_rfm_segments,
     SQL_CUSTOMER_RFM,
 )
+
+
+def q_scalar_map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-type surface (r6): per order, a linenumber→quantity MAP
+    built from sorted entries (map_from_entries ∘ array_sort ∘
+    collect_list — the sort INSIDE the aggregate is what makes the
+    map's iteration order deterministic), then the map function family:
+    size, element_at, map_contains_key, map_keys/map_values (rendered
+    as joined strings so the driver hash can compare them — DuckDB has
+    no identical MAP type, so its twin derives the SAME strings from
+    sorted lists, proving the semantics rather than the storage)."""
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        # the synthetic testdata repeats line numbers within an order —
+        # map keys must be unique, so fold duplicates with MAX first
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("l_quantity"))
+    )
+    m = F.map_from_entries(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("l_linenumber").alias("k"), F.col("l_quantity").alias("v")))
+        )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(m.alias("m"))
+        .select(
+            "l_orderkey",
+            F.size("m").alias("n_items"),
+            F.element_at("m", 1).alias("qty_line1"),
+            F.map_contains_key("m", F.lit(3)).alias("has_line3"),
+            F.array_join(
+                F.transform(F.map_keys("m"), lambda k: k.cast("string")), ","
+            ).alias("keys_str"),
+            F.array_join(
+                F.transform(F.map_values("m"), lambda v: v.cast("string")), ","
+            ).alias("vals_str"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_MAP_FUNCTIONS = """
+WITH uniq AS (
+  SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity
+  FROM lineitem WHERE l_orderkey % 100 = 0
+  GROUP BY 1, 2),
+grouped AS (
+  SELECT l_orderkey,
+         list_sort(list({'k': l_linenumber, 'v': l_quantity})) AS entries
+  FROM uniq GROUP BY 1)
+SELECT l_orderkey,
+       CAST(len(entries) AS INT) AS n_items,
+       list_transform(list_filter(entries, e -> e.k = 1), e -> e.v)[1] AS qty_line1,
+       len(list_filter(entries, e -> e.k = 3)) > 0 AS has_line3,
+       array_to_string(list_transform(entries, e -> CAST(e.k AS VARCHAR)), ',') AS keys_str,
+       array_to_string(list_transform(entries, e -> CAST(e.v AS VARCHAR)), ',') AS vals_str
+FROM grouped
+ORDER BY l_orderkey
+"""
+
+RELATIONAL_QUERIES["scalar_map_functions"] = (
+    q_scalar_map_functions,
+    SQL_MAP_FUNCTIONS,
+)
