@@ -1,0 +1,124 @@
+"""Custom Python DataSource for the reference change-batch format.
+
+Spark 4's Python DataSource API (pyspark.sql.datasource) lets the
+engine's wire format plug into the ordinary reader surface:
+
+    spark.dataSource.register(CDCBatchDataSource)
+    df = spark.read.format("cdc_batches").load(cdc_dir)
+
+One InputPartition PER BATCH (envelope file or jsonl directory), so a
+directory of thousands of batches reads with full task parallelism and
+each task touches exactly one batch — the same unit the loader's
+ledger tracks. Rows carry the full CHANGE_SCHEMA plus ``batch_file``
+for lineage (which batch produced each row — the per-file provenance
+the JVM readers expose via input_file_name).
+
+Positioning: this is the INTEROP seam — ad-hoc SQL over a CDC
+directory, third-party tools, notebooks. The pipeline hot path stays
+on sources/change_batches.py (JVM JSON reader, explicit schema,
+FAILFAST): a Python-side parse is a row-at-a-time path by nature and
+is priced accordingly. Parity between the two readers is pinned by
+tests/test_cdc_datasource.py.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from decimal import Decimal
+from pathlib import Path
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
+
+__all__ = ["CDCBatchDataSource"]
+
+_TS_FIELDS = {
+    f.name for f in CHANGE_SCHEMA.fields if f.dataType.typeName() == "timestamp"
+}
+_DEC_FIELDS = {
+    f.name for f in CHANGE_SCHEMA.fields if f.dataType.typeName() == "decimal"
+}
+_INT_FIELDS = {
+    f.name
+    for f in CHANGE_SCHEMA.fields
+    if f.dataType.typeName() in ("integer", "long")
+}
+_FIELD_ORDER = [f.name for f in CHANGE_SCHEMA.fields]
+
+
+def _coerce(name: str, value):
+    """Wire value → CHANGE_SCHEMA type, mirroring cast_json_changes:
+    timestamps/decimals arrive stringified (the writer's default=str
+    discipline), numerics arrive native; unparseable values become
+    NULL exactly like a Spark cast."""
+    if value is None:
+        return None
+    try:
+        if name in _TS_FIELDS:
+            return _dt.datetime.fromisoformat(str(value))
+        if name in _DEC_FIELDS:
+            return Decimal(str(value))
+        if name in _INT_FIELDS:
+            return int(value)
+        return str(value)
+    except (ValueError, ArithmeticError):
+        return None
+
+
+class _BatchPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _CDCBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cdc_batches requires a path: .load(cdc_dir)")
+
+    def partitions(self):
+        from cdc_historical_warehouse_platform_spark.sources.change_batches import discover_batches
+
+        root = Path(self.path)
+        batches = (
+            discover_batches(root) if root.is_dir() and not root.name.startswith("changes_") else [root]
+        )
+        return [_BatchPartition(str(p)) for p in batches]
+
+    def read(self, partition):
+        p = Path(partition.path)
+        if p.is_dir():  # jsonl format: one change per line in part files
+            records = (
+                json.loads(line)
+                for part in sorted(p.glob("part-*"))
+                for line in part.read_text().splitlines()
+                if line.strip()
+            )
+        else:  # reference envelope: {"changes": [...], ...}
+            records = json.loads(p.read_text()).get("changes", [])
+        name = p.name
+        for rec in records:
+            yield tuple(_coerce(f, rec.get(f)) for f in _FIELD_ORDER) + (name,)
+
+
+class CDCBatchDataSource(DataSource):
+    """``spark.read.format("cdc_batches").load(dir_or_batch)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_batches"
+
+    def schema(self):
+        # StructType.add MUTATES in place — never call it on the shared
+        # contract schema (it would grow a batch_file field per call,
+        # session-wide); build a fresh copy instead
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            list(CHANGE_SCHEMA.fields) + [T.StructField("batch_file", T.StringType())]
+        )
+
+    def reader(self, schema):
+        return _CDCBatchReader(self.options)

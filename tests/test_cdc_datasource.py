@@ -1,0 +1,87 @@
+"""sources/cdc_datasource.py — the cdc_batches Python DataSource.
+
+Parity pin: reading a CDC directory through the registered format must
+row-equal the union of the pipeline's own per-batch reads, in BOTH
+wire formats, with one partition per batch and correct per-row batch
+lineage.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
+from cdc_historical_warehouse_platform_spark.sources.cdc_datasource import CDCBatchDataSource
+from cdc_historical_warehouse_platform_spark.sources.change_batches import (
+    discover_batches,
+    read_change_batch,
+    write_change_batch,
+)
+from tests.conftest import make_change
+
+
+def ts(m):
+    return dt.datetime(2026, 4, 1, 9, 0, 0) + dt.timedelta(minutes=m)
+
+
+def _write_batches(spark, cdc_dir):
+    b1 = [make_change(i, "INSERT", ts(i)) for i in range(1, 4)]
+    b2 = [make_change(1, "UPDATE", ts(10), quantity=9),
+          make_change(2, "DELETE", ts(11))]
+    write_change_batch(spark.createDataFrame(b1, CHANGE_SCHEMA), cdc_dir,
+                       extracted_at=ts(5), fmt="reference")
+    write_change_batch(spark.createDataFrame(b2, CHANGE_SCHEMA), cdc_dir,
+                       extracted_at=ts(12), fmt="jsonl")
+
+
+def _register(spark):
+    # registering the same short name twice in one session raises —
+    # tests in this file share the session fixture
+    try:
+        spark.dataSource.register(CDCBatchDataSource)
+    except Exception as e:  # already registered by an earlier test
+        if "already" not in str(e).lower():
+            raise
+
+
+def _rows(df):
+    cols = [f.name for f in CHANGE_SCHEMA.fields]
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_datasource_matches_pipeline_reader_both_formats(spark, tmp_path):
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    _write_batches(spark, cdc_dir)
+    _register(spark)
+    via_ds = spark.read.format("cdc_batches").load(str(cdc_dir))
+
+    expected = None
+    for b in discover_batches(cdc_dir):
+        part = read_change_batch(spark, b)
+        expected = part if expected is None else expected.unionByName(part)
+    assert _rows(via_ds) == _rows(expected)
+
+    # one partition per batch, lineage column names the right batch
+    assert via_ds.rdd.getNumPartitions() == 2
+    per_batch = {
+        r["batch_file"]: r["n"]
+        for r in via_ds.groupBy("batch_file").count().withColumnRenamed("count", "n").collect()
+    }
+    assert sorted(per_batch.values()) == [2, 3]
+
+
+def test_datasource_single_batch_and_sql(spark, tmp_path):
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    _write_batches(spark, cdc_dir)
+    _register(spark)
+    one = discover_batches(cdc_dir)[0]
+    df = spark.read.format("cdc_batches").load(str(one))
+    assert df.count() == 3
+    # the registered format composes with plain SQL
+    df.createOrReplaceTempView("cdc_wire")
+    got = spark.sql(
+        "SELECT operation_type, COUNT(*) n FROM cdc_wire GROUP BY 1"
+    ).collect()
+    assert {(r["operation_type"], r["n"]) for r in got} == {("INSERT", 3)}
