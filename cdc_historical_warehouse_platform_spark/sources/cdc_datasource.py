@@ -5,6 +5,7 @@ engine's wire format plug into the ordinary reader surface:
 
     spark.dataSource.register(CDCBatchDataSource)
     df = spark.read.format("cdc_batches").load(cdc_dir)
+    stream = spark.readStream.format("cdc_batches").load(cdc_dir)
 
 One InputPartition PER BATCH (envelope file or jsonl directory), so a
 directory of thousands of batches reads with full task parallelism and
@@ -28,11 +29,21 @@ import json
 from decimal import Decimal
 from pathlib import Path
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
 
 __all__ = ["CDCBatchDataSource"]
+
+# batch names are timestamp-ordered by construction (batch_name uses
+# strftime + a uniquifier), so "every batch with name > last" is a
+# complete, replayable offset — the property the streaming reader
+# leans on. An empty-string offset precedes every real name.
 
 _TS_FIELDS = {
     f.name for f in CHANGE_SCHEMA.fields if f.dataType.typeName() == "timestamp"
@@ -88,19 +99,70 @@ class _CDCBatchReader(DataSourceReader):
         return [_BatchPartition(str(p)) for p in batches]
 
     def read(self, partition):
-        p = Path(partition.path)
-        if p.is_dir():  # jsonl format: one change per line in part files
-            records = (
-                json.loads(line)
-                for part in sorted(p.glob("part-*"))
-                for line in part.read_text().splitlines()
-                if line.strip()
-            )
-        else:  # reference envelope: {"changes": [...], ...}
-            records = json.loads(p.read_text()).get("changes", [])
-        name = p.name
-        for rec in records:
-            yield tuple(_coerce(f, rec.get(f)) for f in _FIELD_ORDER) + (name,)
+        yield from _parse_batch(Path(partition.path))
+
+
+def _parse_batch(p: Path):
+    """Yield CHANGE_SCHEMA+batch_file tuples from one batch (either
+    wire format) — shared by the batch partitions and the stream."""
+    if p.is_dir():
+        records = (
+            json.loads(line)
+            for part in sorted(p.glob("part-*"))
+            for line in part.read_text().splitlines()
+            if line.strip()
+        )
+    else:
+        records = json.loads(p.read_text()).get("changes", [])
+    name = p.name
+    for rec in records:
+        yield tuple(_coerce(f, rec.get(f)) for f in _FIELD_ORDER) + (name,)
+
+
+class _CDCBatchStreamReader(SimpleDataSourceStreamReader):
+    """Tail a CDC directory as a stream: each micro-batch is "every
+    batch file whose (timestamp-ordered) name sorts after the last
+    committed one". Offsets are just that name, so replay between two
+    committed offsets re-reads exactly the same files — the
+    exactly-once contract Structured Streaming requires of a source.
+    Notably this STREAMS THE ENVELOPE FORMAT, which the JVM file
+    source cannot (it has no per-file envelope parse)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cdc_batches requires a path: .load(cdc_dir)")
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _between(self, start: str, end: str | None):
+        from cdc_historical_warehouse_platform_spark.sources.change_batches import discover_batches
+
+        for b in discover_batches(Path(self.path)):
+            if b.name > start and (end is None or b.name <= end):
+                yield b
+
+    def read(self, start: dict):
+        batches = list(self._between(start["last"], None))
+        if not batches:
+            return iter(()), start
+        end = {"last": max(b.name for b in batches)}
+        # LIST iterator, not a generator: the runner's prefetch cache
+        # copy.copy()s the returned iterator (generators raise) —
+        # micro-batches are batch-file-sized, so materializing is the
+        # contract's own cost model
+        rows = [row for b in batches for row in _parse_batch(b)]
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                row
+                for b in self._between(start["last"], end["last"])
+                for row in _parse_batch(b)
+            ]
+        )
 
 
 class CDCBatchDataSource(DataSource):
@@ -122,3 +184,6 @@ class CDCBatchDataSource(DataSource):
 
     def reader(self, schema):
         return _CDCBatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _CDCBatchStreamReader(self.options)

@@ -85,3 +85,40 @@ def test_datasource_single_batch_and_sql(spark, tmp_path):
         "SELECT operation_type, COUNT(*) n FROM cdc_wire GROUP BY 1"
     ).collect()
     assert {(r["operation_type"], r["n"]) for r in got} == {("INSERT", 3)}
+
+
+def test_streaming_source_tails_new_batches_exactly_once(spark, tmp_path):
+    """readStream.format('cdc_batches'): the name-ordered offset makes
+    each committed batch file read exactly once across restarts —
+    including the ENVELOPE format the JVM file source cannot stream."""
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    _write_batches(spark, cdc_dir)  # 3 + 2 rows, one of each format
+    _register(spark)
+
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("cdc_batches")
+            .load(str(cdc_dir))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    first = drain()
+    assert first.count() == 5
+    assert first.select("batch_file").distinct().count() == 2
+
+    # a third batch arrives; the SAME checkpoint reads only the new one
+    b3 = [make_change(7, "INSERT", ts(20))]
+    write_change_batch(spark.createDataFrame(b3, CHANGE_SCHEMA), cdc_dir,
+                       extracted_at=ts(21), fmt="reference")
+    second = drain()
+    assert second.count() == 6  # exactly one new row, older rows not re-read
+    assert second.filter("id = 7").count() == 1
