@@ -81,6 +81,7 @@ _PRIORITY = [
     "text_bpe_pair_counts",
     "agg_listagg_ordered",
     "agg_boolean_aggregates",
+    "agg_bitwise",            # bit_and/bit_or/bit_xor flag-mask rollups
     "corpus_dsir_resample",
     # --- new r06: the remaining TPC-H shapes (plans/tpch_queries.py),
     # completing full 22-query TPC-H shape coverage — never
@@ -121,7 +122,6 @@ _PRIORITY = [
     # --- rewritten r05 (unpartitioned-window elimination / oracle
     # null-safety) — must re-verify through the driver gate ---
     "corpus_pack_sequences",   # hierarchical prefix-sum (superbucket offsets)
-    "corpus_domain_caps",      # oracle anti filter made null-safe
     # --- r05 rotation: promoted back from _DEMOTED (last driver-green
     # r02 — the three-round local-only streak is the rotation trigger) ---
     "window_salted_topk",
@@ -140,6 +140,7 @@ _DEMOTED = [
     "corpus_source_mix",         # green r05 (post-rewrite); mixing family stays in-window via corpus_temperature_mix + corpus_domain_caps
     "corpus_token_budget",       # green r05 (post-rewrite); md5-gate + budget shape also in-window via corpus_domain_caps + corpus_dsir_resample
     "corpus_zipf_stats",         # green r05 (post-rewrite); the bounded-rank shape is now also in-window via customer_rfm_segments' offset joins
+    "corpus_domain_caps",        # green r05 (post-rewrite); the md5-gate cap shape stays in-window via corpus_dsir_resample + corpus_temperature_mix
     "agg_exact_percentiles",     # green r05; exact percentile_cont also demoted-green (agg_stats_quantiles), interpolated percentiles in-window via scd2_histogram_quantiles
     "agg_linear_regression",     # green r05; the exact-decimal-moments discipline stays in-window via agg_higher_moments (the harder 4-moment case)
     "agg_important_parts",       # green r05; the scalar-fraction HAVING shape's family stays in-window via tpch_q16's grouped HAVING + tpch_q14's conditional fraction

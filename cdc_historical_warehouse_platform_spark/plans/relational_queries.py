@@ -3301,3 +3301,34 @@ RELATIONAL_QUERIES["scalar_map_functions"] = (
     q_scalar_map_functions,
     SQL_MAP_FUNCTIONS,
 )
+
+
+def q_agg_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise aggregate family (r6): bit_and / bit_or / bit_xor over
+    integer columns per group — the flag-mask rollup shape (e.g. "which
+    permission bits hold for EVERY row"). Exact integers end to end;
+    two-phase hash aggregate, map-side combined (all three are
+    commutative/associative)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and(F.col("l_linenumber")).alias("mask_and"),
+            F.bit_or(F.col("l_linenumber")).alias("mask_or"),
+            F.bit_xor(F.col("l_quantity").cast("long")).alias("qty_xor"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_AGG_BITWISE = """
+SELECT l_returnflag,
+       BIT_AND(l_linenumber) AS mask_and,
+       BIT_OR(l_linenumber) AS mask_or,
+       BIT_XOR(CAST(l_quantity AS BIGINT)) AS qty_xor,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+RELATIONAL_QUERIES["agg_bitwise"] = (q_agg_bitwise, SQL_AGG_BITWISE)
