@@ -80,3 +80,34 @@ def test_export_range_sharding_keeps_packs_contiguous(spark, tmp_path):
     # ...except packs that straddle a range boundary — range
     # partitioning splits on pack_id VALUES, so a pack is never split
     assert per.filter(F.col("nf") > 1).count() == 0
+
+
+def test_forget_then_export_excludes_forgotten_docs(spark, tmp_path):
+    """Governance composes with the deliverable: after corpus_forget,
+    the packed export contains no trace of the forgotten docs and the
+    prefix-sum contract re-derives over the survivors."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_forget
+
+    corpus_build(spark, SF, str(tmp_path / "c"))
+    docs = spark.read.parquet(str(tmp_path / "c")).select("doc_id", "text")
+    victims = [r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()]
+    corpus_forget(spark, victims, str(tmp_path / "c"))
+
+    survivors = spark.read.parquet(str(tmp_path / "c")).select("doc_id", "text")
+    merges_df, _ = BPE.bpe_train(survivors, num_merges=5)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    counts = BPE.bpe_token_counts(survivors, merges)
+    packed = packed_sequence_ids(
+        counts, token_col="n_bpe_tokens", seq_len=SEQ, order_col="doc_id",
+        bucket_size=64,
+    )
+    ids = {r["doc_id"] for r in packed.select("doc_id").collect()}
+    assert ids.isdisjoint(victims)
+    rows = sorted(packed.collect(), key=lambda r: r["tokens_before"])
+    running = 0
+    for r in rows:
+        assert r["tokens_before"] == running
+        running += r["n_bpe_tokens"]

@@ -79,3 +79,20 @@ def test_desc_order_via_negated_bucket(spark):
         ).collect()
     }
     assert out == {9: 1, 7: 2, 5: 3, 3: 4, 1: 5}
+
+
+def test_exact_ntile_property_random_sizes(spark):
+    """Hypothesis-style sweep without the fixture overhead: random
+    (n, k) pairs must match the SQL NTILE reference at every rank."""
+    rng = random.Random(99)
+    for _ in range(6):
+        n = rng.randrange(3, 180)
+        k = rng.randrange(2, 9)
+        vals = list(range(n))
+        rng.shuffle(vals)
+        out = exact_ntile(
+            _df(spark, vals), k, [F.asc("v"), F.asc("id")],
+            F.floor(F.col("v") / 13), "tile",
+        ).collect()
+        for row in out:
+            assert row["tile"] == _ref_ntile(n, k, row["v"] + 1), (n, k, row["v"])
