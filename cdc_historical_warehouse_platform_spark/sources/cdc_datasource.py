@@ -34,6 +34,8 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     InputPartition,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 from cdc_historical_warehouse_platform_spark.schemas import CHANGE_SCHEMA
@@ -187,3 +189,82 @@ class CDCBatchDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _CDCBatchStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "cdc_batches is append-only (a CDC directory is a log); "
+                "use mode('append')"
+            )
+        return _CDCBatchWriter(self.options)
+
+
+class _PartMessage(WriterCommitMessage):
+    def __init__(self, filename: str, n: int):
+        self.filename = filename
+        self.n = n
+
+
+class _CDCBatchWriter(DataSourceWriter):
+    """``df.write.format("cdc_batches").mode("append").save(dir)`` —
+    emits one jsonl batch (the distributed wire format) under the same
+    atomic contract as write_change_batch: every task writes its part
+    file into a hidden ``.{name}.tmp`` directory, and commit() writes
+    the batch metadata then renames ONCE — a concurrent loader globbing
+    ``changes_*`` can never observe a half-written batch. abort()
+    removes the temp dir, leaving no trace.
+
+    ``extracted_at`` (ISO string option) is REQUIRED: the batch name is
+    derived from it on the driver, so a task retry rewrites the same
+    temp dir instead of forking a second batch.
+    """
+
+    def __init__(self, options):
+        from cdc_historical_warehouse_platform_spark.sources.change_batches import batch_name
+
+        self.path = options.get("path")
+        ts = options.get("extracted_at")
+        if not self.path or not ts:
+            raise ValueError(
+                "cdc_batches write requires .save(dir) and "
+                ".option('extracted_at', '<iso timestamp>')"
+            )
+        self.extracted_at = ts
+        self.name = batch_name(_dt.datetime.fromisoformat(ts))
+        self.tmp = str(Path(self.path) / f".{self.name}.tmp")
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.tmp, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.json"
+        n = 0
+        with open(Path(self.tmp) / fname, "w") as f:
+            for row in iterator:
+                rec = {}
+                for k, v in row.asDict().items():
+                    if isinstance(v, _dt.datetime):
+                        rec[k] = v.isoformat(sep="T")
+                    elif isinstance(v, Decimal):
+                        rec[k] = str(v)
+                    else:
+                        rec[k] = v
+                f.write(json.dumps(rec) + "\n")
+                n += 1
+        return _PartMessage(fname, n)
+
+    def commit(self, messages):
+        total = sum(m.n for m in messages)
+        meta = {
+            "extracted_at": self.extracted_at,
+            "change_count": total,
+            "watermark": None,
+        }
+        (Path(self.tmp) / "_batch_metadata.json").write_text(json.dumps(meta))
+        Path(self.tmp).rename(Path(self.path) / self.name)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.tmp, ignore_errors=True)

@@ -122,3 +122,46 @@ def test_streaming_source_tails_new_batches_exactly_once(spark, tmp_path):
     second = drain()
     assert second.count() == 6  # exactly one new row, older rows not re-read
     assert second.filter("id = 7").count() == 1
+
+
+def test_writer_roundtrip_and_loader_interop(spark, tmp_path):
+    """df.write.format('cdc_batches') emits a batch the PIPELINE can
+    consume: read_change_batch round-trips the rows and SCD2Loader
+    processes the directory like any extractor-produced batch."""
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    _register(spark)
+    rows = [make_change(i, "INSERT", ts(i)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    (
+        df.write.format("cdc_batches")
+        .mode("append")
+        .option("extracted_at", ts(6).isoformat())
+        .save(str(cdc_dir))
+    )
+    batches = discover_batches(cdc_dir)
+    assert len(batches) == 1 and batches[0].is_dir()
+    back = read_change_batch(spark, batches[0])
+    assert _rows(back) == _rows(df)
+    # no temp residue
+    assert not list(cdc_dir.glob(".*tmp"))
+
+    dim = SCD2DimStore(tmp_path / "dim")
+    loader = SCD2Loader(spark, dim, cdc_dir)
+    run = loader.load_pending()
+    assert run["processed"] == 1
+    assert dim.read_current(spark).count() == 4
+
+
+def test_writer_requires_append_and_extracted_at(spark, tmp_path):
+    import pytest
+
+    _register(spark)
+    df = spark.createDataFrame([make_change(1, "INSERT", ts(0))], CHANGE_SCHEMA)
+    with pytest.raises(Exception, match="append-only|extracted_at"):
+        df.write.format("cdc_batches").mode("overwrite").save(str(tmp_path / "x"))
+    with pytest.raises(Exception, match="extracted_at"):
+        df.write.format("cdc_batches").mode("append").save(str(tmp_path / "y"))
