@@ -185,6 +185,9 @@ class SCD2Loader:
         self.quarantined = 0
         self.drift_policy = drift_policy
         self.drift_events: list[dict] = []
+        # true RECORD accounting for the KPI report (the run table's
+        # records_* fields historically carry BATCH counts)
+        self.rows_loaded = 0
 
     def _write_quarantine(self, bad, batch_path: Path) -> None:
         from pyspark.sql import functions as F
@@ -234,6 +237,7 @@ class SCD2Loader:
         batch_id = generate_batch_id(changes)
         if self.ledger.is_processed(batch_path.name, batch_id):
             return False
+        n_rows = changes.count()
         # quarantine sink: append AFTER the replay check so re-loads do
         # not duplicate rows; a crash between this write and the ledger
         # mark can re-append (at-least-once — a diagnostics sink, keyed
@@ -260,6 +264,8 @@ class SCD2Loader:
             batch_id=batch_id,
         )
         self.ledger.mark(batch_path.name, batch_id)
+        if applied:
+            self.rows_loaded += n_rows
         return applied
 
     def load_pending(self) -> dict:
@@ -269,6 +275,7 @@ class SCD2Loader:
         t0 = time.time()
         self.drift_events = []
         self.quarantined = 0
+        self.rows_loaded = 0
         if self.metadata is not None:
             run_id = self.metadata.start_run()
         processed = skipped = failed = 0
@@ -308,6 +315,7 @@ class SCD2Loader:
                 error_message=error,
                 performance_metrics={
                     "elapsed_sec": round(time.time() - t0, 3),
+                    "rows_loaded": self.rows_loaded,
                     **(
                         {"batches_with_drift": len(self.drift_events)}
                         if self.drift_policy == "report"

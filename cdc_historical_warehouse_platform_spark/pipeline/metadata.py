@@ -99,3 +99,76 @@ class PipelineMetadataManager:
             F.max("end_time").alias("last_completion"),
         ).collect()[0]
         return row.asDict()
+
+    def kpis(
+        self,
+        watermark: _dt.datetime | None = None,
+        now: _dt.datetime | None = None,
+        days: int = 7,
+    ) -> dict:
+        """The reference's monitoring KPI set (README.md:752-762) with
+        its alert thresholds (README.md:780-785), computed from the run
+        table + the high watermark:
+
+        - sustained throughput (records/s over completed-run wall time;
+          true row counts from performance_metrics.rows_loaded — the
+          run table's records_* columns carry BATCH counts historically,
+          reported separately as batch_* figures)
+        - batch processing p95 (alert > 120 s)
+        - duplicate/replay rate (skipped re-deliveries / processed;
+          target < 0.01%) — replays are records_processed −
+          records_successful by the loader's accounting
+        - failed-record rate (target < 0.001%)
+        - watermark lag (target < 60 s, alert > 300 s)
+
+        The percentile is exact — the run table is runs-sized, never
+        data-sized, so this is a driver-cheap report at any scale."""
+        now = now or _dt.datetime.utcnow()
+        runs = self._runs().filter(
+            (F.col("status") == "completed")
+            & (F.col("start_time") >= F.lit(now - _dt.timedelta(days=days)))
+        )
+        row = runs.agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("records_successful").alias("ok"),
+            F.sum("records_processed").alias("seen"),
+            F.sum("records_failed").alias("failed"),
+            F.sum(
+                F.unix_timestamp("end_time") - F.unix_timestamp("start_time")
+            ).alias("wall"),
+            F.expr(
+                "percentile(unix_timestamp(end_time) - unix_timestamp(start_time), 0.95)"
+            ).alias("p95"),
+            F.sum(
+                F.get_json_object("performance_metrics", "$.rows_loaded").cast("long")
+            ).alias("rows"),
+        ).collect()[0]
+        ok = int(row["ok"] or 0)
+        seen = int(row["seen"] or 0)
+        wall = int(row["wall"] or 0)
+        rows_loaded = int(row["rows"] or 0)
+        kpis = {
+            "runs_7d": int(row["n_runs"] or 0),
+            "rows_loaded_7d": rows_loaded,
+            "sustained_throughput_rps": (
+                round(rows_loaded / wall, 2) if wall and rows_loaded else None
+            ),
+            "batch_throughput_per_min": round(ok * 60 / wall, 2) if wall else None,
+            "batch_processing_p95_sec": round(float(row["p95"]), 2) if row["p95"] is not None else None,
+            "duplicate_batch_rate": round((seen - ok) / seen, 6) if seen else None,
+            "failed_batch_rate": round(int(row["failed"] or 0) / seen, 6) if seen else None,
+            "watermark_lag_sec": (
+                round((now - watermark).total_seconds(), 1) if watermark else None
+            ),
+        }
+        alerts = []
+        if kpis["batch_processing_p95_sec"] is not None and kpis["batch_processing_p95_sec"] > 120:
+            alerts.append("batch_processing_p95_sec > 120")
+        if kpis["watermark_lag_sec"] is not None and kpis["watermark_lag_sec"] > 300:
+            alerts.append("watermark_lag_sec > 300")
+        if kpis["duplicate_batch_rate"] is not None and kpis["duplicate_batch_rate"] > 0.0001:
+            alerts.append("duplicate_batch_rate > 0.01%")
+        if kpis["failed_batch_rate"] is not None and kpis["failed_batch_rate"] > 0.00001:
+            alerts.append("failed_batch_rate > 0.001%")
+        kpis["alerts"] = alerts
+        return kpis

@@ -129,7 +129,7 @@ def main() -> int:
     ap.add_argument(
         "command",
         choices=[
-            "seed", "simulate", "extract", "load", "status", "validate",
+            "seed", "simulate", "extract", "load", "status", "kpis", "validate",
             "summary", "optimize",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
             "corpus-forget", "corpus-ingest", "corpus-export", "corpus-status",
@@ -458,6 +458,18 @@ def main() -> int:
                 {"compacted": compacted, **result, "workdir": str(workdir)}
             )
         )
+    elif args.command == "kpis":
+        # the reference's monitoring KPI set (README.md:752-762) with
+        # its alert thresholds, off the run table + high watermark
+        import datetime as _dt2
+
+        wm_path = workdir / "cdc_logs" / ".watermark"
+        wm = (
+            _dt2.datetime.fromisoformat(wm_path.read_text().strip())
+            if wm_path.exists()
+            else None
+        )
+        print(json.dumps(meta.kpis(watermark=wm), default=str, sort_keys=True))
     elif args.command == "status":
         out = {
             "source_rows": sim._orders().count(),

@@ -495,3 +495,38 @@ def test_simulator_sample_pool_bounds_driver_collect(spark, tmp_path):
     assert after == before + total_ops["inserts"] - total_ops["deletes"]
     # ids keep advancing past the seeded range (max-id agg, not collect)
     assert sim._next_id > 25
+
+
+def test_kpis_report_true_record_throughput(spark, tmp_path, change_df):
+    """The monitoring KPI set (reference README.md:752-762): record
+    throughput comes from the loader's true row accounting (the run
+    table's records_* columns carry batch counts), replays raise the
+    duplicate-batch rate, and the watermark-lag alert fires past 300 s."""
+    import datetime as dt
+
+    from cdc_historical_warehouse_platform_spark.pipeline.loader import SCD2Loader
+    from cdc_historical_warehouse_platform_spark.pipeline.metadata import (
+        PipelineMetadataManager,
+    )
+    from cdc_historical_warehouse_platform_spark.sources.change_batches import write_change_batch
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    t0 = dt.datetime(2026, 5, 1, 12, 0, 0)
+    cdc = tmp_path / "cdc"
+    cdc.mkdir()
+    write_change_batch(
+        change_df([make_change(i, "INSERT", t0) for i in range(1, 8)]),
+        cdc, extracted_at=t0, fmt="jsonl",
+    )
+    meta = PipelineMetadataManager(spark, tmp_path / "meta")
+    loader = SCD2Loader(spark, SCD2DimStore(tmp_path / "dim"), cdc, metadata=meta)
+    loader.load_pending()
+    loader.load_pending()  # pure replay: 0 rows, 1 skipped batch
+
+    k = meta.kpis(watermark=dt.datetime.utcnow() - dt.timedelta(seconds=400))
+    assert k["rows_loaded_7d"] == 7
+    assert k["runs_7d"] == 2
+    assert k["duplicate_batch_rate"] == 0.5  # the replay run
+    assert k["failed_batch_rate"] == 0.0
+    assert "watermark_lag_sec > 300" in k["alerts"]
+    assert k["sustained_throughput_rps"] is None or k["sustained_throughput_rps"] > 0
