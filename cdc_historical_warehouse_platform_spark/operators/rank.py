@@ -14,6 +14,14 @@ partitioned.
 (the first n%k tiles get one extra row), so a DuckDB oracle can use
 native NTILE() while the Spark side never globally sorts — the
 hash-equality of the two IS the proof the formula matches.
+
+Bucketing is auto-derived by default (``derive_bucket``): a bounded
+2-scalar min/max probe of the leading key picks a width targeting
+~4×-parallelism buckets, so a caller can no longer hand a degenerate
+width that silently collapses to the single-bucket global sort this
+module exists to avoid. A hand-written monotone ``bucket`` expression
+is still accepted (and still EXACT even when degenerate — only the
+parallelism degrades; tests pin that).
 """
 
 from __future__ import annotations
@@ -21,30 +29,51 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "exact_ntile"]
+__all__ = ["derive_bucket", "global_rank", "exact_ntile"]
 
 
-def global_rank(
+def derive_bucket(
     df: DataFrame,
+    key: Column,
+    *,
+    descending: bool = False,
+    target_buckets: int | None = None,
+) -> Column:
+    """Monotone range-bucket expression for ``key``, width chosen from a
+    bounded min/max probe (two scalars to the driver — the same bounded
+    contract as packing.py's superbucket table).
+
+    Targets ``target_buckets`` (default 4 × defaultParallelism, floor
+    64) equal-width value ranges. Skewed keys make uneven buckets —
+    still exact, parallelism just degrades toward the skew; callers
+    with a known-better monotone expression (e.g. an ndv-aware one)
+    pass it to ``global_rank`` directly. Keys must be non-null and
+    castable to double; ``descending=True`` negates so bucket order
+    follows a DESC leading sort.
+    """
+    if target_buckets is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        target_buckets = max(4 * par, 64)
+    k = (-key if descending else key).cast("double")
+    lo, hi = df.agg(F.min(k), F.max(k)).first()
+    if lo is None or hi is None or not (hi > lo):
+        # empty input or a constant key: one bucket is the true answer
+        return F.lit(0)
+    width = (hi - lo) / float(target_buckets)
+    # float width > 0: floor((k - lo)/width) is weakly monotone in k,
+    # which is all global_rank's offset-table correctness needs
+    return F.floor((k - F.lit(float(lo))) / F.lit(width))
+
+
+def _ranked(
+    pinned: DataFrame,
     order_cols: list[Column],
     bucket: Column,
-    out_col: str = "rank",
+    out_col: str,
 ) -> DataFrame:
-    """Exact 1-based rank of every row under ``order_cols`` (which must
-    be a TOTAL order — carry a unique key as the last column).
-
-    ``bucket`` must be a monotone function of the leading sort key
-    (e.g. ``F.floor(col / width)``): bucket order == value order is
-    what lets the offset table replace a global sort. Bucket count is
-    value-range/width — keep it ≥ tasks and ≪ rows.
-    """
-    # one lazy pin of the input: it feeds the window path, the bucket
-    # counts, and (via exact_ntile) the total-count aggregate — without
-    # the barrier each consumer re-derives the caller's upstream, and
-    # CHAINED rank calls (three RFM cuts) compound that exponentially
-    # (measured: a 113-stage plan collapses to linear with the pins)
-    df = df.localCheckpoint(eager=False)
-    b = df.withColumn("__rb", bucket.cast("long"))
+    """Rank over an already-pinned frame (callers pin so sibling
+    aggregates share the same materialization)."""
+    b = pinned.withColumn("__rb", bucket.cast("long"))
     w_in = Window.partitionBy("__rb").orderBy(*order_cols)
     # tiny by the width contract; consumed by offsets' both join sides
     counts = b.groupBy("__rb").agg(F.count(F.lit(1)).alias("__rn")).localCheckpoint(
@@ -67,12 +96,58 @@ def global_rank(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    bucket: Column | None = None,
+    out_col: str = "rank",
+    *,
+    key: Column | None = None,
+    descending: bool = False,
+    target_buckets: int | None = None,
+) -> DataFrame:
+    """Exact 1-based rank of every row under ``order_cols`` (which must
+    be a TOTAL order — carry a unique key as the last column).
+
+    ``bucket``, when given, must be a monotone function of the leading
+    sort key (e.g. ``F.floor(col / width)``): bucket order == value
+    order is what lets the offset table replace a global sort. Omit it
+    to auto-derive via ``derive_bucket`` over ``key`` — the RAW leading
+    sort key column (``F.asc``/``F.desc`` wrappers are SortOrder
+    expressions and cannot appear inside another expression); pass
+    ``descending=True`` when the leading sort is DESC so the auto
+    bucket follows it.
+    """
+    # one lazy pin of the input: it feeds the window path, the bucket
+    # counts, the auto-width probe, and (via exact_ntile) the
+    # total-count aggregate — without the barrier each consumer
+    # re-derives the caller's upstream, and CHAINED rank calls (three
+    # RFM cuts) compound that exponentially (measured: a 113-stage
+    # plan collapses to linear with the pins)
+    df = df.localCheckpoint(eager=False)
+    if bucket is None:
+        if key is None:
+            raise ValueError(
+                "global_rank: pass either an explicit monotone `bucket` "
+                "or the raw leading-sort-key column via `key=` for the "
+                "auto-derived width"
+            )
+        bucket = derive_bucket(
+            df, key, descending=descending, target_buckets=target_buckets
+        )
+    return _ranked(df, order_cols, bucket, out_col)
+
+
 def exact_ntile(
     df: DataFrame,
     n_tiles: int,
     order_cols: list[Column],
-    bucket: Column,
-    out_col: str,
+    bucket: Column | None = None,
+    out_col: str = "tile",
+    *,
+    key: Column | None = None,
+    descending: bool = False,
+    target_buckets: int | None = None,
 ) -> DataFrame:
     """SQL NTILE(k) without an unpartitioned window: global_rank, then
     the closed form — with n = count, q = n div k, m = n mod k, the
@@ -83,9 +158,22 @@ def exact_ntile(
 
     All-positive integer division (trunc == floor in every engine);
     n enters as a 1-row keyless aggregate cross-joined in (the
-    scalar-build shape the plan guard structurally admits)."""
-    ranked = global_rank(df, order_cols, bucket, out_col="__rr")
-    n1 = df.agg(F.count(F.lit(1)).alias("__n"))
+    scalar-build shape the plan guard structurally admits). The count
+    aggregates over the SAME pin the rank path reads, so chained calls
+    never re-derive the caller's upstream plan."""
+    pinned = df.localCheckpoint(eager=False)
+    if bucket is None:
+        if key is None:
+            raise ValueError(
+                "exact_ntile: pass either an explicit monotone `bucket` "
+                "or the raw leading-sort-key column via `key=` for the "
+                "auto-derived width"
+            )
+        bucket = derive_bucket(
+            pinned, key, descending=descending, target_buckets=target_buckets
+        )
+    ranked = _ranked(pinned, order_cols, bucket, out_col="__rr")
+    n1 = pinned.agg(F.count(F.lit(1)).alias("__n"))
     K = int(n_tiles)
     # pure integer arithmetic end to end — a float (r-1)/(q+1) + floor
     # could flip a tile boundary in the last ulp at dimension-scale n

@@ -3181,22 +3181,23 @@ def q_customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     # registry's zero-global-sort discipline): hierarchical bucketed
     # rank + the closed-form tile mapping (operators/rank.py); the
     # oracle uses native NTILE() — hash equality proves the formula.
-    # Buckets are monotone value ranges of each leading sort key;
-    # DESC orders bucket on the negated value.
+    # Bucket widths are AUTO-derived (derive_bucket's bounded min/max
+    # probe) so no hand-picked width can degenerate to a single-bucket
+    # global sort; DESC cuts bucket on the negated key.
     scored = exact_ntile(
         per_cust, 5,
         [F.asc("recency_days"), F.asc("o_custkey")],
-        F.floor(F.col("recency_days") / 64), "r_score",
+        None, "r_score", key=F.col("recency_days"),
     )
     scored = exact_ntile(
         scored, 5,
         [F.desc("frequency"), F.asc("o_custkey")],
-        F.floor(-F.col("frequency") / 4), "f_score",
+        None, "f_score", key=F.col("frequency"), descending=True,
     )
     scored = exact_ntile(
         scored, 5,
         [F.desc("monetary"), F.asc("o_custkey")],
-        F.floor(-F.col("monetary") / 10000), "m_score",
+        None, "m_score", key=F.col("monetary"), descending=True,
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

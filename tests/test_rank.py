@@ -81,6 +81,56 @@ def test_desc_order_via_negated_bucket(spark):
     assert out == {9: 1, 7: 2, 5: 3, 3: 4, 1: 5}
 
 
+def test_auto_bucket_matches_explicit(spark):
+    """The auto-derived width (derive_bucket min/max probe) must give
+    the same exact ranks/tiles as a hand-tuned bucket, asc and desc."""
+    rng = random.Random(17)
+    vals = [rng.randrange(10_000) for _ in range(600)]
+    base = _df(spark, vals)
+    explicit = exact_ntile(
+        base, 5, [F.asc("v"), F.asc("id")], F.floor(F.col("v") / 500), "tile"
+    )
+    auto = exact_ntile(
+        base, 5, [F.asc("v"), F.asc("id")], None, "tile", key=F.col("v")
+    )
+    assert sorted(map(tuple, explicit.collect())) == sorted(map(tuple, auto.collect()))
+    auto_desc = {
+        r["v"]: r["rank"]
+        for r in global_rank(
+            _df(spark, [5, 1, 9, 7, 3]), [F.desc("v"), F.asc("id")],
+            None, key=F.col("v"), descending=True,
+        ).collect()
+    }
+    assert auto_desc == {9: 1, 7: 2, 5: 3, 3: 4, 1: 5}
+
+
+def test_degenerate_bucket_width_still_exact(spark):
+    """A pathological hand-picked width (everything in one bucket, or
+    one row per bucket) degrades parallelism, never correctness; and
+    the auto path on a CONSTANT key (min == max) returns the same
+    exact tie-broken ranks."""
+    vals = [((i * 91) % 37) for i in range(120)]
+    base = _df(spark, vals)
+    expect = {
+        i: pos + 1
+        for pos, (v, i) in enumerate(sorted((v, i) for i, v in enumerate(vals)))
+    }
+    for bucket in (F.lit(0), F.col("v") * 1000 + F.col("id")):
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(base, [F.asc("v"), F.asc("id")], bucket).collect()
+        }
+        assert got == expect
+    const = _df(spark, [7] * 23)
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(
+            const, [F.asc("v"), F.asc("id")], None, key=F.col("v")
+        ).collect()
+    }
+    assert got == {i: i + 1 for i in range(23)}
+
+
 def test_exact_ntile_property_random_sizes(spark):
     """Hypothesis-style sweep without the fixture overhead: random
     (n, k) pairs must match the SQL NTILE reference at every rank."""
