@@ -19,7 +19,7 @@ is three small jobs over the vocab frame:
 
 The vocab frame is ``localCheckpoint``ed every few rounds: chained
 per-round transforms otherwise grow the logical plan geometrically
-(the scd2_merge 3^n lesson — see .claude/skills/verify gotchas).
+(the same geometric-plan-growth hazard chained scd2_merge calls hit).
 
 Driver-side state is bounded: one (pair, count) row per round plus the
 merge list itself — never corpus rows, never the vocabulary.

@@ -31,10 +31,47 @@ from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
     write_marker,
 )
 
-__all__ = ["corpus_build", "corpus_append", "corpus_compact", "corpus_forget", "corpus_top_tokens"]
+__all__ = [
+    "corpus_build",
+    "corpus_append",
+    "corpus_compact",
+    "corpus_forget",
+    "corpus_top_tokens",
+    "read_committed_corpus",
+]
 
 QUALITY_THRESHOLD = 0.68
 _CAPS_FILE = "_source_caps.json"
+
+
+def read_committed_corpus(spark: SparkSession, output: str | Path) -> DataFrame:
+    """The committed corpus, EXACTLY: repair() first (roll back any
+    torn epoch), then read only the shard files the committed manifest
+    lists. A raw ``spark.read.parquet(output)`` would also sweep up
+    superseded files a crash mid-forget/append/compact left on disk —
+    double-counting rows and potentially resurrecting
+    right-to-be-forgotten documents the committed marker already
+    excludes. Every downstream consumer (export, ad-hoc reads) goes
+    through here."""
+    import json as _json
+
+    out = Path(output)
+    repair(out)
+    try:
+        manifest = _json.loads((out / "_manifest.json").read_text())
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"{out} has no _manifest.json — not a built corpus (run "
+            "`corpus` first)"
+        ) from None
+    live = [
+        str(out / f"shard={s}/{f}")
+        for s, e in manifest["shards"].items()
+        for f in e["files"]
+    ]
+    if not live:
+        raise ValueError(f"corpus at {out} is empty (no live shard files)")
+    return spark.read.option("basePath", str(out)).parquet(*live)
 
 
 def _cap_against_quota(

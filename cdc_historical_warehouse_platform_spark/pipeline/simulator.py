@@ -34,15 +34,15 @@ class OrderSimulator:
         source: VersionedTable,
         deleted_table: VersionedTable | None = None,
         seed: int = 42,
-        sample_pool: int | None = None,
+        sample_pool: int | None = 1024,
     ):
-        """``sample_pool``: when set, each mutation cycle draws its
+        """``sample_pool`` (default 1024): each mutation cycle draws its
         update/delete targets from a deterministic pseudo-random LIMIT
-        sample of that size instead of collecting every source id —
-        the full collect is exact reference parity (db_mutator.py:83)
-        and fine for the test-harness-sized tables it was written for,
-        but O(|source|) driver memory if the simulator is ever pointed
-        at a big table."""
+        sample of that size, so driver memory stays bounded no matter
+        how big the source table is. Pass ``sample_pool=None`` for
+        exact reference parity (db_mutator.py:83 collects every id) —
+        fine for the test-harness-sized tables the reference mutates,
+        O(|source|) driver memory otherwise, so it is opt-in."""
         self.spark = spark
         self.source = source
         self.deleted = deleted_table

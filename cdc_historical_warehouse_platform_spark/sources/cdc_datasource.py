@@ -215,8 +215,13 @@ class _CDCBatchWriter(DataSourceWriter):
     removes the temp dir, leaving no trace.
 
     ``extracted_at`` (ISO string option) is REQUIRED: the batch name is
-    derived from it on the driver, so a task retry rewrites the same
-    temp dir instead of forking a second batch.
+    derived from it on the driver, so a task retry lands in the same
+    temp dir instead of forking a second batch. Part files are
+    uuid-named (concurrent speculative attempts of one partition never
+    clash on a file), and commit() keeps ONLY the files named in the
+    WriterCommitMessages — a failed or losing attempt's partial part
+    file is pruned before the rename, so retries can never leak
+    duplicate or truncated rows into the committed batch.
     """
 
     def __init__(self, options):
@@ -255,6 +260,13 @@ class _CDCBatchWriter(DataSourceWriter):
         return _PartMessage(fname, n)
 
     def commit(self, messages):
+        # exactly the winning attempts' files survive: Spark hands one
+        # commit message per SUCCEEDED task; anything else in the temp
+        # dir is a failed/speculative attempt's leftover
+        keep = {m.filename for m in messages}
+        for p in Path(self.tmp).glob("part-*.json"):
+            if p.name not in keep:
+                p.unlink()
         total = sum(m.n for m in messages)
         meta = {
             "extracted_at": self.extracted_at,

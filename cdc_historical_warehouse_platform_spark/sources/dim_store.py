@@ -40,6 +40,35 @@ __all__ = ["SCD2DimStore", "BucketedSCD2DimStore", "MergeOnReadSCD2DimStore"]
 _POINTER = "_LATEST"
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive, owned by someone else
+    return True
+
+
+def _reclaim_stages(root: Path) -> None:
+    """Reclaim ``._stage_{pid}`` dirs left by CRASHED runs without
+    destroying a live concurrent writer's in-progress stage: our own
+    pid's stage is always removed (we are about to rewrite it); another
+    pid's stage only when that pid no longer exists. The store is
+    contractually single-writer — this just makes the failure mode of a
+    violated contract a clean losing race instead of a corrupted
+    partial-stage adoption."""
+    own = os.getpid()
+    for stale in root.glob("._stage_*"):
+        try:
+            pid = int(stale.name.rsplit("_", 1)[-1])
+        except ValueError:
+            pid = None
+        if pid is not None and pid != own and _pid_alive(pid):
+            continue
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 class SCD2DimStore:
     def __init__(self, path: str | Path):
         self.path = Path(path)
@@ -154,8 +183,7 @@ class SCD2DimStore:
         if txn_id in txns:
             return False
 
-        for stale in self.path.glob("._stage_*"):
-            shutil.rmtree(stale, ignore_errors=True)
+        _reclaim_stages(self.path)
 
         cur = self.read_current(spark)
         # First-ever batch may be a bulk seed the size of the dimension:
@@ -384,8 +412,7 @@ class BucketedSCD2DimStore(SCD2DimStore):
             return False
         n = meta["key_span"] if meta else self.key_span
 
-        for stale in self.path.glob("._stage_*"):
-            shutil.rmtree(stale, ignore_errors=True)
+        _reclaim_stages(self.path)
 
         # the micro-batch names its touched buckets (tiny collect: ≤ n
         # ints); only those current directories enter the merge

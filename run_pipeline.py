@@ -835,7 +835,12 @@ def main() -> int:
             (r["left_sym"], r["right_sym"])
             for r in merges_tbl.read(spark).orderBy("merge_rank").collect()
         ]
-        docs = spark.read.parquet(args.output).select("doc_id", "text")
+        # committed-epoch read (repair + manifest live-file list) — a
+        # raw directory read could double-count superseded shards or
+        # resurrect forgotten docs after a crash mid-forget/append
+        from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import read_committed_corpus
+
+        docs = read_committed_corpus(spark, args.output).select("doc_id", "text")
         counts = BPE.bpe_token_counts(docs, merges).join(docs, "doc_id")
         # training order: doc_id (deterministic corpus order) or, with
         # --shuffle-seed, a seeded GLOBAL shuffle — the order key is

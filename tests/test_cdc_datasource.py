@@ -165,3 +165,31 @@ def test_writer_requires_append_and_extracted_at(spark, tmp_path):
         df.write.format("cdc_batches").mode("overwrite").save(str(tmp_path / "x"))
     with pytest.raises(Exception, match="extracted_at"):
         df.write.format("cdc_batches").mode("append").save(str(tmp_path / "y"))
+
+
+def test_writer_commit_prunes_losing_attempt_files(spark, tmp_path):
+    """A failed/speculative task attempt leaves a partial part file in
+    the staging dir; commit() must keep ONLY the files named in the
+    WriterCommitMessages, so the committed batch carries exactly the
+    winning attempts' rows (change_count == parsed rows)."""
+    import json as _json
+
+    from cdc_historical_warehouse_platform_spark.sources.cdc_datasource import _CDCBatchWriter
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    w = _CDCBatchWriter({"path": str(cdc_dir), "extracted_at": ts(9).isoformat()})
+    rows = spark.createDataFrame(
+        [make_change(i, "INSERT", ts(i)) for i in range(1, 4)], CHANGE_SCHEMA
+    ).collect()
+    msg = w.write(iter(rows))
+    # plant a losing attempt's partial file (truncated mid-record)
+    orphan = __import__("pathlib").Path(w.tmp) / "part-deadbeef.json"
+    orphan.write_text('{"id": 999, "operation": "INS')
+    w.commit([msg])
+    (batch,) = list(cdc_dir.glob("changes_*"))
+    assert not (batch / "part-deadbeef.json").exists()
+    meta = _json.loads((batch / "_batch_metadata.json").read_text())
+    _register(spark)
+    back = read_change_batch(spark, batch)
+    assert back.count() == meta["change_count"] == 3

@@ -111,3 +111,39 @@ def test_forget_then_export_excludes_forgotten_docs(spark, tmp_path):
     for r in rows:
         assert r["tokens_before"] == running
         running += r["n_bpe_tokens"]
+
+
+def test_committed_read_survives_crash_mid_forget(spark, tmp_path):
+    """Simulates a crash between corpus_forget's write_marker and its
+    unlink loop (superseded shard files still on disk): a raw directory
+    read resurrects the forgotten doc, read_committed_corpus must not —
+    it repairs to the committed epoch and reads only the manifest's
+    live file list. This is the read path corpus-export uses."""
+    import shutil
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_forget,
+        read_committed_corpus,
+    )
+
+    out = tmp_path / "c"
+    corpus_build(spark, SF, str(out))
+    docs = spark.read.parquet(str(out)).select("doc_id", "text")
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    pre_files = {p for p in out.rglob("*.parquet") if "shard=" in str(p)}
+    stash = {}
+    for p in pre_files:
+        stash[p] = tmp_path / "stash" / p.relative_to(out)
+        stash[p].parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(p, stash[p])
+    corpus_forget(spark, [victim], str(out))
+    # resurrect the superseded (pre-forget) files = the crash state
+    for p, s in stash.items():
+        if not p.exists():
+            shutil.copy2(s, p)
+    raw_ids = {r["doc_id"] for r in spark.read.parquet(str(out)).select("doc_id").collect()}
+    assert victim in raw_ids  # the hazard is real
+    committed = read_committed_corpus(spark, str(out))
+    ids = [r["doc_id"] for r in committed.select("doc_id").collect()]
+    assert victim not in ids
+    assert len(ids) == len(set(ids))  # no double-counted survivors
