@@ -144,13 +144,17 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = run(name)
-    # best-of-2 warm passes: single warm runs still drift ±30% on a
-    # shared VM (observed on byte-identical code); the per-query min is
-    # the stable steady-state signal round-over-round comparisons need
+    # best-of-3 warm passes: single warm runs still drift ±30% on a
+    # shared VM (observed on byte-identical code), and even the
+    # best-of-2 SUITE SUM was measured spreading ±7% across
+    # byte-identical runs (r7 drift bisection, PLANS.md) — the
+    # per-query min over three passes is the stable steady-state
+    # signal round-over-round comparisons need
     for name in HEADLINE:
         warm[name] = run(name)
-    for name in HEADLINE:
-        warm[name] = min(warm[name], run(name))
+    for _ in range(2):
+        for name in HEADLINE:
+            warm[name] = min(warm[name], run(name))
 
     # incremental corpus-append cycle (r04): one untimed state build,
     # then cold + 2 warm timed appends with distinct id spaces
