@@ -57,6 +57,8 @@ __all__ = [
     "semdedup",
     "decontaminate",
     "exact_substring_spans",
+    "substring_spans_from_flagged",
+    "incremental_exact_substring",
     "remove_duplicate_spans",
 ]
 
@@ -1066,6 +1068,21 @@ def exact_substring_spans(
     buffering. At 100 TB the gram shuffle is the method's inherent
     cost — banding it down is what the MinHash tier is for.
     """
+    grams = _gram_stream(docs, k, id_col, text_col)
+    flagged = (
+        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("n") > 1)
+        .select(id_col, "pos")
+    )
+    return substring_spans_from_flagged(flagged, k, id_col=id_col)
+
+
+def _gram_stream(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """The (id, pos, g) k-gram stream — map-only JVM HOFs, the corpus
+    is never token-exploded (shared by the full and incremental
+    ExactSubstr paths so the two can never hash differently)."""
     toks = F.split(F.col(text_col), " ")
     grams_arr = F.when(
         F.size(toks) >= k,
@@ -1074,14 +1091,18 @@ def exact_substring_spans(
             lambda p: F.md5(F.array_join(F.slice(toks, p, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
+    return docs.select(
         F.col(id_col), F.posexplode(grams_arr).alias("pos0", "g")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "g")
-    flagged = (
-        grams.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("n") > 1)
-        .select(id_col, "pos")
-    )
+
+
+def substring_spans_from_flagged(
+    flagged: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Gaps-and-islands merge of flagged k-gram start positions into
+    (span_start, span_end, n_positions) per doc — the read-time half of
+    ExactSubstr, doc-partitioned lag window over the (small) flagged
+    set only."""
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = flagged.withColumn("prev", F.lag("pos").over(w)).withColumn(
         "island",
@@ -1101,6 +1122,97 @@ def exact_substring_spans(
         .select(id_col, "span_start", "span_end", "n_positions")
         .orderBy(id_col, "span_start")
     )
+
+
+def incremental_exact_substring(
+    new_docs: DataFrame,
+    stored_unique: DataFrame,
+    stored_dup_hashes: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One ExactSubstr increment: flag every duplicated k-gram
+    introduced by a NEW batch without re-scanning stored text — the
+    CDC idea the LSH/fingerprint tiers already use
+    (:func:`incremental_minhash_dedup`), applied to the k-gram index.
+
+    Persisted state (LSM-style, append-only between compactions):
+
+    - ``stored_unique``      — (id, pos, g): every gram occurrence
+      that was globally UNIQUE when admitted (the frontier). Rows
+      whose hash later duplicated are logically dead but never
+      rewritten in place (compaction drops them).
+    - ``stored_dup_hashes``  — (g): every hash known duplicated.
+
+    A new occurrence is flagged when its hash (a) repeats within the
+    batch, (b) is already in ``stored_dup_hashes``, or (c) matches a
+    LIVE frontier row — in which case that OLD occurrence crosses the
+    1→2 threshold and is flagged too (exactly once: the hash then
+    moves to the dup set, and dead frontier rows are masked by the
+    anti-join below). Returns append deltas
+    ``(flagged_adds, dup_hash_adds, unique_adds)`` — flagged_adds is
+    (id, pos) over BOTH old and new docs; feed the accumulated flagged
+    store to :func:`substring_spans_from_flagged` for spans identical
+    to a from-scratch :func:`exact_substring_spans` over the union
+    corpus (rebuild-equivalence is pytest- and oracle-pinned).
+
+    Scale shape: the new batch is gram-streamed map-only (O(batch));
+    both stored tables are SCANNED once but never shuffled — the probe
+    side is the batch's distinct hash set, broadcast (size the append
+    batches so that set fits the broadcast budget; the stores' own
+    shuffle would be the full-rebuild cost this function exists to
+    avoid). Doc ids must be unique across batches (the corpus
+    pipeline's contract). Reference analog: the reference re-derives
+    its dedup state per full load (scd2_loader.py); the incremental
+    posture is this repo's 100-TB extension.
+    """
+    new_grams = _gram_stream(new_docs, k, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    counted = new_grams.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    intra = counted.filter(F.col("__n") > 1).select(id_col, "pos", "g")
+    singles = counted.filter(F.col("__n") == 1).select(id_col, "pos", "g")
+    new_hashes = new_grams.select("g").distinct()
+    # known-dup hashes touched by this batch: stored scan, map-only
+    # (broadcast probe); small result — eager pin so the three
+    # consumers don't re-scan the store
+    dup_hits = (
+        stored_dup_hashes.select("g")
+        .join(F.broadcast(new_hashes), "g", "semi")
+        .localCheckpoint(eager=True)
+    )
+    # LIVE frontier rows newly duplicated: one stored-unique scan,
+    # map-only; dead rows (hash already dup) masked by the anti
+    frontier = (
+        stored_unique.select(id_col, "pos", "g")
+        .join(F.broadcast(new_hashes), "g", "semi")
+        .join(F.broadcast(dup_hits), "g", "anti")
+        .localCheckpoint(eager=True)
+    )
+    frontier_hashes = frontier.select("g").distinct()
+    flagged_new = (
+        intra
+        .unionByName(new_grams.join(F.broadcast(dup_hits), "g", "semi"))
+        .unionByName(new_grams.join(F.broadcast(frontier_hashes), "g", "semi"))
+        .select(id_col, "pos")
+        .distinct()
+    )
+    flagged_adds = flagged_new.unionByName(frontier.select(id_col, "pos"))
+    dup_hash_adds = (
+        intra.select("g")
+        .distinct()
+        .unionByName(frontier_hashes)
+        .distinct()
+        .join(F.broadcast(dup_hits), "g", "anti")
+    )
+    unique_adds = (
+        singles.join(F.broadcast(dup_hits), "g", "anti")
+        .join(F.broadcast(frontier_hashes), "g", "anti")
+    )
+    return flagged_adds, dup_hash_adds, unique_adds
 
 
 def remove_duplicate_spans(

@@ -2363,3 +2363,54 @@ DATAPIPE_QUERIES["corpus_substring_clean"] = (
     q_corpus_substring_clean,
     SQL_SUBSTRING_CLEAN,
 )
+
+
+def q_corpus_substring_spans_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ExactSubstr through the driver gate (r7): the corpus
+    arrives as THREE appends (doc_id mod 3) and the Spark side only
+    ever runs the incremental path — each batch is gram-streamed alone
+    and probed against the accumulated (unique, dup-hash) state
+    (operators/dedup.incremental_exact_substring); stored batches are
+    never re-gram-streamed. The oracle computes from-scratch spans over
+    the WHOLE corpus — hash equality IS the rebuild-equivalence proof,
+    including old docs whose grams only duplicate when a later batch
+    lands (the 1→2 frontier transition). The persisted-store flavor of
+    the same algorithm (sources/substr_index.ExactSubstrIndex) is
+    pinned by tests/test_exact_substring.py and the substr-* CLI.
+
+    Scale shape per append: map-only gram build of the batch, two
+    map-only scans of the stored state (broadcast hash probes — no
+    state shuffle, no stored-text read), one batch-keyed count window.
+    Eager pins between batches keep the chained plan linear (the
+    scd2_merge 3^n lesson)."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        incremental_exact_substring,
+        substring_spans_from_flagged,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    k = 20
+    unique = spark.createDataFrame([], "doc_id long, pos int, g string")
+    dup = spark.createDataFrame([], "g string")
+    flagged = spark.createDataFrame([], "doc_id long, pos int")
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == i)
+        f_add, d_add, u_add = incremental_exact_substring(
+            batch, unique, dup, k=k
+        )
+        flagged = flagged.unionByName(
+            f_add.select(F.col("doc_id").cast("long"), F.col("pos").cast("int"))
+        ).localCheckpoint(eager=True)
+        dup = dup.unionByName(d_add.select("g")).localCheckpoint(eager=True)
+        unique = unique.unionByName(
+            u_add.select(
+                F.col("doc_id").cast("long"), F.col("pos").cast("int"), "g"
+            )
+        ).localCheckpoint(eager=True)
+    return substring_spans_from_flagged(flagged, k)
+
+
+DATAPIPE_QUERIES["corpus_substring_spans_incremental"] = (
+    q_corpus_substring_spans_incremental,
+    SQL_EXACT_SUBSTRING_SPANS,
+)

@@ -1,0 +1,178 @@
+"""Persisted ExactSubstr k-gram index — incremental span dedup state.
+
+The from-scratch :func:`~cdc_historical_warehouse_platform_spark.operators.dedup.
+exact_substring_spans` re-pays the corpus-sized k-gram shuffle on every
+call; at 100 TB that shuffle dominates the whole dedup bill, and
+re-paying it per corpus append is the one cost the r6 review flagged.
+This store gives ExactSubstr the same epoch-versioned incremental
+posture the LSH/fingerprint tiers already have (``_lsh_index`` /
+``_fp_index``): an append gram-streams ONLY the new batch and probes
+the persisted state by hash; stored document text is never re-read.
+
+Layout (three :class:`VersionedTable`s + a meta file under one dir):
+
+- ``unique/``   — (doc_id, pos, g) frontier occurrences (grams seen
+  exactly once when admitted; LSM-dead once their hash duplicates)
+- ``duphash/``  — (g) hashes known duplicated
+- ``flagged/``  — (doc_id, pos) every flagged k-gram start, old and
+  new docs alike
+- ``docs/``     — (doc_id) every admitted doc (including zero-gram
+  short docs, which leave no other trace — the re-ingest idempotence
+  check needs them)
+- ``_xs_meta.json`` — k (an index answers for exactly one k)
+
+Crash story: the three appends share one txn id; each table's txn
+guard makes a replay of a half-committed append idempotent (the same
+recovery contract as SCD2Loader's two-table adopt). Compaction rewrites
+``unique`` without its dead rows and is a pure space win — spans never
+read ``unique``.
+
+Reference parity note: the reference recomputes dedup state per load
+(scd2_loader.py full-table scans); the incremental index is this
+repo's scale extension, mirrored on operators/dedup.py:884's
+incremental LSH design.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_historical_warehouse_platform_spark.operators.dedup import (
+    incremental_exact_substring,
+    remove_duplicate_spans,
+    substring_spans_from_flagged,
+)
+from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+
+__all__ = ["ExactSubstrIndex"]
+
+_META = "_xs_meta.json"
+
+_UNIQUE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("g", T.StringType()),
+    ]
+)
+_DUP_SCHEMA = T.StructType([T.StructField("g", T.StringType())])
+_FLAGGED_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("pos", T.IntegerType())]
+)
+_DOCS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
+
+
+class ExactSubstrIndex:
+    def __init__(self, path: str | Path, k: int = 20):
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+        meta_file = self.path / _META
+        if meta_file.exists():
+            stored_k = json.loads(meta_file.read_text())["k"]
+            if stored_k != k:
+                raise ValueError(
+                    f"index at {self.path} was built with k={stored_k}; "
+                    f"requested k={k} needs a separate index"
+                )
+        self.k = k
+        self.unique = VersionedTable(self.path / "unique")
+        self.duphash = VersionedTable(self.path / "duphash")
+        self.flagged = VersionedTable(self.path / "flagged")
+        self.docs = VersionedTable(self.path / "docs")
+
+    def exists(self) -> bool:
+        return (self.path / _META).exists() and self.unique.exists()
+
+    # --- reads ---------------------------------------------------------------
+
+    def _read_or_empty(self, spark: SparkSession, tbl: VersionedTable, schema):
+        if tbl.exists():
+            return tbl.read(spark)
+        return spark.createDataFrame([], schema)
+
+    def spans(self, spark: SparkSession) -> DataFrame:
+        """Merged duplicate spans over every doc ever appended —
+        identical to ``exact_substring_spans`` over the union corpus
+        (rebuild-equivalence pinned by tests + the driver oracle row).
+        Reads only the (small) flagged store; islands merge is
+        doc-partitioned."""
+        flagged = self._read_or_empty(spark, self.flagged, _FLAGGED_SCHEMA)
+        return substring_spans_from_flagged(flagged, self.k)
+
+    def clean(self, docs: DataFrame, out_col: str = "clean_text") -> DataFrame:
+        """The cut step against the maintained spans."""
+        return remove_duplicate_spans(
+            docs, self.spans(docs.sparkSession), out_col=out_col
+        )
+
+    # --- writes --------------------------------------------------------------
+
+    def append(
+        self, new_docs: DataFrame, txn_id: str | None = None
+    ) -> dict:
+        """Admit one new batch (build == first append over an empty
+        index — one code path, so the bootstrap exercises the same
+        plan the steady state runs). Never reads stored text; the two
+        probe scans are map-only (see incremental_exact_substring).
+
+        The three table appends share ``txn_id``; replaying a crashed
+        append with the same id is a no-op per already-committed table
+        and completes the rest.
+        """
+        spark = new_docs.sparkSession
+        meta_file = self.path / _META
+        if not meta_file.exists():
+            meta_file.write_text(json.dumps({"k": self.k}))
+        if txn_id is None:
+            txn_id = f"xs_append_{self.unique.version() + 1}"
+        stored_unique = self._read_or_empty(spark, self.unique, _UNIQUE_SCHEMA)
+        stored_dup = self._read_or_empty(spark, self.duphash, _DUP_SCHEMA)
+        flagged_adds, dup_adds, unique_adds = incremental_exact_substring(
+            new_docs, stored_unique, stored_dup, k=self.k
+        )
+        # deltas' lineage reads the CURRENT versions' immutable segment
+        # dirs, so appending new segments below cannot disturb them;
+        # the small deltas were eager-pinned inside the operator
+        n_flagged = self.flagged.append(
+            flagged_adds.select(
+                F.col("doc_id").cast("long"), F.col("pos").cast("int")
+            ),
+            txn_id=txn_id,
+        )
+        self.duphash.append(dup_adds.select("g"), txn_id=txn_id)
+        self.unique.append(
+            unique_adds.select(
+                F.col("doc_id").cast("long"), F.col("pos").cast("int"), "g"
+            ),
+            txn_id=txn_id,
+        )
+        self.docs.append(
+            new_docs.select(F.col("doc_id").cast("long")).distinct(),
+            txn_id=txn_id,
+        )
+        return {"txn_id": txn_id, "flagged_version": n_flagged}
+
+    def admitted_ids(self, spark: SparkSession) -> DataFrame:
+        """(doc_id) of every doc ever appended — the anti-join side for
+        idempotent re-ingestion (covers zero-gram short docs too)."""
+        return self._read_or_empty(spark, self.docs, _DOCS_SCHEMA)
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Drop LSM-dead frontier rows (hash already duplicated) — a
+        space/scan-cost win only; spans never read ``unique``. One
+        hash-key shuffle of the unique store (run on the maintenance
+        cadence, like shard compaction)."""
+        if not self.unique.exists():
+            return {"rows_before": 0, "rows_after": 0}
+        u = self.unique.read(spark)
+        d = self._read_or_empty(spark, self.duphash, _DUP_SCHEMA)
+        live = u.join(d, "g", "anti").localCheckpoint(eager=True)
+        before = u.count()
+        after = live.count()
+        self.unique.commit(live, txn_id=f"xs_compact_{self.unique.version() + 1}")
+        return {"rows_before": before, "rows_after": after}

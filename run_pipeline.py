@@ -134,6 +134,7 @@ def main() -> int:
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
             "corpus-forget", "corpus-ingest", "corpus-export", "corpus-status",
             "ann-build", "ann-append", "ann-query",
+            "substr-append", "substr-spans", "substr-compact",
             "bpe-train", "bpe-encode",
             "quality-train", "quality-score",
         ],
@@ -312,6 +313,10 @@ def main() -> int:
         "--pq-k", type=int, default=16, help="ann-build --pq: codes per subspace"
     )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
+    ap.add_argument(
+        "--substr-k", type=int, default=20,
+        help="substr-*: k-gram length of the ExactSubstr index",
+    )
     ap.add_argument(
         "--quality-model",
         default=None,
@@ -734,6 +739,66 @@ def main() -> int:
                     sort_keys=True,
                 )
             )
+    elif args.command in ("substr-append", "substr-spans", "substr-compact"):
+        # incremental ExactSubstr dedup: the k-gram index persists under
+        # --output; substr-append admits --input's documents WITHOUT
+        # re-gram-streaming anything already indexed (build == first
+        # append), substr-spans reads the maintained flagged store,
+        # substr-compact drops LSM-dead frontier rows
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.sources.substr_index import ExactSubstrIndex
+
+        if not args.output:
+            print(json.dumps({"error": f"{args.command} requires --output (index dir)"}))
+            return 1
+        idx = ExactSubstrIndex(args.output, k=args.substr_k)
+        if args.command == "substr-append":
+            if not args.input:
+                print(json.dumps({"error": "substr-append requires --input SF_DIR"}))
+                return 1
+            docs = spark.read.parquet(f"{args.input}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            if idx.docs.exists():
+                # idempotent re-append: an already-admitted doc_id
+                # would double its grams — anti-join the (ids-only)
+                # admitted-docs store
+                docs = docs.join(idx.admitted_ids(spark), "doc_id", "anti")
+            n_new = docs.count()
+            if n_new:
+                idx.append(docs)
+            print(
+                json.dumps(
+                    {"appended": n_new, "k": idx.k, "output": args.output}
+                )
+            )
+        elif args.command == "substr-spans":
+            if not idx.exists():
+                print(json.dumps({"error": f"no index under {args.output}; run substr-append first"}))
+                return 1
+            agg = idx.spans(spark).agg(
+                F.count(F.lit(1)).alias("spans"),
+                F.countDistinct("doc_id").alias("docs_with_spans"),
+                F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+                    "tokens_covered"
+                ),
+            ).collect()[0]
+            print(
+                json.dumps(
+                    {
+                        "spans": agg["spans"],
+                        "docs_with_spans": agg["docs_with_spans"],
+                        "tokens_covered": agg["tokens_covered"] or 0,
+                        "k": idx.k,
+                    }
+                )
+            )
+        else:  # substr-compact
+            if not idx.exists():
+                print(json.dumps({"error": f"no index under {args.output}"}))
+                return 1
+            print(json.dumps(idx.compact(spark)))
     elif args.command in ("quality-train", "quality-score"):
         # model-based quality filter: fit the deterministic logistic
         # classifier on a labeled seed rule, persist the tiny model as

@@ -95,3 +95,137 @@ def test_partitioning_invariance(spark):
         map(tuple, b), key=lambda t: (t[0], t[1])
     )
     assert len(a) > 0  # the testdata's planted near-dups produce spans
+
+
+# --- incremental index (r7): persisted k-gram state, append-only ---
+
+
+def _spans_set(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+        for r in df.collect()
+    }
+
+
+def test_incremental_rebuild_equivalence_multi_append(spark, tmp_path):
+    """Three appends through the persisted index must yield spans
+    identical to a from-scratch exact_substring_spans over the union —
+    including OLD docs whose grams only became duplicated by a LATER
+    batch (the 1->2 frontier transition)."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import ExactSubstrIndex
+
+    shared = _w("s", 6)     # duplicated across batches 1 and 2
+    late = _w("L", 5)       # appears once in batch 1, again in batch 3
+    b1 = [(1, f"{_w('a', 5)} {shared} {_w('b', 5)}"),
+          (2, f"{late} {_w('c', 8)}")]
+    b2 = [(3, f"{_w('d', 3)} {shared} {_w('e', 7)}"),
+          (4, _w("f", 12))]
+    b3 = [(5, f"{_w('g', 4)} {late} {_w('h', 6)}"),
+          (6, f"{_w('i', 7)} {_w('i', 7)}")]  # self-repeat inside one batch
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4)
+    for i, b in enumerate((b1, b2, b3), 1):
+        idx.append(_docs(spark, b), txn_id=f"t{i}")
+    expect = _spans_set(
+        exact_substring_spans(_docs(spark, b1 + b2 + b3), k=4)
+    )
+    assert _spans_set(idx.spans(spark)) == expect
+    assert len(expect) > 3  # the fixture actually planted spans
+    # doc 2 (batch 1) must carry a span created only by batch 3
+    assert any(d == 2 for d, *_ in expect)
+
+
+def test_incremental_boilerplate_across_three_batches(spark, tmp_path):
+    """A gram seen in EVERY batch: flagged once per occurrence, the
+    dup-hash set gains it once, and dead frontier rows never re-flag
+    (no duplicate flagged rows => n_positions stays exact)."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import ExactSubstrIndex
+
+    boiler = _w("B", 4)
+    batches = [
+        [(10, f"{boiler} {_w('x', 5)}")],
+        [(11, f"{boiler} {_w('y', 5)}")],
+        [(12, f"{boiler} {_w('z', 5)}")],
+    ]
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4)
+    for i, b in enumerate(batches, 1):
+        idx.append(_docs(spark, b), txn_id=f"t{i}")
+    all_docs = _docs(spark, [r for b in batches for r in b])
+    assert _spans_set(idx.spans(spark)) == _spans_set(
+        exact_substring_spans(all_docs, k=4)
+    )
+    # exactly one dup-hash row for the boilerplate gram
+    assert idx.duphash.read(spark).count() == 1
+    # flagged rows are unique per (doc, pos)
+    fl = idx.flagged.read(spark)
+    assert fl.count() == fl.distinct().count() == 3
+
+
+def test_incremental_append_replay_is_idempotent(spark, tmp_path):
+    """Replaying an append with the SAME txn id (the crash-recovery
+    path) must not duplicate state in any of the three tables."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import ExactSubstrIndex
+
+    shared = _w("s", 5)
+    b1 = [(1, f"{shared} {_w('a', 6)}"), (2, f"{shared} {_w('b', 6)}")]
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4)
+    idx.append(_docs(spark, b1), txn_id="t1")
+    before = (
+        _spans_set(idx.spans(spark)),
+        idx.flagged.read(spark).count(),
+        idx.duphash.read(spark).count(),
+        idx.unique.read(spark).count(),
+    )
+    idx.append(_docs(spark, b1), txn_id="t1")  # replay
+    after = (
+        _spans_set(idx.spans(spark)),
+        idx.flagged.read(spark).count(),
+        idx.duphash.read(spark).count(),
+        idx.unique.read(spark).count(),
+    )
+    assert before == after
+
+
+def test_incremental_compact_preserves_spans_and_drops_dead_rows(spark, tmp_path):
+    """Compaction removes LSM-dead frontier rows (hash already
+    duplicated) and must not change spans or future appends'
+    behavior."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import ExactSubstrIndex
+
+    shared = _w("s", 5)
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4)
+    idx.append(_docs(spark, [(1, f"{shared} {_w('a', 6)}")]), txn_id="t1")
+    idx.append(_docs(spark, [(2, f"{shared} {_w('b', 6)}")]), txn_id="t2")
+    spans_before = _spans_set(idx.spans(spark))
+    stats = idx.compact(spark)
+    assert stats["rows_after"] < stats["rows_before"]  # dead rows existed
+    assert _spans_set(idx.spans(spark)) == spans_before
+    # a post-compact append still dedups against the compacted frontier
+    idx.append(_docs(spark, [(3, f"{_w('a', 6)} {_w('q', 4)}")]), txn_id="t3")
+    all_docs = _docs(
+        spark,
+        [(1, f"{shared} {_w('a', 6)}"), (2, f"{shared} {_w('b', 6)}"),
+         (3, f"{_w('a', 6)} {_w('q', 4)}")],
+    )
+    assert _spans_set(idx.spans(spark)) == _spans_set(
+        exact_substring_spans(all_docs, k=4)
+    )
+
+
+def test_incremental_clean_matches_full_cut(spark, tmp_path):
+    """index.clean == remove_duplicate_spans over the full corpus."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import ExactSubstrIndex
+
+    shared = _w("s", 5)
+    b1 = [(1, f"{shared} {_w('a', 6)}")]
+    b2 = [(2, f"{_w('c', 3)} {shared}")]
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4)
+    idx.append(_docs(spark, b1), txn_id="t1")
+    idx.append(_docs(spark, b2), txn_id="t2")
+    docs = _docs(spark, b1 + b2)
+    got = {
+        (r["doc_id"], r["clean_text"]) for r in idx.clean(docs).collect()
+    }
+    full = remove_duplicate_spans(
+        docs, exact_substring_spans(docs, k=4)
+    )
+    assert got == {(r["doc_id"], r["clean_text"]) for r in full.collect()}
