@@ -225,9 +225,13 @@ def minhash_signature(
     # with shingle length. Stays inside whole-stage codegen; no
     # overflow-prone arithmetic (ANSI mode is on).
     base = sh.withColumn("__h", F.xxhash64("shingle"))
+    # one F.expr (one py4j round trip) per aggregate instead of the
+    # 4-5 a composed Column costs: the 64-wide agg list is otherwise
+    # pure DRIVER-side construction latency — measured ~0.85 s per
+    # warm minhash_band_buckets call before any action ran, i.e. the
+    # single largest fixed cost of an incremental corpus append
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.expr(f"min(xxhash64({i}, __h)) AS mh_{i}") for i in range(num_hashes)
     ]
     return base.groupBy("doc_id").agg(*aggs)
 
@@ -247,25 +251,25 @@ def minhash_band_buckets(
     STORED copy, which is what makes corpus-building incremental (the
     existing corpus is never re-signatured)."""
     sig = minhash_signature(df, text_col, id_col, n, bands * rows_per_band)
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+    # selectExpr strings: the 32 band expressions ship in ONE py4j
+    # call each stage (same driver-latency rationale as the signature
+    # aggs; values byte-identical to the previous Column composition —
+    # pinned by the cross-path bucket-equality test)
+    band_exprs = [
+        "concat_ws(':', '{b}', cast(xxhash64({cols}) AS string)) AS band_{b}".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
-        .cast("string")
-        .alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
-    return banded.select(
+    banded = sig.selectExpr("doc_id", *band_exprs)
+    return banded.selectExpr(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
+        "explode(array({})) AS bucket".format(
+            ", ".join(f"band_{b}" for b in range(bands))
+        ),
     )
 
 

@@ -389,29 +389,61 @@ def corpus_append(
         kept_buckets = kept_buckets.join(
             kept.select("doc_id"), "doc_id", "left_semi"
         )
-    manifest = write_training_shards(
-        kept,
-        output,
-        key_col="doc_id",
-        num_shards=num_shards,
-        max_records_per_file=max_records_per_file,
-        mode="append",
-    )
-    kept.write.mode("append").parquet(str(out / "_kept_docs"))
-    kept_buckets.write.mode("append").parquet(str(out / "_lsh_index"))
-    kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
-        "append"
-    ).parquet(str(out / "_fp_index"))
-    if max_per_source is not None:
+    # the epoch's 4-6 state writes are mutually independent (disjoint
+    # directories, all derived from the pinned batch + checkpointed
+    # drop sets) and the batch is small next to the cluster — run them
+    # CONCURRENTLY instead of as a chain of idle-heavy sequential jobs
+    # (measured 1.3 s → 0.5 s of the sf0.1 append cycle; the marker
+    # still publishes only after every future resolves, so a failure
+    # in any write leaves an uncommitted epoch for repair() exactly as
+    # before). Only the shards thread touches _manifest.json.
+    prev_total = _json.loads((out / "_manifest.json").read_text())["total_rows"]
+    m_track = marker.get("track_top_tokens")
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_shards():
+        return write_training_shards(
+            kept,
+            output,
+            key_col="doc_id",
+            num_shards=num_shards,
+            max_records_per_file=max_records_per_file,
+            mode="append",
+        )
+
+    def _w_kept():
+        kept.write.mode("append").parquet(str(out / "_kept_docs"))
+
+    def _w_lsh():
+        kept_buckets.write.mode("append").parquet(str(out / "_lsh_index"))
+
+    def _w_fp():
+        kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
+            "append"
+        ).parquet(str(out / "_fp_index"))
+
+    def _w_counts():
         # LSM-style: append this epoch's per-source counts; readers sum
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "append"
         ).parquet(str(out / "_source_counts"))
-    m_track = marker.get("track_top_tokens")
-    if m_track:
+
+    def _w_hh():
         # heavy-hitter state rides the same LSM + marker protocol: this
         # epoch's kept-batch MG summaries append; readers merge by sum
         _hh_delta(kept, m_track).write.mode("append").parquet(str(out / "_hh_state"))
+
+    writers = [_w_kept, _w_lsh, _w_fp]
+    if max_per_source is not None:
+        writers.append(_w_counts)
+    if m_track:
+        writers.append(_w_hh)
+    with ThreadPoolExecutor(max_workers=1 + len(writers)) as ex:
+        f_manifest = ex.submit(_w_shards)
+        futs = [ex.submit(w) for w in writers]
+        manifest = f_manifest.result()
+        for f in futs:
+            f.result()
     # every write of this epoch landed → atomically publish it (the
     # active quota is recorded in the same atomic rename, so adoption
     # and epoch commit are one event)
@@ -422,7 +454,9 @@ def corpus_append(
         extra["quality_model"] = quality_model
         extra["quality_model_threshold"] = quality_model_threshold
     write_marker(out, epoch=marker["epoch"] + 1, extra=extra or None)
-    n_kept = kept.count()
+    # kept's cardinality falls out of the shard manifest delta — the
+    # shards hold exactly kept's rows, so no extra count job
+    n_kept = manifest["total_rows"] - prev_total
     return {
         "new_docs": n_new,
         "low_quality": n_new - n_quality,
