@@ -122,7 +122,11 @@ def _stub(name: str, lib: str):
     raise NotImplementedError(
         f"{name} requires {lib}, which is not available in this environment; "
         "the Spark-side plumbing (schema, mapInPandas batching, partitioning) "
-        "is implemented and tested with the byte-level extractor instead."
+        "is implemented and tested with the byte-level extractor instead. "
+        "In an environment WITH the codec, the importorskip-guarded seam "
+        "tests (tests/test_datapipe.py::test_image_decode_pipeline_with_"
+        "pillow / test_audio_decode_pipeline_with_librosa) exercise the "
+        "real decode path end-to-end."
     )
 
 

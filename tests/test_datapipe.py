@@ -209,6 +209,12 @@ def test_multimodal_plumbing_roundtrip(spark, docs):
 
 
 def test_multimodal_decode_stub_raises():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present — the real-codec seam test runs instead")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(b"\x89PNG fake")
 
@@ -1705,3 +1711,78 @@ def test_corpus_quality_model_gate_build_and_append(spark, tmp_path):
     assert below2 == 0
     a2 = corpus_append(spark, new, out)
     assert a2["appended"] == 0
+
+
+def test_image_decode_pipeline_with_pillow(spark):
+    """The REAL-codec seam (r3 task #6): runs only where Pillow exists
+    (pytest.importorskip — skipped in codec-less environments, live the
+    moment an env gains the codec). Encodes genuine PNGs, decodes them
+    through the default pil_decoder, and pins the features against the
+    same numpy ground truth the raw-decoder twin uses — proving the
+    only difference between the tested stand-in path and the Pillow
+    path is the codec call itself."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import hashlib
+    import io
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    h, w = 16, 12
+    arrays = {
+        i: ((np.arange(h * w * 3, dtype=np.uint32) * (i + 3)) % 251).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        for i in range(3)
+    }
+    payloads = {}
+    for i, arr in arrays.items():
+        buf = io.BytesIO()
+        PIL_Image.fromarray(arr, mode="RGB").save(buf, format="PNG")
+        payloads[i] = buf.getvalue()
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()], ["doc_id", "payload"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_image_features(df, out_w=4, out_h=4).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    for i, arr in arrays.items():
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        r = rows[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["mean_intensity"] == round(float(arr.mean()), 6)
+        assert r["resized_md5"] == hashlib.md5(
+            np.ascontiguousarray(arr[ys][:, xs]).tobytes()
+        ).hexdigest()
+
+
+def test_audio_decode_pipeline_with_librosa(spark):
+    """The librosa twin of the Pillow seam test: skipped until the env
+    gains the codec, then pins the default decode path end-to-end."""
+    pytest.importorskip("librosa")
+    import io
+    import wave
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    sr = 8000
+    wave_i16 = (np.sin(np.arange(sr) / 8.0) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(wave_i16.tobytes())
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], ["doc_id", "payload"])
+    (r,) = extract_audio_features(df).collect()
+    assert r["doc_id"] == 1 and r["n_samples"] > 0 and r["duration_sec"] > 0
