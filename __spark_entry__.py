@@ -51,10 +51,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator proven by another green row); they are parked past the window and
 # remain covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
-    # --- new r06 (fourth batch): gaps-and-islands, deterministic MODE,
-    # exact-integer z-score anomaly flags, and fixed-iteration integer
-    # PageRank (operators/graph.py — iterative algorithm with a
-    # hash-exact unrolled-CTE oracle) ---
+    # --- new r07: incremental ExactSubstr rebuild-equivalence (the
+    # Spark side runs ONLY the incremental path over three appends;
+    # the oracle recomputes from scratch), the corpus-export manifest
+    # (fixed-merge BPE counts + seeded md5 shuffle + packing
+    # coordinates), and dim-store time travel (read(version=0) vs the
+    # directly-computed past state) — never driver-checked ---
+    "corpus_substring_spans_incremental",
+    "corpus_export_manifest",
+    "scd2_time_travel",
+    # --- r07 rotation: promoted from _DEMOTED — all eleven pre-r04
+    # demotions were last driver-checked in r02 (five rounds stale,
+    # the longest local-only streak in the registry) ---
+    "window_cumulative_revenue",
+    "join_full_outer",
+    "events_sliding_window",
+    "agg_pivot",
+    "window_rank_dense",
+    "filter_key_history",
+    "agg_rollup",
+    "join_semi",
+    "agg_stats_quantiles",
+    "sql_api_revenue_by_segment",
+    "join_outer_coalesce",
+    # --- r06 keeps (hash-green r06; one driver round is not yet a
+    # demotion-grade streak): gaps-and-islands, MODE, z-score flags,
+    # interpolation, graph, join-IVM, exact NTILE, MAP surface ---
     "corpus_exact_substring_spans",  # ExactSubstr dedup spans (Lee et al. 2021) — hash-exact md5 k-gram pipeline
     "corpus_substring_clean",        # the ExactSubstr CUT step — HOF filter vs unnest+ordered-string_agg oracle
     "events_gap_islands",
@@ -64,76 +86,61 @@ _PRIORITY = [
     "graph_pagerank_top",
     "graph_khop_distance",  # min-plus BFS sibling of PageRank — 3×-unrolled-CTE oracle
     "ivm_join_view",        # signed-multiplicity join-view maintenance vs direct-join oracle
-    "customer_rfm_segments",  # RFM quintiles via bucketed global rank + closed-form NTILE (no global sort) vs native NTILE oracle
+    "customer_rfm_segments",  # r7: now the AUTO-derived bucket-width path (operators/rank.derive_bucket) vs native NTILE oracle
     "scalar_map_functions",   # MAP-type surface — deterministic sorted-entry maps vs a list-derived string oracle
-    # --- new r06 (third batch): blocked fuzzy-match join (prefix
-    # blocking + Levenshtein verify), market-basket affinity
-    # (co-occurrence support + lift), and exact higher central
-    # moments (deterministic skewness/kurtosis) ---
     "join_fuzzy_part_names",
     "basket_brand_pairs",
     "agg_higher_moments",
     "layout_zorder_tiles",
-    # --- new r06 (late batch): DSIR importance weights (hashed-bigram
-    # log-ratio data selection), the BPE trainer's per-round pair
-    # statistic, and ordered string aggregation (LISTAGG) ---
     "corpus_dsir_weights",
     "text_bpe_pair_counts",
     "agg_listagg_ordered",
     "agg_boolean_aggregates",
     "agg_bitwise",            # bit_and/bit_or/bit_xor flag-mask rollups
     "corpus_dsir_resample",
-    # --- new r06: the remaining TPC-H shapes (plans/tpch_queries.py),
-    # completing full 22-query TPC-H shape coverage — never
-    # driver-checked, hoisted to the front of the window ---
+    # --- r06 keeps: the structurally-hardest TPC-H shapes (correlated
+    # MIN, 6-table volume/share stars, LIKE-filtered profit star,
+    # conditional-agg, NOT-IN anti, disjunctive brackets, nested-IN
+    # chain); the four simplest r06-green shapes rotated out with
+    # family notes below ---
     "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
     "tpch_q12_priority_by_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
     "tpch_q16_supplier_relationship",
     "tpch_q19_disjunctive_brackets",
     "tpch_q20_excess_shippers",
-    # --- new r06: sketch-bounded exact top-k frequent items
-    # (Misra-Gries candidates + exact verify, operators/heavy_hitters.py)
-    # and distribution-shaped IVM (maintained per-group histograms) ---
     "text_heavy_hitters",
     "scd2_incremental_histogram",
     "scd2_histogram_quantiles",
-    # --- new r06: classic warehouse report shapes over the events
-    # stream (cohort retention matrix; ordered funnel) ---
     "events_cohort_retention",
-    "events_funnel_steps",
     "events_transition_matrix",
-    # --- new r06: temperature-weighted source mixing (integer-exact
-    # sqrt weights — the LLM data-mixing knob) ---
     "corpus_temperature_mix",
-    # --- new r06: Delta-CDF-style diff between two dim versions ---
     "scd2_version_diff",
-    # --- new r05: TPC-H Q21/Q11/Q15 shapes (doubly-correlated NOT
-    # EXISTS, scalar-fraction HAVING, view + MAX-scalar equality) and
-    # the mergeable-sketch COUNT(DISTINCT) maintenance tier ---
-    "setop_all_variants",       # new r05: INTERSECT ALL / EXCEPT ALL bag semantics
-    "agg_distinct_sketch_rollup",  # rows-only BY DESIGN (HLL estimate not DuckDB-reproducible); invariants pinned by tests/test_sketches.py
-    # --- rewritten r05 (unpartitioned-window elimination / oracle
-    # null-safety) — must re-verify through the driver gate ---
-    "corpus_pack_sequences",   # hierarchical prefix-sum (superbucket offsets)
-    # --- r05 rotation: promoted back from _DEMOTED (last driver-green
-    # r02 — the three-round local-only streak is the rotation trigger) ---
-    "window_salted_topk",
-    "window_small_quantity_revenue",
-    # --- multi-round keeps: the historically-risky banded tier plus
-    # family anchors cited by demotion notes below ---
-    "embedding_near_dup",      # the r02 scale-killer fix — keep under the driver gate
-    "array_functions_sweep",   # cited by vector_norms_by_label demotion
-    "text_bigram_surprisal",   # cited by text_lm_surprisal demotion
-    "dedup_keep_list",
 ]
 _DEMOTED = [
+    # --- r07 rotation: slots ceded to the three new r7 rows and the
+    # eleven promoted r02-stale rows. agg_distinct_sketch_rollup is
+    # demoted FIRST and permanently: it is rows-only BY DESIGN (HLL
+    # estimates have no DuckDB twin) so its driver slot could never
+    # turn green — tests/test_sketches.py pins its invariants; the
+    # other thirteen are hash-green r06 (several r05+r06) with their
+    # operator families staying in-window per the notes. ---
+    "agg_distinct_sketch_rollup",  # rows-only by design; pytest-pinned (invariants + replay + error envelope)
+    "setop_all_variants",        # green r05+r06; set-op family stays via the promoted agg_rollup/join_semi shapes + demoted-green setop siblings re-checked locally
+    "corpus_pack_sequences",     # green r05+r06; the packing prefix-sum is IN-WINDOW as a sub-plan of the new corpus_export_manifest (superset row: same coordinates under BPE counts + shuffle order)
+    "window_salted_topk",        # green r02+r05+r06; window family repped by promoted window_cumulative_revenue/window_rank_dense + events windows
+    "window_small_quantity_revenue",  # green r02+r05+r06; same family notes
+    "embedding_near_dup",        # green r02-r06 (the longest in-window streak — the r02 scale-killer fix is five-rounds proven); banded ANN tier also pytest-pinned (test_ann_index)
+    "array_functions_sweep",     # green r03-r06; array surface also exercised by in-window corpus rows (DSIR, temperature mix)
+    "text_bigram_surprisal",     # green r03-r06; text family keeps heavy_hitters + bpe_pair_counts in-window
+    "dedup_keep_list",           # green r02-r06; dedup family now anchored in-window by the three ExactSubstr rows + the incremental rebuild-equivalence row
+    "tpch_q6_forecast_revenue",  # green r06; simple filtered agg — family repped in-window by tpch_q12's conditional agg + the promoted agg_stats_quantiles
+    "tpch_q10_returned_items",   # green r06; star-join family repped in-window by tpch_q2/q7/q8/q9
+    "tpch_q13_customer_distribution",  # green r06; outer-join+grouped-count family repped by promoted join_full_outer + join_outer_coalesce
+    "tpch_q14_promo_revenue",    # green r06; conditional-fraction family repped in-window by tpch_q12 + tpch_q19
+    "events_funnel_steps",       # green r06; events family keeps cohort_retention + transition_matrix + gap_islands + anomaly_zscore + resample_interpolate in-window
     # --- r06 fifth rotation: slots ceded to corpus_exact_substring_spans,
     # corpus_substring_clean, graph_khop_distance, and
     # events_resample_interpolate ---
@@ -245,18 +252,12 @@ _DEMOTED = [
     "filter_point_lookup_current",  # P3 ≡ filter_key_history (green r01-r03)
     "window_top_per_customer",     # W2; window family repped in-window by promoted window_salted_topk + window_lag_lead (green r01-r03)
     "scd2_change_frequency",       # A3; green r01-r03 AND smoke-checked every round as entry(); slot ceded to multimodal_image_features
-    # --- pre-r04 demotions ---
-    "agg_rollup",                  # grouping-set family fully proven green r02 (cube+rollup); window slot ceded to text_tfidf_keywords
-    "join_semi",                   # semi-membership proven green r02; window slot ceded to relational_unpivot
-    "agg_stats_quantiles",         # stats/quantile family proven green r02; exact quantiles also inside agg_approx_aggregates' oracle row
-    "sql_api_revenue_by_segment",  # spark.sql() API surface proven green r02; relational joins stay repped in-window by subquery_exists/in_having + join_interval_events
-    "join_outer_coalesce",         # outer-join/P9 family proven green r01+r02 (full_outer also demoted-green)
-    "agg_pivot",                   # reshape family proven green r02; the inverse direction stays in-window via relational_unpivot
-    "window_rank_dense",           # rank-family ≡ window_top_per_customer row_number (green r02)
-    "filter_key_history",          # P5 filter family ≡ filter_point_lookup_current (green r02)
-    "events_sliding_window",       # ST8 family ≡ events_tumbling_window + events_session_windows (green r02)
-    "window_cumulative_revenue",   # running-window family; shape kept in-window by corpus_pack_sequences (green r02)
-    "join_full_outer",             # outer-join family ≡ join_outer_coalesce (green r02)
+    # (r07: the eleven r02-stale pre-r04 demotions that used to sit here
+    # — agg_rollup, join_semi, agg_stats_quantiles, sql_api_revenue_by_
+    # segment, join_outer_coalesce, agg_pivot, window_rank_dense,
+    # filter_key_history, events_sliding_window, window_cumulative_
+    # revenue, join_full_outer — were all promoted back into the window
+    # above.)
 ]
 
 

@@ -2414,3 +2414,129 @@ DATAPIPE_QUERIES["corpus_substring_spans_incremental"] = (
     q_corpus_substring_spans_incremental,
     SQL_EXACT_SUBSTRING_SPANS,
 )
+
+
+# corpus-export manifest (r7): fixed merge list + fixed shuffle seed so
+# both engines derive identical coordinates. The multi-char merges
+# (("sc","an")) exercise whole-symbol match semantics — a boundary
+# substring like the 'a'+'n' inside "ban" must NOT merge under ("a","n")
+# once 'ba' is one symbol.
+_EXPORT_MERGES = [("a", "n"), ("o", "r"), ("s", "c"), ("sc", "an"), ("t", "h")]
+_EXPORT_SEED = 7
+_EXPORT_SEQ = 512
+
+
+def q_corpus_export_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-export deliverable's manifest through the driver gate
+    (r7): per-doc BPE token counts under a FIXED merge list, a seeded
+    deterministic global shuffle (order key = md5(seed|doc_id), the
+    restart-stable engine-independent draw run_pipeline corpus-export
+    uses), and the hierarchical prefix-sum packing coordinates
+    (tokens_before / pack_id / pack_offset) in that shuffled order —
+    exactly what a trainer consumes. The oracle re-derives the BPE
+    segmentation with wrapped-symbol string replaces and the
+    coordinates with a naive global window; hash equality proves the
+    distributed merge fold + two-phase prefix sum + md5 order are all
+    engine-exact.
+
+    Scale shape: the merge loop runs over DISTINCT words (vocab-sized,
+    broadcast back), the shuffle key is a map-side expression, and the
+    prefix sum is the bucketed two-phase decomposition — no global
+    window; bucket width derives from the observed key span (bounded
+    3-scalar probe), the same sizing the export CLI does for sparse
+    md5 keys."""
+    from cdc_historical_warehouse_platform_spark.operators import bpe as BPE
+    from cdc_historical_warehouse_platform_spark.operators.packing import packed_sequence_ids
+
+    docs = load_table(spark, sf, "documents")
+    counts = BPE.bpe_token_counts(docs.select("doc_id", "text"), _EXPORT_MERGES)
+    ord_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_EXPORT_SEED}|"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = counts.withColumn("__ord", ord_key).localCheckpoint(eager=False)
+    bounds = base.agg(
+        F.min("__ord").alias("lo"), F.max("__ord").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    span = int(bounds["hi"]) - int(bounds["lo"]) + 1
+    target_buckets = max(1, min(65536, int(bounds["n"]) // 16384 + 1))
+    bucket_size = max(16384, -(-span // target_buckets))
+    return (
+        packed_sequence_ids(
+            base,
+            token_col="n_bpe_tokens",
+            seq_len=_EXPORT_SEQ,
+            order_col="__ord",
+            bucket_size=bucket_size,
+        )
+        .select("doc_id", "n_bpe_tokens", "tokens_before", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_apply_merges(expr: str) -> str:
+    """Nested-replace application of _EXPORT_MERGES over a
+    wrapped-symbol string (each symbol enclosed in chr(31) on BOTH
+    sides): merge (x, y) rewrites SEPxSEP SEPySEP -> SEPxySEP.  The
+    wrapping makes matches whole-symbol-anchored (no cross-boundary
+    false merges) and replace()'s left-to-right non-overlapping scan
+    IS the BPE in-round greedy semantics."""
+    out = expr
+    for left, right in _EXPORT_MERGES:
+        pat = f"chr(31) || '{left}' || chr(31) || chr(31) || '{right}' || chr(31)"
+        rep = f"chr(31) || '{left}{right}' || chr(31)"
+        out = f"replace({out}, {pat}, {rep})"
+    return out
+
+
+SQL_EXPORT_MANIFEST = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({SQL_NORM}, ' '), x -> x <> '')) AS w
+  FROM documents),
+vocab AS (SELECT DISTINCT w FROM words),
+seg AS (
+  SELECT w,
+         {_sql_apply_merges(
+             "array_to_string(list_transform(range(1, length(w) + 1),"
+             " i -> chr(31) || substr(w, CAST(i AS INT), 1) || chr(31)), '')"
+         )} AS m
+  FROM vocab),
+segn AS (
+  SELECT w,
+         (length(m) - length(replace(m, chr(31), ''))) / 2 AS n_subtokens
+  FROM seg),
+counts AS (
+  SELECT doc_id, CAST(SUM(n_subtokens) AS BIGINT) AS n_bpe_tokens
+  FROM words JOIN segn USING (w) GROUP BY doc_id),
+ordered AS (
+  SELECT doc_id, n_bpe_tokens,
+         substr(md5('{_EXPORT_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15) AS ok
+  FROM counts),
+cum AS (
+  SELECT doc_id, n_bpe_tokens,
+         CAST(SUM(n_bpe_tokens) OVER (ORDER BY ok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_bpe_tokens AS BIGINT) AS tokens_before
+  FROM ordered)
+SELECT doc_id, n_bpe_tokens, tokens_before,
+       CAST((tokens_before - tokens_before % {_EXPORT_SEQ}) / {_EXPORT_SEQ} AS BIGINT) AS pack_id,
+       CAST(tokens_before % {_EXPORT_SEQ} AS BIGINT) AS pack_offset
+FROM cum
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_export_manifest"] = (
+    q_corpus_export_manifest,
+    SQL_EXPORT_MANIFEST,
+)

@@ -714,3 +714,66 @@ REFERENCE_QUERIES["scd2_histogram_quantiles"] = (
     ORDER BY customer_id
     """,
 )
+
+
+def q_scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-store TIME TRAVEL through the driver gate (r7): the two
+    fixture change batches apply to a real on-disk SCD2DimStore
+    (current + history sub-tables under one atomic pointer with a
+    version log, sources/dim_store.py), and the query reads the store
+    AS OF version 0 — the state after batch 1 only — via
+    ``read(version=0)``'s pointer-log resolution. The oracle computes
+    that same past state directly from the insert-only half of the
+    change log, so hash equality proves the store's retained
+    (current_version, history_version) pair IS the historical
+    dimension, byte-exact. The store builds in a temp dir; the result
+    is eagerly pinned before cleanup so the returned frame outlives
+    the files (the lineage-vs-teardown rule every stateful row uses).
+
+    Reference parity: verify_scd2.py replays history from the live
+    table; the store answers the same question from retained versions
+    with no replay — Delta-style time travel on vanilla parquet."""
+    import shutil
+    import tempfile
+
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders_as_changes(orders).localCheckpoint(eager=False)
+    b1 = changes.filter(F.col("operation_type") == "INSERT")
+    b2 = changes.filter(F.col("operation_type") == "UPDATE")
+    d = tempfile.mkdtemp(prefix="tt_dim_")
+    try:
+        store = SCD2DimStore(d)
+        store.apply_batch(spark, b1, txn_id="tt_b1", batch_id="b1")
+        store.apply_batch(spark, b2, txn_id="tt_b2", batch_id="b2")
+        past = store.read(spark, version=0)
+        return (
+            past.select(
+                *[
+                    F.col(c).cast("double").alias(c) if c == "unit_price" else F.col(c)
+                    for c in _DIM_COLS
+                ]
+            )
+            .orderBy("order_key", "valid_from")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+REFERENCE_QUERIES["scd2_time_travel"] = (
+    q_scd2_time_travel,
+    f"""
+    WITH changes AS ({ORDERS_AS_CHANGES_SQL}),
+    ins AS (SELECT * FROM changes WHERE operation_type = 'INSERT'),
+    seq AS (
+      SELECT *, lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM ins)
+    SELECT id AS order_key, customer_id, product_id, quantity,
+           CAST(unit_price AS DOUBLE) AS unit_price, order_status, order_date,
+           cdc_timestamp AS valid_from, valid_to, (valid_to IS NULL) AS is_current
+    FROM seq
+    ORDER BY order_key, valid_from
+    """,
+)
