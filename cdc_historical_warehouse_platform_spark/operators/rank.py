@@ -50,12 +50,27 @@ def derive_bucket(
     pass it to ``global_rank`` directly. Keys must be non-null and
     castable to double; ``descending=True`` negates so bucket order
     follows a DESC leading sort.
+
+    A null key would yield a null bucket, and ``_ranked``'s inner join
+    on the bucket id would then silently DROP those rows — wrong ranks
+    with no error — so the contract is enforced loudly here: the same
+    bounded probe that finds min/max also counts nulls and raises if
+    any exist (callers with nullable keys coalesce to a sentinel that
+    matches their null ordering before calling).
     """
     if target_buckets is None:
         par = df.sparkSession.sparkContext.defaultParallelism
         target_buckets = max(4 * par, 64)
     k = (-key if descending else key).cast("double")
-    lo, hi = df.agg(F.min(k), F.max(k)).first()
+    lo, hi, n_null = df.agg(
+        F.min(k), F.max(k), F.count(F.lit(1)) - F.count(k)
+    ).first()
+    if n_null:
+        raise ValueError(
+            f"derive_bucket key contains {n_null} null value(s); "
+            "coalesce nulls to a sentinel matching your null ordering "
+            "before ranking"
+        )
     if lo is None or hi is None or not (hi > lo):
         # empty input or a constant key: one bucket is the true answer
         return F.lit(0)

@@ -397,7 +397,16 @@ def corpus_append(
     # still publishes only after every future resolves, so a failure
     # in any write leaves an uncommitted epoch for repair() exactly as
     # before). Only the shards thread touches _manifest.json.
-    prev_total = _json.loads((out / "_manifest.json").read_text())["total_rows"]
+    _manifest_path = out / "_manifest.json"
+    if _manifest_path.exists():
+        prev_total = _json.loads(_manifest_path.read_text())["total_rows"]
+    else:
+        # legacy pre-manifest corpus (same backfill posture as the
+        # _fp_index/_source_counts backfills above): the shards thread
+        # rebuilds the full manifest from footers, so its total_rows
+        # lands corpus-sized — this epoch's kept count must then come
+        # from the batch itself, not the manifest delta
+        prev_total = None
     m_track = marker.get("track_top_tokens")
     from concurrent.futures import ThreadPoolExecutor
 
@@ -455,8 +464,13 @@ def corpus_append(
         extra["quality_model_threshold"] = quality_model_threshold
     write_marker(out, epoch=marker["epoch"] + 1, extra=extra or None)
     # kept's cardinality falls out of the shard manifest delta — the
-    # shards hold exactly kept's rows, so no extra count job
-    n_kept = manifest["total_rows"] - prev_total
+    # shards hold exactly kept's rows, so no extra count job (except on
+    # the manifest-less legacy path, where one O(batch) count is due)
+    n_kept = (
+        manifest["total_rows"] - prev_total
+        if prev_total is not None
+        else kept.count()
+    )
     return {
         "new_docs": n_new,
         "low_quality": n_new - n_quality,

@@ -34,15 +34,18 @@ class OrderSimulator:
         source: VersionedTable,
         deleted_table: VersionedTable | None = None,
         seed: int = 42,
-        sample_pool: int | None = 1024,
+        sample_pool: int | None = None,
     ):
-        """``sample_pool`` (default 1024): each mutation cycle draws its
-        update/delete targets from a deterministic pseudo-random LIMIT
-        sample of that size, so driver memory stays bounded no matter
-        how big the source table is. Pass ``sample_pool=None`` for
-        exact reference parity (db_mutator.py:83 collects every id) —
-        fine for the test-harness-sized tables the reference mutates,
-        O(|source|) driver memory otherwise, so it is opt-in."""
+        """``sample_pool`` (default None = exact reference parity,
+        db_mutator.py:83 collects every id): when set, each mutation
+        cycle draws its update/delete targets from a deterministic
+        pseudo-random LIMIT sample of that size, so driver memory stays
+        bounded no matter how big the source table is. The default
+        stays None because even for small tables the hash-ordered LIMIT
+        sample visits ids in a different order than the parity collect,
+        so flipping it would silently change which rows every existing
+        same-seed run mutates; call sites that can face large tables
+        opt in explicitly (run_pipeline.py does)."""
         self.spark = spark
         self.source = source
         self.deleted = deleted_table

@@ -112,6 +112,21 @@ class ExactSubstrIndex:
 
     # --- writes --------------------------------------------------------------
 
+    @staticmethod
+    def _auto_txn_id(new_docs: DataFrame) -> str:
+        """Content-derived txn id: order-independent hash of the batch's
+        doc ids + row count. One bounded 1-row aggregate. The hash sum
+        runs in decimal(38,0): a long sum overflows under ANSI mode at
+        batch sizes a real append actually hits."""
+        sig = new_docs.select(
+            F.sum(
+                F.xxhash64(F.col("doc_id").cast("long")).cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        h = int(sig["h"] or 0) & 0xFFFFFFFFFFFFFFFF
+        return f"xs_append_{sig['n']}_{h:016x}"
+
     def append(
         self, new_docs: DataFrame, txn_id: str | None = None
     ) -> dict:
@@ -120,16 +135,23 @@ class ExactSubstrIndex:
         plan the steady state runs). Never reads stored text; the two
         probe scans are map-only (see incremental_exact_substring).
 
-        The three table appends share ``txn_id``; replaying a crashed
+        The four table appends share ``txn_id``; replaying a crashed
         append with the same id is a no-op per already-committed table
-        and completes the rest.
+        and completes the rest. The auto id is derived from the BATCH
+        CONTENT (order-independent hash of its doc ids + count), not
+        from any table's version: a version-derived id would collide
+        with the torn txn after a crash between table appends, and the
+        committed-txn guard would then silently skip a DIFFERENT
+        batch's delta on one table. Content derivation makes replay of
+        the same batch idempotent and any other batch distinct. Costs
+        one bounded 1-row aggregate over the batch's doc_id column.
         """
         spark = new_docs.sparkSession
         meta_file = self.path / _META
         if not meta_file.exists():
             meta_file.write_text(json.dumps({"k": self.k}))
         if txn_id is None:
-            txn_id = f"xs_append_{self.unique.version() + 1}"
+            txn_id = self._auto_txn_id(new_docs)
         stored_unique = self._read_or_empty(spark, self.unique, _UNIQUE_SCHEMA)
         stored_dup = self._read_or_empty(spark, self.duphash, _DUP_SCHEMA)
         flagged_adds, dup_adds, unique_adds = incremental_exact_substring(

@@ -1786,3 +1786,42 @@ def test_audio_decode_pipeline_with_librosa(spark):
     df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], ["doc_id", "payload"])
     (r,) = extract_audio_features(df).collect()
     assert r["doc_id"] == 1 and r["n_samples"] > 0 and r["duration_sec"] > 0
+
+
+def test_corpus_append_tolerates_missing_legacy_manifest(spark, tmp_path):
+    """ADVICE r7: a pre-manifest legacy corpus must not crash
+    corpus_append with FileNotFoundError — the same backfill posture
+    as _fp_index/_source_counts. The shards thread rebuilds the full
+    manifest; the appended count must still be the batch's kept rows,
+    not the corpus-sized manifest total."""
+    import json as _json
+    import os
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+    )
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, "/root/testdata/sf0.001", out)
+    n_before = spark.read.parquet(out).count()
+    os.remove(tmp_path / "c" / "_manifest.json")  # legacy corpus
+
+    new = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            (F.col("doc_id") + 50_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    a = corpus_append(spark, new, out)
+    n_after = spark.read.parquet(out).count()
+    assert a["appended"] == n_after - n_before  # batch-sized, not corpus-sized
+    assert a["appended"] > 0
+    # the manifest was fully rebuilt and is consistent again
+    m = _json.loads((tmp_path / "c" / "_manifest.json").read_text())
+    assert m["total_rows"] == n_after

@@ -229,3 +229,51 @@ def test_incremental_clean_matches_full_cut(spark, tmp_path):
         docs, exact_substring_spans(docs, k=4)
     )
     assert got == {(r["doc_id"], r["clean_text"]) for r in full.collect()}
+
+
+def test_auto_txn_id_content_derived_survives_torn_append(spark, tmp_path):
+    """A crash between table appends must never make a DIFFERENT
+    batch's auto txn id collide with the torn one (ADVICE r7: a
+    version-derived default id collided, and the committed-txn guard
+    then silently skipped the new batch's flagged delta). Pins:
+    same batch -> same auto id (replay completes the torn append);
+    different batch -> different id (its delta is admitted)."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        incremental_exact_substring,
+    )
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+
+    sh1, sh2 = _w("s", 5), _w("t", 5)
+    b1 = [(1, f"{sh1} {_w('a', 6)}"), (2, f"{sh1} {_w('b', 6)}")]
+    b2 = [(3, f"{sh2} {_w('c', 6)}"), (4, f"{sh2} {_w('d', 6)}")]
+    d1, d2 = _docs(spark, b1), _docs(spark, b2)
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4)
+    tid1 = idx._auto_txn_id(d1)
+    assert tid1 == idx._auto_txn_id(d1)          # deterministic
+    assert tid1 != idx._auto_txn_id(d2)          # content-distinct
+    # simulate the torn state: ONLY b1's flagged delta committed under
+    # b1's auto id, then the process died
+    import pyspark.sql.functions as F
+
+    fl, _, _ = incremental_exact_substring(
+        d1,
+        spark.createDataFrame([], "doc_id long, pos int, g string"),
+        spark.createDataFrame([], "g string"),
+        k=4,
+    )
+    (tmp_path / "xs" / "_xs_meta.json").write_text('{"k": 4}')
+    idx.flagged.append(
+        fl.select(F.col("doc_id").cast("long"), F.col("pos").cast("int")),
+        txn_id=tid1,
+    )
+    # a DIFFERENT batch auto-appends next: its flags must land (the
+    # old version-derived id would have been == tid1 and been skipped)
+    res2 = idx.append(d2)
+    assert res2["txn_id"] != tid1
+    assert any(d in (3, 4) for d, *_ in _spans_set(idx.spans(spark)))
+    # replaying b1 (auto id) completes the torn append idempotently
+    idx.append(d1)
+    expect = _spans_set(exact_substring_spans(_docs(spark, b1 + b2), k=4))
+    assert _spans_set(idx.spans(spark)) == expect

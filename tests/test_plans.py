@@ -45,7 +45,19 @@ ALL_PAIRS_BY_DESIGN = {
     # as corpus_pack_sequences, over bucket-COUNT tables whose size is
     # value-range/width at any customer count
     "customer_rfm_segments",
+    # corpus_export_manifest: composes packed_sequence_ids, so it
+    # inherits corpus_pack_sequences' bounded cross-superbucket
+    # prefix-sum join (operators/packing.py:88) — same
+    # corpus/bucket_size² row bound, same justification as its two
+    # admitted siblings above
+    "corpus_export_manifest",
 }
+
+# The documented not-SQL-expressible tier (HLL estimates have no DuckDB
+# twin by nature). These rows are pytest-pinned instead and exempt from
+# the "demoted rows carry an oracle" contract below; any OTHER
+# oracle-less row outside the window still fails.
+ROWS_ONLY_BY_DESIGN = {"agg_distinct_sketch_rollup"}
 
 
 def _entry_module():
@@ -156,12 +168,14 @@ def test_registry_contract():
     # everything demoted past the window was driver-green in a prior
     # round and still carries a local oracle (never rows-only)
     for name in names[50:]:
-        assert name in o, f"{name} is outside the window without an oracle"
+        assert name in o or name in ROWS_ONLY_BY_DESIGN, (
+            f"{name} is outside the window without an oracle"
+        )
     # rows-only queries are the documented not-SQL-expressible tier
     # only (every former approximate tier gained a portable-twin
     # oracle in r04; the HLL estimate has no DuckDB twin by nature)
     rows_only = {n for n in q if n not in o}
-    assert rows_only <= {"agg_distinct_sketch_rollup"}
+    assert rows_only <= ROWS_ONLY_BY_DESIGN
 
 
 def test_runtime_bloom_filter_injects_on_selective_join(spark):

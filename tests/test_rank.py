@@ -146,3 +146,16 @@ def test_exact_ntile_property_random_sizes(spark):
         ).collect()
         for row in out:
             assert row["tile"] == _ref_ntile(n, k, row["v"] + 1), (n, k, row["v"])
+
+
+def test_derive_bucket_null_key_raises_loudly(spark):
+    """ADVICE r7: a null key used to yield a null bucket, and _ranked's
+    inner bucket join then silently DROPPED those rows — wrong ranks,
+    no error. The contract is now enforced in the probe."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, None), (2, 9)], "id long, v int"
+    )
+    with pytest.raises(ValueError, match="null"):
+        global_rank(df, [F.asc("v"), F.asc("id")], None, key=F.col("v"))
