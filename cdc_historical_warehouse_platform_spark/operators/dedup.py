@@ -1130,11 +1130,16 @@ def substring_spans_from_flagged(
 
 def incremental_exact_substring(
     new_docs: DataFrame,
-    stored_unique: DataFrame,
-    stored_dup_hashes: DataFrame,
+    stored_unique: DataFrame | None,
+    stored_dup_hashes: DataFrame | None,
     k: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    unique_segments: list[DataFrame] | None = None,
+    dup_segments: list[DataFrame] | None = None,
+    broadcast_probe: bool = True,
+    probe_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ExactSubstr increment: flag every duplicated k-gram
     introduced by a NEW batch without re-scanning stored text — the
@@ -1161,16 +1166,48 @@ def incremental_exact_substring(
     to a from-scratch :func:`exact_substring_spans` over the union
     corpus (rebuild-equivalence is pytest- and oracle-pinned).
 
-    Scale shape: the new batch is gram-streamed map-only (O(batch));
-    both stored tables are SCANNED once but never shuffled — the probe
-    side is the batch's distinct hash set, broadcast (size the append
-    batches so that set fits the broadcast budget; the stores' own
-    shuffle would be the full-rebuild cost this function exists to
-    avoid). Doc ids must be unique across batches (the corpus
-    pipeline's contract). Reference analog: the reference re-derives
-    its dedup state per full load (scd2_loader.py); the incremental
-    posture is this repo's 100-TB extension.
+    Scale shape — two probe modes, both O(batch) shuffle work:
+
+    - ``broadcast_probe=True`` (default, CDC-sized appends): the
+      stored tables are SCANNED once but never shuffled — the probe
+      side is the batch's distinct hash set, broadcast. Ceiling: that
+      set must fit the broadcast budget.
+    - ``broadcast_probe=False`` (bulk appends): pass the stores as
+      ``unique_segments`` / ``dup_segments`` — lists of BUCKETED scans
+      (:class:`~cdc_historical_warehouse_platform_spark.sources.tables.
+      BucketedSegmentTable.segments`, bucketed on ``g``) and set
+      ``probe_partitions`` to the store's bucket count. Each segment
+      probe is an SMJ where the segment side satisfies
+      HashPartitioning from its file layout and the probe side is
+      explicitly repartitioned to the matching (g, num_buckets) —
+      EnsureRequirements then adds NO store-side Exchange at any
+      bucket-count/shuffle-partition combination. The only Exchanges
+      in the plan are on batch-derived sides; no broadcast ceiling,
+      store never re-shuffled. (Semi/anti joins distribute over the
+      union of segments because segments are disjoint by the append
+      protocol; the one probe exchange is reused across segments.)
+
+    When segment lists are given they replace ``stored_unique`` /
+    ``stored_dup_hashes`` (pass None). Doc ids must be unique across
+    batches (the corpus pipeline's contract). Reference analog: the
+    reference re-derives its dedup state per full load
+    (scd2_loader.py); the incremental posture is this repo's 100-TB
+    extension.
     """
+    uniq_src = (
+        unique_segments if unique_segments is not None else [stored_unique]
+    )
+    dup_src = dup_segments if dup_segments is not None else [stored_dup_hashes]
+    # probe wrapper: broadcast for small batches, plain (batch-side
+    # shuffle only, against bucketed store scans) for bulk ones
+    P = F.broadcast if broadcast_probe else (lambda df: df)
+
+    def _u(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     new_grams = _gram_stream(new_docs, k, id_col, text_col).localCheckpoint(
         eager=False
     )
@@ -1179,28 +1216,38 @@ def incremental_exact_substring(
     )
     intra = counted.filter(F.col("__n") > 1).select(id_col, "pos", "g")
     singles = counted.filter(F.col("__n") == 1).select(id_col, "pos", "g")
-    new_hashes = new_grams.select("g").distinct()
-    # known-dup hashes touched by this batch: stored scan, map-only
-    # (broadcast probe); small result — eager pin so the three
-    # consumers don't re-scan the store
-    dup_hits = (
-        stored_dup_hashes.select("g")
-        .join(F.broadcast(new_hashes), "g", "semi")
-        .localCheckpoint(eager=True)
-    )
-    # LIVE frontier rows newly duplicated: one stored-unique scan,
-    # map-only; dead rows (hash already dup) masked by the anti
+    new_hashes = new_grams.select("g")
+    if not broadcast_probe and probe_partitions:
+        # pre-align the probe with the stores' bucket layout BEFORE the
+        # distinct: the aggregate runs on the already-correct
+        # partitioning, so the probe costs exactly one Exchange and the
+        # co-partitioned segment joins add none
+        new_hashes = new_hashes.repartition(probe_partitions, "g")
+    new_hashes = new_hashes.distinct()
+    # known-dup hashes touched by this batch: stored scan(s), no store
+    # shuffle in either mode; batch-bounded result — eager pin so the
+    # three consumers don't re-scan the store
+    dup_hits = _u(
+        [s.select("g").join(P(new_hashes), "g", "semi") for s in dup_src]
+    ).localCheckpoint(eager=True)
+    # LIVE frontier rows newly duplicated: one stored-unique scan per
+    # segment, no store shuffle; dead rows (hash already dup) masked
+    # by the anti
     frontier = (
-        stored_unique.select(id_col, "pos", "g")
-        .join(F.broadcast(new_hashes), "g", "semi")
-        .join(F.broadcast(dup_hits), "g", "anti")
+        _u(
+            [
+                s.select(id_col, "pos", "g").join(P(new_hashes), "g", "semi")
+                for s in uniq_src
+            ]
+        )
+        .join(P(dup_hits), "g", "anti")
         .localCheckpoint(eager=True)
     )
     frontier_hashes = frontier.select("g").distinct()
     flagged_new = (
         intra
-        .unionByName(new_grams.join(F.broadcast(dup_hits), "g", "semi"))
-        .unionByName(new_grams.join(F.broadcast(frontier_hashes), "g", "semi"))
+        .unionByName(new_grams.join(P(dup_hits), "g", "semi"))
+        .unionByName(new_grams.join(P(frontier_hashes), "g", "semi"))
         .select(id_col, "pos")
         .distinct()
     )
@@ -1210,11 +1257,11 @@ def incremental_exact_substring(
         .distinct()
         .unionByName(frontier_hashes)
         .distinct()
-        .join(F.broadcast(dup_hits), "g", "anti")
+        .join(P(dup_hits), "g", "anti")
     )
     unique_adds = (
-        singles.join(F.broadcast(dup_hits), "g", "anti")
-        .join(F.broadcast(frontier_hashes), "g", "anti")
+        singles.join(P(dup_hits), "g", "anti")
+        .join(P(frontier_hashes), "g", "anti")
     )
     return flagged_adds, dup_hash_adds, unique_adds
 

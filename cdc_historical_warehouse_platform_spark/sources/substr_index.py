@@ -9,17 +9,28 @@ posture the LSH/fingerprint tiers already have (``_lsh_index`` /
 ``_fp_index``): an append gram-streams ONLY the new batch and probes
 the persisted state by hash; stored document text is never re-read.
 
-Layout (three :class:`VersionedTable`s + a meta file under one dir):
+Layout (four tables + a meta file under one dir):
 
 - ``unique/``   — (doc_id, pos, g) frontier occurrences (grams seen
-  exactly once when admitted; LSM-dead once their hash duplicates)
-- ``duphash/``  — (g) hashes known duplicated
+  exactly once when admitted; LSM-dead once their hash duplicates).
+  A :class:`BucketedSegmentTable` clustered on ``g``.
+- ``duphash/``  — (g) hashes known duplicated; bucketed on ``g`` too
 - ``flagged/``  — (doc_id, pos) every flagged k-gram start, old and
-  new docs alike
+  new docs alike (plain :class:`VersionedTable`)
 - ``docs/``     — (doc_id) every admitted doc (including zero-gram
   short docs, which leave no other trace — the re-ingest idempotence
   check needs them)
-- ``_xs_meta.json`` — k (an index answers for exactly one k)
+- ``_xs_meta.json`` — k (an index answers for exactly one k) +
+  ``buckets`` (the g-store bucket count, fixed at creation)
+
+Probe scaling: small appends broadcast their distinct gram set against
+the stores (zero store jobs beyond a scan). Once the batch's gram
+count passes ``broadcast_gram_limit``, the append switches to
+co-partitioned probes against the BUCKETED segments: the only
+Exchanges in the plan are on batch-derived sides — the store is never
+re-shuffled, and there is no broadcast ceiling, so bulk appends need
+no special batch sizing. Legacy indexes written before the bucketed
+layout (meta without ``buckets``) stay on the broadcast path.
 
 Crash story: the three appends share one txn id; each table's txn
 guard makes a replay of a half-committed append idempotent (the same
@@ -47,7 +58,10 @@ from cdc_historical_warehouse_platform_spark.operators.dedup import (
     remove_duplicate_spans,
     substring_spans_from_flagged,
 )
-from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
+from cdc_historical_warehouse_platform_spark.sources.tables import (
+    BucketedSegmentTable,
+    VersionedTable,
+)
 
 __all__ = ["ExactSubstrIndex"]
 
@@ -68,20 +82,42 @@ _DOCS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
 
 
 class ExactSubstrIndex:
-    def __init__(self, path: str | Path, k: int = 20):
+    def __init__(
+        self, path: str | Path, k: int = 20, num_buckets: int = 32
+    ):
+        """``num_buckets`` sizes the bucketed g-stores; it is fixed at
+        index creation (reopening reads the stored value and ignores
+        the argument). Size it so one bucket of the largest expected
+        segment fits an executor — thousands at 100 TB."""
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
         meta_file = self.path / _META
+        self._bucketed = True
         if meta_file.exists():
-            stored_k = json.loads(meta_file.read_text())["k"]
-            if stored_k != k:
+            meta = json.loads(meta_file.read_text())
+            if meta["k"] != k:
                 raise ValueError(
-                    f"index at {self.path} was built with k={stored_k}; "
+                    f"index at {self.path} was built with k={meta['k']}; "
                     f"requested k={k} needs a separate index"
                 )
+            if "buckets" in meta:
+                num_buckets = meta["buckets"]
+            else:
+                # legacy pre-bucketed index: plain segments, broadcast
+                # probes only (rebuild to unlock the bulk-append path)
+                self._bucketed = False
         self.k = k
-        self.unique = VersionedTable(self.path / "unique")
-        self.duphash = VersionedTable(self.path / "duphash")
+        self.num_buckets = num_buckets
+        if self._bucketed:
+            self.unique = BucketedSegmentTable(
+                self.path / "unique", "g", num_buckets
+            )
+            self.duphash = BucketedSegmentTable(
+                self.path / "duphash", "g", num_buckets
+            )
+        else:
+            self.unique = VersionedTable(self.path / "unique")
+            self.duphash = VersionedTable(self.path / "duphash")
         self.flagged = VersionedTable(self.path / "flagged")
         self.docs = VersionedTable(self.path / "docs")
 
@@ -128,12 +164,25 @@ class ExactSubstrIndex:
         return f"xs_append_{sig['n']}_{h:016x}"
 
     def append(
-        self, new_docs: DataFrame, txn_id: str | None = None
+        self,
+        new_docs: DataFrame,
+        txn_id: str | None = None,
+        probe_mode: str = "auto",
+        broadcast_gram_limit: int = 2_000_000,
     ) -> dict:
         """Admit one new batch (build == first append over an empty
         index — one code path, so the bootstrap exercises the same
         plan the steady state runs). Never reads stored text; the two
         probe scans are map-only (see incremental_exact_substring).
+
+        ``probe_mode``: ``"broadcast"`` probes the stores with the
+        batch's broadcast gram set (cheapest for CDC-sized appends);
+        ``"shuffle"`` probes the BUCKETED store segments co-partitioned
+        — no broadcast ceiling, store never re-shuffled (bulk appends);
+        ``"auto"`` (default) picks by a map-side token-count proxy for
+        the batch's gram count vs ``broadcast_gram_limit`` (default
+        2M grams ≈ 100 MB of md5 strings, comfortably inside the
+        broadcast budget).
 
         The four table appends share ``txn_id``; replaying a crashed
         append with the same id is a no-op per already-committed table
@@ -149,14 +198,62 @@ class ExactSubstrIndex:
         spark = new_docs.sparkSession
         meta_file = self.path / _META
         if not meta_file.exists():
-            meta_file.write_text(json.dumps({"k": self.k}))
+            meta: dict = {"k": self.k}
+            if self._bucketed:
+                meta["buckets"] = self.num_buckets
+            meta_file.write_text(json.dumps(meta))
         if txn_id is None:
             txn_id = self._auto_txn_id(new_docs)
-        stored_unique = self._read_or_empty(spark, self.unique, _UNIQUE_SCHEMA)
-        stored_dup = self._read_or_empty(spark, self.duphash, _DUP_SCHEMA)
-        flagged_adds, dup_adds, unique_adds = incremental_exact_substring(
-            new_docs, stored_unique, stored_dup, k=self.k
-        )
+        if probe_mode == "auto":
+            if not (self._bucketed and self.unique.exists()):
+                probe_mode = "broadcast"
+            else:
+                # total gram occurrences >= distinct grams: a cheap
+                # map-side upper bound, no gram explode needed
+                toks = F.split(F.col("text"), " ")
+                n_grams = (
+                    new_docs.select(
+                        F.sum(
+                            F.greatest(
+                                F.size(toks) - F.lit(self.k - 1), F.lit(0)
+                            ).cast("long")
+                        ).alias("n")
+                    ).first()["n"]
+                    or 0
+                )
+                probe_mode = (
+                    "shuffle" if n_grams > broadcast_gram_limit else "broadcast"
+                )
+        if probe_mode == "shuffle":
+            if not self._bucketed:
+                raise ValueError(
+                    "legacy (pre-bucketed) index: shuffle probes need the "
+                    "bucketed layout; rebuild the index to bulk-append"
+                )
+            useg = self.unique.segments(spark) or [
+                spark.createDataFrame([], _UNIQUE_SCHEMA)
+            ]
+            dseg = self.duphash.segments(spark) or [
+                spark.createDataFrame([], _DUP_SCHEMA)
+            ]
+            flagged_adds, dup_adds, unique_adds = incremental_exact_substring(
+                new_docs,
+                None,
+                None,
+                k=self.k,
+                unique_segments=useg,
+                dup_segments=dseg,
+                broadcast_probe=False,
+                probe_partitions=self.num_buckets,
+            )
+        else:
+            stored_unique = self._read_or_empty(
+                spark, self.unique, _UNIQUE_SCHEMA
+            )
+            stored_dup = self._read_or_empty(spark, self.duphash, _DUP_SCHEMA)
+            flagged_adds, dup_adds, unique_adds = incremental_exact_substring(
+                new_docs, stored_unique, stored_dup, k=self.k
+            )
         # deltas' lineage reads the CURRENT versions' immutable segment
         # dirs, so appending new segments below cannot disturb them;
         # the small deltas were eager-pinned inside the operator
@@ -177,7 +274,11 @@ class ExactSubstrIndex:
             new_docs.select(F.col("doc_id").cast("long")).distinct(),
             txn_id=txn_id,
         )
-        return {"txn_id": txn_id, "flagged_version": n_flagged}
+        return {
+            "txn_id": txn_id,
+            "flagged_version": n_flagged,
+            "probe_mode": probe_mode,
+        }
 
     def admitted_ids(self, spark: SparkSession) -> DataFrame:
         """(doc_id) of every doc ever appended — the anti-join side for

@@ -35,7 +35,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["VersionedTable"]
+__all__ = ["VersionedTable", "BucketedSegmentTable"]
 
 _POINTER = "_LATEST"
 
@@ -70,6 +70,19 @@ class VersionedTable:
                 os.unlink(tmp)
             raise
 
+    # --- physical write hook --------------------------------------------------
+
+    def _write_version_dir(
+        self, df: DataFrame, vdir: Path, partition_by: list[str] | None
+    ) -> None:
+        """Write one immutable version/segment directory. Subclasses
+        override to change the physical layout (e.g. bucketed files);
+        the pointer/txn protocol above is layout-agnostic."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(vdir))
+
     # --- public API ---------------------------------------------------------
 
     def version(self) -> int:
@@ -103,10 +116,7 @@ class VersionedTable:
 
         new_version = (meta["version"] + 1) if meta else 0
         vdir = self.path / f"v{new_version}"
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(vdir))
+        self._write_version_dir(df, vdir, partition_by)
         if txn_id is not None:
             txns.append(txn_id)
         manifests = dict(meta.get("manifests", {})) if meta else {}
@@ -143,7 +153,7 @@ class VersionedTable:
             return meta["version"]
         new_version = (meta["version"] + 1) if meta else 0
         segdir = self.path / f"v{new_version}"
-        df.write.mode("overwrite").parquet(str(segdir))
+        self._write_version_dir(df, segdir, None)
         segments = (list(meta.get("segments", [meta["dir"]])) if meta else []) + [
             segdir.name
         ]
@@ -322,3 +332,133 @@ class VersionedTable:
                 shutil.rmtree(vdir)
                 removed.append(v)
         return removed
+
+
+class BucketedSegmentTable(VersionedTable):
+    """A :class:`VersionedTable` whose segments are Spark-BUCKETED
+    parquet files (``CLUSTERED BY (bucket_col) INTO num_buckets
+    BUCKETS``), registered in the session catalog on demand.
+
+    Why: a bucketed scan satisfies ``HashPartitioning(bucket_col,
+    num_buckets)``, so joining/semi-joining a probe against a segment
+    via :meth:`segments` shuffles ONLY the probe side — the store is
+    never re-shuffled, no matter how big it grows. This is the scale
+    path for the incremental-ExactSubstr probe (and any other
+    key-probe of corpus-sized persisted state): a broadcast probe caps
+    out at the broadcast budget; a plain shuffled join re-pays a
+    store-sized Exchange per append — the exact cost the incremental
+    tier exists to avoid.
+
+    Layout compatibility: the pointer/txn/vacuum protocol is inherited
+    unchanged; :meth:`read` (plain path-union parquet read) works on
+    bucketed files like any other, so readers that don't need
+    co-partitioning see no difference. Catalog entries are per-session
+    conveniences rebuilt idempotently from the pointer (the in-memory
+    catalog does not persist; the pointer file is the source of truth).
+
+    Scale notes: ``num_buckets`` is fixed at table creation (all
+    segments must agree for bucket ids to line up); size it so one
+    bucket of the LARGEST expected segment fits an executor — at
+    100 TB that means thousands, locally 32 is plenty. Each append
+    writes exactly one file per bucket (the pre-write repartition uses
+    the same murmur3 pmod as the bucket-id router).
+    """
+
+    def __init__(self, path: str | Path, bucket_col: str, num_buckets: int = 32):
+        super().__init__(path)
+        self.bucket_col = bucket_col
+        self.num_buckets = num_buckets
+
+    def _seg_table_name(self, vdir_name: str) -> str:
+        import hashlib
+
+        h = hashlib.sha1(str(self.path.resolve()).encode()).hexdigest()[:16]
+        return f"bseg_{h}_{vdir_name}"
+
+    def _write_version_dir(
+        self, df: DataFrame, vdir: Path, partition_by: list[str] | None
+    ) -> None:
+        if partition_by:
+            raise ValueError("bucketed segments do not support partition_by")
+        spark = df.sparkSession
+        name = self._seg_table_name(vdir.name)
+        # crash-replay hygiene: a torn write may have left a catalog
+        # entry and/or files for this not-yet-committed version
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if vdir.exists():
+            shutil.rmtree(vdir)
+        (
+            df.repartition(self.num_buckets, self.bucket_col)
+            .write.mode("overwrite")
+            .bucketBy(self.num_buckets, self.bucket_col)
+            .sortBy(self.bucket_col)
+            .option("path", str(vdir))
+            .saveAsTable(name)
+        )
+
+    def _register_segment(self, spark: SparkSession, vdir_name: str, schema_json: str):
+        name = self._seg_table_name(vdir_name)
+        if not spark.catalog.tableExists(name):
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (`{self.bucket_col}`) "
+                f"SORTED BY (`{self.bucket_col}`) "
+                f"INTO {self.num_buckets} BUCKETS "
+                f"LOCATION '{(self.path / vdir_name).resolve()}'"
+            )
+        return spark.table(name)
+
+    def segments(self, spark: SparkSession, version: int | None = None) -> list:
+        """The current (or time-travel) version as a list of BUCKETED
+        segment scans — join each against your probe and union the
+        results (semi/anti joins distribute over the union of disjoint
+        segments). Each join plans with zero store-side Exchange."""
+        meta = self._read_pointer()
+        if meta is None:
+            return []
+        v = meta["version"] if version is None else version
+        segs = meta.get("manifests", {}).get(str(v), [f"v{v}"])
+        for seg in segs:
+            if not (self.path / seg).exists():
+                raise FileNotFoundError(
+                    f"segment {seg} of {self.path}@v{v} missing (vacuumed?)"
+                )
+        return [self._register_segment(spark, s, meta["schema"]) for s in segs]
+
+    def commit_dir(self, *a, **k):  # pragma: no cover - contract guard
+        raise NotImplementedError(
+            "adopting pre-written directories would bypass the bucketed layout"
+        )
+
+    def append_dir(self, *a, **k):  # pragma: no cover - contract guard
+        raise NotImplementedError(
+            "adopting pre-written directories would bypass the bucketed layout"
+        )
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Plain (union-of-paths) read. A bucketed write of an EMPTY
+        delta produces zero data files (the bucket router writes no
+        file for an empty bucket), so schema inference can fail — the
+        pointer's recorded schema is authoritative here."""
+        from pyspark.sql import types as T
+
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"table {self.path} has no committed version")
+        v = meta["version"] if version is None else version
+        segs = meta.get("manifests", {}).get(str(v), [f"v{v}"])
+        for seg in segs:
+            if not (self.path / seg).exists():
+                raise FileNotFoundError(
+                    f"segment {seg} of {self.path}@v{v} missing (vacuumed?)"
+                )
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        return spark.read.schema(schema).parquet(
+            *[str(self.path / s) for s in segs]
+        )

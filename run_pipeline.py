@@ -326,6 +326,13 @@ def main() -> int:
         help="substr-*: k-gram length of the ExactSubstr index",
     )
     ap.add_argument(
+        "--probe-mode", default="auto",
+        choices=("auto", "broadcast", "shuffle"),
+        help="substr-append: store-probe strategy (auto gates on the "
+        "batch's gram count; shuffle = co-partitioned bucketed probe "
+        "for bulk appends, no broadcast ceiling)",
+    )
+    ap.add_argument(
         "--quality-model",
         default=None,
         help="corpus / corpus-append: path to a quality_model.json from "
@@ -774,11 +781,19 @@ def main() -> int:
                 # admitted-docs store
                 docs = docs.join(idx.admitted_ids(spark), "doc_id", "anti")
             n_new = docs.count()
+            probe_mode = None
             if n_new:
-                idx.append(docs)
+                probe_mode = idx.append(docs, probe_mode=args.probe_mode)[
+                    "probe_mode"
+                ]
             print(
                 json.dumps(
-                    {"appended": n_new, "k": idx.k, "output": args.output}
+                    {
+                        "appended": n_new,
+                        "k": idx.k,
+                        "probe_mode": probe_mode,
+                        "output": args.output,
+                    }
                 )
             )
         elif args.command == "substr-spans":

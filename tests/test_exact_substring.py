@@ -277,3 +277,81 @@ def test_auto_txn_id_content_derived_survives_torn_append(spark, tmp_path):
     idx.append(d1)
     expect = _spans_set(exact_substring_spans(_docs(spark, b1 + b2), k=4))
     assert _spans_set(idx.spans(spark)) == expect
+
+
+def test_shuffle_probe_rebuild_equivalence_and_no_store_exchange(spark, tmp_path):
+    """The bulk-append path (probe_mode='shuffle', co-partitioned
+    probes against the BUCKETED g-stores) must produce state identical
+    to the broadcast path / a from-scratch rebuild, and its probe plan
+    must contain ZERO Exchanges above the store scans — the store is
+    never re-shuffled (r7 verdict: the broadcast probe was the one
+    documented scale ceiling)."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+
+    shared = _w("s", 6)
+    late = _w("L", 5)
+    b1 = [(1, f"{_w('a', 5)} {shared} {_w('b', 5)}"), (2, f"{late} {_w('c', 8)}")]
+    b2 = [(3, f"{_w('d', 3)} {shared} {_w('e', 7)}"), (4, _w("f", 12))]
+    b3 = [(5, f"{_w('g', 4)} {late} {_w('h', 6)}"), (6, f"{_w('i', 7)} {_w('i', 7)}")]
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4, num_buckets=4)
+    idx.append(_docs(spark, b1), txn_id="t1")  # bootstrap: broadcast
+    r2 = idx.append(_docs(spark, b2), txn_id="t2", probe_mode="shuffle")
+    r3 = idx.append(_docs(spark, b3), txn_id="t3", probe_mode="shuffle")
+    assert r2["probe_mode"] == r3["probe_mode"] == "shuffle"
+    expect = _spans_set(exact_substring_spans(_docs(spark, b1 + b2 + b3), k=4))
+    assert _spans_set(idx.spans(spark)) == expect
+    # the 1->2 frontier transition (doc 2 flagged by batch 3) crossed
+    # the shuffle path
+    assert any(d == 2 for d, *_ in expect)
+
+    # plan pin: a co-partitioned probe of a bucketed segment keeps the
+    # STORE side Exchange-free (bucketed scan feeds the join directly);
+    # the probe side carries the plan's only Exchange
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        probe = (
+            _docs(spark, b3)
+            .selectExpr("md5(text) as g")
+            .repartition(idx.num_buckets, "g")
+            .distinct()
+        )
+        for seg in idx.unique.segments(spark):
+            j = seg.join(probe, "g", "semi")
+            smj = j._jdf.queryExecution().executedPlan()
+            plan = smj.toString()
+            assert "Bucketed: true" in plan
+            # exactly one Exchange in the whole plan...
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+            # ...and the store-side scan subtree is not under it: the
+            # FileScan line reports the bucketed layout was USED
+            assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_auto_probe_mode_gates_on_gram_count(spark, tmp_path):
+    """auto picks broadcast under the limit and shuffle above it (the
+    token-count proxy), and both paths interleave correctly on one
+    index."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+
+    shared = _w("s", 6)
+    b1 = [(1, f"{_w('a', 5)} {shared}")]
+    b2 = [(2, f"{_w('c', 3)} {shared}")]
+    b3 = [(3, f"{shared} {_w('e', 9)}")]
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4, num_buckets=4)
+    r1 = idx.append(_docs(spark, b1))            # empty store: broadcast
+    r2 = idx.append(_docs(spark, b2), broadcast_gram_limit=2)   # above: shuffle
+    r3 = idx.append(_docs(spark, b3), broadcast_gram_limit=10**9)  # under
+    assert (r1["probe_mode"], r2["probe_mode"], r3["probe_mode"]) == (
+        "broadcast",
+        "shuffle",
+        "broadcast",
+    )
+    expect = _spans_set(exact_substring_spans(_docs(spark, b1 + b2 + b3), k=4))
+    assert _spans_set(idx.spans(spark)) == expect
