@@ -51,58 +51,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # operator proven by another green row); they are parked past the window and
 # remain covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
-    # --- new r07: incremental ExactSubstr rebuild-equivalence (the
-    # Spark side runs ONLY the incremental path over three appends;
-    # the oracle recomputes from scratch), the corpus-export manifest
-    # (fixed-merge BPE counts + seeded md5 shuffle + packing
-    # coordinates), and dim-store time travel (read(version=0) vs the
-    # directly-computed past state) — never driver-checked ---
+    # --- r07-new rows kept one more round (per the r7 verdict): the
+    # incremental ExactSubstr rebuild-equivalence row now ALSO covers
+    # the r8 bucketed-store probe layout, the corpus-export manifest
+    # composite, and dim-store time travel ---
     "corpus_substring_spans_incremental",
     "corpus_export_manifest",
     "scd2_time_travel",
-    # --- r07 rotation: promoted from _DEMOTED — all eleven pre-r04
-    # demotions were last driver-checked in r02 (five rounds stale,
-    # the longest local-only streak in the registry) ---
-    "window_cumulative_revenue",
-    "join_full_outer",
-    "events_sliding_window",
-    "agg_pivot",
-    "window_rank_dense",
-    "filter_key_history",
-    "agg_rollup",
-    "join_semi",
-    "agg_stats_quantiles",
-    "sql_api_revenue_by_segment",
-    "join_outer_coalesce",
-    # --- r06 keeps (hash-green r06; one driver round is not yet a
-    # demotion-grade streak): gaps-and-islands, MODE, z-score flags,
-    # interpolation, graph, join-IVM, exact NTILE, MAP surface ---
-    "corpus_exact_substring_spans",  # ExactSubstr dedup spans (Lee et al. 2021) — hash-exact md5 k-gram pipeline
-    "corpus_substring_clean",        # the ExactSubstr CUT step — HOF filter vs unnest+ordered-string_agg oracle
-    "events_gap_islands",
-    "agg_mode_frequent",
-    "events_anomaly_zscore",
-    "events_resample_interpolate",  # linear gap interpolation — non-negative-numerator div so trunc==floor cross-engine
-    "graph_pagerank_top",
-    "graph_khop_distance",  # min-plus BFS sibling of PageRank — 3×-unrolled-CTE oracle
-    "ivm_join_view",        # signed-multiplicity join-view maintenance vs direct-join oracle
-    "customer_rfm_segments",  # r7: now the AUTO-derived bucket-width path (operators/rank.derive_bucket) vs native NTILE oracle
-    "scalar_map_functions",   # MAP-type surface — deterministic sorted-entry maps vs a list-derived string oracle
-    "join_fuzzy_part_names",
-    "basket_brand_pairs",
-    "agg_higher_moments",
+    # --- r08 rotation: the now-stalest rows promoted back into the
+    # window (last driver-checked r02/r03 — the verdict's "no row
+    # older than 5 rounds" rule) ---
+    "text_lang_confusion",           # last r02
+    "dedup_ngram_jaccard",           # last r02
+    "json_extraction",               # last r03
+    "window_ntile_percentile",       # last r03
+    "multimodal_features",           # last r03
+    "vector_norms_by_label",         # last r03
+    "scd2_current_state",            # last r03
+    "scd2_validation_summary",       # last r03
+    "scd2_duplicate_current_check",  # last r03
+    "agg_conditional_counts",        # last r03
+    "agg_union_metric_rows",         # last r03
+    "join_asof_events",              # last r03
+    "sort_topk_orders",              # last r03
+    "scalar_functions",              # last r03
+    "filter_point_lookup_current",   # last r03
+    "window_top_per_customer",       # last r03
+    "scd2_change_frequency",         # last r03 (smoke-checked as entry() every round since)
+    "join_revenue_by_nation",        # last r03 (benched per-round since)
+    "scd2_as_of",                    # last r03
+    "agg_pricing_summary",           # last r03 (benched per-round since)
+    "setop_except_intersect",        # last r03
+    "events_session_windows",        # last r03 (benched per-round since)
+    # --- r07 keeps (hash-green r07 only once for these shapes, or
+    # family anchors): IVM, exact NTILE (the r7 auto-bucket path, also
+    # touched by the r8 null-key guard), MAP surface, layout, DSIR,
+    # BPE, listagg/boolean/bitwise aggs, temperature mix ---
+    "ivm_join_view",
+    "customer_rfm_segments",
+    "scalar_map_functions",
     "layout_zorder_tiles",
     "corpus_dsir_weights",
     "text_bpe_pair_counts",
     "agg_listagg_ordered",
     "agg_boolean_aggregates",
-    "agg_bitwise",            # bit_and/bit_or/bit_xor flag-mask rollups
+    "agg_bitwise",
     "corpus_dsir_resample",
-    # --- r06 keeps: the structurally-hardest TPC-H shapes (correlated
-    # MIN, 6-table volume/share stars, LIKE-filtered profit star,
-    # conditional-agg, NOT-IN anti, disjunctive brackets, nested-IN
-    # chain); the four simplest r06-green shapes rotated out with
-    # family notes below ---
+    # --- r06/r07 keeps: the structurally-hardest TPC-H shapes ---
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -120,6 +115,33 @@ _PRIORITY = [
     "scd2_version_diff",
 ]
 _DEMOTED = [
+    # --- r08 rotation: slots ceded to the 22 promoted r02/r03-stale
+    # rows. The eleven r07-promoted rows below are green r02+r07 (the
+    # promotion re-proved them); the rest are green r06+r07 (two
+    # consecutive rounds). Families stay in-window per the notes. ---
+    "window_cumulative_revenue",  # green r02+r07; window family repped in-window by promoted window_ntile_percentile + window_top_per_customer
+    "join_full_outer",           # green r02+r07; outer-join family repped by promoted join_asof_events + join_revenue_by_nation + tpch stars
+    "events_sliding_window",     # green r02+r07; events family repped by promoted events_session_windows + kept cohort/transition rows
+    "agg_pivot",                 # green r02+r07; reshape family repped by promoted agg_conditional_counts + kept agg_listagg_ordered
+    "window_rank_dense",         # green r02+r07; rank family repped by promoted window_ntile_percentile + kept customer_rfm_segments
+    "filter_key_history",        # green r02+r07; point/history filter family repped by promoted filter_point_lookup_current + scd2_current_state
+    "agg_rollup",                # green r02+r07; grouping-set family repped by promoted agg_union_metric_rows + demoted-green cube/grouping_sets
+    "join_semi",                 # green r02+r07; semi family repped in-window by tpch_q20 nested-IN semis
+    "agg_stats_quantiles",       # green r02+r07; quantile family repped by kept scd2_histogram_quantiles + promoted window_ntile_percentile
+    "sql_api_revenue_by_segment",  # green r02+r07; the spark.sql() API surface is also every oracle row locally; revenue shape repped by promoted join_revenue_by_nation
+    "join_outer_coalesce",       # green r02+r07; null-handling projection repped by promoted scd2_current_state + scd2_as_of timelines
+    "corpus_exact_substring_spans",  # green r06+r07 AND benched per-round; substr family ANCHORED in-window by corpus_substring_spans_incremental (superset: same spans through the incremental path)
+    "corpus_substring_clean",    # green r06+r07; the cut step rides the same flagged store as the in-window incremental row
+    "events_gap_islands",        # green r06+r07; events family keeps cohort/transition + promoted session windows in-window
+    "agg_mode_frequent",         # green r06+r07; mode/frequent-item shape also pytest-pinned via heavy hitters (in-window text_heavy_hitters)
+    "events_anomaly_zscore",     # green r06+r07; same events-family notes
+    "events_resample_interpolate",  # green r06+r07; same events-family notes
+    "graph_pagerank_top",        # green r06+r07; graph family fully demoted-green (both rows two consecutive rounds; bit-identical integer arithmetic pytest-pinned in test_graph.py)
+    "graph_khop_distance",       # green r06+r07; same graph-family notes
+    "join_fuzzy_part_names",     # green r06+r07; blocked-Levenshtein join family — string surface repped by promoted scalar_functions + kept text_bpe_pair_counts
+    "basket_brand_pairs",        # green r06+r07; support/lift pair-count shape ≡ kept events_transition_matrix's pair aggregation
+    "agg_higher_moments",        # green r06+r07; exact-decimal-moment discipline also inside kept agg_bitwise/boolean rows' decimal handling + pytest
+
     # --- r07 rotation: slots ceded to the three new r7 rows and the
     # eleven promoted r02-stale rows. agg_distinct_sketch_rollup is
     # demoted FIRST and permanently: it is rows-only BY DESIGN (HLL
@@ -224,34 +246,12 @@ _DEMOTED = [
     "scd2_interval_integrity",   # green r04; continuity+flag checks stay in-window
     # --- r04 fourth rotation: slots ceded to subquery_correlated_scalar,
     # ann_sq_topk, and corpus_domain_caps (never driver-checked). ---
-    "join_revenue_by_nation",    # J+ star join; green r01-r03 AND benched per-round; join family repped in-window by subquery_exists/in_having joins + join_interval_events
-    "scd2_as_of",                # J3 point-in-time; green r01-r03; family covered by demoted-green join_asof_events + in-window scd2 timeline rows
-    "agg_pricing_summary",       # A-family scan agg; green r01-r03 AND benched per-round; agg family repped in-window by agg_grouping_sets + agg_approx_aggregates
-    "setop_except_intersect",    # U2/U3; green r01-r03; anti-membership family also demoted-green (join_anti) — slot ceded to scd2_incremental_extrema
-    "events_session_windows",    # ST8 session (batch lag+cumsum); green r02+r03; family also covered by demoted-green tumbling/sliding rows AND the r04 streaming-native session-window pytest — slot ceded to corpus_token_budget
     # --- r04 second rotation: slots ceded to the four subquery/grouping-set
     # rows (never driver-checked) promoted above. Family coverage stays
     # in-window via the noted siblings. ---
-    "json_extraction",           # F13; green r01-r03 (longest multi-round streak in the window)
-    "text_lang_confusion",       # lang-ID row green r02; text family keeps 6 in-window rows (token_stats, quality, repetition, surprisal x2, tfidf); slot ceded to scd2_incremental_revenue
-    "dedup_ngram_jaccard",       # jaccard logic re-verified inside dedup_minhash_lsh + dedup_keep_list oracles in-window (green r02); slot ceded to join_interval_events
-    "window_ntile_percentile",   # rank-distribution family; window family repped in-window by promoted window_salted_topk + window_lag_lead (green r03)
-    "multimodal_features",       # multimodal family keeps TWO in-window rows (multimodal_image_features + frame_sample, both hash-exact) (green r03)
-    "vector_norms_by_label",     # array-surface ≡ array_functions_sweep, which stays in-window (green r03)
     # --- r04 rotation: driver-green r01-r03 (three consecutive rounds);
     # slots ceded to the ten rows promoted back above. Family coverage
     # stays in-window via the noted siblings. ---
-    "scd2_current_state",          # P4 ≡ promoted scd2_version_timeline + flag checks (green r01-r03)
-    "scd2_validation_summary",     # A1/V ≡ promoted scd2_interval_integrity + timestamp_continuity (green r01-r03)
-    "scd2_duplicate_current_check",  # A6 ≡ agg_grouped_having family (green r01-r03)
-    "agg_conditional_counts",      # A2; agg family repped in-window by agg_grouping_sets + agg_approx_aggregates (green r01-r03)
-    "agg_union_metric_rows",       # U1; setop_except_intersect stays in-window (green r01-r03)
-    "join_asof_events",            # J3; as-of semantics also exercised by the in-window scd2 timeline rows (version_timeline, timestamp_continuity); scd2_as_of itself demoted-green r01-r03
-    "sort_topk_orders",            # O4; window_top family demoted-green, ntile row in-window (green r01-r03)
-    "scalar_functions",            # F; string funcs exercised by promoted text rows (green r01-r03)
-    "filter_point_lookup_current",  # P3 ≡ filter_key_history (green r01-r03)
-    "window_top_per_customer",     # W2; window family repped in-window by promoted window_salted_topk + window_lag_lead (green r01-r03)
-    "scd2_change_frequency",       # A3; green r01-r03 AND smoke-checked every round as entry(); slot ceded to multimodal_image_features
     # (r07: the eleven r02-stale pre-r04 demotions that used to sit here
     # — agg_rollup, join_semi, agg_stats_quantiles, sql_api_revenue_by_
     # segment, join_outer_coalesce, agg_pivot, window_rank_dense,

@@ -61,6 +61,11 @@ HEADLINE = [
     # added r06 (fourth batch): ExactSubstr dedup — the corpus-sized
     # k-gram window path (the heaviest new dedup tier)
     "corpus_exact_substring_spans",
+    # added r08: the r7 surface gets regression tracking — the packed
+    # training-export composite (BPE counts + seeded shuffle + packing
+    # coordinates) and the on-disk SCD2 time-travel read
+    "corpus_export_manifest",
+    "scd2_time_travel",
 ]
 
 
@@ -107,6 +112,41 @@ def corpus_append_cycle(spark, sf_dir: str, out: str, cycle: int) -> float:
     )
     t0 = time.perf_counter()
     corpus_append(spark, new_batch, out)
+    return round(time.perf_counter() - t0, 3)
+
+
+def substr_append_cycle(spark, sf_dir: str, idx, cycle: int) -> float:
+    """One timed incremental-ExactSubstr append (r08): a batch of
+    token-shuffled fresh docs plus re-planted duplicates of the seeded
+    corpus, admitted through the persisted k-gram index — the O(batch)
+    probe path, never a re-gram-stream of stored text. Same per-cycle
+    transform discipline as corpus_append_cycle (each cycle's fresh
+    half must differ from every earlier one's)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.col("text"), " ")
+
+    def _pred(stride: int, r: int):
+        return lambda _x, i: i % stride == r
+
+    def deinterleave(stride: int):
+        return F.flatten(
+            F.array(*[F.filter(toks, _pred(stride, r)) for r in range(stride)])
+        )
+
+    transform = {1: F.reverse(toks), 2: deinterleave(2), 3: deinterleave(3)}[cycle]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup_half = docs.filter(F.col("doc_id") % 2 == 0)
+    fresh_half = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "text", F.array_join(transform, " ")
+    )
+    batch = dup_half.unionByName(fresh_half).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(cycle * 10_000_000)
+    )
+    t0 = time.perf_counter()
+    idx.append(batch, txn_id=f"bench_substr_{cycle}")
     return round(time.perf_counter() - t0, 3)
 
 
@@ -173,6 +213,30 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    # incremental ExactSubstr append cycle (r08): one untimed seed
+    # append builds the k-gram index state, then cold + 2 warm timed
+    # incremental appends with distinct id spaces
+    xs_dir = tempfile.mkdtemp(prefix="bench_substr_")
+    try:
+        from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+            ExactSubstrIndex,
+        )
+
+        idx = ExactSubstrIndex(xs_dir + "/xs", k=20)
+        idx.append(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            txn_id="bench_substr_seed",
+        )
+        cold["substr_append_cycle"] = substr_append_cycle(spark, sf_dir, idx, 1)
+        warm["substr_append_cycle"] = min(
+            substr_append_cycle(spark, sf_dir, idx, 2),
+            substr_append_cycle(spark, sf_dir, idx, 3),
+        )
+    finally:
+        shutil.rmtree(xs_dir, ignore_errors=True)
 
     total = round(sum(warm.values()), 3)
     print(
