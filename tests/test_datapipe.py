@@ -1825,3 +1825,140 @@ def test_corpus_append_tolerates_missing_legacy_manifest(spark, tmp_path):
     # the manifest was fully rebuilt and is consistent again
     m = _json.loads((tmp_path / "c" / "_manifest.json").read_text())
     assert m["total_rows"] == n_after
+
+
+def _encode_bmp24(arr):
+    """Genuine uncompressed 24-bit BMP bytes from an (H, W, 3) RGB
+    array — hand-built headers, bottom-up rows, BGR pixels, 4-byte row
+    padding (the real on-disk format, not a fixture shortcut)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    row_bytes = ((24 * w + 31) // 32) * 4
+    pad = row_bytes - w * 3
+    body = b"".join(
+        arr[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def _encode_ppm(arr):
+    import numpy as np
+
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n# test\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def test_stdlib_image_decoders_real_formats(spark):
+    """r8: the DEFAULT image path decodes genuine BMP and PPM/PGM
+    payloads with zero external codecs — the array round-trips
+    bit-exactly, and the full Arrow decode→resize→feature pipeline
+    pins against the same numpy ground truth the raw-decoder twin
+    uses. This runs REAL decodes in this container (no importorskip)."""
+    import hashlib
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        bmp_decoder,
+        decode_image,
+        extract_image_features,
+        ppm_decoder,
+    )
+
+    h, w = 11, 7  # odd width: exercises BMP row padding
+    rgb = ((np.arange(h * w * 3, dtype=np.uint32) * 7) % 251).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    gray = rgb[:, :, :1]
+
+    assert np.array_equal(bmp_decoder(_encode_bmp24(rgb)), rgb)
+    assert np.array_equal(ppm_decoder(_encode_ppm(rgb)), rgb)
+    assert np.array_equal(ppm_decoder(_encode_ppm(gray)), gray)
+    # magic dispatch through the public seam
+    assert np.array_equal(decode_image(_encode_bmp24(rgb)), rgb)
+    assert np.array_equal(decode_image(_encode_ppm(rgb)), rgb)
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(_encode_bmp24(rgb))),
+            (1, bytearray(_encode_ppm(rgb))),
+            (2, bytearray(_encode_ppm(gray))),
+        ],
+        ["doc_id", "payload"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_image_features(df, out_w=4, out_h=4).collect()
+    }
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(4) * w) // 4
+    for i, arr in ((0, rgb), (1, rgb), (2, gray)):
+        r = rows[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, arr.shape[2])
+        assert r["mean_intensity"] == round(float(arr.mean()), 6)
+        assert r["resized_md5"] == hashlib.md5(
+            np.ascontiguousarray(arr[ys][:, xs]).tobytes()
+        ).hexdigest()
+
+
+def test_stdlib_wav_decoder_real_format(spark):
+    """r8: the DEFAULT audio path decodes genuine PCM WAV (16-bit mono
+    AND stereo-averaged, plus 8-bit) with the stdlib wave module — no
+    librosa — and the Arrow feature pipeline matches numpy ground
+    truth computed from the source arrays."""
+    import io
+    import wave as _w
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_audio,
+        extract_audio_features,
+        wav_decoder,
+    )
+
+    def pcm16(arr, sr, nch=1):
+        buf = io.BytesIO()
+        with _w.open(buf, "wb") as f:
+            f.setnchannels(nch)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(arr.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    sr = 8000
+    mono = (np.sin(np.arange(sr) / 8.0) * 20000).astype("<i2")
+    stereo = np.stack(
+        [mono, (mono.astype(np.int32) // 2).astype("<i2")], axis=1
+    ).reshape(-1)
+
+    wv, got_sr = wav_decoder(pcm16(mono, sr))
+    assert got_sr == sr
+    assert np.allclose(wv, mono.astype(np.float64) / 32768.0)
+    wv2, _ = decode_audio(pcm16(stereo, sr, nch=2))  # magic dispatch
+    expect2 = (
+        mono.astype(np.float64) / 32768.0
+        + (mono.astype(np.int32) // 2).astype(np.float64) / 32768.0
+    ) / 2.0
+    assert np.allclose(wv2, expect2)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm16(mono, sr))), (2, bytearray(pcm16(stereo, sr, 2)))],
+        ["doc_id", "payload"],
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    for i, w_arr in ((1, mono.astype(np.float64) / 32768.0), (2, expect2)):
+        r = rows[i]
+        assert r["n_samples"] == sr and r["sample_rate"] == sr
+        assert r["duration_sec"] == 1.0
+        assert r["rms"] == round(float(np.sqrt(np.mean(w_arr**2))), 9)
+        assert r["zero_crossings"] == int(
+            np.count_nonzero(np.diff(np.signbit(w_arr)))
+        )
