@@ -142,3 +142,80 @@ def test_corpus_append_aligns_producer_drift(spark, tmp_path):
     )
     with pytest.raises(SchemaDriftError):
         corpus_append(spark, lossy, out)
+
+
+def test_concurrent_epoch_writes_crash_before_marker_repairs_exactly(
+    spark, tmp_path, monkeypatch
+):
+    """Fault-injection for the r7 concurrency change (corpus_append's
+    4-6 state writes run in a thread pool, marker last). Kill the
+    epoch AFTER some concurrent writes landed but BEFORE the marker:
+
+    - the marker must never publish (this test fails the moment any
+      future code path publishes before every write resolves);
+    - repair() must roll the corpus back to the prior epoch EXACTLY
+      (file set, manifest, row count);
+    - the retried append must then succeed with consistent counts.
+    """
+    from cdc_historical_warehouse_platform_spark.pipeline import corpus_build as cb
+
+    out = str(tmp_path / "c")
+    cb.corpus_build(spark, SF, out)
+    committed_marker = json.loads((tmp_path / "c" / "_corpus_commit").read_text())
+    committed_manifest = (tmp_path / "c" / "_manifest.json").read_text()
+    n_before = spark.read.parquet(out).count()
+
+    new = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            (F.col("doc_id") + 70_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+    # crash injection: the shards thread completes its FILE writes and
+    # manifest merge (state landed on disk), then dies before
+    # returning — while the sibling threads (kept/lsh/fp) run to
+    # completion; the epoch is torn mid-flight
+    real_shards = cb.write_training_shards
+    marker_calls = []
+
+    def dying_shards(*a, **k):
+        real_shards(*a, **k)
+        raise RuntimeError("injected: thread died after its writes landed")
+
+    def guarded_marker(*a, **k):  # pragma: no cover - must never run
+        marker_calls.append(1)
+        raise AssertionError("marker published before every write resolved")
+
+    monkeypatch.setattr(cb, "write_training_shards", dying_shards)
+    monkeypatch.setattr(cb, "write_marker", guarded_marker)
+    try:
+        cb.corpus_append(spark, new, out)
+        raise AssertionError("append must propagate the injected crash")
+    except RuntimeError as e:
+        assert "injected" in str(e)
+    # the marker NEVER published before every write resolved
+    assert marker_calls == []
+    assert (
+        json.loads((tmp_path / "c" / "_corpus_commit").read_text())
+        == committed_marker
+    )
+
+    # repair restores the prior epoch exactly: torn files removed,
+    # manifest byte-identical, corpus rows unchanged
+    monkeypatch.undo()
+    r = repair(tmp_path / "c")
+    assert r["epoch"] == committed_marker["epoch"]
+    assert r["removed"], "the torn epoch left files that repair must remove"
+    assert (tmp_path / "c" / "_manifest.json").read_text() == committed_manifest
+    assert spark.read.parquet(out).count() == n_before
+
+    # the retried append (same batch) completes and reconciles
+    a = cb.corpus_append(spark, new, out)
+    assert a["appended"] > 0
+    assert spark.read.parquet(out).count() == n_before + a["appended"]
+    assert repair(tmp_path / "c")["removed"] == []
