@@ -63,6 +63,16 @@ __all__ = [
 ]
 
 
+def _union_all(parts: list[DataFrame]) -> DataFrame:
+    """unionByName over a non-empty list (segment-probe results compose
+    with it: semi/anti joins distribute over unions of disjoint
+    segments)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -897,6 +907,10 @@ def incremental_minhash_dedup(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     stored_fps: DataFrame | None = None,
+    *,
+    fp_segments: list[DataFrame] | None = None,
+    bucket_segments: list[DataFrame] | None = None,
+    probe_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW document batch against an already-built corpus using
     its persisted LSH index — the CDC idea applied to corpus building:
@@ -936,6 +950,22 @@ def incremental_minhash_dedup(
     broadcast semi-join against the new batch's (tiny, distinct)
     fingerprint set: the fp index is scanned one 16-byte column wide
     and never shuffled.
+
+    Bulk-append probes (r8, the same ceiling-removal as the
+    incremental-ExactSubstr tier): the default broadcast probes cap at
+    the broadcast budget — roughly one 16-byte row per BATCH doc (fp)
+    and ``bands`` rows per batch doc (buckets), comfortable for CDC
+    appends, not for a 100M-doc bulk load. Pass the stores as BUCKETED
+    segment scans (``fp_segments`` clustered on ``fp``,
+    ``bucket_segments`` clustered on ``bucket`` — see
+    :class:`~cdc_historical_warehouse_platform_spark.sources.tables.
+    BucketedSegmentTable`) plus ``probe_partitions`` = the stores'
+    bucket count, and the probes run co-partitioned: the batch side is
+    repartitioned once per key to the stores' layout and the store
+    scans join Exchange-free — no broadcast ceiling, store never
+    re-shuffled. The candidate TEXT fetch stays an ids-semi-join
+    (candidates are LSH-collision-bounded, orders of magnitude below
+    the batch at sane band/row parameters).
     """
     # NULL text → NULL fingerprint: excluded from the tier entirely
     # (two unknown texts are not evidence of duplication; NULLs would
@@ -954,12 +984,30 @@ def incremental_minhash_dedup(
         # columns, batch-sized.
         .localCheckpoint(eager=False)
     )
-    if stored_fps is None:
-        stored_fps = stored_docs.select(fingerprint(F.col(text_col)).alias("fp"))
-    hit_fps = stored_fps.select("fp").join(
-        F.broadcast(fp_new.select("fp").distinct()), "fp", "left_semi"
-    )
-    drop_store = fp_new.join(F.broadcast(hit_fps), "fp", "left_semi").select("__fid")
+    if fp_segments is not None:
+        # co-partitioned bulk probe: one explicit batch-side Exchange
+        # aligned to the fp store's bucket layout; the store segments
+        # join Exchange-free and hit_fps stays partition-aligned for
+        # the drop join
+        fp_probe = fp_new.select("fp")
+        if probe_partitions:
+            fp_probe = fp_probe.repartition(probe_partitions, "fp")
+        fp_probe = fp_probe.distinct()
+        hit_fps = _union_all(
+            [s.select("fp").join(fp_probe, "fp", "left_semi") for s in fp_segments]
+        )
+        drop_store = fp_new.join(hit_fps, "fp", "left_semi").select("__fid")
+    else:
+        if stored_fps is None:
+            stored_fps = stored_docs.select(
+                fingerprint(F.col(text_col)).alias("fp")
+            )
+        hit_fps = stored_fps.select("fp").join(
+            F.broadcast(fp_new.select("fp").distinct()), "fp", "left_semi"
+        )
+        drop_store = fp_new.join(
+            F.broadcast(hit_fps), "fp", "left_semi"
+        ).select("__fid")
     w_fp = Window.partitionBy("fp").orderBy("__fid")
     drop_intra = (
         fp_new.withColumn("__rn", F.row_number().over(w_fp))
@@ -981,15 +1029,33 @@ def incremental_minhash_dedup(
         new_docs, text_col, id_col, n, bands, rows_per_band
     ).localCheckpoint(eager=True)
 
-    cross = (
-        nb.select(F.col("doc_id").alias("new_id"), "bucket")
-        .join(
-            stored_buckets.select(F.col("doc_id").alias("old_id"), "bucket"),
-            "bucket",
+    if bucket_segments is not None:
+        nb_probe = nb.select(F.col("doc_id").alias("new_id"), "bucket")
+        if probe_partitions:
+            nb_probe = nb_probe.repartition(probe_partitions, "bucket")
+        cross = (
+            _union_all(
+                [
+                    nb_probe.join(
+                        s.select(F.col("doc_id").alias("old_id"), "bucket"),
+                        "bucket",
+                    )
+                    for s in bucket_segments
+                ]
+            )
+            .select("new_id", "old_id")
+            .distinct()
         )
-        .select("new_id", "old_id")
-        .distinct()
-    )
+    else:
+        cross = (
+            nb.select(F.col("doc_id").alias("new_id"), "bucket")
+            .join(
+                stored_buckets.select(F.col("doc_id").alias("old_id"), "bucket"),
+                "bucket",
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
     intra = (
         nb.select(F.col("doc_id").alias("new_id"), "bucket")
         .join(nb.select(F.col("doc_id").alias("old_id"), "bucket"), "bucket")
@@ -1201,12 +1267,7 @@ def incremental_exact_substring(
     # probe wrapper: broadcast for small batches, plain (batch-side
     # shuffle only, against bucketed store scans) for bulk ones
     P = F.broadcast if broadcast_probe else (lambda df: df)
-
-    def _u(parts: list[DataFrame]) -> DataFrame:
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    _u = _union_all
 
     new_grams = _gram_stream(new_docs, k, id_col, text_col).localCheckpoint(
         eager=False

@@ -2366,48 +2366,42 @@ DATAPIPE_QUERIES["corpus_substring_clean"] = (
 
 
 def q_corpus_substring_spans_incremental(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental ExactSubstr through the driver gate (r7): the corpus
-    arrives as THREE appends (doc_id mod 3) and the Spark side only
-    ever runs the incremental path — each batch is gram-streamed alone
-    and probed against the accumulated (unique, dup-hash) state
-    (operators/dedup.incremental_exact_substring); stored batches are
-    never re-gram-streamed. The oracle computes from-scratch spans over
-    the WHOLE corpus — hash equality IS the rebuild-equivalence proof,
-    including old docs whose grams only duplicate when a later batch
-    lands (the 1→2 frontier transition). The persisted-store flavor of
-    the same algorithm (sources/substr_index.ExactSubstrIndex) is
-    pinned by tests/test_exact_substring.py and the substr-* CLI.
+    """Incremental ExactSubstr through the driver gate (r7; persisted
+    store + mixed probe modes r8): the corpus arrives as THREE appends
+    (doc_id mod 3) into a real on-disk ExactSubstrIndex — the
+    PRODUCTION path: bucketed g-store segments, content-derived txn
+    ids, LSM flagged/unique/dup tables. The first two appends probe
+    with the broadcast gram set; the LAST append is forced through the
+    co-partitioned SHUFFLE probe (the r8 bulk path: batch side
+    repartitioned to the store's bucket layout, store scans
+    Exchange-free), so BOTH probe modes flow into the hash gate. The
+    oracle computes from-scratch spans over the WHOLE corpus — hash
+    equality IS the rebuild-equivalence proof, including old docs whose
+    grams only duplicate when a later batch lands (the 1→2 frontier
+    transition). Also pinned by tests/test_exact_substring.py and the
+    substr-* CLI; bulk-scale evidence in scripts/stress_substr.py.
 
-    Scale shape per append: map-only gram build of the batch, two
-    map-only scans of the stored state (broadcast hash probes — no
-    state shuffle, no stored-text read), one batch-keyed count window.
-    Eager pins between batches keep the chained plan linear (the
-    scd2_merge 3^n lesson)."""
-    from cdc_historical_warehouse_platform_spark.operators.dedup import (
-        incremental_exact_substring,
-        substring_spans_from_flagged,
+    Scale shape per append: map-only gram build of the batch, one scan
+    of each stored table with NO store shuffle in either mode, one
+    batch-keyed count window."""
+    import tempfile
+
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
     )
 
-    docs = load_table(spark, sf, "documents")
-    k = 20
-    unique = spark.createDataFrame([], "doc_id long, pos int, g string")
-    dup = spark.createDataFrame([], "g string")
-    flagged = spark.createDataFrame([], "doc_id long, pos int")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    idx = ExactSubstrIndex(
+        tempfile.mkdtemp(prefix="driver_xs_"), k=20, num_buckets=8
+    )
     for i in range(3):
         batch = docs.filter(F.col("doc_id") % 3 == i)
-        f_add, d_add, u_add = incremental_exact_substring(
-            batch, unique, dup, k=k
+        idx.append(
+            batch,
+            txn_id=f"driver_b{i}",
+            probe_mode="shuffle" if i == 2 else "broadcast",
         )
-        flagged = flagged.unionByName(
-            f_add.select(F.col("doc_id").cast("long"), F.col("pos").cast("int"))
-        ).localCheckpoint(eager=True)
-        dup = dup.unionByName(d_add.select("g")).localCheckpoint(eager=True)
-        unique = unique.unionByName(
-            u_add.select(
-                F.col("doc_id").cast("long"), F.col("pos").cast("int"), "g"
-            )
-        ).localCheckpoint(eager=True)
-    return substring_spans_from_flagged(flagged, k)
+    return idx.spans(spark)
 
 
 DATAPIPE_QUERIES["corpus_substring_spans_incremental"] = (

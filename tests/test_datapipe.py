@@ -1962,3 +1962,108 @@ def test_stdlib_wav_decoder_real_format(spark):
         assert r["zero_crossings"] == int(
             np.count_nonzero(np.diff(np.signbit(w_arr)))
         )
+
+
+def test_incremental_minhash_segment_probe_matches_broadcast(spark, tmp_path):
+    """r8 bulk-append probes: the co-partitioned segment path
+    (fp_segments clustered on fp, bucket_segments clustered on bucket)
+    must keep/drop EXACTLY the docs the broadcast path does, and each
+    store probe plan must be store-Exchange-free (bucketed scan feeds
+    the join; only batch-derived Exchanges appear)."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_buckets,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.text import fingerprint
+    from cdc_historical_warehouse_platform_spark.sources.tables import (
+        BucketedSegmentTable,
+    )
+
+    base_words = [f"w{i}" for i in range(30)]
+    a = " ".join(base_words)
+    a_near = " ".join(base_words[:-1] + ["zz"])
+    fresh = " ".join(f"x{i}" for i in range(30))
+    fresh_near = " ".join([f"x{i}" for i in range(29)] + ["yy"])
+    exact_dup = "short exact doc"
+    batch1 = spark.createDataFrame(
+        [(1, a), (2, "totally different words here " * 3), (3, exact_dup)],
+        ["doc_id", "text"],
+    )
+    batch2 = spark.createDataFrame(
+        [(10, a_near), (11, fresh), (12, fresh_near), (13, exact_dup)],
+        ["doc_id", "text"],
+    )
+    store_df = minhash_band_buckets(batch1).localCheckpoint(eager=True)
+    fps_df = batch1.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+    # broadcast reference
+    kept_b, kb_b = incremental_minhash_dedup(
+        batch2, stored_buckets=store_df, stored_docs=batch1,
+        threshold=0.5, stored_fps=fps_df,
+    )
+    # bucketed stores, two segments each (append twice)
+    B = 4
+    bt = BucketedSegmentTable(tmp_path / "lsh", "bucket", B)
+    ft = BucketedSegmentTable(tmp_path / "fp", "fp", B)
+    half = F.col("doc_id") % 2
+    for i in (0, 1):
+        bt.append(store_df.filter(half == i), txn_id=f"b{i}")
+        ft.append(fps_df.select("fp").filter(half == i), txn_id=f"f{i}")
+    kept_s, kb_s = incremental_minhash_dedup(
+        batch2, stored_buckets=None, stored_docs=batch1, threshold=0.5,
+        fp_segments=ft.segments(spark), bucket_segments=bt.segments(spark),
+        probe_partitions=B,
+    )
+    assert sorted(r["doc_id"] for r in kept_s.collect()) == sorted(
+        r["doc_id"] for r in kept_b.collect()
+    ) == [11]
+    assert {r["doc_id"] for r in kb_s.collect()} == {
+        r["doc_id"] for r in kb_b.collect()
+    } == {11}
+
+    # plan pin: a co-partitioned probe of each bucketed store keeps
+    # the store side Exchange-free under a forced non-broadcast join
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probes = [
+            (bt, minhash_band_buckets(batch2).select("bucket"), "bucket"),
+            (ft, batch2.select(fingerprint(F.col("text")).alias("fp")), "fp"),
+        ]
+        def _walk(node):
+            yield node
+            ch = node.children()
+            for i in range(ch.size()):
+                yield from _walk(ch.apply(i))
+
+        for table, probe, key in probes:
+            probe = probe.repartition(B, key).distinct()
+            for seg in table.segments(spark):
+                j = seg.join(probe, key, "semi")
+                plan = j._jdf.queryExecution().executedPlan()
+                assert "Bucketed: true" in plan.toString(), plan.toString()
+                # STRUCTURAL pin: the join child that holds the bucketed
+                # store scan contains NO shuffle Exchange (every
+                # Exchange in the plan is on the batch-derived side)
+                smjs = [
+                    n
+                    for n in _walk(plan)
+                    if n.getClass().getSimpleName() == "SortMergeJoinExec"
+                ]
+                assert smjs, plan.toString()
+                for smj in smjs:
+                    for side in range(2):
+                        sub = list(_walk(smj.children().apply(side)))
+                        names = [n.getClass().getSimpleName() for n in sub]
+                        has_store_scan = any(
+                            "FileSourceScan" in nm for nm in names
+                        ) and "Bucketed: true" in smj.children().apply(
+                            side
+                        ).toString()
+                        if has_store_scan:
+                            assert "ShuffleExchangeExec" not in names, names
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
