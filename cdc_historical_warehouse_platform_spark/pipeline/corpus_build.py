@@ -43,6 +43,83 @@ __all__ = [
 QUALITY_THRESHOLD = 0.68
 _CAPS_FILE = "_source_caps.json"
 
+# bucketed-state layout (r8, opt-in via corpus_build(state_buckets=N)):
+# the probe-keyed dedup state dirs are written as Spark-BUCKETED files
+# and registered as session-catalog external tables, so a bulk append
+# probes them co-partitioned (batch-side Exchanges only — no broadcast
+# ceiling, state never re-shuffled). The marker/repair protocol is
+# untouched: bucketed part files are ordinary immutable parquet files
+# that snapshot()/repair() track like any other.
+_LSH_DDL = "`doc_id` BIGINT, `bucket` STRING"
+_FP_DDL = "`doc_id` BIGINT, `fp` STRING"
+
+
+def _state_table_name(sdir: Path) -> str:
+    import hashlib as _hashlib
+
+    return (
+        "cstate_"
+        + _hashlib.sha1(str(Path(sdir).resolve()).encode()).hexdigest()[:16]
+    )
+
+
+def _ensure_state_table(
+    spark: SparkSession, sdir: Path, bucket_col: str, buckets: int, ddl: str
+):
+    """Idempotent catalog registration of a bucketed state dir (the
+    in-memory catalog does not persist; the files + marker are the
+    source of truth)."""
+    name = _state_table_name(sdir)
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+            f"INTO {buckets} BUCKETS LOCATION '{Path(sdir).resolve()}'"
+        )
+    return spark.table(name)
+
+
+def _write_state(
+    df: DataFrame,
+    sdir: Path,
+    bucket_col: str,
+    buckets: int | None,
+    ddl: str,
+    mode: str = "append",
+    max_records_per_file: int | None = None,
+) -> None:
+    """State-dir write honoring the corpus's layout: plain parquet when
+    ``buckets`` is None (legacy/default), bucketed catalog-table files
+    otherwise. Bucketed appends pre-repartition to the bucket count so
+    each epoch adds one file per touched bucket."""
+    if not buckets:
+        w = df.write.mode(mode)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(str(sdir))
+        return
+    spark = df.sparkSession
+    name = _state_table_name(sdir)
+    if mode == "overwrite":
+        import shutil as _shutil
+
+        # a stale same-path catalog entry may carry a different bucket
+        # spec (rebuild-in-place with a new state_buckets)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _shutil.rmtree(sdir, ignore_errors=True)
+    else:
+        _ensure_state_table(spark, sdir, bucket_col, buckets, ddl)
+    w = (
+        df.repartition(buckets, bucket_col)
+        .write.mode(mode)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", str(sdir))
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.saveAsTable(name)
+
 
 def read_committed_corpus(spark: SparkSession, output: str | Path) -> DataFrame:
     """The committed corpus, EXACTLY: repair() first (roll back any
@@ -119,9 +196,19 @@ def corpus_build(
     track_top_tokens: int | None = None,
     quality_model: dict | None = None,
     quality_model_threshold: float = 0.5,
+    state_buckets: int | None = None,
 ) -> dict:
     """Full build: keep decisions over ``input_dir``/documents.parquet,
     sharded kept corpus + persisted dedup state under ``output``.
+
+    ``state_buckets``: write the probe-keyed dedup state
+    (``_lsh_index`` clustered on bucket, ``_fp_index`` clustered on
+    fp) as Spark-BUCKETED files (r8). Appends whose batch exceeds the
+    broadcast budget then probe the state co-partitioned — no
+    broadcast ceiling, state never re-shuffled. The setting rides the
+    commit marker like the quota, so every later append/forget honors
+    the layout without being told. Fixed at build time; size it so one
+    bucket of the state fits an executor (thousands at 100 TB).
 
     ``max_per_source`` adds the per-domain quota stage (at most N kept
     docs per source, md5-rank deterministic — operators/sampling.
@@ -185,10 +272,22 @@ def corpus_build(
         max_records_per_file=max_records_per_file,
     )
     kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
-    minhash_band_buckets(kept).write.mode("overwrite").parquet(str(out / "_lsh_index"))
-    kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
-        "overwrite"
-    ).parquet(str(out / "_fp_index"))
+    _write_state(
+        minhash_band_buckets(kept).select("doc_id", "bucket"),
+        out / "_lsh_index",
+        "bucket",
+        state_buckets,
+        _LSH_DDL,
+        mode="overwrite",
+    )
+    _write_state(
+        kept.select("doc_id", fingerprint(F.col("text")).alias("fp")),
+        out / "_fp_index",
+        "fp",
+        state_buckets,
+        _FP_DDL,
+        mode="overwrite",
+    )
     if max_per_source is not None:
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "overwrite"
@@ -231,6 +330,9 @@ def corpus_build(
             "quality_model_threshold": (
                 quality_model_threshold if quality_model is not None else None
             ),
+            # None EXPLICITLY CLEARS the layout flag when rebuilding
+            # in place over a bucketed-state corpus with plain state
+            "state_buckets": state_buckets,
         },
     )
     return {
@@ -250,6 +352,7 @@ def corpus_append(
     max_per_source: int | None = None,
     quality_model: dict | None = None,
     quality_model_threshold: float | None = None,
+    bulk_probe_doc_limit: int = 500_000,
 ) -> dict:
     """Incremental load: quality-gate the NEW batch, dedup it against
     the persisted state (exact-fingerprint + LSH; the existing corpus
@@ -265,7 +368,14 @@ def corpus_append(
     window) and, for a corpus built without quotas, ``_source_counts``
     is backfilled once from the kept corpus — already-stored docs
     count against the new quota, they are never evicted (append-only
-    corpus)."""
+    corpus).
+
+    ``bulk_probe_doc_limit`` (r8): on a bucketed-state corpus
+    (``corpus_build(state_buckets=N)``), a batch with more pooled docs
+    than this probes the fp/LSH state CO-PARTITIONED against the
+    bucketed files instead of broadcasting its key sets — no broadcast
+    ceiling, state never re-shuffled. Small batches keep the cheaper
+    broadcast probes; plain-state corpora always do."""
     out = Path(output)
     if not (out / "_lsh_index").exists():
         raise FileNotFoundError(f"no corpus state under {output}; run corpus_build first")
@@ -281,13 +391,21 @@ def corpus_append(
     # gate on data files, not the directory: repair() after a torn
     # backfill unlinks the parquet files but leaves the directory, and
     # an empty dir would skip the backfill then fail schema inference
+    state_buckets = marker.get("state_buckets")
     if not any((out / "_fp_index").glob("*.parquet")):
         # pre-r4 state: one-time backfill of the fingerprint index from
         # the kept corpus (unlisted in the old marker, so a crash here
         # is rolled back and re-backfilled next run)
-        stored_docs.select(
-            "doc_id", fingerprint(F.col("text")).alias("fp")
-        ).write.mode("overwrite").parquet(str(out / "_fp_index"))
+        _write_state(
+            stored_docs.select(
+                "doc_id", fingerprint(F.col("text")).alias("fp")
+            ),
+            out / "_fp_index",
+            "fp",
+            state_buckets,
+            _FP_DDL,
+            mode="overwrite",
+        )
     stored_fps = spark.read.parquet(str(out / "_fp_index"))
     # producer drift guard: align the incoming batch to the STORED
     # corpus schema (operators/schema_drift.py — the change_batches
@@ -339,12 +457,32 @@ def corpus_append(
     # the appends below cannot invalidate a pending plan. (The previous
     # full-output checkpoints re-ran the whole dedup pipeline once per
     # output: 12.5 s → 7.5 s for an sf0.1 append cycle.)
-    kept, kept_buckets = incremental_minhash_dedup(
-        quality_ok,
-        stored_buckets=stored_buckets,
-        stored_docs=stored_docs,
-        stored_fps=stored_fps,
-    )
+    if state_buckets and n_pool > bulk_probe_doc_limit:
+        # bulk path: co-partitioned probes against the bucketed state
+        # (batch-side Exchanges only; no broadcast of batch key sets)
+        kept, kept_buckets = incremental_minhash_dedup(
+            quality_ok,
+            stored_buckets=None,
+            stored_docs=stored_docs,
+            fp_segments=[
+                _ensure_state_table(
+                    spark, out / "_fp_index", "fp", state_buckets, _FP_DDL
+                )
+            ],
+            bucket_segments=[
+                _ensure_state_table(
+                    spark, out / "_lsh_index", "bucket", state_buckets, _LSH_DDL
+                )
+            ],
+            probe_partitions=state_buckets,
+        )
+    else:
+        kept, kept_buckets = incremental_minhash_dedup(
+            quality_ok,
+            stored_buckets=stored_buckets,
+            stored_docs=stored_docs,
+            stored_fps=stored_fps,
+        )
     # kept is consumed by 4-5 downstream jobs, but an eager caller-side
     # materialization measures as a wash (±0.2 s per sf0.1 cycle): the
     # drop-set checkpoints inside incremental_minhash_dedup already make
@@ -424,12 +562,22 @@ def corpus_append(
         kept.write.mode("append").parquet(str(out / "_kept_docs"))
 
     def _w_lsh():
-        kept_buckets.write.mode("append").parquet(str(out / "_lsh_index"))
+        _write_state(
+            kept_buckets.select("doc_id", "bucket"),
+            out / "_lsh_index",
+            "bucket",
+            state_buckets,
+            _LSH_DDL,
+        )
 
     def _w_fp():
-        kept.select("doc_id", fingerprint(F.col("text")).alias("fp")).write.mode(
-            "append"
-        ).parquet(str(out / "_fp_index"))
+        _write_state(
+            kept.select("doc_id", fingerprint(F.col("text")).alias("fp")),
+            out / "_fp_index",
+            "fp",
+            state_buckets,
+            _FP_DDL,
+        )
 
     def _w_counts():
         # LSM-style: append this epoch's per-source counts; readers sum
@@ -656,9 +804,17 @@ def corpus_forget(
                 _json.dumps(manifest, indent=2, sort_keys=True)
             )
 
-    # --- dedup state dirs: same victim-file rewrite, plain layout ---
+    # --- dedup state dirs: same victim-file rewrite; the probe-keyed
+    # dirs honor the bucketed layout when the marker declares one (a
+    # plain rewrite would inject unbucketed files a bucketed scan
+    # must never see) ---
+    state_buckets = marker.get("state_buckets")
     state_files_rewritten = 0
-    for d in ("_kept_docs", "_lsh_index", "_fp_index"):
+    for d, bcol, ddl in (
+        ("_kept_docs", None, None),
+        ("_lsh_index", "bucket", _LSH_DDL),
+        ("_fp_index", "fp", _FP_DDL),
+    ):
         sdir = out / d
         if not any(sdir.glob("*.parquet")):
             continue
@@ -670,9 +826,19 @@ def corpus_forget(
             .join(forget, "doc_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        kept_part.write.mode("append").option(
-            "maxRecordsPerFile", max_records_per_file
-        ).parquet(str(sdir))
+        if bcol and state_buckets:
+            _write_state(
+                kept_part,
+                sdir,
+                bcol,
+                state_buckets,
+                ddl,
+                max_records_per_file=max_records_per_file,
+            )
+        else:
+            kept_part.write.mode("append").option(
+                "maxRecordsPerFile", max_records_per_file
+            ).parquet(str(sdir))
         old_rel.extend(f"{d}/{v.rsplit('/', 1)[-1]}" for v in victims)
         state_files_rewritten += len(victims)
 

@@ -291,6 +291,16 @@ def main() -> int:
         "automatically; report with the corpus-tokens command",
     )
     ap.add_argument(
+        "--state-buckets",
+        type=int,
+        default=None,
+        help="corpus: write the probe-keyed dedup state (_lsh_index, "
+        "_fp_index) Spark-BUCKETED so bulk appends probe it "
+        "co-partitioned (no broadcast ceiling, state never "
+        "re-shuffled); rides the commit marker — appends/forgets "
+        "honor the layout automatically",
+    )
+    ap.add_argument(
         "--max-files-per-shard", type=int, default=32,
         help="corpus-compact: rewrite shards exceeding this file count",
     )
@@ -545,6 +555,7 @@ def main() -> int:
                     track_top_tokens=args.track_top_tokens,
                     quality_model=_load_quality_model(args),
                     quality_model_threshold=args.threshold,
+                    state_buckets=args.state_buckets,
                 )
             )
         )

@@ -2067,3 +2067,96 @@ def test_incremental_minhash_segment_probe_matches_broadcast(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_bucketed_state_corpus_end_to_end(spark, tmp_path):
+    """r8 bucketed-state corpus: build(state_buckets=N) + appends
+    through BOTH probe paths must ship exactly the docs the plain-state
+    corpus ships; the layout rides the marker (forget keeps it, a
+    probe after forget still works); repair stays compatible."""
+    import json as _json
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+        corpus_forget,
+    )
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
+        read_marker,
+        repair,
+    )
+
+    plain, buck = str(tmp_path / "p"), str(tmp_path / "b")
+    corpus_build(spark, "/root/testdata/sf0.001", plain)
+    corpus_build(spark, "/root/testdata/sf0.001", buck, state_buckets=4)
+    assert read_marker(tmp_path / "b")["state_buckets"] == 4
+
+    def ids(path):
+        return {r["doc_id"] for r in spark.read.parquet(path).select("doc_id").collect()}
+
+    assert ids(buck) == ids(plain)
+    # the bucketed state dirs carry bucket-suffixed files only
+    lsh_files = list((tmp_path / "b" / "_lsh_index").glob("*.parquet"))
+    assert lsh_files and all("_0000" in f.name for f in lsh_files)
+
+    new = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            (F.col("doc_id") + 90_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # append 1: broadcast gate (default limit); append must match plain
+    a_p = corpus_append(spark, new, plain)
+    a_b = corpus_append(spark, new, buck)
+    assert a_b["appended"] == a_p["appended"] > 0
+    assert ids(buck) == ids(plain)
+
+    new2 = new.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.array_join(
+            F.flatten(
+                F.array(
+                    F.filter(F.split("text", " "), lambda _x, i: i % 2 == 0),
+                    F.filter(F.split("text", " "), lambda _x, i: i % 2 == 1),
+                )
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).localCheckpoint(eager=True)
+    # append 2: FORCE the bulk co-partitioned path on the bucketed corpus
+    a_p2 = corpus_append(spark, new2, plain)
+    a_b2 = corpus_append(spark, new2, buck, bulk_probe_doc_limit=0)
+    assert a_b2["appended"] == a_p2["appended"] > 0
+    assert ids(buck) == ids(plain)
+    # re-delivery through the bulk path: the state must catch everything
+    assert corpus_append(spark, new2, buck, bulk_probe_doc_limit=0)["appended"] == 0
+
+    # forget keeps the bucketed layout live (no unbucketed files in the
+    # probe-keyed dirs) and a later bulk append still dedups correctly
+    victims = sorted(ids(buck))[:2]
+    corpus_forget(spark, victims, buck)
+    corpus_forget(spark, victims, plain)
+    assert ids(buck) == ids(plain)
+    lsh_files = list((tmp_path / "b" / "_lsh_index").glob("*.parquet"))
+    assert all("_0000" in f.name for f in lsh_files)
+    # forgotten text re-admits through the bulk path too
+    re_add = (
+        spark.read.parquet(plain)
+        .filter(F.col("doc_id").isin([int(v) for v in victims]))
+    )
+    assert re_add.count() == 0  # sanity: gone from plain as well
+    a_b3 = corpus_append(spark, new2, buck, bulk_probe_doc_limit=0)
+    assert a_b3["appended"] == 0  # still dedup-exact after the forget rewrite
+    assert repair(tmp_path / "b")["removed"] == []
+    # manifest and corpus agree
+    m = _json.loads((tmp_path / "b" / "_manifest.json").read_text())
+    assert m["total_rows"] == spark.read.parquet(buck).count()
