@@ -287,14 +287,37 @@ class ExactSubstrIndex:
 
     def compact(self, spark: SparkSession) -> dict:
         """Drop LSM-dead frontier rows (hash already duplicated) — a
-        space/scan-cost win only; spans never read ``unique``. One
-        hash-key shuffle of the unique store (run on the maintenance
-        cadence, like shard compaction)."""
+        space/scan-cost win only; spans never read ``unique``. On the
+        bucketed layout (r8) the dead-row anti-probes are fully
+        CO-PARTITIONED: unique and duphash share the same (g, buckets)
+        file layout, so each per-segment-pair anti join plans with
+        ZERO Exchanges — the only shuffle left is the compacted
+        rewrite itself (run on the maintenance cadence, like shard
+        compaction). Legacy plain-layout indexes pay one hash-key
+        shuffle of each store, as before."""
         if not self.unique.exists():
             return {"rows_before": 0, "rows_after": 0}
         u = self.unique.read(spark)
-        d = self._read_or_empty(spark, self.duphash, _DUP_SCHEMA)
-        live = u.join(d, "g", "anti").localCheckpoint(eager=True)
+        if self._bucketed:
+            dsegs = (
+                self.duphash.segments(spark) if self.duphash.exists() else []
+            )
+            parts = []
+            for useg in self.unique.segments(spark):
+                live_u = useg
+                # anti distributes over the RIGHT side as a chain:
+                # u ▷ (d1 ∪ d2) == (u ▷ d1) ▷ d2 — and every link is
+                # bucketed-to-bucketed, no Exchange anywhere
+                for dseg in dsegs:
+                    live_u = live_u.join(dseg, "g", "anti")
+                parts.append(live_u)
+            live = parts[0]
+            for p in parts[1:]:
+                live = live.unionByName(p)
+        else:
+            d = self._read_or_empty(spark, self.duphash, _DUP_SCHEMA)
+            live = u.join(d, "g", "anti")
+        live = live.localCheckpoint(eager=True)
         before = u.count()
         after = live.count()
         self.unique.commit(live, txn_id=f"xs_compact_{self.unique.version() + 1}")

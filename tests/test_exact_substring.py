@@ -355,3 +355,41 @@ def test_auto_probe_mode_gates_on_gram_count(spark, tmp_path):
     )
     expect = _spans_set(exact_substring_spans(_docs(spark, b1 + b2 + b3), k=4))
     assert _spans_set(idx.spans(spark)) == expect
+
+
+def test_compact_anti_probe_is_exchange_free_on_bucketed_layout(spark, tmp_path):
+    """r8: unique and duphash share the (g, num_buckets) bucketed
+    layout, so compact's dead-row anti join plans with ZERO Exchanges
+    on either side — pinned structurally under forced non-broadcast."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+
+    shared = _w("s", 5)
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4, num_buckets=4)
+    idx.append(_docs(spark, [(1, f"{shared} {_w('a', 6)}")]), txn_id="t1")
+    idx.append(_docs(spark, [(2, f"{shared} {_w('b', 6)}")]), txn_id="t2")
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        useg = idx.unique.segments(spark)[0]
+        dseg = idx.duphash.segments(spark)[0]
+        plan = (
+            useg.join(dseg, "g", "anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Bucketed: true") == 2, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+    spans_before = _spans_set(idx.spans(spark))
+    stats = idx.compact(spark)
+    assert stats["rows_after"] < stats["rows_before"]
+    assert _spans_set(idx.spans(spark)) == spans_before
