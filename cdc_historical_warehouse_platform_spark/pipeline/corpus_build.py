@@ -638,15 +638,26 @@ def corpus_compact(
     output: str,
     max_files_per_shard: int = 32,
     max_records_per_file: int = 100_000,
+    max_state_files: int = 64,
 ) -> dict:
-    """Crash-atomic shard compaction: roll back any torn epoch, rewrite
-    over-fragmented shards (compact_shards with deletion deferred),
-    publish the marker listing the NEW files, and only then unlink the
-    old ones. A crash at any point is repairable: before the marker the
-    unlisted compacted files are rolled back; after it, the old files
-    are unlisted and removed by the next repair."""
+    """Crash-atomic shard + state compaction: roll back any torn
+    epoch, rewrite over-fragmented shards (compact_shards with
+    deletion deferred) AND over-fragmented dedup-state dirs (each
+    append adds files — num_buckets per epoch on the r8 bucketed
+    layout — so the LSM needs the same maintenance the shards get),
+    publish ONE marker listing the NEW files, and only then unlink the
+    old ones. A crash at any point is repairable: before the marker
+    the unlisted compacted files are rolled back; after it, the old
+    files are unlisted and removed by the next repair.
+
+    State compaction is row-preserving (read the old files by explicit
+    path, append one compacted copy, honoring the bucketed layout when
+    the marker declares one), so every reader sees identical state
+    before and after."""
     out = Path(output)
     repaired = repair(out)
+    marker = read_marker(out) or {"epoch": 0}
+    state_buckets = marker.get("state_buckets")
     result = compact_shards(
         spark,
         output,
@@ -654,20 +665,53 @@ def corpus_compact(
         max_records_per_file=max_records_per_file,
         delete_old=False,
     )
-    if result["compacted_shards"]:
+    old_files: list[str] = list(result["old_files"])
+    state_dirs_compacted = 0
+    for d, bcol, ddl in (
+        ("_kept_docs", None, None),
+        ("_lsh_index", "bucket", _LSH_DDL),
+        ("_fp_index", "fp", _FP_DDL),
+    ):
+        sdir = out / d
+        files = sorted(sdir.glob("*.parquet"))
+        if len(files) <= max_state_files:
+            continue
+        # read the superseded files BY PATH (new appended files can
+        # never collide with the input set; the sources stay on disk
+        # until the post-marker unlink)
+        df = spark.read.parquet(*[str(f) for f in files])
+        if bcol and state_buckets:
+            _write_state(
+                df,
+                sdir,
+                bcol,
+                state_buckets,
+                ddl,
+                max_records_per_file=max_records_per_file,
+            )
+        else:
+            n_rows = df.count()
+            n_out = max(1, -(-n_rows // max_records_per_file))
+            df.repartition(n_out).write.mode("append").option(
+                "maxRecordsPerFile", max_records_per_file
+            ).parquet(str(sdir))
+        old_files.extend(f"{d}/{f.name}" for f in files)
+        state_dirs_compacted += 1
+    if result["compacted_shards"] or state_dirs_compacted:
         # the marker must NOT list the superseded files (a crash mid-
         # unlink would otherwise leave them committed forever); with
         # them excluded, the next repair finishes the deletion
         write_marker(
             out,
-            epoch=(read_marker(out) or {"epoch": 0})["epoch"] + 1,
-            exclude=frozenset(result["old_files"]),
+            epoch=marker["epoch"] + 1,
+            exclude=frozenset(old_files),
         )
-        for rel in result["old_files"]:
+        for rel in old_files:
             p = out / rel
             if p.exists():
                 p.unlink()
     return {**{k: v for k, v in result.items() if k != "old_files"},
+            "state_dirs_compacted": state_dirs_compacted,
             "repaired_files": len(repaired["removed"])}
 
 

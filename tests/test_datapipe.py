@@ -2160,3 +2160,73 @@ def test_bucketed_state_corpus_end_to_end(spark, tmp_path):
     # manifest and corpus agree
     m = _json.loads((tmp_path / "b" / "_manifest.json").read_text())
     assert m["total_rows"] == spark.read.parquet(buck).count()
+
+
+def test_corpus_compact_state_dirs(spark, tmp_path):
+    """r8: corpus_compact also compacts over-fragmented dedup-state
+    dirs — row-preserving, bucketed-layout-honoring, crash-repairable
+    (the marker excludes the superseded files). Appends after the
+    compaction still dedup exactly."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+        corpus_compact,
+    )
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import repair
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, "/root/testdata/sf0.001", out, state_buckets=4)
+
+    def batch(offset, stride):
+        toks = F.split(F.col("text"), " ")
+        halves = F.flatten(
+            F.array(
+                F.filter(toks, lambda _x, i: i % stride == 0),
+                F.filter(toks, lambda _x, i: i % stride != 0),
+            )
+        )
+        return (
+            spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .filter(F.col("doc_id") < 60)
+            .select(
+                (F.col("doc_id") + offset).alias("doc_id"),
+                F.array_join(halves, " ").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+
+    for i, stride in enumerate((2, 3, 5), 1):
+        corpus_append(spark, batch(200_000 * i, stride), out)
+
+    lsh_dir = tmp_path / "c" / "_lsh_index"
+    before_files = len(list(lsh_dir.glob("*.parquet")))
+    state_before = sorted(
+        map(tuple, spark.read.parquet(str(lsh_dir)).collect())
+    )
+    corpus_ids = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+
+    r = corpus_compact(spark, out, max_state_files=4)
+    assert r["state_dirs_compacted"] >= 2  # lsh + fp at least
+    after_files = len(list(lsh_dir.glob("*.parquet")))
+    assert after_files < before_files
+    # row-preserving and still bucketed
+    assert sorted(map(tuple, spark.read.parquet(str(lsh_dir)).collect())) == state_before
+    assert all("_0000" in f.name for f in lsh_dir.glob("*.parquet"))
+    assert repair(tmp_path / "c")["removed"] == []
+
+    # the compacted state still dedups a re-delivered batch exactly
+    assert corpus_append(spark, batch(200_000, 2), out)["appended"] == 0
+    # and through the bulk co-partitioned path too
+    assert (
+        corpus_append(spark, batch(400_000, 3), out, bulk_probe_doc_limit=0)[
+            "appended"
+        ]
+        == 0
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    } == corpus_ids
