@@ -266,3 +266,63 @@ def test_quarantine_split_partitions_every_batch(spark, rows, tmp_path_factory):
                 assert r[field] is not None
             elif kind == "bad":
                 assert r["operation_type"] not in ("INSERT", "UPDATE", "DELETE")
+
+
+# words long enough that k=3 grams exist for most docs, short docs too
+_xs_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_xs_doc = st.lists(_xs_word, min_size=0, max_size=14).map(" ".join)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_xs_doc, min_size=2, max_size=10),
+    cuts=st.lists(st.integers(0, 2), min_size=2, max_size=10),
+    modes=st.lists(st.sampled_from(["broadcast", "shuffle"]), min_size=3, max_size=3),
+    data=st.data(),
+)
+def test_incremental_substr_any_split_any_probe_schedule(
+    spark, texts, cuts, modes, data, tmp_path_factory
+):
+    """Rebuild equivalence must hold for ANY corpus, ANY batch split,
+    and ANY broadcast/shuffle probe schedule: the persisted index's
+    spans == from-scratch exact_substring_spans over the union. Small
+    vocab maximizes cross-doc and cross-batch gram collisions — the
+    hard 1->2 frontier cases a planted fixture might miss."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+
+    rows = list(enumerate(texts))
+    # ANY 3-way split (cuts pad/truncate to len(rows))
+    batches: list[list] = [[], [], []]
+    for (i, t), c in zip(rows, (cuts * 5)[: len(rows)]):
+        batches[c].append((i, t))
+    idx = ExactSubstrIndex(
+        tmp_path_factory.mktemp("xs") / "xs", k=3, num_buckets=2
+    )
+    for n, (b, mode) in enumerate(zip(batches, modes)):
+        if not b:
+            continue
+        idx.append(
+            spark.createDataFrame(b, "doc_id long, text string"),
+            txn_id=f"t{n}",
+            probe_mode=mode,
+        )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+        for r in idx.spans(spark).collect()
+    }
+    expect = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+        for r in exact_substring_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=3
+        ).collect()
+    }
+    assert got == expect
