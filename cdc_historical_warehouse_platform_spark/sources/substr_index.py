@@ -321,4 +321,22 @@ class ExactSubstrIndex:
         before = u.count()
         after = live.count()
         self.unique.commit(live, txn_id=f"xs_compact_{self.unique.version() + 1}")
-        return {"rows_before": before, "rows_after": after}
+        # duphash has no dead rows, but its SEGMENTS accumulate one per
+        # append and every future probe joins each segment — merge them
+        # back to one on the same maintenance cadence (commit resets
+        # the manifest to a single segment)
+        merged_dup = 0
+        dup_meta = self.duphash._read_pointer()
+        if dup_meta is not None:
+            dup_segs = dup_meta.get("segments", [dup_meta["dir"]])
+            if len(dup_segs) > 1:
+                merged_dup = len(dup_segs)
+                self.duphash.commit(
+                    self.duphash.read(spark).localCheckpoint(eager=True),
+                    txn_id=f"xs_dup_compact_{self.duphash.version() + 1}",
+                )
+        return {
+            "rows_before": before,
+            "rows_after": after,
+            "dup_segments_merged": merged_dup,
+        }

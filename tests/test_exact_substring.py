@@ -393,3 +393,40 @@ def test_compact_anti_probe_is_exchange_free_on_bucketed_layout(spark, tmp_path)
     stats = idx.compact(spark)
     assert stats["rows_after"] < stats["rows_before"]
     assert _spans_set(idx.spans(spark)) == spans_before
+
+
+def test_compact_merges_duphash_segments(spark, tmp_path):
+    """r8: compact also merges duphash's per-append segments back to
+    one (probe cost scales with segment count), preserving rows and
+    all future append behavior."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+
+    s1, s2 = _w("s", 5), _w("t", 5)
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4, num_buckets=4)
+    idx.append(_docs(spark, [(1, f"{s1} {_w('a', 6)}"), (2, f"{s1} {_w('b', 6)}")]), txn_id="t1")
+    idx.append(_docs(spark, [(3, f"{s2} {_w('c', 6)}"), (4, f"{s2} {_w('d', 6)}")]), txn_id="t2")
+    assert len(idx.duphash.segments(spark)) == 2
+    dup_rows = sorted(r["g"] for r in idx.duphash.read(spark).collect())
+    spans_before = _spans_set(idx.spans(spark))
+
+    stats = idx.compact(spark)
+    assert stats["dup_segments_merged"] == 2
+    assert len(idx.duphash.segments(spark)) == 1
+    assert sorted(r["g"] for r in idx.duphash.read(spark).collect()) == dup_rows
+    assert _spans_set(idx.spans(spark)) == spans_before
+    # appends after the merge still dedup against the merged store,
+    # through the shuffle path too
+    idx.append(
+        _docs(spark, [(5, f"{s1} {_w('e', 6)}")]), txn_id="t3", probe_mode="shuffle"
+    )
+    all_docs = _docs(
+        spark,
+        [(1, f"{s1} {_w('a', 6)}"), (2, f"{s1} {_w('b', 6)}"),
+         (3, f"{s2} {_w('c', 6)}"), (4, f"{s2} {_w('d', 6)}"),
+         (5, f"{s1} {_w('e', 6)}")],
+    )
+    assert _spans_set(idx.spans(spark)) == _spans_set(
+        exact_substring_spans(all_docs, k=4)
+    )
