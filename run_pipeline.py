@@ -291,6 +291,14 @@ def main() -> int:
         "automatically; report with the corpus-tokens command",
     )
     ap.add_argument(
+        "--bulk-probe-doc-limit",
+        type=int,
+        default=500_000,
+        help="corpus-append: batches with more pooled docs than this "
+        "probe a bucketed-state corpus co-partitioned instead of "
+        "broadcasting key sets (0 forces the bulk path)",
+    )
+    ap.add_argument(
         "--state-buckets",
         type=int,
         default=None,
@@ -584,6 +592,7 @@ def main() -> int:
                     quality_model_threshold=(
                         args.threshold if args.quality_model else None
                     ),
+                    bulk_probe_doc_limit=args.bulk_probe_doc_limit,
                 )
             )
         )
