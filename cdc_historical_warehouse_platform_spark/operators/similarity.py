@@ -396,6 +396,7 @@ def ivf_search(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     probed: DataFrame | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Search an (already-assigned) IVF corpus: ``assigned`` has
     columns (neighbor_id, __cv, list_id). The probed query set is
@@ -403,11 +404,19 @@ def ivf_search(
     probed. Shared by the inline :func:`ivf_topk` and the persisted
     ``IVFIndex.probe`` path — the latter passes its already-built
     ``probed`` set so the centroid-literal expression tree isn't
-    evaluated twice per query batch."""
+    evaluated twice per query batch.
+
+    ``broadcast_probe=False`` is the BULK-query mode (r8): the probe
+    set joins shuffled instead of broadcast — no query-batch broadcast
+    ceiling. Scale note: the shuffle moves only list-pruned candidate
+    rows and the probe set, both proportional to the intrinsic scoring
+    work, never the whole index (IVFIndex.probe pushes the probed-list
+    IN-filter into the scan before this join)."""
     if probed is None:
         probed = probed_queries(queries, cents, n_probes, query_id, query_vec)
+    P = F.broadcast if broadcast_probe else (lambda df: df)
     scored = (
-        assigned.join(F.broadcast(probed), "list_id")
+        assigned.join(P(probed), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -434,6 +443,7 @@ def sq_ivf_search(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     probed: DataFrame | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Search an IVF-assigned INT8 corpus (the IVF-SQ composition —
     coarse quantizer for pruning, scalar quantizer for storage, per
@@ -446,6 +456,7 @@ def sq_ivf_search(
     with ``qcosine`` instead of ``cosine``."""
     if probed is None:
         probed = probed_queries(queries, cents, n_probes, query_id, query_vec)
+    P = F.broadcast if broadcast_probe else (lambda df: df)
     pq = probed.select(
         "query_id",
         "list_id",
@@ -459,7 +470,7 @@ def sq_ivf_search(
         # them for id-dedup idempotence) — they have no defined cosine,
         # so they drop here, before the division can make NaN
         assigned_q.filter(F.col("__na") > 0)
-        .join(F.broadcast(pq), "list_id")
+        .join(P(pq), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -339,6 +339,7 @@ class IVFIndex:
         n_probes: int = 2,
         query_id: str = "query_id",
         query_vec: str = "query_vec",
+        broadcast_probe: bool = True,
     ) -> DataFrame:
         """Top-k search against the persisted index. The assignments
         scan is prefiltered to the union of probed lists (pushed to
@@ -346,7 +347,15 @@ class IVFIndex:
         set — same output schema and same results as the inline
         ``ivf_topk`` run with this index's centroids. One pointer
         resolution pins a consistent (centroids, assignments-version)
-        pair for the whole query."""
+        pair for the whole query.
+
+        ``broadcast_probe=False`` (r8): BULK offline query sets join
+        shuffled instead of broadcast — no query-batch broadcast
+        ceiling for the float and int8 tiers (the shuffle moves only
+        list-pruned candidates + the probe set, never the index). The
+        PQ tier keeps the broadcast path: its per-query list masks
+        ride an ADC lookup table collected per batch — size PQ query
+        batches to the broadcast budget (documented ceiling)."""
         meta = self._read_pointer()
         if meta is None:
             raise FileNotFoundError(f"IVF index {self.path} has no committed build")
@@ -391,7 +400,7 @@ class IVFIndex:
             )
             return sq_ivf_search(
                 assigned_q, queries, cents, k, n_probes, query_id, query_vec,
-                probed=probed,
+                probed=probed, broadcast_probe=broadcast_probe,
             )
         # stored zero vectors (kept for append idempotence) have no
         # cosine — drop them before scoring divides by their norm
@@ -409,5 +418,6 @@ class IVFIndex:
             )
         )
         return ivf_search(
-            assigned, queries, cents, k, n_probes, query_id, query_vec, probed=probed
+            assigned, queries, cents, k, n_probes, query_id, query_vec,
+            probed=probed, broadcast_probe=broadcast_probe,
         )

@@ -300,3 +300,62 @@ def test_int8_index_zero_vector_append_idempotent(spark, tmp_path):
     hits = index.probe(spark, q, k=20, n_probes=2).collect()
     assert all(r["neighbor_id"] != 100 for r in hits)  # never scored
     assert all(r["qcosine"] == r["qcosine"] for r in hits)  # no NaN
+
+
+def test_bulk_probe_matches_broadcast_and_avoids_query_broadcast(spark, tmp_path):
+    """r8 bulk-query mode: probe(broadcast_probe=False) must return
+    exactly the broadcast path's top-k on the float AND int8 tiers,
+    with NO BroadcastExchange in the scoring plan (the probe set joins
+    shuffled — no query-batch broadcast ceiling; the scan stays
+    list-pruned so the shuffle moves candidates, not the index)."""
+    emb = _emb(spark)
+    queries = _queries(emb, n=8)
+
+    for int8 in (False, True):
+        idx = IVFIndex.build(
+            emb,
+            tmp_path / ("i8" if int8 else "f32"),
+            n_lists=4,
+            quantize="int8" if int8 else None,
+        )
+        bc = idx.probe(spark, queries, k=5, n_probes=2)
+        bulk = idx.probe(spark, queries, k=5, n_probes=2, broadcast_probe=False)
+        col = "qcosine" if int8 else "cosine"
+        a = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r[col], 9))
+            for r in bc.collect()
+        )
+        b = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r[col], 9))
+            for r in bulk.collect()
+        )
+        assert a == b and len(a) > 0
+
+        # no FORCED broadcast anywhere in the bulk plan: with
+        # auto-broadcast off, a remaining BroadcastExchange could only
+        # come from an explicit F.broadcast hint (Catalyst may still
+        # auto-pick BHJ at real sizes when a side is genuinely small —
+        # that is its call, not a ceiling we baked in)
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                idx.probe(spark, queries, k=5, n_probes=2, broadcast_probe=False)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastExchange" not in plan, plan
+            # the broadcast path, for contrast, DOES carry the hint
+            plan_bc = (
+                idx.probe(spark, queries, k=5, n_probes=2)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastExchange" in plan_bc
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
