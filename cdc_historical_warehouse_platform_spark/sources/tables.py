@@ -97,6 +97,20 @@ class VersionedTable:
         meta = self._read_pointer()
         return set(meta.get("txns", [])) if meta else set()
 
+    def txn_version(self, txn_id: str) -> int | None:
+        """The version a committed txn created, or None — the
+        time-travel anchor for ORDER-FREE idempotent recovery: a
+        replayer reads every table AS OF (its txn's version − 1), so
+        delta recomputation sees the same pre-txn snapshot no matter
+        which subset of a multi-table transaction landed before the
+        crash. (Pointers written before r8 carry no txn_versions map —
+        callers fall back to their order-dependent recovery.)"""
+        meta = self._read_pointer()
+        if meta is None:
+            return None
+        v = meta.get("txn_versions", {}).get(txn_id)
+        return int(v) if v is not None else None
+
     def commit(
         self,
         df: DataFrame,
@@ -111,6 +125,7 @@ class VersionedTable:
         """
         meta = self._read_pointer()
         txns = list(meta.get("txns", [])) if meta else []
+        txn_versions = dict(meta.get("txn_versions", {})) if meta else {}
         if txn_id is not None and txn_id in txns:
             return meta["version"]
 
@@ -119,6 +134,7 @@ class VersionedTable:
         self._write_version_dir(df, vdir, partition_by)
         if txn_id is not None:
             txns.append(txn_id)
+            txn_versions[txn_id] = new_version
         manifests = dict(meta.get("manifests", {})) if meta else {}
         manifests[str(new_version)] = [vdir.name]
         self._write_pointer(
@@ -129,6 +145,7 @@ class VersionedTable:
                 "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
+                "txn_versions": txn_versions,
                 "schema": df.schema.json(),
                 "columns": list(df.columns),
                 "partition_by": list(partition_by or []),
@@ -149,6 +166,7 @@ class VersionedTable:
         if meta and meta.get("partition_by"):
             raise ValueError("append not supported on partitioned tables")
         txns = list(meta.get("txns", [])) if meta else []
+        txn_versions = dict(meta.get("txn_versions", {})) if meta else {}
         if txn_id is not None and txn_id in txns:
             return meta["version"]
         new_version = (meta["version"] + 1) if meta else 0
@@ -159,6 +177,7 @@ class VersionedTable:
         ]
         if txn_id is not None:
             txns.append(txn_id)
+            txn_versions[txn_id] = new_version
         manifests = dict(meta.get("manifests", {})) if meta else {}
         manifests[str(new_version)] = segments
         self._write_pointer(
@@ -169,6 +188,7 @@ class VersionedTable:
                 "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
+                "txn_versions": txn_versions,
                 "schema": df.schema.json(),
                 "columns": list(df.columns),
                 "partition_by": [],
@@ -189,6 +209,7 @@ class VersionedTable:
         """
         meta = self._read_pointer()
         txns = list(meta.get("txns", [])) if meta else []
+        txn_versions = dict(meta.get("txn_versions", {})) if meta else {}
         if txn_id is not None and txn_id in txns:
             return meta["version"]
 
@@ -199,6 +220,7 @@ class VersionedTable:
         shutil.move(str(src), str(vdir))
         if txn_id is not None:
             txns.append(txn_id)
+            txn_versions[txn_id] = new_version
         manifests = dict(meta.get("manifests", {})) if meta else {}
         manifests[str(new_version)] = [vdir.name]
         self._write_pointer(
@@ -209,6 +231,7 @@ class VersionedTable:
                 "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
+                "txn_versions": txn_versions,
                 "schema": schema_json,
                 "columns": columns,
                 "partition_by": [],
@@ -226,6 +249,7 @@ class VersionedTable:
         if meta and meta.get("partition_by"):
             raise ValueError("append not supported on partitioned tables")
         txns = list(meta.get("txns", [])) if meta else []
+        txn_versions = dict(meta.get("txn_versions", {})) if meta else {}
         if txn_id is not None and txn_id in txns:
             return meta["version"]
         new_version = (meta["version"] + 1) if meta else 0
@@ -238,6 +262,7 @@ class VersionedTable:
         ]
         if txn_id is not None:
             txns.append(txn_id)
+            txn_versions[txn_id] = new_version
         manifests = dict(meta.get("manifests", {})) if meta else {}
         manifests[str(new_version)] = segments
         self._write_pointer(
@@ -248,6 +273,7 @@ class VersionedTable:
                 "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
+                "txn_versions": txn_versions,
                 "schema": schema_json,
                 "columns": columns,
                 "partition_by": [],

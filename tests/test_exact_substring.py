@@ -430,3 +430,59 @@ def test_compact_merges_duphash_segments(spark, tmp_path):
     assert _spans_set(idx.spans(spark)) == _spans_set(
         exact_substring_spans(all_docs, k=4)
     )
+
+
+def test_order_free_replay_any_commit_subset(spark, tmp_path, monkeypatch):
+    """r8 concurrent appends: a crash that lets UNIQUE and DOCS commit
+    while FLAGGED and DUP do not is the adversarial subset (a replay
+    reading latest state would see the batch's own singles in
+    stored_unique and flag every unique gram). The pre-txn snapshot
+    reads must recompute byte-identical deltas and complete the txn —
+    final state equal to a never-crashed twin."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+
+    shared = _w("s", 5)
+    b1 = [(1, f"{shared} {_w('a', 6)}"), (2, f"{_w('q', 9)}")]
+    b2 = [(3, f"{shared} {_w('b', 6)}"), (4, f"{_w('r', 9)}")]
+
+    clean = ExactSubstrIndex(tmp_path / "clean", k=4, num_buckets=4)
+    clean.append(_docs(spark, b1), txn_id="t1")
+    clean.append(_docs(spark, b2), txn_id="t2")
+
+    idx = ExactSubstrIndex(tmp_path / "torn", k=4, num_buckets=4)
+    idx.append(_docs(spark, b1), txn_id="t1")
+
+    # crash injection: flagged and duphash appends die; unique and
+    # docs (concurrent siblings) land
+    real_flagged, real_dup = idx.flagged.append, idx.duphash.append
+
+    def boom(*a, **k):
+        raise RuntimeError("injected: writer thread died")
+
+    monkeypatch.setattr(idx.flagged, "append", boom)
+    monkeypatch.setattr(idx.duphash, "append", boom)
+    try:
+        idx.append(_docs(spark, b2), txn_id="t2")
+        raise AssertionError("append must propagate the injected crash")
+    except RuntimeError as e:
+        assert "injected" in str(e)
+    # the adversarial torn state actually happened
+    assert "t2" in idx.unique.committed_txns()
+    assert "t2" not in idx.flagged.committed_txns()
+    assert "t2" not in idx.duphash.committed_txns()
+
+    monkeypatch.setattr(idx.flagged, "append", real_flagged)
+    monkeypatch.setattr(idx.duphash, "append", real_dup)
+    idx.append(_docs(spark, b2), txn_id="t2")  # replay completes the txn
+
+    assert _spans_set(idx.spans(spark)) == _spans_set(clean.spans(spark))
+    for tbl in ("flagged", "duphash", "unique", "docs"):
+        a = sorted(map(tuple, getattr(idx, tbl).read(spark).collect()))
+        b = sorted(map(tuple, getattr(clean, tbl).read(spark).collect()))
+        assert a == b, tbl
+    # and the torn-then-replayed index keeps working
+    idx.append(_docs(spark, [(5, f"{shared} {_w('c', 6)}")]), txn_id="t3")
+    clean.append(_docs(spark, [(5, f"{shared} {_w('c', 6)}")]), txn_id="t3")
+    assert _spans_set(idx.spans(spark)) == _spans_set(clean.spans(spark))
