@@ -1272,9 +1272,14 @@ def incremental_exact_substring(
     new_grams = _gram_stream(new_docs, k, id_col, text_col).localCheckpoint(
         eager=False
     )
+    # eager pin: intra/singles feed flagged/dup/unique deltas, which
+    # ExactSubstrIndex.append now writes CONCURRENTLY — without the
+    # pin each writer job would re-run this batch-wide count-window
+    # shuffle simultaneously (it also materializes the new_grams
+    # checkpoint the probe joins share)
     counted = new_grams.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("g"))
-    )
+    ).localCheckpoint(eager=True)
     intra = counted.filter(F.col("__n") > 1).select(id_col, "pos", "g")
     singles = counted.filter(F.col("__n") == 1).select(id_col, "pos", "g")
     new_hashes = new_grams.select("g")

@@ -252,10 +252,16 @@ def stdlib_image_decoder(payload: bytes):
 
 def decode_image(payload: bytes):
     """Decode an image payload → (H, W, C) uint8 array. BMP/PPM/PGM
-    decode via the dependency-free stdlib tier; anything else routes
-    to Pillow (honest env stub when absent)."""
+    decode via the dependency-free stdlib tier; anything else — and
+    any stdlib-magic payload whose SUB-format the stdlib tier can't
+    parse (palette/RLE BMP, 16-bit PPM) — routes to Pillow (honest
+    env stub when absent), so installing Pillow never decodes LESS
+    than it did before the stdlib tier existed."""
     if payload[:2] in (b"BM", b"P6", b"P5"):
-        return stdlib_image_decoder(payload)
+        try:
+            return stdlib_image_decoder(payload)
+        except ValueError:
+            pass  # unsupported sub-format: fall through to Pillow
     try:
         from PIL import Image  # noqa: F401
     except ImportError:
@@ -271,9 +277,16 @@ def decode_image(payload: bytes):
 def decode_audio(payload: bytes):
     """Decode an audio payload → (waveform array, sample rate). RIFF
     PCM WAV decodes via the dependency-free stdlib tier; anything else
-    routes to librosa (honest env stub when absent)."""
+    — and any RIFF payload the stdlib tier can't parse (float32 /
+    24-bit / compressed WAV) — routes to librosa (honest env stub when
+    absent), so installing librosa never decodes LESS than before."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return wav_decoder(payload)
+        import wave as _wave
+
+        try:
+            return wav_decoder(payload)
+        except (ValueError, _wave.Error, EOFError):
+            pass  # unsupported sub-format: fall through to librosa
     try:
         import librosa  # noqa: F401
     except ImportError:

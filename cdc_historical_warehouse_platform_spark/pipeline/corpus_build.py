@@ -68,15 +68,15 @@ def _ensure_state_table(
 ):
     """Idempotent catalog registration of a bucketed state dir (the
     in-memory catalog does not persist; the files + marker are the
-    source of truth)."""
-    name = _state_table_name(sdir)
-    if not spark.catalog.tableExists(name):
-        spark.sql(
-            f"CREATE TABLE {name} ({ddl}) USING PARQUET "
-            f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
-            f"INTO {buckets} BUCKETS LOCATION '{Path(sdir).resolve()}'"
-        )
-    return spark.table(name)
+    source of truth). Thin wrapper over the shared
+    sources/tables.register_bucketed_dir core."""
+    from cdc_historical_warehouse_platform_spark.sources.tables import (
+        register_bucketed_dir,
+    )
+
+    return register_bucketed_dir(
+        spark, _state_table_name(sdir), sdir, bucket_col, buckets, ddl
+    )
 
 
 def _write_state(
@@ -90,35 +90,30 @@ def _write_state(
 ) -> None:
     """State-dir write honoring the corpus's layout: plain parquet when
     ``buckets`` is None (legacy/default), bucketed catalog-table files
-    otherwise. Bucketed appends pre-repartition to the bucket count so
-    each epoch adds one file per touched bucket."""
+    otherwise (the shared sources/tables.write_bucketed_dir core —
+    overwrite also clears a stale same-path catalog entry, which a
+    rebuild-in-place with a new state_buckets may carry)."""
     if not buckets:
         w = df.write.mode(mode)
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(str(sdir))
         return
-    spark = df.sparkSession
-    name = _state_table_name(sdir)
-    if mode == "overwrite":
-        import shutil as _shutil
-
-        # a stale same-path catalog entry may carry a different bucket
-        # spec (rebuild-in-place with a new state_buckets)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        _shutil.rmtree(sdir, ignore_errors=True)
-    else:
-        _ensure_state_table(spark, sdir, bucket_col, buckets, ddl)
-    w = (
-        df.repartition(buckets, bucket_col)
-        .write.mode(mode)
-        .bucketBy(buckets, bucket_col)
-        .sortBy(bucket_col)
-        .option("path", str(sdir))
+    from cdc_historical_warehouse_platform_spark.sources.tables import (
+        write_bucketed_dir,
     )
-    if max_records_per_file:
-        w = w.option("maxRecordsPerFile", max_records_per_file)
-    w.saveAsTable(name)
+
+    if mode != "overwrite":
+        _ensure_state_table(df.sparkSession, sdir, bucket_col, buckets, ddl)
+    write_bucketed_dir(
+        df,
+        _state_table_name(sdir),
+        sdir,
+        bucket_col,
+        buckets,
+        mode=mode,
+        max_records_per_file=max_records_per_file,
+    )
 
 
 def read_committed_corpus(spark: SparkSession, output: str | Path) -> DataFrame:

@@ -2384,6 +2384,7 @@ def q_corpus_substring_spans_incremental(spark: SparkSession, sf: str) -> DataFr
     Scale shape per append: map-only gram build of the batch, one scan
     of each stored table with NO store shuffle in either mode, one
     batch-keyed count window."""
+    import shutil
     import tempfile
 
     from cdc_historical_warehouse_platform_spark.sources.substr_index import (
@@ -2391,17 +2392,22 @@ def q_corpus_substring_spans_incremental(spark: SparkSession, sf: str) -> DataFr
     )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    idx = ExactSubstrIndex(
-        tempfile.mkdtemp(prefix="driver_xs_"), k=20, num_buckets=8
-    )
-    for i in range(3):
-        batch = docs.filter(F.col("doc_id") % 3 == i)
-        idx.append(
-            batch,
-            txn_id=f"driver_b{i}",
-            probe_mode="shuffle" if i == 2 else "broadcast",
-        )
-    return idx.spans(spark)
+    d = tempfile.mkdtemp(prefix="driver_xs_")
+    try:
+        idx = ExactSubstrIndex(d, k=20, num_buckets=8)
+        for i in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == i)
+            idx.append(
+                batch,
+                txn_id=f"driver_b{i}",
+                probe_mode="shuffle" if i == 2 else "broadcast",
+            )
+        # spans are duplicate-bounded (small) — pin them so the frame
+        # outlives the index files (the lineage-vs-teardown rule every
+        # stateful row uses); the gram-scale store never leaks
+        return idx.spans(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 DATAPIPE_QUERIES["corpus_substring_spans_incremental"] = (

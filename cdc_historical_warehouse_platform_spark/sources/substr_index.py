@@ -183,13 +183,19 @@ class ExactSubstrIndex:
 
     @staticmethod
     def _auto_txn_id(new_docs: DataFrame) -> str:
-        """Content-derived txn id: order-independent hash of the batch's
-        doc ids + row count. One bounded 1-row aggregate. The hash sum
-        runs in decimal(38,0): a long sum overflows under ANSI mode at
-        batch sizes a real append actually hits."""
+        """Content-derived txn id: order-independent hash of the
+        batch's (doc_id, text) PAIRS + row count — the text is part of
+        the identity, so a batch re-emitted with the same ids but
+        different text gets a DISTINCT txn instead of silently
+        no-op'ing as a replay (it then appends, surfacing the
+        unique-id-contract violation as duplicate grams rather than
+        silent loss). One bounded 1-row aggregate; the hash sum runs
+        in decimal(38,0) because a long sum overflows under ANSI mode
+        at batch sizes a real append actually hits."""
         sig = new_docs.select(
             F.sum(
-                F.xxhash64(F.col("doc_id").cast("long")).cast("decimal(38,0)")
+                F.xxhash64(F.col("doc_id").cast("long"), F.col("text"))
+                .cast("decimal(38,0)")
             ).alias("h"),
             F.count(F.lit(1)).alias("n"),
         ).first()
@@ -363,6 +369,10 @@ class ExactSubstrIndex:
             dsegs = (
                 self.duphash.segments(spark) if self.duphash.exists() else []
             )
+            from cdc_historical_warehouse_platform_spark.operators.dedup import (
+                _union_all,
+            )
+
             parts = []
             for useg in self.unique.segments(spark):
                 live_u = useg
@@ -372,9 +382,7 @@ class ExactSubstrIndex:
                 for dseg in dsegs:
                     live_u = live_u.join(dseg, "g", "anti")
                 parts.append(live_u)
-            live = parts[0]
-            for p in parts[1:]:
-                live = live.unionByName(p)
+            live = _union_all(parts)
         else:
             d = self._read_or_empty(spark, self.duphash, _DUP_SCHEMA)
             live = u.join(d, "g", "anti")

@@ -35,9 +35,29 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["VersionedTable", "BucketedSegmentTable"]
+__all__ = [
+    "VersionedTable",
+    "BucketedSegmentTable",
+    "register_bucketed_dir",
+    "write_bucketed_dir",
+]
 
 _POINTER = "_LATEST"
+
+# txn->version entries power order-free replay of multi-table
+# transactions; replay happens immediately after a crash, so only the
+# newest entries matter — cap the map so pointer size stays O(1) per
+# append instead of O(total appends) (the txns list itself is the
+# long-standing idempotence ledger and keeps its full history)
+_TXN_VERSION_RETENTION = 128
+
+
+def _pruned_txn_versions(txn_versions: dict) -> dict:
+    if len(txn_versions) <= _TXN_VERSION_RETENTION:
+        return txn_versions
+    keep = sorted(txn_versions.items(), key=lambda kv: kv[1])
+    return dict(keep[-_TXN_VERSION_RETENTION:])
+
 
 
 class VersionedTable:
@@ -103,8 +123,11 @@ class VersionedTable:
         replayer reads every table AS OF (its txn's version − 1), so
         delta recomputation sees the same pre-txn snapshot no matter
         which subset of a multi-table transaction landed before the
-        crash. (Pointers written before r8 carry no txn_versions map —
-        callers fall back to their order-dependent recovery.)"""
+        crash. Entries are retained for the newest
+        ``_TXN_VERSION_RETENTION`` txns only (pointer size stays O(1)
+        per append); older txns — and pointers written before r8 —
+        return None and callers fall back to their order-dependent
+        recovery."""
         meta = self._read_pointer()
         if meta is None:
             return None
@@ -145,7 +168,7 @@ class VersionedTable:
                 "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
-                "txn_versions": txn_versions,
+                "txn_versions": _pruned_txn_versions(txn_versions),
                 "schema": df.schema.json(),
                 "columns": list(df.columns),
                 "partition_by": list(partition_by or []),
@@ -188,7 +211,7 @@ class VersionedTable:
                 "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
-                "txn_versions": txn_versions,
+                "txn_versions": _pruned_txn_versions(txn_versions),
                 "schema": df.schema.json(),
                 "columns": list(df.columns),
                 "partition_by": [],
@@ -231,7 +254,7 @@ class VersionedTable:
                 "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
-                "txn_versions": txn_versions,
+                "txn_versions": _pruned_txn_versions(txn_versions),
                 "schema": schema_json,
                 "columns": columns,
                 "partition_by": [],
@@ -273,7 +296,7 @@ class VersionedTable:
                 "manifests": manifests,
                 "committed_at": time.time(),
                 "txns": txns,
-                "txn_versions": txn_versions,
+                "txn_versions": _pruned_txn_versions(txn_versions),
                 "schema": schema_json,
                 "columns": columns,
                 "partition_by": [],
@@ -360,6 +383,63 @@ class VersionedTable:
         return removed
 
 
+
+def register_bucketed_dir(
+    spark: SparkSession,
+    name: str,
+    path: Path,
+    bucket_col: str,
+    num_buckets: int,
+    cols_ddl: str,
+) -> DataFrame:
+    """Idempotently register ``path`` as a bucketed external catalog
+    table and return its scan (HashPartitioning(bucket_col,
+    num_buckets) from the file layout — probing it shuffles only the
+    probe side). Shared by BucketedSegmentTable and the corpus
+    pipeline's bucketed state dirs; the files (plus their owner's
+    pointer/marker) are the source of truth — the in-memory catalog
+    does not persist and is rebuilt from this on demand."""
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} ({cols_ddl}) USING PARQUET "
+            f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{Path(path).resolve()}'"
+        )
+    return spark.table(name)
+
+
+def write_bucketed_dir(
+    df: DataFrame,
+    name: str,
+    path: Path,
+    bucket_col: str,
+    num_buckets: int,
+    mode: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` into ``path`` as bucketed parquet via the catalog
+    table ``name``. ``overwrite`` drops any stale same-name entry (a
+    rebuild-in-place may carry a different bucket spec) and clears the
+    directory; ``append`` requires the table to be registered first
+    (callers use :func:`register_bucketed_dir`). The pre-write
+    repartition uses the same murmur3-pmod router as the bucket-id
+    assignment, so each write lands one file per touched bucket."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+    w = (
+        df.repartition(num_buckets, bucket_col)
+        .write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", str(path))
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.saveAsTable(name)
+
+
 class BucketedSegmentTable(VersionedTable):
     """A :class:`VersionedTable` whose segments are Spark-BUCKETED
     parquet files (``CLUSTERED BY (bucket_col) INTO num_buckets
@@ -406,39 +486,33 @@ class BucketedSegmentTable(VersionedTable):
     ) -> None:
         if partition_by:
             raise ValueError("bucketed segments do not support partition_by")
-        spark = df.sparkSession
-        name = self._seg_table_name(vdir.name)
-        # crash-replay hygiene: a torn write may have left a catalog
-        # entry and/or files for this not-yet-committed version
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        if vdir.exists():
-            shutil.rmtree(vdir)
-        (
-            df.repartition(self.num_buckets, self.bucket_col)
-            .write.mode("overwrite")
-            .bucketBy(self.num_buckets, self.bucket_col)
-            .sortBy(self.bucket_col)
-            .option("path", str(vdir))
-            .saveAsTable(name)
+        # overwrite doubles as crash-replay hygiene: a torn write may
+        # have left a catalog entry and/or files for this
+        # not-yet-committed version
+        write_bucketed_dir(
+            df,
+            self._seg_table_name(vdir.name),
+            vdir,
+            self.bucket_col,
+            self.num_buckets,
+            mode="overwrite",
         )
 
     def _register_segment(self, spark: SparkSession, vdir_name: str, schema_json: str):
-        name = self._seg_table_name(vdir_name)
-        if not spark.catalog.tableExists(name):
-            from pyspark.sql import types as T
+        from pyspark.sql import types as T
 
-            schema = T.StructType.fromJson(json.loads(schema_json))
-            cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-            )
-            spark.sql(
-                f"CREATE TABLE {name} ({cols}) USING PARQUET "
-                f"CLUSTERED BY (`{self.bucket_col}`) "
-                f"SORTED BY (`{self.bucket_col}`) "
-                f"INTO {self.num_buckets} BUCKETS "
-                f"LOCATION '{(self.path / vdir_name).resolve()}'"
-            )
-        return spark.table(name)
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        return register_bucketed_dir(
+            spark,
+            self._seg_table_name(vdir_name),
+            self.path / vdir_name,
+            self.bucket_col,
+            self.num_buckets,
+            cols,
+        )
 
     def segments(self, spark: SparkSession, version: int | None = None) -> list:
         """The current (or time-travel) version as a list of BUCKETED

@@ -2230,3 +2230,46 @@ def test_corpus_compact_state_dirs(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     } == corpus_ids
+
+
+def test_stdlib_codec_unsupported_subformats_fall_through(spark):
+    """Review fix (r8): stdlib-magic payloads whose SUB-format the
+    stdlib tier can't parse (palette BMP, float WAV) must fall through
+    to the Pillow/librosa tier — raising the codec env stub here (no
+    libs in this container), NOT the stdlib ValueError. Installing the
+    libs therefore never decodes LESS than before the stdlib tier."""
+    import importlib.util
+    import io
+    import struct
+    import wave as _w
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    # 8-bit (palette) BMP header: stdlib tier refuses bpp != 24
+    hdr = struct.pack("<2sIHHI", b"BM", 200, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, 64, 2835, 2835, 0, 0
+    )
+    # float32 WAV (format tag 3): stdlib wave module refuses it
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(np.zeros(16, "<i2").tobytes())
+    float_wav = bytearray(buf.getvalue())
+    float_wav[20:22] = struct.pack("<H", 3)  # IEEE float format tag
+
+    if importlib.util.find_spec("PIL") is None:
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(bytes(hdr) + b"\x00" * 146)
+    if importlib.util.find_spec("librosa") is None:
+        with _pytest.raises(NotImplementedError, match="librosa"):
+            decode_audio(bytes(float_wav))
+    # and the supported sub-formats still decode via the stdlib tier
+    assert decode_audio(buf.getvalue())[1] == 8000
