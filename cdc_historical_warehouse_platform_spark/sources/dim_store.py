@@ -185,14 +185,48 @@ class SCD2DimStore:
 
         _reclaim_stages(self.path)
 
-        cur = self.read_current(spark)
-        # First-ever batch may be a bulk seed the size of the dimension:
-        # skip the micro-batch broadcast hint and let Catalyst/AQE pick
-        # (forcing a dimension-sized broadcast OOMs; every later batch
-        # is the CDC micro-batch contract and stays hinted).
-        tagged = scd2_merge_tagged(
-            cur, changes, batch_id=batch_id, hint_broadcast=meta is not None
-        )
+        # First-ever batch is a bulk seed the size of the dimension.
+        # When it carries at most one change per key (the normal seed
+        # shape), take the documented scalable path: the one-pass
+        # change-log builder — one business-key shuffle + windows, no
+        # merge join machinery (scd2.py: "Bulk HISTORY loads should use
+        # scd2_build_from_change_log"). Output equality with the merge
+        # is pinned by tests; batches with rapid updates fall back to
+        # the merge because its collapse semantics differ from the
+        # builder's version-per-change. The ≤1-per-key probe is one
+        # bounded aggregate, paid once per store lifetime.
+        tagged = None
+        if meta is None:
+            from cdc_historical_warehouse_platform_spark.operators.scd2 import (
+                scd2_build_from_change_log,
+            )
+            from pyspark.sql import functions as F
+
+            max_per_key = (
+                changes.groupBy("id")
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+                or 0
+            )
+            if max_per_key <= 1:
+                tagged = scd2_build_from_change_log(
+                    changes, batch_id=batch_id
+                ).withColumn(
+                    PART_COLUMN,
+                    F.when(F.col("is_current"), F.lit("current")).otherwise(
+                        F.lit("expired")
+                    ),
+                )
+        if tagged is None:
+            cur = self.read_current(spark)
+            # Bulk first batch with rapid updates: skip the micro-batch
+            # broadcast hint and let Catalyst/AQE pick (forcing a
+            # dimension-sized broadcast OOMs; every later batch is the
+            # CDC micro-batch contract and stays hinted).
+            tagged = scd2_merge_tagged(
+                cur, changes, batch_id=batch_id, hint_broadcast=meta is not None
+            )
         dim_schema = tagged.drop(PART_COLUMN).schema
         dim_columns = [c for c in tagged.columns if c != PART_COLUMN]
 

@@ -254,3 +254,55 @@ def test_merge_tagged_single_probe_plan(spark, change_df, tmp_path):
     # pushed is_current partition filter), never the full payload
     assert "order_key" in skinny[0] and "customer_id" not in skinny[0]
     assert "SortMergeJoin" not in plan  # dimension is never shuffled
+
+
+def test_dim_store_first_batch_bulk_path_equals_merge(spark, tmp_path, change_df):
+    """r8: the store's first-ever batch takes the one-pass bulk-build
+    path when it carries <=1 change per key — output must equal the
+    merge path exactly; a rapid-update seed must fall back to the
+    merge (its collapse semantics differ from version-per-change)."""
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    cols = [
+        "order_key", "quantity", "valid_from", "valid_to",
+        "is_current", "cdc_operation", "batch_id", "surrogate_key",
+    ]
+
+    def store_rows(store):
+        return sorted(
+            tuple(r[c] for c in cols) for r in store.read(spark).collect()
+        )
+
+    def merge_rows(batch):
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in scd2_merge(empty_dim(spark), batch, batch_id="b1").collect()
+        )
+
+    seed = change_df(
+        [
+            make_change(1, "INSERT", ts(0)),
+            make_change(2, "INSERT", ts(1), quantity=3),
+            make_change(3, "DELETE", ts(2)),
+        ]
+    )
+    s1 = SCD2DimStore(tmp_path / "bulk")
+    s1.apply_batch(spark, seed, txn_id="t1", batch_id="b1")
+    assert store_rows(s1) == merge_rows(seed)
+    assert len(store_rows(s1)) == 2
+
+    rapid = change_df(
+        [
+            make_change(7, "INSERT", ts(0)),
+            make_change(7, "UPDATE", ts(5), quantity=9),
+            make_change(8, "INSERT", ts(1)),
+        ]
+    )
+    s2 = SCD2DimStore(tmp_path / "rapid")
+    s2.apply_batch(spark, rapid, txn_id="t1", batch_id="b1")
+    assert store_rows(s2) == merge_rows(rapid)
+
+    # later batches through both stores still merge identically
+    b2 = change_df([make_change(1, "UPDATE", ts(10), quantity=5)])
+    s1.apply_batch(spark, b2, txn_id="t2", batch_id="b2")
+    assert_invariants(s1.read(spark).collect())
