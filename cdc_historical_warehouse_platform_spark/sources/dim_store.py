@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from cdc_historical_warehouse_platform_spark.operators.scd2 import (
     PART_COLUMN,
     empty_dim,
+    scd2_build_from_change_log,
     scd2_merge_tagged,
 )
 from cdc_historical_warehouse_platform_spark.sources.tables import VersionedTable
@@ -48,6 +49,39 @@ def _pid_alive(pid: int) -> bool:
     except PermissionError:
         return True  # alive, owned by someone else
     return True
+
+
+
+def _seed_or_merge_tagged(
+    cur: DataFrame, changes: DataFrame, batch_id: str | None, first: bool
+) -> DataFrame:
+    """The tagged merge, with the bulk-seed fast path all three store
+    tiers share: a FIRST-EVER batch carrying at most one change per
+    key (the normal seed shape) routes through the one-pass change-log
+    builder — one business-key shuffle plus windows, no merge join
+    machinery (scd2.py: "Bulk HISTORY loads should use
+    scd2_build_from_change_log"). Output equality with the merge is
+    pinned by tests; rapid-update seeds fall back to the merge because
+    its collapse semantics differ from the builder's
+    version-per-change. The ≤1-per-key probe is one bounded aggregate,
+    paid once per store lifetime. Later batches keep the broadcast
+    micro-batch hint; a bulk first batch through the merge must not
+    force a dimension-sized broadcast (OOM), so the hint follows
+    ``first``."""
+    if first:
+        max_per_key = (
+            changes.groupBy("id").count().agg(F.max("count")).first()[0] or 0
+        )
+        if max_per_key <= 1:
+            return scd2_build_from_change_log(changes, batch_id=batch_id).withColumn(
+                PART_COLUMN,
+                F.when(F.col("is_current"), F.lit("current")).otherwise(
+                    F.lit("expired")
+                ),
+            )
+    return scd2_merge_tagged(
+        cur, changes, batch_id=batch_id, hint_broadcast=not first
+    )
 
 
 def _reclaim_stages(root: Path) -> None:
@@ -185,48 +219,9 @@ class SCD2DimStore:
 
         _reclaim_stages(self.path)
 
-        # First-ever batch is a bulk seed the size of the dimension.
-        # When it carries at most one change per key (the normal seed
-        # shape), take the documented scalable path: the one-pass
-        # change-log builder — one business-key shuffle + windows, no
-        # merge join machinery (scd2.py: "Bulk HISTORY loads should use
-        # scd2_build_from_change_log"). Output equality with the merge
-        # is pinned by tests; batches with rapid updates fall back to
-        # the merge because its collapse semantics differ from the
-        # builder's version-per-change. The ≤1-per-key probe is one
-        # bounded aggregate, paid once per store lifetime.
-        tagged = None
-        if meta is None:
-            from cdc_historical_warehouse_platform_spark.operators.scd2 import (
-                scd2_build_from_change_log,
-            )
-            from pyspark.sql import functions as F
-
-            max_per_key = (
-                changes.groupBy("id")
-                .count()
-                .agg(F.max("count"))
-                .first()[0]
-                or 0
-            )
-            if max_per_key <= 1:
-                tagged = scd2_build_from_change_log(
-                    changes, batch_id=batch_id
-                ).withColumn(
-                    PART_COLUMN,
-                    F.when(F.col("is_current"), F.lit("current")).otherwise(
-                        F.lit("expired")
-                    ),
-                )
-        if tagged is None:
-            cur = self.read_current(spark)
-            # Bulk first batch with rapid updates: skip the micro-batch
-            # broadcast hint and let Catalyst/AQE pick (forcing a
-            # dimension-sized broadcast OOMs; every later batch is the
-            # CDC micro-batch contract and stays hinted).
-            tagged = scd2_merge_tagged(
-                cur, changes, batch_id=batch_id, hint_broadcast=meta is not None
-            )
+        tagged = _seed_or_merge_tagged(
+            self.read_current(spark), changes, batch_id, first=meta is None
+        )
         dim_schema = tagged.drop(PART_COLUMN).schema
         dim_columns = [c for c in tagged.columns if c != PART_COLUMN]
 
@@ -474,8 +469,8 @@ class BucketedSCD2DimStore(SCD2DimStore):
         else:
             cur = empty_dim(spark)
 
-        tagged = scd2_merge_tagged(
-            cur, changes, batch_id=batch_id, hint_broadcast=meta is not None
+        tagged = _seed_or_merge_tagged(
+            cur, changes, batch_id, first=meta is None
         ).localCheckpoint(eager=True)  # touched-slice-sized; feeds 2 writes
         dim_columns = [c for c in tagged.columns if c != PART_COLUMN]
 
@@ -751,8 +746,8 @@ class MergeOnReadSCD2DimStore(SCD2DimStore):
                 .join(F.broadcast(batch_keys), BUSINESS_KEY, "left_semi")
                 .localCheckpoint(eager=True)
             )
-        tagged = scd2_merge_tagged(
-            relevant, changes, batch_id=batch_id, hint_broadcast=not first
+        tagged = _seed_or_merge_tagged(
+            relevant, changes, batch_id, first=first
         ).localCheckpoint(eager=True)  # batch-key-bounded by construction
         dim_columns = [c for c in tagged.columns if c != PART_COLUMN]
 
