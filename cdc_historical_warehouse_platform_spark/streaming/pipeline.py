@@ -341,3 +341,60 @@ def streaming_interval_join(
         left_ts, right_ts, lower_seconds, upper_seconds
     )
     return lw.join(rw, cond, "inner").drop("__lbin", "__rbin")
+
+
+def start_substr_index_stream(
+    spark: SparkSession,
+    docs_dir: str | Path,
+    index,
+    checkpoint_dir: str | Path,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """Continuous incremental-ExactSubstr maintenance (r8): documents
+    stream in (json-lines ``{"doc_id": ..., "text": ...}`` files under
+    ``docs_dir``, the raw-ingest wire shape) and every micro-batch is
+    admitted into the persisted k-gram index through the SAME append
+    the batch path uses — exactly-once via the index's content-derived
+    txn ids (a checkpoint-recovery replay of an epoch re-derives the
+    same txn and every table's guard no-ops it; a crash BETWEEN the
+    four concurrent table writes replays order-free through the
+    pre-txn snapshot reads). Already-admitted doc ids are anti-joined
+    out first, so re-delivered files cost one ids-only probe, never a
+    re-gram-stream.
+
+    Per-epoch cost is O(batch + candidates) — the streaming twin of
+    ``substr-append``; spans/clean read the same store either way.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(str(docs_dir))
+    )
+
+    def _admit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = batch_df.join(
+            index.admitted_ids(batch_df.sparkSession), "doc_id", "anti"
+        ).localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+        index.append(fresh)
+
+    writer = docs.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

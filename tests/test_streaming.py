@@ -648,3 +648,83 @@ def test_scd2_stream_into_mor_and_bucketed_stores(tmp_path, spark):
     assert results["full"] == results["bucketed"] == results["mor"]
     cur_keys = [r[0] for r in results["full"][0]]
     assert cur_keys == [1, 2, 4, 5]  # key 3 deleted
+
+
+def test_substr_index_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """r8 streaming-native incremental ExactSubstr: documents streamed
+    as jsonl files through start_substr_index_stream must leave the
+    persisted index in EXACTLY the state the batch path produces over
+    the same docs; a second availableNow run over the same dir (plus a
+    re-delivered file) is a no-op (admitted-ids anti + txn guards);
+    new files in a later run extend the index incrementally."""
+    import json as _json
+
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import (
+        start_substr_index_stream,
+    )
+
+    def w(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    shared = w("s", 6)
+    late = w("L", 5)
+    rows1 = [(1, f"{w('a', 5)} {shared} {w('b', 5)}"), (2, f"{late} {w('c', 8)}")]
+    rows2 = [(3, f"{w('d', 3)} {shared} {w('e', 7)}"), (4, w("f", 12))]
+    rows3 = [(5, f"{w('g', 4)} {late} {w('h', 6)}")]
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+
+    def drop(name, rows):
+        (docs_dir / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    drop("b1.json", rows1)
+    drop("b2.json", rows2)
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4, num_buckets=4)
+    q = start_substr_index_stream(spark, docs_dir, idx, tmp_path / "ckpt")
+    q.awaitTermination(120)
+
+    def spans_set(df):
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+            for r in df.collect()
+        }
+
+    all_docs = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    assert spans_set(idx.spans(spark)) == spans_set(
+        exact_substring_spans(all_docs, k=4)
+    )
+    state = (
+        idx.flagged.read(spark).count(),
+        idx.unique.read(spark).count(),
+        idx.duphash.read(spark).count(),
+    )
+
+    # restart + re-delivery: same files plus a byte-identical copy of
+    # b1 under a new name — nothing may double
+    drop("b1_redelivered.json", rows1)
+    q = start_substr_index_stream(spark, docs_dir, idx, tmp_path / "ckpt")
+    q.awaitTermination(120)
+    assert (
+        idx.flagged.read(spark).count(),
+        idx.unique.read(spark).count(),
+        idx.duphash.read(spark).count(),
+    ) == state
+
+    # a genuinely new file extends the index (the 1->2 frontier via
+    # 'late' appearing again), equal to a from-scratch rebuild
+    drop("b3.json", rows3)
+    q = start_substr_index_stream(spark, docs_dir, idx, tmp_path / "ckpt")
+    q.awaitTermination(120)
+    all3 = spark.createDataFrame(rows1 + rows2 + rows3, "doc_id long, text string")
+    assert spans_set(idx.spans(spark)) == spans_set(
+        exact_substring_spans(all3, k=4)
+    )
