@@ -347,6 +347,18 @@ class ExactSubstrIndex:
             "probe_mode": probe_mode,
         }
 
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Reclaim segment directories older than the newest
+        ``keep_last`` versions of every table (compaction and appends
+        leave superseded versions readable for time travel / pre-txn
+        replay — this is the retention knob, same contract as
+        VersionedTable.vacuum). Keep at least 2 so an in-flight
+        append's pre-txn snapshot stays resolvable."""
+        return {
+            name: getattr(self, name).vacuum(keep_last=keep_last)
+            for name in ("unique", "duphash", "flagged", "docs")
+        }
+
     def admitted_ids(self, spark: SparkSession) -> DataFrame:
         """(doc_id) of every doc ever appended — the anti-join side for
         idempotent re-ingestion (covers zero-gram short docs too)."""

@@ -841,7 +841,13 @@ def main() -> int:
             if not idx.exists():
                 print(json.dumps({"error": f"no index under {args.output}"}))
                 return 1
-            print(json.dumps(idx.compact(spark)))
+            stats = idx.compact(spark)
+            # compaction supersedes old versions; reclaim them in the
+            # same maintenance pass (keep 2 for time travel / replay)
+            stats["vacuumed"] = {
+                t: len(v) for t, v in idx.vacuum(keep_last=2).items()
+            }
+            print(json.dumps(stats))
     elif args.command in ("quality-train", "quality-score"):
         # model-based quality filter: fit the deterministic logistic
         # classifier on a labeled seed rule, persist the tiny model as

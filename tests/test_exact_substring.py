@@ -486,3 +486,35 @@ def test_order_free_replay_any_commit_subset(spark, tmp_path, monkeypatch):
     idx.append(_docs(spark, [(5, f"{shared} {_w('c', 6)}")]), txn_id="t3")
     clean.append(_docs(spark, [(5, f"{shared} {_w('c', 6)}")]), txn_id="t3")
     assert _spans_set(idx.spans(spark)) == _spans_set(clean.spans(spark))
+
+
+def test_vacuum_reclaims_superseded_versions_keeps_spans(spark, tmp_path):
+    """vacuum(keep_last=1) after compaction drops the pre-compaction
+    unique segments; spans and future appends are unaffected (they
+    read the compacted version)."""
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+
+    shared = _w("s", 5)
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4, num_buckets=4)
+    idx.append(_docs(spark, [(1, f"{shared} {_w('a', 6)}")]), txn_id="t1")
+    idx.append(_docs(spark, [(2, f"{shared} {_w('b', 6)}")]), txn_id="t2")
+    spans_before = _spans_set(idx.spans(spark))
+    idx.compact(spark)
+    removed = idx.vacuum(keep_last=1)
+    assert removed["unique"], "pre-compaction segments must be reclaimed"
+    assert _spans_set(idx.spans(spark)) == spans_before
+    idx.append(_docs(spark, [(3, f"{shared} {_w('c', 6)}")]), txn_id="t3")
+    all_docs = _docs(
+        spark,
+        [(1, f"{shared} {_w('a', 6)}"), (2, f"{shared} {_w('b', 6)}"),
+         (3, f"{shared} {_w('c', 6)}")],
+    )
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    assert _spans_set(idx.spans(spark)) == _spans_set(
+        exact_substring_spans(all_docs, k=4)
+    )
