@@ -21,6 +21,14 @@ Notes for real deployments, encoded here so the local tests match:
   a regression is loud).
 - ``sortBy`` lets the sort-merge join skip its per-task sort when the
   scan preserves order; we always sort by the bucket key.
+
+Sibling machinery: for PIPELINE-OWNED state whose source of truth is
+files + a pointer/marker (not the catalog), use
+``sources/tables.register_bucketed_dir`` / ``write_bucketed_dir`` —
+they add idempotent re-registration from bare files (fresh sessions),
+the repartition-to-bucket-count write discipline, and stale-entry
+DROP hygiene. This module stays the catalog-native path for
+user-facing warehouse tables.
 """
 
 from __future__ import annotations
