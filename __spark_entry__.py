@@ -58,6 +58,11 @@ _PRIORITY = [
     "corpus_substring_spans_incremental",
     "corpus_export_manifest",
     "scd2_time_travel",
+    # --- new r08 rows (never driver-checked): running COUNT(DISTINCT)
+    # window (collect_set formulation vs the first-occurrence
+    # cumulative-flag oracle) and exact median absolute deviation ---
+    "window_distinct_running",
+    "agg_mad_robust",
     # --- r08 rotation: the now-stalest rows promoted back into the
     # window (last driver-checked r02/r03 — the verdict's "no row
     # older than 5 rounds" rule) ---
@@ -93,8 +98,6 @@ _PRIORITY = [
     "layout_zorder_tiles",
     "corpus_dsir_weights",
     "text_bpe_pair_counts",
-    "agg_listagg_ordered",
-    "agg_boolean_aggregates",
     "agg_bitwise",
     "corpus_dsir_resample",
     # --- r06/r07 keeps: the structurally-hardest TPC-H shapes ---
@@ -141,6 +144,8 @@ _DEMOTED = [
     "join_fuzzy_part_names",     # green r06+r07; blocked-Levenshtein join family — string surface repped by promoted scalar_functions + kept text_bpe_pair_counts
     "basket_brand_pairs",        # green r06+r07; support/lift pair-count shape ≡ kept events_transition_matrix's pair aggregation
     "agg_higher_moments",        # green r06+r07; exact-decimal-moment discipline also inside kept agg_bitwise/boolean rows' decimal handling + pytest
+    "agg_listagg_ordered",       # green r06+r07; within-group ordering family repped by promoted sort_topk_orders + the new window_distinct_running's total-order contract
+    "agg_boolean_aggregates",    # green r06+r07; boolean/FILTER agg family repped by kept agg_bitwise + promoted agg_conditional_counts
 
     # --- r07 rotation: slots ceded to the three new r7 rows and the
     # eleven promoted r02-stale rows. agg_distinct_sketch_rollup is

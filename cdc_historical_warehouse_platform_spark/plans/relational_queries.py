@@ -3333,3 +3333,108 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 RELATIONAL_QUERIES["agg_bitwise"] = (q_agg_bitwise, SQL_AGG_BITWISE)
+
+
+def q_window_distinct_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window (r8) — per supplier, the
+    number of distinct parts shipped up to and including each line,
+    under a TOTAL order (shipdate, orderkey, linenumber). Spark has no
+    DISTINCT window aggregate, so the idiomatic form is
+    ``size(collect_set(...))`` over an unbounded-preceding frame; the
+    oracle takes the classic first-occurrence formulation (flag the
+    first row of each (supplier, part), cumulative-sum the flags) —
+    hash equality proves the two formulations coincide, which only
+    holds if both engines apply the identical total order.
+
+    Scale shape: one shuffle on the supplier key serves the window;
+    state per partition is the supplier's distinct-part set (bounded
+    by the part catalog, not the fact table). Suppliers are capped to
+    keep the driver-gate output stable-sized; the cap is a pushed-down
+    scan filter."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 50)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.size(F.collect_set("l_partkey").over(w)).alias("distinct_parts"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+SQL_WINDOW_DISTINCT_RUNNING = """
+WITH flagged AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+         CASE WHEN row_number() OVER (
+                PARTITION BY l_suppkey, l_partkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM lineitem WHERE l_suppkey <= 50
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(first_seen) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS UNBOUNDED PRECEDING) AS INT) AS distinct_parts
+FROM flagged
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+RELATIONAL_QUERIES["window_distinct_running"] = (
+    q_window_distinct_running,
+    SQL_WINDOW_DISTINCT_RUNNING,
+)
+
+
+def q_agg_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """Median absolute deviation per group (r8) — the robust-statistics
+    pair to the exact-moment rows: MAD = median(|x − median(x)|), both
+    medians EXACT (percentile_cont 0.5, linear interpolation — the
+    same cross-engine interpolation contract agg_exact_percentiles
+    pinned). Two grouped aggregates with the group medians broadcast
+    back between them; the fact table shuffles once per aggregate on
+    the (tiny-cardinality) group key, never on rows."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("p")
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(p, 0.5)").alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .select("o_orderpriority", F.abs(F.col("p") - F.col("med")).alias("d"), "med")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("med").alias("median_price"),
+            F.expr("percentile(d, 0.5)").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_AGG_MAD_ROBUST = """
+WITH base AS (
+  SELECT o_orderpriority, CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS p
+  FROM orders
+),
+med AS (
+  SELECT o_orderpriority, percentile_cont(0.5) WITHIN GROUP (ORDER BY p) AS med
+  FROM base GROUP BY o_orderpriority
+)
+SELECT b.o_orderpriority,
+       ANY_VALUE(m.med) AS median_price,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY ABS(b.p - m.med)) AS mad,
+       COUNT(*) AS n
+FROM base b JOIN med m USING (o_orderpriority)
+GROUP BY b.o_orderpriority
+ORDER BY b.o_orderpriority
+"""
+
+RELATIONAL_QUERIES["agg_mad_robust"] = (q_agg_mad_robust, SQL_AGG_MAD_ROBUST)
