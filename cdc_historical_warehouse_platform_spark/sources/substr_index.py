@@ -223,14 +223,16 @@ class ExactSubstrIndex:
         2M grams ≈ 100 MB of md5 strings, comfortably inside the
         broadcast budget).
 
-        The four table appends share ``txn_id`` and run CONCURRENTLY
-        (r8 — they were the serial tail of the append cycle). Replay
-        safety is ORDER-FREE: the probe reads go through the pre-txn
-        snapshot (:meth:`_read_pre_txn` — each table AS OF its txn's
-        version − 1 when the txn committed there), so a replay
-        recomputes byte-identical deltas no matter which subset of the
-        four tables a crash let commit; committed tables skip, the
-        rest complete. The auto id is derived from the BATCH CONTENT
+        The four table appends share ``txn_id``; the three gram tables
+        run CONCURRENTLY (r8 — they were the serial tail of the append
+        cycle) and ``docs`` commits LAST as the txn's completion
+        marker. Replay safety is ORDER-FREE among the concurrent
+        three: the probe reads go through the pre-txn snapshot
+        (:meth:`_read_pre_txn` — each table AS OF its txn's version −
+        1 when the txn committed there), so a replay recomputes
+        byte-identical deltas no matter which subset a crash let
+        commit; committed tables skip, the rest complete, and a
+        fully-committed txn short-circuits before any computation. The auto id is derived from the BATCH CONTENT
         (order-independent hash of its doc ids + count), not from any
         table's version: a version-derived id would collide with the
         torn txn after a crash, and the committed-txn guard would then
@@ -248,6 +250,21 @@ class ExactSubstrIndex:
             meta_file.write_text(json.dumps(meta))
         if txn_id is None:
             txn_id = self._auto_txn_id(new_docs)
+        # fully-committed replay: short-circuit BEFORE any delta
+        # computation — the pre-txn snapshot an old txn would recompute
+        # against may have been vacuumed, and recomputing it would be
+        # wasted work anyway (docs commits LAST below, so its ledger
+        # alone implies the whole txn; the all-four check also covers
+        # legacy states)
+        if all(
+            txn_id in t.committed_txns()
+            for t in (self.flagged, self.duphash, self.unique, self.docs)
+        ):
+            return {
+                "txn_id": txn_id,
+                "flagged_version": self.flagged.version(),
+                "probe_mode": "noop",
+            }
         if probe_mode == "auto":
             if not (self._bucketed and self.unique.exists()):
                 probe_mode = "broadcast"
@@ -329,18 +346,25 @@ class ExactSubstrIndex:
                 txn_id=txn_id,
             )
 
-        def _w_docs():
-            self.docs.append(
-                new_docs.select(F.col("doc_id").cast("long")).distinct(),
-                txn_id=txn_id,
-            )
-
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             f_flagged = ex.submit(_w_flagged)
-            futs = [ex.submit(w) for w in (_w_dup, _w_unique, _w_docs)]
+            futs = [ex.submit(w) for w in (_w_dup, _w_unique)]
             n_flagged = f_flagged.result()
             for f in futs:
                 f.result()
+        # docs commits LAST, after every gram table resolved: a doc's
+        # presence in admitted_ids then IMPLIES its grams/flags are
+        # committed, which is what makes the admitted-ids anti-join
+        # (CLI substr-append, the streaming maintainer) a sound
+        # re-delivery filter — an anti against a concurrently-committed
+        # docs table could mask a torn txn's missing gram state forever.
+        # The cheap sequential tail (~0.2 s) buys that completion-marker
+        # property; flagged/dup/unique still run concurrently under the
+        # order-free pre-txn replay contract.
+        self.docs.append(
+            new_docs.select(F.col("doc_id").cast("long")).distinct(),
+            txn_id=txn_id,
+        )
         return {
             "txn_id": txn_id,
             "flagged_version": n_flagged,

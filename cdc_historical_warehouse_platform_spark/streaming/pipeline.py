@@ -34,6 +34,7 @@ __all__ = [
     "sessionized_event_counts",
     "streaming_enrich",
     "streaming_interval_join",
+    "start_substr_index_stream",
 ]
 
 
@@ -383,9 +384,18 @@ def start_substr_index_stream(
     def _admit(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        fresh = batch_df.join(
-            index.admitted_ids(batch_df.sparkSession), "doc_id", "anti"
-        ).localCheckpoint(eager=True)
+        # two byte-identical re-delivered files can land in ONE trigger
+        # (fresh checkpoint): collapse them before the admitted-ids
+        # anti or the index would see the same doc twice in one batch
+        # and flag every gram as a self-duplicate. The anti itself is
+        # a SOUND re-delivery filter because the docs table commits
+        # LAST inside index.append (presence implies the whole txn
+        # landed — a torn txn's docs never mask its missing grams).
+        fresh = (
+            batch_df.dropDuplicates(["doc_id", "text"])
+            .join(index.admitted_ids(batch_df.sparkSession), "doc_id", "anti")
+            .localCheckpoint(eager=True)
+        )
         if fresh.isEmpty():
             return
         index.append(fresh)

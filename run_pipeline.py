@@ -842,8 +842,10 @@ def main() -> int:
                 print(json.dumps({"error": f"no index under {args.output}"}))
                 return 1
             stats = idx.compact(spark)
-            # compaction supersedes old versions; reclaim them in the
-            # same maintenance pass (keep 2 for time travel / replay)
+            # retention: reclaim versions older than the newest two —
+            # the segments THIS compaction superseded stay readable for
+            # one more pass (in-flight pre-txn replay can still resolve
+            # them); the PREVIOUS pass's superseded versions reclaim now
             stats["vacuumed"] = {
                 t: len(v) for t, v in idx.vacuum(keep_last=2).items()
             }

@@ -433,12 +433,14 @@ def test_compact_merges_duphash_segments(spark, tmp_path):
 
 
 def test_order_free_replay_any_commit_subset(spark, tmp_path, monkeypatch):
-    """r8 concurrent appends: a crash that lets UNIQUE and DOCS commit
-    while FLAGGED and DUP do not is the adversarial subset (a replay
-    reading latest state would see the batch's own singles in
-    stored_unique and flag every unique gram). The pre-txn snapshot
-    reads must recompute byte-identical deltas and complete the txn —
-    final state equal to a never-crashed twin."""
+    """r8 concurrent appends: a crash that lets UNIQUE commit while
+    FLAGGED and DUP do not is the adversarial subset (a replay reading
+    latest state would see the batch's own singles in stored_unique
+    and flag every unique gram). The pre-txn snapshot reads must
+    recompute byte-identical deltas and complete the txn — final state
+    equal to a never-crashed twin. (docs commits LAST by design — the
+    completion marker the admitted-ids anti-join relies on — so it
+    must NOT be committed in the torn state.)"""
     from cdc_historical_warehouse_platform_spark.sources.substr_index import (
         ExactSubstrIndex,
     )
@@ -468,10 +470,12 @@ def test_order_free_replay_any_commit_subset(spark, tmp_path, monkeypatch):
         raise AssertionError("append must propagate the injected crash")
     except RuntimeError as e:
         assert "injected" in str(e)
-    # the adversarial torn state actually happened
+    # the adversarial torn state actually happened — and docs, the
+    # completion marker, must NOT have committed
     assert "t2" in idx.unique.committed_txns()
     assert "t2" not in idx.flagged.committed_txns()
     assert "t2" not in idx.duphash.committed_txns()
+    assert "t2" not in idx.docs.committed_txns()
 
     monkeypatch.setattr(idx.flagged, "append", real_flagged)
     monkeypatch.setattr(idx.duphash, "append", real_dup)

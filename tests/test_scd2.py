@@ -256,12 +256,32 @@ def test_merge_tagged_single_probe_plan(spark, change_df, tmp_path):
     assert "SortMergeJoin" not in plan  # dimension is never shuffled
 
 
-def test_dim_store_first_batch_bulk_path_equals_merge(spark, tmp_path, change_df):
+def test_dim_store_first_batch_bulk_path_equals_merge(
+    spark, tmp_path, change_df, monkeypatch
+):
     """r8: the store's first-ever batch takes the one-pass bulk-build
     path when it carries <=1 change per key — output must equal the
     merge path exactly; a rapid-update seed must fall back to the
-    merge (its collapse semantics differ from version-per-change)."""
+    merge (its collapse semantics differ from version-per-change).
+    A route spy asserts each seed actually took ITS path (output
+    equality alone would stay green if the gate silently regressed to
+    always-merge)."""
+    from cdc_historical_warehouse_platform_spark.sources import dim_store as ds
     from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    routes: list[str] = []
+    real_build = ds.scd2_build_from_change_log
+    real_merge = ds.scd2_merge_tagged
+    monkeypatch.setattr(
+        ds,
+        "scd2_build_from_change_log",
+        lambda *a, **k: (routes.append("bulk"), real_build(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        ds,
+        "scd2_merge_tagged",
+        lambda *a, **k: (routes.append("merge"), real_merge(*a, **k))[1],
+    )
 
     cols = [
         "order_key", "quantity", "valid_from", "valid_to",
@@ -288,6 +308,7 @@ def test_dim_store_first_batch_bulk_path_equals_merge(spark, tmp_path, change_df
     )
     s1 = SCD2DimStore(tmp_path / "bulk")
     s1.apply_batch(spark, seed, txn_id="t1", batch_id="b1")
+    assert routes == ["bulk"], routes  # the fast path actually ran
     assert store_rows(s1) == merge_rows(seed)
     assert len(store_rows(s1)) == 2
 
@@ -298,8 +319,10 @@ def test_dim_store_first_batch_bulk_path_equals_merge(spark, tmp_path, change_df
             make_change(8, "INSERT", ts(1)),
         ]
     )
+    routes.clear()
     s2 = SCD2DimStore(tmp_path / "rapid")
     s2.apply_batch(spark, rapid, txn_id="t1", batch_id="b1")
+    assert routes == ["merge"], routes  # rapid-update seed fell back
     assert store_rows(s2) == merge_rows(rapid)
 
     # later batches through both stores still merge identically

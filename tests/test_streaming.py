@@ -728,3 +728,47 @@ def test_substr_index_stream_matches_batch_and_survives_restart(spark, tmp_path)
     assert spans_set(idx.spans(spark)) == spans_set(
         exact_substring_spans(all3, k=4)
     )
+
+
+def test_substr_stream_intra_batch_duplicate_files(spark, tmp_path):
+    """Review fix (r8): two byte-identical re-delivered files landing
+    in ONE micro-batch (fresh checkpoint) must not double-admit their
+    docs — the per-batch dedup collapses them before the index sees
+    the batch, so spans stay rebuild-exact."""
+    import json as _json
+
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        ExactSubstrIndex,
+    )
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import (
+        start_substr_index_stream,
+    )
+
+    def w(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    rows = [(1, f"{w('a', 5)} {w('s', 6)}"), (2, f"{w('s', 6)} {w('b', 5)}")]
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    body = "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+    (docs_dir / "b1.json").write_text(body)
+    (docs_dir / "b1_redelivered.json").write_text(body)  # same trigger!
+
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4, num_buckets=4)
+    q = start_substr_index_stream(spark, docs_dir, idx, tmp_path / "ckpt")
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+        for r in idx.spans(spark).collect()
+    }
+    expect = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+        for r in exact_substring_spans(all_docs, k=4).collect()
+    }
+    assert got == expect
+    assert idx.docs.read(spark).count() == 2  # admitted once each
