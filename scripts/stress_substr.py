@@ -156,6 +156,17 @@ def main() -> int:
         assert "Bucketed: true" in plan, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
 
+    # (4) maintenance at scale: compact drops dead frontier rows and
+    # merges dup segments; vacuum reclaims superseded versions; spans
+    # must be byte-identical throughout
+    t4 = time.time()
+    c = idx.compact(spark)
+    out["compact_sec"] = round(time.time() - t4, 2)
+    out["compact_rows_dropped"] = c["rows_before"] - c["rows_after"]
+    assert c["rows_after"] <= c["rows_before"]
+    idx.vacuum(keep_last=1)
+    assert spans_digest(idx.spans(spark)) == inc, "maintenance changed spans"
+
     out["ok"] = True
     print(json.dumps(out))
     return 0
