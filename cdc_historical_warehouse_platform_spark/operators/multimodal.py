@@ -260,8 +260,11 @@ def decode_image(payload: bytes):
     if payload[:2] in (b"BM", b"P6", b"P5"):
         try:
             return stdlib_image_decoder(payload)
-        except ValueError:
-            pass  # unsupported sub-format: fall through to Pillow
+        except Exception:
+            # unsupported sub-format OR corrupt/truncated header
+            # (ValueError / struct.error / IndexError alike): the codec
+            # tier gets the same chance Pillow's own plugin chain would
+            pass
     try:
         from PIL import Image  # noqa: F401
     except ImportError:
@@ -281,12 +284,12 @@ def decode_audio(payload: bytes):
     24-bit / compressed WAV) — routes to librosa (honest env stub when
     absent), so installing librosa never decodes LESS than before."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        import wave as _wave
-
         try:
             return wav_decoder(payload)
-        except (ValueError, _wave.Error, EOFError):
-            pass  # unsupported sub-format: fall through to librosa
+        except Exception:
+            # unsupported sub-format (float/24-bit/compressed WAV) or a
+            # corrupt container: fall through to librosa
+            pass
     try:
         import librosa  # noqa: F401
     except ImportError:
