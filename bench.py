@@ -63,10 +63,20 @@ HEADLINE = [
     "corpus_exact_substring_spans",
     # added r08: the r7 surface gets regression tracking — the packed
     # training-export composite (BPE counts + seeded shuffle + packing
-    # coordinates) and the on-disk SCD2 time-travel read
+    # coordinates) and the on-disk SCD2 time-travel row. NOTE (r9): the
+    # scd2_time_travel row times TWO full on-disk dim-store BUILD cycles
+    # plus the version-pinned read — ~90% of its wall time is the WRITE
+    # path it regression-tracks, not the time-travel read (which is a
+    # pointer-follow + scan). Read it as "store build + travel".
     "corpus_export_manifest",
     "scd2_time_travel",
 ]
+
+# Pre-run load above this (1-min loadavg) marks the artifact loaded: the
+# bench itself is the only thing that should be running on the driver
+# machine, so any standing load is a foreign process skewing timings.
+LOAD_THRESHOLD = 4.0
+LOAD_WAIT_SEC = 120  # max time to wait for a loaded machine to drain
 
 
 def corpus_append_cycle(spark, sf_dir: str, out: str, cycle: int) -> float:
@@ -154,6 +164,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # --- run-condition self-certification (r9, verdict task #2): the
+    # artifact must carry enough evidence to tell a clean run from a
+    # loaded-machine run, so a regression in the JSON is trustworthy on
+    # its face and a VM-noise spike is visible AS noise. If the machine
+    # is loaded before we start, wait (bounded) for it to drain; if it
+    # never does, run anyway but stamp loaded=true.
+    load_before = os.getloadavg()
+    waited = 0
+    while load_before[0] > LOAD_THRESHOLD and waited < LOAD_WAIT_SEC:
+        time.sleep(10)
+        waited += 10
+        load_before = os.getloadavg()
+    loaded_run = load_before[0] > LOAD_THRESHOLD
+
     from cdc_historical_warehouse_platform_spark.session import get_spark
 
     spark = get_spark(
@@ -181,7 +205,7 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     cold: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for name in HEADLINE:
         cold[name] = run(name)
     # best-of-3 warm passes: single warm runs still drift ±30% on a
@@ -189,12 +213,12 @@ def main() -> None:
     # best-of-2 SUITE SUM was measured spreading ±7% across
     # byte-identical runs (r7 drift bisection, PLANS.md) — the
     # per-query min over three passes is the stable steady-state
-    # signal round-over-round comparisons need
-    for name in HEADLINE:
-        warm[name] = run(name)
-    for _ in range(2):
+    # signal round-over-round comparisons need. All samples are kept
+    # so the artifact records the spread, not just the min (r9).
+    for _ in range(3):
         for name in HEADLINE:
-            warm[name] = min(warm[name], run(name))
+            samples[name].append(run(name))
+    warm = {name: min(vals) for name, vals in samples.items()}
 
     # incremental corpus-append cycle (r04): one untimed state build,
     # then cold + 2 warm timed appends with distinct id spaces
@@ -207,10 +231,11 @@ def main() -> None:
 
         corpus_build(spark, sf_dir, corpus_dir)
         cold["corpus_append_cycle"] = corpus_append_cycle(spark, sf_dir, corpus_dir, 1)
-        warm["corpus_append_cycle"] = min(
+        samples["corpus_append_cycle"] = [
             corpus_append_cycle(spark, sf_dir, corpus_dir, 2),
             corpus_append_cycle(spark, sf_dir, corpus_dir, 3),
-        )
+        ]
+        warm["corpus_append_cycle"] = min(samples["corpus_append_cycle"])
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
@@ -231,14 +256,24 @@ def main() -> None:
             txn_id="bench_substr_seed",
         )
         cold["substr_append_cycle"] = substr_append_cycle(spark, sf_dir, idx, 1)
-        warm["substr_append_cycle"] = min(
+        samples["substr_append_cycle"] = [
             substr_append_cycle(spark, sf_dir, idx, 2),
             substr_append_cycle(spark, sf_dir, idx, 3),
-        )
+        ]
+        warm["substr_append_cycle"] = min(samples["substr_append_cycle"])
     finally:
         shutil.rmtree(xs_dir, ignore_errors=True)
 
     total = round(sum(warm.values()), 3)
+    load_after = os.getloadavg()
+    # relative best-of-N spread per query: (max-min)/min over the warm
+    # samples — a row whose spread exceeds the documented ±8% VM noise
+    # band tells the reader its warm number is soft BEFORE they compare
+    # it round-over-round
+    spread = {
+        name: round((max(vals) - min(vals)) / max(min(vals), 1e-9), 3)
+        for name, vals in samples.items()
+    }
     print(
         json.dumps(
             {
@@ -248,6 +283,12 @@ def main() -> None:
                 "queries": warm,
                 "cold_queries": cold,
                 "cold_value": round(sum(cold.values()), 3),
+                "warm_samples": samples,
+                "warm_spread": spread,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                "load_waited_sec": waited,
+                "loaded": loaded_run,
                 "sf": sf,
             }
         )

@@ -125,7 +125,12 @@ def extract_binary_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_features, FEATURE_SCHEMA)
 
 
-def _stub(name: str, lib: str):
+def _stub(name: str, lib: str, cause: Exception | None = None):
+    detail = (
+        f" (stdlib tier first failed with {type(cause).__name__}: {cause})"
+        if cause is not None
+        else ""
+    )
     raise NotImplementedError(
         f"{name}: COMPRESSED formats require {lib}, which is not available "
         "in this environment (PCM WAV / BMP / PPM / PGM decode natively via "
@@ -135,8 +140,8 @@ def _stub(name: str, lib: str):
         "importorskip-guarded seam tests (tests/test_datapipe.py::"
         "test_image_decode_pipeline_with_pillow / "
         "test_audio_decode_pipeline_with_librosa) exercise the compressed "
-        "path end-to-end."
-    )
+        f"path end-to-end.{detail}"
+    ) from cause
 
 
 # --- stdlib codec tier (r8): REAL decoders, zero dependencies ---------------
@@ -202,6 +207,16 @@ def ppm_decoder(payload: bytes):
     if maxval > 255:
         raise ValueError("stdlib PPM tier supports maxval <= 255 only")
     channels = 3 if magic == b"P6" else 1
+    # exact-raster check: a header ending in '\r\n' (some Windows netpbm
+    # writers) would shift the offset by one byte and silently decode
+    # garbage — demand the payload is exactly header + raster and let
+    # the Pillow fall-through own anything else
+    if len(payload) - pos != width * height * channels:
+        raise ValueError(
+            f"PPM raster size mismatch: {len(payload) - pos} bytes after "
+            f"header, expected {width * height * channels} "
+            "(non-single-whitespace header terminator?)"
+        )
     arr = np.frombuffer(
         payload, dtype=np.uint8, count=width * height * channels, offset=pos
     )
@@ -257,18 +272,22 @@ def decode_image(payload: bytes):
     parse (palette/RLE BMP, 16-bit PPM) — routes to Pillow (honest
     env stub when absent), so installing Pillow never decodes LESS
     than it did before the stdlib tier existed."""
+    stdlib_err: Exception | None = None
     if payload[:2] in (b"BM", b"P6", b"P5"):
         try:
             return stdlib_image_decoder(payload)
-        except Exception:
+        except Exception as err:  # noqa: BLE001
             # unsupported sub-format OR corrupt/truncated header
             # (ValueError / struct.error / IndexError alike): the codec
             # tier gets the same chance Pillow's own plugin chain would
-            pass
+            stdlib_err = err
     try:
         from PIL import Image  # noqa: F401
     except ImportError:
-        _stub("decode_image", "Pillow")
+        # chain the stdlib-tier parse error (if any) so a corrupt BMP in
+        # a Pillow-less environment surfaces the REAL failure, not just
+        # the misleading "compressed formats need Pillow" stub
+        _stub("decode_image", "Pillow", cause=stdlib_err)
     import io
 
     import numpy as np
@@ -282,7 +301,11 @@ def decode_audio(payload: bytes):
     PCM WAV decodes via the dependency-free stdlib tier; anything else
     — and any RIFF payload the stdlib tier can't parse (float32 /
     24-bit / compressed WAV) — routes to librosa (honest env stub when
-    absent), so installing librosa never decodes LESS than before."""
+    absent), so installing librosa never decodes LESS than before.
+
+    Both tiers return the NATIVE sample rate (``sr=None`` below keeps
+    librosa from resampling to its 22050 Hz default), so the (waveform,
+    sr) contract is format-independent."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         try:
             return wav_decoder(payload)
@@ -298,7 +321,7 @@ def decode_audio(payload: bytes):
 
     import librosa
 
-    return librosa.load(io.BytesIO(payload))
+    return librosa.load(io.BytesIO(payload), sr=None)
 
 
 RESIZE_SCHEMA = T.StructType(

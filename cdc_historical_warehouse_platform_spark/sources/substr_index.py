@@ -143,10 +143,32 @@ class ExactSubstrIndex:
             return spark.createDataFrame([], schema)
         v = tbl.txn_version(txn_id)
         if v is None:
+            self._check_not_pruned(tbl, txn_id)
             return tbl.read(spark)
         if v == 0:
             return spark.createDataFrame([], schema)
         return tbl.read(spark, version=v - 1)
+
+    @staticmethod
+    def _check_not_pruned(tbl: VersionedTable, txn_id: str) -> None:
+        """Guard the pre-txn read against txn_versions retention: a txn
+        that IS in this table's committed ledger but whose version entry
+        was pruned (128+ later appends landed here before the torn txn
+        was replayed) has no recoverable pre-txn snapshot — reading the
+        LATEST version instead would recompute the delta from the wrong
+        state and commit it to the still-missing tables silently. Raise
+        loudly; the operator resolves it by rebuilding the index (or
+        raising _TXN_VERSION_RETENTION for pathologically-delayed
+        replays). Never fires in normal operation: a txn absent from
+        the ledger (the common v-is-None case) passes through."""
+        if txn_id in tbl.committed_txns() and tbl.txn_version(txn_id) is None:
+            raise RuntimeError(
+                f"txn {txn_id!r} committed on table {tbl.path.name!r} but its "
+                "pre-txn version was pruned from txn_versions (retention "
+                "exceeded before replay); the torn transaction cannot be "
+                "replayed from a consistent snapshot — rebuild the index or "
+                "raise the retention"
+            )
 
     def _segments_pre_txn(
         self, spark: SparkSession, tbl, schema, txn_id: str
@@ -157,6 +179,7 @@ class ExactSubstrIndex:
             return [spark.createDataFrame([], schema)]
         v = tbl.txn_version(txn_id)
         if v is None:
+            self._check_not_pruned(tbl, txn_id)
             segs = tbl.segments(spark)
         elif v == 0:
             return [spark.createDataFrame([], schema)]
@@ -233,8 +256,9 @@ class ExactSubstrIndex:
         byte-identical deltas no matter which subset a crash let
         commit; committed tables skip, the rest complete, and a
         fully-committed txn short-circuits before any computation. The auto id is derived from the BATCH CONTENT
-        (order-independent hash of its doc ids + count), not from any
-        table's version: a version-derived id would collide with the
+        (order-independent hash of its (doc_id, text) PAIRS + count —
+        the text is part of the identity, see :meth:`_auto_txn_id`),
+        not from any table's version: a version-derived id would collide with the
         torn txn after a crash, and the committed-txn guard would then
         silently skip a DIFFERENT batch's delta on one table. Content
         derivation makes replay of the same batch idempotent and any

@@ -2273,3 +2273,47 @@ def test_stdlib_codec_unsupported_subformats_fall_through(spark):
             decode_audio(bytes(float_wav))
     # and the supported sub-formats still decode via the stdlib tier
     assert decode_audio(buf.getvalue())[1] == 8000
+
+
+def test_ppm_decoder_exact_raster_guard():
+    """ADVICE r8: a PPM header terminated by '\\r\\n' (some Windows
+    netpbm writers) shifts the raster offset by one byte — the stdlib
+    tier must refuse (raster-size mismatch) rather than silently decode
+    shifted pixels, letting the Pillow fall-through own the payload."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        ppm_decoder,
+    )
+
+    h, w = 5, 4
+    rgb = (np.arange(h * w * 3) % 251).astype(np.uint8).reshape(h, w, 3)
+    good = b"P6" + f"\n{w} {h}\n255\n".encode() + rgb.tobytes()
+    assert np.array_equal(ppm_decoder(good), rgb)
+    crlf = b"P6" + f"\n{w} {h}\n255\r\n".encode() + rgb.tobytes()
+    with _pytest.raises(ValueError, match="raster size mismatch"):
+        ppm_decoder(crlf)
+    with _pytest.raises(ValueError, match="raster size mismatch"):
+        ppm_decoder(good[:-7])  # truncated raster
+
+
+def test_decode_image_stub_chains_stdlib_parse_error():
+    """ADVICE r8: with Pillow absent, a corrupt BMP must surface the
+    REAL stdlib parse error chained into the env stub — not just the
+    misleading 'compressed formats need Pillow' text."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("PIL") is not None:
+        _pytest.skip("Pillow present: the fall-through decodes instead")
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    with _pytest.raises(NotImplementedError) as ei:
+        decode_image(b"BM" + b"\x01" * 16)  # truncated/corrupt header
+    assert ei.value.__cause__ is not None
+    assert "stdlib tier first failed" in str(ei.value)

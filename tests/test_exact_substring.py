@@ -522,3 +522,34 @@ def test_vacuum_reclaims_superseded_versions_keeps_spans(spark, tmp_path):
     assert _spans_set(idx.spans(spark)) == _spans_set(
         exact_substring_spans(all_docs, k=4)
     )
+
+
+def test_pre_txn_read_raises_on_pruned_txn_version(spark, tmp_path):
+    """ADVICE r8: a txn that IS in a table's committed ledger but whose
+    txn_versions entry was pruned (retention exceeded before a torn
+    append was replayed) must raise loudly from the pre-txn read —
+    silently reading the LATEST snapshot would recompute the replay
+    delta from the wrong state. Simulated by dropping the entry from
+    the pointer directly (equivalent to 128+ later appends)."""
+    import json as _json
+
+    import pytest
+    from cdc_historical_warehouse_platform_spark.sources.substr_index import (
+        _UNIQUE_SCHEMA,
+        ExactSubstrIndex,
+    )
+
+    idx = ExactSubstrIndex(tmp_path / "xs", k=4)
+    idx.append(_docs(spark, [(1, _w("a", 8))]), txn_id="t1")
+    idx.append(_docs(spark, [(2, _w("b", 8))]), txn_id="t2")
+
+    ptr = idx.unique._pointer_file()
+    meta = _json.loads(ptr.read_text())
+    assert "t1" in meta["txns"] and "t1" in meta["txn_versions"]
+    del meta["txn_versions"]["t1"]  # simulate retention pruning
+    ptr.write_text(_json.dumps(meta))
+
+    with pytest.raises(RuntimeError, match="pruned from txn_versions"):
+        idx._read_pre_txn(spark, idx.unique, _UNIQUE_SCHEMA, "t1")
+    # a txn never committed here (the common case) still reads latest
+    assert idx._read_pre_txn(spark, idx.unique, _UNIQUE_SCHEMA, "never").count() > 0
