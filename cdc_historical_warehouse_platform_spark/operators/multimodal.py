@@ -9,10 +9,12 @@ North-star requirement. The pattern for 100 TB multimodal tables:
   (``mapInPandas``) so bytes cross the JVM↔Python boundary once per
   batch, not per row;
 - the default decoders are REAL for the stdlib-parseable formats
-  (r8): PCM WAV via the stdlib ``wave`` module, BMP / PPM / PGM via
-  pure-Python header parsing — no external codec needed, pinned
-  against numpy ground truth in tests. Compressed formats (PNG/JPEG,
-  MP3/OGG, video) still route to PIL / librosa, which are not in this
+  (r8, extended r9): PCM WAV via the stdlib ``wave`` module, BMP /
+  PPM / PGM via pure-Python header parsing, and 8-bit non-interlaced
+  PNG via stdlib ``zlib`` inflate + the five spec filters — no
+  external codec needed, pinned against numpy ground truth in tests.
+  The remaining compressed formats (JPEG, MP3/OGG, video, exotic PNG
+  sub-formats) still route to PIL / librosa, which are not in this
   container: for THOSE payloads ``decode_image``/``decode_audio``
   raise ``NotImplementedError`` unless the library import succeeds.
   The decode→resize→feature PIPELINES take an injectable ``decoder``
@@ -45,6 +47,7 @@ __all__ = [
     "wav_decoder",
     "bmp_decoder",
     "ppm_decoder",
+    "png_decoder",
     "stdlib_image_decoder",
     "IMAGE_FEATURE_SCHEMA",
     "extract_image_features",
@@ -133,8 +136,8 @@ def _stub(name: str, lib: str, cause: Exception | None = None):
     )
     raise NotImplementedError(
         f"{name}: COMPRESSED formats require {lib}, which is not available "
-        "in this environment (PCM WAV / BMP / PPM / PGM decode natively via "
-        "the stdlib tier — no codec needed). The Spark-side plumbing "
+        "in this environment (PCM WAV / BMP / PPM / PGM / 8-bit PNG decode "
+        "natively via the stdlib tier — no codec needed). The Spark-side plumbing "
         "(schema, mapInPandas batching, partitioning) is fully tested on "
         "the stdlib formats; in an environment WITH the codec, the "
         "importorskip-guarded seam tests (tests/test_datapipe.py::"
@@ -223,6 +226,101 @@ def ppm_decoder(payload: bytes):
     return arr.reshape(height, width, channels)
 
 
+def png_decoder(payload: bytes):
+    """8-bit non-interlaced grayscale / gray+alpha / RGB / RGBA PNG →
+    (H, W, C) uint8 array, dependency-free: the container is struct +
+    stdlib ``zlib`` inflate, plus the five scanline filters
+    (None/Sub/Up/Average/Paeth) from the PNG spec §9. Palette (color
+    type 3), 16-bit, and interlaced payloads raise ValueError — the
+    Pillow fall-through owns those sub-formats, same contract as the
+    BMP/PPM tiers.
+
+    Filter inversion is vectorized where the recurrence allows: None
+    and Up are whole-row numpy ops, Sub is a per-channel cumulative
+    sum; only Average and Paeth (left-dependent, sequential by spec)
+    walk pixels in Python — and encoders emit those mostly for
+    photographic content, not the synthetic/test payloads a
+    Pillow-less environment decodes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8:
+        raise ValueError(f"stdlib PNG tier supports bit depth 8 only (got {bit_depth})")
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError(f"stdlib PNG tier: unsupported color type {color_type} (palette?)")
+    if interlace:
+        raise ValueError("stdlib PNG tier: interlaced (Adam7) unsupported")
+    if comp or filt:
+        raise ValueError("invalid PNG compression/filter method")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} bytes inflated, "
+            f"expected {(stride + 1) * height}"
+        )
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = scan[:, 0]
+    rows = scan[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        f = int(ftypes[y])
+        row = rows[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = row
+        elif f == 1:  # Sub: rec[x] = raw[x] + rec[x-bpp]
+            # per-channel cumulative sum — uint8 wraparound == mod 256
+            cols = row.reshape(width, bpp).astype(np.uint64)
+            out[y] = (np.cumsum(cols, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = row + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            rec = out[y]
+            prev16 = prev.astype(np.uint16)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + ((left + int(prev16[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    return out.reshape(height, width, channels)
+
+
 def wav_decoder(payload: bytes):
     """PCM WAV (8/16/32-bit int) → (float64 mono waveform in [-1, 1],
     native sample_rate) via the stdlib ``wave`` module. Multi-channel
@@ -257,23 +355,26 @@ def wav_decoder(payload: bytes):
 
 def stdlib_image_decoder(payload: bytes):
     """Magic-byte dispatch over the stdlib image tier (BMP / PPM /
-    PGM); raises ValueError for formats the tier can't parse."""
+    PGM / PNG); raises ValueError for formats the tier can't parse."""
     if payload[:2] == b"BM":
         return bmp_decoder(payload)
     if payload[:2] in (b"P6", b"P5"):
         return ppm_decoder(payload)
-    raise ValueError("payload is not a stdlib-decodable image (BMP/PPM/PGM)")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decoder(payload)
+    raise ValueError("payload is not a stdlib-decodable image (BMP/PPM/PGM/PNG)")
 
 
 def decode_image(payload: bytes):
     """Decode an image payload → (H, W, C) uint8 array. BMP/PPM/PGM
-    decode via the dependency-free stdlib tier; anything else — and
-    any stdlib-magic payload whose SUB-format the stdlib tier can't
-    parse (palette/RLE BMP, 16-bit PPM) — routes to Pillow (honest
+    and 8-bit non-interlaced PNG (r9) decode via the dependency-free
+    stdlib tier; anything else — and any stdlib-magic payload whose
+    SUB-format the stdlib tier can't parse (palette/RLE BMP, 16-bit
+    PPM, palette/16-bit/interlaced PNG) — routes to Pillow (honest
     env stub when absent), so installing Pillow never decodes LESS
     than it did before the stdlib tier existed."""
     stdlib_err: Exception | None = None
-    if payload[:2] in (b"BM", b"P6", b"P5"):
+    if payload[:2] in (b"BM", b"P6", b"P5") or payload[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             return stdlib_image_decoder(payload)
         except Exception as err:  # noqa: BLE001

@@ -2317,3 +2317,146 @@ def test_decode_image_stub_chains_stdlib_parse_error():
         decode_image(b"BM" + b"\x01" * 16)  # truncated/corrupt header
     assert ei.value.__cause__ is not None
     assert "stdlib tier first failed" in str(ei.value)
+
+
+def _encode_png(arr, filters=None):
+    """Minimal test-side PNG writer (struct + zlib, stdlib only) with a
+    CHOSEN filter type per scanline — forward-filters the ground-truth
+    array so the decoder must invert every filter the schedule names."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            out = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            out = cur - left
+        elif f == 2:  # Up
+            out = cur - prev
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            out = cur - ((left + prev) >> 1)
+        elif f == 4:  # Paeth
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            b = prev
+            cc = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = a + b - cc
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc))
+            out = cur - pred
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_stdlib_png_decoder_all_filters_all_color_types(spark):
+    """r9 (verdict task #3): genuine PNG payloads decode in THIS
+    container via stdlib zlib + filter inversion — bit-exact against
+    the numpy ground truth for every filter type (None/Sub/Up/Average/
+    Paeth) and every 8-bit color type (gray, gray+alpha, RGB, RGBA),
+    through the raw decoder, the magic dispatch, AND the full Arrow
+    decode→resize→feature pipeline."""
+    import hashlib
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+        png_decoder,
+    )
+
+    h, w = 7, 5
+    rng = (np.arange(h * w * 4, dtype=np.uint32) * 31 % 253).astype(np.uint8)
+    rgba = rng.reshape(h, w, 4)
+    sched = [0, 1, 2, 3, 4, 2, 1]  # every filter type appears
+    for c in (1, 2, 3, 4):
+        arr = rgba[:, :, :c]
+        payload = _encode_png(arr, filters=sched)
+        assert np.array_equal(png_decoder(payload), arr), f"channels={c}"
+        assert np.array_equal(decode_image(payload), arr), f"dispatch c={c}"
+
+    rgb = rgba[:, :, :3]
+    df = spark.createDataFrame(
+        [(7, bytearray(_encode_png(rgb, filters=sched)))], ["doc_id", "payload"]
+    )
+    (r,) = extract_image_features(df, out_w=4, out_h=4).collect()
+    ys, xs = (np.arange(4) * h) // 4, (np.arange(4) * w) // 4
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert r["mean_intensity"] == round(float(rgb.mean()), 6)
+    assert r["resized_md5"] == hashlib.md5(
+        np.ascontiguousarray(rgb[ys][:, xs]).tobytes()
+    ).hexdigest()
+
+
+def test_stdlib_png_unsupported_subformats_fall_through():
+    """Palette / 16-bit / interlaced PNG refuse in the stdlib tier
+    (ValueError) and route to the Pillow env stub via decode_image —
+    same fall-through contract as the BMP/PPM sub-formats."""
+    import importlib.util
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        png_decoder,
+    )
+
+    def png_with_ihdr(w, h, depth, ct, interlace):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+        body = b"IHDR" + ihdr
+        c1 = struct.pack(">I", len(ihdr)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+        data = zlib.compress(b"\x00" * ((w + 1) * h))
+        body2 = b"IDAT" + data
+        c2 = struct.pack(">I", len(data)) + body2 + struct.pack(
+            ">I", zlib.crc32(body2) & 0xFFFFFFFF
+        )
+        return b"\x89PNG\r\n\x1a\n" + c1 + c2
+
+    for kwargs, msg in (
+        (dict(depth=8, ct=3, interlace=0), "color type"),   # palette
+        (dict(depth=16, ct=0, interlace=0), "bit depth"),
+        (dict(depth=8, ct=0, interlace=1), "interlaced"),
+    ):
+        payload = png_with_ihdr(4, 4, **kwargs)
+        with _pytest.raises(ValueError, match=msg):
+            png_decoder(payload)
+        if importlib.util.find_spec("PIL") is None:
+            with _pytest.raises(NotImplementedError, match="Pillow"):
+                decode_image(payload)
+
+    # truncated IDAT (inflate ok, wrong raster size) also refuses
+    good = _encode_png(np.zeros((3, 3, 1), np.uint8))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        png_decoder(good[1:])
