@@ -49,6 +49,7 @@ __all__ = [
     "train_pq_codebooks",
     "encode_pq",
     "pq_adc_topk",
+    "pq_adc_topk_bulk",
     "pq_code_schema",
 ]
 
@@ -346,6 +347,114 @@ def pq_adc_topk(
     return (
         local.where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qcosine")
+    )
+
+
+def pq_adc_topk_bulk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    probed: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "__codes",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """BULK-query ADC top-k (r9): the shuffled twin of
+    :func:`pq_adc_topk` — no query-batch broadcast ceiling.
+
+    Instead of collecting the query set into a driver-side LUT block,
+    each probed (query, list) row carries its own ADC lookup table AS
+    A COLUMN: one map-only Arrow pass over the (query-sized) probed
+    set computes ``lut[m·k]`` per row (the query's exact
+    sub-dot-products with every codebook entry — m·k doubles ≈ 16 KB
+    at m=8,k=256), then a plain shuffled join on ``list_col`` lands
+    each LUT row next to ITS probed lists' candidates, and the score
+    is a JVM-side fold: ``sum_m lut[m·k_m + code_m]`` via
+    ``F.get`` — no Python in the per-candidate hot path.
+
+    Scale posture matches ``ivf_search(broadcast_probe=False)``: the
+    shuffle moves list-pruned candidates + the LUT-bearing probe rows,
+    both proportional to the intrinsic ADC work, never the whole code
+    table (the caller pre-filters the scan to the union of probed
+    lists). Per-query list masking is the JOIN itself — a query's LUT
+    row exists only for its own probed lists, so no driver-side
+    probed_lists dict and no np.isin mask.
+
+    ``probed`` is :func:`~cdc_historical_warehouse_platform_spark.operators.similarity.
+    probed_queries` output: (query_id, __qv, list_id). Output schema
+    and tie-breaking match the broadcast path exactly:
+    (query_id string, rank, neighbor_id string, qcosine)."""
+    import numpy as np
+
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+
+    src = probed.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col(list_col).cast("int").alias(list_col),
+        _normalize(F.col("__qv")).alias("__nv"),
+    )
+
+    def lut_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"query_id": [], list_col: [], "__lut": []}
+                )
+                continue
+            q = (
+                np.stack(pdf["__nv"].to_numpy())
+                .astype(np.float64, copy=False)
+                .reshape(len(pdf), m, dsub)
+            )
+            # same einsum as the broadcast kernel -> bit-identical LUT
+            # entries; only the per-candidate m-term summation order
+            # can differ (numpy vs the JVM fold), both sequential at
+            # real m (numpy pairwise summation starts above 8 terms)
+            lut = np.einsum("nmd,mkd->nmk", q, cb).reshape(len(pdf), m * kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    list_col: pdf[list_col],
+                    "__lut": list(lut),
+                }
+            )
+
+    luts = src.mapInPandas(
+        lut_rows, schema=f"query_id string, {list_col} int, __lut array<double>"
+    )
+    cand = codes.select(
+        F.col(id_col).cast("string").alias("neighbor_id"),
+        F.col(codes_col),
+        F.col(list_col).cast("int").alias(list_col),
+    )
+    # score = sum_i lut[i*k + code_i] — JVM-side fold over the m codes
+    score = F.aggregate(
+        F.transform(
+            F.col(codes_col),
+            lambda c, i: F.get(F.col("__lut"), i * F.lit(kk) + c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(luts, list_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("qcosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "qcosine")
     )

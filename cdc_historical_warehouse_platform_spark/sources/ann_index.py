@@ -349,13 +349,14 @@ class IVFIndex:
         resolution pins a consistent (centroids, assignments-version)
         pair for the whole query.
 
-        ``broadcast_probe=False`` (r8): BULK offline query sets join
-        shuffled instead of broadcast — no query-batch broadcast
-        ceiling for the float and int8 tiers (the shuffle moves only
-        list-pruned candidates + the probe set, never the index). The
-        PQ tier keeps the broadcast path: its per-query list masks
-        ride an ADC lookup table collected per batch — size PQ query
-        batches to the broadcast budget (documented ceiling)."""
+        ``broadcast_probe=False`` (r8, PQ r9): BULK offline query sets
+        join shuffled instead of broadcast — no query-batch broadcast
+        ceiling on any tier. Float and int8 shuffle the probe set;
+        the PQ tier rides each probed (query, list) row's ADC lookup
+        table as a column through the same shuffled join
+        (:func:`~cdc_historical_warehouse_platform_spark.operators.pq.pq_adc_topk_bulk`) —
+        per-query list masking IS the join, no driver-side collected
+        dict, candidates bounded by list pruning either way."""
         meta = self._read_pointer()
         if meta is None:
             raise FileNotFoundError(f"IVF index {self.path} has no committed build")
@@ -374,11 +375,20 @@ class IVFIndex:
             spark, version=meta["assignments_version"]
         ).filter(F.col("list_id").isin(probed_ids))
         if meta.get("quantize") == "pq":
-            from cdc_historical_warehouse_platform_spark.operators.pq import pq_adc_topk
+            from cdc_historical_warehouse_platform_spark.operators.pq import (
+                pq_adc_topk,
+                pq_adc_topk_bulk,
+            )
 
             sidecar = json.loads(
                 (self.path / meta["centroids_file"]).read_text()
             )
+            if not broadcast_probe:
+                # bulk mode: no driver-side query collect at all — the
+                # LUT rides the probed rows through a shuffled join
+                return pq_adc_topk_bulk(
+                    scan, sidecar["pq_codebooks"], probed, k=k
+                )
             # per-query probed lists: each query ADC-scores only rows
             # of ITS lists (ivf_search's probe-join semantics), on top
             # of the storage-level union filter above

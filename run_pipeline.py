@@ -340,6 +340,12 @@ def main() -> int:
     )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
     ap.add_argument(
+        "--bulk-probe",
+        action="store_true",
+        help="ann-query: shuffled bulk-query mode (broadcast_probe=False; "
+        "no query-batch broadcast ceiling on any tier, PQ included)",
+    )
+    ap.add_argument(
         "--substr-k", type=int, default=20,
         help="substr-*: k-gram length of the ExactSubstr index",
     )
@@ -758,7 +764,11 @@ def main() -> int:
                 F.col("embedding").alias("query_vec"),
             )
             hits = index.probe(
-                spark, queries, k=args.k, n_probes=args.n_probes
+                spark,
+                queries,
+                k=args.k,
+                n_probes=args.n_probes,
+                broadcast_probe=not args.bulk_probe,
             ).collect()
             print(
                 json.dumps(

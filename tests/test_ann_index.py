@@ -359,3 +359,47 @@ def test_bulk_probe_matches_broadcast_and_avoids_query_broadcast(spark, tmp_path
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_pq_bulk_probe_matches_broadcast_and_avoids_query_broadcast(
+    spark, tmp_path
+):
+    """r9 (verdict task #5): the PQ tier gains the same bulk-query
+    mode the float/int8 tiers got in r8 — probe(quantize='pq',
+    broadcast_probe=False) returns the broadcast path's top-k (ranks
+    and neighbor ids exact; qcosine to 1e-9 — the LUT entries are the
+    same einsum, only the m-term candidate sum order can differ) with
+    NO forced BroadcastExchange and NO driver-side query collect: the
+    per-query ADC lookup tables ride the probed rows as a column
+    through a shuffled join on list_id."""
+    emb = _emb(spark)
+    queries = _queries(emb, n=8)
+    idx = IVFIndex.build(emb, tmp_path / "pq", n_lists=4, quantize="pq", pq_m=8)
+
+    bc = idx.probe(spark, queries, k=5, n_probes=2)
+    bulk = idx.probe(spark, queries, k=5, n_probes=2, broadcast_probe=False)
+    a = sorted(
+        (str(r["query_id"]), r["rank"], str(r["neighbor_id"]), round(r["qcosine"], 9))
+        for r in bc.collect()
+    )
+    b = sorted(
+        (str(r["query_id"]), r["rank"], str(r["neighbor_id"]), round(r["qcosine"], 9))
+        for r in bulk.collect()
+    )
+    assert a == b and len(a) > 0
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            idx.probe(spark, queries, k=5, n_probes=2, broadcast_probe=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
