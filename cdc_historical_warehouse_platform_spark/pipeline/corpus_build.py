@@ -53,6 +53,46 @@ _CAPS_FILE = "_source_caps.json"
 _LSH_DDL = "`doc_id` BIGINT, `bucket` STRING"
 _FP_DDL = "`doc_id` BIGINT, `fp` STRING"
 
+# auto-layout thresholds (r9, verdict task #4): a 100 TB pipeline
+# should not need to know the --state-buckets flag. Corpora whose kept
+# count crosses _AUTO_STATE_MIN_DOCS get the bucketed layout by
+# default, sized ~1 bucket per million kept docs (clamped) so one
+# bucket of the probe-keyed state stays executor-sized; smaller
+# corpora keep the flat layout (broadcast probes win there anyway and
+# the catalog-table machinery buys nothing).
+_AUTO_STATE_MIN_DOCS = 2_000_000
+_AUTO_STATE_DOCS_PER_BUCKET = 1_000_000
+_AUTO_STATE_MAX_BUCKETS = 4096
+
+# newest N stream_batch_ids kept in the marker (r9 streaming
+# maintainer): bounds the marker size; a later replay only loses the
+# short-circuit, never correctness (fp/LSH dedup catches the content)
+_STREAM_ID_RETENTION = 64
+
+
+def resolve_state_buckets(state_buckets, n_kept: int) -> int | None:
+    """Resolve the ``state_buckets`` setting to a concrete layout:
+    ``"auto"`` (the default) picks the bucketed layout for corpora
+    with ≥ ``_AUTO_STATE_MIN_DOCS`` kept docs (one bucket per
+    ``_AUTO_STATE_DOCS_PER_BUCKET`` docs, clamped to
+    [32, ``_AUTO_STATE_MAX_BUCKETS``]) and the flat layout below it;
+    an explicit int or None passes through untouched. The RESOLVED
+    value rides the commit marker, so appends/forgets/compactions
+    never re-derive it from a different corpus size."""
+    if state_buckets != "auto":
+        return state_buckets
+    if n_kept < _AUTO_STATE_MIN_DOCS:
+        return None
+    return int(
+        max(
+            32,
+            min(
+                _AUTO_STATE_MAX_BUCKETS,
+                -(-n_kept // _AUTO_STATE_DOCS_PER_BUCKET),
+            ),
+        )
+    )
+
 
 def _state_table_name(sdir: Path) -> str:
     import hashlib as _hashlib
@@ -191,7 +231,7 @@ def corpus_build(
     track_top_tokens: int | None = None,
     quality_model: dict | None = None,
     quality_model_threshold: float = 0.5,
-    state_buckets: int | None = None,
+    state_buckets: int | str | None = "auto",
 ) -> dict:
     """Full build: keep decisions over ``input_dir``/documents.parquet,
     sharded kept corpus + persisted dedup state under ``output``.
@@ -202,8 +242,13 @@ def corpus_build(
     broadcast budget then probe the state co-partitioned — no
     broadcast ceiling, state never re-shuffled. The setting rides the
     commit marker like the quota, so every later append/forget honors
-    the layout without being told. Fixed at build time; size it so one
-    bucket of the state fits an executor (thousands at 100 TB).
+    the layout without being told. ``"auto"`` (the default, r9) picks
+    the layout from the kept count — large corpora get bucketed state
+    without the flag (:func:`resolve_state_buckets`); pass an int to
+    pin the count (size it so one bucket of the state fits an
+    executor — thousands at 100 TB) or None to force flat. Fixed at
+    build time; ``corpus_compact(state_buckets=N)`` migrates an
+    existing corpus in place.
 
     ``max_per_source`` adds the per-domain quota stage (at most N kept
     docs per source, md5-rank deterministic — operators/sampling.
@@ -266,6 +311,9 @@ def corpus_build(
         num_shards=num_shards,
         max_records_per_file=max_records_per_file,
     )
+    # resolve "auto" against the actual kept count — the RESOLVED int
+    # (or None) is what rides the marker and every later append reads
+    state_buckets = resolve_state_buckets(state_buckets, manifest["total_rows"])
     kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
     _write_state(
         minhash_band_buckets(kept).select("doc_id", "bucket"),
@@ -348,6 +396,7 @@ def corpus_append(
     quality_model: dict | None = None,
     quality_model_threshold: float | None = None,
     bulk_probe_doc_limit: int = 500_000,
+    stream_batch_id: str | None = None,
 ) -> dict:
     """Incremental load: quality-gate the NEW batch, dedup it against
     the persisted state (exact-fingerprint + LSH; the existing corpus
@@ -370,7 +419,20 @@ def corpus_append(
     than this probes the fp/LSH state CO-PARTITIONED against the
     bucketed files instead of broadcasting its key sets — no broadcast
     ceiling, state never re-shuffled. Small batches keep the cheaper
-    broadcast probes; plain-state corpora always do."""
+    broadcast probes; plain-state corpora always do.
+
+    ``stream_batch_id`` (r9, the streaming maintainer's exactly-once
+    hook): a CONTENT-DERIVED batch id (hash of the batch's (doc_id,
+    text) pairs + count — the substr_index txn-id pattern). When the
+    committed marker's recent-ids ledger already lists it, the whole
+    append short-circuits BEFORE any computation ({"appended": 0,
+    "replayed": true}); otherwise the id commits atomically WITH the
+    epoch marker, so a checkpoint-recovery replay of a crashed-after-
+    commit micro-batch is a no-op. The ledger keeps the newest
+    ``_STREAM_ID_RETENTION`` ids; a replay arriving later than that
+    only loses the short-circuit — the fingerprint/LSH state still
+    dedups its content to zero, so semantics never depend on the
+    window."""
     out = Path(output)
     if not (out / "_lsh_index").exists():
         raise FileNotFoundError(f"no corpus state under {output}; run corpus_build first")
@@ -381,6 +443,16 @@ def corpus_append(
     # setting, and the epoch counter must observe the SAME committed
     # marker (repair just reconciled disk against it)
     marker = read_marker(out) or {"epoch": 0}
+    if stream_batch_id and stream_batch_id in marker.get("stream_batch_ids", []):
+        # committed-epoch replay: the marker is this append's
+        # completion marker, so presence == every state write landed
+        return {
+            "new_docs": 0,
+            "appended": 0,
+            "replayed": True,
+            "repaired_files": len(repaired["removed"]),
+            "output": output,
+        }
     stored_buckets = spark.read.parquet(str(out / "_lsh_index"))
     stored_docs = spark.read.parquet(str(out / "_kept_docs"))
     # gate on data files, not the directory: repair() after a torn
@@ -605,6 +677,12 @@ def corpus_append(
     if quality_model is not None:
         extra["quality_model"] = quality_model
         extra["quality_model_threshold"] = quality_model_threshold
+    if stream_batch_id:
+        # the id commits in the SAME atomic rename as the epoch: a
+        # replay after this line short-circuits, before it recomputes
+        extra["stream_batch_ids"] = (
+            marker.get("stream_batch_ids", []) + [stream_batch_id]
+        )[-_STREAM_ID_RETENTION:]
     write_marker(out, epoch=marker["epoch"] + 1, extra=extra or None)
     # kept's cardinality falls out of the shard manifest delta — the
     # shards hold exactly kept's rows, so no extra count job (except on
@@ -634,6 +712,7 @@ def corpus_compact(
     max_files_per_shard: int = 32,
     max_records_per_file: int = 100_000,
     max_state_files: int = 64,
+    state_buckets: int | str = "keep",
 ) -> dict:
     """Crash-atomic shard + state compaction: roll back any torn
     epoch, rewrite over-fragmented shards (compact_shards with
@@ -648,11 +727,27 @@ def corpus_compact(
     State compaction is row-preserving (read the old files by explicit
     path, append one compacted copy, honoring the bucketed layout when
     the marker declares one), so every reader sees identical state
-    before and after."""
+    before and after.
+
+    ``state_buckets`` (r9): layout MIGRATION under the same protocol.
+    ``"keep"`` (default) preserves the marker's layout; an int > 0
+    rewrites the probe-keyed state dirs (``_lsh_index``, ``_fp_index``)
+    into that bucketed layout — a legacy flat corpus becomes bucketed
+    in place, or a bucketed one re-buckets — and ``0`` migrates back
+    to flat. The new layout value rides the marker atomically with the
+    epoch: a crash before the marker rolls the rewrite back and keeps
+    the old layout; after it, the old files are unlisted and the next
+    repair finishes the unlink. Dedup results are identical through
+    both probe paths (row-preserving rewrite)."""
     out = Path(output)
     repaired = repair(out)
     marker = read_marker(out) or {"epoch": 0}
-    state_buckets = marker.get("state_buckets")
+    cur_buckets = marker.get("state_buckets")
+    if state_buckets == "keep":
+        migrate, target = False, cur_buckets
+    else:
+        target = int(state_buckets) if int(state_buckets) > 0 else None
+        migrate = target != cur_buckets
     result = compact_shards(
         spark,
         output,
@@ -669,22 +764,33 @@ def corpus_compact(
     ):
         sdir = out / d
         files = sorted(sdir.glob("*.parquet"))
-        if len(files) <= max_state_files:
+        rewriting = migrate and bcol is not None
+        if not files or (len(files) <= max_state_files and not rewriting):
             continue
         # read the superseded files BY PATH (new appended files can
         # never collide with the input set; the sources stay on disk
         # until the post-marker unlink)
         df = spark.read.parquet(*[str(f) for f in files])
-        if bcol and state_buckets:
+        dir_buckets = target if rewriting else cur_buckets
+        if bcol and dir_buckets:
+            if rewriting:
+                # a layout change needs a fresh bucket spec: drop the
+                # (external — files untouched) catalog entry so
+                # _write_state re-registers with the target count
+                spark.sql(f"DROP TABLE IF EXISTS {_state_table_name(sdir)}")
             _write_state(
                 df,
                 sdir,
                 bcol,
-                state_buckets,
+                dir_buckets,
                 ddl,
                 max_records_per_file=max_records_per_file,
             )
         else:
+            if rewriting:
+                # bucketed -> flat: the stale catalog entry must not
+                # shadow the plain-parquet layout in this session
+                spark.sql(f"DROP TABLE IF EXISTS {_state_table_name(sdir)}")
             n_rows = df.count()
             n_out = max(1, -(-n_rows // max_records_per_file))
             df.repartition(n_out).write.mode("append").option(
@@ -692,14 +798,17 @@ def corpus_compact(
             ).parquet(str(sdir))
         old_files.extend(f"{d}/{f.name}" for f in files)
         state_dirs_compacted += 1
-    if result["compacted_shards"] or state_dirs_compacted:
+    if result["compacted_shards"] or state_dirs_compacted or migrate:
         # the marker must NOT list the superseded files (a crash mid-
         # unlink would otherwise leave them committed forever); with
-        # them excluded, the next repair finishes the deletion
+        # them excluded, the next repair finishes the deletion. The
+        # migrated layout commits atomically with the same marker
+        # (extra None REMOVES the key — the flat layout).
         write_marker(
             out,
             epoch=marker["epoch"] + 1,
             exclude=frozenset(old_files),
+            extra={"state_buckets": target} if migrate else None,
         )
         for rel in old_files:
             p = out / rel
@@ -707,6 +816,8 @@ def corpus_compact(
                 p.unlink()
     return {**{k: v for k, v in result.items() if k != "old_files"},
             "state_dirs_compacted": state_dirs_compacted,
+            "state_buckets": target,
+            "migrated_layout": migrate,
             "repaired_files": len(repaired["removed"])}
 
 

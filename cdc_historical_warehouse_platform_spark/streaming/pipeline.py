@@ -35,6 +35,7 @@ __all__ = [
     "streaming_enrich",
     "streaming_interval_join",
     "start_substr_index_stream",
+    "start_corpus_append_stream",
 ]
 
 
@@ -399,6 +400,92 @@ def start_substr_index_stream(
         if fresh.isEmpty():
             return
         index.append(fresh)
+
+    writer = docs.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_corpus_append_stream(
+    spark: SparkSession,
+    docs_dir: str | Path,
+    output: str | Path,
+    checkpoint_dir: str | Path,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    num_shards: int = 8,
+    max_per_source: int | None = None,
+    bulk_probe_doc_limit: int = 500_000,
+) -> StreamingQuery:
+    """Continuous corpus maintenance (r9, the corpus twin of
+    :func:`start_substr_index_stream`): documents stream in as
+    json-lines files (``{"doc_id", "text", "lang", "source",
+    "n_chars"}`` — the raw-ingest wire shape) and every micro-batch
+    runs through the SAME ``corpus_append`` the batch path uses —
+    quality gate, fingerprint + LSH dedup against the persisted state,
+    quota enforcement, shard append, state extension, epoch marker.
+
+    Exactly-once: each micro-batch gets a CONTENT-DERIVED id (order-
+    independent hash of its (doc_id, text) pairs + count — the
+    substr_index txn-id pattern) that commits atomically WITH the
+    epoch marker inside corpus_append. A checkpoint-recovery replay of
+    a crashed-after-commit trigger re-derives the same id and
+    short-circuits on the marker's ledger; a crash BEFORE the marker
+    is rolled back by repair() and the replay recomputes from clean
+    state. Byte-identical files re-delivered across triggers dedup to
+    zero through the fingerprint state; two identical files in ONE
+    trigger collapse via the per-batch dropDuplicates.
+
+    Per-trigger cost is O(batch + candidates), never O(corpus) — on a
+    bucketed-state corpus, batches past ``bulk_probe_doc_limit`` probe
+    co-partitioned exactly like the batch path."""
+    from pyspark.sql import types as T
+
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_append
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(str(docs_dir))
+    )
+
+    def _admit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+        # content-derived batch id: decimal sum (a long sum overflows
+        # under ANSI mode at real batch sizes), order-independent
+        sig = batch.select(
+            F.sum(
+                F.xxhash64(F.col("doc_id").cast("long"), F.col("text"))
+                .cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        bid = f"corpus_stream_{sig['n']}_{int(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+        corpus_append(
+            batch.sparkSession,
+            batch,
+            str(output),
+            num_shards=num_shards,
+            max_per_source=max_per_source,
+            bulk_probe_doc_limit=bulk_probe_doc_limit,
+            stream_batch_id=bid,
+        )
 
     writer = docs.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", str(checkpoint_dir)

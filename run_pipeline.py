@@ -300,13 +300,22 @@ def main() -> int:
     )
     ap.add_argument(
         "--state-buckets",
-        type=int,
-        default=None,
+        default="auto",
         help="corpus: write the probe-keyed dedup state (_lsh_index, "
         "_fp_index) Spark-BUCKETED so bulk appends probe it "
         "co-partitioned (no broadcast ceiling, state never "
         "re-shuffled); rides the commit marker — appends/forgets "
-        "honor the layout automatically",
+        "honor the layout automatically. Default 'auto' derives the "
+        "layout from the kept count (large corpora bucket without "
+        "the flag); an int pins it, 0 forces flat",
+    )
+    ap.add_argument(
+        "--migrate-state-buckets",
+        type=int,
+        default=None,
+        help="corpus-compact: migrate the dedup-state layout in place "
+        "(an int re-buckets / buckets a flat corpus; 0 flattens) — "
+        "crash-atomic, rides the same compaction marker",
     )
     ap.add_argument(
         "--max-files-per-shard", type=int, default=32,
@@ -569,7 +578,11 @@ def main() -> int:
                     track_top_tokens=args.track_top_tokens,
                     quality_model=_load_quality_model(args),
                     quality_model_threshold=args.threshold,
-                    state_buckets=args.state_buckets,
+                    state_buckets=(
+                        "auto"
+                        if args.state_buckets == "auto"
+                        else (int(args.state_buckets) or None)
+                    ),
                 )
             )
         )
@@ -704,6 +717,11 @@ def main() -> int:
                     args.output,
                     max_files_per_shard=args.max_files_per_shard,
                     max_records_per_file=args.max_records_per_file,
+                    state_buckets=(
+                        "keep"
+                        if args.migrate_state_buckets is None
+                        else args.migrate_state_buckets
+                    ),
                 )
             )
         )

@@ -2460,3 +2460,116 @@ def test_stdlib_png_unsupported_subformats_fall_through():
     good = _encode_png(np.zeros((3, 3, 1), np.uint8))
     with _pytest.raises(ValueError, match="not a PNG"):
         png_decoder(good[1:])
+
+
+def test_resolve_state_buckets_auto_thresholds():
+    """r9 (verdict task #4): 'auto' keeps small corpora flat, buckets
+    large ones ~1 bucket/1M kept docs clamped to [32, 4096]; explicit
+    values pass through untouched."""
+    from cdc_historical_warehouse_platform_spark.pipeline import corpus_build as cb
+
+    assert cb.resolve_state_buckets("auto", 0) is None
+    assert cb.resolve_state_buckets("auto", cb._AUTO_STATE_MIN_DOCS - 1) is None
+    assert cb.resolve_state_buckets("auto", cb._AUTO_STATE_MIN_DOCS) == 32
+    assert cb.resolve_state_buckets("auto", 100_000_000) == 100
+    assert cb.resolve_state_buckets("auto", 10**10) == cb._AUTO_STATE_MAX_BUCKETS
+    assert cb.resolve_state_buckets(None, 10**10) is None
+    assert cb.resolve_state_buckets(7, 5) == 7
+
+
+def test_corpus_build_auto_adopts_bucketed_state(spark, tmp_path, monkeypatch):
+    """With the auto thresholds lowered to test scale, a default
+    (flag-less) corpus_build adopts the bucketed layout, the resolved
+    int rides the marker, and the forced co-partitioned bulk append
+    dedups exactly (re-delivery no-op)."""
+    from cdc_historical_warehouse_platform_spark.pipeline import corpus_build as cb
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import read_marker
+
+    monkeypatch.setattr(cb, "_AUTO_STATE_MIN_DOCS", 10)
+    monkeypatch.setattr(cb, "_AUTO_STATE_DOCS_PER_BUCKET", 100)
+
+    out = str(tmp_path / "c")
+    cb.corpus_build(spark, "/root/testdata/sf0.001", out)  # no flag
+    marker = read_marker(tmp_path / "c")
+    n_kept = spark.read.parquet(out).count()
+    assert marker["state_buckets"] == max(32, min(4096, -(-n_kept // 100)))
+    import re as _re
+
+    lsh_files = list((tmp_path / "c" / "_lsh_index").glob("*.parquet"))
+    assert lsh_files and all(
+        _re.search(r"_\d{5}\.c\d+", f.name) for f in lsh_files
+    )  # bucket-suffixed files
+    # the marker-riding layout serves the forced bulk probe path
+    same = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert cb.corpus_append(spark, same, out, bulk_probe_doc_limit=0)["appended"] == 0
+
+
+def test_corpus_compact_migrates_flat_state_to_bucketed(spark, tmp_path):
+    """r9 (verdict task #4): corpus_compact(state_buckets=N) migrates
+    a legacy FLAT corpus to the bucketed layout in place — state rows
+    preserved exactly, layout riding the compaction marker, dedup
+    identical through both probe paths afterwards — and 0 migrates
+    back to flat."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import (
+        corpus_append,
+        corpus_build,
+        corpus_compact,
+    )
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
+        read_marker,
+        repair,
+    )
+
+    out = str(tmp_path / "c")
+    corpus_build(spark, "/root/testdata/sf0.001", out, state_buckets=None)
+    assert read_marker(tmp_path / "c").get("state_buckets") is None
+
+    def state_rows(d):
+        return {
+            tuple(r) for r in spark.read.parquet(str(tmp_path / "c" / d)).collect()
+        }
+
+    lsh_before, fp_before = state_rows("_lsh_index"), state_rows("_fp_index")
+
+    res = corpus_compact(spark, out, state_buckets=4)
+    assert res["migrated_layout"] and res["state_buckets"] == 4
+    assert read_marker(tmp_path / "c")["state_buckets"] == 4
+    assert state_rows("_lsh_index") == lsh_before
+    assert state_rows("_fp_index") == fp_before
+    lsh_files = list((tmp_path / "c" / "_lsh_index").glob("*.parquet"))
+    assert lsh_files and all("_0000" in f.name for f in lsh_files)
+    assert repair(tmp_path / "c")["removed"] == []  # marker is consistent
+
+    # both probe paths dedup identically on the migrated corpus:
+    # a half-dup/half-fresh batch appends the same kept set bulk vs
+    # broadcast (bulk on the migrated corpus, broadcast on a twin)
+    twin = str(tmp_path / "t")
+    corpus_build(spark, "/root/testdata/sf0.001", twin, state_buckets=None)
+    new = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            (F.col("doc_id") + 70_000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a_bulk = corpus_append(spark, new, out, bulk_probe_doc_limit=0)
+    a_bc = corpus_append(spark, new, twin)
+    assert a_bulk["appended"] == a_bc["appended"] > 0
+
+    def ids(path):
+        return {r["doc_id"] for r in spark.read.parquet(path).select("doc_id").collect()}
+
+    assert ids(out) == ids(twin)
+    # re-delivery is a no-op through the migrated bulk path
+    assert corpus_append(spark, new, out, bulk_probe_doc_limit=0)["appended"] == 0
+
+    # and back to flat: rows still exact, marker key removed
+    res2 = corpus_compact(spark, out, state_buckets=0)
+    assert res2["migrated_layout"] and res2["state_buckets"] is None
+    assert read_marker(tmp_path / "c").get("state_buckets") is None
+    assert corpus_append(spark, new, out)["appended"] == 0
