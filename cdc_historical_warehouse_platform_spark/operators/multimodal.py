@@ -13,9 +13,11 @@ North-star requirement. The pattern for 100 TB multimodal tables:
   PPM / PGM via pure-Python header parsing, and 8-bit non-interlaced
   PNG via stdlib ``zlib`` inflate + the five spec filters — no
   external codec needed, pinned against numpy ground truth in tests.
-  The remaining compressed formats (JPEG, MP3/OGG, video, exotic PNG
-  sub-formats) still route to PIL / librosa, which are not in this
-  container: for THOSE payloads ``decode_image``/``decode_audio``
+  Baseline JPEG decodes via operators/jpeg.py (stdlib struct + a
+  sequential Huffman walk + vectorized numpy block math). The
+  remaining compressed formats (progressive JPEG, MP3/OGG, video,
+  exotic PNG sub-formats) still route to PIL / librosa, which are not
+  in this container: for THOSE payloads ``decode_image``/``decode_audio``
   raise ``NotImplementedError`` unless the library import succeeds.
   The decode→resize→feature PIPELINES take an injectable ``decoder``
   callable (r4) and are exercised end-to-end both with the stdlib
@@ -48,6 +50,7 @@ __all__ = [
     "bmp_decoder",
     "ppm_decoder",
     "png_decoder",
+    "jpeg_decoder",
     "stdlib_image_decoder",
     "IMAGE_FEATURE_SCHEMA",
     "extract_image_features",
@@ -136,7 +139,7 @@ def _stub(name: str, lib: str, cause: Exception | None = None):
     )
     raise NotImplementedError(
         f"{name}: COMPRESSED formats require {lib}, which is not available "
-        "in this environment (PCM WAV / BMP / PPM / PGM / 8-bit PNG decode "
+        "in this environment (PCM WAV / BMP / PPM / PGM / 8-bit PNG / baseline JPEG decode "
         "natively via the stdlib tier — no codec needed). The Spark-side plumbing "
         "(schema, mapInPandas batching, partitioning) is fully tested on "
         "the stdlib formats; in an environment WITH the codec, the "
@@ -148,6 +151,12 @@ def _stub(name: str, lib: str, cause: Exception | None = None):
 
 
 # --- stdlib codec tier (r8): REAL decoders, zero dependencies ---------------
+
+# baseline JPEG lives in its own module (the Huffman/IDCT machinery is
+# ~300 lines); re-exported here so the codec surface stays one import
+from cdc_historical_warehouse_platform_spark.operators.jpeg import (  # noqa: E402
+    jpeg_decoder,
+)
 
 
 def bmp_decoder(payload: bytes):
@@ -355,26 +364,38 @@ def wav_decoder(payload: bytes):
 
 def stdlib_image_decoder(payload: bytes):
     """Magic-byte dispatch over the stdlib image tier (BMP / PPM /
-    PGM / PNG); raises ValueError for formats the tier can't parse."""
+    PGM / PNG / baseline JPEG); raises ValueError for formats the
+    tier can't parse."""
     if payload[:2] == b"BM":
         return bmp_decoder(payload)
     if payload[:2] in (b"P6", b"P5"):
         return ppm_decoder(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decoder(payload)
-    raise ValueError("payload is not a stdlib-decodable image (BMP/PPM/PGM/PNG)")
+    if payload[:3] == b"\xff\xd8\xff":
+        from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+
+        return jpeg_decoder(payload)
+    raise ValueError(
+        "payload is not a stdlib-decodable image (BMP/PPM/PGM/PNG/JPEG)"
+    )
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload → (H, W, C) uint8 array. BMP/PPM/PGM
-    and 8-bit non-interlaced PNG (r9) decode via the dependency-free
-    stdlib tier; anything else — and any stdlib-magic payload whose
-    SUB-format the stdlib tier can't parse (palette/RLE BMP, 16-bit
-    PPM, palette/16-bit/interlaced PNG) — routes to Pillow (honest
-    env stub when absent), so installing Pillow never decodes LESS
-    than it did before the stdlib tier existed."""
+    """Decode an image payload → (H, W, C) uint8 array. BMP/PPM/PGM,
+    8-bit non-interlaced PNG, and baseline JPEG (r9) decode via the
+    dependency-free stdlib tier; anything else — and any stdlib-magic
+    payload whose SUB-format the stdlib tier can't parse (palette/RLE
+    BMP, 16-bit PPM, palette/16-bit/interlaced PNG, progressive/
+    arithmetic JPEG) — routes to Pillow (honest env stub when
+    absent), so installing Pillow never decodes LESS than it did
+    before the stdlib tier existed."""
     stdlib_err: Exception | None = None
-    if payload[:2] in (b"BM", b"P6", b"P5") or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if (
+        payload[:2] in (b"BM", b"P6", b"P5")
+        or payload[:8] == b"\x89PNG\r\n\x1a\n"
+        or payload[:3] == b"\xff\xd8\xff"
+    ):
         try:
             return stdlib_image_decoder(payload)
         except Exception as err:  # noqa: BLE001

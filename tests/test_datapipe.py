@@ -2573,3 +2573,336 @@ def test_corpus_compact_migrates_flat_state_to_bucketed(spark, tmp_path):
     assert res2["migrated_layout"] and res2["state_buckets"] is None
     assert read_marker(tmp_path / "c").get("state_buckets") is None
     assert corpus_append(spark, new, out)["appended"] == 0
+
+
+def _jpeg_tools():
+    """Test-side baseline JPEG encoder (stdlib struct + numpy) with
+    CUSTOM canonical Huffman tables (12×4-bit DC codes, all-256×8-bit
+    AC codes), so the decoder's generic table reader is exercised, not
+    just the spec's example tables. Returns (encode, idct, A)."""
+    import struct
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import _ZIGZAG
+
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+    dc_bits = [0, 0, 0, 12] + [0] * 12          # 12 symbols, length 4
+    dc_vals = bytes(range(12))
+    # all 256 AC symbols: 255 at length 8 + the last at length 9 (a
+    # BITS entry is one byte, so 256-at-8 can't be expressed)
+    ac_bits = [0] * 7 + [255, 1] + [0] * 7
+    ac_vals = bytes(range(256))
+
+    def _codes(bits, vals):
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[vals[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_codes, ac_codes = _codes(dc_bits, dc_vals), _codes(ac_bits, ac_vals)
+
+    class _BW:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, val, nbits):
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc = 0
+                    self.n = 0
+
+        def pad(self):
+            while self.n:
+                self.put(1, 1)
+
+    def _seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def _dqt(tid, q):
+        zz = q.reshape(-1)[list(_ZIGZAG)]
+        return _seg(0xDB, bytes([tid]) + bytes(int(v) for v in zz))
+
+    def _dht(tc, th, bits, vals):
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+
+    def _magnitude(v):
+        t, a = 0, abs(v)
+        while a:
+            t += 1
+            a >>= 1
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    def _encode_block(bw, coefs_zz, pred):
+        diff = int(coefs_zz[0]) - pred
+        t, bitsv = _magnitude(diff)
+        l, c = dc_codes[t]
+        bw.put(c, l)
+        if t:
+            bw.put(bitsv, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(coefs_zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                l, c = ac_codes[0xF0]
+                bw.put(c, l)
+                run -= 16
+            t, bitsv = _magnitude(v)
+            l, c = ac_codes[(run << 4) | t]
+            bw.put(c, l)
+            bw.put(bitsv, t)
+            run = 0
+        if run:
+            l, c = ac_codes[0x00]
+            bw.put(c, l)
+        return int(coefs_zz[0])
+
+    def _plane_blocks(plane, q):
+        """plane (multiple-of-8 dims) -> quantized zigzag blocks grid."""
+        h, w = plane.shape
+        blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,mnxy,yv->mnuv", A, blocks - 128.0, A.T)
+        qz = np.round(coef / q).astype(np.int64)
+        # zigzag: transmission position i carries block index ZIGZAG[i]
+        return qz.reshape(h // 8, w // 8, 64)[:, :, list(_ZIGZAG)]
+
+    def encode(arr, qy, qc, subsample=False, restart=0):
+        """arr (H,W,1|3) uint8 -> (payload, quantized blocks per comp,
+        padded plane dims per comp)."""
+        h, w, nc = arr.shape
+        if nc == 3:
+            rgb = arr.astype(np.float64)
+            y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+            cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
+            cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+            planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+        else:
+            planes = [arr[:, :, 0].astype(np.float64)]
+        if subsample and nc == 3:
+            for i in (1, 2):
+                p = planes[i]
+                ph = -(-p.shape[0] // 2) * 2
+                pw = -(-p.shape[1] // 2) * 2
+                p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+                planes[i] = np.round(
+                    p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                )
+        samp = [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else [(1, 1)] * nc
+        hmax = max(s[0] for s in samp[:nc])
+        vmax = max(s[1] for s in samp[:nc])
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        padded, grids = [], []
+        for i in range(nc):
+            sh, sv = samp[i]
+            ph, pw = mcuy * sv * 8, mcux * sh * 8
+            p = planes[i]
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            padded.append(p)
+            grids.append(_plane_blocks(p, qy if i == 0 else qc))
+
+        out = bytearray(b"\xff\xd8")
+        out += _dqt(0, qy)
+        if nc == 3:
+            out += _dqt(1, qc)
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+        for i in range(nc):
+            sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1])
+        out += _seg(0xC0, sof)
+        out += _dht(0, 0, dc_bits, dc_vals)
+        out += _dht(1, 0, ac_bits, ac_vals)
+        if nc == 3:
+            out += _dht(0, 1, dc_bits, dc_vals)
+            out += _dht(1, 1, ac_bits, ac_vals)
+        if restart:
+            out += _seg(0xDD, struct.pack(">H", restart))
+        sos = bytes([nc])
+        for i in range(nc):
+            sos += bytes([i + 1, 0 if i == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += _seg(0xDA, sos)
+
+        bw = _BW()
+        pred = [0] * nc
+        mcu, rst = 0, 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu and mcu % restart == 0:
+                    bw.pad()
+                    out += bw.out
+                    bw = _BW()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * nc
+                for i in range(nc):
+                    sh, sv = samp[i]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            pred[i] = _encode_block(
+                                bw, grids[i][my * sv + by, mx * sh + bx], pred[i]
+                            )
+                mcu += 1
+        bw.pad()
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out), grids, samp
+
+    def idct(coefs_8x8):
+        return A.T @ coefs_8x8 @ A
+
+    return encode, idct, A
+
+
+def test_stdlib_jpeg_decoder_baseline_end_to_end(spark):
+    """r9: baseline JPEG decodes dependency-free — grayscale, 4:4:4
+    RGB, 4:2:0 subsampled, and restart markers — pinned BIT-EXACT
+    against the expected reconstruction computed independently from
+    the encoder's quantized coefficients (dequant → IDCT → color →
+    round), plus a PSNR floor vs the original (catches a transform
+    that's self-consistently wrong), plus the Arrow feature pipeline."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import (
+        _ZIGZAG,
+        jpeg_decoder,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+    )
+
+    encode, idct, _ = _jpeg_tools()
+    rng = np.random.RandomState(7)
+    qy = np.clip(np.arange(64).reshape(8, 8) + 4, 4, 40)
+    qc = np.clip(np.arange(64).reshape(8, 8) * 2 + 6, 6, 60)
+
+    def expected_planes(grids, samp, h, w, qtabs):
+        zig = np.asarray(_ZIGZAG)
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        planes = []
+        for gi, g in enumerate(grids):
+            bh, bw_ = g.shape[:2]
+            dez = np.zeros_like(g)
+            dez[:, :, zig] = g
+            coef = dez.reshape(bh, bw_, 8, 8).astype(np.float64) * qtabs[gi]
+            samp_blocks = np.array(
+                [[idct(coef[i, j]) for j in range(bw_)] for i in range(bh)]
+            ) + 128.0
+            plane = samp_blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+            sh, sv = samp[gi]
+            plane = np.repeat(np.repeat(plane, vmax // sv, axis=0), hmax // sh, axis=1)
+            planes.append(plane[:h, :w])
+        return planes
+
+    def expected_rgb(grids, samp, h, w, qtabs):
+        p = expected_planes(grids, samp, h, w, qtabs)
+        if len(p) == 1:
+            return np.clip(np.round(p[0]), 0, 255).astype(np.uint8)[:, :, None]
+        y, cb, cr = p
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(np.round(np.stack([r, g, b], 2)), 0, 255).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    # smooth gradient + mild noise: realistic spectra, nonzero AC runs
+    h, w = 21, 18  # non-multiple-of-8: exercises edge padding/cropping
+    base = (
+        np.linspace(0, 200, h)[:, None, None]
+        + np.linspace(0, 55, w)[None, :, None]
+        + rng.randint(-12, 13, (h, w, 3))
+    )
+    rgb = np.clip(base, 0, 255).astype(np.uint8)
+    gray = rgb[:, :, :1]
+
+    # grayscale
+    payload, grids, samp = encode(gray, qy, qc)
+    got = jpeg_decoder(payload)
+    want = expected_rgb(grids, samp, h, w, [qy])
+    assert got.shape == (h, w, 1)
+    assert np.array_equal(got, want)
+    assert psnr(got, gray) > 30, psnr(got, gray)
+
+    # 4:4:4 color through the magic dispatch
+    payload, grids, samp = encode(rgb, qy, qc)
+    got = decode_image(payload)
+    want = expected_rgb(grids, samp, h, w, [qy, qc, qc])
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, want)
+    assert psnr(got, rgb) > 25, psnr(got, rgb)
+
+    # 4:2:0 subsampled
+    payload, grids, samp = encode(rgb, qy, qc, subsample=True)
+    got = jpeg_decoder(payload)
+    want = expected_rgb(grids, samp, h, w, [qy, qc, qc])
+    assert np.array_equal(got, want)
+    assert psnr(got, rgb) > 20, psnr(got, rgb)
+
+    # restart markers (4:4:4, DRI=2): predictors reset per interval
+    payload, grids, samp = encode(rgb, qy, qc, restart=2)
+    got = jpeg_decoder(payload)
+    want = expected_rgb(grids, samp, h, w, [qy, qc, qc])
+    assert np.array_equal(got, want)
+
+    # Arrow pipeline end-to-end on the JPEG payload
+    df = spark.createDataFrame([(3, bytearray(payload))], ["doc_id", "payload"])
+    (r,) = extract_image_features(df, out_w=4, out_h=4).collect()
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert r["mean_intensity"] == round(float(want.mean()), 6)
+
+
+def test_stdlib_jpeg_unsupported_subformats_fall_through():
+    """Progressive (SOF2) / 12-bit / arithmetic JPEG refuse in the
+    stdlib tier (ValueError) and route to the Pillow env stub via
+    decode_image — same contract as the PNG/BMP sub-format gaps."""
+    import importlib.util
+    import struct
+
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    def sof(marker, precision=8):
+        body = bytes([precision]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        return (
+            b"\xff\xd8"
+            + bytes([0xFF, marker])
+            + struct.pack(">H", len(body) + 2)
+            + body
+        )
+
+    for payload, msg in (
+        (sof(0xC2), "baseline"),            # progressive
+        (sof(0xC0, precision=12), "8-bit"),  # 12-bit
+        (b"\xff\xd8\xff\xcc\x00\x04\x00\x00", "arithmetic"),
+    ):
+        with _pytest.raises(ValueError, match=msg):
+            jpeg_decoder(payload)
+        if importlib.util.find_spec("PIL") is None:
+            with _pytest.raises(NotImplementedError, match="Pillow"):
+                decode_image(payload)
