@@ -9,10 +9,12 @@ North-star requirement. The pattern for 100 TB multimodal tables:
   (``mapInPandas``) so bytes cross the JVM↔Python boundary once per
   batch, not per row;
 - the default decoders are REAL for the stdlib-parseable formats
-  (r8, extended r9): PCM WAV via the stdlib ``wave`` module, BMP /
-  PPM / PGM via pure-Python header parsing, and 8-bit non-interlaced
-  PNG via stdlib ``zlib`` inflate + the five spec filters — no
-  external codec needed, pinned against numpy ground truth in tests.
+  (r8, extended r9): PCM WAV via the stdlib ``wave`` module, G.711
+  mu-law/A-law WAV via a manual RIFF walk + the ITU expansion
+  tables, BMP / PPM / PGM via pure-Python header parsing, and 8-bit
+  non-interlaced PNG via stdlib ``zlib`` inflate + the five spec
+  filters — no external codec needed, pinned against ground truth
+  (numpy arrays / the CCITT scalar routines) in tests.
   Baseline JPEG decodes via operators/jpeg.py (stdlib struct + a
   sequential Huffman walk + vectorized numpy block math). The
   remaining compressed formats (progressive JPEG, MP3/OGG, video,
@@ -47,6 +49,7 @@ __all__ = [
     "decode_image",
     "decode_audio",
     "wav_decoder",
+    "g711_wav_decoder",
     "bmp_decoder",
     "ppm_decoder",
     "png_decoder",
@@ -362,6 +365,62 @@ def wav_decoder(payload: bytes):
     return wavef, sr
 
 
+def g711_wav_decoder(payload: bytes):
+    """G.711 μ-law / A-law WAV (format tags 7 / 6 — the telephony
+    codecs the stdlib ``wave`` module refuses) → (float64 mono
+    waveform in [-1, 1], native sample_rate). Manual RIFF chunk walk +
+    the ITU-T G.711 expansion formulas, vectorized over a 256-entry
+    lookup table (one table build per call, one fancy-index per
+    payload)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, sr = fmt[0], fmt[1], fmt[2]
+    if tag not in (6, 7):
+        raise ValueError(f"g711_wav_decoder handles A-law/mu-law only (tag {tag})")
+    codes = np.arange(256, dtype=np.uint8)
+    if tag == 7:  # mu-law (G.711): invert, extract exponent/mantissa
+        u = ~codes
+        sign = np.where(u & 0x80, -1.0, 1.0)
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant.astype(np.int32) << 3) + 0x84 << exp) - 0x84
+        table = sign * mag / 32768.0
+    else:  # A-law: even-bit inversion, segment expansion
+        a = codes ^ 0x55
+        # NB: A-law's sign convention is inverted vs mu-law — the sign
+        # bit SET means positive (G.711 alaw2linear)
+        sign = np.where(a & 0x80, 1.0, -1.0)
+        exp = (a >> 4) & 0x07
+        mant = (a & 0x0F).astype(np.int32)
+        mag = np.where(
+            exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+        )
+        table = sign * mag / 32768.0
+    wavef = table[np.frombuffer(data, dtype=np.uint8)]
+    if nch > 1:
+        wavef = wavef.reshape(-1, nch).mean(axis=1)
+    return wavef, sr
+
+
 def stdlib_image_decoder(payload: bytes):
     """Magic-byte dispatch over the stdlib image tier (BMP / PPM /
     PGM / PNG / baseline JPEG); raises ValueError for formats the
@@ -420,10 +479,11 @@ def decode_image(payload: bytes):
 
 def decode_audio(payload: bytes):
     """Decode an audio payload → (waveform array, sample rate). RIFF
-    PCM WAV decodes via the dependency-free stdlib tier; anything else
-    — and any RIFF payload the stdlib tier can't parse (float32 /
-    24-bit / compressed WAV) — routes to librosa (honest env stub when
-    absent), so installing librosa never decodes LESS than before.
+    PCM WAV and G.711 mu-law/A-law WAV decode via the dependency-free
+    stdlib tier; anything else — and any RIFF payload the stdlib tier
+    can't parse (float32 / 24-bit / compressed WAV) — routes to
+    librosa (honest env stub when absent), so installing librosa
+    never decodes LESS than before.
 
     Both tiers return the NATIVE sample rate (``sr=None`` below keeps
     librosa from resampling to its 22050 Hz default), so the (waveform,
@@ -432,9 +492,13 @@ def decode_audio(payload: bytes):
         try:
             return wav_decoder(payload)
         except Exception:
-            # unsupported sub-format (float/24-bit/compressed WAV) or a
-            # corrupt container: fall through to librosa
-            pass
+            # non-PCM sub-format or a corrupt container: try the G.711
+            # telephony tier (mu-law/A-law), then fall through
+            try:
+                return g711_wav_decoder(payload)
+            except Exception:
+                # float/24-bit/compressed WAV: fall through to librosa
+                pass
     try:
         import librosa  # noqa: F401
     except ImportError:

@@ -2906,3 +2906,62 @@ def test_stdlib_jpeg_unsupported_subformats_fall_through():
         if importlib.util.find_spec("PIL") is None:
             with _pytest.raises(NotImplementedError, match="Pillow"):
                 decode_image(payload)
+
+
+def test_g711_wav_decoder_mu_and_a_law():
+    """r9: G.711 mu-law/A-law WAV (telephony codecs the stdlib wave
+    module refuses) decode natively — pinned bit-exact against the
+    reference scalar expansion routines (CCITT G.711 ulaw2linear /
+    alaw2linear transliterated below), through the raw decoder AND
+    the decode_audio dispatch; stereo averages to mono."""
+    import struct
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_audio,
+        g711_wav_decoder,
+    )
+
+    def ulaw2linear(u):
+        u = ~u & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw2linear(a):
+        a ^= 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    def wav(tag, sr, frames, nch=1):
+        fmt = struct.pack("<HHIIHH", tag, nch, sr, sr * nch, nch, 8)
+        data = bytes(frames)
+        riff = (
+            b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    codes = list(range(256))
+    for tag, ref in ((7, ulaw2linear), (6, alaw2linear)):
+        wv, sr = g711_wav_decoder(wav(tag, 8000, codes))
+        assert sr == 8000 and len(wv) == 256
+        expect = np.array([ref(c) for c in codes], dtype=np.float64) / 32768.0
+        assert np.array_equal(wv, expect), f"tag {tag}"
+        # dispatch: the stdlib wave module refuses tag 6/7, the G.711
+        # tier owns it
+        wv2, _ = decode_audio(wav(tag, 8000, codes))
+        assert np.array_equal(wv2, expect)
+    # stereo -> mono average
+    stereo = [c for pair in zip(codes, codes[::-1]) for c in pair]
+    wv, _ = g711_wav_decoder(wav(7, 16000, stereo, nch=2))
+    mono = np.array([ulaw2linear(c) for c in codes], dtype=np.float64) / 32768.0
+    assert np.allclose(wv, (mono + mono[::-1]) / 2.0)
