@@ -85,6 +85,16 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "16g")
         .config("spark.driver.maxResultSize", MAX_RESULT)
+        # Catalyst auto-broadcast OFF: this harness must attribute every
+        # broadcast to an EXPLICIT probe-path hint. The synthetic
+        # range()-derived fixture carries ~8 B/row plan-time size
+        # estimates (localCheckpoint preserves the source plan's
+        # stats), so Catalyst would auto-broadcast an 18 MB-serialized
+        # probe under ANY positive threshold and trip the scaled budget
+        # from the SHUFFLE path — an estimate artifact a parquet-backed
+        # corpus (size-realistic stats, production 64 MB-vs->=1 GB
+        # threshold/budget ratio) does not have.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -117,7 +127,10 @@ def main() -> int:
             ),
         ).otherwise(F.col("text")),
     )
-    r1 = idx.append(seed, txn_id="seed")
+    # the seed itself rides the shuffle path: under the pinned budget
+    # even a modest explicit broadcast probe would blow up — only the
+    # DELIBERATE broadcast attempt below is supposed to
+    r1 = idx.append(seed, txn_id="seed", probe_mode="shuffle")
     out["seed_mode"] = r1["probe_mode"]
 
     t0 = time.time()
