@@ -2965,3 +2965,80 @@ def test_g711_wav_decoder_mu_and_a_law():
     wv, _ = g711_wav_decoder(wav(7, 16000, stereo, nch=2))
     mono = np.array([ulaw2linear(c) for c in codes], dtype=np.float64) / 32768.0
     assert np.allclose(wv, (mono + mono[::-1]) / 2.0)
+
+
+def test_state_migration_crash_windows(spark, tmp_path, monkeypatch):
+    """r9 crash protocol for the layout migration: a crash BEFORE the
+    compaction marker rolls the bucketed rewrite back (repair deletes
+    the unlisted files; the corpus stays FLAT and fully usable), and a
+    crash AFTER the marker but before the unlink is finished by the
+    next repair (old flat files removed; the corpus is BUCKETED and
+    fully usable) — state rows exact through both windows."""
+    from cdc_historical_warehouse_platform_spark.pipeline import corpus_build as cb
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_state import (
+        read_marker,
+        repair,
+    )
+
+    out = str(tmp_path / "c")
+    cb.corpus_build(spark, "/root/testdata/sf0.001", out, state_buckets=None)
+
+    def state_rows(d):
+        return {
+            tuple(r) for r in spark.read.parquet(str(tmp_path / "c" / d)).collect()
+        }
+
+    lsh_before, fp_before = state_rows("_lsh_index"), state_rows("_fp_index")
+
+    # --- crash BEFORE the marker: write_marker raises mid-migration ---
+    real_write_marker = cb.write_marker
+
+    def exploding_marker(*a, **k):
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(cb, "write_marker", exploding_marker)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        cb.corpus_compact(spark, out, state_buckets=4)
+    monkeypatch.setattr(cb, "write_marker", real_write_marker)
+
+    # the bucketed copies are unlisted -> repair rolls them back; the
+    # committed marker still says FLAT and the state reads exactly
+    removed = repair(tmp_path / "c")["removed"]
+    assert removed, "torn migration left no unlisted files to roll back?"
+    assert read_marker(tmp_path / "c").get("state_buckets") is None
+    assert state_rows("_lsh_index") == lsh_before
+    assert state_rows("_fp_index") == fp_before
+    # flat corpus still fully usable (re-append of same content no-ops)
+    same = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert cb.corpus_append(spark, same, out)["appended"] == 0
+
+    # --- crash AFTER the marker, BEFORE the unlink: kill the unlink ---
+    import pathlib
+
+    real_unlink = pathlib.Path.unlink
+    flat_files = {f.name for f in (tmp_path / "c" / "_lsh_index").glob("*.parquet")}
+
+    def no_unlink(self, *a, **k):
+        if self.suffix == ".parquet" and "_index" in str(self.parent):
+            raise RuntimeError("injected crash during unlink")
+        return real_unlink(self, *a, **k)
+
+    monkeypatch.setattr(pathlib.Path, "unlink", no_unlink)
+    with _pytest.raises(RuntimeError, match="injected crash during unlink"):
+        cb.corpus_compact(spark, out, state_buckets=4)
+    monkeypatch.setattr(pathlib.Path, "unlink", real_unlink)
+
+    # the marker committed the BUCKETED layout; old flat files are
+    # unlisted leftovers the next repair removes
+    assert read_marker(tmp_path / "c")["state_buckets"] == 4
+    on_disk = {f.name for f in (tmp_path / "c" / "_lsh_index").glob("*.parquet")}
+    assert flat_files & on_disk, "old files should still be on disk pre-repair"
+    repair(tmp_path / "c")
+    on_disk = {f.name for f in (tmp_path / "c" / "_lsh_index").glob("*.parquet")}
+    assert not (flat_files & on_disk), "repair must finish the unlink"
+    assert state_rows("_lsh_index") == lsh_before
+    assert state_rows("_fp_index") == fp_before
+    # bucketed corpus fully usable through the forced bulk probe
+    assert cb.corpus_append(spark, same, out, bulk_probe_doc_limit=0)["appended"] == 0
