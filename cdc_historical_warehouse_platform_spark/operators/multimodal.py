@@ -16,10 +16,11 @@ North-star requirement. The pattern for 100 TB multimodal tables:
   filters — no external codec needed, pinned against ground truth
   (numpy arrays / the CCITT scalar routines) in tests.
   Baseline JPEG decodes via operators/jpeg.py (stdlib struct + a
-  sequential Huffman walk + vectorized numpy block math). The
-  remaining compressed formats (progressive JPEG, MP3/OGG, video,
-  exotic PNG sub-formats) still route to PIL / librosa, which are not
-  in this container: for THOSE payloads ``decode_image``/``decode_audio``
+  sequential Huffman walk + vectorized numpy block math) and FLAC —
+  losslessly — via operators/flac.py. The remaining compressed
+  formats (progressive JPEG, MP3/OGG, video, exotic PNG/FLAC
+  sub-formats) still route to PIL / librosa, which are not in this
+  container: for THOSE payloads ``decode_image``/``decode_audio``
   raise ``NotImplementedError`` unless the library import succeeds.
   The decode→resize→feature PIPELINES take an injectable ``decoder``
   callable (r4) and are exercised end-to-end both with the stdlib
@@ -50,6 +51,7 @@ __all__ = [
     "decode_audio",
     "wav_decoder",
     "g711_wav_decoder",
+    "flac_decoder",
     "bmp_decoder",
     "ppm_decoder",
     "png_decoder",
@@ -157,6 +159,9 @@ def _stub(name: str, lib: str, cause: Exception | None = None):
 
 # baseline JPEG lives in its own module (the Huffman/IDCT machinery is
 # ~300 lines); re-exported here so the codec surface stays one import
+from cdc_historical_warehouse_platform_spark.operators.flac import (  # noqa: E402
+    flac_decoder,
+)
 from cdc_historical_warehouse_platform_spark.operators.jpeg import (  # noqa: E402
     jpeg_decoder,
 )
@@ -479,11 +484,12 @@ def decode_image(payload: bytes):
 
 def decode_audio(payload: bytes):
     """Decode an audio payload → (waveform array, sample rate). RIFF
-    PCM WAV and G.711 mu-law/A-law WAV decode via the dependency-free
-    stdlib tier; anything else — and any RIFF payload the stdlib tier
-    can't parse (float32 / 24-bit / compressed WAV) — routes to
-    librosa (honest env stub when absent), so installing librosa
-    never decodes LESS than before.
+    PCM WAV, G.711 mu-law/A-law WAV, and FLAC (operators/flac.py —
+    lossless, so bit-exact dependency-free decode) decode via the
+    stdlib tier; anything else — and any payload the stdlib tier
+    can't parse (float32/compressed WAV, 32-bit FLAC, MP3/OGG) —
+    routes to librosa (honest env stub when absent), so installing
+    librosa never decodes LESS than before.
 
     Both tiers return the NATIVE sample rate (``sr=None`` below keeps
     librosa from resampling to its 22050 Hz default), so the (waveform,
@@ -499,6 +505,15 @@ def decode_audio(payload: bytes):
             except Exception:
                 # float/24-bit/compressed WAV: fall through to librosa
                 pass
+    if payload[:4] == b"fLaC":
+        try:
+            from cdc_historical_warehouse_platform_spark.operators.flac import flac_decoder
+
+            return flac_decoder(payload)
+        except Exception:
+            # unsupported sub-format (32-bit, Ogg-FLAC) or corrupt
+            # stream: the librosa tier gets the same chance
+            pass
     try:
         import librosa  # noqa: F401
     except ImportError:

@@ -3042,3 +3042,234 @@ def test_state_migration_crash_windows(spark, tmp_path, monkeypatch):
     assert state_rows("_fp_index") == fp_before
     # bucketed corpus fully usable through the forced bulk probe
     assert cb.corpus_append(spark, same, out, bulk_probe_doc_limit=0)["appended"] == 0
+
+
+def _flac_tools():
+    """Test-side FLAC encoder (pure Python): STREAMINFO + frames with
+    a per-subframe strategy chosen by the test — CONSTANT, VERBATIM,
+    FIXED(0-4) and LPC subframes with single-partition RICE residuals
+    (escape partitions on request). CRCs computed with the decoder's
+    polynomial helpers (the correctness pin is the SAMPLES — FLAC is
+    lossless, so decode must reproduce the encoder's input exactly)."""
+    import struct
+
+    from cdc_historical_warehouse_platform_spark.operators.flac import (
+        _FIXED_COEFS,
+        _crc8,
+        _crc16,
+    )
+
+    class BW:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, val, nbits):
+            val &= (1 << nbits) - 1 if nbits else 0
+            for i in range(nbits - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    self.acc = 0
+                    self.n = 0
+
+        def align(self):
+            while self.n:
+                self.put(0, 1)
+
+    def rice(bw, residuals, param, escape_bits=None):
+        bw.put(0, 2)  # RICE4 method
+        bw.put(0, 4)  # partition order 0 -> one partition
+        if escape_bits is not None:
+            bw.put(15, 4)  # escape code
+            bw.put(escape_bits, 5)
+            for r in residuals:
+                bw.put(r, escape_bits)
+            return
+        bw.put(param, 4)
+        for r in residuals:
+            zz = (r << 1) if r >= 0 else ((-r) << 1) - 1
+            q, rem = zz >> param, zz & ((1 << param) - 1)
+            for _ in range(q):
+                bw.put(0, 1)
+            bw.put(1, 1)
+            bw.put(rem, param)
+
+    def subframe(bw, samples, bps, kind, param=3, escape_bits=None):
+        bw.put(0, 1)
+        if kind == "constant":
+            bw.put(0, 6)
+            bw.put(0, 1)
+            bw.put(samples[0], bps)
+            return
+        if kind == "verbatim":
+            bw.put(1, 6)
+            bw.put(0, 1)
+            for s in samples:
+                bw.put(s, bps)
+            return
+        if kind.startswith("fixed"):
+            order = int(kind[-1])
+            bw.put(8 | order, 6)
+            bw.put(0, 1)
+            for s in samples[:order]:
+                bw.put(s, bps)
+            coefs = _FIXED_COEFS[order]
+            res = [
+                samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+                for i in range(order, len(samples))
+            ]
+            rice(bw, res, param, escape_bits)
+            return
+        if kind == "lpc2":  # LPC path with the FIXED-2 predictor
+            order, prec, shift, coefs = 2, 4, 0, [2, -1]
+            bw.put(32 | (order - 1), 6)
+            bw.put(0, 1)
+            for s in samples[:order]:
+                bw.put(s, bps)
+            bw.put(prec - 1, 4)
+            bw.put(shift, 5)
+            for c in coefs:
+                bw.put(c, prec)
+            res = [
+                samples[i]
+                - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+                for i in range(order, len(samples))
+            ]
+            rice(bw, res, param, escape_bits)
+            return
+        raise ValueError(kind)
+
+    def encode(channels, sr, bps, kinds, assign="independent", frame_size=None, **kw):
+        """channels: list of per-channel int sample lists (equal len)."""
+        nch = len(channels)
+        total = len(channels[0])
+        frame_size = frame_size or total
+        si = bytearray()
+        si += struct.pack(">HH", frame_size, frame_size)
+        si += b"\x00" * 6  # min/max frame size unknown
+        si += bytes(
+            [
+                (sr >> 12) & 0xFF,
+                (sr >> 4) & 0xFF,
+                ((sr & 0xF) << 4) | ((nch - 1) << 1) | (((bps - 1) >> 4) & 1),
+                ((bps - 1) & 0xF) << 4,
+            ]
+        )
+        si += b"\x00" * 4 + b"\x00" * 16  # total samples (36 bits total w/ prev nibble) + md5
+        out = bytearray(b"fLaC")
+        out += bytes([0x80]) + struct.pack(">I", len(si))[1:] + si
+
+        ch_code = {"independent": nch - 1, "left_side": 8, "right_side": 9, "mid_side": 10}[assign]
+        for fi, start in enumerate(range(0, total, frame_size)):
+            n = min(frame_size, total - start)
+            bw = BW()
+            bw.put(0x3FFE, 14)
+            bw.put(0, 1)
+            bw.put(0, 1)  # fixed blocking
+            bw.put(7, 4)  # 16-bit block-size-1 at end of header
+            bw.put(0, 4)  # sample rate from STREAMINFO
+            bw.put(ch_code, 4)
+            bw.put(0, 3)  # bps from STREAMINFO
+            bw.put(0, 1)
+            assert fi < 128
+            bw.put(fi, 8)  # UTF-8 frame number (single byte)
+            bw.put(n - 1, 16)
+            hdr = bytes(bw.out)
+            assert bw.n == 0
+            bw.put(_crc8(hdr), 8)
+
+            segs = [ch[start : start + n] for ch in channels]
+            if assign == "left_side":
+                subs = [segs[0], [l - r for l, r in zip(segs[0], segs[1])]]
+                bits = [bps, bps + 1]
+            elif assign == "right_side":
+                subs = [[l - r for l, r in zip(segs[0], segs[1])], segs[1]]
+                bits = [bps + 1, bps]
+            elif assign == "mid_side":
+                subs = [
+                    [(l + r) >> 1 for l, r in zip(segs[0], segs[1])],
+                    [l - r for l, r in zip(segs[0], segs[1])],
+                ]
+                bits = [bps, bps + 1]
+            else:
+                subs, bits = segs, [bps] * nch
+            for c, sub in enumerate(subs):
+                subframe(bw, sub, bits[c], kinds[c % len(kinds)], **kw)
+            bw.align()
+            frame = bytes(bw.out)
+            bw.put(_crc16(frame), 16)
+            out += bw.out
+        return bytes(out)
+
+    return encode
+
+
+def test_flac_decoder_lossless_end_to_end(spark):
+    """r9: FLAC decodes dependency-free and LOSSLESSLY — every
+    subframe kind (CONSTANT / VERBATIM / FIXED-0..4 / LPC), rice +
+    escape residuals, multi-frame streams, all three stereo side
+    codings, 8/16-bit depths — samples reproduced EXACTLY, plus the
+    Arrow audio pipeline."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.flac import flac_decoder
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_audio,
+        extract_audio_features,
+    )
+
+    encode = _flac_tools()
+    rng = np.random.RandomState(11)
+    n = 96
+    smooth = np.cumsum(rng.randint(-40, 41, n)).astype(np.int64)
+    smooth = np.clip(smooth, -30000, 30000).tolist()
+
+    # every subframe kind, mono 16-bit
+    for kind in ("verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc2"):
+        payload = encode([smooth], 8000, 16, [kind], param=6)
+        wv, sr = flac_decoder(payload)
+        assert sr == 8000
+        assert np.array_equal(wv, np.array(smooth, dtype=np.float64) / 32768.0), kind
+    # constant + escape partitions + multi-frame
+    const = [123] * n
+    payload = encode([const], 8000, 16, ["constant"], frame_size=32)
+    wv, _ = flac_decoder(payload)
+    assert np.array_equal(wv, np.array(const, dtype=np.float64) / 32768.0)
+    payload = encode([smooth], 8000, 16, ["fixed1"], escape_bits=17, frame_size=48)
+    wv, _ = flac_decoder(payload)
+    assert np.array_equal(wv, np.array(smooth, dtype=np.float64) / 32768.0)
+
+    # stereo: all three side codings + independent, 16-bit
+    left = smooth
+    right = np.clip(np.array(smooth) // 2 + 7, -30000, 30000).astype(np.int64).tolist()
+    expect = (np.array(left, dtype=np.float64) + np.array(right)) / 2.0 / 32768.0
+    for assign in ("independent", "left_side", "right_side", "mid_side"):
+        payload = encode([left, right], 16000, 16, ["fixed2", "verbatim"], assign=assign, param=7)
+        wv, sr = flac_decoder(payload)
+        assert sr == 16000
+        assert np.array_equal(wv, expect), assign
+        wv2, _ = decode_audio(payload)  # dispatch
+        assert np.array_equal(wv2, expect), assign
+
+    # 8-bit depth
+    small = (np.array(smooth) // 256).astype(np.int64).tolist()
+    payload = encode([small], 4000, 8, ["fixed2"], param=3)
+    wv, sr = flac_decoder(payload)
+    assert sr == 4000 and np.array_equal(wv, np.array(small, dtype=np.float64) / 128.0)
+
+    # Arrow pipeline end-to-end
+    payload = encode([left, right], 16000, 16, ["lpc2", "fixed3"], assign="mid_side", param=7)
+    df = spark.createDataFrame([(5, bytearray(payload))], ["doc_id", "payload"])
+    (r,) = extract_audio_features(df).collect()
+    assert r["sample_rate"] == 16000 and r["n_samples"] == n
+
+    # corrupt CRC refuses (falls to the librosa seam via decode_audio)
+    import pytest as _pytest
+
+    bad = bytearray(encode([smooth], 8000, 16, ["fixed2"]))
+    bad[-1] ^= 0xFF  # frame CRC-16
+    with _pytest.raises(ValueError, match="CRC-16"):
+        flac_decoder(bytes(bad))
