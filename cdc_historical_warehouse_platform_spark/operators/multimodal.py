@@ -244,13 +244,14 @@ def ppm_decoder(payload: bytes):
 
 
 def png_decoder(payload: bytes):
-    """8-bit non-interlaced grayscale / gray+alpha / RGB / RGBA PNG →
-    (H, W, C) uint8 array, dependency-free: the container is struct +
-    stdlib ``zlib`` inflate, plus the five scanline filters
-    (None/Sub/Up/Average/Paeth) from the PNG spec §9. Palette (color
-    type 3), 16-bit, and interlaced payloads raise ValueError — the
-    Pillow fall-through owns those sub-formats, same contract as the
-    BMP/PPM tiers.
+    """8-bit non-interlaced grayscale / gray+alpha / RGB / RGBA /
+    palette PNG → (H, W, C) uint8 array, dependency-free: the
+    container is struct + stdlib ``zlib`` inflate, plus the five
+    scanline filters (None/Sub/Up/Average/Paeth) from the PNG spec §9;
+    palette payloads (color type 3, r9) decode through the PLTE
+    lookup to RGB. 16-bit and interlaced payloads raise ValueError —
+    the Pillow fall-through owns those sub-formats, same contract as
+    the BMP/PPM tiers.
 
     Filter inversion is vectorized where the recurrence allows: None
     and Up are whole-row numpy ops, Sub is a per-channel cumulative
@@ -267,6 +268,7 @@ def png_decoder(payload: bytes):
         raise ValueError("not a PNG payload (bad signature)")
     pos = 8
     ihdr = None
+    plte = None
     idat: list[bytes] = []
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -277,6 +279,10 @@ def png_decoder(payload: bytes):
         pos += 12 + length  # 4 len + 4 type + data + 4 crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -286,13 +292,15 @@ def png_decoder(payload: bytes):
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
     if bit_depth != 8:
         raise ValueError(f"stdlib PNG tier supports bit depth 8 only (got {bit_depth})")
-    if color_type not in (0, 2, 4, 6):
-        raise ValueError(f"stdlib PNG tier: unsupported color type {color_type} (palette?)")
+    if color_type not in (0, 2, 3, 4, 6):
+        raise ValueError(f"stdlib PNG tier: unsupported color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if interlace:
         raise ValueError("stdlib PNG tier: interlaced (Adam7) unsupported")
     if comp or filt:
         raise ValueError("invalid PNG compression/filter method")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = width * channels
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != (stride + 1) * height:
@@ -335,7 +343,13 @@ def png_decoder(payload: bytes):
                 rec[x] = (int(row[x]) + pred) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {f}")
-    return out.reshape(height, width, channels)
+    img = out.reshape(height, width, channels)
+    if color_type == 3:  # palette (r9): index -> RGB via PLTE
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of PLTE range")
+        img = plte[idx]
+    return img
 
 
 def wav_decoder(payload: bytes):

@@ -2445,7 +2445,7 @@ def test_stdlib_png_unsupported_subformats_fall_through():
         return b"\x89PNG\r\n\x1a\n" + c1 + c2
 
     for kwargs, msg in (
-        (dict(depth=8, ct=3, interlace=0), "color type"),   # palette
+        (dict(depth=8, ct=5, interlace=0), "color type"),   # reserved type
         (dict(depth=16, ct=0, interlace=0), "bit depth"),
         (dict(depth=8, ct=0, interlace=1), "interlaced"),
     ):
@@ -3273,3 +3273,53 @@ def test_flac_decoder_lossless_end_to_end(spark):
     bad[-1] ^= 0xFF  # frame CRC-16
     with _pytest.raises(ValueError, match="CRC-16"):
         flac_decoder(bytes(bad))
+
+
+def test_stdlib_png_palette_decode():
+    """r9: palette PNG (color type 3) decodes via the PLTE lookup —
+    bit-exact RGB vs the source palette image — while out-of-range
+    indexes and a missing PLTE refuse to the Pillow seam."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        png_decoder,
+    )
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    h, w = 6, 5
+    rng = np.random.RandomState(5)
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def png(with_plte=True, indexes=idx):
+        raw_ = b"".join(b"\x00" + indexes[y].tobytes() for y in range(h))
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        )
+        if with_plte:
+            out += chunk(b"PLTE", palette.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw_)) + chunk(b"IEND", b"")
+
+    got = png_decoder(png())
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, palette[idx])
+    assert np.array_equal(decode_image(png()), palette[idx])
+
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        png_decoder(png(with_plte=False))
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200  # past the 16-entry palette
+    with _pytest.raises(ValueError, match="out of PLTE range"):
+        png_decoder(png(indexes=bad_idx))
