@@ -154,6 +154,10 @@ def jpeg_decoder(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # optional 0xFF fill bytes before a marker are spec-legal
+        # (T.81 B.1.1.2); skip to the last FF of the run
+        while payload[pos + 1] == 0xFF and pos + 2 < n:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

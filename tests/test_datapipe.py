@@ -3323,3 +3323,20 @@ def test_stdlib_png_palette_decode():
     bad_idx[0, 0] = 200  # past the 16-entry palette
     with _pytest.raises(ValueError, match="out of PLTE range"):
         png_decoder(png(indexes=bad_idx))
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker —
+    a writer padding before DQT/SOS must not break the segment walk."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+
+    encode, _, _ = _jpeg_tools()
+    arr = (np.arange(64, dtype=np.uint8).reshape(8, 8, 1) * 3 % 251)
+    qy = np.full((8, 8), 6, dtype=np.int64)
+    payload, grids, samp = encode(arr, qy, qy)
+    base = jpeg_decoder(payload)
+    # inject fill bytes before the first DQT marker (right after SOI)
+    padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+    assert np.array_equal(jpeg_decoder(padded), base)
