@@ -243,22 +243,76 @@ def ppm_decoder(payload: bytes):
     return arr.reshape(height, width, channels)
 
 
-def png_decoder(payload: bytes):
-    """8-bit non-interlaced grayscale / gray+alpha / RGB / RGBA /
-    palette PNG → (H, W, C) uint8 array, dependency-free: the
-    container is struct + stdlib ``zlib`` inflate, plus the five
-    scanline filters (None/Sub/Up/Average/Paeth) from the PNG spec §9;
-    palette payloads (color type 3, r9) decode through the PLTE
-    lookup to RGB. 16-bit and interlaced payloads raise ValueError —
-    the Pillow fall-through owns those sub-formats, same contract as
-    the BMP/PPM tiers.
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Filter inversion is vectorized where the recurrence allows: None
-    and Up are whole-row numpy ops, Sub is a per-channel cumulative
-    sum; only Average and Paeth (left-dependent, sequential by spec)
-    walk pixels in Python — and encoders emit those mostly for
-    photographic content, not the synthetic/test payloads a
-    Pillow-less environment decodes."""
+
+def _png_unfilter(scan_bytes, width, height, bpp):
+    """Invert the five scanline filters over one (sub-)image of
+    ``height`` rows of ``width`` pixels × ``bpp`` bytes each;
+    ``scan_bytes`` is the raw (filter byte + row) stream. Returns the
+    (height, width*bpp) uint8 byte matrix (the caller re-views it as
+    samples). None/Up are whole-row numpy ops, Sub is a per-byte-lane
+    cumulative sum; Average/Paeth (left-dependent by spec) walk bytes
+    in Python."""
+    import numpy as np
+
+    stride = width * bpp
+    if len(scan_bytes) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG raster size mismatch: {len(scan_bytes)} bytes, "
+            f"expected {(stride + 1) * height}"
+        )
+    scan = np.frombuffer(scan_bytes, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = scan[:, 0]
+    rows = scan[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = int(ftypes[y])
+        row = rows[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = row
+        elif f == 1:  # Sub: rec[x] = raw[x] + rec[x-bpp]
+            # per-byte-lane cumulative sum — uint8 wraparound == mod 256
+            cols = row.reshape(width, bpp).astype(np.uint64)
+            out[y] = (np.cumsum(cols, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = row + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            rec = out[y]
+            prev16 = prev.astype(np.uint16)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + ((left + int(prev16[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    return out
+
+
+def png_decoder(payload: bytes):
+    """8/16-bit grayscale / gray+alpha / RGB / RGBA / palette PNG,
+    sequential OR Adam7-interlaced → (H, W, C) uint8 array,
+    dependency-free: struct chunk walking + stdlib ``zlib`` inflate +
+    the five scanline filters (PNG spec §9), palette via the PLTE
+    lookup, interlaced payloads assembled from the seven Adam7 passes
+    (each pass its own filtered sub-image, spec §8.2). 16-bit samples
+    downscale to 8 (high byte) — the same convert-to-8-bit contract
+    Pillow's ``convert("RGB")`` applies. Sub-byte depths (1/2/4-bit)
+    raise ValueError — the Pillow fall-through owns those."""
     import struct
     import zlib
 
@@ -290,66 +344,53 @@ def png_decoder(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
-    if bit_depth != 8:
-        raise ValueError(f"stdlib PNG tier supports bit depth 8 only (got {bit_depth})")
+    if bit_depth not in (8, 16):
+        raise ValueError(
+            f"stdlib PNG tier supports bit depth 8/16 only (got {bit_depth})"
+        )
     if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"stdlib PNG tier: unsupported color type {color_type}")
+    if color_type == 3 and bit_depth != 8:
+        raise ValueError("stdlib PNG tier: palette depth must be 8")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    if interlace:
-        raise ValueError("stdlib PNG tier: interlaced (Adam7) unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp or filt:
         raise ValueError("invalid PNG compression/filter method")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = width * channels
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG raster size mismatch: {len(raw)} bytes inflated, "
-            f"expected {(stride + 1) * height}"
-        )
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    ftypes = scan[:, 0]
-    rows = scan[:, 1:]
-    out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    for y in range(height):
-        f = int(ftypes[y])
-        row = rows[y]
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if f == 0:  # None
-            out[y] = row
-        elif f == 1:  # Sub: rec[x] = raw[x] + rec[x-bpp]
-            # per-channel cumulative sum — uint8 wraparound == mod 256
-            cols = row.reshape(width, bpp).astype(np.uint64)
-            out[y] = (np.cumsum(cols, axis=0) % 256).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up
-            out[y] = row + prev  # uint8 wraps mod 256
-        elif f == 3:  # Average
-            rec = out[y]
-            prev16 = prev.astype(np.uint16)
-            for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + ((left + int(prev16[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            rec = out[y]
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {f}")
-    img = out.reshape(height, width, channels)
-    if color_type == 3:  # palette (r9): index -> RGB via PLTE
+
+    if interlace == 0:
+        bytes_img = _png_unfilter(raw, width, height, bpp)
+        img = bytes_img.reshape(height, width, bpp)
+    else:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass at this image size
+            nbytes = (pw * bpp + 1) * ph
+            sub = _png_unfilter(raw[off : off + nbytes], pw, ph, bpp)
+            off += nbytes
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("PNG raster size mismatch: interlaced passes")
+    if sample_bytes == 2:
+        # big-endian 16-bit samples -> high byte (Pillow's 8-bit convert)
+        img = img.reshape(height, width, channels, 2)[:, :, :, 0]
+    else:
+        img = img.reshape(height, width, channels)
+    if color_type == 3:  # palette: index -> RGB via PLTE
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of PLTE range")
         img = plte[idx]
-    return img
+    return np.ascontiguousarray(img)
 
 
 def wav_decoder(payload: bytes):

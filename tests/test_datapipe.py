@@ -2446,8 +2446,9 @@ def test_stdlib_png_unsupported_subformats_fall_through():
 
     for kwargs, msg in (
         (dict(depth=8, ct=5, interlace=0), "color type"),   # reserved type
-        (dict(depth=16, ct=0, interlace=0), "bit depth"),
-        (dict(depth=8, ct=0, interlace=1), "interlaced"),
+        (dict(depth=4, ct=0, interlace=0), "bit depth"),    # sub-byte depth
+        (dict(depth=16, ct=3, interlace=0), "palette depth"),
+        (dict(depth=8, ct=0, interlace=2), "interlace method"),
     ):
         payload = png_with_ihdr(4, 4, **kwargs)
         with _pytest.raises(ValueError, match=msg):
@@ -3340,3 +3341,127 @@ def test_jpeg_fill_bytes_before_markers():
     # inject fill bytes before the first DQT marker (right after SOI)
     padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
     assert np.array_equal(jpeg_decoder(padded), base)
+
+
+def _png_forward_filter(arr_bytes, bpp, filters):
+    """Byte-level forward filtering for the test encoders: arr_bytes
+    (H, stride) uint8 -> raw scanline stream with the CHOSEN filter
+    per row (the decoder must invert them)."""
+    import numpy as np
+
+    h, stride = arr_bytes.shape
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = arr_bytes[y].astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if stride >= bpp else cur * 0
+        pl = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) if stride >= bpp else prev * 0
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - pl
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - pl)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, pl))
+            out = cur - pred
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(raw)
+
+
+def _png_chunks(w, h, depth, ct, interlace, raw, plte=None):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_stdlib_png_16bit_decode():
+    """r9: 16-bit PNG decodes in the stdlib tier — filters operate on
+    BYTES with bpp = 2*channels per the spec, samples downscale to the
+    high byte (Pillow's convert-to-8-bit contract) — for gray and RGB,
+    across None/Sub/Up/Average/Paeth rows."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        png_decoder,
+    )
+
+    h, w = 7, 5
+    rng = np.random.RandomState(9)
+    for c in (1, 3):
+        samples = rng.randint(0, 65536, (h, w, c)).astype(">u2")
+        arr_bytes = samples.view(np.uint8).reshape(h, w * c * 2)
+        raw = _png_forward_filter(arr_bytes, 2 * c, [0, 1, 2, 3, 4])
+        payload = _png_chunks(w, h, 16, {1: 0, 3: 2}[c], 0, raw)
+        want = (samples >> 8).astype(np.uint8)
+        got = png_decoder(payload)
+        assert got.shape == (h, w, c)
+        assert np.array_equal(got, want), f"channels={c}"
+        assert np.array_equal(decode_image(payload), want)
+
+
+def test_stdlib_png_adam7_interlaced_decode():
+    """r9: Adam7-interlaced PNG assembles from the seven
+    independently-filtered passes — bit-exact vs the source array for
+    RGB and palette variants, including a tiny image with EMPTY
+    passes."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        png_decoder,
+    )
+
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def interlaced_raw(arr, bpp, filters):
+        h, w, _ = arr.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            raw += _png_forward_filter(
+                sub.reshape(ph, pw * bpp), bpp, filters
+            )
+        return bytes(raw)
+
+    rng = np.random.RandomState(13)
+    # 10x9 RGB: every pass non-empty; mixed filters per pass
+    h, w = 9, 10
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    payload = _png_chunks(w, h, 8, 2, 1, interlaced_raw(rgb, 3, [0, 2, 1, 4, 3]))
+    assert np.array_equal(png_decoder(payload), rgb)
+
+    # 3x2 palette: passes 2/4 (x0 >= width) and more are EMPTY
+    palette = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, (2, 3, 1)).astype(np.uint8)
+    payload = _png_chunks(
+        3, 2, 8, 3, 1, interlaced_raw(idx, 1, [0]), plte=palette
+    )
+    got = png_decoder(payload)
+    assert np.array_equal(got, palette[idx[:, :, 0]])
