@@ -239,6 +239,39 @@ def main() -> None:
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
+    # PQ bulk-probe cycle (r09): one untimed IVF-PQ build over the
+    # embeddings table, then timed BULK probes (broadcast_probe=False —
+    # the shuffled ADC path with per-row LUT columns) of the full
+    # table as the query set. Prices the no-broadcast-ceiling path
+    # round-over-round; cold = first probe (plan compile), warm =
+    # best-of-2 repeats.
+    pq_dir = tempfile.mkdtemp(prefix="bench_pq_")
+    try:
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.sources.ann_index import IVFIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pq_index = IVFIndex.build(
+            emb, pq_dir + "/pq", n_lists=16, quantize="pq", pq_m=8, pq_k=16
+        )
+        queries_df = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+
+        def pq_probe() -> float:
+            t0 = time.perf_counter()
+            pq_index.probe(
+                spark, queries_df, k=10, n_probes=2, broadcast_probe=False
+            ).write.mode("overwrite").format("noop").save()
+            return round(time.perf_counter() - t0, 3)
+
+        cold["ann_pq_bulk_probe"] = pq_probe()
+        samples["ann_pq_bulk_probe"] = [pq_probe(), pq_probe()]
+        warm["ann_pq_bulk_probe"] = min(samples["ann_pq_bulk_probe"])
+    finally:
+        shutil.rmtree(pq_dir, ignore_errors=True)
+
     # incremental ExactSubstr append cycle (r08): one untimed seed
     # append builds the k-gram index state, then cold + 2 warm timed
     # incremental appends with distinct id spaces
