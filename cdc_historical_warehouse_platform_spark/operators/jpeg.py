@@ -214,6 +214,14 @@ def jpeg_decoder(payload: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # baseline PERMITS non-interleaved multi-scan files,
+                # but they're vanishingly rare from real encoders;
+                # refuse cleanly so the Pillow seam owns them
+                raise ValueError(
+                    f"stdlib JPEG tier supports one interleaved scan only "
+                    f"(scan has {ns} of {len(frame[2])} components)"
+                )
             scan_tables = {}
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i : 3 + 2 * i]
