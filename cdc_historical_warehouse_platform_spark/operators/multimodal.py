@@ -11,16 +11,16 @@ North-star requirement. The pattern for 100 TB multimodal tables:
 - the default decoders are REAL for the stdlib-parseable formats
   (r8, extended r9): PCM WAV via the stdlib ``wave`` module, G.711
   mu-law/A-law WAV via a manual RIFF walk + the ITU expansion
-  tables, BMP / PPM / PGM via pure-Python header parsing, and 8-bit
-  non-interlaced PNG via stdlib ``zlib`` inflate + the five spec
-  filters — no external codec needed, pinned against ground truth
-  (numpy arrays / the CCITT scalar routines) in tests.
+  tables, BMP / PPM / PGM via pure-Python header parsing, and the COMPLETE
+  PNG format (every legal depth/color combination, palette, Adam7
+  interlacing) via stdlib ``zlib`` inflate + the five spec filters —
+  no external codec needed, pinned against ground truth (numpy
+  arrays / the CCITT scalar routines) in tests.
   Baseline JPEG decodes via operators/jpeg.py (stdlib struct + a
   sequential Huffman walk + vectorized numpy block math) and FLAC —
   losslessly — via operators/flac.py. The remaining compressed
-  formats (progressive JPEG, MP3/OGG, video, exotic PNG/FLAC
-  sub-formats) still route to PIL / librosa, which are not in this
-  container: for THOSE payloads ``decode_image``/``decode_audio``
+  formats (progressive JPEG, MP3/OGG, video, 32-bit/Ogg FLAC) still
+  route to PIL / librosa, which are not in this container: for THOSE payloads ``decode_image``/``decode_audio``
   raise ``NotImplementedError`` unless the library import succeeds.
   The decode→resize→feature PIPELINES take an injectable ``decoder``
   callable (r4) and are exercised end-to-end both with the stdlib
@@ -144,7 +144,7 @@ def _stub(name: str, lib: str, cause: Exception | None = None):
     )
     raise NotImplementedError(
         f"{name}: COMPRESSED formats require {lib}, which is not available "
-        "in this environment (PCM WAV / BMP / PPM / PGM / 8-bit PNG / baseline JPEG decode "
+        "in this environment (PCM WAV / G.711 / FLAC / BMP / PPM / PGM / PNG / baseline JPEG decode "
         "natively via the stdlib tier — no codec needed). The Spark-side plumbing "
         "(schema, mapInPandas batching, partitioning) is fully tested on "
         "the stdlib formats; in an environment WITH the codec, the "
@@ -250,17 +250,16 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(scan_bytes, width, height, bpp):
+def _png_unfilter(scan_bytes, stride, height, bpp):
     """Invert the five scanline filters over one (sub-)image of
-    ``height`` rows of ``width`` pixels × ``bpp`` bytes each;
-    ``scan_bytes`` is the raw (filter byte + row) stream. Returns the
-    (height, width*bpp) uint8 byte matrix (the caller re-views it as
-    samples). None/Up are whole-row numpy ops, Sub is a per-byte-lane
-    cumulative sum; Average/Paeth (left-dependent by spec) walk bytes
-    in Python."""
+    ``height`` rows of ``stride`` bytes each, with ``bpp`` the byte
+    distance between corresponding samples (1 for packed sub-byte
+    rows); ``scan_bytes`` is the raw (filter byte + row) stream.
+    Returns the (height, stride) uint8 byte matrix (the caller
+    re-views it as samples). None/Up are whole-row numpy ops, Sub is
+    a per-byte-lane cumulative sum; Average/Paeth (left-dependent by
+    spec) walk bytes in Python."""
     import numpy as np
-
-    stride = width * bpp
     if len(scan_bytes) != (stride + 1) * height:
         raise ValueError(
             f"PNG raster size mismatch: {len(scan_bytes)} bytes, "
@@ -278,7 +277,7 @@ def _png_unfilter(scan_bytes, width, height, bpp):
             out[y] = row
         elif f == 1:  # Sub: rec[x] = raw[x] + rec[x-bpp]
             # per-byte-lane cumulative sum — uint8 wraparound == mod 256
-            cols = row.reshape(width, bpp).astype(np.uint64)
+            cols = row.reshape(stride // bpp, bpp).astype(np.uint64)
             out[y] = (np.cumsum(cols, axis=0) % 256).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up
             out[y] = row + prev  # uint8 wraps mod 256
@@ -344,14 +343,16 @@ def png_decoder(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
-    if bit_depth not in (8, 16):
-        raise ValueError(
-            f"stdlib PNG tier supports bit depth 8/16 only (got {bit_depth})"
-        )
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {bit_depth}")
     if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"stdlib PNG tier: unsupported color type {color_type}")
-    if color_type == 3 and bit_depth != 8:
-        raise ValueError("stdlib PNG tier: palette depth must be 8")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"invalid PNG depth/color combination ({bit_depth}, {color_type})"
+        )
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError("invalid PNG: palette depth must be <= 8")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     if interlace not in (0, 1):
@@ -359,37 +360,56 @@ def png_decoder(payload: bytes):
     if comp or filt:
         raise ValueError("invalid PNG compression/filter method")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    sample_bytes = bit_depth // 8
-    bpp = channels * sample_bytes
     raw = zlib.decompress(b"".join(idat))
 
+    def row_bytes(pw: int) -> int:
+        return -(-(pw * channels * bit_depth) // 8)
+
+    # filters operate on BYTES with bpp = the byte distance between
+    # corresponding samples, floored to 1 for packed sub-byte rows
+    bpp = max(1, (channels * bit_depth) // 8)
+
+    def unpack(sub_bytes, ph: int, pw: int):
+        """(ph, row_bytes) filtered-byte matrix -> (ph, pw, channels)
+        uint8 SAMPLE matrix (16-bit -> high byte; sub-byte -> bit
+        unpack, MSB first, row padding dropped)."""
+        if bit_depth == 8:
+            return sub_bytes.reshape(ph, pw, channels)
+        if bit_depth == 16:
+            return sub_bytes.reshape(ph, pw, channels, 2)[:, :, :, 0]
+        bits = np.unpackbits(sub_bytes, axis=1)  # (ph, row_bytes*8)
+        spp = pw * channels  # samples per row
+        vals = bits[:, : spp * bit_depth].reshape(ph, spp, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        out = (vals * weights).sum(axis=2).astype(np.uint8)
+        return out.reshape(ph, pw, channels)
+
     if interlace == 0:
-        bytes_img = _png_unfilter(raw, width, height, bpp)
-        img = bytes_img.reshape(height, width, bpp)
+        img = unpack(_png_unfilter(raw, row_bytes(width), height, bpp), height, width)
     else:  # Adam7: seven independently-filtered sub-images
-        img = np.zeros((height, width, bpp), dtype=np.uint8)
+        img = np.zeros((height, width, channels), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = -(-(width - x0) // dx) if width > x0 else 0
             ph = -(-(height - y0) // dy) if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass at this image size
-            nbytes = (pw * bpp + 1) * ph
-            sub = _png_unfilter(raw[off : off + nbytes], pw, ph, bpp)
+            rb = row_bytes(pw)
+            nbytes = (rb + 1) * ph
+            sub = _png_unfilter(raw[off : off + nbytes], rb, ph, bpp)
             off += nbytes
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            img[y0::dy, x0::dx] = unpack(sub, ph, pw)
         if off != len(raw):
             raise ValueError("PNG raster size mismatch: interlaced passes")
-    if sample_bytes == 2:
-        # big-endian 16-bit samples -> high byte (Pillow's 8-bit convert)
-        img = img.reshape(height, width, channels, 2)[:, :, :, 0]
-    else:
-        img = img.reshape(height, width, channels)
     if color_type == 3:  # palette: index -> RGB via PLTE
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of PLTE range")
         img = plte[idx]
+    elif bit_depth < 8:
+        # sub-byte grayscale scales to full 8-bit range (Pillow's
+        # convert contract): v * 255 / (2^depth - 1)
+        img = (img.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
     return np.ascontiguousarray(img)
 
 

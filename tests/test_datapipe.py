@@ -2446,7 +2446,8 @@ def test_stdlib_png_unsupported_subformats_fall_through():
 
     for kwargs, msg in (
         (dict(depth=8, ct=5, interlace=0), "color type"),   # reserved type
-        (dict(depth=4, ct=0, interlace=0), "bit depth"),    # sub-byte depth
+        (dict(depth=3, ct=0, interlace=0), "bit depth"),    # invalid depth
+        (dict(depth=4, ct=2, interlace=0), "depth/color"),  # invalid combo
         (dict(depth=16, ct=3, interlace=0), "palette depth"),
         (dict(depth=8, ct=0, interlace=2), "interlace method"),
     ):
@@ -3465,3 +3466,55 @@ def test_stdlib_png_adam7_interlaced_decode():
     )
     got = png_decoder(payload)
     assert np.array_equal(got, palette[idx[:, :, 0]])
+
+
+def test_stdlib_png_subbyte_depths():
+    """r9: 1/2/4-bit PNG decodes in the stdlib tier — packed rows
+    unpack MSB-first with row padding dropped; grayscale scales to the
+    full 8-bit range (Pillow's convert contract) and palette indexes
+    look up PLTE directly. This closes the PNG format: every legal
+    depth/color combination now decodes natively."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        png_decoder,
+    )
+
+    rng = np.random.RandomState(21)
+    h, w = 5, 7  # 7 pixels -> packed rows carry padding bits at 1/2/4-bit
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        gray = rng.randint(0, maxv + 1, (h, w, 1)).astype(np.uint8)
+        # pack rows MSB-first
+        raw = bytearray()
+        for y in range(h):
+            bits = np.unpackbits(
+                gray[y, :, 0][:, None] << (8 - depth), axis=1, count=depth
+            ).reshape(-1)
+            pad = (-len(bits)) % 8
+            bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+            raw.append(0)  # filter None
+            raw.extend(np.packbits(bits).tobytes())
+        payload = _png_chunks(w, h, depth, 0, 0, bytes(raw))
+        want = (gray.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+        got = png_decoder(payload)
+        assert got.shape == (h, w, 1), depth
+        assert np.array_equal(got, want), f"depth={depth}"
+        assert np.array_equal(decode_image(payload), want)
+
+    # 4-bit palette
+    palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        row = idx[y]
+        raw.append(0)
+        packed = bytearray()
+        for i in range(0, w, 2):
+            hi = row[i] << 4
+            lo = row[i + 1] if i + 1 < w else 0
+            packed.append(hi | lo)
+        raw.extend(packed)
+    payload = _png_chunks(w, h, 4, 3, 0, bytes(raw), plte=palette)
+    assert np.array_equal(png_decoder(payload), palette[idx])
