@@ -1,16 +1,20 @@
-"""Dependency-free baseline JPEG decoder (r9).
+"""Dependency-free JPEG decoder (r9): baseline AND progressive.
 
 Extends the stdlib codec tier (multimodal.py r8: BMP/PPM/PGM/WAV, r9:
-PNG) to baseline JFIF: SOI/APPn/DQT/SOF0/DHT/DRI/SOS parsing, Huffman
-entropy decode with byte-stuffing and restart markers, dequantize →
-zigzag → 8×8 IDCT, YCbCr→RGB per the JFIF matrix, and nearest-
-neighbor chroma upsampling for subsampled components (4:2:0 / 4:2:2 /
-4:4:4 all follow from the per-component sampling factors).
+PNG) to JFIF: SOI/APPn/DQT/SOF/DHT/DRI/SOS parsing, Huffman entropy
+decode with byte-stuffing and restart markers, dequantize → zigzag →
+8×8 IDCT, YCbCr→RGB per the JFIF matrix, and nearest-neighbor chroma
+upsampling for subsampled components (4:2:0 / 4:2:2 / 4:4:4 all
+follow from the per-component sampling factors). Progressive files
+(SOF2, late r9) decode through persistent per-component coefficient
+stores refined scan by scan: DC first/refine (interleaved or not),
+spectral selection, and successive approximation with EOB-run coding
+and the G.1.2.3 correction-bit discipline.
 
 Out of scope — these raise ValueError and decode_image falls through
-to Pillow exactly like the other stdlib sub-format gaps: progressive
-(SOF2) and every non-baseline SOF, 12-bit precision, arithmetic
-coding (DAC), and CMYK/4-component scans.
+to Pillow exactly like the other stdlib sub-format gaps: lossless /
+hierarchical SOFs, 12-bit precision, arithmetic coding (DAC), and
+CMYK/4-component scans.
 
 Performance posture: entropy decode is a sequential bitstream walk —
 per-MCU Python — so this tier is for the Pillow-less environment's
@@ -149,6 +153,8 @@ def jpeg_decoder(payload: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None  # (height, width, components)
     restart_interval = 0
+    progressive = False
+    prog_store = None
     n = len(payload)
 
     while pos + 4 <= n:
@@ -189,7 +195,7 @@ def jpeg_decoder(payload: bytes):
                 vals = seg[p + 17 : p + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"stdlib JPEG tier supports 8-bit precision only (got {precision})")
@@ -202,9 +208,22 @@ def jpeg_decoder(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            if progressive:
+                # persistent per-component coefficient stores: every
+                # scan of a progressive file refines them in place
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                prog_store = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                    for c in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"stdlib JPEG tier supports baseline (SOF0) only — got SOF marker 0xFF{marker:02X}"
+                f"stdlib JPEG tier supports baseline (SOF0) and progressive "
+                f"(SOF2) only — got SOF marker 0xFF{marker:02X}"
             )
         elif marker == 0xCC:  # DAC
             raise ValueError("stdlib JPEG tier: arithmetic coding unsupported")
@@ -212,26 +231,38 @@ def jpeg_decoder(payload: bytes):
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame[2]):
-                # baseline PERMITS non-interleaved multi-scan files,
-                # but they're vanishingly rare from real encoders;
-                # refuse cleanly so the Pillow seam owns them
-                raise ValueError(
-                    f"stdlib JPEG tier supports one interleaved scan only "
-                    f"(scan has {ns} of {len(frame[2])} components)"
-                )
-            scan_tables = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i : 3 + 2 * i]
-                scan_tables[cs] = (tds >> 4, tds & 0x0F)
+                scan_comps.append((cs, tds >> 4, tds & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             pos += seglen
-            return _decode_scan(
-                payload, pos, frame, qt, huff_dc, huff_ac, scan_tables,
-                restart_interval,
+            if not progressive:
+                if ns != len(frame[2]):
+                    # baseline PERMITS non-interleaved multi-scan
+                    # files, but they're vanishingly rare from real
+                    # encoders; refuse cleanly for the Pillow seam
+                    raise ValueError(
+                        f"stdlib JPEG tier supports one interleaved baseline scan "
+                        f"only (scan has {ns} of {len(frame[2])} components)"
+                    )
+                return _decode_scan(
+                    payload, pos, frame,
+                    qt, huff_dc, huff_ac,
+                    {cs: (td, ta) for cs, td, ta in scan_comps},
+                    restart_interval,
+                )
+            pos = _decode_progressive_scan(
+                payload, pos, frame, prog_store, huff_dc, huff_ac,
+                scan_comps, ss, se, ah, al, restart_interval,
             )
+            continue  # pos already past the entropy data
         pos += seglen
+    if progressive and prog_store is not None:
+        return _reconstruct(frame, qt, prog_store)
     raise ValueError("no SOS marker found (truncated JPEG)")
 
 
@@ -272,7 +303,17 @@ def _decode_scan(
                         store[ci][my * c["v"] + by, mx * c["h"] + bx] = coefs
             mcu_count += 1
 
-    # vectorized dequant + de-zigzag + IDCT per component
+    return _reconstruct(frame, qt, store)
+
+
+def _reconstruct(frame, qt, store):
+    """Shared tail of both code paths: vectorized dequant + de-zigzag
+    + IDCT per component, plane assembly, chroma upsample, color."""
+    import numpy as np
+
+    height, width, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     a = _idct_matrix()
     zig = np.asarray(_ZIGZAG)
     planes = []
@@ -324,3 +365,175 @@ def _decode_block(reader, dc_table, ac_table, pred, ci):
         coefs[k] = _extend(reader.receive(s), s)
         k += 1
     return coefs
+
+
+def _decode_progressive_scan(
+    data, pos, frame, store, huff_dc, huff_ac,
+    scan_comps, ss, se, ah, al, restart_interval,
+):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved
+    or single-component) and AC first/refine (single-component by
+    spec), with EOB-run coding and successive-approximation
+    refinement per Annex G.1.2. Updates ``store`` in place and
+    returns the byte position just past the scan's entropy data."""
+    height, width, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    pred = {cs: 0 for cs, _td, _ta in scan_comps}
+    rst_next = 0
+    unit = 0  # MCUs (interleaved) or blocks (non-interleaved)
+
+    def maybe_restart():
+        nonlocal rst_next
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_and_skip_restart(0xD0 + rst_next)
+            rst_next = (rst_next + 1) % 8
+            for cs in pred:
+                pred[cs] = 0
+            state["eobrun"] = 0
+
+    if ss == 0:  # DC scan (first or refine); Se must be 0
+        if se != 0:
+            raise ValueError("invalid progressive scan: Ss=0 requires Se=0")
+        if len(scan_comps) > 1:
+            # interleaved DC scan: MCU order like baseline
+            for _my in range(mcuy):
+                for _mx in range(mcux):
+                    maybe_restart()
+                    for cs, td, _ta in scan_comps:
+                        ci, c = by_id[cs]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block = store[ci][
+                                    _my * c["v"] + by, _mx * c["h"] + bx
+                                ]
+                                if ah == 0:
+                                    _dc_first(reader, huff_dc[td], block, pred, cs, al)
+                                else:
+                                    block[0] |= reader.receive(1) << al
+                    unit += 1
+        else:
+            cs, td, _ta = scan_comps[0]
+            ci, c = by_id[cs]
+            bwid, bhei = _component_blocks(width, height, c, hmax, vmax)
+            for by in range(bhei):
+                for bx in range(bwid):
+                    maybe_restart()
+                    block = store[ci][by, bx]
+                    if ah == 0:
+                        _dc_first(reader, huff_dc[td], block, pred, cs, al)
+                    else:
+                        block[0] |= reader.receive(1) << al
+                    unit += 1
+    else:  # AC scan: single component, non-interleaved (spec G.2)
+        if len(scan_comps) != 1:
+            raise ValueError("invalid progressive scan: AC scans carry one component")
+        cs, _td, ta = scan_comps[0]
+        ci, c = by_id[cs]
+        bwid, bhei = _component_blocks(width, height, c, hmax, vmax)
+        for by in range(bhei):
+            for bx in range(bwid):
+                maybe_restart()
+                block = store[ci][by, bx]
+                if ah == 0:
+                    _ac_first(reader, huff_ac[ta], block, ss, se, al, state)
+                else:
+                    _ac_refine(reader, huff_ac[ta], block, ss, se, al, state)
+                unit += 1
+    # drop any padding bits, stand on the next marker boundary
+    return reader.pos
+
+
+def _component_blocks(width, height, c, hmax, vmax):
+    """Non-interleaved block-grid dims for one component (T.81 A.2.2):
+    ceil(ceil(dim * sampling / max_sampling) / 8)."""
+    comp_w = -(-(width * c["h"]) // hmax)
+    comp_h = -(-(height * c["v"]) // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _dc_first(reader, table, block, pred, cs, al):
+    t = reader.decode_symbol(table)
+    diff = _extend(reader.receive(t), t) if t else 0
+    pred[cs] += diff
+    block[0] = pred[cs] << al
+
+
+def _ac_first(reader, table, block, ss, se, al, state):
+    """AC first scan for one block (T.81 G.1.2.2 / libjpeg
+    decode_mcu_AC_first)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(table)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            block[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                state["eobrun"] = eobrun - 1
+                return
+            k += 16  # ZRL
+
+
+def _ac_refine(reader, table, block, ss, se, al, state):
+    """AC refinement scan for one block (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine): newly-significant coefficients arrive as
+    ±1<<Al; already-nonzero ones receive one correction bit each,
+    consumed in coefficient order interleaved with the zero-history
+    run counting."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                newval = p1 if reader.receive(1) else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                state["eobrun"] = eobrun
+                break
+            # advance over r zero-history coefficients, correcting
+            # nonzero-history ones along the way
+            while k <= se:
+                coef = int(block[k])
+                if coef != 0:
+                    if reader.receive(1) and (coef & p1) == 0:
+                        block[k] = coef + (p1 if coef >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            coef = int(block[k])
+            if coef != 0:
+                if reader.receive(1) and (coef & p1) == 0:
+                    block[k] = coef + (p1 if coef >= 0 else -p1)
+            k += 1
+        state["eobrun"] -= 1

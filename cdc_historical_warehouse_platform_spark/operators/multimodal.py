@@ -16,11 +16,13 @@ North-star requirement. The pattern for 100 TB multimodal tables:
   interlacing) via stdlib ``zlib`` inflate + the five spec filters —
   no external codec needed, pinned against ground truth (numpy
   arrays / the CCITT scalar routines) in tests.
-  Baseline JPEG decodes via operators/jpeg.py (stdlib struct + a
-  sequential Huffman walk + vectorized numpy block math) and FLAC —
-  losslessly — via operators/flac.py. The remaining compressed
-  formats (progressive JPEG, MP3/OGG, video, 32-bit/Ogg FLAC) still
-  route to PIL / librosa, which are not in this container: for THOSE payloads ``decode_image``/``decode_audio``
+  JPEG — baseline AND progressive — decodes via operators/jpeg.py
+  (stdlib struct + a sequential Huffman walk + vectorized numpy
+  block math), FLAC losslessly via operators/flac.py, and IMA ADPCM
+  WAV via the step/index tables. The remaining compressed formats
+  (MP3/OGG, video, 32-bit/Ogg FLAC, lossless/12-bit/arithmetic
+  JPEG) still route to PIL / librosa, which are not in this
+  container: for THOSE payloads ``decode_image``/``decode_audio``
   raise ``NotImplementedError`` unless the library import succeeds.
   The decode→resize→feature PIPELINES take an injectable ``decoder``
   callable (r4) and are exercised end-to-end both with the stdlib

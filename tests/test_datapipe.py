@@ -2770,6 +2770,20 @@ def _jpeg_tools():
     def idct(coefs_8x8):
         return A.T @ coefs_8x8 @ A
 
+    # expose the low-level pieces for the progressive encoder
+    encode.helpers = {
+        "BW": _BW,
+        "dc_codes": dc_codes,
+        "ac_codes": ac_codes,
+        "seg": _seg,
+        "dqt": _dqt,
+        "dht": _dht,
+        "dc_bits": dc_bits,
+        "dc_vals": dc_vals,
+        "ac_bits": ac_bits,
+        "ac_vals": ac_vals,
+        "magnitude": _magnitude,
+    }
     return encode, idct, A
 
 
@@ -2876,9 +2890,10 @@ def test_stdlib_jpeg_decoder_baseline_end_to_end(spark):
 
 
 def test_stdlib_jpeg_unsupported_subformats_fall_through():
-    """Progressive (SOF2) / 12-bit / arithmetic JPEG refuse in the
-    stdlib tier (ValueError) and route to the Pillow env stub via
-    decode_image — same contract as the PNG/BMP sub-format gaps."""
+    """Lossless-SOF / 12-bit / arithmetic JPEG refuse in the stdlib
+    tier (ValueError) and route to the Pillow env stub via
+    decode_image — same contract as the PNG/BMP sub-format gaps
+    (progressive SOF2 is SUPPORTED as of late r9)."""
     import importlib.util
     import struct
 
@@ -2899,7 +2914,7 @@ def test_stdlib_jpeg_unsupported_subformats_fall_through():
         )
 
     for payload, msg in (
-        (sof(0xC2), "baseline"),            # progressive
+        (sof(0xC3), "SOF0"),                 # lossless SOF
         (sof(0xC0, precision=12), "8-bit"),  # 12-bit
         (b"\xff\xd8\xff\xcc\x00\x04\x00\x00", "arithmetic"),
     ):
@@ -3605,3 +3620,250 @@ def test_ima_adpcm_wav_decoder():
     assert sr == 16000 and np.array_equal(wv, expect)
     wv2, _ = decode_audio(payload)
     assert np.array_equal(wv2, expect)
+
+
+def _encode_progressive_jpeg(arr, qy, qc, bands=((1, 5), (6, 63)), subsample=False):
+    """Test-side PROGRESSIVE encoder (SOF2): DC first (Al=1,
+    interleaved for color / single-component for gray) + DC refine,
+    then per-component AC first and AC refinement scans over the
+    spectral bands, following the T.81 G.1.2.3 bit-buffering
+    discipline (ZRL emitted at the first nonzero absvalue once the
+    zero-history run exceeds 15, buffered correction bits flushed
+    after each symbol). Reuses the baseline encoder for the quantized
+    coefficient grids, so progressive-decode == baseline-decode is an
+    exact equality pin."""
+    import struct
+
+    encode, _idct, _A = _jpeg_tools()
+    H = encode.helpers
+    h, w, nc = arr.shape
+    _, grids, samp = encode(arr, qy, qc, subsample=subsample)
+    hmax = max(s[0] for s in samp[:nc])
+    vmax = max(s[1] for s in samp[:nc])
+
+    def comp_blocks(ci):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        return -(-ch // 8), -(-cw // 8)  # (block rows, block cols)
+
+    out = bytearray(b"\xff\xd8")
+    out += H["dqt"](0, qy)
+    if nc == 3:
+        out += H["dqt"](1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1])
+    out += H["seg"](0xC2, sof)
+    out += H["dht"](0, 0, H["dc_bits"], H["dc_vals"])
+    out += H["dht"](1, 0, H["ac_bits"], H["ac_vals"])
+
+    def sos(comp_ids, ss, se, ah, al):
+        b = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            b += bytes([cid, 0x00])
+        b += bytes([ss, se, (ah << 4) | al])
+        return H["seg"](0xDA, b)
+
+    BW, dc_codes, ac_codes, mag = H["BW"], H["dc_codes"], H["ac_codes"], H["magnitude"]
+
+    def dc_first_scan(interleaved):
+        nonlocal out
+        if interleaved:
+            bw_ = BW()
+            pred = [0] * nc
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(nc):
+                        sh, sv = samp[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                v = int(grids[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                t, bits_v = mag(diff)
+                                l, c = dc_codes[t]
+                                bw_.put(c, l)
+                                if t:
+                                    bw_.put(bits_v, t)
+            bw_.pad()
+            out += sos(list(range(1, nc + 1)), 0, 0, 0, 1) + bw_.out
+        else:
+            for ci in range(nc):
+                bw_ = BW()
+                pred = 0
+                brows, bcols = comp_blocks(ci)
+                for by in range(brows):
+                    for bx in range(bcols):
+                        v = int(grids[ci][by, bx, 0]) >> 1
+                        diff = v - pred
+                        pred = v
+                        t, bits_v = mag(diff)
+                        l, c = dc_codes[t]
+                        bw_.put(c, l)
+                        if t:
+                            bw_.put(bits_v, t)
+                bw_.pad()
+                out += sos([ci + 1], 0, 0, 0, 1) + bw_.out
+
+    def dc_refine_scan(interleaved):
+        nonlocal out
+        if interleaved:
+            bw_ = BW()
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(nc):
+                        sh, sv = samp[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                bw_.put(int(grids[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+            bw_.pad()
+            out += sos(list(range(1, nc + 1)), 0, 0, 1, 0) + bw_.out
+        else:
+            for ci in range(nc):
+                bw_ = BW()
+                brows, bcols = comp_blocks(ci)
+                for by in range(brows):
+                    for bx in range(bcols):
+                        bw_.put(int(grids[ci][by, bx, 0]) & 1, 1)
+                bw_.pad()
+                out += sos([ci + 1], 0, 0, 1, 0) + bw_.out
+
+    interleaved_dc = nc == 3 and not subsample
+    dc_first_scan(interleaved_dc)
+    dc_refine_scan(interleaved_dc)
+
+    # AC first scans, Al=1
+    for ci in range(nc):
+        brows, bcols = comp_blocks(ci)
+        for ss, se in bands:
+            bw_ = BW()
+            for by in range(brows):
+                for bx in range(bcols):
+                    blk = grids[ci][by, bx]
+                    r = 0
+                    for k in range(ss, se + 1):
+                        t0 = int(blk[k])
+                        va = abs(t0) >> 1
+                        v = va if t0 >= 0 else -va
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            l, c = ac_codes[0xF0]
+                            bw_.put(c, l)
+                            r -= 16
+                        s, bits_v = mag(v)
+                        l, c = ac_codes[(r << 4) | s]
+                        bw_.put(c, l)
+                        bw_.put(bits_v, s)
+                        r = 0
+                    if r:
+                        l, c = ac_codes[0x00]
+                        bw_.put(c, l)
+            bw_.pad()
+            out += sos([ci + 1], ss, se, 0, 1) + bw_.out
+
+    # AC refinement scans, Ah=1 -> Al=0 (the G.1.2.3 discipline)
+    for ci in range(nc):
+        brows, bcols = comp_blocks(ci)
+        for ss, se in bands:
+            bw_ = BW()
+            for by in range(brows):
+                for bx in range(bcols):
+                    blk = grids[ci][by, bx]
+                    absv = [abs(int(blk[k])) for k in range(ss, se + 1)]
+                    eob_rel = -1
+                    for i2, a2 in enumerate(absv):
+                        if a2 == 1:
+                            eob_rel = i2
+                    r = 0
+                    pending: list[int] = []
+                    for i2, a2 in enumerate(absv):
+                        if a2 == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i2 <= eob_rel:
+                            l, c = ac_codes[0xF0]
+                            bw_.put(c, l)
+                            r -= 16
+                            for b2 in pending:
+                                bw_.put(b2, 1)
+                            pending = []
+                        if a2 > 1:
+                            pending.append(a2 & 1)
+                            continue
+                        l, c = ac_codes[(r << 4) | 1]
+                        bw_.put(c, l)
+                        r = 0
+                        bw_.put(1 if int(blk[ss + i2]) > 0 else 0, 1)
+                        for b2 in pending:
+                            bw_.put(b2, 1)
+                        pending = []
+                    if r > 0 or pending:
+                        l, c = ac_codes[0x00]
+                        bw_.put(c, l)
+                        for b2 in pending:
+                            bw_.put(b2, 1)
+            bw_.pad()
+            out += sos([ci + 1], ss, se, 1, 0) + bw_.out
+
+    out += b"\xff\xd9"
+    return bytes(out), grids
+
+
+def test_progressive_jpeg_decodes_equal_to_baseline():
+    """late r9: PROGRESSIVE JPEG (SOF2) decodes in the stdlib tier —
+    DC first/refine (interleaved and non-interleaved), spectral
+    selection across two AC bands, successive approximation (Al=1→0)
+    with EOB runs, ZRL-in-refinement, and correction-bit buffering —
+    pinned by EXACT equality with the baseline decode of the same
+    quantized coefficient grids (the baseline path is itself pinned
+    against independent reconstruction), for grayscale, 4:4:4, and
+    4:2:0 subsampled images."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    encode, _, _ = _jpeg_tools()
+    rng = np.random.RandomState(23)
+    qy = np.clip(np.arange(64).reshape(8, 8) + 3, 3, 24)
+    qc = np.clip(np.arange(64).reshape(8, 8) * 2 + 4, 4, 40)
+    h, w = 19, 22  # non-multiple-of-8
+    base = (
+        np.linspace(0, 180, h)[:, None, None]
+        + np.linspace(0, 70, w)[None, :, None]
+        + rng.randint(-25, 26, (h, w, 3))  # noisy: dense AC spectra
+    )
+    rgb = np.clip(base, 0, 255).astype(np.uint8)
+    gray = rgb[:, :, :1]
+
+    # three quantizer regimes steer the refinement machinery into its
+    # different branches: small q -> large |t| (correction-bit-heavy),
+    # large q -> |t| mostly 0/1 (newly-significant + long EOB runs +
+    # ZRL-in-refinement), mixed q -> everything interleaved
+    regimes = [
+        (qy, qc),
+        (np.full((8, 8), 2, dtype=np.int64), np.full((8, 8), 3, dtype=np.int64)),
+        (np.full((8, 8), 48, dtype=np.int64), np.full((8, 8), 64, dtype=np.int64)),
+    ]
+    for qy_, qc_ in regimes:
+        for arr, subsample in ((gray, False), (rgb, False), (rgb, True)):
+            baseline_payload, grids_b, _ = encode(arr, qy_, qc_, subsample=subsample)
+            prog_payload, grids_p = _encode_progressive_jpeg(
+                arr, qy_, qc_, subsample=subsample
+            )
+            for gb, gp in zip(grids_b, grids_p):
+                assert np.array_equal(gb, gp)  # same coefficients by construction
+            want = jpeg_decoder(baseline_payload)
+            got = jpeg_decoder(prog_payload)
+            assert got.shape == want.shape
+            assert np.array_equal(got, want), (arr.shape, subsample)
+            assert np.array_equal(decode_image(prog_payload), want)
