@@ -19,10 +19,12 @@ North-star requirement. The pattern for 100 TB multimodal tables:
   JPEG — baseline AND progressive — decodes via operators/jpeg.py
   (stdlib struct + a sequential Huffman walk + vectorized numpy
   block math), FLAC losslessly via operators/flac.py, and IMA ADPCM
-  WAV via the step/index tables. The remaining compressed formats
-  (MP3/OGG, video, 32-bit/Ogg FLAC, lossless/12-bit/arithmetic
-  JPEG) still route to PIL / librosa, which are not in this
-  container: for THOSE payloads ``decode_image``/``decode_audio``
+  WAV via the step/index tables; AVI video with raw-DIB or MJPEG
+  frames decodes via operators/video.py (frame extraction through
+  the same Arrow row-expanding pattern). The remaining compressed
+  formats (MP3/OGG, non-AVI/other-codec video, 32-bit/Ogg FLAC,
+  lossless/12-bit/arithmetic JPEG) still route to PIL / librosa,
+  which are not in this container: for THOSE payloads ``decode_image``/``decode_audio``
   raise ``NotImplementedError`` unless the library import succeeds.
   The decode→resize→feature PIPELINES take an injectable ``decoder``
   callable (r4) and are exercised end-to-end both with the stdlib
@@ -49,6 +51,9 @@ __all__ = [
     "resize_binary",
     "FRAME_SCHEMA",
     "sample_frames",
+    "VIDEO_FRAME_SCHEMA",
+    "extract_video_frames",
+    "avi_decoder",
     "decode_image",
     "decode_audio",
     "wav_decoder",
@@ -167,6 +172,9 @@ from cdc_historical_warehouse_platform_spark.operators.flac import (  # noqa: E4
 )
 from cdc_historical_warehouse_platform_spark.operators.jpeg import (  # noqa: E402
     jpeg_decoder,
+)
+from cdc_historical_warehouse_platform_spark.operators.video import (  # noqa: E402
+    avi_decoder,
 )
 
 
@@ -795,6 +803,55 @@ def sample_frames(
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling (late r9): Arrow-batched,
+    row-expanding decode of AVI payloads (raw DIB / MJPEG — see
+    operators/video.py) into per-frame rows with decoded-RGB
+    statistics and the md5 of the decoded pixels. One input row →
+    one output row per sampled frame, bytes crossing the JVM↔Python
+    boundary once per batch — the same posture as the image/audio
+    pipelines."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from cdc_historical_warehouse_platform_spark.operators.video import avi_decoder
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for idx, img in avi_decoder(bytes(payload), every_n=every_n):
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                            "mean_intensity": round(float(img.mean()), 6),
+                            "frame_md5": hashlib.md5(img.tobytes()).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, VIDEO_FRAME_SCHEMA)
 
 
 def sample_frames_jvm_twin(
