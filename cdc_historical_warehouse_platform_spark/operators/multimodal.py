@@ -608,7 +608,7 @@ def ima_adpcm_wav_decoder(payload: bytes):
 
 def stdlib_image_decoder(payload: bytes):
     """Magic-byte dispatch over the stdlib image tier (BMP / PPM /
-    PGM / PNG / baseline JPEG); raises ValueError for formats the
+    PGM / PNG / JPEG / GIF); raises ValueError for formats the
     tier can't parse."""
     if payload[:2] == b"BM":
         return bmp_decoder(payload)
@@ -620,18 +620,23 @@ def stdlib_image_decoder(payload: bytes):
         from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
 
         return jpeg_decoder(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from cdc_historical_warehouse_platform_spark.operators.gif import gif_decoder
+
+        return gif_decoder(payload)
     raise ValueError(
-        "payload is not a stdlib-decodable image (BMP/PPM/PGM/PNG/JPEG)"
+        "payload is not a stdlib-decodable image (BMP/PPM/PGM/PNG/JPEG/GIF)"
     )
 
 
 def decode_image(payload: bytes):
     """Decode an image payload → (H, W, C) uint8 array. BMP/PPM/PGM,
-    8-bit non-interlaced PNG, and baseline JPEG (r9) decode via the
-    dependency-free stdlib tier; anything else — and any stdlib-magic
-    payload whose SUB-format the stdlib tier can't parse (palette/RLE
-    BMP, 16-bit PPM, palette/16-bit/interlaced PNG, progressive/
-    arithmetic JPEG) — routes to Pillow (honest env stub when
+    PNG (the full format — all depths, palette, Adam7), baseline AND
+    progressive JPEG, and GIF (full format incl. animation
+    compositing — operators/gif.py) decode via the dependency-free
+    stdlib tier; anything else — and any stdlib-magic payload whose
+    SUB-format the stdlib tier can't parse (palette/RLE BMP, 16-bit
+    PPM, arithmetic JPEG) — routes to Pillow (honest env stub when
     absent), so installing Pillow never decodes LESS than it did
     before the stdlib tier existed."""
     stdlib_err: Exception | None = None
@@ -639,6 +644,7 @@ def decode_image(payload: bytes):
         payload[:2] in (b"BM", b"P6", b"P5")
         or payload[:8] == b"\x89PNG\r\n\x1a\n"
         or payload[:3] == b"\xff\xd8\xff"
+        or payload[:6] in (b"GIF87a", b"GIF89a")
     ):
         try:
             return stdlib_image_decoder(payload)
@@ -820,7 +826,8 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL video frame sampling (late r9): Arrow-batched,
     row-expanding decode of AVI payloads (raw DIB / MJPEG — see
-    operators/video.py) into per-frame rows with decoded-RGB
+    operators/video.py) and animated GIFs (disposal-composited
+    canvases — operators/gif.py) into per-frame rows with decoded-RGB
     statistics and the md5 of the decoded pixels. One input row →
     one output row per sampled frame, bytes crossing the JVM↔Python
     boundary once per batch — the same posture as the image/audio
@@ -829,6 +836,9 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from cdc_historical_warehouse_platform_spark.operators.gif import (
+            gif_animation_decoder,
+        )
         from cdc_historical_warehouse_platform_spark.operators.video import avi_decoder
 
         for pdf in batches:
@@ -836,7 +846,13 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                for idx, img in avi_decoder(bytes(payload), every_n=every_n):
+                raw = bytes(payload)
+                decoder = (
+                    gif_animation_decoder
+                    if raw[:6] in (b"GIF87a", b"GIF89a")
+                    else avi_decoder
+                )
+                for idx, img in decoder(raw, every_n=every_n):
                     out.append(
                         {
                             "doc_id": doc_id,

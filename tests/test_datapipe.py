@@ -3973,3 +3973,268 @@ def test_avi_video_decode_raw_and_mjpeg(spark):
     bad[strf_pos + 16 : strf_pos + 20] = b"XVID"
     with _pytest.raises(ValueError, match="raw DIB and MJPG"):
         avi_decoder(bytes(bad))
+
+
+# --- GIF (r9 continuation): independent encoder for the decode pins --------
+
+
+def _gif_lzw_encode(min_code_size, indices):
+    """Independent GIF-variant LZW compressor (from the GIF89a spec):
+    LSB-first packing, variable width, deferred clear when the table
+    fills. Built here so the decoder is pinned against a SEPARATE
+    implementation, the same pattern as the JPEG tests."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {bytes((i,)): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    buf = b""
+    for px in indices:
+        cand = buf + bytes((int(px),))
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        # else: deferred clear — keep coding with the frozen table
+        buf = bytes((int(px),))
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_rows(h):
+    rows = []
+    for first, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(first, h, step))
+    return rows
+
+
+def _encode_gif(sw, sh, frames, gct=None, bg=0, version=b"GIF89a"):
+    """Independent GIF container writer. ``frames`` is a list of dicts:
+    idx (2-D uint8 index array), left, top, lct (palette or None),
+    interlace (bool), transparent (index or None), disposal (int)."""
+    import struct as s
+
+    out = bytearray(version)
+
+    def pal_bits(p):
+        n = len(p)
+        b = 0
+        while (2 << b) < n:
+            b += 1
+        assert 2 << b == n, "palette length must be a power of two >= 2"
+        return b
+
+    packed = 0
+    if gct is not None:
+        packed = 0x80 | pal_bits(gct)
+    out += s.pack("<HHBBB", sw, sh, packed, bg, 0)
+    if gct is not None:
+        out += bytes(gct.astype("uint8").ravel())
+    for fr in frames:
+        if fr.get("transparent") is not None or fr.get("disposal", 0):
+            gp = (fr.get("disposal", 0) & 7) << 2
+            tr = fr.get("transparent")
+            if tr is not None:
+                gp |= 1
+            out += bytes([0x21, 0xF9, 4, gp, 0, 0, tr or 0, 0])
+        arr = fr["idx"]
+        h, w = arr.shape
+        ip = 0
+        lct = fr.get("lct")
+        if lct is not None:
+            ip |= 0x80 | pal_bits(lct)
+        if fr.get("interlace"):
+            ip |= 0x40
+        out += bytes([0x2C]) + s.pack(
+            "<HHHHB", fr.get("left", 0), fr.get("top", 0), w, h, ip
+        )
+        if lct is not None:
+            out += bytes(lct.astype("uint8").ravel())
+        if fr.get("interlace"):
+            arr = arr[_gif_interlace_rows(h)]
+        mcs = max(2, pal_bits(gct if lct is None else lct) + 1)
+        out += bytes([mcs])
+        data = _gif_lzw_encode(mcs, arr.ravel().tolist())
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_stdlib_gif_decoder_single_frame(spark):
+    """r9 continuation: genuine GIF payloads decode natively — LZW
+    with table growth past several width bumps, global palette,
+    interlacing, GIF87a and GIF89a, and the magic dispatch through
+    decode_image + the Arrow feature pipeline."""
+    import hashlib
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.gif import gif_decoder
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+    )
+
+    rng = np.random.RandomState(97)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    h, w = 23, 17
+    idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    want = pal[idx]
+
+    payload = _encode_gif(w, h, [{"idx": idx}], gct=pal)
+    assert np.array_equal(gif_decoder(payload), want)
+    assert np.array_equal(decode_image(payload), want)
+
+    # GIF87a + interlaced + small palette (width starts at 3 bits)
+    pal8 = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    idx8 = rng.randint(0, 8, (19, 13)).astype(np.uint8)
+    pay87 = _encode_gif(
+        13, 19, [{"idx": idx8, "interlace": True}], gct=pal8, version=b"GIF87a"
+    )
+    assert np.array_equal(gif_decoder(pay87), pal8[idx8])
+
+    # a LONG low-entropy image: forces LZW table past 9/10/11-bit
+    # widths and into the deferred-clear regime
+    big = (np.arange(128 * 96, dtype=np.uint32) % 7).astype(np.uint8).reshape(96, 128)
+    paybig = _encode_gif(128, 96, [{"idx": big}], gct=pal8)
+    assert np.array_equal(gif_decoder(paybig), pal8[big])
+
+    # Arrow pipeline end-to-end on the default decoder
+    df = spark.createDataFrame([(0, bytearray(payload))], ["doc_id", "payload"])
+    r = extract_image_features(df, out_w=4, out_h=4).collect()[0]
+    ys, xs = (np.arange(4) * h) // 4, (np.arange(4) * w) // 4
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert r["mean_intensity"] == round(float(want.mean()), 6)
+    assert r["resized_md5"] == hashlib.md5(
+        np.ascontiguousarray(want[ys][:, xs]).tobytes()
+    ).hexdigest()
+
+
+def test_stdlib_gif_animation_composite(spark):
+    """Animated GIF: transparency + all three disposal methods
+    composite exactly as an independent numpy compositor computes,
+    local palettes override the global one, and the payload rides
+    extract_video_frames like an AVI."""
+    import hashlib
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.gif import (
+        gif_animation_decoder,
+        gif_decoder,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    sw, sh = 12, 10
+    gct = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    lct = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    bg = 5
+
+    f0 = rng.randint(0, 16, (sh, sw)).astype(np.uint8)  # full screen, keep
+    f1 = rng.randint(0, 4, (4, 6)).astype(np.uint8)  # patch, lct, restore-bg
+    f2 = rng.randint(0, 16, (5, 5)).astype(np.uint8)  # transparent=3, restore-prev
+    f3 = rng.randint(0, 16, (3, 7)).astype(np.uint8)  # final patch
+
+    payload = _encode_gif(
+        sw,
+        sh,
+        [
+            {"idx": f0, "disposal": 1},
+            {"idx": f1, "left": 3, "top": 2, "lct": lct, "disposal": 2},
+            {"idx": f2, "left": 6, "top": 4, "transparent": 3, "disposal": 3},
+            {"idx": f3, "left": 1, "top": 6},
+        ],
+        gct=gct,
+        bg=bg,
+    )
+
+    # independent compositor
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    canvas[:, :] = gct[bg]
+    want = []
+    canvas[:, :] = gct[f0]  # frame 0 (full screen)
+    want.append(canvas.copy())
+    canvas[2:6, 3:9] = lct[f1]  # frame 1 (local palette)
+    want.append(canvas.copy())
+    after1 = canvas.copy()
+    after1[2:6, 3:9] = gct[bg]  # disposal 2: region -> background
+    canvas = after1.copy()
+    saved = canvas.copy()
+    rgb2 = gct[f2]
+    m = f2 != 3
+    canvas[4:9, 6:11][m] = rgb2[m]  # frame 2 (transparency)
+    want.append(canvas.copy())
+    canvas = saved  # disposal 3: restore previous
+    canvas[6:9, 1:8] = gct[f3]  # frame 3
+    want.append(canvas.copy())
+
+    got = gif_animation_decoder(payload)
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    for (_, img), exp in zip(got, want):
+        assert np.array_equal(img, exp)
+    # first-frame contract == animation frame 0
+    assert np.array_equal(gif_decoder(payload), want[0])
+    # every_n sampling
+    assert [i for i, _ in gif_animation_decoder(payload, every_n=2)] == [0, 2]
+
+    # video pipeline: animated GIF rows next to an AVI-shaped contract
+    df = spark.createDataFrame([(9, bytearray(payload))], ["doc_id", "payload"])
+    rows = sorted(
+        extract_video_frames(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    for r, exp in zip(rows, (want[0], want[2])):
+        assert (r["width"], r["height"]) == (sw, sh)
+        assert r["frame_md5"] == hashlib.md5(exp.tobytes()).hexdigest()
+
+
+def test_stdlib_gif_corrupt_payloads_raise():
+    """Corrupt GIFs fail loudly (and decode_image chains the parse
+    error into the Pillow env stub rather than swallowing it)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.gif import gif_decoder
+
+    pal = np.zeros((4, 3), np.uint8)
+    idx = np.zeros((3, 3), np.uint8)
+    good = _encode_gif(3, 3, [{"idx": idx}], gct=pal)
+
+    with _pytest.raises(ValueError, match="magic"):
+        gif_decoder(b"GIF99a" + good[6:])
+    with _pytest.raises(ValueError):
+        gif_decoder(good[:-5])  # truncated mid-image
+    # image rectangle outside the logical screen
+    bad = bytearray(good)
+    pos = bad.find(b"\x2c")
+    bad[pos + 5 : pos + 7] = (99).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="exceeds logical screen"):
+        gif_decoder(bytes(bad))
