@@ -624,27 +624,34 @@ def stdlib_image_decoder(payload: bytes):
         from cdc_historical_warehouse_platform_spark.operators.gif import gif_decoder
 
         return gif_decoder(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from cdc_historical_warehouse_platform_spark.operators.tiff import tiff_decoder
+
+        return tiff_decoder(payload)
     raise ValueError(
-        "payload is not a stdlib-decodable image (BMP/PPM/PGM/PNG/JPEG/GIF)"
+        "payload is not a stdlib-decodable image (BMP/PPM/PGM/PNG/JPEG/GIF/TIFF)"
     )
 
 
 def decode_image(payload: bytes):
     """Decode an image payload → (H, W, C) uint8 array. BMP/PPM/PGM,
     PNG (the full format — all depths, palette, Adam7), baseline AND
-    progressive JPEG, and GIF (full format incl. animation
-    compositing — operators/gif.py) decode via the dependency-free
-    stdlib tier; anything else — and any stdlib-magic payload whose
-    SUB-format the stdlib tier can't parse (palette/RLE BMP, 16-bit
-    PPM, arithmetic JPEG) — routes to Pillow (honest env stub when
-    absent), so installing Pillow never decodes LESS than it did
-    before the stdlib tier existed."""
+    progressive JPEG, GIF (full format incl. animation compositing —
+    operators/gif.py), and baseline TIFF (both endians, strips,
+    none/PackBits/LZW, predictor — operators/tiff.py) decode via the
+    dependency-free stdlib tier; anything else — and any stdlib-magic
+    payload whose SUB-format the stdlib tier can't parse (palette/RLE
+    BMP, 16-bit PPM, arithmetic JPEG, tiled/16-bit/deflate TIFF) —
+    routes to Pillow (honest env stub when absent), so installing
+    Pillow never decodes LESS than it did before the stdlib tier
+    existed."""
     stdlib_err: Exception | None = None
     if (
         payload[:2] in (b"BM", b"P6", b"P5")
         or payload[:8] == b"\x89PNG\r\n\x1a\n"
         or payload[:3] == b"\xff\xd8\xff"
         or payload[:6] in (b"GIF87a", b"GIF89a")
+        or payload[:4] in (b"II*\x00", b"MM\x00*")
     ):
         try:
             return stdlib_image_decoder(payload)

@@ -1,0 +1,231 @@
+"""Dependency-free baseline-TIFF decode (r9 continuation).
+
+TIFF joins BMP/PPM/PGM, full PNG, baseline+progressive JPEG, and GIF
+in the stdlib image tier (multimodal.py). Coverage is Baseline TIFF
+6.0 plus the two compressions real-world baseline files use, built
+from the published TIFF 6.0 specification:
+
+- both byte orders (``II`` little-endian, ``MM`` big-endian);
+- strip-organized images (any RowsPerStrip split);
+- compressions: 1 (none), 32773 (PackBits), and 5 (LZW with the
+  spec's MSB-first bit packing and the "early change" code-width
+  rule — the decoder widens at table sizes 511/1023/2047, one entry
+  before the encoder's 512/1024/2048, because its table trails the
+  encoder's by one entry);
+- horizontal-differencing predictor (tag 317 = 2) for LZW strips;
+- photometric interpretations 0 (WhiteIsZero — inverted grayscale),
+  1 (BlackIsZero), 2 (RGB, incl. a 4th extra/alpha sample), and
+  3 (palette via the 16-bit ColorMap, high byte);
+- 8-bit samples (the Baseline bit depth). Tiled TIFFs, 16-bit
+  samples, and other compressions (JPEG-in-TIFF, Deflate, CCITT)
+  raise ValueError so the caller's Pillow env seam owns them — the
+  same contract as every other stdlib codec gap.
+
+Scale posture: pure per-payload decode running inside the Arrow
+``mapInPandas`` image pipelines; nothing here touches Spark.
+
+Reference parity note: mrohitth/cdc-historical-warehouse-platform has
+no multimodal surface — this module is part of the
+training-data-pipeline north star, not reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["tiff_decoder"]
+
+# field type -> byte width (the types baseline readers need)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytearray:
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # copy n+1 literal bytes
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[pos : pos + 1] * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits: strip decoded short")
+    return out[:expected]
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytearray:
+    """TIFF-variant LZW: MSB-first bit packing, clear=256, EOI=257,
+    9-bit codes widening at table sizes 511/1023/2047 (early change)."""
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    width = 9
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return 257  # truncated: treat as EOI; caller checks length
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 4], "big")
+        code = (chunk >> (32 - width - (bitpos & 7))) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    def fresh():
+        return [bytes((i,)) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read_code()
+        if code == 257:  # EOI
+            break
+        if code == 256:  # clear
+            table = fresh()
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW: bad first code after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW: code out of range")
+        out += entry
+        prev = entry
+        if len(table) in (511, 1023, 2047):
+            width += 1
+    if len(out) < expected:
+        raise ValueError(f"TIFF LZW: decoded {len(out)} of {expected} bytes")
+    return out[:expected]
+
+
+def tiff_decoder(payload: bytes):
+    """Baseline TIFF → (H, W, C) uint8 array (C = 1, 3, or 4)."""
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload (missing II*/MM* magic)")
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF: truncated IFD offset")
+
+    (n_tags,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, tuple] = {}
+    for i in range(n_tags):
+        base = ifd_off + 2 + 12 * i
+        tag, ftype, count = struct.unpack_from(e + "HHI", payload, base)
+        size = _TYPE_SIZE.get(ftype)
+        if size is None:
+            continue  # unknown field type: skip, per spec
+        total = size * count
+        off = base + 8 if total <= 4 else struct.unpack_from(e + "I", payload, base + 8)[0]
+        raw = payload[off : off + total]
+        if len(raw) != total:
+            raise ValueError(f"TIFF: truncated values for tag {tag}")
+        if ftype == 3:
+            vals = struct.unpack(e + "%dH" % count, raw)
+        elif ftype == 4:
+            vals = struct.unpack(e + "%dI" % count, raw)
+        elif ftype == 1:
+            vals = tuple(raw)
+        else:  # ASCII / RATIONAL: not needed for raster geometry
+            vals = (raw,)
+        tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF: required tag {tag} missing")
+            return default
+        return v[0]
+
+    if 322 in tags or 323 in tags:
+        raise ValueError("stdlib TIFF tier supports strip-organized images only (tiled)")
+    width = one(256)
+    height = one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, (8,) * spp)
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise ValueError(f"stdlib TIFF tier supports 8-bit samples only (got {bits})")
+    compression = one(259, 1)
+    photometric = one(262)
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF: unsupported predictor {predictor}")
+    if one(339, 1) != 1:
+        raise ValueError("stdlib TIFF tier supports unsigned-int samples only")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing or mismatched strip offsets/byte counts")
+    rps = one(278, height)
+
+    row_bytes = width * spp
+    raster = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rps, height - si * rps)
+        if strip_rows <= 0:
+            raise ValueError("TIFF: more strips than rows")
+        expected = strip_rows * row_bytes
+        chunk = payload[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("TIFF: truncated strip data")
+        if compression == 1:
+            if len(chunk) < expected:
+                raise ValueError("TIFF: uncompressed strip shorter than raster")
+            raster += chunk[:expected]
+        elif compression == 32773:
+            raster += _packbits_decode(chunk, expected)
+        elif compression == 5:
+            raster += _lzw_decode(chunk, expected)
+        else:
+            raise ValueError(
+                f"stdlib TIFF tier supports none/PackBits/LZW compression (got {compression})"
+            )
+
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(height, width, spp)
+    if predictor == 2:  # horizontal differencing: cumulative sum per row/channel
+        arr = (np.cumsum(arr.astype(np.uint32), axis=1) & 0xFF).astype(np.uint8)
+
+    if photometric == 0:  # WhiteIsZero
+        if spp != 1:
+            raise ValueError("TIFF: WhiteIsZero requires 1 sample/pixel")
+        return 255 - arr
+    if photometric == 1:
+        if spp != 1:
+            raise ValueError("TIFF: BlackIsZero requires 1 sample/pixel")
+        return arr
+    if photometric == 2:
+        if spp not in (3, 4):
+            raise ValueError("TIFF: RGB requires 3 or 4 samples/pixel")
+        return arr
+    if photometric == 3:
+        if spp != 1:
+            raise ValueError("TIFF: palette requires 1 sample/pixel")
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) % 3:
+            raise ValueError("TIFF: palette image missing ColorMap")
+        n = len(cmap) // 3
+        pal = (np.array(cmap, dtype=np.uint16).reshape(3, n).T >> 8).astype(np.uint8)
+        idx = arr[:, :, 0]
+        if idx.max(initial=0) >= n:
+            raise ValueError("TIFF: palette index out of ColorMap range")
+        return pal[idx]
+    raise ValueError(f"stdlib TIFF tier: unsupported photometric {photometric}")

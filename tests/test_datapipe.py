@@ -4238,3 +4238,282 @@ def test_stdlib_gif_corrupt_payloads_raise():
     bad[pos + 5 : pos + 7] = (99).to_bytes(2, "little")
     with _pytest.raises(ValueError, match="exceeds logical screen"):
         gif_decoder(bytes(bad))
+
+
+# --- TIFF (r9 continuation): independent encoder for the decode pins -------
+
+
+def _tiff_lzw_encode(data):
+    """Independent TIFF-variant LZW compressor (TIFF 6.0 spec §13):
+    MSB-first packing, clear=256/EOI=257, early-change width bumps
+    (encoder widens when its next free code reaches 512/1024/2048),
+    clear emitted before the table overflows."""
+    out = bytearray()
+    acc = nacc = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    def fresh():
+        return {bytes((i,)): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(256)
+    buf = b""
+    for b in data:
+        cand = buf + bytes((b,))
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < 4093:
+            table[cand] = next_code
+            next_code += 1
+            if next_code in (512, 1024, 2048):
+                width += 1
+        else:
+            emit(256)
+            table = fresh()
+            next_code = 258
+            width = 9
+        buf = bytes((b,))
+    if buf:
+        emit(table[buf])
+    emit(257)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data):
+    """Independent PackBits compressor: replicate runs >= 3, literals
+    otherwise (chunks capped at 128)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+            if i - lit_start >= 128:
+                i = lit_start + 128
+                break
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _encode_tiff(
+    arr,
+    endian="<",
+    compression=1,
+    photometric=1,
+    rows_per_strip=None,
+    predictor=1,
+    colormap=None,
+):
+    """Independent strip-organized TIFF writer (header + sorted IFD +
+    value area), built from the TIFF 6.0 structure description."""
+    import struct as s
+
+    import numpy as np
+
+    h, w, spp = arr.shape
+    rps = rows_per_strip or h
+    src = arr
+    if predictor == 2:
+        d = arr.astype(np.int32).copy()
+        d[:, 1:, :] -= arr.astype(np.int32)[:, :-1, :]
+        src = (d & 0xFF).astype(np.uint8)
+    strips = []
+    for top in range(0, h, rps):
+        raw = src[top : top + rps].tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    pos = 8
+    strip_offsets = []
+    for st in strips:
+        strip_offsets.append(pos)
+        pos += len(st)
+    value_area = bytearray()
+
+    def tag(tid, ftype, vals):
+        nonlocal value_area
+        size = {1: 1, 3: 2, 4: 4}[ftype]
+        fmt = {1: "B", 3: "H", 4: "I"}[ftype]
+        packed = b"".join(s.pack(endian + fmt, v) for v in vals)
+        if len(packed) <= 4:
+            return s.pack(endian + "HHI", tid, ftype, len(vals)) + packed.ljust(4, b"\0")
+        off = pos + len(value_area)
+        value_area += packed
+        return s.pack(endian + "HHII", tid, ftype, len(vals), off)
+
+    entries = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [compression]),
+        (262, 3, [photometric]),
+        (273, 4, strip_offsets),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+        (279, 4, [len(st) for st in strips]),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, [2]))
+    if colormap is not None:
+        cm16 = (colormap.astype(np.uint16) << 8).T.ravel().tolist()
+        entries.append((320, 3, cm16))
+    # two passes: value-area offsets depend on pos only (fixed), IFD last
+    ifd = s.pack(endian + "H", len(entries))
+    for tid, ftype, vals in sorted(entries):
+        ifd += tag(tid, ftype, vals)
+    ifd += s.pack(endian + "I", 0)
+    ifd_off = pos + len(value_area)
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    return (
+        magic
+        + s.pack(endian + "I", ifd_off)
+        + b"".join(strips)
+        + bytes(value_area)
+        + ifd
+    )
+
+
+def test_stdlib_tiff_decoder_all_baseline_shapes(spark):
+    """r9 continuation: genuine baseline TIFFs decode natively — both
+    endians, multi-strip, gray/inverted-gray/RGB/RGBA/palette,
+    uncompressed + PackBits + LZW (+ horizontal predictor), pinned
+    bit-exact against an independent in-test TIFF writer, through the
+    magic dispatch and the Arrow feature pipeline."""
+    import hashlib
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.tiff import tiff_decoder
+
+    rng = np.random.RandomState(41)
+    h, w = 21, 13
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    gray = rgb[:, :, :1]
+
+    # uncompressed, big-endian, multi-strip grayscale
+    pay = _encode_tiff(gray, endian=">", rows_per_strip=4)
+    assert np.array_equal(tiff_decoder(pay), gray)
+    # WhiteIsZero inverts
+    pay0 = _encode_tiff(255 - gray, endian="<", photometric=0)
+    assert np.array_equal(tiff_decoder(pay0), gray)
+
+    # PackBits RGB with genuine runs (stripes force replicate blocks)
+    stripes = np.repeat(
+        rng.randint(0, 256, (h, 4, 3)).astype(np.uint8), [4, 4, 4, 1], axis=1
+    )
+    pay_pb = _encode_tiff(stripes, compression=32773, photometric=2, rows_per_strip=6)
+    assert np.array_equal(tiff_decoder(pay_pb), stripes)
+
+    # LZW big random RGB: pushes the table past the 511/1023/2047
+    # early-change bumps; with and without the horizontal predictor
+    big = rng.randint(0, 256, (40, 60, 3)).astype(np.uint8)
+    pay_lzw = _encode_tiff(big, compression=5, photometric=2, rows_per_strip=16)
+    assert np.array_equal(tiff_decoder(pay_lzw), big)
+    pay_pred = _encode_tiff(
+        big, endian=">", compression=5, photometric=2, predictor=2
+    )
+    assert np.array_equal(tiff_decoder(pay_pred), big)
+    # low-entropy LZW long enough to force the in-stream clear reset
+    flat = np.tile(np.arange(8, dtype=np.uint8), 40 * 200 // 8).reshape(40, 200, 1)
+    noisy = (flat + rng.randint(0, 3, flat.shape).astype(np.uint8)) % 251
+    pay_clear = _encode_tiff(noisy, compression=5)
+    assert np.array_equal(tiff_decoder(pay_clear), noisy)
+
+    # palette + RGBA
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (h, w, 1)).astype(np.uint8)
+    pay_pal = _encode_tiff(idx, photometric=3, colormap=pal)
+    assert np.array_equal(tiff_decoder(pay_pal), pal[idx[:, :, 0]])
+    rgba = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+    pay_rgba = _encode_tiff(rgba, photometric=2, compression=32773)
+    assert np.array_equal(tiff_decoder(pay_rgba), rgba)
+
+    # magic dispatch + Arrow pipeline
+    assert np.array_equal(decode_image(pay_lzw), big)
+    df = spark.createDataFrame([(0, bytearray(pay_lzw))], ["doc_id", "payload"])
+    r = extract_image_features(df, out_w=4, out_h=4).collect()[0]
+    ys, xs = (np.arange(4) * 40) // 4, (np.arange(4) * 60) // 4
+    assert (r["width"], r["height"], r["channels"]) == (60, 40, 3)
+    assert r["mean_intensity"] == round(float(big.mean()), 6)
+    assert r["resized_md5"] == hashlib.md5(
+        np.ascontiguousarray(big[ys][:, xs]).tobytes()
+    ).hexdigest()
+
+
+def test_stdlib_tiff_unsupported_subformats_raise():
+    """Tiled / 16-bit / exotic-compression TIFFs refuse loudly so the
+    Pillow env seam owns them."""
+    import struct as s
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.tiff import tiff_decoder
+
+    gray = np.zeros((4, 4, 1), np.uint8)
+    good = _encode_tiff(gray)
+
+    with _pytest.raises(ValueError, match="magic"):
+        tiff_decoder(b"IX*\x00" + good[4:])
+
+    def patch_tag(payload, tid, new_short):
+        (ifd_off,) = s.unpack_from("<I", payload, 4)
+        (n,) = s.unpack_from("<H", payload, ifd_off)
+        b = bytearray(payload)
+        for i in range(n):
+            base = ifd_off + 2 + 12 * i
+            if s.unpack_from("<H", payload, base)[0] == tid:
+                b[base + 8 : base + 12] = s.pack("<HH", new_short, 0)
+                return bytes(b)
+        raise AssertionError(f"tag {tid} not found")
+
+    with _pytest.raises(ValueError, match="compression"):
+        tiff_decoder(patch_tag(good, 259, 8))  # deflate
+    with _pytest.raises(ValueError, match="8-bit"):
+        tiff_decoder(patch_tag(good, 258, 16))
+
+    # tiled: inject a TileWidth tag by rewriting RowsPerStrip's id
+    (ifd_off,) = s.unpack_from("<I", good, 4)
+    (n,) = s.unpack_from("<H", good, ifd_off)
+    b = bytearray(good)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if s.unpack_from("<H", good, base)[0] == 278:
+            b[base : base + 2] = s.pack("<H", 322)
+    with _pytest.raises(ValueError, match="tiled"):
+        tiff_decoder(bytes(b))
