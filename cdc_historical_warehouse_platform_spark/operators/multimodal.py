@@ -59,11 +59,15 @@ __all__ = [
     "wav_decoder",
     "g711_wav_decoder",
     "ima_adpcm_wav_decoder",
+    "aiff_decoder",
+    "au_decoder",
     "flac_decoder",
     "bmp_decoder",
     "ppm_decoder",
     "png_decoder",
     "jpeg_decoder",
+    "gif_decoder",
+    "tiff_decoder",
     "stdlib_image_decoder",
     "IMAGE_FEATURE_SCHEMA",
     "extract_image_features",
@@ -170,8 +174,14 @@ def _stub(name: str, lib: str, cause: Exception | None = None):
 from cdc_historical_warehouse_platform_spark.operators.flac import (  # noqa: E402
     flac_decoder,
 )
+from cdc_historical_warehouse_platform_spark.operators.gif import (  # noqa: E402
+    gif_decoder,
+)
 from cdc_historical_warehouse_platform_spark.operators.jpeg import (  # noqa: E402
     jpeg_decoder,
+)
+from cdc_historical_warehouse_platform_spark.operators.tiff import (  # noqa: E402
+    tiff_decoder,
 )
 from cdc_historical_warehouse_platform_spark.operators.video import (  # noqa: E402
     avi_decoder,
@@ -456,6 +466,30 @@ def wav_decoder(payload: bytes):
     return wavef, sr
 
 
+def _g711_table(law: str):
+    """256-entry float64 expansion table for the ITU-T G.711
+    companding laws ("mu" or "a") — shared by the WAV and AU tiers."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    if law == "mu":  # mu-law: invert, extract exponent/mantissa
+        u = ~codes
+        sign = np.where(u & 0x80, -1.0, 1.0)
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant.astype(np.int32) << 3) + 0x84 << exp) - 0x84
+        return sign * mag / 32768.0
+    # A-law: even-bit inversion, segment expansion
+    # NB: A-law's sign convention is inverted vs mu-law — the sign
+    # bit SET means positive (G.711 alaw2linear)
+    a = codes ^ 0x55
+    sign = np.where(a & 0x80, 1.0, -1.0)
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return sign * mag / 32768.0
+
+
 def g711_wav_decoder(payload: bytes):
     """G.711 μ-law / A-law WAV (format tags 7 / 6 — the telephony
     codecs the stdlib ``wave`` module refuses) → (float64 mono
@@ -487,25 +521,7 @@ def g711_wav_decoder(payload: bytes):
     tag, nch, sr = fmt[0], fmt[1], fmt[2]
     if tag not in (6, 7):
         raise ValueError(f"g711_wav_decoder handles A-law/mu-law only (tag {tag})")
-    codes = np.arange(256, dtype=np.uint8)
-    if tag == 7:  # mu-law (G.711): invert, extract exponent/mantissa
-        u = ~codes
-        sign = np.where(u & 0x80, -1.0, 1.0)
-        exp = (u >> 4) & 0x07
-        mant = u & 0x0F
-        mag = ((mant.astype(np.int32) << 3) + 0x84 << exp) - 0x84
-        table = sign * mag / 32768.0
-    else:  # A-law: even-bit inversion, segment expansion
-        a = codes ^ 0x55
-        # NB: A-law's sign convention is inverted vs mu-law — the sign
-        # bit SET means positive (G.711 alaw2linear)
-        sign = np.where(a & 0x80, 1.0, -1.0)
-        exp = (a >> 4) & 0x07
-        mant = (a & 0x0F).astype(np.int32)
-        mag = np.where(
-            exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
-        )
-        table = sign * mag / 32768.0
+    table = _g711_table("mu" if tag == 7 else "a")
     wavef = table[np.frombuffer(data, dtype=np.uint8)]
     if nch > 1:
         wavef = wavef.reshape(-1, nch).mean(axis=1)
@@ -606,6 +622,122 @@ def ima_adpcm_wav_decoder(payload: bytes):
     return wavef, sr
 
 
+def _float80(b: bytes) -> float:
+    """Parse the 80-bit IEEE 754 extended float AIFF stores the sample
+    rate in (big-endian: 1 sign + 15 exponent + 64 mantissa bits, with
+    an explicit integer bit)."""
+    sign_exp = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    if sign_exp & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    val = mant * 2.0 ** ((sign_exp & 0x7FFF) - 16383 - 63)
+    return -val if sign_exp & 0x8000 else val
+
+
+def aiff_decoder(payload: bytes):
+    """AIFF / AIFF-C PCM → (float64 mono waveform in [-1, 1], native
+    sample_rate). Chunk walk per the AIFF-1.3 / AIFF-C specs: COMM
+    carries geometry (channels, sample size, 80-bit-extended rate, and
+    for AIFC a compression fourcc — ``NONE`` big-endian and ``sowt``
+    little-endian byte-swapped PCM are the uncompressed ones), SSND
+    carries the frames after its offset field. AIFF samples are SIGNED
+    at every width (unlike WAV's unsigned 8-bit); 8/16/24/32-bit all
+    decode. Compressed AIFC variants raise so the librosa env seam
+    owns them."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload (missing FORM/AIFF magic)")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos, n = 12, len(payload)
+    comm = data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            (off,) = struct.unpack(">I", body[:4])
+            data = body[8 + off :]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if comm is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    nch, _nframes, bits = struct.unpack(">hIh", comm[:8])
+    sr = int(round(_float80(comm[8:18])))
+    little = False
+    if is_aifc:
+        ctype = comm[18:22]
+        if ctype == b"sowt":
+            little = True
+        elif ctype != b"NONE":
+            raise ValueError(f"stdlib AIFF tier supports PCM only (got {ctype!r})")
+    if bits % 8 or not 8 <= bits <= 32:
+        raise ValueError(f"unsupported AIFF sample size {bits}")
+    sw = bits // 8
+    nsamp = len(data) // sw
+    data = data[: nsamp * sw]
+    bo = "<" if little else ">"
+    if sw == 1:
+        wavef = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+    elif sw == 2:
+        wavef = np.frombuffer(data, dtype=bo + "i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        wavef = np.frombuffer(data, dtype=bo + "i4").astype(np.float64) / 2147483648.0
+    else:  # 24-bit: widen to int32 via a zero pad on the low byte
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+        padded[:, :3] = raw if not little else raw[:, ::-1]
+        wavef = padded.view(">i4")[:, 0].astype(np.float64) / 2147483648.0
+    if nch > 1:
+        wavef = wavef[: (len(wavef) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return wavef, sr
+
+
+def au_decoder(payload: bytes):
+    """Sun/NeXT AU (.snd) → (float64 mono waveform in [-1, 1], native
+    sample_rate). Fixed big-endian header per the public au spec;
+    encodings 1 (G.711 mu-law), 2/3/4/5 (signed linear PCM
+    8/16/24/32), and 27 (G.711 A-law) decode; float/ADPCM encodings
+    raise so the librosa env seam owns them."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload (missing .snd magic)")
+    off, size, enc, sr, nch = struct.unpack(">IIIII", payload[4:24])
+    if off < 24:
+        raise ValueError("AU header offset overlaps the header")
+    data = payload[off:]
+    if size != 0xFFFFFFFF:
+        data = data[:size]
+    if enc in (1, 27):
+        table = _g711_table("mu" if enc == 1 else "a")
+        wavef = table[np.frombuffer(data, dtype=np.uint8)]
+    elif enc == 2:
+        wavef = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        data = data[: (len(data) // 2) * 2]
+        wavef = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
+    elif enc == 4:
+        data = data[: (len(data) // 3) * 3]
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+        padded[:, :3] = raw
+        wavef = padded.view(">i4")[:, 0].astype(np.float64) / 2147483648.0
+    elif enc == 5:
+        data = data[: (len(data) // 4) * 4]
+        wavef = np.frombuffer(data, dtype=">i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"stdlib AU tier: unsupported encoding {enc}")
+    if nch > 1:
+        wavef = wavef[: (len(wavef) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return wavef, sr
+
+
 def stdlib_image_decoder(payload: bytes):
     """Magic-byte dispatch over the stdlib image tier (BMP / PPM /
     PGM / PNG / JPEG / GIF); raises ValueError for formats the
@@ -677,12 +809,13 @@ def decode_image(payload: bytes):
 
 def decode_audio(payload: bytes):
     """Decode an audio payload → (waveform array, sample rate). RIFF
-    PCM WAV, G.711 mu-law/A-law WAV, and FLAC (operators/flac.py —
-    lossless, so bit-exact dependency-free decode) decode via the
-    stdlib tier; anything else — and any payload the stdlib tier
-    can't parse (float32/compressed WAV, 32-bit FLAC, MP3/OGG) —
-    routes to librosa (honest env stub when absent), so installing
-    librosa never decodes LESS than before.
+    PCM WAV, G.711 mu-law/A-law WAV, IMA ADPCM WAV, AIFF/AIFF-C PCM,
+    Sun AU (PCM + G.711), and FLAC (operators/flac.py — lossless, so
+    bit-exact dependency-free decode) decode via the stdlib tier;
+    anything else — and any payload the stdlib tier can't parse
+    (float32/compressed WAV, compressed AIFC, float AU, 32-bit FLAC,
+    MP3/OGG) — routes to librosa (honest env stub when absent), so
+    installing librosa never decodes LESS than before.
 
     Both tiers return the NATIVE sample rate (``sr=None`` below keeps
     librosa from resampling to its 22050 Hz default), so the (waveform,
@@ -703,6 +836,18 @@ def decode_audio(payload: bytes):
             except Exception:
                 # float/24-bit/other-compressed WAV: fall to librosa
                 pass
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        try:
+            return aiff_decoder(payload)
+        except Exception:
+            # compressed AIFC or corrupt container: fall to librosa
+            pass
+    if payload[:4] == b".snd":
+        try:
+            return au_decoder(payload)
+        except Exception:
+            # float/ADPCM AU or corrupt container: fall to librosa
+            pass
     if payload[:4] == b"fLaC":
         try:
             from cdc_historical_warehouse_platform_spark.operators.flac import flac_decoder

@@ -4517,3 +4517,186 @@ def test_stdlib_tiff_unsupported_subformats_raise():
             b[base : base + 2] = s.pack("<H", 322)
     with _pytest.raises(ValueError, match="tiled"):
         tiff_decoder(bytes(b))
+
+
+# --- AIFF / AU (r9 continuation): independent encoders for the pins --------
+
+
+def _ext80(rate):
+    """Independent 80-bit IEEE extended encoder (AIFF sample rate)."""
+    import math
+
+    if rate == 0:
+        return b"\x00" * 10
+    m, e = math.frexp(float(rate))
+    return (e - 1 + 16383).to_bytes(2, "big") + int(m * (1 << 64)).to_bytes(8, "big")
+
+
+def _encode_aiff(frames_bytes, nch, bits, rate, form=b"AIFF", ctype=None):
+    import struct as s
+
+    comm = s.pack(">hIh", nch, len(frames_bytes) // (nch * bits // 8), bits)
+    comm += _ext80(rate)
+    if ctype is not None:
+        comm += ctype + b"\x04name"  # compression fourcc + pstring
+    ssnd = s.pack(">II", 0, 0) + frames_bytes
+    body = b""
+    for cid, c in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + s.pack(">I", len(c)) + c + (b"\x00" if len(c) & 1 else b"")
+    return b"FORM" + s.pack(">I", 4 + len(body)) + form + body
+
+
+def _encode_au(data, enc, rate, nch):
+    import struct as s
+
+    return b".snd" + s.pack(">IIIII", 24, len(data), enc, rate, nch) + data
+
+
+def test_stdlib_aiff_decoder():
+    """AIFF / AIFF-C PCM decodes natively: 8 (signed!) / 16 / 24 /
+    32-bit, stereo averaging, the 80-bit-extended sample rate, and the
+    AIFC 'sowt' little-endian variant; compressed AIFC raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        aiff_decoder,
+        decode_audio,
+    )
+
+    rng = np.random.RandomState(3)
+
+    s16 = rng.randint(-32768, 32768, 64).astype(np.int16)
+    pay = _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 44100)
+    w, sr = aiff_decoder(pay)
+    assert sr == 44100
+    assert np.allclose(w, s16 / 32768.0)
+    # magic dispatch through the public seam
+    w2, sr2 = decode_audio(pay)
+    assert sr2 == 44100 and np.array_equal(w, w2)
+
+    # stereo averaging
+    st = rng.randint(-32768, 32768, 64).astype(np.int16)
+    inter = np.empty(128, np.int16)
+    inter[0::2], inter[1::2] = s16, st
+    w, sr = aiff_decoder(_encode_aiff(inter.astype(">i2").tobytes(), 2, 16, 8000))
+    assert sr == 8000
+    assert np.allclose(w, (s16 / 32768.0 + st / 32768.0) / 2)
+
+    # signed 8-bit (WAV's is unsigned — conventions differ)
+    s8 = rng.randint(-128, 128, 33).astype(np.int8)
+    w, sr = aiff_decoder(_encode_aiff(s8.tobytes(), 1, 8, 22050))
+    assert np.allclose(w, s8 / 128.0)
+
+    # 24-bit: value == int24 / 2^23
+    v24 = rng.randint(-(1 << 23), 1 << 23, 21)
+    raw24 = b"".join(int(v).to_bytes(3, "big", signed=True) for v in v24)
+    w, sr = aiff_decoder(_encode_aiff(raw24, 1, 24, 48000))
+    assert np.allclose(w, v24 / 8388608.0)
+
+    # 32-bit
+    v32 = rng.randint(-(1 << 31), 1 << 31, 17, dtype=np.int64).astype(np.int32)
+    w, _ = aiff_decoder(_encode_aiff(v32.astype(">i4").tobytes(), 1, 32, 16000))
+    assert np.allclose(w, v32 / 2147483648.0)
+
+    # AIFC sowt = little-endian frames
+    w, sr = aiff_decoder(
+        _encode_aiff(s16.astype("<i2").tobytes(), 1, 16, 11025, b"AIFC", b"sowt")
+    )
+    assert sr == 11025 and np.allclose(w, s16 / 32768.0)
+    # AIFC NONE = big-endian, same as plain AIFF
+    w, _ = aiff_decoder(
+        _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 11025, b"AIFC", b"NONE")
+    )
+    assert np.allclose(w, s16 / 32768.0)
+
+    with _pytest.raises(ValueError, match="PCM only"):
+        aiff_decoder(
+            _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 8000, b"AIFC", b"ulaw")
+        )
+    with _pytest.raises(ValueError, match="magic"):
+        aiff_decoder(b"FORM\x00\x00\x00\x04WAVE")
+
+
+def test_stdlib_au_decoder(spark):
+    """Sun AU decodes natively: big-endian PCM 8/16/24/32, G.711
+    mu-law/A-law (cross-container equal to the WAV G.711 tier, whose
+    tables are pinned independently), stereo averaging, and the Arrow
+    feature pipeline on the default decoder."""
+    import struct as s
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        au_decoder,
+        decode_audio,
+        extract_audio_features,
+        g711_wav_decoder,
+    )
+
+    rng = np.random.RandomState(5)
+
+    s16 = rng.randint(-32768, 32768, 50).astype(np.int16)
+    w, sr = au_decoder(_encode_au(s16.astype(">i2").tobytes(), 3, 16000, 1))
+    assert sr == 16000 and np.allclose(w, s16 / 32768.0)
+
+    s8 = rng.randint(-128, 128, 40).astype(np.int8)
+    w, _ = au_decoder(_encode_au(s8.tobytes(), 2, 8000, 1))
+    assert np.allclose(w, s8 / 128.0)
+
+    v24 = rng.randint(-(1 << 23), 1 << 23, 15)
+    raw24 = b"".join(int(v).to_bytes(3, "big", signed=True) for v in v24)
+    w, _ = au_decoder(_encode_au(raw24, 4, 8000, 1))
+    assert np.allclose(w, v24 / 8388608.0)
+
+    v32 = rng.randint(-(1 << 31), 1 << 31, 11, dtype=np.int64).astype(np.int32)
+    w, _ = au_decoder(_encode_au(v32.astype(">i4").tobytes(), 5, 8000, 1))
+    assert np.allclose(w, v32 / 2147483648.0)
+
+    # G.711: all 256 codes, equal to the WAV G.711 tier (tables pinned
+    # independently by test_g711_wav_decoder_mu_and_a_law)
+    codes = bytes(range(256))
+    for au_enc, wav_tag in ((1, 7), (27, 6)):
+        wav = (
+            b"RIFF"
+            + s.pack("<I", 36 + len(codes))
+            + b"WAVEfmt "
+            + s.pack("<IHHIIHH", 16, wav_tag, 1, 8000, 8000, 1, 8)
+            + b"data"
+            + s.pack("<I", len(codes))
+            + codes
+        )
+        w_au, sr_au = au_decoder(_encode_au(codes, au_enc, 8000, 1))
+        w_wav, _ = g711_wav_decoder(wav)
+        assert sr_au == 8000 and np.array_equal(w_au, w_wav)
+
+    # stereo averaging
+    inter = np.empty(100, np.int16)
+    inter[0::2], inter[1::2] = s16, s16[::-1]
+    w, _ = au_decoder(_encode_au(inter.astype(">i2").tobytes(), 3, 8000, 2))
+    assert np.allclose(w, (s16.astype(np.int64) + s16[::-1]) / 2 / 32768.0)
+
+    with _pytest.raises(ValueError, match="unsupported encoding"):
+        au_decoder(_encode_au(b"\x00" * 8, 6, 8000, 1))  # float32
+    with _pytest.raises(ValueError, match="magic"):
+        au_decoder(b"!snd" + b"\x00" * 20)
+
+    # Arrow feature pipeline on the DEFAULT decoder: one AIFF + one AU
+    aiff = _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 44100)
+    au = _encode_au(s16.astype(">i2").tobytes(), 3, 16000, 1)
+    wave = s16 / 32768.0
+    df = spark.createDataFrame(
+        [(0, bytearray(aiff)), (1, bytearray(au))], ["doc_id", "payload"]
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    for i, sr_want in ((0, 44100), (1, 16000)):
+        r = rows[i]
+        assert r["n_samples"] == 50
+        assert r["sample_rate"] == sr_want
+        assert r["rms"] == round(float(np.sqrt(np.mean(wave**2))), 9)
+        assert r["zero_crossings"] == int(
+            np.count_nonzero(np.diff(np.signbit(wave)))
+        )
+    # decode_audio magic dispatch consistency
+    assert np.array_equal(decode_audio(au)[0], decode_audio(aiff)[0])
