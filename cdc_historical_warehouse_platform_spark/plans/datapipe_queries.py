@@ -2540,3 +2540,69 @@ DATAPIPE_QUERIES["corpus_export_manifest"] = (
     q_corpus_export_manifest,
     SQL_EXPORT_MANIFEST,
 )
+
+
+# --- HTML text extraction (r9 continuation) ---------------------------------
+
+
+_HTML_HEAD = (
+    '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>p { color: red; }</style></head><body><!-- crawler\nheader -->"
+    '<nav><a href="/">Home</a> | <a href="/about">About</a></nav><h1>'
+)
+_HTML_MID = "</h1><p>"
+_HTML_TAIL1 = '</p><div class="meta">&amp;copy; &lt;site&gt;&nbsp;&#39;'
+_HTML_TAIL2 = "&#39;</div></body></html>"
+
+
+def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """WET-style HTML→text extraction, entirely JVM-side
+    (operators/html.strip_html): wrap each document in a
+    deterministic crawl-page skeleton (script + style + comment +
+    nav boilerplate + entity-bearing footer), then strip it back to
+    visible text with the Catalyst regexp/replace chain. The oracle
+    runs the literally-same patterns in DuckDB (Java-regex ∩ RE2
+    dialect — no backreferences, inline (?s) only), so dialect drift
+    in any pattern fails the hash. Map-only: no shuffle, whole-stage
+    codegen end-to-end."""
+    from cdc_historical_warehouse_platform_spark.operators.html import strip_html
+
+    docs = load_table(spark, sf, "documents")
+    page = F.concat(
+        F.lit(_HTML_HEAD),
+        F.col("source"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_TAIL1),
+        F.col("lang"),
+        F.lit(_HTML_TAIL2),
+    )
+    extracted = strip_html(page)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("int").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def _sql_html_extract() -> str:
+    from cdc_historical_warehouse_platform_spark.operators.html import strip_html_sql
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    page = (
+        f"{lit(_HTML_HEAD)} || source || {lit(_HTML_MID)} || text || "
+        f"{lit(_HTML_TAIL1)} || lang || {lit(_HTML_TAIL2)}"
+    )
+    stripped = strip_html_sql(page)
+    return f"""
+SELECT doc_id,
+       {stripped} AS extracted,
+       CAST(length({stripped}) AS INT) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+DATAPIPE_QUERIES["text_html_extract"] = (q_html_extract, _sql_html_extract())
