@@ -434,15 +434,18 @@ def pq_adc_topk_bulk(
         F.col(codes_col),
         F.col(list_col).cast("int").alias(list_col),
     )
-    # score = sum_i lut[i*k + code_i] — JVM-side fold over the m codes
-    score = F.aggregate(
-        F.transform(
-            F.col(codes_col),
-            lambda c, i: F.get(F.col("__lut"), i * F.lit(kk) + c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # score = sum_i lut[i*k + code_i]. m is statically known, so the
+    # fold is unrolled into a flat chain of m element_at terms: higher-
+    # order functions (transform/aggregate) run INTERPRETED with a
+    # per-element closure — measured ~2 s over the bench's 500K
+    # candidates — while this chain whole-stage-codegens. The addition
+    # order (0.0 left-fold) is kept identical, so scores are
+    # bit-identical to the former fold and to the broadcast kernel.
+    score = F.lit(0.0)
+    for i in range(m):
+        score = score + F.get(
+            F.col("__lut"), F.lit(i * kk) + F.get(F.col(codes_col), i)
+        )
     scored = (
         cand.join(luts, list_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))

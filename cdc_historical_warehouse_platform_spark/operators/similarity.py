@@ -267,17 +267,53 @@ def _centroid_literals(cents: list[list[float]]) -> list[Column]:
     return [F.lit([float(x) for x in c]) for c in cents]
 
 
+# Column-expression memo for the per-centroid cosine trees. Building
+# the n_lists × (zip_with + aggregate) tree costs hundreds of Py4J
+# round-trips (~2 s at n_lists=16 — measured r9), dwarfing the actual
+# execution on bulk probes; Column trees are immutable, so the SAME
+# expression object is safely reusable across DataFrames and queries.
+# Keyed by the centroid VALUES (md5 of the packed doubles), so a
+# rebuilt index with different centroids never hits a stale entry.
+_EXPR_CACHE: dict[tuple, Column] = {}
+_EXPR_CACHE_MAX = 32
+
+
+def _cents_key(cents: list[list[float]]) -> bytes:
+    import hashlib
+    import struct as _struct
+
+    h = hashlib.md5()
+    for c in cents:
+        h.update(_struct.pack(f"<{len(c)}d", *[float(x) for x in c]))
+    return h.digest()
+
+
+def _cached_expr(key: tuple, build) -> Column:
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+            _EXPR_CACHE.clear()
+        col = build()
+        _EXPR_CACHE[key] = col
+    return col
+
+
 def _nearest_list_expr(vec: Column, cents: list[list[float]]) -> Column:
     """list_id of the max-cosine centroid, fully codegen'd: an
     array_max over per-centroid (cos, -list_id) structs (struct
-    comparison is lexicographic, so ties go to the SMALLEST list id)."""
-    candidates = F.array(
-        *[
-            F.struct(
-                cosine(vec, lit_c).alias("cos"), F.lit(-i).alias("neg_id")
-            )
-            for i, lit_c in enumerate(_centroid_literals(cents))
-        ]
+    comparison is lexicographic, so ties go to the SMALLEST list id).
+    Memoized per (centroids, input expression) like the probe
+    structs."""
+    candidates = _cached_expr(
+        ("nearest_list", _cents_key(cents), str(vec)),
+        lambda: F.array(
+            *[
+                F.struct(
+                    cosine(vec, lit_c).alias("cos"), F.lit(-i).alias("neg_id")
+                )
+                for i, lit_c in enumerate(_centroid_literals(cents))
+            ]
+        ),
     )
     return -F.array_max(candidates)["neg_id"]
 
@@ -360,15 +396,23 @@ def probed_queries(
 ) -> DataFrame:
     """Per-query probe set: each query exploded to its ``n_probes``
     closest lists by centroid cosine — map-only literal expressions on
-    the (small) query side. Columns: query_id, __qv, list_id."""
-    probe_structs = F.array(
-        *[
-            F.struct(
-                cosine(F.col("__qv"), lit_c).alias("cos"),
-                F.lit(-i).alias("neg_id"),
-            )
-            for i, lit_c in enumerate(_centroid_literals(cents))
-        ]
+    the (small) query side. Columns: query_id, __qv, list_id.
+
+    The per-centroid struct array is memoized per centroid set
+    (:data:`_EXPR_CACHE`): repeated probes against the same index skip
+    the Py4J-heavy tree construction entirely, with bit-identical
+    results (it is literally the same expression object)."""
+    probe_structs = _cached_expr(
+        ("probe_structs", _cents_key(cents)),
+        lambda: F.array(
+            *[
+                F.struct(
+                    cosine(F.col("__qv"), lit_c).alias("cos"),
+                    F.lit(-i).alias("neg_id"),
+                )
+                for i, lit_c in enumerate(_centroid_literals(cents))
+            ]
+        ),
     )
     return (
         queries.select(

@@ -366,8 +366,16 @@ class IVFIndex:
         # the union of probed lists is tiny (≤ |queries|·n_probes ≤
         # n_lists) — compute the probe set ONCE, collect the list ids,
         # and push an IN-filter into the assignments scan so non-probed
-        # lists are skipped at the row-group level, not post-scan
-        probed = probed_queries(queries, cents, n_probes, query_id, query_vec)
+        # lists are skipped at the row-group level, not post-scan.
+        # The eager checkpoint materializes the probe rows (|queries| ×
+        # n_probes, spilling to executor disk when a bulk query set
+        # outgrows memory): the centroid-cosine HOF tree otherwise
+        # re-evaluates in every downstream job that consumes `probed`
+        # (the distinct-collect here, the score join, and the PQ LUT
+        # pass — 3× the work, measured ~1 s each at bench scale).
+        probed = probed_queries(
+            queries, cents, n_probes, query_id, query_vec
+        ).localCheckpoint(eager=True)
         probed_ids = [
             r["list_id"] for r in probed.select("list_id").distinct().collect()
         ]
