@@ -2606,3 +2606,136 @@ ORDER BY doc_id
 
 
 DATAPIPE_QUERIES["text_html_extract"] = (q_html_extract, _sql_html_extract())
+
+
+# --- Gopher quality rules (r9 continuation) ---------------------------------
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, public
+    appendix A): word-count bounds, mean word length bounds,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+    word fraction, and stopword presence — the canonical pre-filter of
+    web-scale training corpora. The corpus has no line structure, so
+    lines are synthesized deterministically in-query (8-word lines;
+    every 5th bulleted, every 7th ellipsis-terminated) exactly as the
+    oracle does — word-level rules run on the ORIGINAL text,
+    line-level rules on the constructed lines. One codegen'd map-only
+    projection: no shuffle, no Python."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_words = F.size(toks)
+    mean_wl = F.length(F.array_join(toks, "")).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / F.greatest(n_words, F.lit(1))
+    alpha_frac = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("double") / F.greatest(n_words, F.lit(1))
+    lower_toks = F.transform(toks, F.lower)
+    n_stops = sum(
+        F.array_contains(lower_toks, F.lit(s)).cast("int") for s in _GOPHER_STOPS
+    )
+    # ceil division via explicit floor: Spark's double->int CAST
+    # truncates while DuckDB's ROUNDS, so the cast must see an
+    # already-floored value in both engines
+    n_lines = F.greatest(F.floor((n_words + F.lit(7)) / F.lit(8)), F.lit(1)).cast(
+        "int"
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.concat(
+            F.when(i % 5 == 2, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "),
+            F.when(i % 7 == 3, F.lit("...")).otherwise(F.lit("")),
+        ),
+    )
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.like("- %"))
+    ).cast("double") / n_lines.cast("double")
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: l.like("%..."))
+    ).cast("double") / n_lines.cast("double")
+    keep = (
+        n_words.between(50, 100000)
+        & mean_wl.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac > 0.8)
+        & (n_stops >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stops.cast("int").alias("n_stop_present"),
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_STOP_SUM = " + ".join(
+    f"CAST(list_contains(lt, '{s}') AS INT)" for s in _GOPHER_STOPS
+)
+
+SQL_GOPHER_RULES = rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS lt,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents),
+m AS (
+  SELECT doc_id, t, lt, n_hash, n_ell,
+         len(t) AS n_words,
+         greatest(CAST(floor((len(t) + 7) / 8) AS INT), 1) AS n_lines
+  FROM base),
+lined AS (
+  SELECT *,
+         list_transform(range(0, n_lines), i ->
+           (CASE WHEN i % 5 = 2 THEN '- ' ELSE '' END)
+           || array_to_string(t[i*8+1 : i*8+8], ' ')
+           || (CASE WHEN i % 7 = 3 THEN '...' ELSE '' END)) AS lines
+  FROM m),
+scored AS (
+  SELECT doc_id,
+         CAST(n_words AS INT) AS n_words,
+         CAST(length(array_to_string(t, '')) AS DOUBLE) / greatest(n_words, 1)
+           AS mean_word_len,
+         CAST(n_hash + n_ell AS DOUBLE) / greatest(n_words, 1)
+           AS symbol_word_ratio,
+         CAST(len(list_filter(lines, l -> l LIKE '- %')) AS DOUBLE)
+           / CAST(n_lines AS DOUBLE) AS bullet_line_frac,
+         CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+           / CAST(n_lines AS DOUBLE) AS ellipsis_line_frac,
+         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+           / greatest(n_words, 1) AS alpha_word_frac,
+         CAST({_GOPHER_STOP_SUM} AS INT) AS n_stop_present
+  FROM lined)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, n_stop_present,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio < 0.1
+            AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3
+            AND alpha_word_frac > 0.8
+            AND n_stop_present >= 2 AS INT) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["text_gopher_rules"] = (q_text_gopher_rules, SQL_GOPHER_RULES)
