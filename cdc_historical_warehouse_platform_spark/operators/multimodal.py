@@ -18,13 +18,18 @@ North-star requirement. The pattern for 100 TB multimodal tables:
   arrays / the CCITT scalar routines) in tests.
   JPEG — baseline AND progressive — decodes via operators/jpeg.py
   (stdlib struct + a sequential Huffman walk + vectorized numpy
-  block math), FLAC losslessly via operators/flac.py, and IMA ADPCM
-  WAV via the step/index tables; AVI video with raw-DIB or MJPEG
-  frames decodes via operators/video.py (frame extraction through
-  the same Arrow row-expanding pattern). The remaining compressed
-  formats (MP3/OGG, non-AVI/other-codec video, 32-bit/Ogg FLAC,
-  lossless/12-bit/arithmetic JPEG) still route to PIL / librosa,
-  which are not in this container: for THOSE payloads ``decode_image``/``decode_audio``
+  block math), GIF (full format incl. animation compositing) via
+  operators/gif.py, baseline TIFF (both endians, strips,
+  none/PackBits/LZW + predictor) via operators/tiff.py, FLAC
+  losslessly via operators/flac.py, IMA ADPCM WAV via the
+  step/index tables, and AIFF/AIFF-C + Sun AU PCM/G.711 natively
+  here; AVI video with raw-DIB or MJPEG frames decodes via
+  operators/video.py and animated GIFs through the same Arrow
+  row-expanding frame pipeline. The remaining compressed formats
+  (MP3/OGG, non-AVI/other-codec video, 32-bit/Ogg FLAC,
+  lossless/12-bit/arithmetic JPEG, tiled/16-bit/deflate TIFF) still
+  route to PIL / librosa, which are not in this container: for THOSE
+  payloads ``decode_image``/``decode_audio``
   raise ``NotImplementedError`` unless the library import succeeds.
   The decode→resize→feature PIPELINES take an injectable ``decoder``
   callable (r4) and are exercised end-to-end both with the stdlib
@@ -156,8 +161,10 @@ def _stub(name: str, lib: str, cause: Exception | None = None):
     )
     raise NotImplementedError(
         f"{name}: COMPRESSED formats require {lib}, which is not available "
-        "in this environment (PCM WAV / G.711 / FLAC / BMP / PPM / PGM / PNG / baseline JPEG decode "
-        "natively via the stdlib tier — no codec needed). The Spark-side plumbing "
+        "in this environment (BMP / PPM / PGM / full PNG / baseline+progressive "
+        "JPEG / GIF / baseline TIFF images and PCM+G.711+ADPCM WAV / AIFF / AU / "
+        "FLAC audio decode natively via the stdlib tier — no codec needed). "
+        "The Spark-side plumbing "
         "(schema, mapInPandas batching, partitioning) is fully tested on "
         "the stdlib formats; in an environment WITH the codec, the "
         "importorskip-guarded seam tests (tests/test_datapipe.py::"
