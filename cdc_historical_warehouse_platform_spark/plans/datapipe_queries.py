@@ -2739,3 +2739,143 @@ ORDER BY doc_id
 """
 
 DATAPIPE_QUERIES["text_gopher_rules"] = (q_text_gopher_rules, SQL_GOPHER_RULES)
+
+
+# --- C4 line filters + unicode sanitation (r9 continuation) -----------------
+
+
+def q_text_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, public §2.2) at
+    line granularity: keep lines ending in terminal punctuation with
+    >= 5 words and no "javascript"; drop documents containing lorem
+    ipsum or curly braces. Lines are synthesized deterministically
+    (8-word lines, every 3rd period-terminated, every 11th ending in
+    the word javascript) identically to the oracle. Map-only,
+    codegen'd."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_words = F.size(toks)
+    n_lines = F.greatest(F.floor((n_words + F.lit(7)) / F.lit(8)), F.lit(1)).cast(
+        "int"
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "),
+            F.when(i % 11 == 5, F.lit(" javascript")).otherwise(F.lit("")),
+            F.when(i % 3 == 1, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    kept_lines = F.filter(
+        lines,
+        lambda l: l.endswith(".")
+        & (F.size(F.filter(F.split(l, " "), lambda w: w != "")) >= 5)
+        & ~l.contains("javascript"),
+    )
+    doc_ok = ~F.col("text").contains("lorem ipsum") & ~F.col("text").rlike(
+        "[{}]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept_lines).alias("n_kept_lines"),
+        F.when(doc_ok, F.array_join(kept_lines, "\n")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+        doc_ok.cast("int").alias("doc_ok"),
+    ).orderBy("doc_id")
+
+
+SQL_C4_FILTERS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, text, t,
+         greatest(CAST(floor((len(t) + 7) / 8) AS INT), 1) AS n_lines
+  FROM base),
+lined AS (
+  SELECT doc_id, text, n_lines,
+         list_transform(range(0, n_lines), i ->
+           array_to_string(t[i*8+1 : i*8+8], ' ')
+           || (CASE WHEN i % 11 = 5 THEN ' javascript' ELSE '' END)
+           || (CASE WHEN i % 3 = 1 THEN '.' ELSE '' END)) AS lines
+  FROM m),
+kept AS (
+  SELECT doc_id, text, n_lines, lines,
+         list_filter(lines, l ->
+           l LIKE '%.'
+           AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+           AND l NOT LIKE '%javascript%') AS kept_lines
+  FROM lined)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(len(kept_lines) AS INT) AS n_kept_lines,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark
+       CASE WHEN text NOT LIKE '%lorem ipsum%'
+                 AND NOT regexp_matches(text, '[{}]')
+            THEN coalesce(array_to_string(kept_lines, chr(10)), '')
+            ELSE '' END AS clean_text,
+       CAST(text NOT LIKE '%lorem ipsum%'
+            AND NOT regexp_matches(text, '[{}]') AS INT) AS doc_ok
+FROM kept
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["text_c4_filters"] = (q_text_c4_filters, SQL_C4_FILTERS)
+
+
+def q_text_unicode_sanitize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode hygiene — the ingest-time sanitation every crawl
+    pipeline runs: CRLF normalization, C0/DEL control-char stripping
+    (tab/newline kept), zero-width character removal (ZWSP/ZWNJ/ZWJ/
+    BOM), with removal counts. The corpus is clean ASCII, so noise is
+    injected deterministically (same construction in the oracle) to
+    exercise every rule. Patterns use \\x{...} escapes valid in both
+    Java regex and RE2."""
+    docs = load_table(spark, sf, "documents")
+    noisy = F.concat(
+        F.lit("\x01﻿hdr\r\nrow "),
+        F.col("text"),
+        F.lit(" tail​z\x07\x7f"),
+    )
+    crlf = F.regexp_replace(noisy, r"\r\n?", "\n")
+    ctrl_pat = r"[\x{0}-\x{8}\x{B}\x{C}\x{E}-\x{1F}\x{7F}]"
+    zw_pat = r"[\x{200B}-\x{200D}\x{FEFF}]"
+    no_ctrl = F.regexp_replace(crlf, ctrl_pat, "")
+    clean = F.regexp_replace(no_ctrl, zw_pat, "")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.length(crlf) - F.length(no_ctrl)).cast("int").alias("n_control"),
+        (F.length(no_ctrl) - F.length(clean)).cast("int").alias("n_zero_width"),
+    ).orderBy("doc_id")
+
+
+SQL_UNICODE_SANITIZE = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         chr(1) || chr(65279) || 'hdr' || chr(13) || chr(10) || 'row '
+           || text || ' tail' || chr(8203) || 'z' || chr(7) || chr(127) AS s
+  FROM documents),
+crlf AS (
+  SELECT doc_id, regexp_replace(s, '\r\n?', chr(10), 'g') AS s FROM noisy),
+noctrl AS (
+  SELECT doc_id, s,
+         regexp_replace(s, '[\x{0}-\x{8}\x{B}\x{C}\x{E}-\x{1F}\x{7F}]', '', 'g') AS s2
+  FROM crlf)
+SELECT doc_id,
+       regexp_replace(s2, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS clean_text,
+       CAST(length(s) - length(s2) AS INT) AS n_control,
+       CAST(length(s2)
+            - length(regexp_replace(s2, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'))
+            AS INT) AS n_zero_width
+FROM noctrl
+ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["text_unicode_sanitize"] = (
+    q_text_unicode_sanitize,
+    SQL_UNICODE_SANITIZE,
+)
