@@ -70,7 +70,11 @@ def _lzw_decode(data: bytes, expected: int) -> bytearray:
         if bitpos + width > nbits:
             return 257  # truncated: treat as EOI; caller checks length
         byte0 = bitpos >> 3
-        chunk = int.from_bytes(data[byte0 : byte0 + 4], "big")
+        # right-pad the window: a short slice near the stream's end
+        # would otherwise shift against a <32-bit value (big-endian
+        # reads are alignment-sensitive, unlike the GIF tier's
+        # little-endian reader)
+        chunk = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\x00"), "big")
         code = (chunk >> (32 - width - (bitpos & 7))) & ((1 << width) - 1)
         bitpos += width
         return code
