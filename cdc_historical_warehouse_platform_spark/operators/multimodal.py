@@ -984,8 +984,9 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 
 def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL video frame sampling (late r9): Arrow-batched,
-    row-expanding decode of AVI payloads (raw DIB / MJPEG — see
-    operators/video.py) and animated GIFs (disposal-composited
+    row-expanding decode of AVI payloads (raw DIB / MJPEG), MP4/
+    QuickTime (jpeg/raw sample tables) — see operators/video.py —
+    and animated GIFs (disposal-composited
     canvases — operators/gif.py) into per-frame rows with decoded-RGB
     statistics and the md5 of the decoded pixels. One input row →
     one output row per sampled frame, bytes crossing the JVM↔Python
@@ -998,7 +999,10 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
         from cdc_historical_warehouse_platform_spark.operators.gif import (
             gif_animation_decoder,
         )
-        from cdc_historical_warehouse_platform_spark.operators.video import avi_decoder
+        from cdc_historical_warehouse_platform_spark.operators.video import (
+            avi_decoder,
+            mp4_decoder,
+        )
 
         for pdf in batches:
             out = []
@@ -1006,11 +1010,12 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
                 if payload is None:
                     continue
                 raw = bytes(payload)
-                decoder = (
-                    gif_animation_decoder
-                    if raw[:6] in (b"GIF87a", b"GIF89a")
-                    else avi_decoder
-                )
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    decoder = gif_animation_decoder
+                elif raw[4:8] == b"ftyp":
+                    decoder = mp4_decoder
+                else:
+                    decoder = avi_decoder
                 for idx, img in decoder(raw, every_n=every_n):
                     out.append(
                         {

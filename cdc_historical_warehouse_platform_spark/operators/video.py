@@ -16,10 +16,13 @@ Container parsing is a plain RIFF walk (stdlib struct): ``hdrl`` →
 ``strl`` → ``strh``/``strf`` for the video stream's geometry, then
 the ``movi`` LIST's frame chunks in order. Other stream types
 (audio tracks, text) are skipped; ``idx1`` is ignored (frames are
-read in stream order). Anything else — compressed codecs beyond
-MJPEG, other containers (MP4/MKV) — raises ValueError so the
-callers' env seam owns it, the same contract as every other stdlib
-codec gap.
+read in stream order). MP4/QuickTime containers decode too (r9
+continuation, ``mp4_decoder``): the ISO BMFF sample-table walk
+(stsd/stsz/stsc/stco|co64) resolves jpeg/mjpa samples (each a full
+JPEG) and ``raw `` top-down RGB frames. Anything else — compressed
+codecs (H.264/VP9/...), other containers (MKV) — raises ValueError
+so the callers' env seam owns it, the same contract as every other
+stdlib codec gap.
 
 Scale posture: frame extraction runs inside the same Arrow-batched
 ``mapInPandas`` pattern as the image/audio pipelines (see
@@ -31,7 +34,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["avi_decoder"]
+__all__ = ["avi_decoder", "mp4_decoder"]
 
 
 def _walk_riff(data: bytes, start: int, end: int):
@@ -128,4 +131,155 @@ def avi_decoder(payload: bytes, every_n: int = 1):
                     img = np.repeat(img, 3, axis=2)
                 frames.append((idx, img))
         idx += 1
+    return frames
+
+
+# --- MP4 / QuickTime (ISO BMFF) container (r9 continuation) -----------------
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO BMFF box in
+    [start, end). Handles 32-bit sizes, largesize (size==1 + 64-bit),
+    and to-end-of-file (size==0)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos:
+            raise ValueError("MP4: corrupt box size")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
+    """Resolve a box path like [b'moov', b'trak'] — yields every match
+    of the final component (trak can repeat)."""
+    if not path:
+        yield start, end
+        return
+    head, *rest = path
+    for btype, bs, be in _walk_boxes(data, start, end):
+        if btype == head:
+            yield from _find_box(data, bs, be, rest)
+
+
+def mp4_decoder(payload: bytes, every_n: int = 1):
+    """MP4 / QuickTime → list of (frame_idx, (H, W, 3) uint8 RGB) for
+    every ``every_n``-th video sample. The container walk is the ISO
+    BMFF sample-table machinery (stsd/stsz/stsc/stco|co64): samples
+    resolve to absolute file ranges through the chunk map. Codecs:
+    ``jpeg``/``mjpa`` (each sample a full JPEG through the stdlib
+    tier) and ``raw `` (top-down 24-bit RGB). Anything else raises so
+    the env seam owns it."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (missing ftyp box)")
+
+    chosen = None  # (fourcc, width, height, stsz, stsc, stco)
+    for ts, te in _find_box(payload, 0, len(payload), [b"moov", b"trak"]):
+        stbl = None
+        for ms, me in _find_box(payload, ts, te, [b"mdia", b"minf", b"stbl"]):
+            stbl = (ms, me)
+        if stbl is None:
+            continue
+        boxes = {t: (bs, be) for t, bs, be in _walk_boxes(payload, *stbl)}
+        if b"stsd" not in boxes:
+            continue
+        bs, be = boxes[b"stsd"]
+        (n_entries,) = struct.unpack(">I", payload[bs + 4 : bs + 8])
+        if n_entries < 1:
+            continue
+        ebody = bs + 8
+        fourcc = payload[ebody + 4 : ebody + 8]
+        if fourcc not in (b"jpeg", b"mjpa", b"raw "):
+            continue  # not a track this tier decodes (audio, H.264, ...)
+        # VideoSampleEntry geometry: width/height at +32/+34 from the
+        # sample-entry start (8 header + 6 reserved + 2 dref + 16 pre)
+        width, height = struct.unpack(">HH", payload[ebody + 32 : ebody + 36])
+
+        def table(name):
+            if name not in boxes:
+                raise ValueError(f"MP4: missing {name.decode()} box")
+            return boxes[name]
+
+        s, e = table(b"stsz")
+        sample_size, n_samples = struct.unpack(">II", payload[s + 4 : s + 12])
+        if sample_size:
+            sizes = [sample_size] * n_samples
+        else:
+            sizes = list(
+                struct.unpack(f">{n_samples}I", payload[s + 12 : s + 12 + 4 * n_samples])
+            )
+        s, e = table(b"stsc")
+        (n_stsc,) = struct.unpack(">I", payload[s + 4 : s + 8])
+        stsc = [
+            struct.unpack(">III", payload[s + 8 + 12 * i : s + 20 + 12 * i])
+            for i in range(n_stsc)
+        ]
+        if b"stco" in boxes:
+            s, e = boxes[b"stco"]
+            (n_chunks,) = struct.unpack(">I", payload[s + 4 : s + 8])
+            offsets = list(
+                struct.unpack(f">{n_chunks}I", payload[s + 8 : s + 8 + 4 * n_chunks])
+            )
+        elif b"co64" in boxes:
+            s, e = boxes[b"co64"]
+            (n_chunks,) = struct.unpack(">I", payload[s + 4 : s + 8])
+            offsets = list(
+                struct.unpack(f">{n_chunks}Q", payload[s + 8 : s + 8 + 8 * n_chunks])
+            )
+        else:
+            raise ValueError("MP4: missing stco/co64 box")
+        chosen = (fourcc, width, height, sizes, stsc, offsets)
+        break
+    if chosen is None:
+        raise ValueError(
+            "stdlib MP4 tier found no jpeg/mjpa/raw video track "
+            "(compressed codecs route to the env seam)"
+        )
+    fourcc, width, height, sizes, stsc, offsets = chosen
+
+    # expand the sample->chunk map: stsc rows are (first_chunk,
+    # samples_per_chunk, _desc_idx), 1-based, each applying until the
+    # next row's first_chunk
+    spc = []
+    for i, (first, per, _d) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(offsets)
+        spc.extend([per] * (last - first + 1))
+    frames = []
+    sample = 0
+    for chunk_idx, chunk_off in enumerate(offsets):
+        pos = chunk_off
+        for _ in range(spc[chunk_idx] if chunk_idx < len(spc) else 0):
+            if sample >= len(sizes):
+                break
+            size = sizes[sample]
+            blob = payload[pos : pos + size]
+            if len(blob) != size:
+                raise ValueError("MP4: sample range exceeds payload")
+            if sample % every_n == 0:
+                if fourcc in (b"jpeg", b"mjpa"):
+                    from cdc_historical_warehouse_platform_spark.operators.jpeg import (
+                        jpeg_decoder,
+                    )
+
+                    img = jpeg_decoder(blob)
+                    if img.shape[2] == 1:
+                        img = np.repeat(img, 3, axis=2)
+                else:  # raw : top-down RGB rows, no padding
+                    if size < width * height * 3:
+                        raise ValueError("MP4: truncated raw sample")
+                    img = np.frombuffer(
+                        blob, dtype=np.uint8, count=width * height * 3
+                    ).reshape(height, width, 3)
+                frames.append((sample, img))
+            pos += size
+            sample += 1
     return frames

@@ -4700,3 +4700,135 @@ def test_stdlib_au_decoder(spark):
         )
     # decode_audio magic dispatch consistency
     assert np.array_equal(decode_audio(au)[0], decode_audio(aiff)[0])
+
+
+# --- MP4 / ISO BMFF (r9 continuation): independent writer for the pins ------
+
+
+def _box(btype, payload):
+    import struct as s
+
+    return s.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _encode_mp4(samples, w, h, fourcc=b"jpeg", chunking=None, audio_decoy=True):
+    """Minimal ISO BMFF writer: ftyp + mdat + moov/trak/mdia/minf/stbl
+    with the real sample-table machinery (stsd/stsz/stsc/stco);
+    ``chunking`` is a list of samples-per-chunk (default one chunk)."""
+    import struct as s
+
+    chunking = chunking or [len(samples)]
+    assert sum(chunking) == len(samples)
+    ftyp = _box(b"ftyp", b"isom" + s.pack(">I", 0) + b"isom")
+    mdat_body = b"".join(samples)
+    mdat_start = len(ftyp) + 8  # absolute offset of the first sample
+
+    # chunk offsets: cumulative sample sizes at each chunk boundary
+    offsets, pos, si = [], mdat_start, 0
+    for n in chunking:
+        offsets.append(pos)
+        for _ in range(n):
+            pos += len(samples[si])
+            si += 1
+    # stsc runs: compress equal samples-per-chunk runs (1-based)
+    stsc_rows = []
+    for ci, n in enumerate(chunking):
+        if not stsc_rows or stsc_rows[-1][1] != n:
+            stsc_rows.append((ci + 1, n, 1))
+
+    entry = (
+        fourcc
+        + b"\x00" * 6
+        + s.pack(">H", 1)
+        + b"\x00" * 16
+        + s.pack(">HH", w, h)
+        + s.pack(">II", 0x00480000, 0x00480000)
+        + s.pack(">I", 0)
+        + s.pack(">H", 1)
+        + b"\x00" * 32
+        + s.pack(">Hh", 24, -1)
+    )
+    stsd = _box(b"stsd", s.pack(">II", 0, 1) + s.pack(">I", 8 + len(entry)) + entry)
+    stsz = _box(
+        b"stsz",
+        s.pack(">III", 0, 0, len(samples))
+        + b"".join(s.pack(">I", len(x)) for x in samples),
+    )
+    stsc = _box(
+        b"stsc",
+        s.pack(">II", 0, len(stsc_rows))
+        + b"".join(s.pack(">III", *r) for r in stsc_rows),
+    )
+    stco = _box(
+        b"stco",
+        s.pack(">II", 0, len(offsets)) + b"".join(s.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stsz + stsc + stco)
+    trak = _box(b"trak", _box(b"mdia", _box(b"minf", stbl)))
+    traks = trak
+    if audio_decoy:
+        a_entry = b"mp4a" + b"\x00" * 6 + s.pack(">H", 1) + b"\x00" * 20
+        a_stsd = _box(
+            b"stsd", s.pack(">II", 0, 1) + s.pack(">I", 8 + len(a_entry)) + a_entry
+        )
+        a_trak = _box(b"trak", _box(b"mdia", _box(b"minf", _box(b"stbl", a_stsd))))
+        traks = a_trak + traks  # decoy FIRST: the walk must skip it
+    moov = _box(b"moov", traks)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def test_mp4_video_decode_jpeg_and_raw(spark):
+    """r9 continuation: MP4/QuickTime frame sampling — the BMFF
+    sample-table walk (stsd/stsz/stsc/stco, multi-chunk layouts,
+    1-based stsc runs) resolves samples exactly; jpeg samples decode
+    through the stdlib JPEG tier, raw samples as top-down RGB; an
+    audio decoy track is skipped; the Arrow pipeline row-expands MP4
+    next to AVI and GIF."""
+    import hashlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.video import mp4_decoder
+
+    rng = np.random.RandomState(77)
+    h, w = 13, 9
+    frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(5)]
+
+    # raw RGB track, uneven chunking to exercise the stsc expansion
+    raws = [f.tobytes() for f in frames]
+    pay_raw = _encode_mp4(raws, w, h, b"raw ", chunking=[2, 2, 1])
+    got = mp4_decoder(pay_raw)
+    assert [i for i, _ in got] == [0, 1, 2, 3, 4]
+    for (_, img), src in zip(got, frames):
+        assert np.array_equal(img, src)
+    assert [i for i, _ in mp4_decoder(pay_raw, every_n=2)] == [0, 2, 4]
+
+    # MJPEG track: every sample a full baseline JPEG
+    encode, _, _ = _jpeg_tools()
+    qy = np.full((8, 8), 5, dtype=np.int64)
+    jpegs = [encode(f, qy, qy * 2)[0] for f in frames]
+    pay_j = _encode_mp4(jpegs, w, h, b"jpeg", chunking=[1, 4])
+    for (_, img), jp in zip(mp4_decoder(pay_j), jpegs):
+        assert np.array_equal(img, jpeg_decoder(jp))
+
+    # Arrow pipeline: MP4 rides extract_video_frames via the ftyp magic
+    df = spark.createDataFrame([(3, bytearray(pay_raw))], ["doc_id", "payload"])
+    rows = sorted(
+        extract_video_frames(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["frame_md5"] == hashlib.md5(frames[r["frame_idx"]].tobytes()).hexdigest()
+
+    # a compressed-codec track (avc1) refuses to the env seam
+    pay_avc = _encode_mp4(raws, w, h, b"avc1")
+    with _pytest.raises(ValueError, match="no jpeg/mjpa/raw video track"):
+        mp4_decoder(pay_avc)
+    with _pytest.raises(ValueError, match="ftyp"):
+        mp4_decoder(b"\x00\x00\x00\x08free" + pay_raw[8:])

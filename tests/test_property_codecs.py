@@ -176,3 +176,59 @@ def test_avi_raw_dib_roundtrip_any_geometry(seed, hw, n_frames):
     assert len(got) == n_frames
     for (_, img), src in zip(got, frames):
         assert np.array_equal(img, src)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    kind=st.sampled_from(["gif", "tiff", "bmp", "ppm", "aiff", "au", "avi"]),
+    n_flips=st.integers(1, 12),
+)
+def test_decoders_survive_random_corruption(seed, kind, n_flips):
+    """Bit-flip fuzz: corrupting a valid payload must either still
+    decode (the flip hit pixel data) or raise a clean parse-class
+    error — never hang, loop, or escape with an unexpected crash."""
+    rng = np.random.RandomState(seed)
+    h, w = 9, 7
+    if kind == "gif":
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+        payload, dec = _encode_gif(w, h, [{"idx": idx}], gct=pal), gif_decoder
+    elif kind == "tiff":
+        arr = _arr(seed, h, w, 3)
+        payload, dec = _encode_tiff(arr, compression=5, photometric=2), tiff_decoder
+    elif kind == "bmp":
+        payload, dec = _encode_bmp24(_arr(seed, h, w, 3)), bmp_decoder
+    elif kind == "ppm":
+        payload, dec = _encode_ppm(_arr(seed, h, w, 3)), ppm_decoder
+    elif kind == "aiff":
+        raw = rng.randint(-32768, 32768, 40).astype(">i2").tobytes()
+        payload, dec = _encode_aiff(raw, 1, 16, 8000), aiff_decoder
+    elif kind == "au":
+        raw = rng.randint(-32768, 32768, 40).astype(">i2").tobytes()
+        payload, dec = _encode_au(raw, 3, 8000, 1), au_decoder
+    else:
+        frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8)]
+        row_bytes = ((24 * w + 31) // 32) * 4
+        pad = row_bytes - w * 3
+        dib = b"".join(
+            frames[0][y, :, ::-1].tobytes() + b"\x00" * pad
+            for y in range(h - 1, -1, -1)
+        )
+        payload, dec = _encode_avi([dib], w, h, "raw"), avi_decoder
+
+    corrupted = bytearray(payload)
+    for _ in range(n_flips):
+        corrupted[rng.randint(0, len(corrupted))] ^= 1 << rng.randint(0, 8)
+    try:
+        dec(bytes(corrupted))
+    except (ValueError, IndexError, OverflowError, MemoryError) as e:
+        if isinstance(e, MemoryError):
+            raise AssertionError("corruption triggered unbounded allocation")
+    except Exception as e:  # struct.error subclasses Exception, not ValueError
+        import struct as s
+        import zlib
+
+        assert isinstance(e, (s.error, zlib.error)), (
+            f"unexpected {type(e).__name__}: {e}"
+        )
