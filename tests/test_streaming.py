@@ -884,3 +884,93 @@ def test_corpus_append_stream_matches_batch_and_survives_restart(spark, tmp_path
     q.awaitTermination(180)
     corpus_append(spark, b3, batch_out)
     assert corpus_state(stream_out) == corpus_state(batch_out)
+
+
+def test_ann_index_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """r9 continuation: vectors streamed as jsonl files through
+    start_ann_index_stream must leave the IVF index in EXACTLY the
+    state the batch append path produces over the same batches (same
+    ids, same probe top-k); a restart with a re-delivered
+    byte-identical file is a no-op (content-derived txn ledger +
+    the id anti-join); overlapping deliveries never duplicate ids."""
+    import json as _json
+
+    from cdc_historical_warehouse_platform_spark.sources.ann_index import IVFIndex
+    from cdc_historical_warehouse_platform_spark.streaming.pipeline import (
+        start_ann_index_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    s_dir, b_dir = str(tmp_path / "s_idx"), str(tmp_path / "b_idx")
+    IVFIndex.build(emb, s_dir, n_lists=4)
+    IVFIndex.build(emb, b_dir, n_lists=4)
+
+    def batch(shift, scale):
+        return emb.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + shift).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * scale).cast("float")
+            ).alias("embedding"),
+        )
+
+    b1, b2 = batch(10_000, 0.9), batch(20_000, 1.1)
+
+    vec_dir = tmp_path / "vecs"
+    vec_dir.mkdir()
+
+    def drop(name, df):
+        (vec_dir / name).write_text(
+            "\n".join(
+                _json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])})
+                for r in df.collect()
+            )
+        )
+
+    drop("b1.jsonl", b1)
+    q = start_ann_index_stream(
+        spark, vec_dir, s_dir, tmp_path / "ckpt", available_now=True
+    )
+    q.awaitTermination(120)
+
+    s_idx, b_idx = IVFIndex(s_dir), IVFIndex(b_dir)
+    _, n1 = b_idx.append(b1, txn_id="batch_b1")
+    assert n1 == 40
+
+    def ids(idx):
+        meta = idx._read_pointer()
+        return sorted(
+            r["vec_id"]
+            for r in idx.assignments.read(spark, version=meta["assignments_version"])
+            .select("vec_id")
+            .collect()
+        )
+
+    assert ids(s_idx) == ids(b_idx)
+
+    # restart: b1 re-delivered byte-identical (no-op), b2 new, and an
+    # OVERLAPPING file carrying half of b1's ids again (id anti-join)
+    drop("b1_again.jsonl", b1)
+    drop("b2.jsonl", b2)
+    drop("overlap.jsonl", b1.filter(F.col("vec_id") < 10_020))
+    q = start_ann_index_stream(
+        spark, vec_dir, s_dir, tmp_path / "ckpt", available_now=True
+    )
+    q.awaitTermination(120)
+    b_idx.append(b2, txn_id="batch_b2")
+
+    assert ids(s_idx) == ids(b_idx)
+    assert len(ids(s_idx)) == len(set(ids(s_idx)))  # no duplicate ids
+
+    # probe equality: same stored state => same top-k for the same queries
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got_s = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in s_idx.probe(spark, queries, k=5, n_probes=2).collect()
+    )
+    got_b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in b_idx.probe(spark, queries, k=5, n_probes=2).collect()
+    )
+    assert got_s == got_b
