@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_text_documents", "read_jsonl_documents", "read_binary_assets"]
+__all__ = [
+    "read_text_documents",
+    "read_jsonl_documents",
+    "read_html_documents",
+    "read_binary_assets",
+]
 
 JSONL_DOC_SCHEMA = T.StructType(
     [
@@ -96,3 +101,38 @@ def read_binary_assets(
             F.col("path").alias("path"),
         ).alias("meta"),
     )
+
+
+def read_html_documents(
+    spark: SparkSession,
+    input_dir: str,
+    source: str = "web",
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """One document per ``*.htm(l)`` file: wholetext read, then
+    boilerplate REMOVAL via operators/html.extract_main_content
+    (link-density block scoring — nav/menu/footer link farms dropped,
+    article prose kept), then the corpus whitespace contract. The
+    extraction is Arrow-batched and per-file parallel; ids follow the
+    same md5(path) discipline as the text reader, so re-ingesting a
+    crawl directory re-delivers the same ids and the corpus
+    fingerprint tier dedups instead of double-admitting. Pages whose
+    every block is boilerplate yield empty text and fall to the
+    corpus quality gate."""
+    from cdc_historical_warehouse_platform_spark.operators.html import (
+        extract_main_content,
+    )
+
+    raw = spark.read.text(f"{input_dir}/*.htm*", wholetext=True)
+    pages = raw.select(_path_id().alias("doc_id"), F.col("value").alias("html"))
+    content = extract_main_content(
+        pages, html_col="html", min_words=min_words, max_link_density=max_link_density
+    )
+    text = F.regexp_replace(F.col("content"), r"\s+", " ")
+    return content.select(
+        "doc_id",
+        text.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(source).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))

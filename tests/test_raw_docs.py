@@ -91,3 +91,37 @@ def test_binary_assets_match_multimodal_shape(spark, tmp_path):
         assets.withColumnRenamed("asset_id", "doc_id")
     )
     assert feats.count() == 2
+
+
+def test_read_html_documents_boilerplate_removed(spark, tmp_path):
+    """r9 continuation: HTML crawl ingestion — boilerplate (nav/footer
+    link farms) dropped, article prose kept, ids path-stable across
+    re-ingestion, whitespace contract held, all-boilerplate pages
+    yield empty text (left to the corpus quality gate)."""
+    from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+        read_html_documents,
+    )
+
+    page = (
+        "<html><body><nav><a href='/'>Home</a> <a href='/x'>Links</a></nav>"
+        "<p>This paragraph carries the genuine article\ncontent with well "
+        "over ten words of real prose to keep.</p>"
+        "<footer><a href='/t'>Terms</a></footer></body></html>"
+    )
+    junk = "<html><body><nav><a href='/'>Home</a> <a href='/x'>More</a></nav></body></html>"
+    (tmp_path / "a.html").write_text(page)
+    (tmp_path / "b.htm").write_text(junk)
+
+    docs = read_html_documents(spark, str(tmp_path)).orderBy("doc_id")
+    rows = docs.collect()
+    assert len(rows) == 2
+    by_text = {bool(r["text"]): r for r in rows}
+    kept = by_text[True]
+    assert "genuine article content" in kept["text"]  # newline normalized
+    assert "Home" not in kept["text"] and "Terms" not in kept["text"]
+    assert kept["source"] == "web" and kept["n_chars"] == len(kept["text"])
+    assert by_text[False]["text"] == ""  # all-boilerplate page
+
+    # path-stable ids: re-ingesting yields identical ids
+    again = {r["doc_id"] for r in read_html_documents(spark, str(tmp_path)).collect()}
+    assert again == {r["doc_id"] for r in rows}
