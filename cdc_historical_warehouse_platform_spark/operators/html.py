@@ -63,12 +63,14 @@ def strip_html(col: Column) -> Column:
     entities, collapse whitespace. All patterns are shared verbatim
     with the DuckDB oracle (Java-regex ∩ RE2 dialect)."""
     c = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
-    c = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script\s*>", " ")
-    c = F.regexp_replace(c, r"(?s)<style[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style\s*>", " ")
     c = F.regexp_replace(c, r"<[^>]*>", " ")
     for ent, rep in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    # NOT \s: Java's \s includes \x0B (vertical tab) but RE2's does
+    # not — the explicit class is identical in both dialects
+    return F.trim(F.regexp_replace(c, r"[ \t\n\x{B}\f\r]+", " "))
 
 
 def strip_html_sql(expr: str) -> str:
@@ -76,13 +78,13 @@ def strip_html_sql(expr: str) -> str:
     ``expr`` — the same regexes (RE2's default dot already spans
     newlines; the inline (?s) is accepted and redundant there)."""
     c = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
-    c = f"regexp_replace({c}, '(?s)<script[^>]*>.*?</script\\s*>', ' ', 'g')"
-    c = f"regexp_replace({c}, '(?s)<style[^>]*>.*?</style\\s*>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g')"
     c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
     for ent, rep in HTML_ENTITIES:
         r = rep.replace("'", "''")
         c = f"replace({c}, '{ent}', '{r}')"
-    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({c}, '[ \\t\\n\\x{{B}}\\f\\r]+', ' ', 'g'))"
 
 
 CONTENT_SCHEMA = T.StructType(

@@ -684,6 +684,11 @@ def aiff_decoder(payload: bytes):
     if bits % 8 or not 8 <= bits <= 32:
         raise ValueError(f"unsupported AIFF sample size {bits}")
     sw = bits // 8
+    # SSND chunks may be padded to blockSize alignment past the real
+    # frames — COMM's numSampleFrames bounds the audio; pad bytes must
+    # not decode as spurious samples
+    if _nframes:
+        data = data[: _nframes * nch * sw]
     nsamp = len(data) // sw
     data = data[: nsamp * sw]
     bo = "<" if little else ">"

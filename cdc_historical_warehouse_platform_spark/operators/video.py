@@ -18,8 +18,8 @@ the ``movi`` LIST's frame chunks in order. Other stream types
 (audio tracks, text) are skipped; ``idx1`` is ignored (frames are
 read in stream order). MP4/QuickTime containers decode too (r9
 continuation, ``mp4_decoder``): the ISO BMFF sample-table walk
-(stsd/stsz/stsc/stco|co64) resolves jpeg/mjpa samples (each a full
-JPEG) and ``raw `` top-down RGB frames. Anything else — compressed
+(stsd/stsz/stsc/stco|co64) resolves jpeg samples (each a full
+JPEG) and ``raw `` depth-24 top-down RGB frames. Anything else — compressed
 codecs (H.264/VP9/...), other containers (MKV) — raises ValueError
 so the callers' env seam owns it, the same contract as every other
 stdlib codec gap.
@@ -174,13 +174,19 @@ def mp4_decoder(payload: bytes, every_n: int = 1):
     every ``every_n``-th video sample. The container walk is the ISO
     BMFF sample-table machinery (stsd/stsz/stsc/stco|co64): samples
     resolve to absolute file ranges through the chunk map. Codecs:
-    ``jpeg``/``mjpa`` (each sample a full JPEG through the stdlib
-    tier) and ``raw `` (top-down 24-bit RGB). Anything else raises so
-    the env seam owns it."""
+    ``jpeg`` (each sample a full JPEG through the stdlib tier) and
+    ``raw `` depth-24 (top-down RGB). Anything else — incl. ``mjpa``,
+    whose samples are TWO interlaced field JPEGs — raises so the env
+    seam owns it."""
     import numpy as np
 
-    if len(payload) < 12 or payload[4:8] != b"ftyp":
-        raise ValueError("not an MP4 payload (missing ftyp box)")
+    # classic QuickTime files (the era of jpeg/raw video tracks) often
+    # have no ftyp box and start with moov/mdat/wide/free — accept any
+    # plausible top-level box, not just ftyp
+    if len(payload) < 12 or payload[4:8] not in (
+        b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip",
+    ):
+        raise ValueError("not an MP4/QuickTime payload (no top-level box)")
 
     chosen = None  # (fourcc, width, height, stsz, stsc, stco)
     for ts, te in _find_box(payload, 0, len(payload), [b"moov", b"trak"]):
@@ -198,11 +204,22 @@ def mp4_decoder(payload: bytes, every_n: int = 1):
             continue
         ebody = bs + 8
         fourcc = payload[ebody + 4 : ebody + 8]
-        if fourcc not in (b"jpeg", b"mjpa", b"raw "):
-            continue  # not a track this tier decodes (audio, H.264, ...)
-        # VideoSampleEntry geometry: width/height at +32/+34 from the
-        # sample-entry start (8 header + 6 reserved + 2 dref + 16 pre)
+        # NB: 'mjpa' (Motion-JPEG A) samples carry TWO interlaced
+        # field JPEGs per sample — decoding them as one baseline JPEG
+        # would silently return half-height frames, so the tier
+        # honestly refuses them along with compressed codecs
+        if fourcc not in (b"jpeg", b"raw "):
+            continue  # not a track this tier decodes (audio, H.264, mjpa ...)
+        # VideoSampleEntry geometry: width/height at +32/+34, depth at
+        # +82 from the sample-entry start (8 header + 6 reserved +
+        # 2 dref + 16 pre)
         width, height = struct.unpack(">HH", payload[ebody + 32 : ebody + 36])
+        if fourcc == b"raw ":
+            (depth,) = struct.unpack(">H", payload[ebody + 82 : ebody + 84])
+            if depth != 24:
+                raise ValueError(
+                    f"stdlib MP4 tier decodes 24-bit raw video only (depth {depth})"
+                )
 
         def table(name):
             if name not in boxes:
@@ -241,7 +258,7 @@ def mp4_decoder(payload: bytes, every_n: int = 1):
         break
     if chosen is None:
         raise ValueError(
-            "stdlib MP4 tier found no jpeg/mjpa/raw video track "
+            "stdlib MP4 tier found no jpeg/raw video track "
             "(compressed codecs route to the env seam)"
         )
     fourcc, width, height, sizes, stsc, offsets = chosen
@@ -265,7 +282,7 @@ def mp4_decoder(payload: bytes, every_n: int = 1):
             if len(blob) != size:
                 raise ValueError("MP4: sample range exceeds payload")
             if sample % every_n == 0:
-                if fourcc in (b"jpeg", b"mjpa"):
+                if fourcc == b"jpeg":
                     from cdc_historical_warehouse_platform_spark.operators.jpeg import (
                         jpeg_decoder,
                     )

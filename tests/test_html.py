@@ -30,6 +30,10 @@ def test_strip_html_jvm_tier(spark):
         # &amp; decodes LAST: escaped entities stay literal text
         ("&amp;lt;", "&lt;"),
         ("  lots\t of \n whitespace  ", "lots of whitespace"),
+        # review fixes: uppercase tags and the VT dialect gap
+        ('<SCRIPT TYPE="x">var secret = 1;</SCRIPT>after', "after"),
+        ("<STYLE>p{}</STYLE>shown", "shown"),
+        ("a\x0bb", "a b"),  # Java \s has VT, RE2's does not: explicit class
         ("<div><ul><li>one</li><li>two</li></ul></div>", "one two"),
         ("no markup at all", "no markup at all"),
     ]
