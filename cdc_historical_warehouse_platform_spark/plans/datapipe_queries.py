@@ -2879,3 +2879,91 @@ DATAPIPE_QUERIES["text_unicode_sanitize"] = (
     q_text_unicode_sanitize,
     SQL_UNICODE_SANITIZE,
 )
+
+
+# --- two-stage coarse-to-fine ANN (r9 continuation) -------------------------
+
+
+_TS_DIMS = 16  # truncated-prefix width for the cheap first pass
+_TS_K1 = 40  # candidates per query surviving stage 1
+
+
+def q_ann_two_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """Coarse-to-fine two-stage search — the Matryoshka / rerank
+    pattern of modern embedding pipelines: stage 1 scores every
+    (query, corpus) pair on the FIRST 16 dimensions only and keeps the
+    top-40 candidates per query; stage 2 reranks just those candidates
+    with the exact full-dimension cosine and emits the top-10.
+
+    Scale posture: at 100 TB the stage-1 scan reads a quarter of the
+    vector bytes (column pruning cannot split an array, but a stored
+    truncated-prefix column — the Matryoshka layout — would make it a
+    genuine narrow scan), and stage 2 touches only k1 rows per query
+    through a broadcast candidate join — the expensive full-dim math
+    runs on 40 rows/query instead of the whole corpus. Both stages
+    are deterministic (sequential-fold cosine + (score DESC, id ASC)
+    tie-breaks), so the DuckDB twin is hash-exact."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    trunc_corpus = emb.select(
+        "vec_id", F.slice("embedding", 1, _TS_DIMS).alias("embedding")
+    )
+    trunc_queries = queries.select(
+        "query_id", F.slice("query_vec", 1, _TS_DIMS).alias("query_vec")
+    )
+    cand = cosine_topk(trunc_corpus, trunc_queries, k=_TS_K1).select(
+        "query_id", "neighbor_id"
+    )
+    from cdc_historical_warehouse_platform_spark.operators.similarity import cosine as _cos
+
+    rerank = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+        .join(F.broadcast(cand.join(queries, "query_id")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("query_vec"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_ANN_TWO_STAGE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+s1 AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine(f'q.qv[1:{_TS_DIMS}]', f'e.embedding[1:{_TS_DIMS}]')} AS c1
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c1 DESC, neighbor_id ASC) AS rk
+    FROM s1) WHERE rk <= {_TS_K1}),
+rerank AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+  FROM cand c
+  JOIN q USING (query_id)
+  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rerank)
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+DATAPIPE_QUERIES["ann_two_stage_rerank"] = (q_ann_two_stage, SQL_ANN_TWO_STAGE)
