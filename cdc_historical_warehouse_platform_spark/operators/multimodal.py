@@ -73,6 +73,8 @@ __all__ = [
     "jpeg_decoder",
     "gif_decoder",
     "tiff_decoder",
+    "ico_decoder",
+    "tga_decoder",
     "stdlib_image_decoder",
     "IMAGE_FEATURE_SCHEMA",
     "extract_image_features",
@@ -441,6 +443,169 @@ def png_decoder(payload: bytes):
     return np.ascontiguousarray(img)
 
 
+def ico_decoder(payload: bytes):
+    """Windows ICO/CUR (favicons — ubiquitous in web crawls) →
+    (H, W, 4) uint8 RGBA of the LARGEST stored image. Entries are
+    either PNG-compressed (routed through the complete stdlib PNG
+    tier) or classic DIBs: a BITMAPINFOHEADER with DOUBLED height
+    covering an XOR bitmap (1/4/8/24/32-bpp, bottom-up, padded rows)
+    plus a 1-bpp AND transparency mask. 32-bpp alpha is used when
+    present; otherwise the AND mask becomes the alpha channel."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 6:
+        raise ValueError("not an ICO payload (truncated header)")
+    reserved, ftype, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or ftype not in (1, 2) or count == 0:
+        raise ValueError("not an ICO/CUR payload (bad ICONDIR magic)")
+    best = None
+    for i in range(count):
+        w8, h8, _nc, _r, _p, _bpp, size, off = struct.unpack_from(
+            "<BBBBHHII", payload, 6 + 16 * i
+        )
+        w, h = w8 or 256, h8 or 256
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    _, off, size = best
+    data = payload[off : off + size]
+    if len(data) != size:
+        raise ValueError("ICO: entry range exceeds payload")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        rgb = png_decoder(data)
+        if rgb.shape[2] == 4:
+            return rgb
+        if rgb.shape[2] == 1:
+            rgb = np.repeat(rgb, 3, axis=2)
+        return np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)])
+
+    bisize, w, h2 = struct.unpack_from("<Iii", data, 0)
+    bpp = struct.unpack_from("<H", data, 14)[0]
+    comp = struct.unpack_from("<I", data, 16)[0]
+    if comp != 0:
+        raise ValueError(f"ICO: compressed DIB entries unsupported (comp {comp})")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"ICO: unsupported DIB depth {bpp}")
+    h = h2 // 2  # doubled height: XOR bitmap + AND mask
+    pos = bisize
+    pal = None
+    if bpp <= 8:
+        used = struct.unpack_from("<I", data, 32)[0] or (1 << bpp)
+        pal = np.frombuffer(data, np.uint8, used * 4, pos).reshape(used, 4)[
+            :, :3
+        ][:, ::-1]  # BGRX -> RGB
+        pos += used * 4
+    xor_rb = ((bpp * w + 31) // 32) * 4
+    xor = np.frombuffer(data, np.uint8, xor_rb * h, pos).reshape(h, xor_rb)
+    pos += xor_rb * h
+    and_rb = ((w + 31) // 32) * 4
+    mask = np.frombuffer(data, np.uint8, and_rb * h, pos).reshape(h, and_rb)
+    # AND mask: bit SET = transparent; MSB-first within each byte
+    bits = np.unpackbits(mask, axis=1)[:, :w]
+    alpha_mask = np.where(bits == 0, 255, 0).astype(np.uint8)[::-1]
+
+    if bpp == 32:
+        px = xor[:, : w * 4].reshape(h, w, 4)[::-1]
+        rgb = px[:, :, [2, 1, 0]]  # BGRA -> RGB
+        a = px[:, :, 3]
+        if not a.any():  # legacy 32-bpp with empty alpha: use AND mask
+            a = alpha_mask
+        return np.ascontiguousarray(np.dstack([rgb, a]))
+    if bpp == 24:
+        px = xor[:, : w * 3].reshape(h, w, 3)[::-1][:, :, ::-1]
+        return np.ascontiguousarray(np.dstack([px, alpha_mask]))
+    # paletted: unpack sub-byte indices MSB-first
+    if bpp == 8:
+        idx = xor[:, :w]
+    else:
+        per = 8 // bpp
+        unpacked = np.unpackbits(xor, axis=1).reshape(h, -1, 8)
+        groups = unpacked.reshape(h, -1, per, bpp)
+        weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+        idx = (groups * weights).sum(axis=3).reshape(h, -1)[:, :w].astype(np.uint8)
+    idx = idx[::-1]
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("ICO: palette index out of range")
+    return np.ascontiguousarray(np.dstack([pal[idx], alpha_mask]))
+
+
+def tga_decoder(payload: bytes):
+    """Truevision TGA → (H, W, C) uint8 (C = 1 gray, 3 RGB, 4 RGBA).
+    Full baseline coverage: color-mapped / truecolor / grayscale,
+    raw AND RLE-packed, 8/24/32-bpp pixels, 24/32-bit palettes,
+    bottom-up or top-down origin. 15/16-bpp pixels raise to the env
+    seam. TGA has no leading magic, so automatic dispatch requires
+    the TGA-2.0 footer signature; headerless files decode via an
+    explicit call."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 18:
+        raise ValueError("not a TGA payload (truncated header)")
+    idlen, cmtype, imtype = payload[0], payload[1], payload[2]
+    _cm_first, cm_len, cm_bits = struct.unpack_from("<HHB", payload, 3)
+    _x0, _y0, w, h, bpp, desc = struct.unpack_from("<HHHHBB", payload, 8)
+    rle = bool(imtype & 8)
+    base = imtype & 7
+    if base not in (1, 2, 3) or w == 0 or h == 0:
+        raise ValueError(f"TGA: unsupported image type {imtype}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"TGA: unsupported pixel depth {bpp}")
+    pos = 18 + idlen
+    pal = None
+    if cmtype == 1:
+        if cm_bits not in (24, 32):
+            raise ValueError(f"TGA: unsupported palette entry size {cm_bits}")
+        es = cm_bits // 8
+        raw = np.frombuffer(payload, np.uint8, cm_len * es, pos).reshape(cm_len, es)
+        pal = raw[:, [2, 1, 0]] if es == 3 else raw[:, [2, 1, 0, 3]]
+        pos += cm_len * es
+    depth = bpp // 8
+    n_bytes = w * h * depth
+    if rle:
+        out = bytearray()
+        while len(out) < n_bytes:
+            if pos >= len(payload):
+                raise ValueError("TGA: truncated RLE stream")
+            head = payload[pos]
+            pos += 1
+            n = (head & 0x7F) + 1
+            if head & 0x80:  # run packet: one pixel repeated
+                out += payload[pos : pos + depth] * n
+                pos += depth
+            else:  # raw packet
+                out += payload[pos : pos + n * depth]
+                pos += n * depth
+        pix = bytes(out[:n_bytes])
+    else:
+        pix = payload[pos : pos + n_bytes]
+    if len(pix) < n_bytes:
+        raise ValueError("TGA: truncated pixel data")
+    arr = np.frombuffer(pix, np.uint8).reshape(h, w, depth)
+    if not desc & 0x20:  # bit 5 clear: bottom-up origin
+        arr = arr[::-1]
+    if base == 3:  # grayscale
+        if depth != 1:
+            raise ValueError("TGA: grayscale requires 8-bpp pixels")
+        return np.ascontiguousarray(arr)
+    if base == 1:  # color-mapped
+        if depth != 1 or pal is None:
+            raise ValueError("TGA: color-mapped image missing palette")
+        idx = arr[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("TGA: palette index out of range")
+        return np.ascontiguousarray(pal[idx])
+    # truecolor: BGR(A) -> RGB(A)
+    if depth == 3:
+        return np.ascontiguousarray(arr[:, :, ::-1])
+    return np.ascontiguousarray(arr[:, :, [2, 1, 0, 3]])
+
+
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
 def wav_decoder(payload: bytes):
     """PCM WAV (8/16/32-bit int) → (float64 mono waveform in [-1, 1],
     native sample_rate) via the stdlib ``wave`` module. Multi-channel
@@ -772,8 +937,16 @@ def stdlib_image_decoder(payload: bytes):
         from cdc_historical_warehouse_platform_spark.operators.tiff import tiff_decoder
 
         return tiff_decoder(payload)
+    # TGA first: a truecolor TGA header (idlen 0, no colormap, type 2)
+    # collides with the CUR magic 00 00 02 00 — the 18-byte footer
+    # signature is unambiguous
+    if payload[-18:] == _TGA_FOOTER:
+        return tga_decoder(payload)
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return ico_decoder(payload)
     raise ValueError(
-        "payload is not a stdlib-decodable image (BMP/PPM/PGM/PNG/JPEG/GIF/TIFF)"
+        "payload is not a stdlib-decodable image "
+        "(BMP/PPM/PGM/PNG/JPEG/GIF/TIFF/ICO/TGA)"
     )
 
 
@@ -796,6 +969,8 @@ def decode_image(payload: bytes):
         or payload[:3] == b"\xff\xd8\xff"
         or payload[:6] in (b"GIF87a", b"GIF89a")
         or payload[:4] in (b"II*\x00", b"MM\x00*")
+        or payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+        or payload[-18:] == _TGA_FOOTER
     ):
         try:
             return stdlib_image_decoder(payload)

@@ -4893,3 +4893,239 @@ def test_aiff_ssnd_padding_not_decoded_as_audio():
     w2, _ = aiff_decoder(pay_padded)
     assert np.array_equal(w1, w2)
     assert len(w2) == len(s16)
+
+
+# --- ICO / TGA (r9 continuation): independent writers for the pins ----------
+
+
+def _encode_ico(images):
+    """Independent ICO writer. images: list of dicts — either
+    {"png": bytes, "w", "h"} or {"rgb": HxWx3, "alpha": HxW bool
+    opaque-mask or None, "bpp": 24|32|8|4|1, "pal": palette or None,
+    "idx": index array for paletted}."""
+    import struct as s
+
+    import numpy as np
+
+    blobs = []
+    for im in images:
+        if "png" in im:
+            blobs.append((im["w"], im["h"], im["png"]))
+            continue
+        bpp = im["bpp"]
+        h, w = (
+            im["idx"].shape if im.get("idx") is not None else im["rgb"].shape[:2]
+        )
+        opaque = (
+            im["alpha"]
+            if im.get("alpha") is not None
+            else np.ones((h, w), dtype=bool)
+        )
+        hdr = s.pack(
+            "<IiiHHIIiiII", 40, w, h * 2, 1, bpp, 0, 0, 0, 0,
+            (len(im["pal"]) if im.get("pal") is not None else 0), 0,
+        )
+        body = bytearray(hdr)
+        if im.get("pal") is not None:
+            for r, g, b in im["pal"]:
+                body += bytes([b, g, r, 0])
+        xor_rb = ((bpp * w + 31) // 32) * 4
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            if bpp == 32:
+                for x in range(w):
+                    r, g, b = im["rgb"][y, x]
+                    row += bytes([b, g, r, 255 if opaque[y, x] else 0])
+            elif bpp == 24:
+                for x in range(w):
+                    r, g, b = im["rgb"][y, x]
+                    row += bytes([b, g, r])
+            elif bpp == 8:
+                row += bytes(int(v) for v in im["idx"][y])
+            else:  # 4 or 1: MSB-first packing
+                bits = "".join(
+                    format(int(v), f"0{bpp}b") for v in im["idx"][y]
+                )
+                bits += "0" * (-len(bits) % 8)
+                row += bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+            row += b"\x00" * (xor_rb - len(row))
+            body += row
+        and_rb = ((w + 31) // 32) * 4
+        for y in range(h - 1, -1, -1):
+            bits = "".join("0" if opaque[y, x] else "1" for x in range(w))
+            bits += "0" * (-len(bits) % 8)
+            row = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+            body += row + b"\x00" * (and_rb - len(row))
+        blobs.append((w, h, bytes(body)))
+
+    out = bytearray(s.pack("<HHH", 0, 1, len(blobs)))
+    off = 6 + 16 * len(blobs)
+    for w, h, blob in blobs:
+        out += s.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 0, len(blob), off
+        )
+        off += len(blob)
+    for _w, _h, blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def _tga_rle(pix_bytes, depth):
+    """Independent TGA RLE compressor: runs >= 2 as run packets."""
+    out = bytearray()
+    px = [pix_bytes[i : i + depth] for i in range(0, len(pix_bytes), depth)]
+    i = 0
+    while i < len(px):
+        run = 1
+        while i + run < len(px) and run < 128 and px[i + run] == px[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([0x80 | (run - 1)]) + px[i]
+            i += run
+            continue
+        start = i
+        i += 1
+        while (
+            i < len(px)
+            and i - start < 128
+            and not (i + 1 < len(px) and px[i + 1] == px[i])
+        ):
+            i += 1
+        out += bytes([i - start - 1]) + b"".join(px[start:i])
+    return bytes(out)
+
+
+def _encode_tga(
+    arr=None, idx=None, pal=None, rle=False, top_down=False, footer=True
+):
+    """Independent TGA writer: truecolor/gray/paletted, raw or RLE."""
+    import numpy as np
+
+    if idx is not None:
+        h, w = idx.shape
+        base, depth = 1, 1
+        pix = bytes(int(v) for v in idx.ravel())
+        cmtype, cm_len, cm_bits = 1, len(pal), 8 * pal.shape[1]
+    else:
+        h, w = arr.shape[:2]
+        c = arr.shape[2]
+        if c == 1:
+            base, depth = 3, 1
+            pix = arr.tobytes()
+        else:
+            base, depth = 2, c
+            pix = arr[:, :, [2, 1, 0] + ([3] if c == 4 else [])].tobytes()
+        cmtype, cm_len, cm_bits = 0, 0, 0
+    rows = [pix[y * w * depth : (y + 1) * w * depth] for y in range(h)]
+    if not top_down:
+        rows = rows[::-1]
+    pix = b"".join(rows)
+    body = _tga_rle(pix, depth) if rle else pix
+    import struct as s
+
+    hdr = s.pack(
+        "<BBBHHBHHHHBB", 0, cmtype, base | (8 if rle else 0),
+        0, cm_len, cm_bits, 0, 0, w, h, depth * 8,
+        0x20 if top_down else 0,
+    )
+    palette = b""
+    if pal is not None:
+        es = pal.shape[1]
+        for row in pal:
+            palette += bytes(
+                [row[2], row[1], row[0]] + ([row[3]] if es == 4 else [])
+            )
+    out = hdr + palette + body
+    if footer:
+        out += b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+    return out
+
+
+def test_ico_decoder_all_depths():
+    """ICO: PNG entries, 32/24-bpp DIBs with AND masks, 8/4/1-bpp
+    paletted DIBs, largest-entry selection, through decode_image."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        ico_decoder,
+    )
+
+    rng = np.random.RandomState(11)
+    h, w = 10, 9
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    alpha = rng.rand(h, w) > 0.3
+
+    for bpp in (32, 24):
+        pay = _encode_ico([{"rgb": rgb, "alpha": alpha, "bpp": bpp}])
+        out = ico_decoder(pay)
+        assert out.shape == (h, w, 4)
+        assert np.array_equal(out[:, :, :3], rgb)
+        assert np.array_equal(out[:, :, 3] == 255, alpha)
+
+    for bpp in (8, 4, 1):
+        n = 1 << min(bpp, 4)
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+        pay = _encode_ico(
+            [{"idx": idx, "pal": pal, "alpha": alpha, "bpp": bpp}]
+        )
+        out = ico_decoder(pay)
+        assert np.array_equal(out[:, :, :3], pal[idx]), f"bpp {bpp}"
+        assert np.array_equal(out[:, :, 3] == 255, alpha)
+
+    # largest entry wins; PNG entries route through the PNG tier
+    small = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    pay = _encode_ico(
+        [{"rgb": small, "bpp": 24}, {"rgb": rgb, "alpha": alpha, "bpp": 32}]
+    )
+    assert np.array_equal(ico_decoder(pay)[:, :, :3], rgb)
+    # decode_image magic dispatch
+    out = decode_image(_encode_ico([{"rgb": rgb, "alpha": alpha, "bpp": 32}]))
+    assert np.array_equal(out[:, :, :3], rgb)
+
+
+def test_tga_decoder_all_variants():
+    """TGA: truecolor 24/32 raw+RLE, grayscale, paletted (24/32-bit
+    palettes), both origins; footer-bearing files dispatch through
+    decode_image; 16-bpp refuses."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        tga_decoder,
+    )
+
+    rng = np.random.RandomState(13)
+    h, w = 11, 7
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    rgba = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+    gray = rng.randint(0, 256, (h, w, 1)).astype(np.uint8)
+
+    for arr in (rgb, rgba, gray):
+        for rle in (False, True):
+            for td in (False, True):
+                got = tga_decoder(_encode_tga(arr, rle=rle, top_down=td))
+                assert np.array_equal(got, arr), f"{arr.shape} rle={rle} td={td}"
+
+    # RLE with genuine runs (stripes)
+    stripes = np.repeat(rng.randint(0, 256, (h, 3, 3)).astype(np.uint8), 3, axis=1)[:, :w]
+    assert np.array_equal(tga_decoder(_encode_tga(stripes, rle=True)), stripes)
+
+    # paletted, 24- and 32-bit palette entries
+    for es in (3, 4):
+        pal = rng.randint(0, 256, (32, es)).astype(np.uint8)
+        idx = rng.randint(0, 32, (h, w)).astype(np.uint8)
+        got = tga_decoder(_encode_tga(idx=idx, pal=pal, rle=True))
+        assert np.array_equal(got, pal[idx])
+
+    # footer dispatch through decode_image; footerless needs explicit call
+    assert np.array_equal(decode_image(_encode_tga(rgb)), rgb)
+    bare = _encode_tga(rgb, footer=False)
+    assert np.array_equal(tga_decoder(bare), rgb)
+
+    with _pytest.raises(ValueError, match="pixel depth"):
+        bad = bytearray(_encode_tga(rgb))
+        bad[16] = 16
+        tga_decoder(bytes(bad))

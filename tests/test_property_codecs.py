@@ -232,3 +232,51 @@ def test_decoders_survive_random_corruption(seed, kind, n_flips):
         assert isinstance(e, (s.error, zlib.error)), (
             f"unexpected {type(e).__name__}: {e}"
         )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    hw=st.tuples(st.integers(1, 24), st.integers(1, 24)),
+    channels=st.sampled_from([1, 3, 4]),
+    rle=st.booleans(),
+    top_down=st.booleans(),
+)
+def test_tga_roundtrip_any_shape(seed, hw, channels, rle, top_down):
+    from test_datapipe import _encode_tga
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import tga_decoder
+
+    h, w = hw
+    arr = _arr(seed, h, w, channels)
+    got = tga_decoder(_encode_tga(arr, rle=rle, top_down=top_down))
+    assert np.array_equal(got, arr)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    hw=st.tuples(st.integers(1, 20), st.integers(1, 20)),
+    bpp=st.sampled_from([32, 24, 8, 4, 1]),
+)
+def test_ico_roundtrip_any_depth(seed, hw, bpp):
+    from test_datapipe import _encode_ico
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import ico_decoder
+
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    alpha = rng.rand(h, w) > 0.4
+    if bpp >= 24:
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        pay = _encode_ico([{"rgb": rgb, "alpha": alpha, "bpp": bpp}])
+        want = rgb
+    else:
+        n = 1 << min(bpp, 4)
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+        pay = _encode_ico([{"idx": idx, "pal": pal, "alpha": alpha, "bpp": bpp}])
+        want = pal[idx]
+    out = ico_decoder(pay)
+    assert np.array_equal(out[:, :, :3], want)
+    assert np.array_equal(out[:, :, 3] == 255, alpha)
