@@ -26,6 +26,8 @@ __all__ = [
     "read_text_documents",
     "read_jsonl_documents",
     "read_html_documents",
+    "read_warc_documents",
+    "iter_warc_records",
     "read_binary_assets",
 ]
 
@@ -136,3 +138,128 @@ def read_html_documents(
         F.lit(None).cast("string").alias("lang"),
         F.lit(source).alias("source"),
     ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def iter_warc_records(payload: bytes):
+    """WARC/1.x record iterator (ISO 28500, the Common Crawl wire
+    format): yields (headers dict lower-cased, body bytes) per
+    record. Accepts plain WARC and the standard per-record-gzip
+    multistream layout (each record its own gzip member — stdlib
+    zlib walks the members via unused_data)."""
+    import zlib
+
+    if payload[:2] == b"\x1f\x8b":
+        parts = []
+        rest = payload
+        while rest[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            parts.append(d.decompress(rest))
+            parts.append(d.flush())
+            rest = d.unused_data
+        payload = b"".join(parts)
+
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and payload[pos : pos + 2] in (b"\r\n", b"\n"):
+            pos += 2 if payload[pos : pos + 2] == b"\r\n" else 1
+        if pos >= n:
+            return
+        if not payload[pos : pos + 5] == b"WARC/":
+            raise ValueError("not a WARC payload (missing WARC/ record header)")
+        hdr_end = payload.index(b"\r\n\r\n", pos)
+        headers = {}
+        for line in payload[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.decode("ascii").strip().lower()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+        body_start = hdr_end + 4
+        length = int(headers.get("content-length", "0"))
+        body = payload[body_start : body_start + length]
+        if len(body) != length:
+            raise ValueError("WARC: truncated record body")
+        yield headers, body
+        pos = body_start + length
+
+
+def read_warc_documents(
+    spark: SparkSession,
+    input_dir: str,
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+    pattern: str = "*.warc*",
+) -> DataFrame:
+    """WARC crawl archives → the documents table: ``response``
+    records carrying HTML get boilerplate-removed through the
+    operators/html block scorer; ``conversion`` records (WET-style
+    extracted text) pass through directly. One archive per task via
+    the distributed ``binaryFile`` source — Common Crawl ships
+    ~1 GB gzip archives, so a segment's file list fans out across
+    the cluster. Ids hash the WARC-Target-URI (stable across
+    re-crawls of the same capture), ``source`` is the URI host."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from cdc_historical_warehouse_platform_spark.operators.html import parse_blocks
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(input_dir)
+        .select("content")
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def _extract(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import hashlib
+        from urllib.parse import urlparse
+
+        def emit(uri, text):
+            text = " ".join(text.split())
+            doc_id = int(hashlib.md5(uri.encode()).hexdigest()[:15], 16)
+            host = urlparse(uri).netloc or "warc"
+            return {
+                "doc_id": doc_id,
+                "text": text,
+                "lang": None,
+                "source": host,
+                "n_chars": len(text),
+            }
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                for headers, body in iter_warc_records(bytes(content)):
+                    rtype = headers.get("warc-type")
+                    uri = headers.get("warc-target-uri", "")
+                    if rtype == "conversion":
+                        out.append(emit(uri, body.decode("utf-8", "replace")))
+                        continue
+                    if rtype != "response":
+                        continue  # warcinfo / request / metadata ...
+                    # HTTP response: headers precede the entity body
+                    sep = body.find(b"\r\n\r\n")
+                    http_hdr = body[:sep].decode("latin-1") if sep > 0 else ""
+                    entity = body[sep + 4 :] if sep > 0 else body
+                    if "text/html" not in http_hdr.lower():
+                        continue
+                    blocks = parse_blocks(entity.decode("utf-8", "replace"))
+                    kept = [
+                        t
+                        for t, lc in blocks
+                        if len(t.split()) >= min_words
+                        and lc <= max_link_density * len(t)
+                    ]
+                    if kept:
+                        out.append(emit(uri, "\n".join(kept)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    return raw.mapInPandas(_extract, schema)

@@ -125,3 +125,87 @@ def test_read_html_documents_boilerplate_removed(spark, tmp_path):
     # path-stable ids: re-ingesting yields identical ids
     again = {r["doc_id"] for r in read_html_documents(spark, str(tmp_path)).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def _write_warc(records, gz=False):
+    """Independent WARC writer: records = list of (type, uri, body
+    bytes, http_content_type or None). Per-record gzip when gz."""
+    import gzip
+
+    out = []
+    for rtype, uri, body, ctype in records:
+        if ctype is not None:  # wrap as an HTTP response
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + ctype.encode()
+                + b"\r\n\r\n"
+                + body
+            )
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: " + rtype.encode()
+            + b"\r\nWARC-Target-URI: " + uri.encode()
+            + b"\r\nContent-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n"
+        )
+        rec = hdr + body + b"\r\n\r\n"
+        out.append(gzip.compress(rec) if gz else rec)
+    return b"".join(out)
+
+
+_WARC_HTML = (
+    b"<html><body><nav><a href='/'>Home</a></nav>"
+    b"<p>Crawled article paragraph with easily more than ten genuine "
+    b"words of body prose for the extractor to keep.</p>"
+    b"<footer><a href='/t'>Terms</a></footer></body></html>"
+)
+
+
+def test_read_warc_documents(spark, tmp_path):
+    """WARC ingestion: response records boilerplate-extract, WET-style
+    conversion records pass through, request/warcinfo/non-HTML are
+    skipped, per-record-gzip archives decode, ids are URI-stable and
+    source is the host."""
+    import hashlib
+
+    from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+        iter_warc_records,
+        read_warc_documents,
+    )
+
+    records = [
+        ("warcinfo", "", b"software: test", None),
+        ("request", "http://site.example/a", b"GET /a HTTP/1.1", None),
+        ("response", "http://site.example/a", _WARC_HTML, "text/html; charset=utf-8"),
+        ("response", "http://site.example/img", b"\x89PNG....", "image/png"),
+        (
+            "conversion",
+            "http://other.example/b",
+            b"plain  extracted\n wet text",
+            None,
+        ),
+    ]
+    (tmp_path / "seg.warc").write_bytes(_write_warc(records))
+    (tmp_path / "seg2.warc.gz").write_bytes(
+        _write_warc([("response", "http://gz.example/c", _WARC_HTML, "text/html")], gz=True)
+    )
+
+    docs = {r["source"]: r for r in read_warc_documents(spark, str(tmp_path)).collect()}
+    assert set(docs) == {"site.example", "other.example", "gz.example"}
+    art = docs["site.example"]
+    assert "Crawled article paragraph" in art["text"]
+    assert "Home" not in art["text"] and "Terms" not in art["text"]
+    assert art["doc_id"] == int(
+        hashlib.md5(b"http://site.example/a").hexdigest()[:15], 16
+    )
+    wet = docs["other.example"]
+    assert wet["text"] == "plain extracted wet text"  # whitespace contract
+    assert wet["n_chars"] == len(wet["text"])
+    assert "Crawled article" in docs["gz.example"]["text"]
+
+    # the record iterator round-trips headers/bodies exactly
+    parsed = list(iter_warc_records((tmp_path / "seg.warc").read_bytes()))
+    assert [h["warc-type"] for h, _ in parsed] == [
+        "warcinfo", "request", "response", "response", "conversion",
+    ]
+    with __import__("pytest").raises(ValueError, match="WARC"):
+        list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
