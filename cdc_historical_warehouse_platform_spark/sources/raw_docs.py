@@ -27,6 +27,7 @@ __all__ = [
     "read_jsonl_documents",
     "read_html_documents",
     "read_warc_documents",
+    "read_zip_documents",
     "iter_warc_records",
     "read_binary_assets",
 ]
@@ -258,6 +259,75 @@ def read_warc_documents(
                     ]
                     if kept:
                         out.append(emit(uri, "\n".join(kept)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    return raw.mapInPandas(_extract, schema)
+
+
+def read_zip_documents(
+    spark: SparkSession,
+    input_dir: str,
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+    pattern: str = "*.zip",
+) -> DataFrame:
+    """ZIP archives of loose documents → the documents table: ``*.txt``
+    members pass through as plain text, ``*.htm(l)`` members get the
+    same boilerplate removal as :func:`read_html_documents`; other
+    members are skipped. One archive per task (binaryFile), members
+    parsed with stdlib ``zipfile`` executor-side. Ids hash
+    ``archive_path!member`` — stable across re-ingestion, so the
+    corpus fingerprint tier dedups re-deliveries."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from cdc_historical_warehouse_platform_spark.operators.html import parse_blocks
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(input_dir)
+        .select("path", "content")
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def _extract(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import hashlib
+        import io
+        import zipfile
+
+        def emit(key: str, text: str, source: str):
+            text = " ".join(text.split())
+            return {
+                "doc_id": int(hashlib.md5(key.encode()).hexdigest()[:15], 16),
+                "text": text,
+                "lang": None,
+                "source": source,
+                "n_chars": len(text),
+            }
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    for member in zf.namelist():
+                        low = member.lower()
+                        key = f"{path}!{member}"
+                        if low.endswith(".txt"):
+                            text = zf.read(member).decode("utf-8", "replace")
+                            out.append(emit(key, text, "zip"))
+                        elif low.endswith((".htm", ".html")):
+                            html = zf.read(member).decode("utf-8", "replace")
+                            kept = [
+                                t
+                                for t, lc in parse_blocks(html)
+                                if len(t.split()) >= min_words
+                                and lc <= max_link_density * len(t)
+                            ]
+                            out.append(emit(key, "\n".join(kept), "zip"))
             yield pd.DataFrame(
                 out, columns=["doc_id", "text", "lang", "source", "n_chars"]
             )

@@ -30,7 +30,7 @@ Usage:
                                    [--quality-model PATH [--threshold T]]  # model gate
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py corpus-forget --output DIR --doc-ids 1,2,3
-  python run_pipeline.py corpus-ingest --input DIR --output DIR [--ingest-format text|jsonl|html|warc]
+  python run_pipeline.py corpus-ingest --input DIR --output DIR [--ingest-format text|jsonl|html|warc|zip]
   python run_pipeline.py corpus-export --output CORPUS --bpe-dir BPE --export-dir DIR [--seq-len N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
@@ -169,7 +169,7 @@ def main() -> int:
     )
     ap.add_argument(
         "--ingest-format",
-        choices=["text", "jsonl", "html", "warc"],
+        choices=["text", "jsonl", "html", "warc", "zip"],
         default="text",
         help="corpus-ingest: text = one doc per *.txt file (wholetext), "
         "jsonl = one doc per line with an explicit FAILFAST schema, "
@@ -655,6 +655,12 @@ def main() -> int:
             )
 
             docs = read_warc_documents(spark, args.input)
+        elif args.ingest_format == "zip":
+            from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+                read_zip_documents,
+            )
+
+            docs = read_zip_documents(spark, args.input)
         else:
             docs = read_text_documents(spark, args.input, source=args.ingest_source)
         out = str(Path(args.output) / "documents.parquet")

@@ -280,3 +280,54 @@ def test_ico_roundtrip_any_depth(seed, hw, bpp):
     out = ico_decoder(pay)
     assert np.array_equal(out[:, :, :3], want)
     assert np.array_equal(out[:, :, 3] == 255, alpha)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 10))
+def test_warc_and_xlsx_parsers_survive_corruption(seed, n_flips):
+    """The ingestion parsers get the same bit-flip fuzz contract as
+    the codecs: decode or raise a clean parse-class error, never hang
+    or escape with an unexpected crash."""
+    import zipfile as zfmod
+    from xml.etree.ElementTree import ParseError
+
+    from test_raw_docs import _write_warc
+    from test_xlsx import _write_xlsx
+
+    from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+        iter_warc_records,
+    )
+    from cdc_historical_warehouse_platform_spark.sources.xlsx import parse_xlsx
+
+    rng = np.random.RandomState(seed)
+    warc = _write_warc(
+        [("response", "http://x.example/p", b"<p>body text</p>", "text/html")],
+        gz=bool(seed % 2),
+    )
+    import os
+    import tempfile
+    fd, tmp = tempfile.mkstemp(suffix=".xlsx")
+    os.close(fd)
+    try:
+        _write_xlsx(tmp, {"s": '<row r="1"><c r="A1"><v>1</v></c></row>'})
+        xlsx = open(tmp, "rb").read()
+    finally:
+        os.unlink(tmp)
+
+    for payload, parser in ((warc, lambda b: list(iter_warc_records(b))),
+                            (xlsx, parse_xlsx)):
+        corrupted = bytearray(payload)
+        for _ in range(n_flips):
+            corrupted[rng.randint(0, len(corrupted))] ^= 1 << rng.randint(0, 8)
+        try:
+            parser(bytes(corrupted))
+        except (ValueError, IndexError, KeyError, EOFError, OverflowError,
+                UnicodeDecodeError, ParseError, zfmod.BadZipFile) as _e:
+            pass
+        except Exception as e:
+            import struct as s
+            import zlib
+
+            assert isinstance(e, (s.error, zlib.error)), (
+                f"unexpected {type(e).__name__}: {e}"
+            )

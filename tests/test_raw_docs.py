@@ -209,3 +209,33 @@ def test_read_warc_documents(spark, tmp_path):
     ]
     with __import__("pytest").raises(ValueError, match="WARC"):
         list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+
+def test_read_zip_documents(spark, tmp_path):
+    """ZIP-archive ingestion: txt members pass through, html members
+    boilerplate-extract, other members skip, ids are
+    archive!member-stable."""
+    import zipfile
+
+    from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+        read_zip_documents,
+    )
+
+    z = tmp_path / "dump.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("a/plain.txt", "plain  text\n doc body")
+        zf.writestr(
+            "b/page.html",
+            "<nav><a href='/'>Home</a></nav><p>Archived page paragraph with "
+            "definitely more than ten words of genuine readable prose.</p>",
+        )
+        zf.writestr("c/skip.bin", b"\x00\x01")
+    docs = {r["text"][:7]: r for r in read_zip_documents(spark, str(tmp_path)).collect()}
+    assert len(docs) == 2
+    plain = docs["plain t"]
+    assert plain["text"] == "plain text doc body"  # whitespace contract
+    page = next(r for r in docs.values() if "Archived page" in r["text"])
+    assert "Home" not in page["text"]
+    # ids are archive!member-derived and stable across re-ingestion
+    again = {r["doc_id"] for r in read_zip_documents(spark, str(tmp_path)).collect()}
+    assert again == {r["doc_id"] for r in docs.values()}
