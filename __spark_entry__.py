@@ -50,81 +50,130 @@ def entry(spark: SparkSession) -> DataFrame:
 # COVERAGE.md §staleness).  _DEMOTED parks recently-green rows past the
 # window; they stay covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
-    # --- r09 rotation (the r8 verdict's task #1): promote ALL 20 rows
-    # last driver-checked in r04 plus 30 of the 41 r05-stale rows, so no
-    # registry row's last driver check is older than 4 rounds after this
-    # window lands. Staleness audit table: COVERAGE.md §staleness. ---
-    # r04-stale (20/20 promoted):
-    "agg_approx_aggregates",
-    "corpus_chunk_spans",
-    "corpus_decontaminate",
-    "corpus_keep_decisions",
-    "corpus_length_buckets",
-    "corpus_paragraph_dedup",
-    "corpus_sample_quality_weighted",
-    "corpus_sample_stratified",
-    "dedup_components",
-    "dedup_minhash_lsh",
-    "knn_cosine_brute",
-    "relational_unpivot",
-    "scd2_dim_history",
-    "scd2_interval_integrity",
-    "text_lm_surprisal",
-    "text_pii_redaction",
-    "text_repetition_scores",
-    "text_rolling_fingerprint",
-    "text_tfidf_keywords",
-    "window_range_frame",
-    # r05-stale (30 of 41 promoted; the 11 deferred to r10 are listed
-    # at the top of _DEMOTED with their in-window family coverage):
-    "agg_cube",
-    "agg_exact_percentiles",
-    "agg_grouped_having",
-    "agg_important_parts",
-    "agg_linear_regression",
-    "ann_ivf_topk",
-    "ann_sq_topk",
-    "corpus_domain_caps",
-    "corpus_source_mix",
-    "corpus_token_budget",
-    "corpus_zipf_stats",
-    "dedup_exact_groups",
-    "events_resample_ffill",
-    "join_anti",
-    "join_interval_events",
-    "join_lateral_topk",
-    "join_top_quarter_supplier",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
-    "scd2_flag_consistency_check",
-    "scd2_incremental_extrema",
-    "scd2_incremental_revenue",
-    "scd2_timestamp_continuity",
-    "semdedup_keep",
-    "setop_union_by_name",
-    "subquery_correlated_scalar",
-    "subquery_in_having",
-    "subquery_sole_late_supplier",
-    "text_quality_scores",
-    "window_lag_lead",
+    # --- r10 rotation (the r9 verdict's task #1): lead with the 5 rows
+    # that have NEVER been in a driver window (added in r9, local-green
+    # only), then the 11 r05-stale rows deferred from the r09 window,
+    # then all 13 r06-stale rows, then 21 of the 24 r07-stale rows.
+    # After this window lands no oracled row's last driver check is
+    # staler than r07. Staleness audit table: COVERAGE.md §staleness. ---
+    # never driver-checked (5/5 promoted):
+    "text_html_extract",
+    "text_gopher_rules",
+    "text_c4_filters",
+    "text_unicode_sanitize",
+    "ann_two_stage_rerank",
+    # r05-stale (11/11 promoted — the full set deferred from r09):
+    "subquery_exists",
+    "subquery_not_exists",
+    "events_tumbling_window",
+    "scd2_version_timeline",
+    "text_token_stats",
+    "join_unshipped_revenue",
+    "agg_grouping_sets",
+    "ann_lsh_topk",
+    "sort_pagination",
+    "scalar_string_functions",
+    "dedup_simhash",
+    # r06-stale (13/13 promoted):
+    "setop_all_variants",
+    "corpus_pack_sequences",
+    "window_salted_topk",
+    "window_small_quantity_revenue",
+    "embedding_near_dup",
+    "array_functions_sweep",
+    "text_bigram_surprisal",
+    "dedup_keep_list",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "events_funnel_steps",
+    # r07-stale (21 of 24 promoted; the 3 deferred to r11 are listed at
+    # the top of _DEMOTED with their in-window family coverage):
+    "join_full_outer",
+    "events_sliding_window",
+    "agg_pivot",
+    "window_rank_dense",
+    "filter_key_history",
+    "agg_rollup",
+    "join_semi",
+    "sql_api_revenue_by_segment",
+    "corpus_exact_substring_spans",
+    "corpus_substring_clean",
+    "events_gap_islands",
+    "agg_mode_frequent",
+    "events_anomaly_zscore",
+    "events_resample_interpolate",
+    "graph_pagerank_top",
+    "graph_khop_distance",
+    "join_fuzzy_part_names",
+    "basket_brand_pairs",
+    "agg_higher_moments",
+    "agg_listagg_ordered",
+    "agg_boolean_aggregates",
 ]
 _DEMOTED = [
-    # --- 11 r05-stale rows deferred to the r10 window (50-slot limit);
+    # --- 3 r07-stale rows deferred to the r11 window (50-slot limit);
     # each one's operator family stays in-window per the note. ---
-    "subquery_exists",  # last green r05; EXISTS family in-window via subquery_sole_late_supplier (Q21 EXISTS+NOT EXISTS composite)
-    "subquery_not_exists",  # last green r05; same Q21 composite covers correlated NOT EXISTS
-    "events_tumbling_window",  # last green r05; windowed-events family in-window via events_resample_ffill; streaming twin pytest-pinned
-    "scd2_version_timeline",  # last green r05; timeline family in-window via scd2_timestamp_continuity + scd2_flag_consistency_check
-    "text_token_stats",  # last green r05; text family in-window via quality/surprisal/repetition/tfidf/pii rows
-    "join_unshipped_revenue",  # last green r05; multi-join family in-window via join_top_quarter_supplier + subquery_sole_late_supplier
-    "agg_grouping_sets",  # last green r05; grouping-set family in-window via agg_cube (the superset shape)
-    "ann_lsh_topk",  # last green r05; ANN family in-window via knn_cosine_brute + ann_ivf_topk + ann_sq_topk; recall pytest-pinned
-    "sort_pagination",  # last green r05; deterministic-sort family in-window via window_range_frame + join_lateral_topk
-    "scalar_string_functions",  # last green r05; string surface in-window via text_tfidf_keywords + text_pii_redaction regexp paths
-    "dedup_simhash",  # last green r05; dedup family in-window via minhash_lsh/components/exact_groups; simhash pytest-pinned (portable twin)
-    # --- everything below is driver-green r06-r08 (freshest first; the
-    # r08 window was 50/50 hash-exact). agg_distinct_sketch_rollup is
-    # rows-only BY DESIGN (HLL has no DuckDB twin); pytest-pinned. ---
+    "window_cumulative_revenue",  # last green r07; window family in-window via window_salted_topk + window_rank_dense + window_small_quantity_revenue
+    "agg_stats_quantiles",  # last green r07; stats family in-window via agg_higher_moments + agg_mode_frequent
+    "join_outer_coalesce",  # last green r07; outer-join/coalesce family in-window via join_full_outer
+    # --- everything below is driver-green r08-r09 (freshest last-check
+    # first is not maintained here; the r09 window was 50/50 hash-exact).
+    # agg_distinct_sketch_rollup is rows-only BY DESIGN (HLL has no
+    # DuckDB twin); pytest-pinned. ---
+    # r09-green (the full r09 window):
+    "agg_approx_aggregates",  # last green r09
+    "corpus_chunk_spans",  # last green r09
+    "corpus_decontaminate",  # last green r09
+    "corpus_keep_decisions",  # last green r09
+    "corpus_length_buckets",  # last green r09
+    "corpus_paragraph_dedup",  # last green r09
+    "corpus_sample_quality_weighted",  # last green r09
+    "corpus_sample_stratified",  # last green r09
+    "dedup_components",  # last green r09
+    "dedup_minhash_lsh",  # last green r09
+    "knn_cosine_brute",  # last green r09
+    "relational_unpivot",  # last green r09
+    "scd2_dim_history",  # last green r09
+    "scd2_interval_integrity",  # last green r09
+    "text_lm_surprisal",  # last green r09
+    "text_pii_redaction",  # last green r09
+    "text_repetition_scores",  # last green r09
+    "text_rolling_fingerprint",  # last green r09
+    "text_tfidf_keywords",  # last green r09
+    "window_range_frame",  # last green r09
+    "agg_cube",  # last green r09
+    "agg_exact_percentiles",  # last green r09
+    "agg_grouped_having",  # last green r09
+    "agg_important_parts",  # last green r09
+    "agg_linear_regression",  # last green r09
+    "ann_ivf_topk",  # last green r09
+    "ann_sq_topk",  # last green r09
+    "corpus_domain_caps",  # last green r09
+    "corpus_source_mix",  # last green r09
+    "corpus_token_budget",  # last green r09
+    "corpus_zipf_stats",  # last green r09
+    "dedup_exact_groups",  # last green r09
+    "events_resample_ffill",  # last green r09
+    "join_anti",  # last green r09
+    "join_interval_events",  # last green r09
+    "join_lateral_topk",  # last green r09
+    "join_top_quarter_supplier",  # last green r09
+    "multimodal_frame_sample",  # last green r09
+    "multimodal_image_features",  # last green r09
+    "scd2_flag_consistency_check",  # last green r09
+    "scd2_incremental_extrema",  # last green r09
+    "scd2_incremental_revenue",  # last green r09
+    "scd2_timestamp_continuity",  # last green r09
+    "semdedup_keep",  # last green r09
+    "setop_union_by_name",  # last green r09
+    "subquery_correlated_scalar",  # last green r09
+    "subquery_in_having",  # last green r09
+    "subquery_sole_late_supplier",  # last green r09
+    "text_quality_scores",  # last green r09
+    "window_lag_lead",  # last green r09
+    # r08-green:
     "corpus_substring_spans_incremental",  # last green r08
     "corpus_export_manifest",  # last green r08
     "scd2_time_travel",  # last green r08
@@ -175,44 +224,7 @@ _DEMOTED = [
     "events_transition_matrix",  # last green r08
     "corpus_temperature_mix",  # last green r08
     "scd2_version_diff",  # last green r08
-    "window_cumulative_revenue",  # last green r07
-    "join_full_outer",  # last green r07
-    "events_sliding_window",  # last green r07
-    "agg_pivot",  # last green r07
-    "window_rank_dense",  # last green r07
-    "filter_key_history",  # last green r07
-    "agg_rollup",  # last green r07
-    "join_semi",  # last green r07
-    "agg_stats_quantiles",  # last green r07
-    "sql_api_revenue_by_segment",  # last green r07
-    "join_outer_coalesce",  # last green r07
-    "corpus_exact_substring_spans",  # last green r07
-    "corpus_substring_clean",  # last green r07
-    "events_gap_islands",  # last green r07
-    "agg_mode_frequent",  # last green r07
-    "events_anomaly_zscore",  # last green r07
-    "events_resample_interpolate",  # last green r07
-    "graph_pagerank_top",  # last green r07
-    "graph_khop_distance",  # last green r07
-    "join_fuzzy_part_names",  # last green r07
-    "basket_brand_pairs",  # last green r07
-    "agg_higher_moments",  # last green r07
-    "agg_listagg_ordered",  # last green r07
-    "agg_boolean_aggregates",  # last green r07
-    "setop_all_variants",  # last green r06
-    "corpus_pack_sequences",  # last green r06
-    "window_salted_topk",  # last green r06
-    "window_small_quantity_revenue",  # last green r06
-    "embedding_near_dup",  # last green r06
-    "array_functions_sweep",  # last green r06
-    "text_bigram_surprisal",  # last green r06
-    "dedup_keep_list",  # last green r06
-    "tpch_q6_forecast_revenue",  # last green r06
-    "tpch_q10_returned_items",  # last green r06
-    "tpch_q13_customer_distribution",  # last green r06
-    "tpch_q14_promo_revenue",  # last green r06
-    "events_funnel_steps",  # last green r06
-    "agg_distinct_sketch_rollup",  # last green r00
+    "agg_distinct_sketch_rollup",  # last green r00 (rows-only by design)
 ]
 
 

@@ -75,8 +75,63 @@ HEADLINE = [
 # Pre-run load above this (1-min loadavg) marks the artifact loaded: the
 # bench itself is the only thing that should be running on the driver
 # machine, so any standing load is a foreign process skewing timings.
-LOAD_THRESHOLD = 4.0
+# r10 (verdict task #2): dropped 4.0 → 1.0. The r9 artifact shipped
+# loaded:false at loadavg 3.97 — a hair under the old absolute gate —
+# while every comparable row read +10-25% vs r8 including untouched
+# rows. 1.0 is ~3% of the 32 CPUs: anything above it is foreign work.
+LOAD_THRESHOLD = 1.0
 LOAD_WAIT_SEC = 120  # max time to wait for a loaded machine to drain
+
+# --- host-capacity canary (r10, verdict task #2) -------------------------
+# Loadavg misses contention the kernel can't see from this cgroup
+# (co-tenant VMs, CPU steal, thermal/frequency caps). Before the suite,
+# time a FIXED synthetic JVM job — not a registry query, so engine
+# optimizations can never read as "fast host" — and compare its
+# best-of-3 against the cleanest canary ever recorded in the repo's
+# BENCH_r*.json history. A run slower than floor × (1 + margin) waits
+# for the host to drain; if it never does, the artifact ships
+# loaded:true with the canary samples as evidence.
+CANARY_ROWS = 6_000_000_000  # ~1.1 s warm on a quiesced local[32]
+CANARY_MARGIN = 0.10  # fixed-job min-of-3 is far tighter than query noise
+# Floor fallback when no artifact in history carries a canary yet:
+# the min observed on this container after the load-wait loop drained
+# (0.906 s at loadavg 0.96; 1.05 s at loadavg ~0.6 reads as mild
+# contention, which is the point) — artifacts recorded on cleaner
+# hosts ratchet the floor down via _canary_floor's history scan.
+CANARY_FLOOR_FALLBACK = 0.90
+
+
+def _canary_floor(repo: Path) -> float:
+    """Cleanest canary_sec ever recorded in BENCH_r*.json history.
+
+    The driver wraps bench output (sometimes front-truncating the JSON
+    line into a "tail" field), so scan raw text for the canary field
+    instead of parsing — floors must survive artifact mangling.
+    """
+    import re
+
+    floor = CANARY_FLOOR_FALLBACK
+    for artifact in sorted(repo.glob("BENCH_r*.json")):
+        try:
+            text = artifact.read_text()
+        except OSError:
+            continue
+        for m in re.finditer(r'"canary_sec\\?":\s*([0-9.]+)', text):
+            floor = min(floor, float(m.group(1)))
+    return floor
+
+
+def _canary_probe(spark) -> float:
+    """One timed fixed-work sample: an embarrassingly-parallel range
+    aggregation that saturates all local[...] threads JVM-side. Runtime
+    depends only on host capacity, never on engine code."""
+    t0 = time.perf_counter()
+    # modulo keeps the 6e9-row sum inside int64 (ANSI mode would raise
+    # ARITHMETIC_OVERFLOW on sum(id) at this row count)
+    spark.range(CANARY_ROWS).selectExpr(
+        "sum(id % 7919) AS s", "count(*) AS c"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def corpus_append_cycle(spark, sf_dir: str, out: str, cycle: int) -> float:
@@ -192,6 +247,23 @@ def main() -> None:
     # Warm the JVM/codegen paths once with a trivial job so the first
     # measured query doesn't absorb cluster-startup cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Canary gate (r10): fixed-work host probe vs the historical clean
+    # floor. Elevated → wait (bounded, shares the LOAD_WAIT budget) and
+    # re-probe; still elevated → run anyway but stamp loaded=true so a
+    # slow-host artifact can never ship as a clean one.
+    canary_floor = _canary_floor(REPO)
+    canary_samples = [_canary_probe(spark) for _ in range(3)]
+    while (
+        min(canary_samples) > canary_floor * (1 + CANARY_MARGIN)
+        and waited < LOAD_WAIT_SEC
+    ):
+        time.sleep(15)
+        waited += 15
+        canary_samples.append(_canary_probe(spark))
+    canary_sec = min(canary_samples)
+    canary_ratio = round(canary_sec / canary_floor, 3)
+    loaded_run = loaded_run or canary_sec > canary_floor * (1 + CANARY_MARGIN)
 
     # Two passes per query: the cold pass absorbs per-query codegen/JIT
     # compilation (tens of percent of noise round-to-round), the warm
@@ -321,6 +393,10 @@ def main() -> None:
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "load_waited_sec": waited,
+                "canary_sec": canary_sec,
+                "canary_samples": canary_samples,
+                "canary_floor": canary_floor,
+                "canary_ratio": canary_ratio,
                 "loaded": loaded_run,
                 "sf": sf,
             }

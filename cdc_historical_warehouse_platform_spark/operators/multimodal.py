@@ -476,6 +476,14 @@ def ico_decoder(payload: bytes):
         rgb = png_decoder(data)
         if rgb.shape[2] == 4:
             return rgb
+        if rgb.shape[2] == 2:
+            # gray+alpha (PNG color type 4): repeat the luma plane to
+            # RGB and keep the REAL alpha — without this branch the
+            # (H,W,2) array fell into the opaque-fill path below and
+            # produced [luma, alpha, 255] pixel garbage
+            return np.ascontiguousarray(
+                np.dstack([np.repeat(rgb[:, :, :1], 3, axis=2), rgb[:, :, 1]])
+            )
         if rgb.shape[2] == 1:
             rgb = np.repeat(rgb, 3, axis=2)
         return np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)])
@@ -1192,7 +1200,13 @@ def extract_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
                 raw = bytes(payload)
                 if raw[:6] in (b"GIF87a", b"GIF89a"):
                     decoder = gif_animation_decoder
-                elif raw[4:8] == b"ftyp":
+                elif raw[4:8] in (
+                    # match mp4_decoder's own magic: classic QuickTime
+                    # files are often ftyp-less and open with another
+                    # top-level box — routing them to avi_decoder made
+                    # the whole Arrow batch fail with "not an AVI"
+                    b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip",
+                ):
                     decoder = mp4_decoder
                 else:
                     decoder = avi_decoder

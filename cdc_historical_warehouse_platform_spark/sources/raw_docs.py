@@ -29,6 +29,7 @@ __all__ = [
     "read_warc_documents",
     "read_zip_documents",
     "iter_warc_records",
+    "iter_warc_records_stream",
     "read_binary_assets",
 ]
 
@@ -185,85 +186,266 @@ def iter_warc_records(payload: bytes):
         pos = body_start + length
 
 
+def iter_warc_records_stream(fh, chunk_size: int = 1 << 20):
+    """Incremental WARC/1.x record walk over an open binary file
+    handle: yields (headers dict lower-cased, body bytes) per record
+    with peak memory bounded by the LARGEST SINGLE RECORD plus one
+    chunk — never the archive. Handles plain WARC and the standard
+    per-record-gzip multistream layout (member boundaries detected via
+    ``decompressobj.eof``; the consumed prefix of the decode buffer is
+    trimmed after every record). Record semantics are identical to
+    :func:`iter_warc_records` (pinned by test)."""
+    import zlib
+
+    buf = bytearray()
+    first = fh.read(chunk_size)
+    if first[:2] == b"\x1f\x8b":
+        comp = first
+        d = zlib.decompressobj(wbits=31)
+
+        def more() -> bool:
+            # decompress until buf grows (or EOF); one gzip member per
+            # WARC record in the multistream layout — reset the
+            # decompressor at each member boundary
+            nonlocal comp, d
+            while True:
+                if comp:
+                    chunk, comp = comp, b""
+                else:
+                    chunk = fh.read(chunk_size)
+                    if not chunk:
+                        tail = d.flush()
+                        if tail:
+                            buf.extend(tail)
+                            return True
+                        return False
+                out = d.decompress(chunk)
+                if d.eof:
+                    comp = d.unused_data
+                    d = zlib.decompressobj(wbits=31)
+                if out:
+                    buf.extend(out)
+                    return True
+    else:
+        buf.extend(first)
+
+        def more() -> bool:
+            chunk = fh.read(chunk_size)
+            if not chunk:
+                return False
+            buf.extend(chunk)
+            return True
+
+    while True:
+        # skip inter-record blank lines (pull more data if the buffer
+        # holds only a partial separator)
+        while True:
+            if buf[:2] == b"\r\n":
+                del buf[:2]
+            elif buf[:1] == b"\n":
+                del buf[:1]
+            elif len(buf) < 2:
+                if not more():
+                    break
+            else:
+                break
+        if not buf:
+            return
+        while (hdr_end := buf.find(b"\r\n\r\n")) < 0:
+            if not more():
+                raise ValueError("WARC: truncated record header")
+        if bytes(buf[:5]) != b"WARC/":
+            raise ValueError("not a WARC payload (missing WARC/ record header)")
+        headers = {}
+        for line in bytes(buf[:hdr_end]).split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.decode("ascii").strip().lower()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+        body_start = hdr_end + 4
+        length = int(headers.get("content-length", "0"))
+        while len(buf) < body_start + length:
+            if not more():
+                raise ValueError("WARC: truncated record body")
+        body = bytes(buf[body_start : body_start + length])
+        del buf[: body_start + length]
+        yield headers, body
+
+
+def _dechunk_http(entity: bytes) -> bytes:
+    """Reassemble a ``Transfer-Encoding: chunked`` HTTP entity body
+    (RFC 9112 §7.1): hex-size lines frame each chunk; a 0-size chunk
+    terminates (trailers ignored). Raw Common Crawl ``response``
+    records ship chunked bodies verbatim — without de-chunking, the
+    hex framing lines leak into extracted corpus text. Malformed
+    framing returns the chunks assembled so far (the body is crawl
+    data, not trusted input)."""
+    out = []
+    pos = 0
+    n = len(entity)
+    while pos < n:
+        eol = entity.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_token = entity[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 2
+        out.append(entity[start : start + size])
+        pos = start + size + 2  # skip the chunk-data CRLF
+    return b"".join(out)
+
+
+def _warc_record_to_doc(
+    headers: dict, body: bytes, min_words: int, max_link_density: float
+):
+    """One WARC record → a documents-table row dict, or None if the
+    record carries nothing ingestible. Shared by the materializing and
+    streaming readers so both are parse-identical by construction.
+    ``response`` records: HTTP headers split off (chunked bodies
+    reassembled), HTML boilerplate-removed via the block scorer;
+    ``conversion`` (WET) records pass through."""
+    import hashlib
+    import re
+    from urllib.parse import urlparse
+
+    from cdc_historical_warehouse_platform_spark.operators.html import parse_blocks
+
+    def emit(uri, text):
+        text = " ".join(text.split())
+        doc_id = int(hashlib.md5(uri.encode()).hexdigest()[:15], 16)
+        host = urlparse(uri).netloc or "warc"
+        return {
+            "doc_id": doc_id,
+            "text": text,
+            "lang": None,
+            "source": host,
+            "n_chars": len(text),
+        }
+
+    rtype = headers.get("warc-type")
+    uri = headers.get("warc-target-uri", "")
+    if rtype == "conversion":
+        return emit(uri, body.decode("utf-8", "replace"))
+    if rtype != "response":
+        return None  # warcinfo / request / metadata ...
+    # HTTP response: headers precede the entity body
+    sep = body.find(b"\r\n\r\n")
+    http_hdr = body[:sep].decode("latin-1") if sep > 0 else ""
+    entity = body[sep + 4 :] if sep > 0 else body
+    hdr_low = http_hdr.lower()
+    if "text/html" not in hdr_low:
+        return None
+    if re.search(r"transfer-encoding\s*:[^\r\n]*\bchunked\b", hdr_low):
+        entity = _dechunk_http(entity)
+    blocks = parse_blocks(entity.decode("utf-8", "replace"))
+    kept = [
+        t
+        for t, lc in blocks
+        if len(t.split()) >= min_words and lc <= max_link_density * len(t)
+    ]
+    return emit(uri, "\n".join(kept)) if kept else None
+
+
+_DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
 def read_warc_documents(
     spark: SparkSession,
     input_dir: str,
     min_words: int = 10,
     max_link_density: float = 0.33,
     pattern: str = "*.warc*",
+    materialize: bool = False,
 ) -> DataFrame:
     """WARC crawl archives → the documents table: ``response``
     records carrying HTML get boilerplate-removed through the
-    operators/html block scorer; ``conversion`` records (WET-style
-    extracted text) pass through directly. One archive per task via
-    the distributed ``binaryFile`` source — Common Crawl ships
-    ~1 GB gzip archives, so a segment's file list fans out across
-    the cluster. Ids hash the WARC-Target-URI (stable across
-    re-crawls of the same capture), ``source`` is the URI host."""
+    operators/html block scorer (chunked transfer-encoding
+    reassembled first); ``conversion`` records (WET-style extracted
+    text) pass through directly. One archive per task — Common Crawl
+    ships ~1 GB gzip archives, so a segment's file list fans out
+    across the cluster. Ids hash the WARC-Target-URI (stable across
+    re-crawls of the same capture), ``source`` is the URI host.
+
+    Default is the STREAMING record walk (r10): tasks receive paths
+    only (binaryFile listing with the content column pruned), open
+    the archive locally, and iterate records incrementally — peak
+    per-task memory is bounded by the largest record, not the
+    archive, so ~1 GB members leave headroom at any task
+    parallelism. ``materialize=True`` keeps the r9 behavior (whole
+    archive as one binaryFile content cell) for filesystems the
+    Python worker cannot open directly (e.g. object stores mounted
+    only through Hadoop)."""
     from collections.abc import Iterator as _It
 
     import pandas as pd
-
-    from cdc_historical_warehouse_platform_spark.operators.html import parse_blocks
-
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
-        .load(input_dir)
-        .select("content")
-    )
 
     schema = (
         "doc_id long, text string, lang string, source string, n_chars long"
     )
 
-    def _extract(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
-        import hashlib
-        from urllib.parse import urlparse
+    if materialize:
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", pattern)
+            .load(input_dir)
+            .select("content")
+        )
 
-        def emit(uri, text):
-            text = " ".join(text.split())
-            doc_id = int(hashlib.md5(uri.encode()).hexdigest()[:15], 16)
-            host = urlparse(uri).netloc or "warc"
-            return {
-                "doc_id": doc_id,
-                "text": text,
-                "lang": None,
-                "source": host,
-                "n_chars": len(text),
-            }
+        def _extract(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for content in pdf["content"]:
+                    for headers, body in iter_warc_records(bytes(content)):
+                        doc = _warc_record_to_doc(
+                            headers, body, min_words, max_link_density
+                        )
+                        if doc is not None:
+                            out.append(doc)
+                yield pd.DataFrame(out, columns=_DOC_COLUMNS)
+
+        return raw.mapInPandas(_extract, schema)
+
+    # streaming walk: the binaryFile LISTING distributes paths (content
+    # pruned — .explain shows ReadSchema: struct<path:string>), each
+    # task opens its archive and iterates records with bounded memory
+    paths = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(input_dir)
+        .select("path")
+    )
+
+    def _extract_stream(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from urllib.parse import unquote, urlparse
 
         for pdf in batches:
-            out = []
-            for content in pdf["content"]:
-                for headers, body in iter_warc_records(bytes(content)):
-                    rtype = headers.get("warc-type")
-                    uri = headers.get("warc-target-uri", "")
-                    if rtype == "conversion":
-                        out.append(emit(uri, body.decode("utf-8", "replace")))
-                        continue
-                    if rtype != "response":
-                        continue  # warcinfo / request / metadata ...
-                    # HTTP response: headers precede the entity body
-                    sep = body.find(b"\r\n\r\n")
-                    http_hdr = body[:sep].decode("latin-1") if sep > 0 else ""
-                    entity = body[sep + 4 :] if sep > 0 else body
-                    if "text/html" not in http_hdr.lower():
-                        continue
-                    blocks = parse_blocks(entity.decode("utf-8", "replace"))
-                    kept = [
-                        t
-                        for t, lc in blocks
-                        if len(t.split()) >= min_words
-                        and lc <= max_link_density * len(t)
-                    ]
-                    if kept:
-                        out.append(emit(uri, "\n".join(kept)))
-            yield pd.DataFrame(
-                out, columns=["doc_id", "text", "lang", "source", "n_chars"]
-            )
+            for path in pdf["path"]:
+                parsed = urlparse(path)
+                if parsed.scheme not in ("", "file"):
+                    raise ValueError(
+                        f"streaming WARC walk needs a locally-openable path, "
+                        f"got scheme {parsed.scheme!r} ({path}); use "
+                        f"read_warc_documents(..., materialize=True)"
+                    )
+                local = unquote(parsed.path) if parsed.scheme else path
+                out = []
+                with open(local, "rb") as fh:
+                    for headers, body in iter_warc_records_stream(fh):
+                        doc = _warc_record_to_doc(
+                            headers, body, min_words, max_link_density
+                        )
+                        if doc is not None:
+                            out.append(doc)
+                # one Arrow batch per archive: extracted text never
+                # accumulates across archives within a task
+                yield pd.DataFrame(out, columns=_DOC_COLUMNS)
 
-    return raw.mapInPandas(_extract, schema)
+    return paths.mapInPandas(_extract_stream, schema)
 
 
 def read_zip_documents(

@@ -141,34 +141,18 @@ class ExactSubstrIndex:
         no matter which subset of the tables a crash let commit."""
         if not tbl.exists():
             return spark.createDataFrame([], schema)
-        v = tbl.txn_version(txn_id)
+        # txn_version_checked raises PrunedTxnVersionError when the txn
+        # IS committed here but its version entry fell out of retention
+        # (128+ later appends before the torn txn replayed) — reading
+        # the LATEST version instead would recompute the delta from the
+        # wrong state and commit it to the still-missing tables
+        # silently (guard now lives in VersionedTable itself — r10)
+        v = tbl.txn_version_checked(txn_id)
         if v is None:
-            self._check_not_pruned(tbl, txn_id)
             return tbl.read(spark)
         if v == 0:
             return spark.createDataFrame([], schema)
         return tbl.read(spark, version=v - 1)
-
-    @staticmethod
-    def _check_not_pruned(tbl: VersionedTable, txn_id: str) -> None:
-        """Guard the pre-txn read against txn_versions retention: a txn
-        that IS in this table's committed ledger but whose version entry
-        was pruned (128+ later appends landed here before the torn txn
-        was replayed) has no recoverable pre-txn snapshot — reading the
-        LATEST version instead would recompute the delta from the wrong
-        state and commit it to the still-missing tables silently. Raise
-        loudly; the operator resolves it by rebuilding the index (or
-        raising _TXN_VERSION_RETENTION for pathologically-delayed
-        replays). Never fires in normal operation: a txn absent from
-        the ledger (the common v-is-None case) passes through."""
-        if txn_id in tbl.committed_txns() and tbl.txn_version(txn_id) is None:
-            raise RuntimeError(
-                f"txn {txn_id!r} committed on table {tbl.path.name!r} but its "
-                "pre-txn version was pruned from txn_versions (retention "
-                "exceeded before replay); the torn transaction cannot be "
-                "replayed from a consistent snapshot — rebuild the index or "
-                "raise the retention"
-            )
 
     def _segments_pre_txn(
         self, spark: SparkSession, tbl, schema, txn_id: str
@@ -177,9 +161,8 @@ class ExactSubstrIndex:
         replay contract as :meth:`_read_pre_txn`)."""
         if not tbl.exists():
             return [spark.createDataFrame([], schema)]
-        v = tbl.txn_version(txn_id)
+        v = tbl.txn_version_checked(txn_id)
         if v is None:
-            self._check_not_pruned(tbl, txn_id)
             segs = tbl.segments(spark)
         elif v == 0:
             return [spark.createDataFrame([], schema)]

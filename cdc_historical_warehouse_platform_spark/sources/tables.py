@@ -38,9 +38,16 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "VersionedTable",
     "BucketedSegmentTable",
+    "PrunedTxnVersionError",
     "register_bucketed_dir",
     "write_bucketed_dir",
 ]
+
+
+class PrunedTxnVersionError(RuntimeError):
+    """A committed txn's version entry was pruned from txn_versions
+    retention before its transaction was replayed — no consistent
+    pre-txn snapshot exists (see VersionedTable.txn_version_checked)."""
 
 _POINTER = "_LATEST"
 
@@ -127,12 +134,33 @@ class VersionedTable:
         ``_TXN_VERSION_RETENTION`` txns only (pointer size stays O(1)
         per append); older txns — and pointers written before r8 —
         return None and callers fall back to their order-dependent
-        recovery."""
+        recovery. Replay readers should call
+        :meth:`txn_version_checked` instead, which refuses that
+        fallback for committed-but-pruned txns."""
         meta = self._read_pointer()
         if meta is None:
             return None
         v = meta.get("txn_versions", {}).get(txn_id)
         return int(v) if v is not None else None
+
+    def txn_version_checked(self, txn_id: str) -> int | None:
+        """:meth:`txn_version`, but LOUD on the pruned case (r10,
+        verdict task #3): a txn that IS in the committed ledger while
+        its version entry was pruned from retention has no recoverable
+        pre-txn snapshot — the silent None would make a replay reader
+        fall back to the LATEST version and recompute its delta from
+        the wrong state. None still means "never committed here" (the
+        normal replay-probe answer)."""
+        v = self.txn_version(txn_id)
+        if v is None and txn_id in self.committed_txns():
+            raise PrunedTxnVersionError(
+                f"txn {txn_id!r} committed on table {self.path.name!r} but "
+                "its pre-txn version was pruned from txn_versions "
+                "(retention exceeded before replay); the torn transaction "
+                "cannot be replayed from a consistent snapshot — rebuild "
+                "the store or raise the retention"
+            )
+        return v
 
     def commit(
         self,

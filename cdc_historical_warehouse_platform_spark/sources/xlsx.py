@@ -73,6 +73,15 @@ def col_index(letters: str) -> int:
     return n
 
 
+def col_letters_of(n: int) -> str:
+    """1 -> 'A', 26 -> 'Z', 27 -> 'AA' (inverse of :func:`col_index`)."""
+    out = []
+    while n > 0:
+        n, rem = divmod(n - 1, 26)
+        out.append(chr(65 + rem))
+    return "".join(reversed(out))
+
+
 def parse_xlsx(payload: bytes, sheet: str | None = None):
     """Workbook bytes → list of (sheet, row_num, col_letters, value).
     Pure function (no Spark) — the unit the Arrow pipeline maps and
@@ -118,10 +127,23 @@ def parse_xlsx(payload: bytes, sheet: str | None = None):
         data = root.find(f"{_NS}sheetData")
         if data is None:
             continue
+        last_rnum = 0
         for row in data.findall(f"{_NS}row"):
-            rnum = int(row.get("r"))
+            # the r attributes are OPTIONAL per ECMA-376 §18.3.1.73/.4:
+            # writers may rely on positional order — a missing row r is
+            # the row after the previous one, a missing cell r is the
+            # column after the previous cell
+            r_attr = row.get("r")
+            rnum = int(r_attr) if r_attr is not None else last_rnum + 1
+            last_rnum = rnum
+            next_col = 1
             for cell in row.findall(f"{_NS}c"):
-                ref = cell.get("r") or ""
+                ref_letters = _col_letters(cell.get("r") or "")
+                if ref_letters:
+                    next_col = col_index(ref_letters) + 1
+                else:
+                    ref_letters = col_letters_of(next_col)
+                    next_col += 1
                 ctype = cell.get("t", "n")
                 if ctype == "inlineStr":
                     is_el = cell.find(f"{_NS}is")
@@ -140,7 +162,7 @@ def parse_xlsx(payload: bytes, sheet: str | None = None):
                             value = "true" if value == "1" else "false"
                 if value is None:
                     continue  # empty cells carry no data
-                out.append((name, rnum, _col_letters(ref), value))
+                out.append((name, rnum, ref_letters, value))
     return out
 
 
@@ -208,8 +230,17 @@ def xlsx_table(
     names: dict[str, str] = {}
     seen: set[str] = set()
     for _, letters, name in by_col:
-        label = name if name not in seen else f"{name}_{letters}"
-        seen.add(name)
+        # dedup against ASSIGNED labels, not just base names: a header
+        # literally named "a_B" must not collide with the rename of a
+        # duplicate "a" in column B — keep suffixing until unique
+        label = name
+        if label in seen:
+            label = f"{name}_{letters}"
+        bump = 2
+        while label in seen:
+            label = f"{name}_{letters}{bump}"
+            bump += 1
+        seen.add(label)
         names[letters] = label
     body = rows.filter(F.col("row_num") > header_row)
     pivoted = (

@@ -4865,6 +4865,59 @@ def test_mp4_review_fixes_depth_mjpa_and_quicktime_layout():
         assert np.array_equal(img, src)
 
 
+def test_ico_la_png_entry_returns_real_rgba():
+    """r10 ADVICE fix: a gray+alpha (color type 4) PNG wrapped in an
+    ICO must honor the RGBA contract — luma repeated to RGB, the REAL
+    alpha kept — not the [luma, alpha, 255] garbage the opaque-fill
+    path produced."""
+    import struct as s
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import ico_decoder
+
+    rng = np.random.RandomState(7)
+    la = rng.randint(0, 256, (6, 5, 2)).astype(np.uint8)
+    png = _encode_png(la, filters=[0, 1, 2, 3, 4, 0])
+    entry = s.pack("<BBBBHHII", 5, 6, 0, 0, 1, 32, len(png), 6 + 16)
+    pay = s.pack("<HHH", 0, 1, 1) + entry + png
+    out = ico_decoder(pay)
+    assert out.shape == (6, 5, 4)
+    for ch in range(3):
+        assert np.array_equal(out[:, :, ch], la[:, :, 0]), "luma plane"
+    assert np.array_equal(out[:, :, 3], la[:, :, 1]), "real alpha kept"
+
+
+def test_video_dispatch_routes_ftypless_quicktime(spark):
+    """r10 ADVICE fix: the extract_video_frames dispatcher must match
+    mp4_decoder's own magic — a classic QuickTime payload opening with
+    'free'/'moov' (no ftyp) used to fall into avi_decoder and kill the
+    whole Arrow batch with 'not an AVI'."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    rng = np.random.RandomState(9)
+    h, w = 6, 5
+    frames = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(2)]
+    pay = _encode_mp4([f.tobytes() for f in frames], w, h, b"raw ")
+    qt = pay[:4] + b"free" + pay[8:]  # same-size box keeps stco valid
+    assert qt[4:8] == b"free"
+
+    df = spark.createDataFrame([(1, bytearray(qt))], "doc_id long, payload binary")
+    rows = sorted(
+        extract_video_frames(df, every_n=1).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    import hashlib
+
+    assert [r["frame_md5"] for r in rows] == [
+        hashlib.md5(f.tobytes()).hexdigest() for f in frames
+    ]
+
+
 def test_aiff_ssnd_padding_not_decoded_as_audio():
     """Review fix: SSND block-alignment pad bytes past COMM's
     numSampleFrames must not become spurious samples."""

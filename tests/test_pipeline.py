@@ -60,6 +60,37 @@ def test_versioned_table_atomicity(tmp_path, spark):
     assert t.read(spark).count() == 99
 
 
+def test_txn_version_checked_raises_on_pruned_entry(tmp_path, spark):
+    """r10 (verdict task #3): the pruned-txn guard lives in
+    VersionedTable itself now — txn_version_checked raises for a txn
+    that IS in the committed ledger but whose version entry fell out of
+    txn_versions retention, instead of the silent None that made replay
+    readers fall back to the LATEST snapshot. Plain txn_version keeps
+    its documented None fallback."""
+    import json as _json
+
+    import pytest
+    from cdc_historical_warehouse_platform_spark.sources.tables import (
+        PrunedTxnVersionError,
+    )
+
+    t = VersionedTable(tmp_path / "t")
+    t.commit(spark.range(5), txn_id="tx1")
+    t.commit(spark.range(9), txn_id="tx2")
+    assert t.txn_version_checked("tx1") == 0  # committed, entry present
+    assert t.txn_version_checked("never") is None  # never committed
+
+    ptr = t._pointer_file()
+    meta = _json.loads(ptr.read_text())
+    del meta["txn_versions"]["tx1"]  # simulate retention pruning
+    ptr.write_text(_json.dumps(meta))
+
+    with pytest.raises(PrunedTxnVersionError, match="pruned from txn_versions"):
+        t.txn_version_checked("tx1")
+    assert t.txn_version("tx1") is None  # documented silent fallback
+    assert t.txn_version_checked("tx2") == 1  # unpruned txns unaffected
+
+
 def test_batch_file_roundtrip(tmp_path, spark):
     """Reference envelope format: write (default=str quirk) → read →
     typed values survive (F8/F10)."""

@@ -112,6 +112,53 @@ def test_col_index():
     assert [col_index(c) for c in ("A", "Z", "AA", "AZ", "BA", "ZZ", "AAA")] == [
         1, 26, 27, 52, 53, 702, 703,
     ]
+    from cdc_historical_warehouse_platform_spark.sources.xlsx import col_letters_of
+
+    for n in list(range(1, 200)) + [702, 703, 16384]:
+        assert col_index(col_letters_of(n)) == n
+
+
+def test_parse_xlsx_positional_rows_and_cells(tmp_path):
+    """r10 ADVICE fix: the r attributes are optional per ECMA-376 —
+    writers relying on positional order must parse, not crash with
+    TypeError. Missing row r = previous row + 1; missing cell r = next
+    column after the previous cell."""
+    body = (
+        "<row><c><v>11</v></c><c><v>12</v></c></row>"  # row 1: A, B
+        '<row r="5"><c r="B5"><v>21</v></c><c><v>22</v></c></row>'  # B5 then C5
+        "<row><c><v>31</v></c></row>"  # row 6 (5 + 1): A6
+    )
+    f = tmp_path / "pos.xlsx"
+    _write_xlsx(f, {"data": body})
+    rows = parse_xlsx(f.read_bytes())
+    assert ("data", 1, "A", "11") in rows
+    assert ("data", 1, "B", "12") in rows
+    assert ("data", 5, "B", "21") in rows
+    assert ("data", 5, "C", "22") in rows
+    assert ("data", 6, "A", "31") in rows
+    assert len(rows) == 5
+
+
+def test_xlsx_table_header_rename_never_collides(spark, tmp_path):
+    """r10 ADVICE fix: the duplicate-header rename (name -> name_<col
+    letter>) must keep suffixing when the renamed label collides with
+    a header literally named that (e.g. headers 'a', 'a', 'a_B')."""
+    body = (
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>a_B</t></is></c>'
+        "</row>"
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c>'
+        '<c r="C2"><v>3</v></c></row>'
+    )
+    _write_xlsx(tmp_path / "dup.xlsx", {"data": body})
+    t = xlsx_table(spark, str(tmp_path), sheet="data")
+    labels = t.columns[3:]
+    assert len(labels) == len(set(labels)) == 3, labels
+    assert labels[0] == "a"  # first keeps the bare name
+    got = t.collect()[0]
+    assert [got[lab] for lab in labels] == ["1", "2", "3"]
 
 
 def test_read_xlsx_rows_distributed(spark, tmp_path):
