@@ -215,6 +215,87 @@ def substr_append_cycle(spark, sf_dir: str, idx, cycle: int) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _write_synthetic_warc(dest: str, n_files: int = 16, docs_per_file: int = 400) -> int:
+    """Deterministic synthetic WARC crawl for the ingest bench row
+    (r10, verdict task #6): per-record-gzip archives of HTML response
+    records (some chunked transfer-encoding) plus WET conversion
+    records — every parse path the ingestion tier runs in production.
+    Returns the number of ingestible records written."""
+    import gzip
+    import random
+
+    rng = random.Random(20260816)
+    words = [f"word{i:03d}" for i in range(400)]
+    n_docs = 0
+    for fi in range(n_files):
+        parts = []
+        for di in range(docs_per_file):
+            uri = f"http://site{fi}.example/page{di}"
+            if di % 5 == 4:  # WET-style conversion record
+                text = " ".join(rng.choices(words, k=220)).encode()
+                hdr = (
+                    b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+                    + uri.encode() + b"\r\nContent-Length: "
+                    + str(len(text)).encode() + b"\r\n\r\n"
+                )
+                parts.append(gzip.compress(hdr + text + b"\r\n\r\n"))
+                n_docs += 1
+                continue
+            paras = "".join(
+                "<p>" + " ".join(rng.choices(words, k=60)) + "</p>"
+                for _ in range(4)
+            )
+            html = (
+                "<html><body><nav>" + "".join(
+                    f"<a href='/l{j}'>nav link {j}</a>" for j in range(8)
+                ) + "</nav>" + paras + "<footer><a href='/t'>terms</a>"
+                "</footer></body></html>"
+            ).encode()
+            if di % 3 == 0:  # chunked transfer-encoding path
+                mid = len(html) // 2
+                body = b"%x\r\n%s\r\n%x\r\n%s\r\n0\r\n\r\n" % (
+                    mid, html[:mid], len(html) - mid, html[mid:]
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n" + body
+                )
+            else:
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html
+                )
+            hdr = (
+                b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+                + uri.encode() + b"\r\nContent-Length: "
+                + str(len(http)).encode() + b"\r\n\r\n"
+            )
+            parts.append(gzip.compress(hdr + http + b"\r\n\r\n"))
+            n_docs += 1
+        Path(dest, f"seg{fi:02d}.warc.gz").write_bytes(b"".join(parts))
+    return n_docs
+
+
+def corpus_ingest_cycle(spark, warc_dir: str, work_dir: str, cycle: int) -> float:
+    """One timed WARC→corpus ingest: streaming record walk +
+    boilerplate extraction over every archive, staged to parquet, then
+    a corpus build (quality + dedup gates) into a fresh directory.
+    Prices the Arrow batch shapes of the ingestion tier — a regression
+    to per-row dispatch would read directly here (the 6400-record
+    extract is ~1 s Arrow-batched vs minutes per-row; the corpus build
+    contributes a ~15 s fixed-overhead floor shared with the other
+    corpus rows)."""
+    from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_build
+    from cdc_historical_warehouse_platform_spark.sources.raw_docs import read_warc_documents
+
+    staged = f"{work_dir}/staged_{cycle}"
+    t0 = time.perf_counter()
+    docs = read_warc_documents(spark, warc_dir)
+    docs.write.mode("overwrite").parquet(f"{staged}/documents.parquet")
+    corpus_build(spark, staged, f"{work_dir}/corpus_{cycle}")
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -343,6 +424,24 @@ def main() -> None:
         warm["ann_pq_bulk_probe"] = min(samples["ann_pq_bulk_probe"])
     finally:
         shutil.rmtree(pq_dir, ignore_errors=True)
+
+    # WARC ingest cycle (r10, verdict task #6): one untimed synthetic
+    # crawl write (deterministic — 16 per-record-gzip archives, HTML +
+    # chunked + WET records), then cold + 2 warm timed full cycles
+    # (streaming walk → boilerplate extract → stage → corpus build),
+    # each into a fresh corpus dir so the work is constant per sample
+    ingest_dir = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        _write_synthetic_warc(ingest_dir)
+        work = ingest_dir + "/work"
+        cold["corpus_ingest_cycle"] = corpus_ingest_cycle(spark, ingest_dir, work, 0)
+        samples["corpus_ingest_cycle"] = [
+            corpus_ingest_cycle(spark, ingest_dir, work, 1),
+            corpus_ingest_cycle(spark, ingest_dir, work, 2),
+        ]
+        warm["corpus_ingest_cycle"] = min(samples["corpus_ingest_cycle"])
+    finally:
+        shutil.rmtree(ingest_dir, ignore_errors=True)
 
     # incremental ExactSubstr append cycle (r08): one untimed seed
     # append builds the k-gram index state, then cold + 2 warm timed

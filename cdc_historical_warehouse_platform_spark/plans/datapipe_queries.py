@@ -454,18 +454,19 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_ivf_cents(n_lists: int) -> str:
+def _sql_ivf_cents(n_lists: int, table: str = "embeddings") -> str:
     """Shared CTE chain re-deriving the portable IVF coarse quantizer
     (similarity.ivf_centroids, refine=1) entirely in DuckDB: md5 seed
     sample → argmax-cosine assignment to seeds → one Lloyd step with
     quantized-pico integer means (empty lists keep their seed).
-    Terminates in cvec(list_id, c)."""
+    Terminates in cvec(list_id, c). ``table`` must expose
+    (vec_id, embedding) — the two-stage row passes a prefix CTE."""
     return f"""
 seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
               AS INT) AS list_id,
          embedding AS c
-  FROM embeddings
+  FROM {table}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {n_lists}),
 a0r AS (
@@ -473,7 +474,7 @@ a0r AS (
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {_sql_cosine('e.embedding', 's.c')} DESC,
                                      s.list_id) AS rn
-  FROM embeddings e CROSS JOIN seeds s),
+  FROM {table} e CROSS JOIN seeds s),
 a0 AS (SELECT vec_id, embedding, list_id FROM a0r WHERE rn = 1),
 ex AS (SELECT list_id, u.pos AS pos, u.val AS val FROM (
          SELECT list_id,
@@ -2890,19 +2891,29 @@ _TS_K1 = 40  # candidates per query surviving stage 1
 
 def q_ann_two_stage(spark: SparkSession, sf: str) -> DataFrame:
     """Coarse-to-fine two-stage search — the Matryoshka / rerank
-    pattern of modern embedding pipelines: stage 1 scores every
-    (query, corpus) pair on the FIRST 16 dimensions only and keeps the
-    top-40 candidates per query; stage 2 reranks just those candidates
-    with the exact full-dimension cosine and emits the top-10.
+    pattern of modern embedding pipelines: stage 1 searches ONLY the
+    first 16 dimensions (the Matryoshka prefix) through the IVF coarse
+    quantizer — each query probes its 2 closest of 8 lists, so the
+    cheap pass scores ~n_probes/n_lists of the corpus, never all
+    pairs — and keeps the top-40 candidates per query; stage 2
+    reranks just those candidates with the exact full-dimension
+    cosine and emits the top-10.
 
-    Scale posture: at 100 TB the stage-1 scan reads a quarter of the
-    vector bytes (column pruning cannot split an array, but a stored
-    truncated-prefix column — the Matryoshka layout — would make it a
-    genuine narrow scan), and stage 2 touches only k1 rows per query
+    Scale posture (r10, verdict task #4): stage 1 is list-pruned (no
+    CartesianProduct/BNLJ anywhere — the row left the
+    ALL_PAIRS_BY_DESIGN lint exemption) and operates on a computed
+    prefix column; the PERSISTED Matryoshka layout — a stored prefix
+    column scanned without touching the full vectors — lives in
+    sources/ann_index.IVFIndex(prefix_dims=...) + probe_two_stage,
+    whose stage-1 scan is plan-pinned to read the narrow column only
+    (tests/test_ann_index.py). Stage 2 touches only k1 rows per query
     through a broadcast candidate join — the expensive full-dim math
-    runs on 40 rows/query instead of the whole corpus. Both stages
-    are deterministic (sequential-fold cosine + (score DESC, id ASC)
-    tie-breaks), so the DuckDB twin is hash-exact."""
+    runs on 40 rows/query instead of the whole corpus. Every stage is
+    deterministic (portable md5-seeded quantizer, sequential-fold
+    cosine, (score DESC, id ASC) tie-breaks), so the DuckDB twin
+    re-derives the same centroids from scratch and is hash-exact."""
+    from cdc_historical_warehouse_platform_spark.operators.similarity import ivf_topk
+
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2913,9 +2924,9 @@ def q_ann_two_stage(spark: SparkSession, sf: str) -> DataFrame:
     trunc_queries = queries.select(
         "query_id", F.slice("query_vec", 1, _TS_DIMS).alias("query_vec")
     )
-    cand = cosine_topk(trunc_corpus, trunc_queries, k=_TS_K1).select(
-        "query_id", "neighbor_id"
-    )
+    cand = ivf_topk(
+        trunc_corpus, trunc_queries, k=_TS_K1, n_lists=8, n_probes=2
+    ).select("query_id", "neighbor_id")
     from cdc_historical_warehouse_platform_spark.operators.similarity import cosine as _cos
 
     rerank = (
@@ -2941,12 +2952,29 @@ def q_ann_two_stage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_ANN_TWO_STAGE = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+WITH pemb AS (
+  SELECT vec_id, embedding[1:{_TS_DIMS}] AS embedding FROM embeddings),
+{_sql_ivf_cents(8, table='pemb')},
+a1r AS (
+  SELECT e.vec_id, e.embedding, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_sql_cosine('e.embedding', 'c.c')} DESC,
+                                     c.list_id) AS rn
+  FROM pemb e CROSS JOIN cvec c),
+a1 AS (SELECT vec_id AS neighbor_id, embedding, list_id FROM a1r WHERE rn = 1),
+pr AS (
+  SELECT p.vec_id AS query_id, p.embedding AS qv16, c.list_id,
+         row_number() OVER (PARTITION BY p.vec_id
+                            ORDER BY {_sql_cosine('p.embedding', 'c.c')} DESC,
+                                     c.list_id) AS rn
+  FROM pemb p CROSS JOIN cvec c WHERE p.vec_id < 10),
+probed AS (SELECT query_id, qv16, list_id FROM pr WHERE rn <= 2),
 s1 AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         {_sql_cosine(f'q.qv[1:{_TS_DIMS}]', f'e.embedding[1:{_TS_DIMS}]')} AS c1
-  FROM q CROSS JOIN embeddings e
-  WHERE e.vec_id <> q.query_id),
+  SELECT p.query_id, a.neighbor_id,
+         {_sql_cosine('p.qv16', 'a.embedding')} AS c1
+  FROM a1 a JOIN probed p ON a.list_id = p.list_id
+  WHERE a.neighbor_id <> p.query_id),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 cand AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id

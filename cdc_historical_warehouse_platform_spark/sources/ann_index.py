@@ -120,6 +120,7 @@ class IVFIndex:
         corpus_vec: str,
         quantize: str | None = None,
         codebooks: list | None = None,
+        prefix_dims: int | None = None,
     ) -> DataFrame:
         """``quantize="int8"`` stores the IVF-SQ layout — int8 vector +
         precomputed integer self-norm, NO full-precision copy (the
@@ -174,11 +175,21 @@ class IVFIndex:
                 "list_id",
             )
         else:
-            assigned = vectors.select(
+            cols = [
                 F.col(corpus_id).alias("vec_id"),
                 F.col(corpus_vec).alias("embedding"),
-                list_id,
-            )
+            ]
+            if prefix_dims:
+                # Matryoshka layout (r10, verdict task #4): materialize
+                # the truncated prefix as its OWN column so a two-stage
+                # probe's cheap pass is a genuinely narrow scan —
+                # parquet column pruning can drop the full vector from
+                # stage 1 entirely (an array column cannot be
+                # partially read)
+                cols.append(
+                    F.slice(F.col(corpus_vec), 1, prefix_dims).alias("prefix")
+                )
+            assigned = vectors.select(*cols, list_id)
         # cluster + sort by list so probe-time list_id predicates skip
         # non-probed row groups via parquet min/max stats
         return assigned.repartition("list_id").sortWithinPartitions("list_id")
@@ -199,10 +210,16 @@ class IVFIndex:
         pq_m: int = 8,
         pq_k: int = 16,
         pq_refine: int = 2,
+        prefix_dims: int | None = None,
     ) -> "IVFIndex":
         if quantize not in (None, "int8", "pq"):
             raise ValueError(
                 f"quantize must be None, 'int8' or 'pq', got {quantize!r}"
+            )
+        if prefix_dims and quantize is not None:
+            raise ValueError(
+                "prefix_dims (the Matryoshka two-stage layout) applies to "
+                "the float tier only — int8/pq are already compressed"
             )
         index = cls(path)
         prev = index._read_pointer()
@@ -232,7 +249,10 @@ class IVFIndex:
             )
         )
         v = index.assignments.commit(
-            cls._assign(corpus, cents, corpus_id, corpus_vec, quantize, codebooks),
+            cls._assign(
+                corpus, cents, corpus_id, corpus_vec, quantize, codebooks,
+                prefix_dims,
+            ),
             txn_id=txn_id,
         )
         index._write_pointer(
@@ -241,6 +261,7 @@ class IVFIndex:
                 "centroids_file": cent_file,
                 "assignments_version": v,
                 "quantize": quantize,
+                "prefix_dims": prefix_dims,
             }
         )
         return index
@@ -298,6 +319,7 @@ class IVFIndex:
                 corpus_vec,
                 meta.get("quantize"),
                 self._codebooks() if meta.get("quantize") == "pq" else None,
+                meta.get("prefix_dims"),
             ),
             txn_id=txn_id,
         )
@@ -438,4 +460,111 @@ class IVFIndex:
         return ivf_search(
             assigned, queries, cents, k, n_probes, query_id, query_vec,
             probed=probed, broadcast_probe=broadcast_probe,
+        )
+
+    def probe_two_stage(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        k1: int = 40,
+        n_probes: int = 2,
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+        broadcast_probe: bool = True,
+    ) -> DataFrame:
+        """Matryoshka two-stage search (r10, verdict task #4) against
+        an index built with ``prefix_dims``: stage 1 scores the probed
+        lists on the STORED prefix column — a genuinely narrow scan;
+        the full ``embedding`` column is column-pruned out of the
+        stage-1 parquet read (plan-pinned in tests) — keeping the
+        ``k1`` best candidates per query; stage 2 reranks only those
+        candidates with the exact full-dimension cosine.
+
+        List probing uses the full query vector against the stored
+        (full-dimension) quantizer — the same lists the one-stage probe
+        touches — so the prefix narrows the SCORING bytes, not the
+        recall surface. ``broadcast_probe=False`` keeps both the probe
+        set and the candidate join shuffled for bulk query sets."""
+        from pyspark.sql import Window
+
+        from cdc_historical_warehouse_platform_spark.operators.similarity import cosine
+
+        meta = self._read_pointer()
+        if meta is None:
+            raise FileNotFoundError(f"IVF index {self.path} has no committed build")
+        pdims = meta.get("prefix_dims")
+        if not pdims:
+            raise ValueError(
+                "index was not built with prefix_dims — rebuild with "
+                "IVFIndex.build(..., prefix_dims=N) for two-stage probes"
+            )
+        cents = self.centroids()
+        # probe lists with the FULL query vector (stored quantizer is
+        # full-dimension), then truncate the carried __qv so stage-1
+        # scoring is prefix-vs-prefix
+        probed = (
+            probed_queries(queries, cents, n_probes, query_id, query_vec)
+            .withColumn("__qv", F.slice(F.col("__qv"), 1, pdims))
+            .localCheckpoint(eager=True)
+        )
+        probed_ids = [
+            r["list_id"] for r in probed.select("list_id").distinct().collect()
+        ]
+        version = meta["assignments_version"]
+        # stage 1: NARROW scan — (vec_id, prefix, list_id) only; the
+        # wide embedding column never leaves parquet here
+        narrow = (
+            self.assignments.read(spark, version=version)
+            .select("vec_id", "prefix", "list_id")
+            .filter(F.col("list_id").isin(probed_ids))
+        )
+        pre_norm2 = F.aggregate(
+            F.transform(
+                F.col("prefix"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = narrow.filter(pre_norm2 > 0).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("prefix").alias("__cv"),
+            "list_id",
+        )
+        cand = ivf_search(
+            assigned, queries, cents, k1, n_probes, query_id, query_vec,
+            probed=probed, broadcast_probe=broadcast_probe,
+        ).select("query_id", "neighbor_id")
+        # stage 2: exact full-dim rerank of k1 candidates per query;
+        # the full-vector scan keeps the probed-list pushdown
+        # (candidates are a subset of the probed lists by construction)
+        full = (
+            self.assignments.read(spark, version=version)
+            .select("vec_id", "embedding", "list_id")
+            .filter(F.col("list_id").isin(probed_ids))
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("__fv"),
+            )
+        )
+        cand_q = cand.join(
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(query_vec).alias("__fqv"),
+            ),
+            "query_id",
+        )
+        P = F.broadcast if broadcast_probe else (lambda df: df)
+        rerank = full.join(P(cand_q), "neighbor_id").select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__fqv"), F.col("__fv")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            rerank.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine")
         )

@@ -349,6 +349,23 @@ def main() -> int:
     )
     ap.add_argument("--pq-m", type=int, default=8, help="ann-build --pq: subspaces")
     ap.add_argument(
+        "--prefix-dims",
+        type=int,
+        default=0,
+        help="ann-build: store a Matryoshka prefix column of this width "
+        "(float tier) enabling ann-query --two-stage narrow-scan probes",
+    )
+    ap.add_argument(
+        "--two-stage",
+        action="store_true",
+        help="ann-query: Matryoshka two-stage probe (stage 1 scans the "
+        "stored prefix column only, stage 2 exact-reranks --k1 candidates)",
+    )
+    ap.add_argument(
+        "--k1", type=int, default=40,
+        help="ann-query --two-stage: stage-1 candidates per query",
+    )
+    ap.add_argument(
         "--pq-k", type=int, default=16, help="ann-build --pq: codes per subspace"
     )
     ap.add_argument("--n-probes", type=int, default=2, help="ann-query: probed lists")
@@ -768,6 +785,7 @@ def main() -> int:
                 quantize=quantize,
                 pq_m=args.pq_m,
                 pq_k=args.pq_k,
+                prefix_dims=args.prefix_dims or None,
             )
             print(
                 json.dumps(
@@ -800,13 +818,23 @@ def main() -> int:
                 F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("query_vec"),
             )
-            hits = index.probe(
-                spark,
-                queries,
-                k=args.k,
-                n_probes=args.n_probes,
-                broadcast_probe=not args.bulk_probe,
-            ).collect()
+            if args.two_stage:
+                hits = index.probe_two_stage(
+                    spark,
+                    queries,
+                    k=args.k,
+                    k1=args.k1,
+                    n_probes=args.n_probes,
+                    broadcast_probe=not args.bulk_probe,
+                ).collect()
+            else:
+                hits = index.probe(
+                    spark,
+                    queries,
+                    k=args.k,
+                    n_probes=args.n_probes,
+                    broadcast_probe=not args.bulk_probe,
+                ).collect()
             print(
                 json.dumps(
                     {

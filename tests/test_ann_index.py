@@ -96,6 +96,99 @@ def test_probe_pushes_list_filter_into_scan(spark, tmp_path):
     ), index_scans
 
 
+def test_two_stage_probe_matryoshka_layout(spark, tmp_path):
+    """r10 (verdict task #4): an index built with prefix_dims stores
+    the truncated prefix as its own column; probe_two_stage's stage-1
+    scan reads ONLY (vec_id, prefix, list_id) — the full embedding
+    column is column-pruned out of the cheap pass — and the exact
+    full-dim rerank of the k1 candidates equals a directly-computed
+    reference. Appends keep the layout; bulk (shuffled) mode agrees."""
+    import pytest
+    from pyspark.sql import Window
+
+    from cdc_historical_warehouse_platform_spark.operators.similarity import (
+        cosine,
+        ivf_search,
+        probed_queries,
+    )
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    index = IVFIndex.build(emb, tmp_path / "ivf", n_lists=8, prefix_dims=16)
+
+    # stored layout carries the prefix column
+    stored = index.assignments.read(spark)
+    assert "prefix" in stored.columns
+    row = stored.limit(1).collect()[0]
+    assert list(row["prefix"]) == list(row["embedding"][:16])
+
+    got = index.probe_two_stage(spark, q, k=10, k1=40, n_probes=2)
+
+    # plan pin: stage 1 is the NARROW scan — a FileScan whose
+    # ReadSchema has prefix but NOT embedding
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    narrow_scans = [ln for ln in scans if "prefix" in ln]
+    assert narrow_scans, f"no narrow stage-1 scan:\n{scans}"
+    assert any("embedding" not in ln for ln in narrow_scans), narrow_scans
+
+    # reference: same candidates from a prefix ivf_search over the
+    # stored rows, then an exact full-dim rerank
+    cents = index.centroids()
+    probed = probed_queries(q, cents, 2).withColumn(
+        "__qv", F.slice(F.col("__qv"), 1, 16)
+    )
+    assigned = stored.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("prefix").alias("__cv"),
+        "list_id",
+    )
+    cand = ivf_search(assigned, q, cents, 40, 2, probed=probed).select(
+        "query_id", "neighbor_id"
+    )
+    rerank = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("fv"))
+        .join(cand.join(q, "query_id"), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("query_vec"), F.col("fv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    want = (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    assert _rows(got) == _rows(want)
+
+    # bulk (shuffled) mode returns the identical top-k
+    bulk = index.probe_two_stage(
+        spark, q, k=10, k1=40, n_probes=2, broadcast_probe=False
+    )
+    assert _rows(bulk) == _rows(got)
+
+    # appends keep the Matryoshka layout and surface in later probes
+    extra = emb.limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    index.append(extra)
+    stored2 = index.assignments.read(spark)
+    assert stored2.filter(F.col("prefix").isNull()).count() == 0
+    assert stored2.count() == emb.count() + 1
+
+    # contract errors: prefix needs the float tier; two-stage needs a
+    # prefix-built index
+    with pytest.raises(ValueError, match="float tier"):
+        IVFIndex.build(emb, tmp_path / "bad", n_lists=8, quantize="int8",
+                       prefix_dims=16)
+    plain = IVFIndex.build(emb.limit(50), tmp_path / "plain", n_lists=4)
+    with pytest.raises(ValueError, match="prefix_dims"):
+        plain.probe_two_stage(spark, q)
+
+
 def test_semdedup_accepts_prebuilt_centroids(spark, tmp_path):
     """semdedup(centroids=...) must skip the inline re-fit and give the
     same verdicts as the rebuild path (same deterministic quantizer)."""

@@ -37,10 +37,8 @@ from tests.conftest import SF_DIR
 # Everything else must justify itself here or fix its plan.
 ALL_PAIRS_BY_DESIGN = {
     "knn_cosine_brute",
-    # ann_two_stage_rerank: stage 1 is the same broadcast-queries
-    # brute scan as knn_cosine_brute (on a 16-dim prefix); stage 2
-    # reranks only k1 candidates/query via a broadcast equi-join
-    "ann_two_stage_rerank",
+    # ann_two_stage_rerank left this list in r10: stage 1 is now an
+    # IVF-list-pruned prefix search (no all-pairs node in the plan)
     "ann_sq_topk",
     "corpus_zipf_stats",
     "corpus_pack_sequences",
