@@ -236,28 +236,38 @@ def iter_warc_records_stream(fh, chunk_size: int = 1 << 20):
             buf.extend(chunk)
             return True
 
+    # position-based consume: trimming the buffer per record would
+    # memmove ~chunk_size bytes per record (O(archive × chunk) overall)
+    # — advance `pos` instead and compact only once a full chunk of
+    # consumed prefix has built up, keeping peak memory at
+    # max(record) + 2×chunk while the copy cost stays O(archive)
+    pos = 0
     while True:
+        if pos > chunk_size:
+            del buf[:pos]
+            pos = 0
         # skip inter-record blank lines (pull more data if the buffer
         # holds only a partial separator)
         while True:
-            if buf[:2] == b"\r\n":
-                del buf[:2]
-            elif buf[:1] == b"\n":
-                del buf[:1]
-            elif len(buf) < 2:
+            nxt = buf[pos : pos + 2]
+            if nxt == b"\r\n":
+                pos += 2
+            elif nxt[:1] == b"\n":
+                pos += 1
+            elif len(nxt) < 2:
                 if not more():
                     break
             else:
                 break
-        if not buf:
+        if pos >= len(buf):
             return
-        while (hdr_end := buf.find(b"\r\n\r\n")) < 0:
+        while (hdr_end := buf.find(b"\r\n\r\n", pos)) < 0:
             if not more():
                 raise ValueError("WARC: truncated record header")
-        if bytes(buf[:5]) != b"WARC/":
+        if bytes(buf[pos : pos + 5]) != b"WARC/":
             raise ValueError("not a WARC payload (missing WARC/ record header)")
         headers = {}
-        for line in bytes(buf[:hdr_end]).split(b"\r\n")[1:]:
+        for line in bytes(buf[pos:hdr_end]).split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.decode("ascii").strip().lower()] = v.decode(
                 "utf-8", "replace"
@@ -268,7 +278,7 @@ def iter_warc_records_stream(fh, chunk_size: int = 1 << 20):
             if not more():
                 raise ValueError("WARC: truncated record body")
         body = bytes(buf[body_start : body_start + length])
-        del buf[: body_start + length]
+        pos = body_start + length
         yield headers, body
 
 
