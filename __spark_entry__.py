@@ -62,6 +62,11 @@ _PRIORITY = [
     "text_c4_filters",
     "text_unicode_sanitize",
     "ann_two_stage_rerank",
+    # new in r10 (never driver-checked — hoisted straight into the
+    # window so CORRECTNESS_r10 leaves zero never-checked oracled rows;
+    # the two displaced r07 rows sit atop _DEMOTED with family notes):
+    "dedup_url_normalized",
+    "events_throttle_dedup",
     # r05-stale (11/11 promoted — the full set deferred from r09):
     "subquery_exists",
     "subquery_not_exists",
@@ -103,9 +108,7 @@ _PRIORITY = [
     "events_gap_islands",
     "agg_mode_frequent",
     "events_anomaly_zscore",
-    "events_resample_interpolate",
     "graph_pagerank_top",
-    "graph_khop_distance",
     "join_fuzzy_part_names",
     "basket_brand_pairs",
     "agg_higher_moments",
@@ -113,8 +116,12 @@ _PRIORITY = [
     "agg_boolean_aggregates",
 ]
 _DEMOTED = [
-    # --- 3 r07-stale rows deferred to the r11 window (50-slot limit);
-    # each one's operator family stays in-window per the note. ---
+    # --- 5 r07-stale rows deferred to the r11 window (50-slot limit;
+    # 2 slots went to the rows ADDED in r10 so nothing stays
+    # never-driver-checked); each one's operator family stays
+    # in-window per the note. ---
+    "events_resample_interpolate",  # last green r07; events family in-window via events_gap_islands + events_anomaly_zscore + events_sliding_window + events_tumbling_window
+    "graph_khop_distance",  # last green r07; graph family in-window via graph_pagerank_top
     "window_cumulative_revenue",  # last green r07; window family in-window via window_salted_topk + window_rank_dense + window_small_quantity_revenue
     "agg_stats_quantiles",  # last green r07; stats family in-window via agg_higher_moments + agg_mode_frequent
     "join_outer_coalesce",  # last green r07; outer-join/coalesce family in-window via join_full_outer

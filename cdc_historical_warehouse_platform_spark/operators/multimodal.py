@@ -708,6 +708,49 @@ def g711_wav_decoder(payload: bytes):
     return wavef, sr
 
 
+def float_wav_decoder(payload: bytes):
+    """IEEE-float WAV (format tag 3, 32- or 64-bit — the mastering/DAW
+    interchange format the stdlib ``wave`` module refuses) → (float64
+    mono waveform, native sample_rate). Same manual RIFF walk as the
+    G.711 tier; samples are already normalized floats per the spec
+    (r10, seam shrink)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, sr, _, _, bits = fmt
+    if tag != 3:
+        raise ValueError(f"float_wav_decoder handles IEEE float only (tag {tag})")
+    if bits == 32:
+        data = data[: (len(data) // 4) * 4]
+        wavef = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif bits == 64:
+        data = data[: (len(data) // 8) * 8]
+        wavef = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    else:
+        raise ValueError(f"float WAV must be 32- or 64-bit (got {bits})")
+    if nch > 1:
+        wavef = wavef[: (len(wavef) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return wavef, sr
+
+
 # IMA ADPCM step-size table (IMA ADPCM reference algorithm / RFC
 # "Intel DVI" tables — public spec constants)
 _IMA_STEPS = (
@@ -848,12 +891,28 @@ def aiff_decoder(payload: bytes):
     nch, _nframes, bits = struct.unpack(">hIh", comm[:8])
     sr = int(round(_float80(comm[8:18])))
     little = False
+    float_kind = None
     if is_aifc:
         ctype = comm[18:22]
         if ctype == b"sowt":
             little = True
+        elif ctype in (b"fl32", b"FL32"):
+            float_kind = ">f4"
+        elif ctype in (b"fl64", b"FL64"):
+            float_kind = ">f8"
         elif ctype != b"NONE":
-            raise ValueError(f"stdlib AIFF tier supports PCM only (got {ctype!r})")
+            raise ValueError(f"stdlib AIFF tier supports PCM/float only (got {ctype!r})")
+    if float_kind is not None:
+        # AIFC IEEE float (r10): samples are normalized floats; COMM
+        # numSampleFrames still bounds the real frames past block pad
+        sw = 4 if float_kind == ">f4" else 8
+        if _nframes:
+            data = data[: _nframes * nch * sw]
+        data = data[: (len(data) // sw) * sw]
+        wavef = np.frombuffer(data, dtype=float_kind).astype(np.float64)
+        if nch > 1:
+            wavef = wavef[: (len(wavef) // nch) * nch].reshape(-1, nch).mean(axis=1)
+        return wavef, sr
     if bits % 8 or not 8 <= bits <= 32:
         raise ValueError(f"unsupported AIFF sample size {bits}")
     sw = bits // 8
@@ -916,6 +975,12 @@ def au_decoder(payload: bytes):
     elif enc == 5:
         data = data[: (len(data) // 4) * 4]
         wavef = np.frombuffer(data, dtype=">i4").astype(np.float64) / 2147483648.0
+    elif enc == 6:  # IEEE float32 (r10)
+        data = data[: (len(data) // 4) * 4]
+        wavef = np.frombuffer(data, dtype=">f4").astype(np.float64)
+    elif enc == 7:  # IEEE float64 (r10)
+        data = data[: (len(data) // 8) * 8]
+        wavef = np.frombuffer(data, dtype=">f8").astype(np.float64)
     else:
         raise ValueError(f"stdlib AU tier: unsupported encoding {enc}")
     if nch > 1:
@@ -1004,13 +1069,14 @@ def decode_image(payload: bytes):
 
 def decode_audio(payload: bytes):
     """Decode an audio payload → (waveform array, sample rate). RIFF
-    PCM WAV, G.711 mu-law/A-law WAV, IMA ADPCM WAV, AIFF/AIFF-C PCM,
-    Sun AU (PCM + G.711), and FLAC (operators/flac.py — lossless, so
-    bit-exact dependency-free decode) decode via the stdlib tier;
-    anything else — and any payload the stdlib tier can't parse
-    (float32/compressed WAV, compressed AIFC, float AU, 32-bit FLAC,
-    MP3/OGG) — routes to librosa (honest env stub when absent), so
-    installing librosa never decodes LESS than before.
+    PCM WAV, IEEE-float WAV, G.711 mu-law/A-law WAV, IMA ADPCM WAV,
+    AIFF/AIFF-C PCM + float (fl32/fl64), Sun AU (PCM + G.711 + IEEE
+    float), and FLAC (operators/flac.py — lossless, so bit-exact
+    dependency-free decode) decode via the stdlib tier; anything
+    else — and any payload the stdlib tier can't parse (compressed
+    AIFC, 32-bit FLAC, MP3/OGG) — routes to librosa (honest env stub
+    when absent), so installing librosa never decodes LESS than
+    before.
 
     Both tiers return the NATIVE sample rate (``sr=None`` below keeps
     librosa from resampling to its 22050 Hz default), so the (waveform,
@@ -1029,7 +1095,11 @@ def decode_audio(payload: bytes):
             try:
                 return ima_adpcm_wav_decoder(payload)
             except Exception:
-                # float/24-bit/other-compressed WAV: fall to librosa
+                pass
+            try:
+                return float_wav_decoder(payload)
+            except Exception:
+                # 24-bit/other-compressed WAV: fall to librosa
                 pass
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         try:

@@ -7,19 +7,20 @@ from the published TIFF 6.0 specification:
 
 - both byte orders (``II`` little-endian, ``MM`` big-endian);
 - strip-organized images (any RowsPerStrip split);
-- compressions: 1 (none), 32773 (PackBits), and 5 (LZW with the
+- compressions: 1 (none), 32773 (PackBits), 5 (LZW with the
   spec's MSB-first bit packing and the "early change" code-width
   rule — the decoder widens at table sizes 511/1023/2047, one entry
   before the encoder's 512/1024/2048, because its table trails the
-  encoder's by one entry);
+  encoder's by one entry), and 8/32946 (Adobe/legacy Deflate —
+  per-strip zlib streams, r10);
 - horizontal-differencing predictor (tag 317 = 2) for LZW strips;
 - photometric interpretations 0 (WhiteIsZero — inverted grayscale),
   1 (BlackIsZero), 2 (RGB, incl. a 4th extra/alpha sample), and
   3 (palette via the 16-bit ColorMap, high byte);
 - 8-bit samples (the Baseline bit depth). Tiled TIFFs, 16-bit
-  samples, and other compressions (JPEG-in-TIFF, Deflate, CCITT)
-  raise ValueError so the caller's Pillow env seam owns them — the
-  same contract as every other stdlib codec gap.
+  samples, and other compressions (JPEG-in-TIFF, CCITT) raise
+  ValueError so the caller's Pillow env seam owns them — the same
+  contract as every other stdlib codec gap.
 
 Scale posture: pure per-payload decode running inside the Arrow
 ``mapInPandas`` image pipelines; nothing here touches Spark.
@@ -199,9 +200,22 @@ def tiff_decoder(payload: bytes):
             raster += _packbits_decode(chunk, expected)
         elif compression == 5:
             raster += _lzw_decode(chunk, expected)
+        elif compression in (8, 32946):
+            # Adobe deflate (8) / legacy zlib (32946): each strip is an
+            # independent zlib stream (r10 — stdlib zlib, seam shrunk)
+            import zlib
+
+            try:
+                decoded = zlib.decompress(chunk)
+            except zlib.error as err:
+                raise ValueError(f"TIFF: bad deflate strip ({err})") from err
+            if len(decoded) < expected:
+                raise ValueError("TIFF: deflate strip shorter than raster")
+            raster += decoded[:expected]
         else:
             raise ValueError(
-                f"stdlib TIFF tier supports none/PackBits/LZW compression (got {compression})"
+                "stdlib TIFF tier supports none/PackBits/LZW/Deflate "
+                f"compression (got {compression})"
             )
 
     arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(height, width, spp)

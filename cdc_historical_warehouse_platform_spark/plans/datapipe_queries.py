@@ -2995,3 +2995,106 @@ ORDER BY query_id, rank
 """
 
 DATAPIPE_QUERIES["ann_two_stage_rerank"] = (q_ann_two_stage, SQL_ANN_TWO_STAGE)
+
+
+# --- URL-canonicalization dedup (r10) ---------------------------------------
+
+
+def q_dedup_url_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-URL dedup after canonicalization — the first dedup tier
+    of CC-scale pipelines (CCNet/C4/RefinedWeb dedup by normalized URL
+    before any content pass). The documents table carries no URL
+    column, so the row synthesizes one DETERMINISTICALLY per doc —
+    scheme/case/www/port/tracking-param/fragment variants arranged so
+    doc pairs (2k, 2k+1) differ only in noise the canonicalizer must
+    remove — then groups by operators/urls.normalize_url. Map-only
+    projection + one count shuffle; the regex chain is shared verbatim
+    with the DuckDB twin (Java ∩ RE2, per-dialect group syntax)."""
+    from cdc_historical_warehouse_platform_spark.operators.urls import normalize_url
+
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    g = F.floor(did / F.lit(2)).cast("long")
+    num = (g % 20).cast("string")
+    scheme = F.when(g % 2 == 0, F.lit("https://")).otherwise(F.lit("http://"))
+    www = F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host = F.when(
+        did % 5 == 0, F.concat(F.lit("SITE"), num, F.lit(".EXAMPLE"))
+    ).otherwise(F.concat(F.lit("site"), num, F.lit(".example")))
+    port = F.when(
+        did % 7 == 0,
+        F.when(g % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+    ).otherwise(F.lit(""))
+    path = F.when(
+        g % 11 == 0,
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    ).otherwise(F.concat(F.lit("/d/"), g.cast("string")))
+    base_q = F.when(
+        g % 3 == 0, F.concat(F.lit("?ref="), (g % 7).cast("string"))
+    ).otherwise(F.lit(""))
+    track = F.when(
+        did % 2 == 0,
+        F.when(g % 3 == 0, F.lit("&utm_source=feed&utm_medium=rss")).otherwise(
+            F.lit("?utm_campaign=x&utm_term=y")
+        ),
+    ).otherwise(F.lit(""))
+    frag = F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(scheme, www, host, port, path, base_q, track, frag)
+    return (
+        docs.select(
+            did.alias("doc_id"),
+            url.alias("url"),
+            normalize_url(url).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("kept_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def _sql_dedup_url() -> str:
+    from cdc_historical_warehouse_platform_spark.operators.urls import (
+        normalize_url_sql,
+    )
+
+    url = """concat(
+      CASE WHEN (g % 2) = 0 THEN 'https://' ELSE 'http://' END,
+      CASE WHEN (doc_id % 3) = 0 THEN 'www.' ELSE '' END,
+      CASE WHEN (doc_id % 5) = 0
+           THEN concat('SITE', CAST((g % 20) AS VARCHAR), '.EXAMPLE')
+           ELSE concat('site', CAST((g % 20) AS VARCHAR), '.example') END,
+      CASE WHEN (doc_id % 7) = 0
+           THEN CASE WHEN (g % 2) = 0 THEN ':443' ELSE ':80' END
+           ELSE '' END,
+      CASE WHEN (g % 11) = 0
+           THEN CASE WHEN (doc_id % 2) = 0 THEN '/' ELSE '' END
+           ELSE concat('/d/', CAST(g AS VARCHAR)) END,
+      CASE WHEN (g % 3) = 0
+           THEN concat('?ref=', CAST((g % 7) AS VARCHAR)) ELSE '' END,
+      CASE WHEN (doc_id % 2) = 0
+           THEN CASE WHEN (g % 3) = 0
+                THEN '&utm_source=feed&utm_medium=rss'
+                ELSE '?utm_campaign=x&utm_term=y' END
+           ELSE '' END,
+      CASE WHEN (doc_id % 6) = 0 THEN '#frag' ELSE '' END)"""
+    return f"""
+WITH u AS (
+  SELECT doc_id, {url} AS url
+  FROM (SELECT doc_id, CAST(floor(doc_id / 2) AS BIGINT) AS g FROM documents)),
+c AS (SELECT doc_id, url, {normalize_url_sql('url')} AS canonical_url FROM u)
+SELECT canonical_url,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT url) AS n_variants,
+       MIN(doc_id) AS kept_doc
+FROM c GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
+DATAPIPE_QUERIES["dedup_url_normalized"] = (
+    q_dedup_url_normalized,
+    _sql_dedup_url(),
+)

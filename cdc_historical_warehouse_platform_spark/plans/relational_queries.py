@@ -3438,3 +3438,56 @@ ORDER BY b.o_orderpriority
 """
 
 RELATIONAL_QUERIES["agg_mad_robust"] = (q_agg_mad_robust, SQL_AGG_MAD_ROBUST)
+
+
+# --- event throttle dedup (r10) ----------------------------------------------
+
+
+def q_events_throttle_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-window event suppression — the CDC/telemetry dedup-throttle:
+    within each (user, event_type) stream, an event arriving less than
+    2 minutes after its predecessor is noise (duplicate clicks, retry
+    storms, sensor chatter) and gets dropped. Gap computation is one
+    properly-partitioned lag window over exact int64 microseconds
+    (unix_micros ↔ DuckDB epoch_us — no float timestamp arithmetic),
+    then a per-type rollup. kept_id_sum is an exact integer digest of
+    WHICH events survived, so the oracle hash pins the kept set, not
+    just its size."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    kept = gap_us.isNull() | (gap_us >= F.lit(120_000_000))
+    return (
+        events.select("event_type", "event_id", kept.alias("kept"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept"), F.col("event_id")).otherwise(F.lit(0))
+            ).alias("kept_id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_THROTTLE = """
+WITH d AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 120000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 120000000
+                     THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+RELATIONAL_QUERIES["events_throttle_dedup"] = (
+    q_events_throttle_dedup,
+    SQL_EVENTS_THROTTLE,
+)

@@ -4351,6 +4351,10 @@ def _encode_tiff(
             strips.append(_tiff_lzw_encode(raw))
         elif compression == 32773:
             strips.append(_packbits_encode(raw))
+        elif compression in (8, 32946):
+            import zlib as _z
+
+            strips.append(_z.compress(raw))
         else:
             strips.append(raw)
 
@@ -4552,6 +4556,82 @@ def _encode_au(data, enc, rate, nch):
     return b".snd" + s.pack(">IIIII", 24, len(data), enc, rate, nch) + data
 
 
+def test_tiff_deflate_strips_decode():
+    """r10 seam shrink: Adobe-deflate (8) and legacy-zlib (32946) TIFF
+    strips decode natively via stdlib zlib — multi-strip, RGB and
+    gray, both tags, bit-exact vs the independent writer; corrupt
+    deflate streams refuse cleanly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.tiff import tiff_decoder
+
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, (12, 9, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (7, 5, 1)).astype(np.uint8)
+    for comp in (8, 32946):
+        pay = _encode_tiff(rgb, compression=comp, photometric=2, rows_per_strip=5)
+        assert np.array_equal(tiff_decoder(pay), rgb), f"comp {comp}"
+        payg = _encode_tiff(gray, compression=comp, photometric=1)
+        assert np.array_equal(tiff_decoder(payg), gray), f"comp {comp} gray"
+    bad = bytearray(_encode_tiff(rgb, compression=8, photometric=2))
+    # corrupt the strip data (starts right after the 8-byte header)
+    bad[12] ^= 0xFF
+    with _pytest.raises(ValueError):
+        tiff_decoder(bytes(bad))
+
+
+def test_float_audio_decoders():
+    """r10 seam shrink: IEEE-float audio decodes natively — WAV format
+    tag 3 (32/64-bit, stereo averaging), AIFC fl32/fl64, AU encodings
+    6/7 — all through decode_audio's magic dispatch with the native
+    sample rate."""
+    import struct as s
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        aiff_decoder,
+        au_decoder,
+        decode_audio,
+        float_wav_decoder,
+    )
+
+    rng = np.random.RandomState(6)
+    mono = (rng.rand(64) * 2 - 1).astype(np.float64)
+
+    def wav(data, nch, sr, bits):
+        fmt = s.pack("<HHIIHH", 3, nch, sr, sr * nch * bits // 8, nch * bits // 8, bits)
+        body = b"WAVE" + b"fmt " + s.pack("<I", len(fmt)) + fmt
+        body += b"data" + s.pack("<I", len(data)) + data
+        return b"RIFF" + s.pack("<I", len(body)) + body
+
+    w, sr = float_wav_decoder(wav(mono.astype("<f4").tobytes(), 1, 48000, 32))
+    assert sr == 48000 and np.allclose(w, mono, atol=1e-6)
+    w, sr = decode_audio(wav(mono.astype("<f8").tobytes(), 1, 8000, 64))
+    assert sr == 8000 and np.array_equal(w, mono)
+    # stereo averages
+    stereo = np.repeat(mono, 2).astype("<f4").tobytes()
+    w, _ = float_wav_decoder(wav(stereo, 2, 48000, 32))
+    assert np.allclose(w, mono, atol=1e-6)
+
+    # AIFC float variants (big-endian IEEE; numSampleFrames bounds pads)
+    pay32 = _encode_aiff(mono.astype(">f4").tobytes(), 1, 32, 44100,
+                         form=b"AIFC", ctype=b"fl32")
+    w, sr = aiff_decoder(pay32)
+    assert sr == 44100 and np.allclose(w, mono, atol=1e-6)
+    pay64 = _encode_aiff(mono.astype(">f8").tobytes(), 1, 64, 22050,
+                         form=b"AIFC", ctype=b"fl64")
+    w, sr = decode_audio(pay64)
+    assert sr == 22050 and np.array_equal(w, mono)
+
+    # AU float encodings
+    w, sr = au_decoder(_encode_au(mono.astype(">f4").tobytes(), 6, 16000, 1))
+    assert sr == 16000 and np.allclose(w, mono, atol=1e-6)
+    w, sr = decode_audio(_encode_au(mono.astype(">f8").tobytes(), 7, 11025, 1))
+    assert sr == 11025 and np.array_equal(w, mono)
+
+
 def test_stdlib_aiff_decoder():
     """AIFF / AIFF-C PCM decodes natively: 8 (signed!) / 16 / 24 /
     32-bit, stereo averaging, the 80-bit-extended sample rate, and the
@@ -4610,7 +4690,7 @@ def test_stdlib_aiff_decoder():
     )
     assert np.allclose(w, s16 / 32768.0)
 
-    with _pytest.raises(ValueError, match="PCM only"):
+    with _pytest.raises(ValueError, match="PCM/float only"):
         aiff_decoder(
             _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 8000, b"AIFC", b"ulaw")
         )
@@ -4678,7 +4758,7 @@ def test_stdlib_au_decoder(spark):
     assert np.allclose(w, (s16.astype(np.int64) + s16[::-1]) / 2 / 32768.0)
 
     with _pytest.raises(ValueError, match="unsupported encoding"):
-        au_decoder(_encode_au(b"\x00" * 8, 6, 8000, 1))  # float32
+        au_decoder(_encode_au(b"\x00" * 8, 23, 8000, 1))  # G.721 ADPCM
     with _pytest.raises(ValueError, match="magic"):
         au_decoder(b"!snd" + b"\x00" * 20)
 

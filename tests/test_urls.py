@@ -1,0 +1,61 @@
+"""URL canonicalization (operators/urls.py): the exact-URL dedup tier
+of crawl pipelines. Spark chain behavior pinned on hand-built variants;
+Spark ↔ DuckDB twin parity pinned on the same inputs (the oracle row
+dedup_url_normalized re-pins it hash-exact at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from cdc_historical_warehouse_platform_spark.operators.urls import (
+    normalize_url,
+    normalize_url_sql,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("http://Example.COM/Path", "http://example.com/Path"),  # host case only
+    ("HTTPS://EXAMPLE.com/a", "https://example.com/a"),  # scheme case
+    ("http://example.com:80/a", "http://example.com/a"),  # default port
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),  # non-default kept
+    ("https://example.com:80/a", "https://example.com:80/a"),  # mismatched kept
+    ("http://www.example.com/a", "http://example.com/a"),  # www
+    ("http://example.com/a#frag", "http://example.com/a"),  # fragment
+    ("http://example.com/", "http://example.com"),  # bare root slash
+    ("http://example.com/a/", "http://example.com/a/"),  # deep slash kept
+    ("http://example.com/a?utm_source=x", "http://example.com/a"),
+    ("http://example.com/a?utm_source=x&b=1", "http://example.com/a?b=1"),
+    ("http://example.com/a?b=1&utm_source=x", "http://example.com/a?b=1"),
+    (
+        "http://example.com/a?utm_source=x&utm_medium=y&utm_campaign=z",
+        "http://example.com/a",
+    ),
+    ("http://example.com/a?b=1&fbclid=XYZ&c=2", "http://example.com/a?b=1&c=2"),
+    ("http://example.com/a?gclid=1&msclkid=2&b=3", "http://example.com/a?b=3"),
+    ("http://example.com/a?b=1", "http://example.com/a?b=1"),  # clean kept
+    (
+        "HTTP://WWW.Example.com:80/a?utm_source=x&b=1#f",  # everything at once
+        "http://example.com/a?b=1",
+    ),
+    ("not a url", "not a url"),  # schemeless passes through
+]
+
+
+def test_normalize_url_spark_cases(spark):
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, u string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", normalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_normalize_url_duckdb_twin_matches():
+    con = duckdb.connect()
+    expr = normalize_url_sql("u")
+    for raw, want in CASES:
+        got = con.execute(f"SELECT {expr} AS c FROM (SELECT ? AS u)", [raw]).fetchone()[0]
+        assert got == want, f"duckdb {raw!r}: {got!r} != {want!r}"
