@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_current_state", "CURRENT_STATE_SCHEMA"]
+__all__ = [
+    "streaming_current_state",
+    "CURRENT_STATE_SCHEMA",
+    "streaming_throttle",
+    "THROTTLE_SCHEMA",
+]
 
 # Emitted row: the key's current image. On DELETE the last image is
 # retained with is_deleted=true (matching the batch dimension, whose
@@ -142,6 +147,65 @@ def streaming_current_state(changes: DataFrame) -> DataFrame:
         _update_key,
         outputStructType=CURRENT_STATE_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- time-window event throttle (r10) ----------------------------------------
+
+THROTTLE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_THROTTLE_STATE = T.StructType([T.StructField("last_ts_us", T.LongType())])
+
+
+def streaming_throttle(events: DataFrame, min_gap_us: int = 120_000_000) -> DataFrame:
+    """Streaming twin of the batch ``events_throttle_dedup`` row: per
+    (user, event_type) stream, drop an event arriving less than
+    ``min_gap_us`` after its PREDECESSOR (kept or dropped — the same
+    lag semantics as the batch query, so streaming ≡ batch on any
+    per-key ts-ordered delivery). State is ONE int64 per key (the last
+    event's µs timestamp) in the checkpointed state store —
+    hash-partitioned on the key, constant per key at any volume.
+
+    Input needs columns: event_id, user_id, event_type, ts. Emits the
+    KEPT events (append semantics; use outputMode("update") —
+    applyInPandasWithState's contract)."""
+    from pyspark.sql import functions as F
+
+    def _throttle(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        last = state.get[0] if state.exists else None
+        keep = []
+        for rec in rows.itertuples(index=False):
+            ts_us = int(pd.Timestamp(rec.ts).value // 1000)
+            keep.append(last is None or ts_us - last >= min_gap_us)
+            last = ts_us  # lag semantics: EVERY event advances the gap base
+        state.update((last,))
+        kept = rows[pd.Series(keep, index=rows.index)]
+        if len(kept):
+            yield kept[["event_id", "user_id", "event_type", "ts"]]
+
+    slim = events.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.col("ts").cast("timestamp"),
+    )
+    return slim.groupBy("user_id", "event_type").applyInPandasWithState(
+        _throttle,
+        outputStructType=THROTTLE_SCHEMA,
+        stateStructType=_THROTTLE_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -974,3 +974,90 @@ def test_ann_index_stream_matches_batch_and_survives_restart(spark, tmp_path):
         for r in b_idx.probe(spark, queries, k=5, n_probes=2).collect()
     )
     assert got_s == got_b
+
+
+def test_streaming_throttle_matches_batch(tmp_path, spark):
+    """r10: the stateful time-window throttle (applyInPandasWithState,
+    one int64 of state per key) keeps exactly the events the BATCH lag
+    query keeps, across two checkpointed triggers — the gap base
+    survives the trigger boundary in the state store, so an event
+    arriving in trigger 2 right after a trigger-1 event is dropped."""
+    import json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cdc_historical_warehouse_platform_spark.streaming.stateful import (
+        streaming_throttle,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+
+    def ev(i, u, et, sec):
+        return {
+            "event_id": i, "user_id": u, "event_type": et,
+            "ts": f"2024-01-01T00:{sec // 60:02d}:{sec % 60:02d}",
+        }
+
+    wave1 = [
+        ev(1, 1, "click", 0),     # kept (first)
+        ev(2, 1, "click", 30),    # dropped (gap 30 s < 120)
+        ev(3, 1, "click", 200),   # kept (gap 170 s vs event 2)
+        ev(4, 1, "view", 10),     # kept (different type stream)
+        ev(5, 2, "click", 5),     # kept (different user)
+    ]
+    wave2 = [
+        ev(6, 1, "click", 260),   # dropped (gap 60 s vs event 3 — ACROSS triggers)
+        ev(7, 1, "click", 500),   # kept
+        ev(8, 2, "click", 6),     # dropped (gap 1 s vs event 5)
+    ]
+    kept_ids: set[int] = set()
+
+    def _run():
+        stream = spark.readStream.schema(schema).json(str(events_dir))
+        out = streaming_throttle(stream)
+
+        def _sink(df, epoch):
+            kept_ids.update(r["event_id"] for r in df.collect())
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_throttle"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (events_dir / "w1.jsonl").write_text("\n".join(json.dumps(e) for e in wave1))
+    _run()
+    assert kept_ids == {1, 3, 4, 5}
+    (events_dir / "w2.jsonl").write_text("\n".join(json.dumps(e) for e in wave2))
+    _run()
+    assert kept_ids == {1, 3, 4, 5, 7}
+
+    # streaming == batch: the same lag query over the union keeps the
+    # same set (the oracle row's semantics)
+    batch = spark.createDataFrame(
+        [tuple(e.values()) for e in wave1 + wave2],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    batch_kept = {
+        r["event_id"]
+        for r in batch.withColumn("gap", gap)
+        .filter(F.col("gap").isNull() | (F.col("gap") >= 120_000_000))
+        .collect()
+    }
+    assert batch_kept == kept_ids
