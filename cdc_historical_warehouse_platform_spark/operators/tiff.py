@@ -6,7 +6,8 @@ in the stdlib image tier (multimodal.py). Coverage is Baseline TIFF
 from the published TIFF 6.0 specification:
 
 - both byte orders (``II`` little-endian, ``MM`` big-endian);
-- strip-organized images (any RowsPerStrip split);
+- strip-organized images (any RowsPerStrip split) AND tile-organized
+  images (tags 322-325, edge tiles padded per TIFF 6.0 §15 — r10);
 - compressions: 1 (none), 32773 (PackBits), 5 (LZW with the
   spec's MSB-first bit packing and the "early change" code-width
   rule — the decoder widens at table sizes 511/1023/2047, one entry
@@ -17,10 +18,12 @@ from the published TIFF 6.0 specification:
 - photometric interpretations 0 (WhiteIsZero — inverted grayscale),
   1 (BlackIsZero), 2 (RGB, incl. a 4th extra/alpha sample), and
   3 (palette via the 16-bit ColorMap, high byte);
-- 8-bit samples (the Baseline bit depth). Tiled TIFFs, 16-bit
-  samples, and other compressions (JPEG-in-TIFF, CCITT) raise
-  ValueError so the caller's Pillow env seam owns them — the same
-  contract as every other stdlib codec gap.
+- 8-bit samples (the Baseline bit depth) and 16-bit samples (decoded
+  full-width, returned as the high byte — Pillow's 16→8 convert
+  contract, r10). Other compressions (JPEG-in-TIFF, CCITT), mixed
+  bit depths, and 16-bit palette indices raise ValueError so the
+  caller's Pillow env seam owns them — the same contract as every
+  other stdlib codec gap.
 
 Scale posture: pure per-payload decode running inside the Arrow
 ``mapInPandas`` image pipelines; nothing here touches Spark.
@@ -161,14 +164,20 @@ def tiff_decoder(payload: bytes):
             return default
         return v[0]
 
-    if 322 in tags or 323 in tags:
-        raise ValueError("stdlib TIFF tier supports strip-organized images only (tiled)")
     width = one(256)
     height = one(257)
     spp = one(277, 1)
     bits = tags.get(258, (8,) * spp)
-    if any(b != 8 for b in bits) or len(bits) != spp:
-        raise ValueError(f"stdlib TIFF tier supports 8-bit samples only (got {bits})")
+    if len(bits) == spp and all(b == 8 for b in bits):
+        sw = 1
+    elif len(bits) == spp and all(b == 16 for b in bits):
+        # 16-bit samples (r10): decoded at full width, returned as the
+        # high byte — Pillow's 16→8 convert contract, same as PNG16
+        sw = 2
+    else:
+        raise ValueError(
+            f"stdlib TIFF tier supports uniform 8- or 16-bit samples (got {bits})"
+        )
     compression = one(259, 1)
     photometric = one(262)
     predictor = one(317, 1)
@@ -176,51 +185,89 @@ def tiff_decoder(payload: bytes):
         raise ValueError(f"TIFF: unsupported predictor {predictor}")
     if one(339, 1) != 1:
         raise ValueError("stdlib TIFF tier supports unsigned-int samples only")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if offsets is None or counts is None or len(offsets) != len(counts):
-        raise ValueError("TIFF: missing or mismatched strip offsets/byte counts")
-    rps = one(278, height)
 
-    row_bytes = width * spp
-    raster = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip_rows = min(rps, height - si * rps)
-        if strip_rows <= 0:
-            raise ValueError("TIFF: more strips than rows")
-        expected = strip_rows * row_bytes
-        chunk = payload[off : off + cnt]
-        if len(chunk) != cnt:
-            raise ValueError("TIFF: truncated strip data")
+    def decompress(chunk: bytes, expected: int) -> bytes:
         if compression == 1:
             if len(chunk) < expected:
-                raise ValueError("TIFF: uncompressed strip shorter than raster")
-            raster += chunk[:expected]
-        elif compression == 32773:
-            raster += _packbits_decode(chunk, expected)
-        elif compression == 5:
-            raster += _lzw_decode(chunk, expected)
-        elif compression in (8, 32946):
-            # Adobe deflate (8) / legacy zlib (32946): each strip is an
-            # independent zlib stream (r10 — stdlib zlib, seam shrunk)
+                raise ValueError("TIFF: uncompressed segment shorter than raster")
+            return chunk[:expected]
+        if compression == 32773:
+            return _packbits_decode(chunk, expected)
+        if compression == 5:
+            return _lzw_decode(chunk, expected)
+        if compression in (8, 32946):
+            # Adobe deflate (8) / legacy zlib (32946): each segment is
+            # an independent zlib stream (r10 — stdlib zlib)
             import zlib
 
             try:
                 decoded = zlib.decompress(chunk)
             except zlib.error as err:
-                raise ValueError(f"TIFF: bad deflate strip ({err})") from err
+                raise ValueError(f"TIFF: bad deflate segment ({err})") from err
             if len(decoded) < expected:
-                raise ValueError("TIFF: deflate strip shorter than raster")
-            raster += decoded[:expected]
-        else:
-            raise ValueError(
-                "stdlib TIFF tier supports none/PackBits/LZW/Deflate "
-                f"compression (got {compression})"
-            )
+                raise ValueError("TIFF: deflate segment shorter than raster")
+            return decoded[:expected]
+        raise ValueError(
+            "stdlib TIFF tier supports none/PackBits/LZW/Deflate "
+            f"compression (got {compression})"
+        )
 
-    arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(height, width, spp)
-    if predictor == 2:  # horizontal differencing: cumulative sum per row/channel
-        arr = (np.cumsum(arr.astype(np.uint32), axis=1) & 0xFF).astype(np.uint8)
+    dtype = np.uint8 if sw == 1 else np.dtype(e + "u2")
+    mask = 0xFF if sw == 1 else 0xFFFF
+
+    def predict(a):
+        # horizontal differencing resets per SEGMENT row — applied
+        # before tile assembly so tile seams never chain
+        if predictor == 2:
+            return np.cumsum(a.astype(np.uint32), axis=1) & mask
+        return a
+
+    if 322 in tags or 323 in tags:
+        # tile organization (r10): tiles laid out left-to-right,
+        # top-to-bottom; edge tiles are padded to full tile size in the
+        # data and cropped after assembly (TIFF 6.0 §15)
+        tw, tl = one(322), one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if offsets is None or counts is None or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing or mismatched tile offsets/byte counts")
+        across = (width + tw - 1) // tw
+        down = (height + tl - 1) // tl
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"TIFF: expected {across * down} tiles, got {len(offsets)}"
+            )
+        full = np.zeros((down * tl, across * tw, spp), dtype=np.uint32)
+        expected = tl * tw * spp * sw
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            chunk = payload[off : off + cnt]
+            if len(chunk) != cnt:
+                raise ValueError("TIFF: truncated tile data")
+            data = decompress(chunk, expected)
+            tile = np.frombuffer(data, dtype=dtype).reshape(tl, tw, spp)
+            r0, c0 = (ti // across) * tl, (ti % across) * tw
+            full[r0 : r0 + tl, c0 : c0 + tw] = predict(tile)
+        arr = full[:height, :width]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if offsets is None or counts is None or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing or mismatched strip offsets/byte counts")
+        rps = one(278, height)
+        row_bytes = width * spp * sw
+        raster = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            strip_rows = min(rps, height - si * rps)
+            if strip_rows <= 0:
+                raise ValueError("TIFF: more strips than rows")
+            chunk = payload[off : off + cnt]
+            if len(chunk) != cnt:
+                raise ValueError("TIFF: truncated strip data")
+            raster += decompress(chunk, strip_rows * row_bytes)
+        arr = np.frombuffer(bytes(raster), dtype=dtype).reshape(height, width, spp)
+        arr = predict(arr)
+
+    arr = (arr >> 8).astype(np.uint8) if sw == 2 else arr.astype(np.uint8)
 
     if photometric == 0:  # WhiteIsZero
         if spp != 1:
@@ -237,6 +284,10 @@ def tiff_decoder(payload: bytes):
     if photometric == 3:
         if spp != 1:
             raise ValueError("TIFF: palette requires 1 sample/pixel")
+        if sw != 1:
+            # a 16-bit palette INDEX would have been high-byte-folded
+            # above — refuse rather than index with wrong values
+            raise ValueError("stdlib TIFF tier supports 8-bit palette indices only")
         cmap = tags.get(320)
         if cmap is None or len(cmap) % 3:
             raise ValueError("TIFF: palette image missing ColorMap")

@@ -4330,33 +4330,56 @@ def _encode_tiff(
     rows_per_strip=None,
     predictor=1,
     colormap=None,
+    bits=8,
+    tiles=None,
 ):
-    """Independent strip-organized TIFF writer (header + sorted IFD +
-    value area), built from the TIFF 6.0 structure description."""
+    """Independent strip- or tile-organized TIFF writer (header +
+    sorted IFD + value area), built from the TIFF 6.0 structure
+    description. ``bits=16`` packs uint16 samples in the file's byte
+    order; ``tiles=(tw, tl)`` writes tile organization (tags 322-325,
+    edge tiles zero-padded per §15)."""
     import struct as s
 
     import numpy as np
 
     h, w, spp = arr.shape
     rps = rows_per_strip or h
-    src = arr
-    if predictor == 2:
-        d = arr.astype(np.int32).copy()
-        d[:, 1:, :] -= arr.astype(np.int32)[:, :-1, :]
-        src = (d & 0xFF).astype(np.uint8)
-    strips = []
-    for top in range(0, h, rps):
-        raw = src[top : top + rps].tobytes()
+    mask = 0xFF if bits == 8 else 0xFFFF
+    out_dtype = np.uint8 if bits == 8 else np.dtype(endian + "u2")
+
+    def apply_pred(a):
+        if predictor != 2:
+            return a.astype(out_dtype)
+        d = a.astype(np.int64).copy()
+        d[:, 1:, :] -= a.astype(np.int64)[:, :-1, :]
+        return (d & mask).astype(out_dtype)
+
+    def pack(raw):
         if compression == 5:
-            strips.append(_tiff_lzw_encode(raw))
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        elif compression in (8, 32946):
+            return _tiff_lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        if compression in (8, 32946):
             import zlib as _z
 
-            strips.append(_z.compress(raw))
-        else:
-            strips.append(raw)
+            return _z.compress(raw)
+        return raw
+
+    strips = []
+    if tiles is not None:
+        tw, tl = tiles
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        for ty in range(down):
+            for tx in range(across):
+                tile = np.zeros((tl, tw, spp), dtype=arr.dtype)
+                block = arr[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+                tile[: block.shape[0], : block.shape[1]] = block
+                strips.append(pack(apply_pred(tile).tobytes()))
+    else:
+        src = apply_pred(arr)
+        for top in range(0, h, rps):
+            strips.append(pack(src[top : top + rps].tobytes()))
 
     pos = 8
     strip_offsets = []
@@ -4379,14 +4402,24 @@ def _encode_tiff(
     entries = [
         (256, 4, [w]),
         (257, 4, [h]),
-        (258, 3, [8] * spp),
+        (258, 3, [bits] * spp),
         (259, 3, [compression]),
         (262, 3, [photometric]),
-        (273, 4, strip_offsets),
         (277, 3, [spp]),
-        (278, 4, [rps]),
-        (279, 4, [len(st) for st in strips]),
     ]
+    if tiles is not None:
+        entries += [
+            (322, 3, [tiles[0]]),
+            (323, 3, [tiles[1]]),
+            (324, 4, strip_offsets),
+            (325, 4, [len(st) for st in strips]),
+        ]
+    else:
+        entries += [
+            (273, 4, strip_offsets),
+            (278, 4, [rps]),
+            (279, 4, [len(st) for st in strips]),
+        ]
     if predictor == 2:
         entries.append((317, 3, [2]))
     if colormap is not None:
@@ -4480,8 +4513,9 @@ def test_stdlib_tiff_decoder_all_baseline_shapes(spark):
 
 
 def test_stdlib_tiff_unsupported_subformats_raise():
-    """Tiled / 16-bit / exotic-compression TIFFs refuse loudly so the
-    Pillow env seam owns them."""
+    """Exotic-compression / odd-bit-depth TIFFs refuse loudly so the
+    Pillow env seam owns them (tiled/deflate/16-bit are REAL decodes
+    as of r10 — pinned in their own tests)."""
     import struct as s
 
     import numpy as np
@@ -4507,11 +4541,16 @@ def test_stdlib_tiff_unsupported_subformats_raise():
         raise AssertionError(f"tag {tid} not found")
 
     with _pytest.raises(ValueError, match="compression"):
-        tiff_decoder(patch_tag(good, 259, 8))  # deflate
-    with _pytest.raises(ValueError, match="8-bit"):
-        tiff_decoder(patch_tag(good, 258, 16))
+        tiff_decoder(patch_tag(good, 259, 7))  # JPEG-in-TIFF
+    with _pytest.raises(ValueError, match="compression"):
+        tiff_decoder(patch_tag(good, 259, 2))  # CCITT
+    with _pytest.raises(ValueError, match="8- or 16-bit"):
+        tiff_decoder(patch_tag(good, 258, 12))  # odd bit depth
+    # deflate tag over NON-deflate bytes refuses cleanly (bad stream)
+    with _pytest.raises(ValueError, match="deflate"):
+        tiff_decoder(patch_tag(good, 259, 8))
 
-    # tiled: inject a TileWidth tag by rewriting RowsPerStrip's id
+    # half-tiled file (TileWidth without TileLength) refuses
     (ifd_off,) = s.unpack_from("<I", good, 4)
     (n,) = s.unpack_from("<H", good, ifd_off)
     b = bytearray(good)
@@ -4519,7 +4558,7 @@ def test_stdlib_tiff_unsupported_subformats_raise():
         base = ifd_off + 2 + 12 * i
         if s.unpack_from("<H", good, base)[0] == 278:
             b[base : base + 2] = s.pack("<H", 322)
-    with _pytest.raises(ValueError, match="tiled"):
+    with _pytest.raises(ValueError, match="323"):
         tiff_decoder(bytes(b))
 
 
@@ -4579,6 +4618,57 @@ def test_tiff_deflate_strips_decode():
     bad[12] ^= 0xFF
     with _pytest.raises(ValueError):
         tiff_decoder(bytes(bad))
+
+
+def test_tiff_tiled_and_16bit_decode():
+    """r10 seam shrink: tile-organized TIFFs (tags 322-325, padded edge
+    tiles, per-tile predictor reset) and 16-bit samples (high-byte
+    fold — the Pillow convert contract) decode natively, in every
+    compression × endian combination the strip tier supports; 16-bit
+    palette indices still refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.tiff import tiff_decoder
+
+    rng = np.random.RandomState(17)
+    # 13×11 forces ragged edge tiles with 5×4 tiling
+    rgb = rng.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for endian in ("<", ">"):
+            pay = _encode_tiff(
+                rgb, endian=endian, compression=comp, photometric=2, tiles=(4, 5)
+            )
+            assert np.array_equal(tiff_decoder(pay), rgb), (comp, endian)
+    # tiled + predictor: differencing must reset at tile seams
+    pay = _encode_tiff(rgb, compression=5, photometric=2, tiles=(4, 5), predictor=2)
+    assert np.array_equal(tiff_decoder(pay), rgb)
+
+    # 16-bit: decoded full-width, returned as the high byte
+    deep = rng.randint(0, 65536, (9, 7, 3)).astype(np.uint16)
+    want = (deep >> 8).astype(np.uint8)
+    for comp in (1, 8):
+        for endian in ("<", ">"):
+            pay = _encode_tiff(
+                deep, endian=endian, compression=comp, photometric=2, bits=16
+            )
+            assert np.array_equal(tiff_decoder(pay), want), (comp, endian)
+    # 16-bit + predictor (mod-65536 differencing) + tiles together
+    pay = _encode_tiff(
+        deep, compression=8, photometric=2, bits=16, predictor=2, tiles=(4, 4)
+    )
+    assert np.array_equal(tiff_decoder(pay), want)
+    # 16-bit grayscale incl. WhiteIsZero inversion
+    gray = rng.randint(0, 65536, (6, 5, 1)).astype(np.uint16)
+    pay = _encode_tiff(gray, compression=1, photometric=0, bits=16)
+    assert np.array_equal(tiff_decoder(pay), 255 - (gray >> 8).astype(np.uint8))
+
+    # 16-bit palette indices refuse to the env seam
+    idx16 = rng.randint(0, 16, (4, 4, 1)).astype(np.uint16)
+    cmap = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    pay = _encode_tiff(idx16, compression=1, photometric=3, bits=16, colormap=cmap)
+    with _pytest.raises(ValueError, match="palette"):
+        tiff_decoder(pay)
 
 
 def test_float_audio_decoders():
