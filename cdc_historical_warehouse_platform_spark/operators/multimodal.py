@@ -892,6 +892,7 @@ def aiff_decoder(payload: bytes):
     sr = int(round(_float80(comm[8:18])))
     little = False
     float_kind = None
+    g711_kind = None
     if is_aifc:
         ctype = comm[18:22]
         if ctype == b"sowt":
@@ -900,8 +901,21 @@ def aiff_decoder(payload: bytes):
             float_kind = ">f4"
         elif ctype in (b"fl64", b"FL64"):
             float_kind = ">f8"
+        elif ctype in (b"ulaw", b"ULAW"):
+            g711_kind = "mu"
+        elif ctype in (b"alaw", b"ALAW"):
+            g711_kind = "a"
         elif ctype != b"NONE":
             raise ValueError(f"stdlib AIFF tier supports PCM/float only (got {ctype!r})")
+    if g711_kind is not None:
+        # AIFC G.711 (r10): one code byte per sample; COMM sampleSize
+        # names the DECOMPRESSED width (16), so bound by frames × nch
+        if _nframes:
+            data = data[: _nframes * nch]
+        wavef = _g711_table(g711_kind)[np.frombuffer(data, dtype=np.uint8)]
+        if nch > 1:
+            wavef = wavef[: (len(wavef) // nch) * nch].reshape(-1, nch).mean(axis=1)
+        return wavef, sr
     if float_kind is not None:
         # AIFC IEEE float (r10): samples are normalized floats; COMM
         # numSampleFrames still bounds the real frames past block pad
@@ -1070,13 +1084,13 @@ def decode_image(payload: bytes):
 def decode_audio(payload: bytes):
     """Decode an audio payload → (waveform array, sample rate). RIFF
     PCM WAV, IEEE-float WAV, G.711 mu-law/A-law WAV, IMA ADPCM WAV,
-    AIFF/AIFF-C PCM + float (fl32/fl64), Sun AU (PCM + G.711 + IEEE
-    float), and FLAC (operators/flac.py — lossless, so bit-exact
-    dependency-free decode) decode via the stdlib tier; anything
-    else — and any payload the stdlib tier can't parse (compressed
-    AIFC, 32-bit FLAC, MP3/OGG) — routes to librosa (honest env stub
-    when absent), so installing librosa never decodes LESS than
-    before.
+    AIFF/AIFF-C PCM + float (fl32/fl64) + G.711 (ulaw/alaw), Sun AU
+    (PCM + G.711 + IEEE float), and FLAC (operators/flac.py —
+    lossless, so bit-exact dependency-free decode) decode via the
+    stdlib tier; anything else — and any payload the stdlib tier
+    can't parse (ima4/other compressed AIFC, 32-bit FLAC, MP3/OGG) —
+    routes to librosa (honest env stub when absent), so installing
+    librosa never decodes LESS than before.
 
     Both tiers return the NATIVE sample rate (``sr=None`` below keeps
     librosa from resampling to its 22050 Hz default), so the (waveform,

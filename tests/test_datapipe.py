@@ -4721,6 +4721,26 @@ def test_float_audio_decoders():
     w, sr = decode_audio(_encode_au(mono.astype(">f8").tobytes(), 7, 11025, 1))
     assert sr == 11025 and np.array_equal(w, mono)
 
+    # AIFC G.711 (ulaw/alaw fourccs): same expansion as the WAV/AU
+    # telephony tiers — pin against the AU decoder on identical codes
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        _g711_table,
+    )
+
+    codes = bytes(range(256))
+    # the in-test COMM helper derives numSampleFrames from bits — pass
+    # 8 so it counts one frame per G.711 code byte (real files carry
+    # the true frame count with sampleSize=16; the decoder reads only
+    # numSampleFrames in this branch)
+    for cc, enc in ((b"ulaw", 1), (b"ALAW", 27)):
+        pay = _encode_aiff(codes, 1, 8, 8000, form=b"AIFC", ctype=cc)
+        w, sr = aiff_decoder(pay)
+        want, _ = au_decoder(_encode_au(codes, enc, 8000, 1))
+        assert sr == 8000 and np.array_equal(w, want), cc
+    # via the public dispatch too
+    w2, _ = decode_audio(_encode_aiff(codes, 1, 8, 8000, form=b"AIFC", ctype=b"ulaw"))
+    assert np.array_equal(w2, _g711_table("mu")[np.frombuffer(codes, np.uint8)])
+
 
 def test_stdlib_aiff_decoder():
     """AIFF / AIFF-C PCM decodes natively: 8 (signed!) / 16 / 24 /
@@ -4782,7 +4802,7 @@ def test_stdlib_aiff_decoder():
 
     with _pytest.raises(ValueError, match="PCM/float only"):
         aiff_decoder(
-            _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 8000, b"AIFC", b"ulaw")
+            _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 8000, b"AIFC", b"ima4")
         )
     with _pytest.raises(ValueError, match="magic"):
         aiff_decoder(b"FORM\x00\x00\x00\x04WAVE")

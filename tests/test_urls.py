@@ -53,6 +53,51 @@ def test_normalize_url_spark_cases(spark):
         assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
 
 
+def test_normalize_url_differential_fuzz(spark):
+    """Cross-engine differential fuzz: 400 deterministically-generated
+    URL-ish strings (random schemes/hosts/ports/params/fragments,
+    including malformed fragments-first and empty-part shapes) must
+    canonicalize IDENTICALLY through the Spark chain and the DuckDB
+    twin — any Java-vs-RE2 dialect drift in the shared patterns fails
+    here before it can fail the driver's oracle hash."""
+    import random
+
+    rng = random.Random(101)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://", ""]
+    hosts = ["example.com", "WWW.Example.COM", "www.a-b.ORG", "x.example", ""]
+    ports = ["", ":80", ":443", ":8080", ":0080"]
+    paths = ["", "/", "/a", "/a/", "/A/b.c", "/%7Euser", "/a?b"]
+    params = [
+        "", "?a=1", "?utm_source=x", "?a=1&utm_medium=y", "?utm_a=1&utm_b=2",
+        "?fbclid=z&gclid=w", "?a=1&b=2", "?utm_source=&a=1", "?&", "?a",
+        "?msclkid=7&utm_campaign=c&b=2",
+    ]
+    frags = ["", "#f", "#a?b=1", "##x"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(params) + rng.choice(frags)
+        for _ in range(400)
+    ]
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string"
+    )
+    spark_out = {
+        r["i"]: r["c"]
+        for r in df.select("i", normalize_url(F.col("u")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    expr = normalize_url_sql("u")
+    mismatches = []
+    for i, u in enumerate(urls):
+        duck = con.execute(
+            f"SELECT {expr} AS c FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        if duck != spark_out[i]:
+            mismatches.append((u, spark_out[i], duck))
+    assert not mismatches, mismatches[:5]
+
+
 def test_normalize_url_duckdb_twin_matches():
     con = duckdb.connect()
     expr = normalize_url_sql("u")
