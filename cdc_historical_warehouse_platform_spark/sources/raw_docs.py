@@ -491,6 +491,8 @@ def read_zip_documents(
         import io
         import zipfile
 
+        from cdc_historical_warehouse_platform_spark.sources.xlsx import _zread
+
         def emit(key: str, text: str, source: str):
             text = " ".join(text.split())
             return {
@@ -509,10 +511,10 @@ def read_zip_documents(
                         low = member.lower()
                         key = f"{path}!{member}"
                         if low.endswith(".txt"):
-                            text = zf.read(member).decode("utf-8", "replace")
+                            text = _zread(zf, member).decode("utf-8", "replace")
                             out.append(emit(key, text, "zip"))
                         elif low.endswith((".htm", ".html")):
-                            html = zf.read(member).decode("utf-8", "replace")
+                            html = _zread(zf, member).decode("utf-8", "replace")
                             kept = [
                                 t
                                 for t, lc in parse_blocks(html)

@@ -82,6 +82,18 @@ def col_letters_of(n: int) -> str:
     return "".join(reversed(out))
 
 
+def _zread(zf, name: str) -> bytes:
+    """Read a zip member, converting zipfile's non-ValueError refusals
+    (NotImplementedError for exotic compression methods, RuntimeError
+    for encrypted entries — both reachable via single bit flips in the
+    entry header) into the clean parse-error contract every ingestion
+    parser promises."""
+    try:
+        return zf.read(name)
+    except (NotImplementedError, RuntimeError) as err:
+        raise ValueError(f"zip member {name!r} unreadable: {err}") from err
+
+
 def parse_xlsx(payload: bytes, sheet: str | None = None):
     """Workbook bytes → list of (sheet, row_num, col_letters, value).
     Pure function (no Spark) — the unit the Arrow pipeline maps and
@@ -93,8 +105,8 @@ def parse_xlsx(payload: bytes, sheet: str | None = None):
     zf = zipfile.ZipFile(io.BytesIO(payload))
 
     # sheet name -> part path, via the workbook relationships
-    wb = ET.fromstring(zf.read("xl/workbook.xml"))
-    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    wb = ET.fromstring(_zread(zf, "xl/workbook.xml"))
+    rels = ET.fromstring(_zread(zf, "xl/_rels/workbook.xml.rels"))
     rel_targets = {}
     for rel in rels:
         target = rel.get("Target")
@@ -117,13 +129,13 @@ def parse_xlsx(payload: bytes, sheet: str | None = None):
     # shared strings: rich-text runs concatenate
     shared: list[str] = []
     if "xl/sharedStrings.xml" in zf.namelist():
-        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        sst = ET.fromstring(_zread(zf, "xl/sharedStrings.xml"))
         for si in sst.findall(f"{_NS}si"):
             shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
 
     out = []
     for name, part in sheets:
-        root = ET.fromstring(zf.read(part))
+        root = ET.fromstring(_zread(zf, part))
         data = root.find(f"{_NS}sheetData")
         if data is None:
             continue
