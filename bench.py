@@ -215,7 +215,7 @@ def substr_append_cycle(spark, sf_dir: str, idx, cycle: int) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _write_synthetic_warc(dest: str, n_files: int = 16, docs_per_file: int = 400) -> int:
+def _write_synthetic_warc(dest: str, n_files: int = 16, docs_per_file: int = 100) -> int:
     """Deterministic synthetic WARC crawl for the ingest bench row
     (r10, verdict task #6): per-record-gzip archives of HTML response
     records (some chunked transfer-encoding) plus WET conversion
@@ -281,10 +281,12 @@ def corpus_ingest_cycle(spark, warc_dir: str, work_dir: str, cycle: int) -> floa
     boilerplate extraction over every archive, staged to parquet, then
     a corpus build (quality + dedup gates) into a fresh directory.
     Prices the Arrow batch shapes of the ingestion tier — a regression
-    to per-row dispatch would read directly here (the 6400-record
-    extract is ~1 s Arrow-batched vs minutes per-row; the corpus build
-    contributes a ~15 s fixed-overhead floor shared with the other
-    corpus rows)."""
+    to per-row dispatch would read directly here (the 1600-record
+    extract is ~0.5 s Arrow-batched vs minutes per-row, and any
+    batch-shape regression multiplies it; the corpus build contributes
+    a ~15 s fixed-overhead floor shared with the other corpus rows —
+    sized so the row stays comparable to the other cycle rows instead
+    of dominating the suite headline)."""
     from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_build
     from cdc_historical_warehouse_platform_spark.sources.raw_docs import read_warc_documents
 
