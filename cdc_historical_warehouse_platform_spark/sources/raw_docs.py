@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 __all__ = [
     "read_text_documents",
     "read_jsonl_documents",
+    "read_csv_documents",
     "read_html_documents",
     "read_warc_documents",
     "read_zip_documents",
@@ -76,6 +77,55 @@ def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
         .json(path)
         .withColumn("n_chars", F.length("text").cast("long"))
     )
+
+
+def read_csv_documents(
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    id_col: str | None = None,
+    lang_col: str | None = None,
+    source: str = "csv",
+) -> DataFrame:
+    """CSV/TSV document exports (the Hugging-Face-datasets interchange
+    shape: a header row, a text column, optional id/lang columns) →
+    the documents table. Header + RFC-4180 quoting (multiline quoted
+    text, doubled-quote escapes) via Spark's distributed csv source.
+
+    Ids: the producer's ``id_col`` when given (cast to BIGINT);
+    otherwise the md5 of the TEXT — deterministic across re-ingestion,
+    with the documented consequence that byte-identical texts collapse
+    to one id (the corpus fingerprint tier would dedup them anyway)."""
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    if text_col not in df.columns:
+        raise ValueError(
+            f"csv ingest: text column {text_col!r} not in {df.columns}"
+        )
+    if id_col is not None:
+        if id_col not in df.columns:
+            raise ValueError(f"csv ingest: id column {id_col!r} not in {df.columns}")
+        doc_id = F.col(id_col).cast("long")
+    else:
+        doc_id = F.conv(
+            F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10
+        ).cast("long")
+    lang = (
+        F.col(lang_col).cast("string")
+        if lang_col is not None and lang_col in df.columns
+        else F.lit(None).cast("string")
+    )
+    text = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    return df.filter(F.col(text_col).isNotNull()).select(
+        doc_id.alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.lit(source).alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
 
 
 def read_binary_assets(
@@ -464,66 +514,114 @@ def read_zip_documents(
     min_words: int = 10,
     max_link_density: float = 0.33,
     pattern: str = "*.zip",
+    materialize: bool = False,
 ) -> DataFrame:
     """ZIP archives of loose documents → the documents table: ``*.txt``
     members pass through as plain text, ``*.htm(l)`` members get the
     same boilerplate removal as :func:`read_html_documents`; other
-    members are skipped. One archive per task (binaryFile), members
-    parsed with stdlib ``zipfile`` executor-side. Ids hash
-    ``archive_path!member`` — stable across re-ingestion, so the
-    corpus fingerprint tier dedups re-deliveries."""
+    members are skipped. One archive per task, members parsed with
+    stdlib ``zipfile`` executor-side. Ids hash ``archive_path!member``
+    — stable across re-ingestion, so the corpus fingerprint tier
+    dedups re-deliveries.
+
+    Default is the STREAMING walk (r10, same posture as the WARC
+    reader): tasks receive paths only (binaryFile listing, content
+    column pruned) and ``zipfile`` reads the central directory + one
+    member at a time from the open file handle — peak per-task memory
+    is bounded by the largest member, never the archive.
+    ``materialize=True`` keeps the whole-archive binaryFile cell for
+    filesystems the Python worker cannot open directly."""
     from collections.abc import Iterator as _It
 
     import pandas as pd
 
-    from cdc_historical_warehouse_platform_spark.operators.html import parse_blocks
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
 
-    raw = (
+    def _members_to_docs(zf, path: str, out: list) -> None:
+        import hashlib
+
+        from cdc_historical_warehouse_platform_spark.operators.html import parse_blocks
+        from cdc_historical_warehouse_platform_spark.sources.xlsx import _zread
+
+        def emit(key: str, text: str):
+            text = " ".join(text.split())
+            out.append(
+                {
+                    "doc_id": int(hashlib.md5(key.encode()).hexdigest()[:15], 16),
+                    "text": text,
+                    "lang": None,
+                    "source": "zip",
+                    "n_chars": len(text),
+                }
+            )
+
+        for member in zf.namelist():
+            low = member.lower()
+            key = f"{path}!{member}"
+            if low.endswith(".txt"):
+                emit(key, _zread(zf, member).decode("utf-8", "replace"))
+            elif low.endswith((".htm", ".html")):
+                html = _zread(zf, member).decode("utf-8", "replace")
+                kept = [
+                    t
+                    for t, lc in parse_blocks(html)
+                    if len(t.split()) >= min_words
+                    and lc <= max_link_density * len(t)
+                ]
+                emit(key, "\n".join(kept))
+
+    if materialize:
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", pattern)
+            .load(input_dir)
+            .select("path", "content")
+        )
+
+        def _extract(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+            import io
+            import zipfile
+
+            for pdf in batches:
+                out: list = []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                        _members_to_docs(zf, path, out)
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "text", "lang", "source", "n_chars"]
+                )
+
+        return raw.mapInPandas(_extract, schema)
+
+    paths = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
         .load(input_dir)
-        .select("path", "content")
+        .select("path")
     )
-    schema = "doc_id long, text string, lang string, source string, n_chars long"
 
-    def _extract(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
-        import hashlib
-        import io
+    def _extract_stream(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import zipfile
-
-        from cdc_historical_warehouse_platform_spark.sources.xlsx import _zread
-
-        def emit(key: str, text: str, source: str):
-            text = " ".join(text.split())
-            return {
-                "doc_id": int(hashlib.md5(key.encode()).hexdigest()[:15], 16),
-                "text": text,
-                "lang": None,
-                "source": source,
-                "n_chars": len(text),
-            }
+        from urllib.parse import unquote, urlparse
 
         for pdf in batches:
-            out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
-                    for member in zf.namelist():
-                        low = member.lower()
-                        key = f"{path}!{member}"
-                        if low.endswith(".txt"):
-                            text = _zread(zf, member).decode("utf-8", "replace")
-                            out.append(emit(key, text, "zip"))
-                        elif low.endswith((".htm", ".html")):
-                            html = _zread(zf, member).decode("utf-8", "replace")
-                            kept = [
-                                t
-                                for t, lc in parse_blocks(html)
-                                if len(t.split()) >= min_words
-                                and lc <= max_link_density * len(t)
-                            ]
-                            out.append(emit(key, "\n".join(kept), "zip"))
-            yield pd.DataFrame(
-                out, columns=["doc_id", "text", "lang", "source", "n_chars"]
-            )
+            for path in pdf["path"]:
+                parsed = urlparse(path)
+                if parsed.scheme not in ("", "file"):
+                    raise ValueError(
+                        f"streaming ZIP walk needs a locally-openable path, "
+                        f"got scheme {parsed.scheme!r} ({path}); use "
+                        f"read_zip_documents(..., materialize=True)"
+                    )
+                local = unquote(parsed.path) if parsed.scheme else path
+                out: list = []
+                # ZipFile on the handle reads the central directory and
+                # then ONE member at a time — the archive never
+                # materializes
+                with open(local, "rb") as fh, zipfile.ZipFile(fh) as zf:
+                    _members_to_docs(zf, path, out)
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "text", "lang", "source", "n_chars"]
+                )
 
-    return raw.mapInPandas(_extract, schema)
+    return paths.mapInPandas(_extract_stream, schema)

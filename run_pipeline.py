@@ -168,15 +168,27 @@ def main() -> int:
         help="bucketed dim store: consecutive business keys per range bucket",
     )
     ap.add_argument(
+        "--csv-text-col", default="text",
+        help="corpus-ingest --ingest-format csv: the text column name",
+    )
+    ap.add_argument(
+        "--csv-id-col", default=None,
+        help="corpus-ingest --ingest-format csv: producer id column "
+        "(default: md5-of-text ids)",
+    )
+    ap.add_argument(
         "--ingest-format",
-        choices=["text", "jsonl", "html", "warc", "zip"],
+        choices=["text", "jsonl", "csv", "html", "warc", "zip"],
         default="text",
         help="corpus-ingest: text = one doc per *.txt file (wholetext), "
         "jsonl = one doc per line with an explicit FAILFAST schema, "
+        "csv = header + RFC-4180 quoting with a text column "
+        "(--csv-text-col / --csv-id-col), "
         "html = one doc per *.htm(l) file with boilerplate removal "
         "(link-density block scoring), warc = WARC crawl archives "
         "(response records -> boilerplate-removed HTML; conversion "
-        "records -> WET text; plain or per-record gzip)",
+        "records -> WET text; plain or per-record gzip; streaming "
+        "record walk — per-task memory bounded by the largest record)",
     )
     ap.add_argument(
         "--ingest-source",
@@ -664,6 +676,16 @@ def main() -> int:
             return 1
         if args.ingest_format == "jsonl":
             docs = read_jsonl_documents(spark, args.input)
+        elif args.ingest_format == "csv":
+            from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+                read_csv_documents,
+            )
+
+            docs = read_csv_documents(
+                spark, args.input,
+                text_col=args.csv_text_col, id_col=args.csv_id_col,
+                source=args.ingest_source,
+            )
         elif args.ingest_format == "html":
             docs = read_html_documents(spark, args.input, source=args.ingest_source)
         elif args.ingest_format == "warc":
