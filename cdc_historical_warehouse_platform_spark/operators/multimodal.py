@@ -635,6 +635,13 @@ def wav_decoder(payload: bytes):
         ) / 128.0
     elif sw == 2:
         wavef = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 3:
+        # 24-bit LE (r10): widen to int32 via a zero pad on the low byte
+        raw = np.frombuffer(frames, dtype=np.uint8)
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
+        padded = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = raw
+        wavef = padded.view("<i4")[:, 0].astype(np.float64) / 2147483648.0
     elif sw == 4:
         wavef = (
             np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
@@ -708,12 +715,14 @@ def g711_wav_decoder(payload: bytes):
     return wavef, sr
 
 
-def float_wav_decoder(payload: bytes):
-    """IEEE-float WAV (format tag 3, 32- or 64-bit — the mastering/DAW
-    interchange format the stdlib ``wave`` module refuses) → (float64
-    mono waveform, native sample_rate). Same manual RIFF walk as the
-    G.711 tier; samples are already normalized floats per the spec
-    (r10, seam shrink)."""
+def manual_wav_decoder(payload: bytes):
+    """Manual RIFF walk for the WAV shapes the stdlib ``wave`` module
+    refuses: IEEE-float (tag 3, 32/64-bit) and WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE — the standard container for >2-channel and 24-bit
+    audio, whose SubFormat GUID's first two LE bytes name the
+    effective codec), plus plain PCM (tag 1) at any 8/16/24/32 width
+    so extensible-PCM and float share one decode path. → (float64
+    mono waveform, native sample_rate). (r10, seam shrink)"""
     import struct
 
     import numpy as np
@@ -722,6 +731,7 @@ def float_wav_decoder(payload: bytes):
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     n = len(payload)
     while pos + 8 <= n:
@@ -730,25 +740,61 @@ def float_wav_decoder(payload: bytes):
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, nch, sr, _, _, bits = fmt
-    if tag != 3:
-        raise ValueError(f"float_wav_decoder handles IEEE float only (tag {tag})")
-    if bits == 32:
-        data = data[: (len(data) // 4) * 4]
-        wavef = np.frombuffer(data, dtype="<f4").astype(np.float64)
-    elif bits == 64:
-        data = data[: (len(data) // 8) * 8]
-        wavef = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    if tag == 0xFFFE:
+        # extensible: cbSize (2) + validBits (2) + channelMask (4) +
+        # SubFormat GUID (16, first two LE bytes = effective tag);
+        # container ``bits`` governs the stored sample width
+        if len(fmt_body) < 40:
+            raise ValueError("extensible WAV: truncated SubFormat extension")
+        (tag,) = struct.unpack("<H", fmt_body[24:26])
+    if tag == 3:
+        if bits == 32:
+            data = data[: (len(data) // 4) * 4]
+            wavef = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            data = data[: (len(data) // 8) * 8]
+            wavef = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"float WAV must be 32- or 64-bit (got {bits})")
+    elif tag == 1:
+        if bits == 8:  # unsigned
+            wavef = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif bits == 16:
+            data = data[: (len(data) // 2) * 2]
+            wavef = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3)
+            padded = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+            padded[:, 1:] = raw
+            wavef = padded.view("<i4")[:, 0].astype(np.float64) / 2147483648.0
+        elif bits == 32:
+            data = data[: (len(data) // 4) * 4]
+            wavef = (
+                np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+            )
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
     else:
-        raise ValueError(f"float WAV must be 32- or 64-bit (got {bits})")
+        raise ValueError(
+            f"manual_wav_decoder handles PCM/IEEE-float only (tag {tag})"
+        )
     if nch > 1:
         wavef = wavef[: (len(wavef) // nch) * nch].reshape(-1, nch).mean(axis=1)
     return wavef, sr
+
+
+# back-compat alias (r10 first landed the float-only tier under this name)
+float_wav_decoder = manual_wav_decoder
 
 
 # IMA ADPCM step-size table (IMA ADPCM reference algorithm / RFC
@@ -893,10 +939,15 @@ def aiff_decoder(payload: bytes):
     little = False
     float_kind = None
     g711_kind = None
+    unsigned8 = False
     if is_aifc:
         ctype = comm[18:22]
         if ctype == b"sowt":
             little = True
+        elif ctype == b"twos":
+            pass  # big-endian two's-complement — identical to NONE
+        elif ctype == b"raw ":
+            unsigned8 = True  # offset-binary 8-bit (r10)
         elif ctype in (b"fl32", b"FL32"):
             float_kind = ">f4"
         elif ctype in (b"fl64", b"FL64"):
@@ -939,7 +990,12 @@ def aiff_decoder(payload: bytes):
     data = data[: nsamp * sw]
     bo = "<" if little else ">"
     if sw == 1:
-        wavef = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+        if unsigned8:
+            wavef = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        else:
+            wavef = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
     elif sw == 2:
         wavef = np.frombuffer(data, dtype=bo + "i2").astype(np.float64) / 32768.0
     elif sw == 4:
@@ -1083,14 +1139,15 @@ def decode_image(payload: bytes):
 
 def decode_audio(payload: bytes):
     """Decode an audio payload → (waveform array, sample rate). RIFF
-    PCM WAV, IEEE-float WAV, G.711 mu-law/A-law WAV, IMA ADPCM WAV,
-    AIFF/AIFF-C PCM + float (fl32/fl64) + G.711 (ulaw/alaw), Sun AU
-    (PCM + G.711 + IEEE float), and FLAC (operators/flac.py —
-    lossless, so bit-exact dependency-free decode) decode via the
-    stdlib tier; anything else — and any payload the stdlib tier
-    can't parse (ima4/other compressed AIFC, 32-bit FLAC, MP3/OGG) —
-    routes to librosa (honest env stub when absent), so installing
-    librosa never decodes LESS than before.
+    PCM WAV (8/16/24/32-bit), IEEE-float WAV, WAVE_FORMAT_EXTENSIBLE
+    (PCM/float SubFormats), G.711 mu-law/A-law WAV, IMA ADPCM WAV,
+    AIFF/AIFF-C PCM (NONE/twos/sowt/raw) + float (fl32/fl64) + G.711
+    (ulaw/alaw), Sun AU (PCM + G.711 + IEEE float), and FLAC
+    (operators/flac.py — lossless, so bit-exact dependency-free
+    decode) decode via the stdlib tier; anything else — and any
+    payload the stdlib tier can't parse (ima4/other compressed AIFC,
+    32-bit FLAC, MP3/OGG) — routes to librosa (honest env stub when
+    absent), so installing librosa never decodes LESS than before.
 
     Both tiers return the NATIVE sample rate (``sr=None`` below keeps
     librosa from resampling to its 22050 Hz default), so the (waveform,

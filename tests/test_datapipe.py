@@ -4742,6 +4742,70 @@ def test_float_audio_decoders():
     assert np.array_equal(w2, _g711_table("mu")[np.frombuffer(codes, np.uint8)])
 
 
+def test_wav_extensible_and_24bit():
+    """r10 seam shrink: WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the
+    standard >2ch/24-bit container; effective codec from the SubFormat
+    GUID) and 24-bit PCM decode natively; AIFC 'twos' (== NONE) and
+    'raw ' (offset-binary 8-bit) variants too."""
+    import struct as s
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        aiff_decoder,
+        decode_audio,
+        manual_wav_decoder,
+    )
+
+    rng = np.random.RandomState(8)
+    mono = (rng.rand(64) * 2 - 1).astype(np.float64)
+
+    def wav(data, tag, nch, sr, bits, sub=None):
+        fmt = s.pack("<HHIIHH", tag, nch, sr, sr * nch * bits // 8,
+                     nch * bits // 8, bits)
+        if sub is not None:  # extensible: cbSize + validBits + mask + GUID
+            guid = s.pack("<H", sub) + bytes.fromhex(
+                "0000000010800080" + "00AA00389B71"
+            )
+            fmt += s.pack("<HHI", 22, bits, 0) + guid
+        body = b"WAVE" + b"fmt " + s.pack("<I", len(fmt)) + fmt
+        body += b"data" + s.pack("<I", len(data)) + data
+        return b"RIFF" + s.pack("<I", len(body)) + body
+
+    # 24-bit PCM through BOTH the stdlib wave path and the manual walk
+    s24 = (mono * 8388607).astype(np.int64)
+    raw24 = b"".join(s.pack("<i", v << 8)[1:] for v in s24)
+    w, sr = decode_audio(wav(raw24, 1, 1, 48000, 24))
+    assert sr == 48000 and np.allclose(w, s24 / 8388608.0, atol=2e-7)
+    w2, _ = manual_wav_decoder(wav(raw24, 1, 1, 48000, 24))
+    assert np.allclose(w, w2)
+
+    # extensible PCM-16 and float-32 (stdlib wave refuses 0xFFFE)
+    s16 = (mono * 32767).astype("<i2")
+    w, sr = decode_audio(wav(s16.tobytes(), 0xFFFE, 1, 44100, 16, sub=1))
+    assert sr == 44100 and np.allclose(w, s16 / 32768.0)
+    w, sr = decode_audio(
+        wav(mono.astype("<f4").tobytes(), 0xFFFE, 1, 96000, 32, sub=3)
+    )
+    assert sr == 96000 and np.allclose(w, mono, atol=1e-6)
+    # extensible stereo averages
+    st = np.repeat(s16, 2).astype("<i2").tobytes()
+    w, _ = manual_wav_decoder(wav(st, 0xFFFE, 2, 44100, 16, sub=1))
+    assert np.allclose(w, s16 / 32768.0)
+
+    # AIFC twos == NONE; raw = offset-binary 8-bit
+    sb = (mono * 127).astype(np.int8)
+    w_t, _ = aiff_decoder(_encode_aiff(sb.astype(">i1").tobytes(), 1, 8, 8000,
+                                       form=b"AIFC", ctype=b"twos"))
+    w_n, _ = aiff_decoder(_encode_aiff(sb.astype(">i1").tobytes(), 1, 8, 8000,
+                                       form=b"AIFC", ctype=b"NONE"))
+    assert np.array_equal(w_t, w_n)
+    u8 = (sb.astype(np.int16) + 128).astype(np.uint8)
+    w_r, _ = aiff_decoder(_encode_aiff(u8.tobytes(), 1, 8, 8000,
+                                       form=b"AIFC", ctype=b"raw "))
+    assert np.allclose(w_r, sb / 128.0)
+
+
 def test_stdlib_aiff_decoder():
     """AIFF / AIFF-C PCM decodes natively: 8 (signed!) / 16 / 24 /
     32-bit, stereo averaging, the 80-bit-extended sample rate, and the
