@@ -169,15 +169,50 @@ def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
             yield from _find_box(data, bs, be, rest)
 
 
+def _decode_mjpa_sample(blob: bytes):
+    """Motion-JPEG A sample → full-height RGB frame (r10): the sample
+    is two half-height field JPEGs back-to-back; decode each through
+    the stdlib JPEG tier and weave rows — field 1 to the even output
+    rows (the QuickTime top-field convention), field 2 to the odd.
+    The field boundary is the second SOI after the first EOI (entropy
+    data cannot contain a bare FFD9 — FF bytes are stuffed — so the
+    first EOI genuinely ends field 1)."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+
+    eoi = blob.find(b"\xff\xd9")
+    if eoi < 0:
+        raise ValueError("mjpa sample: no EOI in field 1")
+    soi2 = blob.find(b"\xff\xd8\xff", eoi + 2)
+    if soi2 < 0:
+        raise ValueError("mjpa sample: missing second field JPEG")
+    fields = []
+    for part in (blob[: eoi + 2], blob[soi2:]):
+        img = jpeg_decoder(part)
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        fields.append(img)
+    f1, f2 = fields
+    if f1.shape != f2.shape:
+        raise ValueError(
+            f"mjpa sample: field geometry mismatch {f1.shape} vs {f2.shape}"
+        )
+    out = np.empty((f1.shape[0] * 2, f1.shape[1], f1.shape[2]), dtype=np.uint8)
+    out[0::2] = f1
+    out[1::2] = f2
+    return out
+
+
 def mp4_decoder(payload: bytes, every_n: int = 1):
     """MP4 / QuickTime → list of (frame_idx, (H, W, 3) uint8 RGB) for
     every ``every_n``-th video sample. The container walk is the ISO
     BMFF sample-table machinery (stsd/stsz/stsc/stco|co64): samples
     resolve to absolute file ranges through the chunk map. Codecs:
-    ``jpeg`` (each sample a full JPEG through the stdlib tier) and
-    ``raw `` depth-24 (top-down RGB). Anything else — incl. ``mjpa``,
-    whose samples are TWO interlaced field JPEGs — raises so the env
-    seam owns it."""
+    ``jpeg`` (each sample a full JPEG through the stdlib tier),
+    ``mjpa`` (Motion-JPEG A — two field JPEGs per sample, row-woven;
+    r10), and ``raw `` depth-24 (top-down RGB). Anything else raises
+    so the env seam owns it."""
     import numpy as np
 
     # classic QuickTime files (the era of jpeg/raw video tracks) often
@@ -204,12 +239,11 @@ def mp4_decoder(payload: bytes, every_n: int = 1):
             continue
         ebody = bs + 8
         fourcc = payload[ebody + 4 : ebody + 8]
-        # NB: 'mjpa' (Motion-JPEG A) samples carry TWO interlaced
-        # field JPEGs per sample — decoding them as one baseline JPEG
-        # would silently return half-height frames, so the tier
-        # honestly refuses them along with compressed codecs
-        if fourcc not in (b"jpeg", b"raw "):
-            continue  # not a track this tier decodes (audio, H.264, mjpa ...)
+        # 'mjpa' (Motion-JPEG A): each sample carries TWO interlaced
+        # field JPEGs — decoded separately and row-woven (r10; field 1
+        # = even output rows, the QuickTime top-field convention)
+        if fourcc not in (b"jpeg", b"raw ", b"mjpa"):
+            continue  # not a track this tier decodes (audio, H.264 ...)
         # VideoSampleEntry geometry: width/height at +32/+34, depth at
         # +82 from the sample-entry start (8 header + 6 reserved +
         # 2 dref + 16 pre)
@@ -290,6 +324,8 @@ def mp4_decoder(payload: bytes, every_n: int = 1):
                     img = jpeg_decoder(blob)
                     if img.shape[2] == 1:
                         img = np.repeat(img, 3, axis=2)
+                elif fourcc == b"mjpa":
+                    img = _decode_mjpa_sample(blob)
                 else:  # raw : top-down RGB rows, no padding
                     if size < width * height * 3:
                         raise ValueError("MP4: truncated raw sample")

@@ -5104,7 +5104,9 @@ def test_mp4_review_fixes_depth_mjpa_and_quicktime_layout():
 
     with _pytest.raises(ValueError, match="24-bit raw"):
         mp4_decoder(_encode_mp4([b"\x00" * (h * w * 4)] * 2, w, h, b"raw ", depth=32))
-    with _pytest.raises(ValueError, match="no jpeg/raw"):
+    # mjpa DECODES as of r10 (two woven field JPEGs — its own test);
+    # raw bytes in an mjpa track refuse cleanly (no JPEG fields)
+    with _pytest.raises(ValueError, match="mjpa sample"):
         mp4_decoder(_encode_mp4(raws, w, h, b"mjpa"))
 
     # classic QuickTime: no ftyp — replace it with a same-size 'free'
@@ -5170,6 +5172,56 @@ def test_video_dispatch_routes_ftypless_quicktime(spark):
     assert [r["frame_md5"] for r in rows] == [
         hashlib.md5(f.tobytes()).hexdigest() for f in frames
     ]
+
+
+def test_mjpa_two_field_samples_decode():
+    """r10 seam shrink: Motion-JPEG A samples (two half-height field
+    JPEGs back-to-back) decode by weaving the independently-decoded
+    fields — field 1 → even rows, field 2 → odd — pinned exact against
+    jpeg_decoder run on each field; geometry mismatches refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+    from cdc_historical_warehouse_platform_spark.operators.video import (
+        _decode_mjpa_sample,
+        mp4_decoder,
+    )
+
+    rng = np.random.RandomState(21)
+    h, w = 12, 9  # full height 12 → two 6-row fields
+    encode, _, _ = _jpeg_tools()
+    qy = np.full((8, 8), 5, dtype=np.int64)
+
+    samples = []
+    wants = []
+    for _ in range(3):
+        full = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        f1_jpeg = encode(full[0::2], qy, qy * 2)[0]
+        f2_jpeg = encode(full[1::2], qy, qy * 2)[0]
+        samples.append(f1_jpeg + f2_jpeg)
+        want = np.empty((h, w, 3), dtype=np.uint8)
+        want[0::2] = jpeg_decoder(f1_jpeg)
+        want[1::2] = jpeg_decoder(f2_jpeg)
+        wants.append(want)
+
+    # unit: sample splitter + weave
+    for sample, want in zip(samples, wants):
+        assert np.array_equal(_decode_mjpa_sample(sample), want)
+
+    # through the BMFF walk with an mjpa sample entry
+    pay = _encode_mp4(samples, w, h, b"mjpa", chunking=[1, 2])
+    got = mp4_decoder(pay)
+    assert [i for i, _ in got] == [0, 1, 2]
+    for (_, img), want in zip(got, wants):
+        assert np.array_equal(img, want)
+
+    # mismatched field geometry refuses
+    bad = encode(wants[0][0::2], qy, qy * 2)[0] + encode(
+        wants[0][1::2][:4], qy, qy * 2
+    )[0]
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        _decode_mjpa_sample(bad)
 
 
 def test_aiff_ssnd_padding_not_decoded_as_audio():
