@@ -50,83 +50,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # COVERAGE.md §staleness).  _DEMOTED parks recently-green rows past the
 # window; they stay covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
-    # --- r10 rotation (the r9 verdict's task #1): lead with the 5 rows
-    # that have NEVER been in a driver window (added in r9, local-green
-    # only), then the 11 r05-stale rows deferred from the r09 window,
-    # then all 13 r06-stale rows, then 21 of the 24 r07-stale rows.
-    # After this window lands no oracled row's last driver check is
-    # staler than r07. Staleness audit table: COVERAGE.md §staleness. ---
-    # never driver-checked (5/5 promoted):
-    "text_html_extract",
-    "text_gopher_rules",
-    "text_c4_filters",
-    "text_unicode_sanitize",
-    "ann_two_stage_rerank",
-    # new in r10 (never driver-checked — hoisted straight into the
-    # window so CORRECTNESS_r10 leaves zero never-checked oracled rows;
-    # the two displaced r07 rows sit atop _DEMOTED with family notes):
-    "dedup_url_normalized",
-    "events_throttle_dedup",
-    # r05-stale (11/11 promoted — the full set deferred from r09):
-    "subquery_exists",
-    "subquery_not_exists",
-    "events_tumbling_window",
-    "scd2_version_timeline",
-    "text_token_stats",
-    "join_unshipped_revenue",
-    "agg_grouping_sets",
-    "ann_lsh_topk",
-    "sort_pagination",
-    "scalar_string_functions",
-    "dedup_simhash",
-    # r06-stale (13/13 promoted):
-    "setop_all_variants",
-    "corpus_pack_sequences",
-    "window_salted_topk",
-    "window_small_quantity_revenue",
-    "embedding_near_dup",
-    "array_functions_sweep",
-    "text_bigram_surprisal",
-    "dedup_keep_list",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "events_funnel_steps",
-    # r07-stale (21 of 24 promoted; the 3 deferred to r11 are listed at
-    # the top of _DEMOTED with their in-window family coverage):
-    "join_full_outer",
-    "events_sliding_window",
-    "agg_pivot",
-    "window_rank_dense",
-    "filter_key_history",
-    "agg_rollup",
-    "join_semi",
-    "sql_api_revenue_by_segment",
-    "corpus_exact_substring_spans",
-    "corpus_substring_clean",
-    "events_gap_islands",
-    "agg_mode_frequent",
-    "events_anomaly_zscore",
-    "graph_pagerank_top",
-    "join_fuzzy_part_names",
-    "basket_brand_pairs",
-    "agg_higher_moments",
-    "agg_listagg_ordered",
-    "agg_boolean_aggregates",
+    # --- r11 rotation (the r10 verdict's task #1): lead with the 5
+    # r07-stale rows deferred from the r10 window, then 45 of the 50
+    # r08-green rows (5 deferred to r12 with family notes atop
+    # _DEMOTED). After this window lands no oracled row's last driver
+    # check is staler than r08. Staleness audit: COVERAGE.md
+    # §staleness. (Bookkeeping note, r10-verdict ADVICE #4: the r10
+    # window promoted 19 of the 24 r07-stale rows — 5 deferred, 2 of
+    # those slots displaced by the r10-new rows — not the "21/3" the
+    # r10-era comment claimed.) ---
+    # r07-stale (the 5 rows deferred from r10 — retire the tier):
+    "events_resample_interpolate",
+    "graph_khop_distance",
+    "window_cumulative_revenue",
+    "agg_stats_quantiles",
+    "join_outer_coalesce",
+    # r08-stale (45 of 50 promoted; the 5 deferred to r12 sit atop
+    # _DEMOTED with their in-window family coverage):
+    "corpus_substring_spans_incremental",
+    "corpus_export_manifest",
+    "scd2_time_travel",
+    "window_distinct_running",
+    "agg_mad_robust",
+    "text_lang_confusion",
+    "dedup_ngram_jaccard",
+    "json_extraction",
+    "multimodal_features",
+    "vector_norms_by_label",
+    "scd2_current_state",
+    "scd2_duplicate_current_check",
+    "agg_conditional_counts",
+    "join_asof_events",
+    "sort_topk_orders",
+    "scalar_functions",
+    "filter_point_lookup_current",
+    "window_top_per_customer",
+    "scd2_change_frequency",
+    "join_revenue_by_nation",
+    "scd2_as_of",
+    "agg_pricing_summary",
+    "setop_except_intersect",
+    "events_session_windows",
+    "ivm_join_view",
+    "customer_rfm_segments",
+    "scalar_map_functions",
+    "layout_zorder_tiles",
+    "corpus_dsir_weights",
+    "text_bpe_pair_counts",
+    "agg_bitwise",
+    "corpus_dsir_resample",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q12_priority_by_class",
+    "tpch_q16_supplier_relationship",
+    "tpch_q19_disjunctive_brackets",
+    "tpch_q20_excess_shippers",
+    "text_heavy_hitters",
+    "scd2_incremental_histogram",
+    "scd2_histogram_quantiles",
+    "events_cohort_retention",
+    "corpus_temperature_mix",
+    "scd2_version_diff",
 ]
 _DEMOTED = [
-    # --- 5 r07-stale rows deferred to the r11 window (50-slot limit;
-    # 2 slots went to the rows ADDED in r10 so nothing stays
-    # never-driver-checked); each one's operator family stays
-    # in-window per the note. ---
-    "events_resample_interpolate",  # last green r07; events family in-window via events_gap_islands + events_anomaly_zscore + events_sliding_window + events_tumbling_window
-    "graph_khop_distance",  # last green r07; graph family in-window via graph_pagerank_top
-    "window_cumulative_revenue",  # last green r07; window family in-window via window_salted_topk + window_rank_dense + window_small_quantity_revenue
-    "agg_stats_quantiles",  # last green r07; stats family in-window via agg_higher_moments + agg_mode_frequent
-    "join_outer_coalesce",  # last green r07; outer-join/coalesce family in-window via join_full_outer
-    # --- everything below is driver-green r08-r09 (freshest last-check
-    # first is not maintained here; the r09 window was 50/50 hash-exact).
+    # --- 5 r08-green rows deferred to the r12 window (50-slot limit);
+    # each one's operator family stays in-window per the note. ---
+    "window_ntile_percentile",  # last green r08; window family in-window via window_distinct_running + window_top_per_customer + window_cumulative_revenue
+    "scd2_validation_summary",  # last green r08; scd2 family in-window via scd2_current_state + scd2_duplicate_current_check + scd2_change_frequency + scd2_time_travel
+    "agg_union_metric_rows",  # last green r08; agg family in-window via agg_conditional_counts + agg_bitwise + agg_mad_robust
+    "tpch_q8_market_share",  # last green r08; tpch family in-window via q2/q7/q9/q12/q16/q19/q20
+    "events_transition_matrix",  # last green r08; events family in-window via events_session_windows + events_cohort_retention + events_resample_interpolate
+    # --- everything below is driver-green r09-r10.
     # agg_distinct_sketch_rollup is rows-only BY DESIGN (HLL has no
     # DuckDB twin); pytest-pinned. ---
     # r09-green (the full r09 window):
@@ -180,57 +175,57 @@ _DEMOTED = [
     "subquery_sole_late_supplier",  # last green r09
     "text_quality_scores",  # last green r09
     "window_lag_lead",  # last green r09
-    # r08-green:
-    "corpus_substring_spans_incremental",  # last green r08
-    "corpus_export_manifest",  # last green r08
-    "scd2_time_travel",  # last green r08
-    "window_distinct_running",  # last green r08
-    "agg_mad_robust",  # last green r08
-    "text_lang_confusion",  # last green r08
-    "dedup_ngram_jaccard",  # last green r08
-    "json_extraction",  # last green r08
-    "window_ntile_percentile",  # last green r08
-    "multimodal_features",  # last green r08
-    "vector_norms_by_label",  # last green r08
-    "scd2_current_state",  # last green r08
-    "scd2_validation_summary",  # last green r08
-    "scd2_duplicate_current_check",  # last green r08
-    "agg_conditional_counts",  # last green r08
-    "agg_union_metric_rows",  # last green r08
-    "join_asof_events",  # last green r08
-    "sort_topk_orders",  # last green r08
-    "scalar_functions",  # last green r08
-    "filter_point_lookup_current",  # last green r08
-    "window_top_per_customer",  # last green r08
-    "scd2_change_frequency",  # last green r08
-    "join_revenue_by_nation",  # last green r08
-    "scd2_as_of",  # last green r08
-    "agg_pricing_summary",  # last green r08
-    "setop_except_intersect",  # last green r08
-    "events_session_windows",  # last green r08
-    "ivm_join_view",  # last green r08
-    "customer_rfm_segments",  # last green r08
-    "scalar_map_functions",  # last green r08
-    "layout_zorder_tiles",  # last green r08
-    "corpus_dsir_weights",  # last green r08
-    "text_bpe_pair_counts",  # last green r08
-    "agg_bitwise",  # last green r08
-    "corpus_dsir_resample",  # last green r08
-    "tpch_q2_min_cost_supplier",  # last green r08
-    "tpch_q7_volume_shipping",  # last green r08
-    "tpch_q8_market_share",  # last green r08
-    "tpch_q9_product_profit",  # last green r08
-    "tpch_q12_priority_by_class",  # last green r08
-    "tpch_q16_supplier_relationship",  # last green r08
-    "tpch_q19_disjunctive_brackets",  # last green r08
-    "tpch_q20_excess_shippers",  # last green r08
-    "text_heavy_hitters",  # last green r08
-    "scd2_incremental_histogram",  # last green r08
-    "scd2_histogram_quantiles",  # last green r08
-    "events_cohort_retention",  # last green r08
-    "events_transition_matrix",  # last green r08
-    "corpus_temperature_mix",  # last green r08
-    "scd2_version_diff",  # last green r08
+    # r10-green (the full r10 window):
+    "text_html_extract",  # last green r10
+    "text_gopher_rules",  # last green r10
+    "text_c4_filters",  # last green r10
+    "text_unicode_sanitize",  # last green r10
+    "ann_two_stage_rerank",  # last green r10
+    "dedup_url_normalized",  # last green r10
+    "events_throttle_dedup",  # last green r10
+    "subquery_exists",  # last green r10
+    "subquery_not_exists",  # last green r10
+    "events_tumbling_window",  # last green r10
+    "scd2_version_timeline",  # last green r10
+    "text_token_stats",  # last green r10
+    "join_unshipped_revenue",  # last green r10
+    "agg_grouping_sets",  # last green r10
+    "ann_lsh_topk",  # last green r10
+    "sort_pagination",  # last green r10
+    "scalar_string_functions",  # last green r10
+    "dedup_simhash",  # last green r10
+    "setop_all_variants",  # last green r10
+    "corpus_pack_sequences",  # last green r10
+    "window_salted_topk",  # last green r10
+    "window_small_quantity_revenue",  # last green r10
+    "embedding_near_dup",  # last green r10
+    "array_functions_sweep",  # last green r10
+    "text_bigram_surprisal",  # last green r10
+    "dedup_keep_list",  # last green r10
+    "tpch_q6_forecast_revenue",  # last green r10
+    "tpch_q10_returned_items",  # last green r10
+    "tpch_q13_customer_distribution",  # last green r10
+    "tpch_q14_promo_revenue",  # last green r10
+    "events_funnel_steps",  # last green r10
+    "join_full_outer",  # last green r10
+    "events_sliding_window",  # last green r10
+    "agg_pivot",  # last green r10
+    "window_rank_dense",  # last green r10
+    "filter_key_history",  # last green r10
+    "agg_rollup",  # last green r10
+    "join_semi",  # last green r10
+    "sql_api_revenue_by_segment",  # last green r10
+    "corpus_exact_substring_spans",  # last green r10
+    "corpus_substring_clean",  # last green r10
+    "events_gap_islands",  # last green r10
+    "agg_mode_frequent",  # last green r10
+    "events_anomaly_zscore",  # last green r10
+    "graph_pagerank_top",  # last green r10
+    "join_fuzzy_part_names",  # last green r10
+    "basket_brand_pairs",  # last green r10
+    "agg_higher_moments",  # last green r10
+    "agg_listagg_ordered",  # last green r10
+    "agg_boolean_aggregates",  # last green r10
     "agg_distinct_sketch_rollup",  # last green r00 (rows-only by design)
 ]
 

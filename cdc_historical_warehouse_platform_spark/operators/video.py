@@ -169,26 +169,68 @@ def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
             yield from _find_box(data, bs, be, rest)
 
 
+def _jpeg_stream_end(blob: bytes, start: int = 0) -> int:
+    """Offset just past the EOI of the JPEG stream starting at
+    ``start``, found by walking marker segments by their declared
+    length (r11, ADVICE fix): a bare ``FF D9`` byte pair is only
+    impossible inside ENTROPY-CODED data (FF bytes are stuffed there)
+    — marker segment *payloads* can contain it freely, notably
+    Motion-JPEG A's own mandatory APP1 'mjpg' marker whose binary
+    field-size/offset fields routinely produce FF D9, and EXIF/APPn
+    thumbnails that end with a literal EOI. So: skip APPn/COM/DQT/
+    DHT/SOF/DRI/SOS headers by length, scan for the next marker only
+    inside entropy data (where FF00 stuffing and RSTn are the only FF
+    pairs), and return at the true EOI."""
+    n = len(blob)
+    if blob[start : start + 2] != b"\xff\xd8":
+        raise ValueError("mjpa sample: field does not start with SOI")
+    pos = start + 2
+    while pos + 2 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError("mjpa sample: expected JPEG marker in field")
+        marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI — the true end of this field's stream
+            return pos + 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2  # standalone: TEM / RSTn / SOI
+            continue
+        if pos + 4 > n:
+            break
+        (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        pos += 2 + seglen
+        if marker == 0xDA:  # SOS: entropy-coded data follows the header
+            while pos + 2 <= n:
+                if (
+                    blob[pos] == 0xFF
+                    and blob[pos + 1] != 0x00
+                    and not 0xD0 <= blob[pos + 1] <= 0xD7
+                ):
+                    break  # a real marker (EOI, DNL, or the next SOS)
+                pos += 1
+    raise ValueError("mjpa sample: no EOI in field 1")
+
+
 def _decode_mjpa_sample(blob: bytes):
     """Motion-JPEG A sample → full-height RGB frame (r10): the sample
     is two half-height field JPEGs back-to-back; decode each through
     the stdlib JPEG tier and weave rows — field 1 to the even output
     rows (the QuickTime top-field convention), field 2 to the odd.
-    The field boundary is the second SOI after the first EOI (entropy
-    data cannot contain a bare FFD9 — FF bytes are stuffed — so the
-    first EOI genuinely ends field 1)."""
+    Field 1's end is found by the marker-segment walk above (a raw
+    ``find(FFD9)`` mis-splits when an APPn payload — e.g. the APP1
+    'mjpg' marker's binary offsets — happens to contain the pair)."""
     import numpy as np
 
     from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
 
-    eoi = blob.find(b"\xff\xd9")
-    if eoi < 0:
-        raise ValueError("mjpa sample: no EOI in field 1")
-    soi2 = blob.find(b"\xff\xd8\xff", eoi + 2)
+    end1 = _jpeg_stream_end(blob)
+    soi2 = blob.find(b"\xff\xd8\xff", end1)
     if soi2 < 0:
         raise ValueError("mjpa sample: missing second field JPEG")
     fields = []
-    for part in (blob[: eoi + 2], blob[soi2:]):
+    for part in (blob[:end1], blob[soi2:]):
         img = jpeg_decoder(part)
         if img.shape[2] == 1:
             img = np.repeat(img, 3, axis=2)

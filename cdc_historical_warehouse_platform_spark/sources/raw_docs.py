@@ -95,11 +95,18 @@ def read_csv_documents(
     Ids: the producer's ``id_col`` when given (cast to BIGINT);
     otherwise the md5 of the TEXT — deterministic across re-ingestion,
     with the documented consequence that byte-identical texts collapse
-    to one id (the corpus fingerprint tier would dedup them anyway)."""
+    to one id (the corpus fingerprint tier would dedup them anyway).
+
+    FAILFAST (r11, ADVICE fix): the JSONL reader's contract applies
+    here too — malformed rows (bad quoting, column-count drift) must
+    raise, not parse to all-null and silently vanish through the
+    isNotNull(text) filter (which now only drops rows whose text
+    FIELD is genuinely empty)."""
     df = (
         spark.read.option("header", True)
         .option("multiLine", True)
         .option("escape", '"')
+        .option("mode", "FAILFAST")
         .csv(path)
     )
     if text_col not in df.columns:

@@ -5224,6 +5224,50 @@ def test_mjpa_two_field_samples_decode():
         _decode_mjpa_sample(bad)
 
 
+def test_mjpa_app1_payload_containing_eoi_bytes_does_not_mis_split():
+    """r11 ADVICE fix: the field-1/field-2 boundary must come from a
+    marker-segment walk, not a raw find(FFD9) — Motion-JPEG A's own
+    mandatory APP1 'mjpg' marker carries 32-bit binary field-size/
+    offset values that can contain the byte pair FF D9, and APPn
+    thumbnails end with a literal EOI. Plant both shapes in field 1's
+    APP1 payload and pin the woven decode unchanged."""
+    import struct as _struct
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+    from cdc_historical_warehouse_platform_spark.operators.video import (
+        _decode_mjpa_sample,
+        _jpeg_stream_end,
+    )
+
+    rng = np.random.RandomState(37)
+    h, w = 12, 9
+    encode, _, _ = _jpeg_tools()
+    qy = np.full((8, 8), 5, dtype=np.int64)
+    full = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    f1 = encode(full[0::2], qy, qy * 2)[0]
+    f2 = encode(full[1::2], qy, qy * 2)[0]
+
+    # APP1 'mjpg' with binary fields deliberately containing FF D9 —
+    # the Motion-JPEG A shape (field size / padded size / next-field
+    # offset as big-endian u32s whose bytes are attacker^Wcodec-chosen)
+    app1_payload = b"mjpg" + _struct.pack(">IIII", 0xFFD90000, 0x00FFD900, 7, 1)
+    assert b"\xff\xd9" in app1_payload
+    app1 = b"\xff\xe1" + _struct.pack(">H", 2 + len(app1_payload)) + app1_payload
+    f1_marked = f1[:2] + app1 + f1[2:]
+
+    # the marker walk finds field 1's TRUE end, not the planted pair
+    end1 = _jpeg_stream_end(f1_marked)
+    assert end1 == len(f1_marked)
+
+    sample = f1_marked + f2
+    want = np.empty((h, w, 3), dtype=np.uint8)
+    want[0::2] = jpeg_decoder(f1)  # jpeg_decoder skips APPn by length
+    want[1::2] = jpeg_decoder(f2)
+    assert np.array_equal(_decode_mjpa_sample(sample), want)
+
+
 def test_aiff_ssnd_padding_not_decoded_as_audio():
     """Review fix: SSND block-alignment pad bytes past COMM's
     numSampleFrames must not become spurious samples."""

@@ -250,6 +250,29 @@ def test_read_csv_documents(spark, tmp_path):
         read_csv_documents(spark, str(f), id_col="nope").collect()
 
 
+def test_read_csv_documents_failfast_on_malformed_rows(spark, tmp_path):
+    """r11 ADVICE fix: malformed CSV rows (column-count drift) must
+    RAISE like the JSONL reader's FAILFAST contract — under PERMISSIVE
+    they parsed to all-null and the isNotNull(text) filter silently
+    discarded them (a silent-data-loss path for corrupt exports)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+        read_csv_documents,
+    )
+
+    f = tmp_path / "corrupt.csv"
+    f.write_text(
+        "id,text,lang\n"
+        '1,"good row",en\n'
+        "2,drifted,extra,columns,here\n"  # column-count drift
+    )
+    with _pytest.raises((CapturedException, Py4JJavaError)):
+        read_csv_documents(spark, str(f), id_col="id").collect()
+
+
 def test_warc_chunked_transfer_encoding_dechunked(spark, tmp_path):
     """r10 ADVICE fix: raw Common Crawl response records often carry
     Transfer-Encoding: chunked bodies verbatim — the hex chunk-size
