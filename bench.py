@@ -82,49 +82,74 @@ HEADLINE = [
 LOAD_THRESHOLD = 1.0
 LOAD_WAIT_SEC = 120  # max time to wait for a loaded machine to drain
 
-# --- host-capacity canary (r10, verdict task #2) -------------------------
+# --- host-capacity canary (r10, verdict task #2; I/O leg r11) ------------
 # Loadavg misses contention the kernel can't see from this cgroup
 # (co-tenant VMs, CPU steal, thermal/frequency caps). Before the suite,
-# time a FIXED synthetic JVM job — not a registry query, so engine
-# optimizations can never read as "fast host" — and compare its
-# best-of-3 against the cleanest canary ever recorded in the repo's
-# BENCH_r*.json history. A run slower than floor × (1 + margin) waits
-# for the host to drain; if it never does, the artifact ships
-# loaded:true with the canary samples as evidence.
+# time TWO fixed synthetic jobs — not registry queries, so engine
+# optimizations can never read as "fast host":
+#   - a CPU leg (6e9-row range aggregation; saturates threads, never
+#     touches disk), and
+#   - an I/O leg (r11, verdict task #5: write + read back a ~200 MB
+#     parquet) — the r10 artifact shipped canary-clean at ratio 1.056
+#     while every disk-heavy write-cycle row read +10-18%: pure-CPU
+#     probes sail under disk contention.
+# Each leg compares its best-of-3 against the cleanest value of ITS
+# field ever recorded in the repo's BENCH_r*.json history. A run with
+# EITHER leg slower than floor × (1 + margin) waits for the host to
+# drain; if it never does, the artifact ships loaded:true with the
+# samples as evidence.
 CANARY_ROWS = 6_000_000_000  # ~1.1 s warm on a quiesced local[32]
-CANARY_MARGIN = 0.10  # fixed-job min-of-3 is far tighter than query noise
-# Floor fallback when no artifact in history carries a canary yet:
-# the min observed on this container after the load-wait loop drained
-# (0.906 s at loadavg 0.96; 1.05 s at loadavg ~0.6 reads as mild
-# contention, which is the point) — artifacts recorded on cleaner
-# hosts ratchet the floor down via _canary_floor's history scan.
+# r11 (verdict task #5): 0.10 → 0.05 for the CPU leg — quiesced
+# min-of-3 spread measured ≤2% across rounds; the I/O leg keeps 0.15
+# (page cache + writeback make even fixed write jobs ~3x noisier).
+CANARY_MARGIN = 0.05
+IO_CANARY_MARGIN = 0.15
+IO_CANARY_ROWS = 25_000_000  # 2 high-entropy int64 cols ≈ 200 MB parquet
+# Floor fallbacks when no artifact in history carries the field yet
+# (r11 ADVICE fix: fallbacks are used ONLY with empty history — they
+# no longer seed a min() that could only ratchet downward and could
+# never pass on a runner class genuinely slower than the constant).
 CANARY_FLOOR_FALLBACK = 0.90
+IO_CANARY_FLOOR_FALLBACK = 2.0  # clean min-of-3 measured 1.83-2.07 s on
+# this container (write + sync + read of the fixed 200 MB parquet;
+# first-ever sample runs ~2.5x cold — min-of-3 absorbs it). Governs the
+# first artifact only: once BENCH_r*.json history carries io_canary_sec
+# values >= the sanity band, min(history) takes over.
+# Sanity band (r11 ADVICE fix): a historical value below half the
+# physically-plausible fallback is a mangled artifact (truncated JSON
+# mid-number), not a fast host — one such value must not permanently
+# poison the floor for every future round.
+CANARY_SANITY_MIN = 0.45
+IO_CANARY_SANITY_MIN = 1.0
 
 
-def _canary_floor(repo: Path) -> float:
-    """Cleanest canary_sec ever recorded in BENCH_r*.json history.
+def _canary_floor(repo: Path, field: str, fallback: float, sanity_min: float) -> float:
+    """Cleanest `field` ever recorded in BENCH_r*.json history; the
+    fallback applies only when history carries no plausible value.
 
     The driver wraps bench output (sometimes front-truncating the JSON
-    line into a "tail" field), so scan raw text for the canary field
-    instead of parsing — floors must survive artifact mangling.
+    line into a "tail" field), so scan raw text for the field instead
+    of parsing — floors must survive artifact mangling.
     """
     import re
 
-    floor = CANARY_FLOOR_FALLBACK
+    history = []
     for artifact in sorted(repo.glob("BENCH_r*.json")):
         try:
             text = artifact.read_text()
         except OSError:
             continue
-        for m in re.finditer(r'"canary_sec\\?":\s*([0-9.]+)', text):
-            floor = min(floor, float(m.group(1)))
-    return floor
+        for m in re.finditer(rf'"{field}\\?":\s*([0-9.]+)', text):
+            v = float(m.group(1))
+            if v >= sanity_min:
+                history.append(v)
+    return min(history) if history else fallback
 
 
 def _canary_probe(spark) -> float:
-    """One timed fixed-work sample: an embarrassingly-parallel range
-    aggregation that saturates all local[...] threads JVM-side. Runtime
-    depends only on host capacity, never on engine code."""
+    """One timed fixed-work CPU sample: an embarrassingly-parallel
+    range aggregation that saturates all local[...] threads JVM-side.
+    Runtime depends only on host capacity, never on engine code."""
     t0 = time.perf_counter()
     # modulo keeps the 6e9-row sum inside int64 (ANSI mode would raise
     # ARITHMETIC_OVERFLOW on sum(id) at this row count)
@@ -132,6 +157,41 @@ def _canary_probe(spark) -> float:
         "sum(id % 7919) AS s", "count(*) AS c"
     ).collect()
     return round(time.perf_counter() - t0, 3)
+
+
+def _io_canary_probe(spark, workdir: str) -> float:
+    """One timed fixed-work I/O sample (r11): write a ~200 MB parquet
+    of high-entropy int64s (Knuth-hash values defeat dictionary/RLE
+    encoding, so the byte volume is fixed), SYNC it to disk, and
+    aggregate it back. Disk contention that a pure-CPU probe cannot
+    see reads directly here — the in-section sync is what makes the
+    probe price the device, not the page cache. A sync runs UNTIMED
+    first so the sample prices this job's I/O, not a predecessor's
+    writeback debt."""
+    path = f"{workdir}/io_canary.parquet"
+    os.sync()
+    t0 = time.perf_counter()
+    spark.range(IO_CANARY_ROWS).selectExpr(
+        "id", "id * 2654435761 % 1000000007 AS v"
+    ).write.mode("overwrite").parquet(path)
+    os.sync()  # force OUR ~200 MB through the device inside the sample
+    spark.read.parquet(path).selectExpr("sum(v) AS s").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _settle(spark) -> None:
+    """Untimed pre-sample barrier for the write-cycle rows (r11,
+    verdict task #3): flush dirty pages (so a predecessor row's async
+    writeback can't stall THIS sample's writes — the observed
+    substr_append_cycle pattern: one of two warm samples randomly
+    2.6-3.5x the other, directly after the ingest/PQ rows write ~GBs)
+    and request a JVM full GC (so accumulated old-gen debt is paid
+    between samples, not inside one)."""
+    os.sync()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # canary-only environments without a JVM handle
 
 
 def corpus_append_cycle(spark, sf_dir: str, out: str, cycle: int) -> float:
@@ -175,6 +235,7 @@ def corpus_append_cycle(spark, sf_dir: str, out: str, cycle: int) -> float:
     new_batch = dup_half.unionByName(fresh_half).withColumn(
         "doc_id", F.col("doc_id") + F.lit(cycle * 10_000_000)
     )
+    _settle(spark)
     t0 = time.perf_counter()
     corpus_append(spark, new_batch, out)
     return round(time.perf_counter() - t0, 3)
@@ -210,6 +271,7 @@ def substr_append_cycle(spark, sf_dir: str, idx, cycle: int) -> float:
     batch = dup_half.unionByName(fresh_half).withColumn(
         "doc_id", F.col("doc_id") + F.lit(cycle * 10_000_000)
     )
+    _settle(spark)
     t0 = time.perf_counter()
     idx.append(batch, txn_id=f"bench_substr_{cycle}")
     return round(time.perf_counter() - t0, 3)
@@ -291,6 +353,7 @@ def corpus_ingest_cycle(spark, warc_dir: str, work_dir: str, cycle: int) -> floa
     from cdc_historical_warehouse_platform_spark.sources.raw_docs import read_warc_documents
 
     staged = f"{work_dir}/staged_{cycle}"
+    _settle(spark)
     t0 = time.perf_counter()
     docs = read_warc_documents(spark, warc_dir)
     docs.write.mode("overwrite").parquet(f"{staged}/documents.parquet")
@@ -331,22 +394,44 @@ def main() -> None:
     # measured query doesn't absorb cluster-startup cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Canary gate (r10): fixed-work host probe vs the historical clean
-    # floor. Elevated → wait (bounded, shares the LOAD_WAIT budget) and
-    # re-probe; still elevated → run anyway but stamp loaded=true so a
-    # slow-host artifact can never ship as a clean one.
-    canary_floor = _canary_floor(REPO)
-    canary_samples = [_canary_probe(spark) for _ in range(3)]
-    while (
-        min(canary_samples) > canary_floor * (1 + CANARY_MARGIN)
-        and waited < LOAD_WAIT_SEC
-    ):
-        time.sleep(15)
-        waited += 15
-        canary_samples.append(_canary_probe(spark))
+    # Canary gate (r10; I/O leg r11): fixed-work host probes vs each
+    # leg's historical clean floor. Either leg elevated → wait
+    # (bounded, shares the LOAD_WAIT budget) and re-probe; still
+    # elevated → run anyway but stamp loaded=true so a slow-host
+    # artifact can never ship as a clean one.
+    import shutil
+    import tempfile
+
+    canary_floor = _canary_floor(
+        REPO, "canary_sec", CANARY_FLOOR_FALLBACK, CANARY_SANITY_MIN
+    )
+    io_canary_floor = _canary_floor(
+        REPO, "io_canary_sec", IO_CANARY_FLOOR_FALLBACK, IO_CANARY_SANITY_MIN
+    )
+    io_workdir = tempfile.mkdtemp(prefix="bench_iocanary_")
+    try:
+        canary_samples = [_canary_probe(spark) for _ in range(3)]
+        io_canary_samples = [_io_canary_probe(spark, io_workdir) for _ in range(3)]
+
+        def _elevated() -> bool:
+            return (
+                min(canary_samples) > canary_floor * (1 + CANARY_MARGIN)
+                or min(io_canary_samples)
+                > io_canary_floor * (1 + IO_CANARY_MARGIN)
+            )
+
+        while _elevated() and waited < LOAD_WAIT_SEC:
+            time.sleep(15)
+            waited += 15
+            canary_samples.append(_canary_probe(spark))
+            io_canary_samples.append(_io_canary_probe(spark, io_workdir))
+        loaded_run = loaded_run or _elevated()
+    finally:
+        shutil.rmtree(io_workdir, ignore_errors=True)
     canary_sec = min(canary_samples)
     canary_ratio = round(canary_sec / canary_floor, 3)
-    loaded_run = loaded_run or canary_sec > canary_floor * (1 + CANARY_MARGIN)
+    io_canary_sec = min(io_canary_samples)
+    io_canary_ratio = round(io_canary_sec / io_canary_floor, 3)
 
     # Two passes per query: the cold pass absorbs per-query codegen/JIT
     # compilation (tens of percent of noise round-to-round), the warm
@@ -377,9 +462,6 @@ def main() -> None:
 
     # incremental corpus-append cycle (r04): one untimed state build,
     # then cold + 2 warm timed appends with distinct id spaces
-    import shutil
-    import tempfile
-
     corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
     try:
         from cdc_historical_warehouse_platform_spark.pipeline.corpus_build import corpus_build
@@ -400,6 +482,15 @@ def main() -> None:
     # table as the query set. Prices the no-broadcast-ceiling path
     # round-over-round; cold = first probe (plan compile), warm =
     # best-of-2 repeats.
+    # r11 note (verdict task #2): the r10 artifact's +0.4 s on this row
+    # was A/B'd vs the r9 sealed tree (same host, order-controlled
+    # interleaving, 5 pairs) — warm minima OVERLAP (head {3.70, 2.95,
+    # 3.63, 3.31, 3.52} vs r9 {2.79, 3.20, 2.76, 3.33, 3.15}; the
+    # apparent gap inverted when run order reversed) and the probe-path
+    # diff since r9 is byte-identical, so the delta is host I/O, not
+    # code. Plan-shape guarded by tests/test_pq.py::
+    # test_ivfpq_bulk_probe_plan_guard (no BNLJ/cartesian/Python-UDF
+    # can land on this path silently).
     pq_dir = tempfile.mkdtemp(prefix="bench_pq_")
     try:
         from pyspark.sql import functions as F
@@ -415,6 +506,7 @@ def main() -> None:
         )
 
         def pq_probe() -> float:
+            _settle(spark)
             t0 = time.perf_counter()
             pq_index.probe(
                 spark, queries_df, k=10, n_probes=2, broadcast_probe=False
@@ -498,6 +590,10 @@ def main() -> None:
                 "canary_samples": canary_samples,
                 "canary_floor": canary_floor,
                 "canary_ratio": canary_ratio,
+                "io_canary_sec": io_canary_sec,
+                "io_canary_samples": io_canary_samples,
+                "io_canary_floor": io_canary_floor,
+                "io_canary_ratio": io_canary_ratio,
                 "loaded": loaded_run,
                 "sf": sf,
             }

