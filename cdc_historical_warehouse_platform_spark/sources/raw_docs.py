@@ -420,6 +420,77 @@ def _warc_record_to_doc(
 
 _DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
 
+# Streaming-walk output flush thresholds (r11, verdict task #4): the
+# extracted docs of ONE archive used to accumulate into a single
+# Arrow batch — fine for boilerplate-heavy HTML, but WET-style
+# `conversion` archives are ~pass-through text, so a ~1 GB .gz member
+# could expand to multi-GB of Python strings per task, quietly
+# re-creating the materialization ceiling the streaming record walk
+# removed. Yield every N docs / M extracted chars instead.
+_STREAM_FLUSH_DOCS = 2_000
+_STREAM_FLUSH_CHARS = 16 << 20  # ~16M chars: Arrow batches stay large
+# (tens of MB) while the per-task output buffer stays far below any
+# archive's decompressed size
+
+
+def _open_stream(path: str, use_arrow_fs: bool = False):
+    """Open ``path`` (a Spark file-listing URI) as a binary, seekable
+    file handle for the streaming walks. Local paths (no scheme or
+    ``file:``) use plain ``open``; any other scheme — and local paths
+    when ``use_arrow_fs`` forces it, which is how tests exercise the
+    branch — routes through ``pyarrow.fs.FileSystem.from_uri`` (r11,
+    verdict task #6: the Hadoop-ecosystem filesystems — hdfs://,
+    s3://, gs:// — readable INCREMENTALLY from the Python worker, so
+    the bounded-memory record walk applies on object storage too,
+    not just local disk)."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(path)
+    if not use_arrow_fs and parsed.scheme in ("", "file"):
+        local = unquote(parsed.path) if parsed.scheme else path
+        return open(local, "rb")
+    import pyarrow.fs as pafs
+
+    # Spark lists local files as single-slash URIs (file:/a/b);
+    # pyarrow's from_uri wants the authority form
+    uri = f"file://{unquote(parsed.path)}" if parsed.scheme == "file" else path
+    try:
+        fs, rel = pafs.FileSystem.from_uri(uri)
+        return fs.open_input_file(rel)
+    except (OSError, ValueError) as exc:
+        raise ValueError(
+            f"streaming walk: filesystem for {path!r} is not openable "
+            f"from the Python worker ({exc}); use materialize=True to "
+            "read whole archives through Spark's binaryFile source"
+        ) from exc
+
+
+def _warc_doc_batches(
+    fh, min_words: int, max_link_density: float, flush_docs: int, flush_chars: int
+):
+    """Bounded-flush doc-batch generator over ONE open archive handle
+    (r11, verdict task #4): yields a pandas DataFrame every
+    ``flush_docs`` docs / ``flush_chars`` extracted chars, so a
+    WET-heavy archive — conversion records are ~pass-through text —
+    can never accumulate its whole extracted output in the task. This
+    is the exact unit the streaming reader's mapInPandas closure runs
+    AND the unit scripts/stress_warc.py measures under tracemalloc."""
+    import pandas as pd
+
+    out: list = []
+    out_chars = 0
+    for headers, body in iter_warc_records_stream(fh):
+        doc = _warc_record_to_doc(headers, body, min_words, max_link_density)
+        if doc is None:
+            continue
+        out.append(doc)
+        out_chars += doc["n_chars"]
+        if len(out) >= flush_docs or out_chars >= flush_chars:
+            yield pd.DataFrame(out, columns=_DOC_COLUMNS)
+            out, out_chars = [], 0
+    if out:
+        yield pd.DataFrame(out, columns=_DOC_COLUMNS)
+
 
 def read_warc_documents(
     spark: SparkSession,
@@ -428,6 +499,9 @@ def read_warc_documents(
     max_link_density: float = 0.33,
     pattern: str = "*.warc*",
     materialize: bool = False,
+    use_arrow_fs: bool = False,
+    flush_docs: int | None = None,
+    flush_chars: int | None = None,
 ) -> DataFrame:
     """WARC crawl archives → the documents table: ``response``
     records carrying HTML get boilerplate-removed through the
@@ -443,10 +517,14 @@ def read_warc_documents(
     the archive locally, and iterate records incrementally — peak
     per-task memory is bounded by the largest record, not the
     archive, so ~1 GB members leave headroom at any task
-    parallelism. ``materialize=True`` keeps the r9 behavior (whole
-    archive as one binaryFile content cell) for filesystems the
-    Python worker cannot open directly (e.g. object stores mounted
-    only through Hadoop)."""
+    parallelism. Extracted output flushes every ``_STREAM_FLUSH_DOCS``
+    docs / ``_STREAM_FLUSH_CHARS`` chars (r11: a WET-heavy archive's
+    pass-through text no longer accumulates per-archive). Non-local
+    path schemes (hdfs/s3/gs) stream through pyarrow's filesystem
+    layer (r11; ``use_arrow_fs=True`` forces that branch for local
+    paths — the parity test hook). ``materialize=True`` keeps the r9
+    behavior (whole archive as one binaryFile content cell) for
+    filesystems pyarrow cannot open either."""
     from collections.abc import Iterator as _It
 
     import pandas as pd
@@ -487,30 +565,16 @@ def read_warc_documents(
         .select("path")
     )
 
-    def _extract_stream(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
-        from urllib.parse import unquote, urlparse
+    _fd = flush_docs or _STREAM_FLUSH_DOCS
+    _fc = flush_chars or _STREAM_FLUSH_CHARS
 
+    def _extract_stream(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
             for path in pdf["path"]:
-                parsed = urlparse(path)
-                if parsed.scheme not in ("", "file"):
-                    raise ValueError(
-                        f"streaming WARC walk needs a locally-openable path, "
-                        f"got scheme {parsed.scheme!r} ({path}); use "
-                        f"read_warc_documents(..., materialize=True)"
+                with _open_stream(path, use_arrow_fs) as fh:
+                    yield from _warc_doc_batches(
+                        fh, min_words, max_link_density, _fd, _fc
                     )
-                local = unquote(parsed.path) if parsed.scheme else path
-                out = []
-                with open(local, "rb") as fh:
-                    for headers, body in iter_warc_records_stream(fh):
-                        doc = _warc_record_to_doc(
-                            headers, body, min_words, max_link_density
-                        )
-                        if doc is not None:
-                            out.append(doc)
-                # one Arrow batch per archive: extracted text never
-                # accumulates across archives within a task
-                yield pd.DataFrame(out, columns=_DOC_COLUMNS)
 
     return paths.mapInPandas(_extract_stream, schema)
 
@@ -522,6 +586,9 @@ def read_zip_documents(
     max_link_density: float = 0.33,
     pattern: str = "*.zip",
     materialize: bool = False,
+    use_arrow_fs: bool = False,
+    flush_docs: int | None = None,
+    flush_chars: int | None = None,
 ) -> DataFrame:
     """ZIP archives of loose documents → the documents table: ``*.txt``
     members pass through as plain text, ``*.htm(l)`` members get the
@@ -535,16 +602,20 @@ def read_zip_documents(
     reader): tasks receive paths only (binaryFile listing, content
     column pruned) and ``zipfile`` reads the central directory + one
     member at a time from the open file handle — peak per-task memory
-    is bounded by the largest member, never the archive.
-    ``materialize=True`` keeps the whole-archive binaryFile cell for
-    filesystems the Python worker cannot open directly."""
+    is bounded by the largest member, never the archive. Extracted
+    output flushes on the same doc/char thresholds as the WARC walk
+    (r11), and non-local schemes stream through pyarrow's seekable
+    filesystem handles (``use_arrow_fs=True`` forces the branch for
+    local paths — the parity test hook). ``materialize=True`` keeps
+    the whole-archive binaryFile cell for filesystems pyarrow cannot
+    open either."""
     from collections.abc import Iterator as _It
 
     import pandas as pd
 
     schema = "doc_id long, text string, lang string, source string, n_chars long"
 
-    def _members_to_docs(zf, path: str, out: list) -> None:
+    def _members_to_docs(zf, path: str):
         import hashlib
 
         from cdc_historical_warehouse_platform_spark.operators.html import parse_blocks
@@ -552,21 +623,19 @@ def read_zip_documents(
 
         def emit(key: str, text: str):
             text = " ".join(text.split())
-            out.append(
-                {
-                    "doc_id": int(hashlib.md5(key.encode()).hexdigest()[:15], 16),
-                    "text": text,
-                    "lang": None,
-                    "source": "zip",
-                    "n_chars": len(text),
-                }
-            )
+            return {
+                "doc_id": int(hashlib.md5(key.encode()).hexdigest()[:15], 16),
+                "text": text,
+                "lang": None,
+                "source": "zip",
+                "n_chars": len(text),
+            }
 
         for member in zf.namelist():
             low = member.lower()
             key = f"{path}!{member}"
             if low.endswith(".txt"):
-                emit(key, _zread(zf, member).decode("utf-8", "replace"))
+                yield emit(key, _zread(zf, member).decode("utf-8", "replace"))
             elif low.endswith((".htm", ".html")):
                 html = _zread(zf, member).decode("utf-8", "replace")
                 kept = [
@@ -575,7 +644,7 @@ def read_zip_documents(
                     if len(t.split()) >= min_words
                     and lc <= max_link_density * len(t)
                 ]
-                emit(key, "\n".join(kept))
+                yield emit(key, "\n".join(kept))
 
     if materialize:
         raw = (
@@ -593,10 +662,8 @@ def read_zip_documents(
                 out: list = []
                 for path, content in zip(pdf["path"], pdf["content"]):
                     with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
-                        _members_to_docs(zf, path, out)
-                yield pd.DataFrame(
-                    out, columns=["doc_id", "text", "lang", "source", "n_chars"]
-                )
+                        out.extend(_members_to_docs(zf, path))
+                yield pd.DataFrame(out, columns=_DOC_COLUMNS)
 
         return raw.mapInPandas(_extract, schema)
 
@@ -607,28 +674,32 @@ def read_zip_documents(
         .select("path")
     )
 
+    _fd = flush_docs or _STREAM_FLUSH_DOCS
+    _fc = flush_chars or _STREAM_FLUSH_CHARS
+
     def _extract_stream(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         import zipfile
-        from urllib.parse import unquote, urlparse
 
+        out: list = []
+        out_chars = 0
         for pdf in batches:
             for path in pdf["path"]:
-                parsed = urlparse(path)
-                if parsed.scheme not in ("", "file"):
-                    raise ValueError(
-                        f"streaming ZIP walk needs a locally-openable path, "
-                        f"got scheme {parsed.scheme!r} ({path}); use "
-                        f"read_zip_documents(..., materialize=True)"
-                    )
-                local = unquote(parsed.path) if parsed.scheme else path
-                out: list = []
                 # ZipFile on the handle reads the central directory and
                 # then ONE member at a time — the archive never
-                # materializes
-                with open(local, "rb") as fh, zipfile.ZipFile(fh) as zf:
-                    _members_to_docs(zf, path, out)
-                yield pd.DataFrame(
-                    out, columns=["doc_id", "text", "lang", "source", "n_chars"]
-                )
+                # materializes; non-local schemes stream through
+                # pyarrow's (seekable) filesystem handles (r11)
+                with _open_stream(path, use_arrow_fs) as fh, zipfile.ZipFile(
+                    fh
+                ) as zf:
+                    for doc in _members_to_docs(zf, path):
+                        out.append(doc)
+                        out_chars += doc["n_chars"]
+                        # bounded flush (r11): one text-dense archive
+                        # can no longer accumulate multi-GB of output
+                        if len(out) >= _fd or out_chars >= _fc:
+                            yield pd.DataFrame(out, columns=_DOC_COLUMNS)
+                            out, out_chars = [], 0
+        if out:
+            yield pd.DataFrame(out, columns=_DOC_COLUMNS)
 
     return paths.mapInPandas(_extract_stream, schema)

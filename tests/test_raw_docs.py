@@ -410,3 +410,57 @@ def test_read_zip_documents(spark, tmp_path):
         for r in read_zip_documents(spark, str(tmp_path), materialize=True).collect()
     )
     assert stream_rows == mat_rows
+
+
+def test_streaming_walks_arrow_fs_and_bounded_flush_parity(spark, tmp_path):
+    """r11 (verdict tasks #4/#6): (a) the pyarrow-filesystem branch —
+    the object-store path (hdfs/s3/gs), exercised here over file://
+    via use_arrow_fs=True — parses identically to the plain-open
+    branch for BOTH streaming walks; (b) the bounded output flush
+    (yield every N docs / M chars instead of once per archive) loses
+    and duplicates nothing even at a pathological flush_docs=1."""
+    import zipfile
+
+    from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+        read_warc_documents,
+        read_zip_documents,
+    )
+
+    records = [("response", "http://s.example/a", _WARC_HTML, "text/html")] + [
+        ("conversion", f"http://o.example/w{i}", f"wet body {i} ".encode() * 30, None)
+        for i in range(7)
+    ]
+    (tmp_path / "seg.warc.gz").write_bytes(_write_warc(records, gz=True))
+    z = tmp_path / "dump.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        for i in range(9):
+            zf.writestr(f"m{i}.txt", f"zip member body {i} " * 20)
+
+    def rows(df):
+        return sorted((r["doc_id"], r["text"], r["n_chars"]) for r in df.collect())
+
+    warc_base = rows(read_warc_documents(spark, str(tmp_path)))
+    assert len(warc_base) == 8
+    assert warc_base == rows(
+        read_warc_documents(spark, str(tmp_path), use_arrow_fs=True)
+    )
+    assert warc_base == rows(
+        read_warc_documents(spark, str(tmp_path), flush_docs=1)
+    )
+    assert warc_base == rows(
+        read_warc_documents(
+            spark, str(tmp_path), use_arrow_fs=True, flush_docs=2, flush_chars=100
+        )
+    )
+
+    zip_base = rows(read_zip_documents(spark, str(tmp_path)))
+    assert len(zip_base) == 9
+    assert zip_base == rows(
+        read_zip_documents(spark, str(tmp_path), use_arrow_fs=True)
+    )
+    assert zip_base == rows(read_zip_documents(spark, str(tmp_path), flush_docs=1))
+    assert zip_base == rows(
+        read_zip_documents(
+            spark, str(tmp_path), use_arrow_fs=True, flush_docs=3, flush_chars=50
+        )
+    )
