@@ -43,6 +43,7 @@ __all__ = [
     "exact_dedup_groups",
     "exact_dedup",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_signature",
     "minhash_band_buckets",
     "minhash_lsh_pairs",
@@ -169,6 +170,64 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs (r11): containment
+    = |A∩B| / min(|A|,|B|) — the quote/substring-duplication detector
+    Jaccard structurally misses (a short doc fully embedded in a long
+    one has Jaccard ≈ |A|/|B| → 0 as the host grows, but containment
+    1.0). CC-scale pipelines run this as a tier beside Jaccard
+    (RefinedWeb/FineWeb-style sub-document dedup).
+
+    Same integer-count discipline as :func:`jaccard_pairs` — the only
+    float op is one division, bit-exact across engines — and the same
+    stop-shingle ``max_doc_freq`` guard bounds the self-join at scale.
+    Output: (doc_a < doc_b, containment ≥ threshold, containment,
+    contained_id) where ``contained_id`` is the smaller-set doc (ties
+    → lower id): the one a keep-list would drop."""
+    sh = _shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.filter(F.col("df") > max_doc_freq).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least("na", "nb"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "contained_id",
+            F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+            .when(F.col("nb") < F.col("na"), F.col("doc_b"))
+            .otherwise(F.least("doc_a", "doc_b")),
+        )
+        .select("doc_a", "doc_b", "containment", "contained_id")
     )
 
 

@@ -40,6 +40,8 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "weighted_keep_expr",
+    "es_key",
+    "weighted_sample_wor",
     "cap_draw",
     "cap_per_source",
     "write_training_shards",
@@ -142,6 +144,64 @@ def stratified_hash_sample(
             branch = skey < F.lit(_rate_threshold(rate))
         keep = F.when(cond, branch).otherwise(keep)
     return df.withColumn("sample_key", skey).where(keep)
+
+
+def es_key(key: Column, weight: Column, salt: str = "wor-sample") -> Column:
+    """Efraimidis–Spirakis weighted-sampling key: ln(u)/w with u a
+    DETERMINISTIC md5 draw in (0,1]. Ranking docs by this key
+    descending and keeping the top k is a weighted sample WITHOUT
+    replacement (inclusion follows sequential weighted draws — the
+    published E–S result), with zero RNG state: restarts, retries, and
+    re-runs keep the identical sample at any scale.
+
+    Exactness discipline: u = (13-hex-md5-prefix + 1) / 2^52 — 52 bits
+    stays under double's 53-bit mantissa, so u is EXACT and identical
+    in any engine with md5 (the DuckDB twin runs the same bytes). The
+    only libm call is one ln; the selected SET is insensitive to 1-ULP
+    libm differences because adjacent order-statistic gaps are ~12
+    orders of magnitude wider (and the key itself is never output)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    return F.log(u) / weight
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "wor-sample",
+) -> DataFrame:
+    """Fixed-budget weighted sampling WITHOUT replacement (r11): keep
+    the top ``k`` docs per stratum by the E–S key — the complement to
+    ``weighted_keep_expr`` (per-row Bernoulli, variable output size)
+    when the pipeline needs an EXACT per-stratum budget (e.g. "50 docs
+    per source for the eval slice, long docs favored").
+
+    Scale: one shuffle on the stratum key, per-partition top-k via
+    window rank — no global sort, no driver state. Rows with
+    non-positive weight are excluded (zero-weight docs must never win
+    a slot). Adds ``sample_rank`` (1-based within stratum)."""
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("__es_key").desc(), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", es_key(F.col(key_col), F.col(weight_col), salt))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__es_key")
+    )
 
 
 def cap_draw(key: Column, salt: str = "domain-cap") -> Column:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from cdc_historical_warehouse_platform_spark.operators import text as TX
 from cdc_historical_warehouse_platform_spark.operators.dedup import (
     banded_embedding_near_dup,
+    containment_pairs,
     decontaminate,
     embedding_near_dup_pairs,
     exact_dedup_groups,
@@ -256,6 +257,33 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, n=3, bands=32, rows_per_band=2, threshold=0.5
     ).orderBy("doc_a", "doc_b")
+
+
+def q_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (r11): |A∩B|/min(|A|,|B|) ≥
+    0.8 with the stop-shingle cap on — the sub-document/quote
+    duplication tier Jaccard structurally misses when sizes diverge
+    (operators/dedup.containment_pairs). contained_id marks the doc a
+    keep-list would drop."""
+    docs = load_table(spark, sf, "documents")
+    return containment_pairs(
+        docs, n=3, threshold=0.8, max_doc_freq=JACCARD_MAX_DOC_FREQ
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_sql_shingles(JACCARD_MAX_DOC_FREQ)}
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n AS DOUBLE) / least(sa.n, sb.n) AS containment,
+       CASE WHEN sa.n < sb.n THEN i.doc_a
+            WHEN sb.n < sa.n THEN i.doc_b
+            ELSE least(i.doc_a, i.doc_b) END AS contained_id
+FROM inter i
+JOIN sz sa ON i.doc_a = sa.doc_id
+JOIN sz sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -619,6 +647,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_lang_confusion": (q_lang_confusion, SQL_LANG),
     "dedup_exact_groups": (q_exact_dedup, SQL_EXACT_DEDUP),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD_PAIRS),
+    "dedup_containment": (q_containment, SQL_CONTAINMENT_PAIRS),
     "dedup_minhash_lsh": (q_minhash_lsh, SQL_JACCARD_PAIRS_UNCAPPED),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "knn_cosine_brute": (q_knn_brute, SQL_KNN),
@@ -1601,6 +1630,49 @@ ORDER BY doc_id
 DATAPIPE_QUERIES["corpus_sample_quality_weighted"] = (
     q_corpus_sample_quality_weighted,
     SQL_SAMPLE_QUALITY_WEIGHTED,
+)
+
+
+def q_corpus_sample_weighted_wor(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-budget weighted sampling WITHOUT replacement (r11):
+    Efraimidis–Spirakis top-k per source stratum, weights = n_chars
+    (long docs favored), deterministic md5 draws — the exact-budget
+    complement to the Bernoulli quality-weighted row
+    (operators/sampling.weighted_sample_wor). One shuffle on the
+    stratum key; no RNG state, restart-identical at any scale."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import weighted_sample_wor
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        weighted_sample_wor(docs, k=10, weight_col="n_chars", strata_col="source")
+        .select("source", "sample_rank", "doc_id", "n_chars")
+        .orderBy("source", "sample_rank")
+    )
+
+
+# u = (13-hex md5 prefix + 1) / 2^52: EXACT double arithmetic in both
+# engines (52 bits < the 53-bit mantissa); the E–S key ln(u)/w itself
+# never reaches the output, so 1-ULP libm divergence cannot flip the
+# hash (see operators/sampling.es_key).
+SQL_SAMPLE_WEIGHTED_WOR = """
+WITH d AS (SELECT doc_id, source, n_chars,
+                  CAST(n_chars AS DOUBLE) AS w
+           FROM documents WHERE n_chars > 0),
+keyed AS (SELECT doc_id, source, n_chars,
+                 ln((('0x' || substr(md5('wor-sample:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                    / 4503599627370496.0) / w AS k
+          FROM d),
+r AS (SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS sample_rank
+      FROM keyed)
+SELECT source, CAST(sample_rank AS INT) AS sample_rank, doc_id, n_chars
+FROM r WHERE sample_rank <= 10
+ORDER BY source, sample_rank
+"""
+
+DATAPIPE_QUERIES["corpus_sample_weighted_wor"] = (
+    q_corpus_sample_weighted_wor,
+    SQL_SAMPLE_WEIGHTED_WOR,
 )
 
 

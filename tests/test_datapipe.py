@@ -5532,3 +5532,52 @@ def test_tga_decoder_all_variants():
         bad = bytearray(_encode_tga(rgb))
         bad[16] = 16
         tga_decoder(bytes(bad))
+
+
+def test_containment_pairs_catches_subdocument_duplication(spark):
+    """r11: containment = |A∩B|/min(|A|,|B|) flags a short doc embedded
+    in a long one (Jaccard misses it as the host grows), reports the
+    contained (smaller-set) doc as the keep-list drop candidate, and
+    stays quiet on unrelated docs."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    host = (
+        "intro words before the borrowed passage now " + quote
+        + " and then a very long unrelated tail "
+        + " ".join(f"tail{i:02d} filler token" for i in range(40))
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, "completely different content here entirely")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["containment"] == 1.0  # every quote shingle is in the host
+    assert r["contained_id"] == 1  # the smaller-set doc is the drop candidate
+    # Jaccard at the same strictness misses this pair entirely
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac
+
+    # equal-size tie: contained_id falls to the lower doc_id
+    a = "one two three four five six seven eight"
+    df2 = spark.createDataFrame([(7, a), (9, a)], ["doc_id", "text"])
+    rows = containment_pairs(df2, n=3, threshold=0.8).collect()
+    assert len(rows) == 1 and rows[0]["contained_id"] == 7
+
+    # the stop-shingle cap drops boilerplate-only overlap
+    boiler = "shared boilerplate navigation footer text block here"
+    many = [(100 + i, boiler + f" unique{i:03d} suffix{i:03d} extra{i:03d}") for i in range(8)]
+    df3 = spark.createDataFrame(many + [(1, boiler), (2, boiler)], ["doc_id", "text"])
+    capped = containment_pairs(df3, n=3, threshold=0.8, max_doc_freq=3).collect()
+    assert capped == []

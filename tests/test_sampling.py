@@ -418,3 +418,44 @@ def test_cap_per_source_null_source_capped_not_dropped(spark):
         by_src.setdefault(r["source"], set()).add(r["doc_id"])
     assert len(by_src[None]) == 2  # capped, not dropped
     assert by_src["a"] == {1, 2} and by_src["b"] == {6}
+
+
+def test_weighted_sample_wor_budget_determinism_and_weight_bias(spark, docs):
+    """r11: Efraimidis–Spirakis fixed-budget sampling — exact k per
+    stratum, 1-based contiguous ranks, identical across re-runs (no
+    RNG state), zero-weight rows never win a slot, and an
+    overwhelmingly heavy doc takes rank 1."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    got = weighted_sample_wor(docs, k=5, weight_col="n_chars", strata_col="source")
+    rows = got.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["sample_rank"])
+    n_docs_per_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, ranks in by_src.items():
+        want = min(5, n_docs_per_src[src])
+        assert sorted(ranks) == list(range(1, want + 1)), src
+    assert set(by_src) == set(n_docs_per_src)
+
+    # restart-stable: a second run keeps the identical sample
+    again = weighted_sample_wor(docs, k=5, weight_col="n_chars", strata_col="source")
+    key = lambda rs: sorted((r["source"], r["sample_rank"], r["doc_id"]) for r in rs)
+    assert key(rows) == key(again.collect())
+
+    # zero/negative weights are excluded; a dominant weight wins rank 1
+    df = spark.createDataFrame(
+        [(i, "s", 1.0) for i in range(1, 21)]
+        + [(99, "s", 1e12), (100, "s", 0.0), (101, "s", -3.0)],
+        ["doc_id", "source", "w"],
+    )
+    top = weighted_sample_wor(df, k=10, weight_col="w", strata_col="source").collect()
+    assert len(top) == 10
+    ids = {r["doc_id"] for r in top}
+    assert 100 not in ids and 101 not in ids
+    assert next(r["doc_id"] for r in top if r["sample_rank"] == 1) == 99
