@@ -66,12 +66,13 @@ _PRIORITY = [
     "agg_stats_quantiles",
     "join_outer_coalesce",
     # new in r11 (never driver-checked — hoisted straight into the
-    # window so no oracled row stays never-checked; the two displaced
-    # r08 rows sit atop _DEMOTED with family notes):
+    # window so no oracled row stays never-checked; the three
+    # displaced r08 rows sit atop _DEMOTED with family notes):
     "dedup_containment",
     "corpus_sample_weighted_wor",
-    # r08-stale (43 of 50 promoted; the 7 deferred to r12 — 5 by the
-    # 50-slot limit, 2 displaced by the r11-new rows — sit atop
+    "text_bm25_topk",
+    # r08-stale (42 of 50 promoted; the 8 deferred to r12 — 5 by the
+    # 50-slot limit, 3 displaced by the r11-new rows — sit atop
     # _DEMOTED with their in-window family coverage):
     "corpus_substring_spans_incremental",
     "corpus_export_manifest",
@@ -115,12 +116,12 @@ _PRIORITY = [
     "text_heavy_hitters",
     "scd2_incremental_histogram",
     "scd2_histogram_quantiles",
-    "events_cohort_retention",
 ]
 _DEMOTED = [
-    # --- 7 r08-green rows deferred to the r12 window (5 by the
-    # 50-slot limit, 2 displaced by the r11-new rows); each one's
+    # --- 8 r08-green rows deferred to the r12 window (5 by the
+    # 50-slot limit, 3 displaced by the r11-new rows); each one's
     # operator family stays in-window per the note. ---
+    "events_cohort_retention",  # last green r08 (displaced by r11-new text_bm25_topk); events family in-window via events_session_windows + events_resample_interpolate
     "corpus_temperature_mix",  # last green r08 (displaced by r11-new dedup_containment); corpus family in-window via corpus_dsir_weights + corpus_dsir_resample + corpus_export_manifest + corpus_sample_weighted_wor
     "scd2_version_diff",  # last green r08 (displaced by r11-new corpus_sample_weighted_wor); scd2 family in-window via scd2_current_state + scd2_change_frequency + scd2_incremental_histogram + scd2_histogram_quantiles
     "window_ntile_percentile",  # last green r08; window family in-window via window_distinct_running + window_top_per_customer + window_cumulative_revenue

@@ -378,6 +378,99 @@ def tfidf_top_keywords(
     )
 
 
+def bm25_topk(
+    df: "DataFrame",
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """BM25 relevance top-k for a fixed query-term set (r11) — the
+    retrieval scorer a corpus platform needs beside TF-IDF keywords:
+    Okapi BM25 with Lucene's non-negative idf,
+    ln(1 + (N − df + 0.5)/(df + 0.5)), and the standard length
+    normalization tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    Cross-engine exactness (the tfidf_top_keywords discipline): idf is
+    quantized ONCE per term to integer micro-nats, and each (doc,term)
+    partial score is re-quantized to one BIGINT —
+    floor(idf_micro · tf_norm) — so the final sum and ranking are pure
+    integer arithmetic. N/avgdl are embedded as literals from one
+    1-row distributed aggregate at plan-build time (the ivf_centroids
+    pattern — never a data-sized collect), with avgdl = sum(dl)/n as
+    one IEEE double division, identical in any engine.
+
+    Scale shape: explode → per-doc length agg [one shuffle, map-side
+    combine] → term filter BEFORE the tf groupBy (only query-term
+    postings shuffle — at 100 TB the stream is |terms|-bounded per
+    doc, not vocabulary-sized) → broadcast of the ≤|terms|-row idf
+    table → per-doc sum → global top-k via TakeOrderedAndProject +
+    a broadcast non-equi self-join for rank (the zipf-row pattern:
+    never an unpartitioned window / sort-to-one-partition)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = stats["sum_dl"] / stats["n"]  # one IEEE double division
+    tf = (
+        toks.filter(F.col("token").isin(list(query_terms)))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf_micro = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df_docs") + F.lit(0.5))
+            / (F.col("df_docs") + F.lit(0.5))
+        )
+        * F.lit(1000000.0)
+    )
+    idf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs")).select(
+        "token", idf_micro.alias("__idf")
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .select("doc_id", F.floor(F.col("__idf") * tf_norm).alias("__s"))
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("__s").alias("score_micronats"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    top = (
+        scored.orderBy(F.col("score_micronats").desc(), F.col("doc_id").asc())
+        .limit(k)
+        # consumed twice by the rank self-join; lazy barrier keeps the
+        # scoring subtree from executing twice
+        .localCheckpoint(eager=False)
+    )
+    ahead = top.select(
+        F.col("score_micronats").alias("__s2"), F.col("doc_id").alias("__id2")
+    )
+    is_ahead = (F.col("__s2") > F.col("score_micronats")) | (
+        (F.col("__s2") == F.col("score_micronats"))
+        & (F.col("__id2") < F.col("doc_id"))
+    )
+    return (
+        top.join(F.broadcast(ahead), is_ahead, "left")
+        .groupBy("doc_id", "score_micronats", "n_terms_hit")
+        .agg((F.count("__id2") + F.lit(1)).cast("int").alias("rank"))
+        .select("rank", "doc_id", "score_micronats", "n_terms_hit")
+        .orderBy("rank")
+    )
+
+
 def chunk_token_spans(
     df: "DataFrame",
     text_col: str = "text",

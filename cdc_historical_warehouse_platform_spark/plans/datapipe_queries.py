@@ -1554,6 +1554,52 @@ ORDER BY doc_id, rank
 DATAPIPE_QUERIES["text_tfidf_keywords"] = (q_text_tfidf_keywords, SQL_TFIDF)
 
 
+BM25_QUERY_TERMS = ["vector", "merge", "window"]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval top-20 for a fixed query-term set (r11):
+    operators/text.bm25_topk — Okapi BM25 with Lucene's non-negative
+    idf, micro-nat integer quantization per (doc, term), global top-k
+    via TakeOrderedAndProject + broadcast rank self-join (no
+    unpartitioned window)."""
+    docs = load_table(spark, sf, "documents")
+    return TX.bm25_topk(docs, BM25_QUERY_TERMS, k=20)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+SQL_BM25 = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, unnest(list_filter(string_split(nt, ' '), x -> x <> '')) AS token
+         FROM norm),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM dl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+idf AS (SELECT token,
+               CAST(floor(ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5)
+                                   / (count(*) + 0.5)) * 1000000.0) AS BIGINT) AS idf
+        FROM tf GROUP BY token),
+per AS (SELECT t.doc_id,
+               CAST(floor(i.idf * ((t.tf * 2.2)
+                    / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM stats)))))
+                    AS BIGINT) AS s
+        FROM tf t JOIN idf i USING (token) JOIN dl d USING (doc_id)),
+scored AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micronats,
+                  count(*) AS n_terms_hit
+           FROM per GROUP BY 1),
+top AS (SELECT * FROM scored ORDER BY score_micronats DESC, doc_id ASC LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY score_micronats DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score_micronats, CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+FROM top ORDER BY rank
+"""
+
+DATAPIPE_QUERIES["text_bm25_topk"] = (q_text_bm25_topk, SQL_BM25)
+
+
 def q_corpus_chunk_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Context-window chunking (operators/text.py:chunk_token_spans):
     32-token chunks, 8-token overlap, map-only."""

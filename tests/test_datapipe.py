@@ -5581,3 +5581,40 @@ def test_containment_pairs_catches_subdocument_duplication(spark):
     df3 = spark.createDataFrame(many + [(1, boiler), (2, boiler)], ["doc_id", "text"])
     capped = containment_pairs(df3, n=3, threshold=0.8, max_doc_freq=3).collect()
     assert capped == []
+
+
+def test_bm25_topk_relevance_length_norm_and_idf(spark):
+    """r11: BM25 ranks a term-dense doc first; at equal tf the longer
+    doc scores LOWER (length normalization); a rarer term outscores a
+    common one at the same tf (idf); ranks are contiguous and the
+    output deterministic across runs."""
+    from cdc_historical_warehouse_platform_spark.operators.text import bm25_topk
+
+    filler = " ".join(f"pad{i:02d}" for i in range(30))
+    rows = [
+        (1, "vector vector vector merge short doc"),
+        (2, "vector " + filler),                  # tf=1, long
+        (3, "vector unrelated words here"),       # tf=1, short
+        (4, "merge " + filler),                   # 'merge' df lower than 'vector'
+        (5, filler + " nothing relevant"),
+        (6, "vector " + filler),                  # duplicate shape of 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_topk(df, ["vector", "merge"], k=10).collect()
+    by_rank = {r["rank"]: r for r in got}
+    assert sorted(by_rank) == list(range(1, len(got) + 1))
+    assert by_rank[1]["doc_id"] == 1  # dense short doc wins
+    assert by_rank[1]["n_terms_hit"] == 2
+    score = {r["doc_id"]: r["score_micronats"] for r in got}
+    assert 5 not in score  # no query term, never scored
+    assert score[3] > score[2]  # same tf, shorter doc scores higher
+    # ties (identical tf and dl) score identically, rank by doc_id
+    assert score[2] == score[6]
+    r2 = next(r for r in got if r["doc_id"] == 2)
+    r6 = next(r for r in got if r["doc_id"] == 6)
+    assert r2["rank"] < r6["rank"]
+    # rarer 'merge' (df=2) beats 'vector' (df=4) at equal tf and dl
+    assert score[4] > score[2]
+    # deterministic across runs
+    again = bm25_topk(df, ["vector", "merge"], k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
