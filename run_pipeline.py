@@ -30,7 +30,9 @@ Usage:
                                    [--quality-model PATH [--threshold T]]  # model gate
   python run_pipeline.py corpus-compact --output DIR [--max-files-per-shard N]
   python run_pipeline.py corpus-forget --output DIR --doc-ids 1,2,3
-  python run_pipeline.py corpus-ingest --input DIR --output DIR [--ingest-format text|jsonl|html|warc|zip]
+  python run_pipeline.py corpus-ingest --input DIR --output DIR [--ingest-format text|jsonl|html|warc|zip|csv]
+  python run_pipeline.py corpus-sample --input SF_DIR --output DIR [--k N]
+                                   [--weight-col C] [--stratum-col C]  # E-S weighted WOR
   python run_pipeline.py corpus-export --output CORPUS --bpe-dir BPE --export-dir DIR [--seq-len N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
@@ -141,6 +143,7 @@ def main() -> int:
             "summary", "optimize",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
             "corpus-forget", "corpus-ingest", "corpus-export", "corpus-status",
+            "corpus-sample",
             "ann-build", "ann-append", "ann-query",
             "substr-append", "substr-spans", "substr-compact",
             "bpe-train", "bpe-encode",
@@ -434,7 +437,15 @@ def main() -> int:
         default=32,
         help="optimize: target file count for the z-ordered history rewrite",
     )
-    ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query; corpus-tokens: top-k")
+    ap.add_argument("--k", type=int, default=10, help="ann-query: neighbors per query; corpus-tokens: top-k; corpus-sample: docs kept per stratum")
+    ap.add_argument(
+        "--weight-col", default="n_chars",
+        help="corpus-sample: weight column for the E-S draw (default n_chars)",
+    )
+    ap.add_argument(
+        "--stratum-col", default="source",
+        help="corpus-sample: stratum column for the per-stratum budget",
+    )
     ap.add_argument(
         "--n-queries", type=int, default=10,
         help="ann-query: probe with the first N vectors of --input",
@@ -661,6 +672,44 @@ def main() -> int:
         except FileNotFoundError as e:
             print(json.dumps({"error": str(e)}))
             return 1
+    elif args.command == "corpus-sample":
+        # fixed-budget weighted sampling WITHOUT replacement (r11):
+        # Efraimidis-Spirakis top-k per stratum via deterministic md5
+        # draws — re-running keeps the identical sample
+        from pyspark.sql import functions as F
+
+        from cdc_historical_warehouse_platform_spark.operators.sampling import (
+            weighted_sample_wor,
+        )
+
+        if not args.input or not args.output:
+            print(json.dumps({"error": "corpus-sample requires --input and --output"}))
+            return 1
+        docs = spark.read.parquet(f"{args.input}/documents.parquet")
+        sample = weighted_sample_wor(
+            docs, k=args.k, weight_col=args.weight_col, strata_col=args.stratum_col
+        )
+        dest = str(Path(args.output) / "sample.parquet")
+        sample.write.mode("overwrite").parquet(dest)
+        stats = (
+            spark.read.parquet(dest)
+            .agg(
+                F.count("*").alias("kept"),
+                F.countDistinct(args.stratum_col).alias("strata"),
+            )
+            .collect()[0]
+        )
+        print(
+            json.dumps(
+                {
+                    "kept": stats["kept"],
+                    "strata": stats["strata"],
+                    "k_per_stratum": args.k,
+                    "weight_col": args.weight_col,
+                    "output": dest,
+                }
+            )
+        )
     elif args.command == "corpus-ingest":
         # raw crawl/export directory -> documents.parquet (the table
         # corpus_build consumes); ids are path-stable so re-ingesting
