@@ -53,6 +53,11 @@ ALL_PAIRS_BY_DESIGN = {
     # corpus/bucket_size² row bound, same justification as its two
     # admitted siblings above
     "corpus_export_manifest",
+    # text_bm25_topk (r11): rank over a LIMIT-20 slice via the zipf
+    # pattern — TakeOrderedAndProject bounds the input BY CONSTRUCTION
+    # before the 20×20 non-equi self-join (operators/text.bm25_topk);
+    # the scoring pipeline itself is equi-join + groupBy only
+    "text_bm25_topk",
 }
 
 # The documented not-SQL-expressible tier (HLL estimates have no DuckDB
