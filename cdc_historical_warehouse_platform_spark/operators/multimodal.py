@@ -911,8 +911,9 @@ def aiff_decoder(payload: bytes):
     little-endian byte-swapped PCM are the uncompressed ones), SSND
     carries the frames after its offset field. AIFF samples are SIGNED
     at every width (unlike WAV's unsigned 8-bit); 8/16/24/32-bit all
-    decode. Compressed AIFC variants raise so the librosa env seam
-    owns them."""
+    decode. Apple IMA4 ADPCM decodes natively (r11 — the WAV tier's
+    IMA step walk over 34-byte packets); other compressed AIFC
+    variants raise so the librosa env seam owns them."""
     import struct
 
     import numpy as np
@@ -940,6 +941,7 @@ def aiff_decoder(payload: bytes):
     float_kind = None
     g711_kind = None
     unsigned8 = False
+    ima4 = False
     if is_aifc:
         ctype = comm[18:22]
         if ctype == b"sowt":
@@ -956,8 +958,52 @@ def aiff_decoder(payload: bytes):
             g711_kind = "mu"
         elif ctype in (b"alaw", b"ALAW"):
             g711_kind = "a"
+        elif ctype == b"ima4":
+            ima4 = True  # Apple IMA ADPCM (r11)
         elif ctype != b"NONE":
             raise ValueError(f"stdlib AIFF tier supports PCM/float only (got {ctype!r})")
+    if ima4:
+        # Apple IMA4 (QuickTime 'ima4', r11): 34-byte packets per
+        # channel — a 2-byte big-endian state header (top 9 bits = the
+        # predictor's high bits as int16, low 7 bits = step index) +
+        # 32 nibble bytes = 64 samples; channel packets interleave per
+        # 64-frame group. Same IMA step walk as the WAV tier
+        # (ima_adpcm_wav_decoder), but the header predictor is STATE
+        # ONLY — unlike WAV blocks it is not emitted as a sample.
+        steps = _IMA_STEPS
+        n_packets = len(data) // 34
+        groups = n_packets // max(nch, 1)
+        out_ch = np.empty((nch, groups * 64), dtype=np.float64)
+        for g in range(groups):
+            for c in range(nch):
+                off = (g * nch + c) * 34
+                (h,) = struct.unpack(">H", data[off : off + 2])
+                pred = h & 0xFF80
+                if pred >= 0x8000:
+                    pred -= 0x10000
+                idx = h & 0x7F
+                if idx > 88:
+                    raise ValueError(f"ima4: step index {idx} out of range")
+                oi = g * 64
+                for byte in data[off + 2 : off + 34]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = steps[idx]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        pred = pred - diff if nib & 8 else pred + diff
+                        pred = max(-32768, min(32767, pred))
+                        idx = max(0, min(88, idx + _IMA_INDEX_ADJUST[nib & 7]))
+                        out_ch[c, oi] = pred / 32768.0
+                        oi += 1
+        if _nframes:
+            out_ch = out_ch[:, :_nframes]
+        wavef = out_ch.mean(axis=0) if nch > 1 else out_ch[0]
+        return wavef, sr
     if g711_kind is not None:
         # AIFC G.711 (r10): one code byte per sample; COMM sampleSize
         # names the DECOMPRESSED width (16), so bound by frames × nch
@@ -1142,12 +1188,13 @@ def decode_audio(payload: bytes):
     PCM WAV (8/16/24/32-bit), IEEE-float WAV, WAVE_FORMAT_EXTENSIBLE
     (PCM/float SubFormats), G.711 mu-law/A-law WAV, IMA ADPCM WAV,
     AIFF/AIFF-C PCM (NONE/twos/sowt/raw) + float (fl32/fl64) + G.711
-    (ulaw/alaw), Sun AU (PCM + G.711 + IEEE float), and FLAC
-    (operators/flac.py — lossless, so bit-exact dependency-free
-    decode) decode via the stdlib tier; anything else — and any
-    payload the stdlib tier can't parse (ima4/other compressed AIFC,
-    32-bit FLAC, MP3/OGG) — routes to librosa (honest env stub when
-    absent), so installing librosa never decodes LESS than before.
+    (ulaw/alaw) + Apple IMA4 ADPCM (r11), Sun AU (PCM + G.711 + IEEE
+    float), and FLAC (operators/flac.py — lossless, so bit-exact
+    dependency-free decode) decode via the stdlib tier; anything else
+    — and any payload the stdlib tier can't parse (other compressed
+    AIFC, 32-bit FLAC, MP3/OGG) — routes to librosa (honest env stub
+    when absent), so installing librosa never decodes LESS than
+    before.
 
     Both tiers return the NATIVE sample rate (``sr=None`` below keeps
     librosa from resampling to its 22050 Hz default), so the (waveform,

@@ -4864,9 +4864,10 @@ def test_stdlib_aiff_decoder():
     )
     assert np.allclose(w, s16 / 32768.0)
 
+    # ima4 DECODES as of r11 (its own test); MACE 3:1 still refuses
     with _pytest.raises(ValueError, match="PCM/float only"):
         aiff_decoder(
-            _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 8000, b"AIFC", b"ima4")
+            _encode_aiff(s16.astype(">i2").tobytes(), 1, 16, 8000, b"AIFC", b"MAC3")
         )
     with _pytest.raises(ValueError, match="magic"):
         aiff_decoder(b"FORM\x00\x00\x00\x04WAVE")
@@ -5618,3 +5619,95 @@ def test_bm25_topk_relevance_length_norm_and_idf(spark):
     # deterministic across runs
     again = bm25_topk(df, ["vector", "merge"], k=10).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_aifc_ima4_decodes():
+    """r11 seam shrink: Apple IMA4 AIFC ('ima4' — QuickTime's ADPCM)
+    decodes natively: 34-byte packets (2-byte BE state header: top 9
+    predictor bits + 7-bit step index; 32 nibble bytes = 64 samples),
+    channel packets interleaved per 64-frame group, header predictor
+    as STATE ONLY (not emitted, unlike WAV IMA blocks). Pinned exact
+    against the reference IMA step walk; numSampleFrames truncates
+    the final packet's padding; decode_audio dispatches."""
+    import struct
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        _IMA_INDEX_ADJUST,
+        _IMA_STEPS,
+        aiff_decoder,
+        decode_audio,
+    )
+
+    def ref_decode(nibbles, pred, idx):
+        out = []
+        for nib in nibbles:
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJUST[nib & 7]))
+            out.append(pred)
+        return out
+
+    def packet(pred, idx, nibs):
+        assert len(nibs) == 64 and pred % 128 == 0
+        h = (pred & 0xFFFF) & 0xFF80 | idx
+        body = bytearray(struct.pack(">H", h))
+        for i in range(0, 64, 2):
+            body.append((nibs[i + 1] << 4) | nibs[i])
+        return bytes(body)
+
+    def aifc_ima4(nch, rate, nframes, packets):
+        comm = struct.pack(">hIh", nch, nframes, 16) + _ext80(rate)
+        comm += b"ima4" + b"\x04name"
+        ssnd = struct.pack(">II", 0, 0) + b"".join(packets)
+        body = b""
+        for cid, c in ((b"COMM", comm), (b"SSND", ssnd)):
+            body += cid + struct.pack(">I", len(c)) + c + (
+                b"\x00" if len(c) & 1 else b""
+            )
+        return b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFC" + body
+
+    rng = np.random.RandomState(23)
+    nibs1 = rng.randint(0, 16, 64).tolist()
+    nibs2 = rng.randint(0, 16, 64).tolist()
+
+    # mono, two packets with distinct state headers (seek property)
+    pay = aifc_ima4(1, 22050, 128, [packet(256, 5, nibs1), packet(-2048, 30, nibs2)])
+    wv, sr = aiff_decoder(pay)
+    expect = ref_decode(nibs1, 256, 5) + ref_decode(nibs2, -2048, 30)
+    assert sr == 22050
+    assert np.array_equal(wv, np.array(expect, dtype=np.float64) / 32768.0)
+
+    # numSampleFrames truncates the final packet's alignment padding
+    pay = aifc_ima4(1, 22050, 100, [packet(256, 5, nibs1), packet(-2048, 30, nibs2)])
+    wv, _ = aiff_decoder(pay)
+    assert np.array_equal(wv, np.array(expect[:100], dtype=np.float64) / 32768.0)
+
+    # stereo: per-channel packets interleave per 64-frame group
+    pay = aifc_ima4(
+        2, 8000, 64, [packet(0, 10, nibs1), packet(-128, 40, nibs2)]
+    )
+    wv, sr = aiff_decoder(pay)
+    l = np.array(ref_decode(nibs1, 0, 10), dtype=np.float64)
+    r = np.array(ref_decode(nibs2, -128, 40), dtype=np.float64)
+    assert sr == 8000
+    assert np.array_equal(wv, (l + r) / 2.0 / 32768.0)
+    wv2, _ = decode_audio(pay)
+    assert np.array_equal(wv2, wv)
+
+    # out-of-range step index refuses cleanly
+    bad = bytearray(packet(0, 10, nibs1))
+    bad[1] = 0x7F  # index 127 > 88
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="step index"):
+        aiff_decoder(aifc_ima4(1, 8000, 64, [bytes(bad)]))
