@@ -64,6 +64,7 @@ __all__ = [
     "wav_decoder",
     "g711_wav_decoder",
     "ima_adpcm_wav_decoder",
+    "ms_adpcm_wav_decoder",
     "aiff_decoder",
     "au_decoder",
     "flac_decoder",
@@ -891,6 +892,101 @@ def ima_adpcm_wav_decoder(payload: bytes):
     return wavef, sr
 
 
+_MS_ADPCM_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_ADPCM_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+_MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def ms_adpcm_wav_decoder(payload: bytes):
+    """Microsoft ADPCM WAV (format tag 0x02, r11) → (float64 mono
+    waveform in [-1, 1], native sample_rate). The other ubiquitous
+    compressed-WAV codec beside IMA: per-block header carries each
+    channel's predictor-coefficient index, initial idelta, and TWO
+    seed samples (emitted — sample2 is the older); then 4-bit codes,
+    HIGH nibble first (opposite of IMA), channels alternating per
+    nibble in stereo. Prediction is
+    (sample1·c1 + sample2·c2) >> 8 + signed4(code)·idelta with the
+    published coefficient/adaptation tables; all shifts are arithmetic
+    (Python's >> floors like C's on negatives, so the walk is
+    bit-exact against reference decoders).
+
+    Same sequential-Python correctness-tier posture as the IMA/JPEG/
+    FLAC entropy walks."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, sr, _brate, balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x02:
+        raise ValueError(
+            f"ms_adpcm_wav_decoder handles format tag 0x02 only (got {tag})"
+        )
+    if bits != 4:
+        raise ValueError(f"MS ADPCM requires 4-bit samples (got {bits})")
+    if nch not in (1, 2):
+        raise ValueError(f"MS ADPCM supports 1-2 channels (got {nch})")
+
+    out_ch: list[list[float]] = [[] for _ in range(nch)]
+    hdr = 7 * nch  # per block: nch predictors + 3 int16 fields per ch
+    for boff in range(0, len(data) - balign + 1, balign):
+        block = data[boff : boff + balign]
+        preds = []
+        ideltas = []
+        s1 = []
+        s2 = []
+        for c in range(nch):
+            p = block[c]
+            if p >= len(_MS_ADPCM_COEF1):
+                raise ValueError(f"MS ADPCM predictor index {p} out of range")
+            preds.append(p)
+        for c in range(nch):
+            ideltas.append(struct.unpack_from("<h", block, nch + 2 * c)[0])
+        for c in range(nch):
+            s1.append(struct.unpack_from("<h", block, 3 * nch + 2 * c)[0])
+        for c in range(nch):
+            s2.append(struct.unpack_from("<h", block, 5 * nch + 2 * c)[0])
+        for c in range(nch):
+            # the two header samples are real output, older first
+            out_ch[c].append(s2[c] / 32768.0)
+            out_ch[c].append(s1[c] / 32768.0)
+        ch = 0
+        for byte in block[hdr:]:
+            for code in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                c1 = _MS_ADPCM_COEF1[preds[ch]]
+                c2 = _MS_ADPCM_COEF2[preds[ch]]
+                signed = code - 16 if code >= 8 else code
+                pred = ((s1[ch] * c1 + s2[ch] * c2) >> 8) + signed * ideltas[ch]
+                pred = max(-32768, min(32767, pred))
+                s2[ch] = s1[ch]
+                s1[ch] = pred
+                ideltas[ch] = max(16, (_MS_ADPCM_ADAPT[code] * ideltas[ch]) >> 8)
+                out_ch[ch].append(pred / 32768.0)
+                ch = (ch + 1) % nch
+    arr = np.array(out_ch, dtype=np.float64)
+    wavef = arr.mean(axis=0) if nch > 1 else arr[0]
+    return wavef, sr
+
+
 def _float80(b: bytes) -> float:
     """Parse the 80-bit IEEE 754 extended float AIFF stores the sample
     rate in (big-endian: 1 sign + 15 exponent + 64 mantissa bits, with
@@ -1186,7 +1282,8 @@ def decode_image(payload: bytes):
 def decode_audio(payload: bytes):
     """Decode an audio payload → (waveform array, sample rate). RIFF
     PCM WAV (8/16/24/32-bit), IEEE-float WAV, WAVE_FORMAT_EXTENSIBLE
-    (PCM/float SubFormats), G.711 mu-law/A-law WAV, IMA ADPCM WAV,
+    (PCM/float SubFormats), G.711 mu-law/A-law WAV, IMA + Microsoft
+    ADPCM WAV,
     AIFF/AIFF-C PCM (NONE/twos/sowt/raw) + float (fl32/fl64) + G.711
     (ulaw/alaw) + Apple IMA4 ADPCM (r11), Sun AU (PCM + G.711 + IEEE
     float), and FLAC (operators/flac.py — lossless, so bit-exact
@@ -1212,6 +1309,10 @@ def decode_audio(payload: bytes):
                 pass
             try:
                 return ima_adpcm_wav_decoder(payload)
+            except Exception:
+                pass
+            try:
+                return ms_adpcm_wav_decoder(payload)
             except Exception:
                 pass
             try:

@@ -5711,3 +5711,94 @@ def test_aifc_ima4_decodes():
 
     with _pytest.raises(ValueError, match="step index"):
         aiff_decoder(aifc_ima4(1, 8000, 64, [bytes(bad)]))
+
+
+def test_ms_adpcm_wav_decoder():
+    """r11 seam shrink: Microsoft ADPCM WAV (tag 0x02) decodes
+    natively — per-block per-channel (predictor idx, idelta, two seed
+    samples emitted older-first), HIGH-nibble-first 4-bit codes,
+    channels alternating per nibble in stereo — pinned bit-exact
+    against the reference scalar walk, through the raw decoder AND
+    decode_audio dispatch; bad predictor indexes refuse."""
+    import struct
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        _MS_ADPCM_ADAPT,
+        _MS_ADPCM_COEF1,
+        _MS_ADPCM_COEF2,
+        decode_audio,
+        ms_adpcm_wav_decoder,
+    )
+
+    def ref_walk(codes, pidx, idelta, s1, s2):
+        out = [s2, s1]
+        for code in codes:
+            signed = code - 16 if code >= 8 else code
+            pred = (
+                (s1 * _MS_ADPCM_COEF1[pidx] + s2 * _MS_ADPCM_COEF2[pidx]) >> 8
+            ) + signed * idelta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            idelta = max(16, (_MS_ADPCM_ADAPT[code] * idelta) >> 8)
+            out.append(pred)
+        return out
+
+    def wav(nch, sr, blocks):
+        """blocks: per block, per channel (pidx, idelta, s1, s2, codes)."""
+        n_codes = len(blocks[0][0][4])
+        balign = 7 * nch + (n_codes * nch) // 2
+        fmt = struct.pack("<HHIIHH", 0x02, nch, sr, sr, balign, 4)
+        data = bytearray()
+        for chans in blocks:
+            for p, _, _, _, _ in chans:
+                data.append(p)
+            for _, idelta, _, _, _ in chans:
+                data += struct.pack("<h", idelta)
+            for _, _, s1, _, _ in chans:
+                data += struct.pack("<h", s1)
+            for _, _, _, s2, _ in chans:
+                data += struct.pack("<h", s2)
+            # codes: channels alternate per nibble, HIGH nibble first
+            inter = []
+            for i in range(n_codes):
+                for c in range(nch):
+                    inter.append(chans[c][4][i])
+            for i in range(0, len(inter), 2):
+                data.append((inter[i] << 4) | inter[i + 1])
+        riff = (
+            b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + bytes(data)
+        )
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    rng = np.random.RandomState(31)
+    codes1 = rng.randint(0, 16, 40).tolist()
+    codes2 = rng.randint(0, 16, 40).tolist()
+
+    # mono, two blocks with different predictors/states
+    pay = wav(1, 8000, [
+        [(0, 200, 300, 100, codes1)],
+        [(3, 5000, -8000, -7000, codes2)],
+    ])
+    wv, sr = ms_adpcm_wav_decoder(pay)
+    expect = ref_walk(codes1, 0, 200, 300, 100) + ref_walk(codes2, 3, 5000, -8000, -7000)
+    assert sr == 8000
+    assert np.array_equal(wv, np.array(expect, dtype=np.float64) / 32768.0)
+
+    # stereo: nibbles alternate channels; averaged to mono; dispatch
+    pay = wav(2, 16000, [[(1, 64, 1000, 900, codes1), (6, 300, -50, -40, codes2)]])
+    wv, sr = ms_adpcm_wav_decoder(pay)
+    l = np.array(ref_walk(codes1, 1, 64, 1000, 900), dtype=np.float64)
+    r = np.array(ref_walk(codes2, 6, 300, -50, -40), dtype=np.float64)
+    assert sr == 16000 and np.array_equal(wv, (l + r) / 2.0 / 32768.0)
+    wv2, _ = decode_audio(pay)
+    assert np.array_equal(wv2, wv)
+
+    # predictor index out of range refuses
+    import pytest as _pytest
+
+    bad = wav(1, 8000, [[(7, 200, 300, 100, codes1)]])
+    with _pytest.raises(ValueError, match="predictor index"):
+        ms_adpcm_wav_decoder(bad)
