@@ -1240,10 +1240,11 @@ def decode_image(payload: bytes):
     PNG (the full format — all depths, palette, Adam7), baseline AND
     progressive JPEG, GIF (full format incl. animation compositing —
     operators/gif.py), and baseline TIFF (both endians, strips,
-    none/PackBits/LZW, predictor — operators/tiff.py) decode via the
-    dependency-free stdlib tier; anything else — and any stdlib-magic
-    payload whose SUB-format the stdlib tier can't parse (palette/RLE
-    BMP, 16-bit PPM, arithmetic JPEG, tiled/16-bit/deflate TIFF) —
+    none/PackBits/LZW/deflate, tiles, 16-bit, predictor, new-style
+    JPEG-in-TIFF — operators/tiff.py) decode via the dependency-free
+    stdlib tier; anything else — and any stdlib-magic payload whose
+    SUB-format the stdlib tier can't parse (palette/RLE BMP, 16-bit
+    PPM, arithmetic JPEG, CCITT/old-style-JPEG TIFF) —
     routes to Pillow (honest env stub when absent), so installing
     Pillow never decodes LESS than it did before the stdlib tier
     existed."""

@@ -20,7 +20,9 @@ from the published TIFF 6.0 specification:
   3 (palette via the 16-bit ColorMap, high byte);
 - 8-bit samples (the Baseline bit depth) and 16-bit samples (decoded
   full-width, returned as the high byte — Pillow's 16→8 convert
-  contract, r10). Other compressions (JPEG-in-TIFF, CCITT), mixed
+  contract, r10). New-style JPEG-in-TIFF (7 — per-segment JPEG
+  streams, shared JPEGTables, r11) decodes through the stdlib JPEG
+  tier. Other compressions (CCITT, old-style JPEG), mixed
   bit depths, and 16-bit palette indices raise ValueError so the
   caller's Pillow env seam owns them — the same contract as every
   other stdlib codec gap.
@@ -39,8 +41,9 @@ import struct
 
 __all__ = ["tiff_decoder"]
 
-# field type -> byte width (the types baseline readers need)
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+# field type -> byte width (the types baseline readers need;
+# 7 = UNDEFINED carries JPEGTables' raw bytes)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytearray:
@@ -180,6 +183,74 @@ def tiff_decoder(payload: bytes):
         )
     compression = one(259, 1)
     photometric = one(262)
+    if compression == 7:
+        # new-style JPEG-in-TIFF (r11): every strip/tile is its own
+        # JPEG stream (baseline or progressive — the full stdlib JPEG
+        # tier decodes it), optionally ABBREVIATED with the shared
+        # DQT/DHT tables carried once in JPEGTables (tag 347, itself
+        # an SOI..EOI stream). Decode per segment, assemble, crop.
+        from cdc_historical_warehouse_platform_spark.operators.jpeg import (
+            jpeg_decoder,
+        )
+
+        tables = tags.get(347, (b"",))[0]
+        if tables:
+            if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+                raise ValueError("TIFF: JPEGTables is not an SOI..EOI stream")
+            tables = tables[2:-2]
+
+        def jseg(off, cnt):
+            seg = payload[off : off + cnt]
+            if len(seg) != cnt:
+                raise ValueError("TIFF: truncated JPEG segment")
+            if seg[:2] != b"\xff\xd8":
+                raise ValueError("TIFF: JPEG segment missing SOI")
+            img = jpeg_decoder(b"\xff\xd8" + tables + seg[2:])
+            if img.shape[2] == 1 and spp == 3:
+                img = np.repeat(img, 3, axis=2)
+            return img
+
+        if 322 in tags or 323 in tags:
+            tw, tl = one(322), one(323)
+            offsets, counts = tags.get(324), tags.get(325)
+            if offsets is None or counts is None or len(offsets) != len(counts):
+                raise ValueError(
+                    "TIFF: missing or mismatched tile offsets/byte counts"
+                )
+            across = (width + tw - 1) // tw
+            down = (height + tl - 1) // tl
+            if len(offsets) != across * down:
+                raise ValueError(
+                    f"TIFF: expected {across * down} tiles, got {len(offsets)}"
+                )
+            first = jseg(offsets[0], counts[0])
+            full = np.zeros((down * tl, across * tw, first.shape[2]), dtype=np.uint8)
+            for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+                img = jseg(off, cnt) if ti else first
+                if img.shape[:2] != (tl, tw):
+                    raise ValueError(
+                        f"TIFF: JPEG tile is {img.shape[:2]}, expected {(tl, tw)}"
+                    )
+                r0, c0 = (ti // across) * tl, (ti % across) * tw
+                full[r0 : r0 + tl, c0 : c0 + tw] = img
+            return full[:height, :width]
+        offsets, counts = tags.get(273), tags.get(279)
+        if offsets is None or counts is None or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing or mismatched strip offsets/byte counts")
+        rps = one(278, height)
+        parts = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            strip_rows = min(rps, height - si * rps)
+            if strip_rows <= 0:
+                raise ValueError("TIFF: more strips than rows")
+            img = jseg(off, cnt)
+            if img.shape[0] < strip_rows or img.shape[1] < width:
+                raise ValueError(
+                    f"TIFF: JPEG strip is {img.shape[:2]}, needs "
+                    f"({strip_rows}, {width})"
+                )
+            parts.append(img[:strip_rows, :width])
+        return np.concatenate(parts, axis=0)
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: unsupported predictor {predictor}")

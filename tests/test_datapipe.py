@@ -4540,8 +4540,10 @@ def test_stdlib_tiff_unsupported_subformats_raise():
                 return bytes(b)
         raise AssertionError(f"tag {tid} not found")
 
-    with _pytest.raises(ValueError, match="compression"):
-        tiff_decoder(patch_tag(good, 259, 7))  # JPEG-in-TIFF
+    # JPEG-in-TIFF DECODES as of r11 (its own test); tag 7 over
+    # non-JPEG segment bytes refuses at the missing SOI
+    with _pytest.raises(ValueError, match="SOI"):
+        tiff_decoder(patch_tag(good, 259, 7))
     with _pytest.raises(ValueError, match="compression"):
         tiff_decoder(patch_tag(good, 259, 2))  # CCITT
     with _pytest.raises(ValueError, match="8- or 16-bit"):
@@ -5802,3 +5804,124 @@ def test_ms_adpcm_wav_decoder():
     bad = wav(1, 8000, [[(7, 200, 300, 100, codes1)]])
     with _pytest.raises(ValueError, match="predictor index"):
         ms_adpcm_wav_decoder(bad)
+
+
+def test_jpeg_in_tiff_decodes():
+    """r11 seam shrink: new-style JPEG-in-TIFF (compression 7) decodes
+    through the stdlib JPEG tier — per-strip and per-tile JPEG
+    streams, plus the ABBREVIATED layout where shared DQT/DHT tables
+    live once in JPEGTables (tag 347) — pinned exact against
+    jpeg_decoder run on the same streams; missing SOI refuses."""
+    import struct as s
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.jpeg import jpeg_decoder
+    from cdc_historical_warehouse_platform_spark.operators.tiff import tiff_decoder
+
+    def tiff7(w, h, segs, tiles=None, jpeg_tables=None, spp=3):
+        pos = 8
+        offs = []
+        for seg in segs:
+            offs.append(pos)
+            pos += len(seg)
+        value_area = bytearray()
+
+        def tag(tid, ftype, vals, raw=None):
+            nonlocal value_area
+            if raw is not None:
+                packed = raw
+            else:
+                fmt = {3: "H", 4: "I"}[ftype]
+                packed = b"".join(s.pack("<" + fmt, v) for v in vals)
+            count = len(raw) if raw is not None else len(vals)
+            if len(packed) <= 4:
+                return s.pack("<HHI", tid, ftype, count) + packed.ljust(4, b"\0")
+            off = pos + len(value_area)
+            value_area.extend(packed)
+            return s.pack("<HHII", tid, ftype, count, off)
+
+        entries = [
+            (256, 4, [w], None), (257, 4, [h], None), (258, 3, [8] * spp, None),
+            (259, 3, [7], None), (262, 3, [6 if spp == 3 else 1], None),
+            (277, 3, [spp], None),
+        ]
+        if tiles is not None:
+            entries += [(322, 3, [tiles[0]], None), (323, 3, [tiles[1]], None),
+                        (324, 4, offs, None), (325, 4, [len(x) for x in segs], None)]
+        else:
+            entries += [(273, 4, offs, None), (278, 4, [tiles_rps], None),
+                        (279, 4, [len(x) for x in segs], None)]
+        if jpeg_tables is not None:
+            entries.append((347, 7, None, jpeg_tables))
+        ifd = s.pack("<H", len(entries))
+        for tid, ftype, vals, raw in sorted(entries):
+            ifd += tag(tid, ftype, vals, raw)
+        ifd += s.pack("<I", 0)
+        ifd_off = pos + len(value_area)
+        return (b"II*\x00" + s.pack("<I", ifd_off) + b"".join(segs)
+                + bytes(value_area) + ifd)
+
+    def split_markers(jpg):
+        """(marker, full segment bytes) list; entropy data rides SOS."""
+        out = []
+        p = 2
+        while p < len(jpg):
+            assert jpg[p] == 0xFF
+            m = jpg[p + 1]
+            if m == 0xD9:
+                break
+            (ln,) = s.unpack(">H", jpg[p + 2 : p + 4])
+            end = p + 2 + ln
+            if m == 0xDA:  # SOS: runs to EOI
+                out.append((m, jpg[p : len(jpg) - 2]))
+                break
+            out.append((m, jpg[p:end]))
+            p = end
+        return out
+
+    rng = np.random.RandomState(41)
+    encode, _, _ = _jpeg_tools()
+    qy = np.full((8, 8), 6, dtype=np.int64)
+
+    # strips: 16x12 RGB, two 8-row strip JPEGs
+    full_img = rng.randint(0, 256, (16, 12, 3)).astype(np.uint8)
+    tiles_rps = 8
+    strip_jpegs = [encode(full_img[0:8], qy, qy * 2)[0],
+                   encode(full_img[8:16], qy, qy * 2)[0]]
+    want = np.concatenate([jpeg_decoder(j) for j in strip_jpegs], axis=0)
+    got = tiff_decoder(tiff7(12, 16, strip_jpegs))
+    assert np.array_equal(got, want)
+
+    # abbreviated streams: shared DQT/DHT hoisted into JPEGTables
+    tables = b"".join(seg for m, seg in split_markers(strip_jpegs[0])
+                      if m in (0xDB, 0xC4))
+    jt = b"\xff\xd8" + tables + b"\xff\xd9"
+    abbrev = []
+    for j in strip_jpegs:
+        body = b"".join(seg for m, seg in split_markers(j) if m not in (0xDB, 0xC4))
+        abbrev.append(b"\xff\xd8" + body + b"\xff\xd9")
+    got = tiff_decoder(tiff7(12, 16, abbrev, jpeg_tables=jt))
+    assert np.array_equal(got, want)
+
+    # tiles: 14x12 RGB in 8x8 tiles (edge tiles padded, cropped after)
+    img2 = rng.randint(0, 256, (14, 12, 3)).astype(np.uint8)
+    tile_jpegs, tile_dec = [], []
+    for ty in range(2):
+        for tx in range(2):
+            t = np.zeros((8, 8, 3), dtype=np.uint8)
+            block = img2[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8]
+            t[: block.shape[0], : block.shape[1]] = block
+            j = encode(t, qy, qy * 2)[0]
+            tile_jpegs.append(j)
+            tile_dec.append(jpeg_decoder(j))
+    want2 = np.zeros((16, 16, 3), dtype=np.uint8)
+    for ti, d in enumerate(tile_dec):
+        want2[(ti // 2) * 8 : (ti // 2) * 8 + 8, (ti % 2) * 8 : (ti % 2) * 8 + 8] = d
+    got2 = tiff_decoder(tiff7(12, 14, tile_jpegs, tiles=(8, 8)))
+    assert np.array_equal(got2, want2[:14, :12])
+
+    # a segment without SOI refuses cleanly
+    with _pytest.raises(ValueError, match="SOI"):
+        tiff_decoder(tiff7(12, 16, [b"nope", strip_jpegs[1]]))
