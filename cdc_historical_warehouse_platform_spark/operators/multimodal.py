@@ -199,10 +199,12 @@ from cdc_historical_warehouse_platform_spark.operators.video import (  # noqa: E
 
 
 def bmp_decoder(payload: bytes):
-    """Uncompressed 24-bit BI_RGB BMP → (H, W, 3) uint8 RGB array.
-    Pure header parsing (BITMAPFILEHEADER + BITMAPINFOHEADER): rows are
-    4-byte padded, stored bottom-up (negative height = top-down), and
-    pixels are BGR on disk."""
+    """BMP → (H, W, 3) uint8 RGB array: uncompressed 24-bit BI_RGB,
+    8-bit paletted BI_RGB, and 8-bit RLE8 (r11 — encoded/absolute
+    runs, EOL/EOB markers, position deltas). Pure header parsing
+    (BITMAPFILEHEADER + BITMAPINFOHEADER): rows are 4-byte padded,
+    stored bottom-up (negative height = top-down), pixels/palette are
+    BGR(X) on disk."""
     import struct
 
     import numpy as np
@@ -210,30 +212,81 @@ def bmp_decoder(payload: bytes):
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload (missing BM magic)")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
+    (bi_size,) = struct.unpack_from("<I", payload, 14)
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
-        raise ValueError(
-            f"stdlib BMP tier supports uncompressed 24-bit only "
-            f"(got bpp={bpp}, compression={compression})"
-        )
     top_down = height < 0
     height = abs(height)
-    row_bytes = ((bpp * width + 31) // 32) * 4
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
-    ).reshape(height, row_bytes)
-    px = rows[:, : width * 3].reshape(height, width, 3)
-    if not top_down:
-        px = px[::-1]
-    return np.ascontiguousarray(px[:, :, ::-1])  # BGR -> RGB
+    if bpp == 24 and compression == 0:
+        row_bytes = ((bpp * width + 31) // 32) * 4
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+        ).reshape(height, row_bytes)
+        px = rows[:, : width * 3].reshape(height, width, 3)
+        if not top_down:
+            px = px[::-1]
+        return np.ascontiguousarray(px[:, :, ::-1])  # BGR -> RGB
+    if bpp == 8 and compression in (0, 1):
+        (n_colors,) = struct.unpack_from("<I", payload, 46)
+        n_colors = n_colors or 256
+        pal_off = 14 + bi_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        if compression == 0:
+            row_bytes = ((8 * width + 31) // 32) * 4
+            idx = np.frombuffer(
+                payload, dtype=np.uint8, count=row_bytes * height,
+                offset=data_offset,
+            ).reshape(height, row_bytes)[:, :width]
+        else:  # RLE8 (top_down is invalid with RLE per the spec)
+            if top_down:
+                raise ValueError("BMP: RLE8 must be bottom-up")
+            idx = np.zeros((height, width), dtype=np.uint8)
+            pos, x, y = data_offset, 0, 0
+            n = len(payload)
+            while pos + 1 < n:
+                cnt, val = payload[pos], payload[pos + 1]
+                pos += 2
+                if cnt:  # encoded run
+                    idx[y, x : min(x + cnt, width)] = val
+                    x += cnt
+                elif val == 0:  # end of line
+                    x, y = 0, y + 1
+                elif val == 1:  # end of bitmap
+                    break
+                elif val == 2:  # delta
+                    x += payload[pos]
+                    y += payload[pos + 1]
+                    pos += 2
+                else:  # absolute mode: val literal bytes, word-aligned
+                    lit = payload[pos : pos + val]
+                    idx[y, x : min(x + val, width)] = np.frombuffer(
+                        lit, dtype=np.uint8
+                    )[: max(min(x + val, width) - x, 0)]
+                    x += val
+                    pos += val + (val & 1)
+                if y >= height:
+                    break
+            idx = idx[::-1]  # RLE rows fill bottom-up
+            return np.ascontiguousarray(pal[idx])
+        if not top_down:
+            idx = idx[::-1]
+        return np.ascontiguousarray(pal[idx])
+    raise ValueError(
+        f"stdlib BMP tier supports 24-bit BI_RGB and 8-bit "
+        f"palette/RLE8 only (got bpp={bpp}, compression={compression})"
+    )
 
 
 def ppm_decoder(payload: bytes):
-    """Binary PPM (P6, RGB) / PGM (P5, grayscale) with maxval <= 255 →
-    (H, W, 3) or (H, W, 1) uint8 array. Handles '#' comments in the
-    header per the netpbm spec."""
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale) → (H, W, 3) or
+    (H, W, 1) uint8 array. Handles '#' comments in the header per the
+    netpbm spec. maxval 65535 (the 16-bit netpbm form, r11) decodes
+    big-endian two-byte samples and returns the high byte — the same
+    16→8 fold as the PNG16/TIFF16 tiers; other maxvals over 255 keep
+    refusing (non-power-of-two scaling belongs to Pillow)."""
     import numpy as np
 
     magic = payload[:2]
@@ -255,9 +308,25 @@ def ppm_decoder(payload: bytes):
         tokens.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval per the spec
     width, height, maxval = tokens
-    if maxval > 255:
-        raise ValueError("stdlib PPM tier supports maxval <= 255 only")
+    if maxval > 255 and maxval != 65535:
+        raise ValueError(
+            "stdlib PPM tier supports maxval <= 255 or exactly 65535"
+        )
     channels = 3 if magic == b"P6" else 1
+    if maxval == 65535:
+        # 16-bit netpbm (r11): big-endian two-byte samples, high-byte
+        # fold (the PNG16/TIFF16 convert contract)
+        if len(payload) - pos != width * height * channels * 2:
+            raise ValueError(
+                f"PPM raster size mismatch: {len(payload) - pos} bytes "
+                f"after header, expected {width * height * channels * 2}"
+            )
+        wide = np.frombuffer(
+            payload, dtype=">u2", count=width * height * channels, offset=pos
+        )
+        return (
+            (wide >> 8).astype(np.uint8).reshape(height, width, channels)
+        )
     # exact-raster check: a header ending in '\r\n' (some Windows netpbm
     # writers) would shift the offset by one byte and silently decode
     # garbage — demand the payload is exactly header + raster and let
@@ -1236,15 +1305,16 @@ def stdlib_image_decoder(payload: bytes):
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload → (H, W, C) uint8 array. BMP/PPM/PGM,
+    """Decode an image payload → (H, W, C) uint8 array. BMP (24-bit +
+    8-bit palette/RLE8), PPM/PGM (8- and 16-bit),
     PNG (the full format — all depths, palette, Adam7), baseline AND
     progressive JPEG, GIF (full format incl. animation compositing —
     operators/gif.py), and baseline TIFF (both endians, strips,
     none/PackBits/LZW/deflate, tiles, 16-bit, predictor, new-style
     JPEG-in-TIFF — operators/tiff.py) decode via the dependency-free
     stdlib tier; anything else — and any stdlib-magic payload whose
-    SUB-format the stdlib tier can't parse (palette/RLE BMP, 16-bit
-    PPM, arithmetic JPEG, CCITT/old-style-JPEG TIFF) —
+    SUB-format the stdlib tier can't parse (1/4-bit BMP, arithmetic
+    JPEG, CCITT/old-style-JPEG TIFF) —
     routes to Pillow (honest env stub when absent), so installing
     Pillow never decodes LESS than it did before the stdlib tier
     existed."""

@@ -5925,3 +5925,105 @@ def test_jpeg_in_tiff_decodes():
     # a segment without SOI refuses cleanly
     with _pytest.raises(ValueError, match="SOI"):
         tiff_decoder(tiff7(12, 16, [b"nope", strip_jpegs[1]]))
+
+
+def test_bmp_palette_and_rle8_decode():
+    """r11 seam shrink: 8-bit paletted BMP (BI_RGB) and RLE8 BMP
+    decode natively — encoded runs, absolute runs (word-aligned),
+    end-of-line, delta skips, end-of-bitmap — pinned against an
+    independent writer; 4-bit BMP keeps refusing."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        bmp_decoder,
+    )
+
+    def bmp8(idx_rows, pal, rle_stream=None, n_colors=None):
+        h, w = idx_rows.shape
+        pal_bytes = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in pal
+        )
+        if rle_stream is None:
+            row_bytes = ((8 * w + 31) // 32) * 4
+            raster = b"".join(
+                idx_rows[y].tobytes().ljust(row_bytes, b"\0")
+                for y in range(h - 1, -1, -1)
+            )
+            comp = 0
+        else:
+            raster = rle_stream
+            comp = 1
+        off = 14 + 40 + len(pal_bytes)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(raster), 0, 0,
+            n_colors if n_colors is not None else len(pal), 0,
+        )
+        return hdr + info + pal_bytes + raster
+
+    rng = np.random.RandomState(43)
+    pal = [(rng.randint(256), rng.randint(256), rng.randint(256)) for _ in range(16)]
+    idx = rng.randint(0, 16, (5, 7)).astype(np.uint8)
+    want = np.array(pal, dtype=np.uint8)[idx]
+
+    # uncompressed paletted (explicit and zero biClrUsed=256 default)
+    assert np.array_equal(bmp_decoder(bmp8(idx, pal)), want)
+    pal256 = pal + [(0, 0, 0)] * 240
+    assert np.array_equal(bmp_decoder(bmp8(idx, pal256, n_colors=0)), want)
+
+    # RLE8: encoded run + absolute run + delta + EOL + EOB
+    # target 4x6 image, rows encoded bottom-up
+    pal2 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    want2 = np.zeros((4, 6), dtype=np.uint8)
+    stream = bytearray()
+    # bottom row (y buffer 0): run of 4 x color1, then 2 x color2
+    stream += bytes([4, 1, 2, 2, 0, 0])
+    want2[0, :4] = 1
+    want2[0, 4:6] = 2
+    # next row: absolute run of 3 literals (padded to word), rest 0
+    stream += bytes([0, 3, 3, 1, 2, 0]) + bytes([0, 0])
+    want2[1, :3] = [3, 1, 2]
+    # delta: skip 2 right, 1 row up (buffer y 2 -> 3), then 2 x color3
+    stream += bytes([0, 2, 2, 1, 2, 3])
+    want2[3, 2:4] = 3
+    stream += bytes([0, 1])  # end of bitmap
+    got = bmp_decoder(bmp8(np.zeros((4, 6), np.uint8), pal2, bytes(stream)))
+    assert np.array_equal(got, np.array(pal2, dtype=np.uint8)[want2[::-1]])
+
+    # 4-bit BMP still refuses to the Pillow seam
+    bad = bytearray(bmp8(idx, pal))
+    struct.pack_into("<H", bad, 28, 4)
+    with _pytest.raises(ValueError, match="stdlib BMP tier"):
+        bmp_decoder(bytes(bad))
+
+
+def test_ppm_16bit_decodes():
+    """r11 seam shrink: maxval-65535 netpbm (16-bit P5/P6) decodes
+    big-endian wide samples with the high-byte fold (the PNG16/TIFF16
+    contract); other >255 maxvals keep refusing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_image,
+        ppm_decoder,
+    )
+
+    rng = np.random.RandomState(47)
+    wide = rng.randint(0, 65536, (3, 4, 3)).astype(">u2")
+    pay = b"P6\n4 3\n65535\n" + wide.tobytes()
+    want = (wide >> 8).astype(np.uint8)
+    assert np.array_equal(ppm_decoder(pay), want)
+    assert np.array_equal(decode_image(pay), want)
+
+    gray = rng.randint(0, 65536, (2, 5, 1)).astype(">u2")
+    pay = b"P5\n5 2\n65535\n" + gray.tobytes()
+    assert np.array_equal(ppm_decoder(pay), (gray >> 8).astype(np.uint8))
+
+    with _pytest.raises(ValueError, match="65535"):
+        ppm_decoder(b"P6\n1 1\n1023\n\x00\x00\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="raster size mismatch"):
+        ppm_decoder(b"P6\n4 3\n65535\n" + wide.tobytes()[:-3])
