@@ -200,7 +200,7 @@ from cdc_historical_warehouse_platform_spark.operators.video import (  # noqa: E
 
 def bmp_decoder(payload: bytes):
     """BMP → (H, W, 3) uint8 RGB array: uncompressed 24-bit BI_RGB,
-    8-bit paletted BI_RGB, and 8-bit RLE8 (r11 — encoded/absolute
+    1/4/8-bit paletted BI_RGB, and 8-bit RLE8 (r11 — encoded/absolute
     runs, EOL/EOB markers, position deltas). Pure header parsing
     (BITMAPFILEHEADER + BITMAPINFOHEADER): rows are 4-byte padded,
     stored bottom-up (negative height = top-down), pixels/palette are
@@ -227,6 +227,28 @@ def bmp_decoder(payload: bytes):
         if not top_down:
             px = px[::-1]
         return np.ascontiguousarray(px[:, :, ::-1])  # BGR -> RGB
+    if bpp in (1, 4) and compression == 0:
+        # sub-byte paletted BMP (r11): MSB-first bit packing, rows
+        # 4-byte padded, bottom-up like every BI_RGB raster
+        (n_colors,) = struct.unpack_from("<I", payload, 46)
+        n_colors = n_colors or (1 << bpp)
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=14 + bi_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]
+        row_bytes = ((bpp * width + 31) // 32) * 4
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+        ).reshape(height, row_bytes)
+        if bpp == 1:
+            idx = np.unpackbits(rows, axis=1)[:, :width]
+        else:
+            nib = np.empty((height, row_bytes * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :width]
+        if not top_down:
+            idx = idx[::-1]
+        return np.ascontiguousarray(pal[idx])
     if bpp == 8 and compression in (0, 1):
         (n_colors,) = struct.unpack_from("<I", payload, 46)
         n_colors = n_colors or 256
@@ -275,8 +297,8 @@ def bmp_decoder(payload: bytes):
             idx = idx[::-1]
         return np.ascontiguousarray(pal[idx])
     raise ValueError(
-        f"stdlib BMP tier supports 24-bit BI_RGB and 8-bit "
-        f"palette/RLE8 only (got bpp={bpp}, compression={compression})"
+        f"stdlib BMP tier supports 24-bit BI_RGB and 1/4/8-bit "
+        f"palette (+RLE8) only (got bpp={bpp}, compression={compression})"
     )
 
 
@@ -1313,8 +1335,8 @@ def decode_image(payload: bytes):
     none/PackBits/LZW/deflate, tiles, 16-bit, predictor, new-style
     JPEG-in-TIFF — operators/tiff.py) decode via the dependency-free
     stdlib tier; anything else — and any stdlib-magic payload whose
-    SUB-format the stdlib tier can't parse (1/4-bit BMP, arithmetic
-    JPEG, CCITT/old-style-JPEG TIFF) —
+    SUB-format the stdlib tier can't parse (16/32-bit bitfield BMP,
+    arithmetic JPEG, CCITT/old-style-JPEG TIFF) —
     routes to Pillow (honest env stub when absent), so installing
     Pillow never decodes LESS than it did before the stdlib tier
     existed."""

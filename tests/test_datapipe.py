@@ -5993,9 +5993,10 @@ def test_bmp_palette_and_rle8_decode():
     got = bmp_decoder(bmp8(np.zeros((4, 6), np.uint8), pal2, bytes(stream)))
     assert np.array_equal(got, np.array(pal2, dtype=np.uint8)[want2[::-1]])
 
-    # 4-bit BMP still refuses to the Pillow seam
+    # 16-bit bitfield BMP still refuses to the Pillow seam (1/4-bit
+    # DECODE as of r11 — their own test)
     bad = bytearray(bmp8(idx, pal))
-    struct.pack_into("<H", bad, 28, 4)
+    struct.pack_into("<H", bad, 28, 16)
     with _pytest.raises(ValueError, match="stdlib BMP tier"):
         bmp_decoder(bytes(bad))
 
@@ -6027,3 +6028,61 @@ def test_ppm_16bit_decodes():
         ppm_decoder(b"P6\n1 1\n1023\n\x00\x00\x00\x00\x00\x00")
     with _pytest.raises(ValueError, match="raster size mismatch"):
         ppm_decoder(b"P6\n4 3\n65535\n" + wide.tobytes()[:-3])
+
+
+def test_bmp_1_and_4_bit_palette_decode():
+    """r11: sub-byte paletted BMP — 1-bit (MSB-first bits) and 4-bit
+    (high nibble first) indexes, 4-byte-padded bottom-up rows —
+    decode against an independent writer; 16-bit bitfield refuses."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        bmp_decoder,
+    )
+
+    def bmp_sub(idx_rows, pal, bpp):
+        h, w = idx_rows.shape
+        pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+        row_bytes = ((bpp * w + 31) // 32) * 4
+        raster = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            if bpp == 1:
+                for i in range(0, w, 8):
+                    byte = 0
+                    for j, v in enumerate(idx_rows[y, i : i + 8]):
+                        byte |= int(v) << (7 - j)
+                    row.append(byte)
+            else:
+                for i in range(0, w, 2):
+                    hi = int(idx_rows[y, i]) << 4
+                    lo = int(idx_rows[y, i + 1]) if i + 1 < w else 0
+                    row.append(hi | lo)
+            raster += bytes(row).ljust(row_bytes, b"\0")
+        off = 14 + 40 + len(pal_bytes)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(raster), 0, 0, len(pal), 0
+        )
+        return hdr + info + pal_bytes + bytes(raster)
+
+    rng = np.random.RandomState(53)
+    mono = rng.randint(0, 2, (6, 11)).astype(np.uint8)
+    pal1 = [(255, 255, 255), (10, 20, 30)]
+    assert np.array_equal(
+        bmp_decoder(bmp_sub(mono, pal1, 1)), np.array(pal1, np.uint8)[mono]
+    )
+
+    idx4 = rng.randint(0, 16, (5, 7)).astype(np.uint8)
+    pal4 = [(rng.randint(256), rng.randint(256), rng.randint(256)) for _ in range(16)]
+    assert np.array_equal(
+        bmp_decoder(bmp_sub(idx4, pal4, 4)), np.array(pal4, np.uint8)[idx4]
+    )
+
+    bad = bytearray(bmp_sub(idx4, pal4, 4))
+    struct.pack_into("<H", bad, 28, 16)
+    with _pytest.raises(ValueError, match="stdlib BMP tier"):
+        bmp_decoder(bytes(bad))
