@@ -200,8 +200,9 @@ from cdc_historical_warehouse_platform_spark.operators.video import (  # noqa: E
 
 def bmp_decoder(payload: bytes):
     """BMP → (H, W, 3) uint8 RGB array: uncompressed 24-bit BI_RGB,
-    1/4/8-bit paletted BI_RGB, and 8-bit RLE8 (r11 — encoded/absolute
-    runs, EOL/EOB markers, position deltas). Pure header parsing
+    1/4/8-bit paletted BI_RGB, 8-bit RLE8 (encoded/absolute runs,
+    EOL/EOB markers, position deltas), and 16/32-bit direct color
+    (XRGB555/BGRX defaults or BI_BITFIELDS masks) — r11. Pure parsing
     (BITMAPFILEHEADER + BITMAPINFOHEADER): rows are 4-byte padded,
     stored bottom-up (negative height = top-down), pixels/palette are
     BGR(X) on disk."""
@@ -227,6 +228,43 @@ def bmp_decoder(payload: bytes):
         if not top_down:
             px = px[::-1]
         return np.ascontiguousarray(px[:, :, ::-1])  # BGR -> RGB
+    if bpp in (16, 32) and compression in (0, 3):
+        # 16/32-bit direct-color BMP (r11): BI_RGB defaults (16 =
+        # XRGB555, 32 = BGRX) or explicit BI_BITFIELDS channel masks
+        # (the masks follow the 40-byte header); each channel expands
+        # to 8 bits by value scaling (x * 255 / mask_max — the
+        # round-trip-exact expansion for 5/6/8-bit fields)
+        if compression == 3:
+            rmask, gmask, bmask = struct.unpack_from("<III", payload, 54)
+        elif bpp == 16:
+            rmask, gmask, bmask = 0x7C00, 0x03E0, 0x001F
+        else:
+            rmask, gmask, bmask = 0x00FF0000, 0x0000FF00, 0x000000FF
+        row_bytes = ((bpp * width + 31) // 32) * 4
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+        ).reshape(height, row_bytes)
+        wdt = np.dtype("<u2") if bpp == 16 else np.dtype("<u4")
+        px = (
+            rows[:, : width * (bpp // 8)]
+            .reshape(height, width, bpp // 8)
+            .view(wdt)
+            .reshape(height, width)
+            .astype(np.uint32)
+        )
+
+        def chan(mask):
+            if not mask:
+                return np.zeros_like(px, dtype=np.uint8)
+            shift = (mask & -mask).bit_length() - 1
+            mx = mask >> shift
+            v = (px >> shift) & mx
+            return ((v * 255 + mx // 2) // mx).astype(np.uint8)
+
+        out = np.stack([chan(rmask), chan(gmask), chan(bmask)], axis=2)
+        if not top_down:
+            out = out[::-1]
+        return np.ascontiguousarray(out)
     if bpp in (1, 4) and compression == 0:
         # sub-byte paletted BMP (r11): MSB-first bit packing, rows
         # 4-byte padded, bottom-up like every BI_RGB raster
@@ -297,8 +335,8 @@ def bmp_decoder(payload: bytes):
             idx = idx[::-1]
         return np.ascontiguousarray(pal[idx])
     raise ValueError(
-        f"stdlib BMP tier supports 24-bit BI_RGB and 1/4/8-bit "
-        f"palette (+RLE8) only (got bpp={bpp}, compression={compression})"
+        f"stdlib BMP tier supports 1/4/8/16/24/32-bit BI_RGB, RLE8, "
+        f"and BI_BITFIELDS (got bpp={bpp}, compression={compression})"
     )
 
 
@@ -1335,8 +1373,8 @@ def decode_image(payload: bytes):
     none/PackBits/LZW/deflate, tiles, 16-bit, predictor, new-style
     JPEG-in-TIFF — operators/tiff.py) decode via the dependency-free
     stdlib tier; anything else — and any stdlib-magic payload whose
-    SUB-format the stdlib tier can't parse (16/32-bit bitfield BMP,
-    arithmetic JPEG, CCITT/old-style-JPEG TIFF) —
+    SUB-format the stdlib tier can't parse (RLE4 BMP, arithmetic
+    JPEG, CCITT/old-style-JPEG TIFF) —
     routes to Pillow (honest env stub when absent), so installing
     Pillow never decodes LESS than it did before the stdlib tier
     existed."""

@@ -5993,10 +5993,11 @@ def test_bmp_palette_and_rle8_decode():
     got = bmp_decoder(bmp8(np.zeros((4, 6), np.uint8), pal2, bytes(stream)))
     assert np.array_equal(got, np.array(pal2, dtype=np.uint8)[want2[::-1]])
 
-    # 16-bit bitfield BMP still refuses to the Pillow seam (1/4-bit
-    # DECODE as of r11 — their own test)
+    # RLE4 still refuses to the Pillow seam (1/4-bit uncompressed and
+    # 16/32-bit direct color DECODE as of r11 — their own tests)
     bad = bytearray(bmp8(idx, pal))
-    struct.pack_into("<H", bad, 28, 16)
+    struct.pack_into("<H", bad, 28, 4)
+    struct.pack_into("<I", bad, 30, 2)  # RLE4
     with _pytest.raises(ValueError, match="stdlib BMP tier"):
         bmp_decoder(bytes(bad))
 
@@ -6083,6 +6084,63 @@ def test_bmp_1_and_4_bit_palette_decode():
     )
 
     bad = bytearray(bmp_sub(idx4, pal4, 4))
-    struct.pack_into("<H", bad, 28, 16)
+    struct.pack_into("<I", bad, 30, 2)  # RLE4: the remaining refusal
     with _pytest.raises(ValueError, match="stdlib BMP tier"):
         bmp_decoder(bytes(bad))
+
+
+def test_bmp_16_and_32_bit_direct_color_decode():
+    """r11: 16-bit XRGB555 / RGB565-bitfields and 32-bit BGRX BMPs
+    decode with round-trip-exact channel expansion (x*255/maxval,
+    rounded) — pinned against an independent writer."""
+    import struct
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        bmp_decoder,
+    )
+
+    def bmp_direct(words, bpp, masks=None):
+        h, w = words.shape
+        extra = struct.pack("<III", *masks) if masks else b""
+        row_raw = words.astype("<u2" if bpp == 16 else "<u4").tobytes()
+        row_bytes = ((bpp * w + 31) // 32) * 4
+        stride = w * (bpp // 8)
+        raster = b"".join(
+            row_raw[y * stride : (y + 1) * stride].ljust(row_bytes, b"\0")
+            for y in range(h - 1, -1, -1)
+        )
+        off = 14 + 40 + len(extra)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 3 if masks else 0,
+            len(raster), 0, 0, 0, 0,
+        )
+        return hdr + info + extra + raster
+
+    def expand(v, mask):
+        shift = (mask & -mask).bit_length() - 1
+        mx = mask >> shift
+        return ((((v >> shift) & mx) * 255 + mx // 2) // mx).astype(np.uint8)
+
+    rng = np.random.RandomState(59)
+    # 16-bit default XRGB555
+    w555 = rng.randint(0, 1 << 15, (4, 5)).astype(np.uint32)
+    want = np.stack(
+        [expand(w555, m) for m in (0x7C00, 0x03E0, 0x001F)], axis=2
+    )
+    assert np.array_equal(bmp_decoder(bmp_direct(w555, 16)), want)
+
+    # 16-bit RGB565 via BI_BITFIELDS
+    w565 = rng.randint(0, 1 << 16, (3, 6)).astype(np.uint32)
+    masks = (0xF800, 0x07E0, 0x001F)
+    want = np.stack([expand(w565, m) for m in masks], axis=2)
+    assert np.array_equal(bmp_decoder(bmp_direct(w565, 16, masks)), want)
+
+    # 32-bit BGRX (default masks are byte-aligned: exact passthrough)
+    w32 = rng.randint(0, 1 << 31, (2, 3)).astype(np.uint32)
+    want = np.stack(
+        [expand(w32, m) for m in (0x00FF0000, 0x0000FF00, 0x000000FF)], axis=2
+    )
+    assert np.array_equal(bmp_decoder(bmp_direct(w32, 32)), want)
