@@ -1374,7 +1374,7 @@ def decode_image(payload: bytes):
     JPEG-in-TIFF — operators/tiff.py) decode via the dependency-free
     stdlib tier; anything else — and any stdlib-magic payload whose
     SUB-format the stdlib tier can't parse (RLE4 BMP, arithmetic
-    JPEG, CCITT/old-style-JPEG TIFF) —
+    JPEG, old-style-JPEG TIFF) —
     routes to Pillow (honest env stub when absent), so installing
     Pillow never decodes LESS than it did before the stdlib tier
     existed."""

@@ -22,10 +22,13 @@ from the published TIFF 6.0 specification:
   full-width, returned as the high byte — Pillow's 16→8 convert
   contract, r10). New-style JPEG-in-TIFF (7 — per-segment JPEG
   streams, shared JPEGTables, r11) decodes through the stdlib JPEG
-  tier. Other compressions (CCITT, old-style JPEG), mixed
-  bit depths, and 16-bit palette indices raise ValueError so the
-  caller's Pillow env seam owns them — the same contract as every
-  other stdlib codec gap.
+  tier; bilevel CCITT fax (2/3/4 — Modified Huffman, Group 3 with
+  2-D lines, Group 4 MMR, r11) through operators/ccitt.py with the
+  code tables pinned against the JDK's independent javax.imageio
+  encoders. Other compressions (old-style JPEG 6), mixed bit depths,
+  and 16-bit palette indices raise ValueError so the caller's Pillow
+  env seam owns them — the same contract as every other stdlib codec
+  gap.
 
 Scale posture: pure per-payload decode running inside the Arrow
 ``mapInPandas`` image pipelines; nothing here touches Spark.
@@ -170,19 +173,67 @@ def tiff_decoder(payload: bytes):
     width = one(256)
     height = one(257)
     spp = one(277, 1)
-    bits = tags.get(258, (8,) * spp)
+    # BitsPerSample DEFAULTS TO 1 per TIFF 6.0 — bilevel fax writers
+    # (the JDK's among them) omit tag 258 entirely (r11 fix; the old
+    # 8-bit default mis-routed such files)
+    bits = tags.get(258, (1,) * spp)
     if len(bits) == spp and all(b == 8 for b in bits):
         sw = 1
     elif len(bits) == spp and all(b == 16 for b in bits):
         # 16-bit samples (r10): decoded at full width, returned as the
         # high byte — Pillow's 16→8 convert contract, same as PNG16
         sw = 2
+    elif bits == (1,) and spp == 1:
+        sw = 0  # bilevel: the CCITT fax tier below (r11)
     else:
         raise ValueError(
-            f"stdlib TIFF tier supports uniform 8- or 16-bit samples (got {bits})"
+            f"stdlib TIFF tier supports uniform 1-, 8- or 16-bit samples (got {bits})"
         )
     compression = one(259, 1)
     photometric = one(262)
+    if sw == 0:
+        # bilevel CCITT fax (r11): compression 2 (Modified Huffman,
+        # rows byte-aligned), 3 (Group 3 / T.4, EOL rows, optional 2-D
+        # per T4Options), 4 (Group 4 / T.6 MMR) — operators/ccitt.py,
+        # code tables pinned against the JDK's javax.imageio encoders.
+        from cdc_historical_warehouse_platform_spark.operators.ccitt import (
+            ccitt_decode,
+        )
+
+        if compression not in (2, 3, 4):
+            raise ValueError(
+                "stdlib TIFF tier decodes 1-bit samples with CCITT "
+                f"compression 2/3/4 only (got compression {compression})"
+            )
+        if one(266, 1) != 1:
+            raise ValueError("TIFF: CCITT with FillOrder 2 not supported")
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if offsets is None or counts is None or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing or mismatched strip offsets/byte counts")
+        rps = one(278, height)
+        options = one(292, 0) if compression == 3 else one(293, 0)
+        parts = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            strip_rows = min(rps, height - si * rps)
+            if strip_rows <= 0:
+                raise ValueError("TIFF: more strips than rows")
+            chunk = payload[off : off + cnt]
+            if len(chunk) != cnt:
+                raise ValueError("TIFF: truncated strip data")
+            parts.append(
+                ccitt_decode(chunk, width, strip_rows, compression, options)
+            )
+        bit = np.concatenate(parts, axis=0)[:, :, None]  # 0 white, 1 black
+        # with photometric 0 (WhiteIsZero, the fax standard) the coding
+        # colors ARE the stored bits; the standard mapping then yields
+        # white -> 255. Photometric 1 is the mechanical inverse.
+        arr8 = (bit * 255).astype(np.uint8)
+        if photometric == 0:
+            return 255 - arr8
+        if photometric == 1:
+            return arr8
+        raise ValueError("TIFF: CCITT requires photometric 0 or 1")
     if compression == 7:
         # new-style JPEG-in-TIFF (r11): every strip/tile is its own
         # JPEG stream (baseline or progressive — the full stdlib JPEG
