@@ -6234,3 +6234,54 @@ def test_ccitt_refusals():
     assert np.array_equal(
         ccitt_decode(pay, 127, 1, 2), np.zeros((1, 127), dtype=np.uint8)
     )
+
+
+def test_stdlib_decoders_match_jdk_imageio_encoders(spark):
+    """r11 cross-validation: the lossless stdlib decoders (PNG, BMP,
+    TIFF LZW/PackBits/Deflate/ZLib) decode files produced by a fully
+    INDEPENDENT implementation — the JDK's javax.imageio writers —
+    bit-exact, on random RGB content. (CCITT has its own JDK-pinned
+    test; JPEG is excluded: decoders legitimately differ in IDCT
+    rounding.)"""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        bmp_decoder,
+        png_decoder,
+    )
+    from cdc_historical_warehouse_platform_spark.operators.tiff import tiff_decoder
+
+    jvm = spark._jvm
+
+    def jdk_encode(rgb, fmt, compression=None):
+        src = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(_encode_bmp24(rgb)))
+        )
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+        wr.setOutput(ios)
+        p = wr.getDefaultWriteParam()
+        if compression is not None:
+            p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionType(compression)
+        wr.write(None, jvm.javax.imageio.IIOImage(src, None, None), p)
+        ios.flush()
+        wr.dispose()
+        return bytes(baos.toByteArray())
+
+    rng = np.random.RandomState(71)
+    for rgb in (
+        rng.randint(0, 256, (23, 31, 3)).astype(np.uint8),
+        np.repeat(rng.randint(0, 256, (9, 40, 1)), 3, axis=2).astype(np.uint8),
+    ):
+        for fmt, comp, dec in (
+            ("png", None, png_decoder),
+            ("bmp", None, bmp_decoder),
+            ("tiff", "LZW", tiff_decoder),
+            ("tiff", "PackBits", tiff_decoder),
+            ("tiff", "Deflate", tiff_decoder),
+            ("tiff", "ZLib", tiff_decoder),
+        ):
+            got = dec(jdk_encode(rgb, fmt, comp))[:, :, :3]
+            assert np.array_equal(got, rgb), (fmt, comp)
