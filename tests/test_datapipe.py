@@ -6285,3 +6285,69 @@ def test_stdlib_decoders_match_jdk_imageio_encoders(spark):
         ):
             got = dec(jdk_encode(rgb, fmt, comp))[:, :, :3]
             assert np.array_equal(got, rgb), (fmt, comp)
+
+
+def test_stdlib_audio_decoders_match_jdk_sound_api(spark):
+    """r11 cross-validation: the audio tier decodes files produced by
+    the fully independent javax.sound.sampled writers bit-exact — WAV
+    PCM16, AIFF PCM16 (big-endian), AU PCM16, and G.711 (mu-law AU,
+    A-law WAV; ours compared against the JDK's own expansion of the
+    same bytes, both normalized s16/32768)."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    jvm = spark._jvm
+    AS = jvm.javax.sound.sampled.AudioSystem
+    Enc = jvm.javax.sound.sampled.AudioFormat.Encoding
+    Types = jvm.javax.sound.sampled.AudioFileFormat.Type
+
+    def ais_from(pcm_bytes, rate, big):
+        fmt = jvm.javax.sound.sampled.AudioFormat(
+            Enc.PCM_SIGNED, float(rate), 16, 1, 2, float(rate), big
+        )
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(pcm_bytes))
+        return jvm.javax.sound.sampled.AudioInputStream(
+            bais, fmt, len(pcm_bytes) // 2
+        )
+
+    def write(ais, ftype):
+        baos = jvm.java.io.ByteArrayOutputStream()
+        AS.write(ais, ftype, baos)
+        return bytes(baos.toByteArray())
+
+    def jdk_decode(payload):
+        src = AS.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        )
+        f = src.getFormat()
+        tgt = jvm.javax.sound.sampled.AudioFormat(
+            Enc.PCM_SIGNED, f.getSampleRate(), 16, f.getChannels(),
+            2 * f.getChannels(), f.getSampleRate(), False,
+        )
+        raw = bytes(AS.getAudioInputStream(tgt, src).readAllBytes())
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+
+    rng = np.random.RandomState(73)
+    s16 = rng.randint(-32768, 32768, 256).astype(np.int16)
+
+    for pcm, big, ftype in (
+        (s16.astype("<i2").tobytes(), False, Types.WAVE),
+        (s16.astype(">i2").tobytes(), True, Types.AIFF),
+        (s16.astype(">i2").tobytes(), True, Types.AU),
+    ):
+        wv, sr = decode_audio(write(ais_from(pcm, 8000, big), ftype))
+        assert sr == 8000 and np.array_equal(wv, s16 / 32768.0)
+
+    for enc, ftype in ((Enc.ULAW, Types.AU), (Enc.ALAW, Types.WAVE)):
+        g711_fmt = jvm.javax.sound.sampled.AudioFormat(
+            enc, 8000.0, 8, 1, 1, 8000.0, False
+        )
+        conv = AS.getAudioInputStream(
+            g711_fmt, ais_from(s16.astype("<i2").tobytes(), 8000, False)
+        )
+        pay = write(conv, ftype)
+        wv, sr = decode_audio(pay)
+        assert sr == 8000 and np.array_equal(wv, jdk_decode(pay))
