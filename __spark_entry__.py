@@ -51,10 +51,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # window; they stay covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
     # --- r11 rotation (the r10 verdict's task #1): lead with the 5
-    # r07-stale rows deferred from the r10 window, then 45 of the 50
-    # r08-green rows (5 deferred to r12 with family notes atop
-    # _DEMOTED). After this window lands no oracled row's last driver
-    # check is staler than r08. Staleness audit: COVERAGE.md
+    # r07-stale rows deferred from the r10 window, then the 4 rows
+    # ADDED this round, then 41 of the 50 r08-green rows (9 deferred
+    # to r12 with family notes atop _DEMOTED). After this window lands
+    # no oracled row's last driver check is staler than r08.
+    # Staleness audit: COVERAGE.md
     # §staleness. (Bookkeeping note, r10-verdict ADVICE #4: the r10
     # window promoted 19 of the 24 r07-stale rows — 5 deferred, 2 of
     # those slots displaced by the r10-new rows — not the "21/3" the
@@ -66,13 +67,14 @@ _PRIORITY = [
     "agg_stats_quantiles",
     "join_outer_coalesce",
     # new in r11 (never driver-checked — hoisted straight into the
-    # window so no oracled row stays never-checked; the three
+    # window so no oracled row stays never-checked; the four
     # displaced r08 rows sit atop _DEMOTED with family notes):
     "dedup_containment",
     "corpus_sample_weighted_wor",
     "text_bm25_topk",
-    # r08-stale (42 of 50 promoted; the 8 deferred to r12 — 5 by the
-    # 50-slot limit, 3 displaced by the r11-new rows — sit atop
+    "events_ewma_smoothing",
+    # r08-stale (41 of 50 promoted; the 9 deferred to r12 — 5 by the
+    # 50-slot limit, 4 displaced by the r11-new rows — sit atop
     # _DEMOTED with their in-window family coverage):
     "corpus_substring_spans_incremental",
     "corpus_export_manifest",
@@ -115,12 +117,12 @@ _PRIORITY = [
     "tpch_q20_excess_shippers",
     "text_heavy_hitters",
     "scd2_incremental_histogram",
-    "scd2_histogram_quantiles",
 ]
 _DEMOTED = [
-    # --- 8 r08-green rows deferred to the r12 window (5 by the
-    # 50-slot limit, 3 displaced by the r11-new rows); each one's
+    # --- 9 r08-green rows deferred to the r12 window (5 by the
+    # 50-slot limit, 4 displaced by the r11-new rows); each one's
     # operator family stays in-window per the note. ---
+    "scd2_histogram_quantiles",  # last green r08 (displaced by r11-new events_ewma_smoothing); scd2 family in-window via scd2_current_state + scd2_change_frequency + scd2_incremental_histogram
     "events_cohort_retention",  # last green r08 (displaced by r11-new text_bm25_topk); events family in-window via events_session_windows + events_resample_interpolate
     "corpus_temperature_mix",  # last green r08 (displaced by r11-new dedup_containment); corpus family in-window via corpus_dsir_weights + corpus_dsir_resample + corpus_export_manifest + corpus_sample_weighted_wor
     "scd2_version_diff",  # last green r08 (displaced by r11-new corpus_sample_weighted_wor); scd2 family in-window via scd2_current_state + scd2_change_frequency + scd2_incremental_histogram + scd2_histogram_quantiles

@@ -2827,6 +2827,70 @@ RELATIONAL_QUERIES["events_anomaly_zscore"] = (
 )
 
 
+def q_events_ewma_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA smoothing (r11) — the metric-monitoring recursive
+    s_n = α·x_n + (1−α)·s_{n−1} with α = 1/2, closed over the user's
+    first 32 events: s_n = 0.5ⁿ·(c₁ + Σᵢ 2^(i−1)·cᵢ)/100.
+
+    Exactness discipline (the anomaly-zscore cents pattern): terms are
+    integer cents SHIFTED by powers of two — a BIGINT sum whose value
+    is independent of aggregation order (float EWMA sums would round
+    differently under Spark's partial aggregation vs DuckDB's window),
+    then ONE exact multiply by 2⁻ⁿ and one correctly-rounded /100.
+    Max magnitude 2³¹·56 102 ≈ 1.2e14 — exact in BIGINT and under the
+    double mantissa.
+
+    Scale shape: one shuffle on user_id for the row_number + grouped
+    aggregate; no window over the full stream (the 32-event cap is a
+    filter, not a sort-limit)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .withColumn("c", F.round(F.col("value") * 100).cast("bigint"))
+    )
+    agg = d.groupBy("user_id").agg(
+        F.max("rn").alias("n_events_used"),
+        # SQL shiftleft: the PySpark wrapper wants a literal bit count
+        F.sum(F.expr("c * shiftleft(CAST(1 AS BIGINT), rn - 1)")).alias("s"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("c1"),
+    )
+    ewma = (
+        (F.col("c1") + F.col("s")).cast("double")
+        * F.pow(F.lit(0.5), F.col("n_events_used"))
+        / F.lit(100.0)
+    )
+    return agg.select(
+        "user_id", "n_events_used", ewma.alias("ewma_value")
+    ).orderBy("user_id")
+
+
+SQL_EWMA_SMOOTHING = """
+WITH r AS (
+  SELECT user_id, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+d AS (SELECT user_id, rn, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM r WHERE rn <= 32),
+a AS (SELECT user_id,
+             CAST(MAX(rn) AS INT) AS n_events_used,
+             SUM(c * (CAST(1 AS BIGINT) << (rn - 1))) AS s,
+             MAX(CASE WHEN rn = 1 THEN c END) AS c1
+      FROM d GROUP BY user_id)
+SELECT user_id, n_events_used,
+       CAST(c1 + s AS DOUBLE) * POWER(0.5, n_events_used) / 100.0 AS ewma_value
+FROM a ORDER BY user_id
+"""
+
+RELATIONAL_QUERIES["events_ewma_smoothing"] = (
+    q_events_ewma_smoothing,
+    SQL_EWMA_SMOOTHING,
+)
+
+
 def q_graph_pagerank_top(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-iteration PageRank (r6) over the customer↔supplier trade
     graph (an edge where a customer's order contains a supplier's

@@ -6351,3 +6351,46 @@ def test_stdlib_audio_decoders_match_jdk_sound_api(spark):
         pay = write(conv, ftype)
         wv, sr = decode_audio(pay)
         assert sr == 8000 and np.array_equal(wv, jdk_decode(pay))
+
+
+def test_events_ewma_matches_recursive_definition(spark):
+    """r11: the closed-form integer-shift EWMA (plans/
+    relational_queries.q_events_ewma_smoothing) equals the recursive
+    definition s_n = 0.5*x_n + 0.5*s_(n-1), s_1 = x_1, on a small
+    hand-checkable stream; the 32-event cap uses only the first 32."""
+    import datetime as dt
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.plans.relational_queries import (
+        q_events_ewma_smoothing,
+    )
+
+    rng = np.random.RandomState(79)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    series = {1: rng.randint(1, 50000, 5) / 100.0,
+              2: rng.randint(1, 50000, 40) / 100.0}
+    eid = 0
+    for uid, xs in series.items():
+        for i, x in enumerate(xs):
+            rows.append((eid, t0 + dt.timedelta(seconds=i), uid, "view", float(x), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile, shutil
+    d = tempfile.mkdtemp(prefix="ewma_t_")
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {r["user_id"]: r for r in q_events_ewma_smoothing(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    for uid, xs in series.items():
+        s = xs[0]
+        for x in xs[1:32]:
+            s = 0.5 * x + 0.5 * s
+        r = got[uid]
+        assert r["n_events_used"] == min(len(xs), 32)
+        assert abs(r["ewma_value"] - s) < 1e-9, (uid, r["ewma_value"], s)
