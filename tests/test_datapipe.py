@@ -6394,3 +6394,44 @@ def test_events_ewma_matches_recursive_definition(spark):
         r = got[uid]
         assert r["n_events_used"] == min(len(xs), 32)
         assert abs(r["ewma_value"] - s) < 1e-9, (uid, r["ewma_value"], s)
+
+
+def test_gif_decoder_matches_jdk_imageio_encoder(spark):
+    """r11 cross-validation for GIF: an indexed image with an explicit
+    palette written by the JDK's independent GIF encoder decodes to
+    the identical RGB raster through the stdlib GIF tier (the encoder
+    may reorder the palette — RGB output is what's pinned)."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.gif import gif_decoder
+
+    jvm = spark._jvm
+    rng = np.random.RandomState(83)
+    n_colors = 16
+    pal = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_colors, (17, 23)).astype(np.uint8)
+
+    cm = jvm.java.awt.image.IndexColorModel(
+        8, n_colors,
+        bytearray(pal[:, 0].tobytes()),
+        bytearray(pal[:, 1].tobytes()),
+        bytearray(pal[:, 2].tobytes()),
+    )
+    img = jvm.java.awt.image.BufferedImage(23, 17, 13, cm)  # TYPE_BYTE_INDEXED
+    raster = img.getRaster()
+    for y in range(17):
+        for x in range(23):
+            raster.setSample(x, y, 0, int(idx[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios)
+    wr.write(img)
+    ios.flush()
+    wr.dispose()
+    pay = bytes(baos.toByteArray())
+
+    got = gif_decoder(pay)
+    if got.shape[2] == 4:
+        got = got[:, :, :3]
+    assert np.array_equal(got, pal[idx])
