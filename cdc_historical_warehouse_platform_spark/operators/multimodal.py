@@ -334,8 +334,50 @@ def bmp_decoder(payload: bytes):
         if not top_down:
             idx = idx[::-1]
         return np.ascontiguousarray(pal[idx])
+    if bpp == 4 and compression == 2:
+        # RLE4 (r11): like RLE8 but encoded runs ALTERNATE the two
+        # nibbles of val (high first) and absolute runs pack pixel
+        # nibbles high-first, the byte count word-aligned
+        if top_down:
+            raise ValueError("BMP: RLE4 must be bottom-up")
+        (n_colors,) = struct.unpack_from("<I", payload, 46)
+        n_colors = n_colors or 16
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=14 + bi_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]
+        idx = np.zeros((height, width), dtype=np.uint8)
+        pos, x, y = data_offset, 0, 0
+        n = len(payload)
+        while pos + 1 < n:
+            cnt, val = payload[pos], payload[pos + 1]
+            pos += 2
+            if cnt:  # encoded run: alternate hi/lo nibbles of val
+                for i in range(cnt):
+                    if x < width and y < height:
+                        idx[y, x] = (val >> 4) if i % 2 == 0 else (val & 0x0F)
+                    x += 1
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                x += payload[pos]
+                y += payload[pos + 1]
+                pos += 2
+            else:  # absolute: val pixel nibbles, hi-first, word-aligned
+                nbytes = (val + 1) // 2
+                lit = payload[pos : pos + nbytes]
+                for i in range(val):
+                    b = lit[i // 2]
+                    if x < width and y < height:
+                        idx[y, x] = (b >> 4) if i % 2 == 0 else (b & 0x0F)
+                    x += 1
+                pos += nbytes + (nbytes & 1)
+            if y >= height:
+                break
+        return np.ascontiguousarray(pal[idx[::-1]])
     raise ValueError(
-        f"stdlib BMP tier supports 1/4/8/16/24/32-bit BI_RGB, RLE8, "
+        f"stdlib BMP tier supports 1/4/8/16/24/32-bit BI_RGB, RLE4/8, "
         f"and BI_BITFIELDS (got bpp={bpp}, compression={compression})"
     )
 

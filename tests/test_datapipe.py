@@ -5993,11 +5993,10 @@ def test_bmp_palette_and_rle8_decode():
     got = bmp_decoder(bmp8(np.zeros((4, 6), np.uint8), pal2, bytes(stream)))
     assert np.array_equal(got, np.array(pal2, dtype=np.uint8)[want2[::-1]])
 
-    # RLE4 still refuses to the Pillow seam (1/4-bit uncompressed and
-    # 16/32-bit direct color DECODE as of r11 — their own tests)
+    # an unsupported pairing (8-bit + RLE4 tag) still refuses to the
+    # Pillow seam (every standard BMP shape DECODES as of r11)
     bad = bytearray(bmp8(idx, pal))
-    struct.pack_into("<H", bad, 28, 4)
-    struct.pack_into("<I", bad, 30, 2)  # RLE4
+    struct.pack_into("<I", bad, 30, 2)  # RLE4 tag on an 8-bit image
     with _pytest.raises(ValueError, match="stdlib BMP tier"):
         bmp_decoder(bytes(bad))
 
@@ -6084,7 +6083,7 @@ def test_bmp_1_and_4_bit_palette_decode():
     )
 
     bad = bytearray(bmp_sub(idx4, pal4, 4))
-    struct.pack_into("<I", bad, 30, 2)  # RLE4: the remaining refusal
+    struct.pack_into("<H", bad, 28, 2)  # 2-bit: not a BMP bit depth
     with _pytest.raises(ValueError, match="stdlib BMP tier"):
         bmp_decoder(bytes(bad))
 
@@ -6435,3 +6434,40 @@ def test_gif_decoder_matches_jdk_imageio_encoder(spark):
     if got.shape[2] == 4:
         got = got[:, :, :3]
     assert np.array_equal(got, pal[idx])
+
+
+def test_bmp_rle4_decodes():
+    """r11: RLE4 BMP — encoded runs alternating val's two nibbles,
+    hi-first word-aligned absolute runs, EOL/delta/EOB — against an
+    independent stream."""
+    import struct
+
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        bmp_decoder,
+    )
+
+    pal = [(200, 0, 0), (0, 200, 0), (0, 0, 200), (7, 7, 7)]
+    h, w = 3, 7
+    want = np.zeros((h, w), dtype=np.uint8)
+    stream = bytearray()
+    # bottom row: 5-px encoded run of val 0x12 -> 1,2,1,2,1; then 2 px of 3
+    stream += bytes([5, 0x12, 2, 0x33, 0, 0])
+    want[0, :5] = [1, 2, 1, 2, 1]
+    want[0, 5:7] = 3
+    # middle row: absolute 3 px [2,0,1] (2 bytes, padded to word)
+    stream += bytes([0, 3, 0x20, 0x10, 0, 0])
+    want[1, :3] = [2, 0, 1]
+    # top row (y already 2 after the second EOL): delta dx=1, then 2 px of 2
+    stream += bytes([0, 2, 1, 0, 2, 0x22, 0, 1])
+    want[2, 1:3] = 2
+
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    off = 14 + 40 + len(pal_bytes)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(stream), 0, 0, len(pal), 0
+    )
+    got = bmp_decoder(hdr + info + pal_bytes + bytes(stream))
+    assert np.array_equal(got, np.array(pal, np.uint8)[want[::-1]])
