@@ -1415,8 +1415,8 @@ def decode_image(payload: bytes):
     none/PackBits/LZW/deflate, tiles, 16-bit, predictor, new-style
     JPEG-in-TIFF — operators/tiff.py) decode via the dependency-free
     stdlib tier; anything else — and any stdlib-magic payload whose
-    SUB-format the stdlib tier can't parse (RLE4 BMP, arithmetic
-    JPEG, old-style-JPEG TIFF) —
+    SUB-format the stdlib tier can't parse (arithmetic JPEG,
+    old-style-JPEG TIFF) —
     routes to Pillow (honest env stub when absent), so installing
     Pillow never decodes LESS than it did before the stdlib tier
     existed."""
