@@ -313,6 +313,12 @@ def ccitt_decode(
 
     if compression == 4 and options & 0b10:
         raise ValueError("CCITT T.6: uncompressed mode not supported")
+    if compression == 3 and options & 0b10:
+        # r12 ADVICE fix: mirror the T.6 guard — T4Options bit 1 means
+        # uncompressed segments may appear mid-stream; without the
+        # guard such a file would die later with a misleading "invalid
+        # run-length code" instead of naming the unsupported feature
+        raise ValueError("CCITT G3: uncompressed mode not supported")
     out = np.zeros((height, width), dtype=np.uint8)
     bits = _Bits(data)
     ref = [width, width]  # imaginary all-white reference line

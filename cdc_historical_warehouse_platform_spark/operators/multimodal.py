@@ -1084,6 +1084,15 @@ def ms_adpcm_wav_decoder(payload: bytes):
     (Python's >> floors like C's on negatives, so the walk is
     bit-exact against reference decoders).
 
+    Frame-count discipline (r12, ADVICE fix): a not-fully-populated
+    final block pads its tail nibbles, so each block's per-channel
+    output is truncated to wSamplesPerBlock (fmt-chunk extension;
+    derived from nBlockAlign when a minimal fmt omits it), a trailing
+    PARTIAL block (< nBlockAlign bytes but carrying a full header) is
+    decoded rather than dropped, and a fact chunk's dwSampleLength
+    caps the total — mirroring the _nframes truncation the IMA4 AIFC
+    path does.
+
     Same sequential-Python correctness-tier posture as the IMA/JPEG/
     FLAC entropy walks."""
     import struct
@@ -1095,6 +1104,7 @@ def ms_adpcm_wav_decoder(payload: bytes):
     pos = 12
     fmt = None
     data = None
+    fact_frames = None
     n = len(payload)
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
@@ -1104,6 +1114,8 @@ def ms_adpcm_wav_decoder(payload: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and clen >= 4:
+            (fact_frames,) = struct.unpack("<I", body[:4])
         pos += 8 + clen + (clen & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -1116,11 +1128,30 @@ def ms_adpcm_wav_decoder(payload: bytes):
         raise ValueError(f"MS ADPCM requires 4-bit samples (got {bits})")
     if nch not in (1, 2):
         raise ValueError(f"MS ADPCM supports 1-2 channels (got {nch})")
+    hdr = 7 * nch  # per block: nch predictors + 3 int16 fields per ch
+    # wSamplesPerBlock from the fmt extension; a minimal 16-byte fmt
+    # gets the nBlockAlign-derived default (2 header samples + one per
+    # payload nibble) — which is also the hard geometric ceiling
+    max_spb = (balign - hdr) * 2 // nch + 2
+    spb = max_spb
+    if len(fmt) >= 20:
+        (ext_spb,) = struct.unpack_from("<H", fmt, 18)
+        if not 2 <= ext_spb <= max_spb:
+            raise ValueError(
+                f"MS ADPCM wSamplesPerBlock {ext_spb} outside [2, {max_spb}] "
+                f"for nBlockAlign {balign}"
+            )
+        spb = ext_spb
 
     out_ch: list[list[float]] = [[] for _ in range(nch)]
-    hdr = 7 * nch  # per block: nch predictors + 3 int16 fields per ch
-    for boff in range(0, len(data) - balign + 1, balign):
+    for boff in range(0, len(data), balign):
         block = data[boff : boff + balign]
+        if len(block) < hdr:
+            # trailing fragment too short for even a block header: no
+            # decodable samples (a full block's tail is handled below)
+            break
+        # a trailing partial block decodes the nibbles it has
+        blk_spb = min(spb, (len(block) - hdr) * 2 // nch + 2)
         preds = []
         ideltas = []
         s1 = []
@@ -1141,8 +1172,14 @@ def ms_adpcm_wav_decoder(payload: bytes):
             out_ch[c].append(s2[c] / 32768.0)
             out_ch[c].append(s1[c] / 32768.0)
         ch = 0
+        # nibbles beyond the block's sample count are pad, not samples
+        remaining = (blk_spb - 2) * nch
         for byte in block[hdr:]:
+            if remaining <= 0:
+                break
             for code in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                if remaining <= 0:
+                    break
                 c1 = _MS_ADPCM_COEF1[preds[ch]]
                 c2 = _MS_ADPCM_COEF2[preds[ch]]
                 signed = code - 16 if code >= 8 else code
@@ -1152,7 +1189,10 @@ def ms_adpcm_wav_decoder(payload: bytes):
                 s1[ch] = pred
                 ideltas[ch] = max(16, (_MS_ADPCM_ADAPT[code] * ideltas[ch]) >> 8)
                 out_ch[ch].append(pred / 32768.0)
+                remaining -= 1
                 ch = (ch + 1) % nch
+    if fact_frames is not None:
+        out_ch = [chan[:fact_frames] for chan in out_ch]
     arr = np.array(out_ch, dtype=np.float64)
     wavef = arr.mean(axis=0) if nch > 1 else arr[0]
     return wavef, sr

@@ -187,19 +187,51 @@ def weighted_sample_wor(
     when the pipeline needs an EXACT per-stratum budget (e.g. "50 docs
     per source for the eval slice, long docs favored").
 
-    Scale: one shuffle on the stratum key, per-partition top-k via
-    window rank — no global sort, no driver state. Rows with
-    non-positive weight are excluded (zero-weight docs must never win
-    a slot). Adds ``sample_rank`` (1-based within stratum)."""
-    part = [strata_col] if strata_col else []
-    w = Window.partitionBy(*part).orderBy(
-        F.col("__es_key").desc(), F.col(key_col)
+    Scale: with ``strata_col`` — one shuffle on the stratum key,
+    per-partition top-k via window rank; no global sort, no driver
+    state. With ``strata_col=None`` (r12, verdict task #5) — a global
+    top-k would otherwise be a ``row_number`` over an UNPARTITIONED
+    window (the whole table sorted into one partition — the exact trap
+    operators/rank.py exists to avoid), so the stratum-less branch
+    instead routes through ``orderBy(...).limit(k)`` — which Spark
+    plans as TakeOrderedAndProject, a per-partition heap top-k plus a
+    k-row driver merge, never a full sort — and derives ``sample_rank``
+    over the k-row result with the bounded broadcast rank self-join
+    ``bm25_topk`` uses (k×k, bounded BY CONSTRUCTION at any corpus
+    size). The selected SET and ranks are identical to the window
+    formulation. Rows with non-positive weight are excluded
+    (zero-weight docs must never win a slot). Adds ``sample_rank``
+    (1-based within stratum)."""
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "__es_key", es_key(F.col(key_col), F.col(weight_col), salt)
     )
+    if strata_col:
+        w = Window.partitionBy(strata_col).orderBy(
+            F.col("__es_key").desc(), F.col(key_col)
+        )
+        return (
+            keyed.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+            .drop("__es_key")
+        )
+    top = (
+        keyed.orderBy(F.col("__es_key").desc(), F.col(key_col))
+        .limit(k)
+        # consumed by both rank self-join sides; the lazy barrier keeps
+        # the keying scan from executing twice
+        .localCheckpoint(eager=False)
+    )
+    ahead = top.select(
+        F.col("__es_key").alias("__k2"), F.col(key_col).alias("__id2")
+    )
+    is_ahead = (F.col("__k2") > F.col("__es_key")) | (
+        (F.col("__k2") == F.col("__es_key")) & (F.col("__id2") < F.col(key_col))
+    )
+    group_cols = [c for c in top.columns if c not in ("__es_key",)]
     return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("__es_key", es_key(F.col(key_col), F.col(weight_col), salt))
-        .withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= k)
+        top.join(F.broadcast(ahead), is_ahead, "left")
+        .groupBy(*group_cols, "__es_key")
+        .agg((F.count("__id2") + F.lit(1)).cast("int").alias("sample_rank"))
         .drop("__es_key")
     )
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "normalize_text",
@@ -418,6 +419,22 @@ def bm25_topk(
         F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     n_docs = int(stats["n"])
+    if n_docs == 0:
+        # empty corpus: sum_dl is NULL and avgdl would divide by zero —
+        # the correct answer is an empty top-k with the output schema
+        # (doc_id keeps the caller's id type)
+        id_type = df.select(F.col(id_col).alias("doc_id")).schema[0].dataType
+        return toks.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("rank", T.IntegerType()),
+                    T.StructField("doc_id", id_type),
+                    T.StructField("score_micronats", T.LongType()),
+                    T.StructField("n_terms_hit", T.LongType()),
+                ]
+            ),
+        )
     avgdl = stats["sum_dl"] / stats["n"]  # one IEEE double division
     tf = (
         toks.filter(F.col("token").isin(list(query_terms)))

@@ -5623,6 +5623,29 @@ def test_bm25_topk_relevance_length_norm_and_idf(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_bm25_topk_empty_corpus_returns_empty_with_schema(spark):
+    """r12 ADVICE fix: an empty documents table used to die computing
+    avgdl (sum_dl=None, n=0 → TypeError/ZeroDivisionError); the correct
+    answer is an empty top-k carrying the output schema, with doc_id
+    keeping the caller's id type."""
+    from pyspark.sql import types as T
+
+    from cdc_historical_warehouse_platform_spark.operators.text import bm25_topk
+
+    empty = spark.createDataFrame(
+        [], T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+    )
+    got = bm25_topk(empty, ["vector"], k=5)
+    assert got.columns == ["rank", "doc_id", "score_micronats", "n_terms_hit"]
+    assert got.schema["doc_id"].dataType == T.LongType()
+    assert got.count() == 0
+
+
 def test_aifc_ima4_decodes():
     """r11 seam shrink: Apple IMA4 AIFC ('ima4' — QuickTime's ADPCM)
     decodes natively: 34-byte packets (2-byte BE state header: top 9
@@ -5804,6 +5827,91 @@ def test_ms_adpcm_wav_decoder():
     bad = wav(1, 8000, [[(7, 200, 300, 100, codes1)]])
     with _pytest.raises(ValueError, match="predictor index"):
         ms_adpcm_wav_decoder(bad)
+
+
+def test_ms_adpcm_wsamples_per_block_and_partial_tail():
+    """r12 ADVICE fix: wSamplesPerBlock (fmt extension) truncates each
+    block's output so pad nibbles in a not-fully-populated final block
+    never emit spurious samples; a trailing PARTIAL block (full header,
+    short code body) decodes instead of being dropped; a fact chunk
+    caps the total frame count; an out-of-range wSamplesPerBlock
+    refuses."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        _MS_ADPCM_ADAPT,
+        _MS_ADPCM_COEF1,
+        _MS_ADPCM_COEF2,
+        ms_adpcm_wav_decoder,
+    )
+
+    def ref_walk(codes, pidx, idelta, s1, s2):
+        out = [s2, s1]
+        for code in codes:
+            signed = code - 16 if code >= 8 else code
+            pred = (
+                (s1 * _MS_ADPCM_COEF1[pidx] + s2 * _MS_ADPCM_COEF2[pidx]) >> 8
+            ) + signed * idelta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            idelta = max(16, (_MS_ADPCM_ADAPT[code] * idelta) >> 8)
+            out.append(pred)
+        return out
+
+    def wav(balign, spb, data, fact=None):
+        """Mono, explicit nBlockAlign + wSamplesPerBlock ext, raw data."""
+        fmt = struct.pack("<HHIIHH", 0x02, 1, 8000, 8000, balign, 4)
+        fmt += struct.pack("<HH", 2, spb)  # cbSize=2, wSamplesPerBlock
+        chunks = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        if fact is not None:
+            chunks += b"fact" + struct.pack("<I", 4) + struct.pack("<I", fact)
+        chunks += b"data" + struct.pack("<I", len(data)) + bytes(data)
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    def block(pidx, idelta, s1, s2, codes, pad_bytes=0):
+        b = bytearray([pidx])
+        b += struct.pack("<hhh", idelta, s1, s2)
+        for i in range(0, len(codes), 2):
+            lo = codes[i + 1] if i + 1 < len(codes) else 0
+            b.append((codes[i] << 4) | lo)
+        b += b"\x0f" * pad_bytes  # pad nibbles that must NOT decode
+        return bytes(b)
+
+    rng = np.random.RandomState(7)
+    codes = rng.randint(0, 16, 10).tolist()
+
+    # balign 7+8=15 holds up to 2+16 samples; spb=12 says only 10
+    # code nibbles are real — the last 3 pad bytes must not emit
+    balign = 7 + 8
+    pay = wav(balign, 12, block(0, 256, 500, 400, codes, pad_bytes=3))
+    wv, sr = ms_adpcm_wav_decoder(pay)
+    want = np.array(ref_walk(codes, 0, 256, 500, 400), dtype=np.float64) / 32768.0
+    assert sr == 8000 and np.array_equal(wv, want)
+
+    # trailing partial block: full 15-byte first block (12 samples by
+    # spb) + a 10-byte tail (header + 3 code bytes = 6 nibbles)
+    tail_codes = rng.randint(0, 16, 6).tolist()
+    data = block(0, 256, 500, 400, codes, pad_bytes=3) + block(
+        1, 300, -100, -200, tail_codes
+    )
+    pay = wav(balign, 12, data)
+    wv, _ = ms_adpcm_wav_decoder(pay)
+    want2 = np.concatenate(
+        [want, np.array(ref_walk(tail_codes, 1, 300, -100, -200)) / 32768.0]
+    )
+    assert np.array_equal(wv, want2)
+
+    # fact chunk caps the total (12 + 8 decoded, fact says 15)
+    pay = wav(balign, 12, data, fact=15)
+    wv, _ = ms_adpcm_wav_decoder(pay)
+    assert np.array_equal(wv, want2[:15])
+
+    # wSamplesPerBlock beyond the block geometry refuses
+    with _pytest.raises(ValueError, match="wSamplesPerBlock"):
+        ms_adpcm_wav_decoder(wav(balign, 99, block(0, 256, 500, 400, codes)))
 
 
 def test_jpeg_in_tiff_decodes():
@@ -6221,6 +6329,10 @@ def test_ccitt_refusals():
 
     with _pytest.raises(ValueError, match="uncompressed mode"):
         ccitt_decode(b"\x00\x00", 8, 1, 4, options=0b10)
+    # r12 ADVICE fix: G3 with T4Options bit 1 (uncompressed segments
+    # allowed) refuses by NAME instead of a misleading run-length error
+    with _pytest.raises(ValueError, match="G3: uncompressed mode"):
+        ccitt_decode(b"\x00\x00", 8, 1, 3, options=0b10)
     with _pytest.raises(ValueError, match="invalid|exhausted"):
         # 0x00-only stream: no valid T.6 mode code ever forms
         ccitt_decode(b"\x00\x00\x00\x00", 8, 1, 4)

@@ -160,6 +160,78 @@ def test_no_query_plan_contains_all_pairs_join(spark):
     assert offenders == {}
 
 
+def _unpartitioned_window_hits(df) -> list[str]:
+    """Window-family nodes with an EMPTY partition spec — the
+    sort-the-whole-input-to-one-partition shape (Spark itself warns
+    'Moving all data to a single partition'). Fine on a 24-row spine,
+    fatal on a table; every registry plan and exported operator
+    default must partition its windows or bound the window's input BY
+    CONSTRUCTION before it (LIMIT / TakeOrderedAndProject)."""
+    hits = []
+    for node in _walk(df._jdf.queryExecution().executedPlan()):
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty():
+                hits.append(name)
+    return hits
+
+
+def test_no_query_plan_contains_unpartitioned_window(spark):
+    """r12 (verdict task #5): the all-pairs lint's sibling — an
+    unpartitioned window is the other silent scale-killer the value
+    gate can't catch (still correct, dead at 100 TB). The r12
+    calibration scan found ZERO offenders across all 160 registry
+    rows, so there is no allowlist: a new row needing one must bound
+    its window input by construction instead (the zipf/bm25 broadcast
+    rank self-join pattern, or operators/rank.py's bucketed ranks)."""
+    mod = _entry_module()
+    offenders = {}
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, fn in mod.queries().items():
+            df = fn(spark, SF_DIR)
+            hits = _unpartitioned_window_hits(df)
+            if hits:
+                offenders[name] = hits
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert offenders == {}
+
+
+def test_exported_operator_defaults_plan_no_unpartitioned_window(spark):
+    """r12 (verdict task #5): the registry lint only sees plans the
+    registry builds — an exported operator whose DEFAULT arguments
+    degrade to a global sort (the r11 weighted_sample_wor(strata_col=
+    None) finding) would escape it. Lint the library-surface defaults
+    that take an optional partition/stratum key with the key OMITTED."""
+    from pyspark.sql import functions as F
+
+    from cdc_historical_warehouse_platform_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    surfaces = {
+        "weighted_sample_wor(no strata)": weighted_sample_wor(
+            docs, k=5, weight_col="w"
+        ),
+    }
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        offenders = {
+            name: hits
+            for name, df in surfaces.items()
+            if (hits := _unpartitioned_window_hits(df))
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert offenders == {}
+
+
 def test_registry_contract():
     mod = _entry_module()
     q = mod.queries()

@@ -459,3 +459,44 @@ def test_weighted_sample_wor_budget_determinism_and_weight_bias(spark, docs):
     ids = {r["doc_id"] for r in top}
     assert 100 not in ids and 101 not in ids
     assert next(r["doc_id"] for r in top if r["sample_rank"] == 1) == 99
+
+
+def test_weighted_sample_wor_unstratified_no_global_sort(spark):
+    """r12 (verdict task #5): strata_col=None must NOT plan an
+    unpartitioned row_number window (whole table sorted into one
+    partition). The branch routes through orderBy().limit(k) —
+    TakeOrderedAndProject, a per-partition heap + k-row merge — plus
+    the bounded k×k broadcast rank self-join; the selected set and
+    ranks stay IDENTICAL to the window formulation."""
+    import math
+
+    from cdc_historical_warehouse_platform_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), float(1 + (i * 7) % 13)) for i in range(1, 101)]
+        + [(200, "s0", 0.0)],
+        ["doc_id", "source", "w"],
+    )
+    got = weighted_sample_wor(df, k=7, weight_col="w", strata_col=None)
+
+    # reference semantics: the E-S key computed independently in Python
+    def es(doc_id, w):
+        h = hashlib.md5(f"wor-sample:{doc_id}".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 1.0) / float(1 << 52)
+        return math.log(u) / w
+
+    expect = sorted(
+        ((es(i, float(1 + (i * 7) % 13)), i) for i in range(1, 101)),
+        key=lambda t: (-t[0], t[1]),
+    )[:7]
+    want = {doc: rank + 1 for rank, (_, doc) in enumerate(expect)}
+    rows = got.collect()
+    assert {r["doc_id"]: r["sample_rank"] for r in rows} == want
+    assert set(got.columns) == {"doc_id", "source", "w", "sample_rank"}
+
+    # plan pin: no Window node anywhere in the prepared plan, and the
+    # top-k subtree (pre-checkpoint) is a TakeOrderedAndProject
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
