@@ -50,141 +50,88 @@ def entry(spark: SparkSession) -> DataFrame:
 # COVERAGE.md §staleness).  _DEMOTED parks recently-green rows past the
 # window; they stay covered by scripts/check_oracle.py + pytest locally.
 _PRIORITY = [
-    # --- r11 rotation (the r10 verdict's task #1): lead with the 5
-    # r07-stale rows deferred from the r10 window, then the 4 rows
-    # ADDED this round, then 41 of the 50 r08-green rows (9 deferred
-    # to r12 with family notes atop _DEMOTED). After this window lands
-    # no oracled row's last driver check is staler than r08.
-    # Staleness audit: COVERAGE.md
-    # §staleness. (Bookkeeping note, r10-verdict ADVICE #4: the r10
-    # window promoted 19 of the 24 r07-stale rows — 5 deferred, 2 of
-    # those slots displaced by the r10-new rows — not the "21/3" the
-    # r10-era comment claimed.) ---
-    # r07-stale (the 5 rows deferred from r10 — retire the tier):
-    "events_resample_interpolate",
-    "graph_khop_distance",
-    "window_cumulative_revenue",
-    "agg_stats_quantiles",
-    "join_outer_coalesce",
-    # new in r11 (never driver-checked — hoisted straight into the
-    # window so no oracled row stays never-checked; the four
-    # displaced r08 rows sit atop _DEMOTED with family notes):
-    "dedup_containment",
-    "corpus_sample_weighted_wor",
-    "text_bm25_topk",
-    "events_ewma_smoothing",
-    # r08-stale (41 of 50 promoted; the 9 deferred to r12 — 5 by the
-    # 50-slot limit, 4 displaced by the r11-new rows — sit atop
+    # --- r12 rotation (the r11 verdict's task #2): lead with the 9
+    # r08-green rows deferred from the r11 window (retiring the r08
+    # tier), then the 4 rows ADDED this round (never driver-checked —
+    # hoisted straight in), then 37 of the 50 r09-green rows (13
+    # deferred to r13 with family notes atop _DEMOTED). After this
+    # window lands no oracled row's last driver check is staler than
+    # r09. Staleness audit: COVERAGE.md §staleness. ---
+    # r08-stale (the 9 rows deferred from r11 — retire the tier):
+    "scd2_histogram_quantiles",
+    "events_cohort_retention",
+    "corpus_temperature_mix",
+    "scd2_version_diff",
+    "window_ntile_percentile",
+    "scd2_validation_summary",
+    "agg_union_metric_rows",
+    "tpch_q8_market_share",
+    "events_transition_matrix",
+    # new in r12 (never driver-checked):
+    "agg_winsorized_stats",
+    "agg_weighted_median",
+    "text_char_ngram_diversity",
+    "corpus_ngram_coverage",
+    # r09-stale (37 of 50 promoted; the 13 deferred to r13 sit atop
     # _DEMOTED with their in-window family coverage):
-    "corpus_substring_spans_incremental",
-    "corpus_export_manifest",
-    "scd2_time_travel",
-    "window_distinct_running",
-    "agg_mad_robust",
-    "text_lang_confusion",
-    "dedup_ngram_jaccard",
-    "json_extraction",
-    "multimodal_features",
-    "vector_norms_by_label",
-    "scd2_current_state",
-    "scd2_duplicate_current_check",
-    "agg_conditional_counts",
-    "join_asof_events",
-    "sort_topk_orders",
-    "scalar_functions",
-    "filter_point_lookup_current",
-    "window_top_per_customer",
-    "scd2_change_frequency",
-    "join_revenue_by_nation",
-    "scd2_as_of",
-    "agg_pricing_summary",
-    "setop_except_intersect",
-    "events_session_windows",
-    "ivm_join_view",
-    "customer_rfm_segments",
-    "scalar_map_functions",
-    "layout_zorder_tiles",
-    "corpus_dsir_weights",
-    "text_bpe_pair_counts",
-    "agg_bitwise",
-    "corpus_dsir_resample",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "tpch_q12_priority_by_class",
-    "tpch_q16_supplier_relationship",
-    "tpch_q19_disjunctive_brackets",
-    "tpch_q20_excess_shippers",
-    "text_heavy_hitters",
-    "scd2_incremental_histogram",
+    "agg_approx_aggregates",
+    "corpus_chunk_spans",
+    "corpus_decontaminate",
+    "corpus_keep_decisions",
+    "corpus_paragraph_dedup",
+    "corpus_sample_stratified",
+    "dedup_components",
+    "dedup_minhash_lsh",
+    "knn_cosine_brute",
+    "relational_unpivot",
+    "scd2_dim_history",
+    "scd2_interval_integrity",
+    "text_lm_surprisal",
+    "text_repetition_scores",
+    "text_tfidf_keywords",
+    "window_range_frame",
+    "agg_exact_percentiles",
+    "agg_grouped_having",
+    "agg_linear_regression",
+    "ann_ivf_topk",
+    "ann_sq_topk",
+    "corpus_domain_caps",
+    "corpus_source_mix",
+    "corpus_token_budget",
+    "corpus_zipf_stats",
+    "events_resample_ffill",
+    "join_interval_events",
+    "join_lateral_topk",
+    "join_top_quarter_supplier",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "scd2_flag_consistency_check",
+    "scd2_incremental_revenue",
+    "semdedup_keep",
+    "subquery_correlated_scalar",
+    "subquery_sole_late_supplier",
+    "text_quality_scores",
 ]
 _DEMOTED = [
-    # --- 9 r08-green rows deferred to the r12 window (5 by the
-    # 50-slot limit, 4 displaced by the r11-new rows); each one's
-    # operator family stays in-window per the note. ---
-    "scd2_histogram_quantiles",  # last green r08 (displaced by r11-new events_ewma_smoothing); scd2 family in-window via scd2_current_state + scd2_change_frequency + scd2_incremental_histogram
-    "events_cohort_retention",  # last green r08 (displaced by r11-new text_bm25_topk); events family in-window via events_session_windows + events_resample_interpolate
-    "corpus_temperature_mix",  # last green r08 (displaced by r11-new dedup_containment); corpus family in-window via corpus_dsir_weights + corpus_dsir_resample + corpus_export_manifest + corpus_sample_weighted_wor
-    "scd2_version_diff",  # last green r08 (displaced by r11-new corpus_sample_weighted_wor); scd2 family in-window via scd2_current_state + scd2_change_frequency + scd2_incremental_histogram + scd2_histogram_quantiles
-    "window_ntile_percentile",  # last green r08; window family in-window via window_distinct_running + window_top_per_customer + window_cumulative_revenue
-    "scd2_validation_summary",  # last green r08; scd2 family in-window via scd2_current_state + scd2_duplicate_current_check + scd2_change_frequency + scd2_time_travel
-    "agg_union_metric_rows",  # last green r08; agg family in-window via agg_conditional_counts + agg_bitwise + agg_mad_robust
-    "tpch_q8_market_share",  # last green r08; tpch family in-window via q2/q7/q9/q12/q16/q19/q20
-    "events_transition_matrix",  # last green r08; events family in-window via events_session_windows + events_cohort_retention + events_resample_interpolate
-    # --- everything below is driver-green r09-r10.
+    # --- 13 r09-green rows deferred to the r13 window (displaced by
+    # the 9 r08-deferred rows + 4 r12-new rows); each one's operator
+    # family stays in-window per the note. ---
+    "corpus_sample_quality_weighted",  # last green r09; corpus-sampling family in-window via corpus_sample_stratified + corpus_temperature_mix
+    "corpus_length_buckets",  # last green r09; corpus-stats family in-window via corpus_source_mix + corpus_zipf_stats
+    "agg_cube",  # last green r09; agg family in-window via agg_grouped_having + agg_union_metric_rows + agg_winsorized_stats
+    "agg_important_parts",  # last green r09; agg family in-window via agg_exact_percentiles + agg_weighted_median
+    "text_rolling_fingerprint",  # last green r09; text family in-window via text_repetition_scores + text_char_ngram_diversity
+    "text_pii_redaction",  # last green r09; text family in-window via text_quality_scores + text_lm_surprisal
+    "join_anti",  # last green r09; join family in-window via join_lateral_topk + join_top_quarter_supplier + join_interval_events
+    "window_lag_lead",  # last green r09; window family in-window via window_range_frame + window_ntile_percentile
+    "subquery_in_having",  # last green r09; subquery family in-window via subquery_correlated_scalar + subquery_sole_late_supplier
+    "scd2_incremental_extrema",  # last green r09; scd2-incremental family in-window via scd2_incremental_revenue + scd2_histogram_quantiles
+    "scd2_timestamp_continuity",  # last green r09; scd2-validation family in-window via scd2_interval_integrity + scd2_flag_consistency_check + scd2_validation_summary
+    "dedup_exact_groups",  # last green r09; dedup family in-window via dedup_components + dedup_minhash_lsh + corpus_paragraph_dedup
+    "setop_union_by_name",  # last green r09; set-op union coverage in-window via agg_union_metric_rows (UNION ALL tier)
+    # --- everything below is driver-green r10-r11.
     # agg_distinct_sketch_rollup is rows-only BY DESIGN (HLL has no
     # DuckDB twin); pytest-pinned. ---
-    # r09-green (the full r09 window):
-    "agg_approx_aggregates",  # last green r09
-    "corpus_chunk_spans",  # last green r09
-    "corpus_decontaminate",  # last green r09
-    "corpus_keep_decisions",  # last green r09
-    "corpus_length_buckets",  # last green r09
-    "corpus_paragraph_dedup",  # last green r09
-    "corpus_sample_quality_weighted",  # last green r09
-    "corpus_sample_stratified",  # last green r09
-    "dedup_components",  # last green r09
-    "dedup_minhash_lsh",  # last green r09
-    "knn_cosine_brute",  # last green r09
-    "relational_unpivot",  # last green r09
-    "scd2_dim_history",  # last green r09
-    "scd2_interval_integrity",  # last green r09
-    "text_lm_surprisal",  # last green r09
-    "text_pii_redaction",  # last green r09
-    "text_repetition_scores",  # last green r09
-    "text_rolling_fingerprint",  # last green r09
-    "text_tfidf_keywords",  # last green r09
-    "window_range_frame",  # last green r09
-    "agg_cube",  # last green r09
-    "agg_exact_percentiles",  # last green r09
-    "agg_grouped_having",  # last green r09
-    "agg_important_parts",  # last green r09
-    "agg_linear_regression",  # last green r09
-    "ann_ivf_topk",  # last green r09
-    "ann_sq_topk",  # last green r09
-    "corpus_domain_caps",  # last green r09
-    "corpus_source_mix",  # last green r09
-    "corpus_token_budget",  # last green r09
-    "corpus_zipf_stats",  # last green r09
-    "dedup_exact_groups",  # last green r09
-    "events_resample_ffill",  # last green r09
-    "join_anti",  # last green r09
-    "join_interval_events",  # last green r09
-    "join_lateral_topk",  # last green r09
-    "join_top_quarter_supplier",  # last green r09
-    "multimodal_frame_sample",  # last green r09
-    "multimodal_image_features",  # last green r09
-    "scd2_flag_consistency_check",  # last green r09
-    "scd2_incremental_extrema",  # last green r09
-    "scd2_incremental_revenue",  # last green r09
-    "scd2_timestamp_continuity",  # last green r09
-    "semdedup_keep",  # last green r09
-    "setop_union_by_name",  # last green r09
-    "subquery_correlated_scalar",  # last green r09
-    "subquery_in_having",  # last green r09
-    "subquery_sole_late_supplier",  # last green r09
-    "text_quality_scores",  # last green r09
-    "window_lag_lead",  # last green r09
     # r10-green (the full r10 window):
     "text_html_extract",  # last green r10
     "text_gopher_rules",  # last green r10
@@ -236,6 +183,57 @@ _DEMOTED = [
     "agg_higher_moments",  # last green r10
     "agg_listagg_ordered",  # last green r10
     "agg_boolean_aggregates",  # last green r10
+    # r11-green (the full r11 window):
+    "events_resample_interpolate",  # last green r11
+    "graph_khop_distance",  # last green r11
+    "window_cumulative_revenue",  # last green r11
+    "agg_stats_quantiles",  # last green r11
+    "join_outer_coalesce",  # last green r11
+    "dedup_containment",  # last green r11
+    "corpus_sample_weighted_wor",  # last green r11
+    "text_bm25_topk",  # last green r11
+    "events_ewma_smoothing",  # last green r11
+    "corpus_substring_spans_incremental",  # last green r11
+    "corpus_export_manifest",  # last green r11
+    "scd2_time_travel",  # last green r11
+    "window_distinct_running",  # last green r11
+    "agg_mad_robust",  # last green r11
+    "text_lang_confusion",  # last green r11
+    "dedup_ngram_jaccard",  # last green r11
+    "json_extraction",  # last green r11
+    "multimodal_features",  # last green r11
+    "vector_norms_by_label",  # last green r11
+    "scd2_current_state",  # last green r11
+    "scd2_duplicate_current_check",  # last green r11
+    "agg_conditional_counts",  # last green r11
+    "join_asof_events",  # last green r11
+    "sort_topk_orders",  # last green r11
+    "scalar_functions",  # last green r11
+    "filter_point_lookup_current",  # last green r11
+    "window_top_per_customer",  # last green r11
+    "scd2_change_frequency",  # last green r11
+    "join_revenue_by_nation",  # last green r11
+    "scd2_as_of",  # last green r11
+    "agg_pricing_summary",  # last green r11
+    "setop_except_intersect",  # last green r11
+    "events_session_windows",  # last green r11
+    "ivm_join_view",  # last green r11
+    "customer_rfm_segments",  # last green r11
+    "scalar_map_functions",  # last green r11
+    "layout_zorder_tiles",  # last green r11
+    "corpus_dsir_weights",  # last green r11
+    "text_bpe_pair_counts",  # last green r11
+    "agg_bitwise",  # last green r11
+    "corpus_dsir_resample",  # last green r11
+    "tpch_q2_min_cost_supplier",  # last green r11
+    "tpch_q7_volume_shipping",  # last green r11
+    "tpch_q9_product_profit",  # last green r11
+    "tpch_q12_priority_by_class",  # last green r11
+    "tpch_q16_supplier_relationship",  # last green r11
+    "tpch_q19_disjunctive_brackets",  # last green r11
+    "tpch_q20_excess_shippers",  # last green r11
+    "text_heavy_hitters",  # last green r11
+    "scd2_incremental_histogram",  # last green r11
     "agg_distinct_sketch_rollup",  # last green r00 (rows-only by design)
 ]
 

@@ -3216,3 +3216,151 @@ DATAPIPE_QUERIES["dedup_url_normalized"] = (
     q_dedup_url_normalized,
     _sql_dedup_url(),
 )
+
+
+def q_char_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-trigram diversity per document (r12) — the exact
+    repetition/diversity signal beside text_repetition_scores: the
+    Simpson collision index Σc² over trigram counts c (the exact
+    rational core of Rényi-2 entropy, −ln(Σ(c/n)²)) stays in BIGINT so
+    no libm call can diverge across engines; the shipped ratio is one
+    integer division, floor(10⁶·Σc² / n²).
+
+    Scale shape: explode → (doc, gram) groupBy with map-side combine →
+    per-doc aggregate — two key-bounded shuffles, no windows, no UDFs;
+    normalization shares SQL_NORM/normalize_text with the dedup tier."""
+    docs = load_table(spark, sf, "documents")
+    nt = docs.select(
+        "doc_id", TX.normalize_text(F.col("text")).alias("__nt")
+    )
+    grams = nt.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.length("__nt") >= 3,
+                F.expr(
+                    "transform(sequence(1, length(__nt) - 2),"
+                    " i -> substring(__nt, i, 3))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    c = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("collision_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "distinct_grams",
+            "collision_sum",
+            F.expr(
+                "(1000000 * collision_sum) div (n_grams * n_grams)"
+            ).alias("simpson_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CHAR_NGRAM_DIVERSITY = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS nt FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(nt) - 2, 0) + 1),
+                                   i -> substr(nt, i, 3))) AS gram
+      FROM norm),
+c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       COUNT(*) AS distinct_grams,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS collision_sum,
+       CAST((1000000 * CAST(SUM(cnt * cnt) AS BIGINT))
+            // (CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT))
+            AS BIGINT) AS simpson_micro
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+DATAPIPE_QUERIES["text_char_ngram_diversity"] = (
+    q_char_ngram_diversity,
+    SQL_CHAR_NGRAM_DIVERSITY,
+)
+
+
+def q_corpus_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test n-gram contamination COVERAGE per language (r12) —
+    the corpus-level measurement beside corpus_decontaminate's per-doc
+    flags: split the corpus into a held-out slice (doc_id % 10 == 0)
+    and a train remainder, and report what fraction of the held-out
+    slice's distinct word-trigram shingles also occur in train. The
+    number an eval-leakage report leads with.
+
+    Exactness: counts and one integer division (micro units) — no
+    floats anywhere. Scale shape: shingles share the dedup tier's
+    _shingles path (per-doc DISTINCT sets, O(len) per doc); the two
+    DISTINCT (lang, shingle) sets shuffle on the shingle key
+    (map-side-combined), and the coverage join is equi-keyed — no
+    all-pairs, no windows, vocabulary-bounded intermediate."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf, "documents")
+    g = _shingles(docs, "text", "doc_id", 3).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    test_g = (
+        g.filter(F.col("doc_id") % 10 == 0).select("lang", "shingle").distinct()
+    )
+    train_g = (
+        g.filter(F.col("doc_id") % 10 != 0).select("lang", "shingle").distinct()
+    )
+    joined = test_g.join(
+        train_g.withColumn("__hit", F.lit(1)), ["lang", "shingle"], "left"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_covered"),
+        )
+        .select(
+            "lang",
+            "n_test_grams",
+            "n_covered",
+            F.expr("(1000000 * n_covered) div n_test_grams").alias(
+                "coverage_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_NGRAM_COVERAGE = f"""
+WITH norm AS (SELECT doc_id, lang, {SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, lang,
+                list_filter(string_split(nt, ' '), x -> x <> '') AS t
+         FROM norm),
+sh AS (SELECT doc_id, lang,
+              list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+x AS (SELECT doc_id, lang, unnest(s) AS shingle FROM sh),
+test_g AS (SELECT DISTINCT lang, shingle FROM x WHERE doc_id % 10 = 0),
+train_g AS (SELECT DISTINCT lang, shingle FROM x WHERE doc_id % 10 <> 0)
+SELECT t.lang,
+       COUNT(*) AS n_test_grams,
+       CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST((1000000 * CAST(SUM(CASE WHEN tr.shingle IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS coverage_micro
+FROM test_g t
+LEFT JOIN train_g tr ON t.lang = tr.lang AND t.shingle = tr.shingle
+GROUP BY 1 ORDER BY 1
+"""
+
+DATAPIPE_QUERIES["corpus_ngram_coverage"] = (
+    q_corpus_ngram_coverage,
+    SQL_NGRAM_COVERAGE,
+)

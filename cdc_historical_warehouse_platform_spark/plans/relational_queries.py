@@ -3555,3 +3555,164 @@ RELATIONAL_QUERIES["events_throttle_dedup"] = (
     q_events_throttle_dedup,
     SQL_EVENTS_THROTTLE,
 )
+
+
+def q_agg_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized mean at the 10th/90th percentile per return flag
+    (r12) — the robust-statistics complement to agg_mad_robust: clamp
+    every price to the [p10, p90] order statistics before averaging,
+    so tail outliers stop dominating the mean.
+
+    Exactness discipline (the cents pattern): prices enter as integer
+    cents; the order statistics are EXACT ranks (k_lo = ceil(n/10),
+    k_hi = n - k_lo + 1 — pure integer arithmetic, no percentile
+    interpolation to disagree across engines); the clamped sum is one
+    BIGINT; the only float op is the final division.
+
+    Scale shape: the fact table is never sorted — order statistics
+    come from a cumulative count over the (flag, DISTINCT cent value)
+    table (bounded by the price DOMAIN, not the row count, at any
+    scale; the window partitions by flag and orders a domain-sized
+    input). Bounds broadcast back onto the fact for the clamped
+    aggregate: two linear passes, zero fact-side windows."""
+    li = load_table(spark, sf, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    counts = d.groupBy("l_returnflag", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    totals = counts.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    ranked = cum.join(F.broadcast(totals), "l_returnflag").withColumn(
+        "k_lo", F.expr("CAST((n + 9) div 10 AS BIGINT)")
+    )
+    bounds = ranked.groupBy("l_returnflag", "n").agg(
+        F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("c"))).alias("lo_c"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("k_lo") + 1, F.col("c"))
+        ).alias("hi_c"),
+    )
+    clamped = d.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        F.least(F.greatest(F.col("c"), F.col("lo_c")), F.col("hi_c")).alias(
+            "wc"
+        ),
+        "lo_c",
+        "hi_c",
+    )
+    return (
+        clamped.groupBy("l_returnflag", "n", "lo_c", "hi_c")
+        .agg(F.sum("wc").alias("ws"))
+        .select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            (F.col("lo_c").cast("double") / 100.0).alias("p10_price"),
+            (F.col("hi_c").cast("double") / 100.0).alias("p90_price"),
+            (
+                F.col("ws").cast("double")
+                / (F.col("n") * F.lit(100)).cast("double")
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_WINSORIZED_STATS = """
+WITH d AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem),
+counts AS (
+  SELECT l_returnflag, c, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, c, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum
+  FROM counts),
+totals AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY 1),
+bounds AS (
+  SELECT cum.l_returnflag, n,
+         MIN(CASE WHEN cum >= (n + 9) // 10 THEN c END) AS lo_c,
+         MIN(CASE WHEN cum >= n - (n + 9) // 10 + 1 THEN c END) AS hi_c
+  FROM cum JOIN totals USING (l_returnflag)
+  GROUP BY 1, 2)
+SELECT d.l_returnflag,
+       n AS n_rows,
+       CAST(lo_c AS DOUBLE) / 100.0 AS p10_price,
+       CAST(hi_c AS DOUBLE) / 100.0 AS p90_price,
+       CAST(SUM(LEAST(GREATEST(c, lo_c), hi_c)) AS DOUBLE)
+         / CAST(n * 100 AS DOUBLE) AS winsorized_mean
+FROM d JOIN bounds USING (l_returnflag)
+GROUP BY 1, 2, lo_c, hi_c
+ORDER BY 1
+"""
+
+RELATIONAL_QUERIES["agg_winsorized_stats"] = (
+    q_agg_winsorized_stats,
+    SQL_WINSORIZED_STATS,
+)
+
+
+def q_agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted LOWER median price per return flag (r12):
+    the smallest price whose cumulative quantity weight reaches half
+    the total — the weighted-percentile shape a data-mix planner needs
+    (token-weighted median doc quality, bytes-weighted median shard
+    size) that plain percentile rows can't express.
+
+    Exactness: prices as integer cents, quantities as exact integers
+    (TPC-H quantities are whole numbers); the defining inequality is
+    2·cum ≥ W in BIGINT — no float percentile, no interpolation. Same
+    domain-bounded scale shape as agg_winsorized_stats: the window
+    runs over (flag, DISTINCT cent) rows, never the fact."""
+    li = load_table(spark, sf, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+    )
+    counts = d.groupBy("l_returnflag", "c").agg(F.sum("q").alias("wt"))
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    cum = counts.withColumn("cum", F.sum("wt").over(w))
+    totals = counts.groupBy("l_returnflag").agg(F.sum("wt").alias("tw"))
+    return (
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .filter(F.col("cum") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag", "tw")
+        .agg(F.min("c").alias("mc"))
+        .select(
+            "l_returnflag",
+            F.col("tw").alias("total_weight"),
+            (F.col("mc").cast("double") / 100.0).alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q
+  FROM lineitem),
+counts AS (SELECT l_returnflag, c, SUM(q) AS wt FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, c,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum
+  FROM counts),
+totals AS (SELECT l_returnflag, CAST(SUM(wt) AS BIGINT) AS tw FROM counts GROUP BY 1)
+SELECT cum.l_returnflag,
+       tw AS total_weight,
+       CAST(MIN(c) AS DOUBLE) / 100.0 AS weighted_median_price
+FROM cum JOIN totals USING (l_returnflag)
+WHERE cum * 2 >= tw
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+RELATIONAL_QUERIES["agg_weighted_median"] = (
+    q_agg_weighted_median,
+    SQL_WEIGHTED_MEDIAN,
+)

@@ -464,3 +464,128 @@ def test_streaming_walks_arrow_fs_and_bounded_flush_parity(spark, tmp_path):
             spark, str(tmp_path), use_arrow_fs=True, flush_docs=3, flush_chars=50
         )
     )
+
+
+def test_streaming_walks_over_loopback_s3_scheme(tmp_path):
+    """r12 (verdict task #4): the pyarrow-fs branch of _open_stream is
+    exercised over a GENUINELY non-local scheme — a loopback S3
+    endpoint (minimal ListObjects-free emulation: HEAD + ranged GET)
+    served over localhost HTTP, reached via
+    s3://...?endpoint_override=. Proves the two streaming walks — the
+    WARC record walk (forward reads) and the ZIP central-directory
+    walk (tail seek + per-member range reads) — parse byte-identically
+    to a local handle where they'll actually run, and that the reads
+    arrive as RANGE requests (incremental object-store I/O), not a
+    whole-object download."""
+    import email.utils
+    import io
+    import threading
+    import zipfile
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from cdc_historical_warehouse_platform_spark.sources.raw_docs import (
+        _open_stream,
+        iter_warc_records,
+        iter_warc_records_stream,
+    )
+
+    warc_bytes = _write_warc(
+        [("response", "http://s3.example/a", _WARC_HTML, "text/html")]
+        + [
+            (
+                "conversion",
+                f"http://s3.example/w{i}",
+                f"wet body {i} ".encode() * 40,
+                None,
+            )
+            for i in range(5)
+        ],
+        gz=True,
+    )
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        for i in range(6):
+            zf.writestr(f"m{i}.txt", f"zip member body {i} " * 25)
+    zip_bytes = zbuf.getvalue()
+
+    files = {"/bkt/seg.warc.gz": warc_bytes, "/bkt/dump.zip": zip_bytes}
+    seen: list[tuple[str, str, str | None]] = []
+
+    class _S3Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _serve(self, send_body: bool):
+            path = self.path.split("?")[0]
+            seen.append((self.command, path, self.headers.get("Range")))
+            body = files.get(path)
+            if body is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes="):
+                a, b = rng[6:].split("-")
+                lo = int(a)
+                hi = min(int(b) if b else len(body) - 1, len(body) - 1)
+                part = body[lo : hi + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {lo}-{hi}/{len(body)}"
+                )
+            else:
+                part = body
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(part)))
+            self.send_header("ETag", '"stub"')
+            self.send_header(
+                "Last-Modified", email.utils.formatdate(usegmt=True)
+            )
+            self.send_header("Content-Type", "application/octet-stream")
+            self.end_headers()
+            if send_body:
+                self.wfile.write(part)
+
+        def do_GET(self):
+            self._serve(True)
+
+        def do_HEAD(self):
+            self._serve(False)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _S3Stub)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def s3(key: str) -> str:
+            return (
+                f"s3://k:s@bkt/{key}?region=us-east-1&scheme=http"
+                f"&endpoint_override=127.0.0.1:{port}"
+            )
+
+        # WARC record walk: stream over the s3 handle == local parse
+        with _open_stream(s3("seg.warc.gz")) as fh:
+            remote = [
+                (dict(h), bytes(b)) for h, b in iter_warc_records_stream(fh)
+            ]
+        local = [(dict(h), bytes(b)) for h, b in iter_warc_records(warc_bytes)]
+        assert remote == local and len(remote) == 6
+
+        # ZIP central-directory walk: member list + contents identical
+        with _open_stream(s3("dump.zip")) as fh, zipfile.ZipFile(fh) as zf:
+            remote_members = {m: zf.read(m) for m in zf.namelist()}
+        with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
+            assert remote_members == {m: zf.read(m) for m in zf.namelist()}
+
+        # the reads were incremental RANGE requests, not full downloads
+        zip_gets = [r for r in seen if r[0] == "GET" and r[1] == "/bkt/dump.zip"]
+        assert zip_gets and all(rng is not None for _, _, rng in zip_gets)
+        assert any(r[0] == "HEAD" for r in seen)  # stat before open
+
+        # an unknown object refuses with the documented guidance
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="materialize=True"):
+            _open_stream(s3("missing.bin")).read()
+    finally:
+        srv.shutdown()
