@@ -72,7 +72,10 @@ _PRIORITY = [
     "agg_weighted_median",
     "text_char_ngram_diversity",
     "corpus_ngram_coverage",
-    # r09-stale (37 of 50 promoted; the 13 deferred to r13 sit atop
+    "dedup_cluster_size_histogram",
+    "events_mann_whitney_u",
+    "events_autocorr_lag1",
+    # r09-stale (34 of 50 promoted; the 16 deferred to r13 sit atop
     # _DEMOTED with their in-window family coverage):
     "agg_approx_aggregates",
     "corpus_chunk_spans",
@@ -82,7 +85,6 @@ _PRIORITY = [
     "corpus_sample_stratified",
     "dedup_components",
     "dedup_minhash_lsh",
-    "knn_cosine_brute",
     "relational_unpivot",
     "scd2_dim_history",
     "scd2_interval_integrity",
@@ -99,11 +101,9 @@ _PRIORITY = [
     "corpus_source_mix",
     "corpus_token_budget",
     "corpus_zipf_stats",
-    "events_resample_ffill",
     "join_interval_events",
     "join_lateral_topk",
     "join_top_quarter_supplier",
-    "multimodal_frame_sample",
     "multimodal_image_features",
     "scd2_flag_consistency_check",
     "scd2_incremental_revenue",
@@ -113,9 +113,12 @@ _PRIORITY = [
     "text_quality_scores",
 ]
 _DEMOTED = [
-    # --- 13 r09-green rows deferred to the r13 window (displaced by
-    # the 9 r08-deferred rows + 4 r12-new rows); each one's operator
+    # --- 16 r09-green rows deferred to the r13 window (displaced by
+    # the 9 r08-deferred rows + 7 r12-new rows); each one's operator
     # family stays in-window per the note. ---
+    "knn_cosine_brute",  # last green r09; ANN family in-window via ann_ivf_topk + ann_sq_topk
+    "events_resample_ffill",  # last green r09; events family in-window via events_cohort_retention + events_transition_matrix + events_mann_whitney_u + events_autocorr_lag1
+    "multimodal_frame_sample",  # last green r09; multimodal family in-window via multimodal_image_features
     "corpus_sample_quality_weighted",  # last green r09; corpus-sampling family in-window via corpus_sample_stratified + corpus_temperature_mix
     "corpus_length_buckets",  # last green r09; corpus-stats family in-window via corpus_source_mix + corpus_zipf_stats
     "agg_cube",  # last green r09; agg family in-window via agg_grouped_having + agg_union_metric_rows + agg_winsorized_stats

@@ -38,7 +38,12 @@ def _payload(orders: DataFrame, *, updated: bool) -> DataFrame:
     )
     return orders.select(
         F.col("o_orderkey").alias("id"),
-        F.col("o_custkey").cast("int").alias("customer_id"),
+        # BIGINT, not the demo DDL's INT (r12): the sf1 scaling
+        # rehearsal drives replica-shifted custkeys past 2^31, where an
+        # INT cast CRASHES under ANSI mode — registry fixtures must run
+        # at any SF. The pipeline schemas (schemas.py) keep the
+        # reference's INTEGER DDL; this fixture is testdata-scale-bound.
+        F.col("o_custkey").cast("bigint").alias("customer_id"),
         (F.col("o_orderkey") % 1000).cast("int").alias("product_id"),
         qty.alias("quantity"),
         price.alias("unit_price"),
@@ -64,7 +69,7 @@ def orders_as_changes(orders: DataFrame) -> DataFrame:
 # lockstep with orders_as_changes().
 ORDERS_AS_CHANGES_SQL = """
     SELECT o_orderkey AS id,
-           CAST(o_custkey AS INT) AS customer_id,
+           CAST(o_custkey AS BIGINT) AS customer_id,
            CAST(o_orderkey % 1000 AS INT) AS product_id,
            CAST(o_orderkey % 10 + 1 AS INT) AS quantity,
            CAST(ROUND(o_totalprice, 2) AS DECIMAL(10,2)) AS unit_price,
@@ -75,7 +80,7 @@ ORDERS_AS_CHANGES_SQL = """
     FROM orders
     UNION ALL
     SELECT o_orderkey,
-           CAST(o_custkey AS INT),
+           CAST(o_custkey AS BIGINT),
            CAST(o_orderkey % 1000 AS INT),
            CAST(o_orderkey % 10 + 2 AS INT),
            CAST(ROUND(o_totalprice, 2) AS DECIMAL(10,2)),

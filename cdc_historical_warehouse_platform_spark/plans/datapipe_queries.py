@@ -3364,3 +3364,64 @@ DATAPIPE_QUERIES["corpus_ngram_coverage"] = (
     q_corpus_ngram_coverage,
     SQL_NGRAM_COVERAGE,
 )
+
+
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution (r12) — the corpus-health
+    diagnostic above dedup_components' per-doc labels: how many
+    near-dup clusters exist at each size, plus the docs they'd retire
+    (size − 1 per cluster). The number a dedup report leads with, and
+    the skew signal that says whether one mega-cluster (boilerplate,
+    mirrored site) dominates the pair graph.
+
+    Scale shape: inherits the banded-LSH pair tier (never all-pairs);
+    the histogram is two grouped counts over the component labels —
+    pair-graph-sized, corpus-size-independent."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, bands=32, rows_per_band=2, threshold=0.5)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("docs_retired"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+SQL_DEDUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE {_sql_shingles(None)},
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON i.doc_a = sa.doc_id
+  JOIN sz sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n AS DOUBLE) / (sa.n + sb.n - i.n) >= 0.5),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node),
+comp AS (SELECT node AS doc_id, MIN(label) AS component_id
+         FROM reach GROUP BY node),
+sizes AS (SELECT component_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY 1)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_retired
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+DATAPIPE_QUERIES["dedup_cluster_size_histogram"] = (
+    q_dedup_cluster_size_histogram,
+    SQL_DEDUP_CLUSTER_SIZES,
+)

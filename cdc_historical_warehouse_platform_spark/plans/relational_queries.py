@@ -3716,3 +3716,164 @@ RELATIONAL_QUERIES["agg_weighted_median"] = (
     q_agg_weighted_median,
     SQL_WEIGHTED_MEDIAN,
 )
+
+
+def q_events_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test per event type (r12): compares the
+    value distributions of two user cohorts (even vs odd user_id) —
+    the nonparametric A/B-test shape a metrics platform runs beside
+    the z-score row. Ties take midranks.
+
+    Exactness discipline: everything stays in BIGINT by working with
+    DOUBLED midranks — for value v, 2·midrank(v) = 2·|{<v}| + |{=v}| + 1
+    (an integer even when the midrank is half-integral), so
+    2·R_A = Σ_v cntA(v)·(2·cum_less(v) + cnt(v) + 1) and
+    2·U_A = 2·R_A − nA·(nA+1) are exact; U_B follows from
+    U_A + U_B = nA·nB. No floats anywhere.
+
+    Scale shape: one grouped count onto (type, DISTINCT cent value) —
+    domain-bounded like agg_winsorized_stats — then a window over that
+    domain-sized table; the event stream itself is never sorted."""
+    ev = load_table(spark, sf, "events")
+    d = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+    )
+    counts = d.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c")
+    cum = counts.withColumn(
+        "cum_less", F.sum("cnt").over(w) - F.col("cnt")
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.sum("cnt_a").alias("n_a"),
+            (F.sum("cnt") - F.sum("cnt_a")).alias("n_b"),
+            F.sum(
+                F.col("cnt_a")
+                * (F.lit(2) * F.col("cum_less") + F.col("cnt") + F.lit(1))
+            ).alias("r2_a"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a"),
+            (
+                F.lit(2) * F.col("n_a") * F.col("n_b")
+                - (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+            ).alias("u2_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MANN_WHITNEY = """
+WITH d AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         user_id % 2 = 0 AS is_a
+  FROM events),
+counts AS (
+  SELECT event_type, c, COUNT(*) AS cnt,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+  FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, c, cnt, cnt_a,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) - cnt AS cum_less
+  FROM counts),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         CAST(SUM(cnt) - SUM(cnt_a) AS BIGINT) AS n_b,
+         CAST(SUM(cnt_a * (2 * cum_less + cnt + 1)) AS BIGINT) AS r2_a
+  FROM cum GROUP BY 1)
+SELECT event_type, n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b
+FROM agg ORDER BY event_type
+"""
+
+RELATIONAL_QUERIES["events_mann_whitney_u"] = (
+    q_events_mann_whitney_u,
+    SQL_MANN_WHITNEY,
+)
+
+
+def q_events_autocorr_lag1(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values (r12) — the
+    time-series persistence signal (is a user's next reading predicted
+    by their last?) beside the EWMA row, over consecutive event pairs
+    in (ts, event_id) order.
+
+    Exactness: the Pearson components over (prev, curr) cent pairs are
+    exact BIGINTs far under 2^53 (num = n·Σxy − Σx·Σy,
+    dx = n·Σx² − (Σx)², dy likewise); the float tail is
+    num / (sqrt(dx)·sqrt(dy)) — IEEE-correctly-rounded sqrt/mul/div on
+    exactly-representable integers, identical in any engine (the
+    agg_linear_regression discipline). Users with < 2 events or a
+    constant series (dx·dy = 0) report NULL.
+
+    Scale shape: one shuffle on user_id for the lag window + grouped
+    sums; output is user-count-sized."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("c", F.round(F.col("value") * 100).cast("bigint"))
+        .withColumn("prev", F.lag("c").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("prev").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("prev") * F.col("c")).alias("sxy"),
+        F.sum(F.col("prev") * F.col("prev")).alias("sxx"),
+        F.sum(F.col("c") * F.col("c")).alias("syy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (dx > 0) & (dy > 0),
+        num.cast("double")
+        / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+    )
+    return agg.select(
+        "user_id", "n_pairs", corr.alias("autocorr_lag1")
+    ).orderBy("user_id")
+
+
+SQL_AUTOCORR_LAG1 = """
+WITH d AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         lag(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+p AS (SELECT user_id, prev, c FROM d WHERE prev IS NOT NULL),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_pairs,
+         CAST(SUM(prev) AS BIGINT) AS sx,
+         CAST(SUM(c) AS BIGINT) AS sy,
+         CAST(SUM(prev * c) AS BIGINT) AS sxy,
+         CAST(SUM(prev * prev) AS BIGINT) AS sxx,
+         CAST(SUM(c * c) AS BIGINT) AS syy
+  FROM p GROUP BY 1)
+SELECT user_id, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+       END AS autocorr_lag1
+FROM agg ORDER BY user_id
+"""
+
+RELATIONAL_QUERIES["events_autocorr_lag1"] = (
+    q_events_autocorr_lag1,
+    SQL_AUTOCORR_LAG1,
+)

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""sf1 scaling rehearsal (r12, verdict stretch): materialize a 10x
+replica of /root/testdata/sf0.1 (~6M lineitem rows, 500K orders, 50K
+docs) and run the bench HEADLINE registry rows at BOTH scales in one
+session, reporting the warm sf1/sf0.1 ratio per row — the measured
+datapoint behind the "would this plan survive a 10x/100x scale-up"
+design claims. A row scaling ~linearly (ratio <= ~12 with fixed
+partitioning and constant overheads) is behaving; a superlinear row
+names a plan that found a ceiling.
+
+Replication preserves join shape: every key column shifts by
+replica * 1e9 so each replica joins within itself (selectivities and
+group cardinalities scale linearly, like a bigger crawl, not like a
+hotter key). Document texts get a per-replica token prefix woven into
+EVERY token, so shingle/dedup rows see 10x genuinely-distinct text
+rather than a 45-pairs-per-clone-group blowup that would distort the
+read. region/nation stay single-copy (bounded dimensions at any SF).
+
+Usage: python scripts/rehearse_sf1.py [out_dir] — one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+OFFSET = 1_000_000_000
+
+# key columns to shift per table (referential integrity within replica)
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLETON = ["region", "nation"]
+
+
+def build_sf1(spark, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for t in SINGLETON:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+    for t, keys in KEYS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(REPLICAS):
+            r = df
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+            if t == "documents" and i > 0:
+                # weave the replica id into every token so cross-replica
+                # shingles never match (10x distinct text, not clones)
+                r = r.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"r{i}$1")
+                ).withColumn("n_chars", F.length("text"))
+            parts.append(r)
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+
+    from cdc_historical_warehouse_platform_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="rehearse-sf1",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    t0 = time.perf_counter()
+    build_sf1(spark, out)
+    gen_sec = round(time.perf_counter() - t0, 1)
+
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    registry = entrymod.queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        t = time.perf_counter()
+        registry[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return round(time.perf_counter() - t, 3)
+
+    results: dict[str, dict] = {}
+    for name in HEADLINE:
+        base_cold = run(name, SRC)
+        base = min(run(name, SRC), run(name, SRC))
+        big_cold = run(name, out)
+        big = min(run(name, out), run(name, out))
+        results[name] = {
+            "sf0.1_warm": base,
+            "sf1_warm": big,
+            "ratio": round(big / max(base, 1e-9), 2),
+            "sf0.1_cold": base_cold,
+            "sf1_cold": big_cold,
+        }
+        print(
+            f"# {name}: {base:.2f}s -> {big:.2f}s (x{results[name]['ratio']})",
+            file=sys.stderr,
+        )
+
+    ratios = sorted(r["ratio"] for r in results.values())
+    summary = {
+        "metric": "sf1_rehearsal",
+        "replicas": REPLICAS,
+        "gen_sec": gen_sec,
+        "rows": results,
+        "ratio_median": ratios[len(ratios) // 2],
+        "ratio_max": max(ratios),
+        "superlinear_rows": sorted(
+            n for n, r in results.items() if r["ratio"] > 15
+        ),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    print(json.dumps(summary))
+    if os.environ.get("REHEARSE_KEEP") != "1":
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
