@@ -75,10 +75,10 @@ _PRIORITY = [
     "dedup_cluster_size_histogram",
     "events_mann_whitney_u",
     "events_autocorr_lag1",
-    # r09-stale (34 of 50 promoted; the 16 deferred to r13 sit atop
+    "join_asof_tolerance",
+    # r09-stale (33 of 50 promoted; the 17 deferred to r13 sit atop
     # _DEMOTED with their in-window family coverage):
     "agg_approx_aggregates",
-    "corpus_chunk_spans",
     "corpus_decontaminate",
     "corpus_keep_decisions",
     "corpus_paragraph_dedup",
@@ -113,9 +113,10 @@ _PRIORITY = [
     "text_quality_scores",
 ]
 _DEMOTED = [
-    # --- 16 r09-green rows deferred to the r13 window (displaced by
-    # the 9 r08-deferred rows + 7 r12-new rows); each one's operator
+    # --- 17 r09-green rows deferred to the r13 window (displaced by
+    # the 9 r08-deferred rows + 8 r12-new rows); each one's operator
     # family stays in-window per the note. ---
+    "corpus_chunk_spans",  # last green r09; corpus family in-window via corpus_decontaminate + corpus_keep_decisions + corpus_ngram_coverage + corpus_domain_caps
     "knn_cosine_brute",  # last green r09; ANN family in-window via ann_ivf_topk + ann_sq_topk
     "events_resample_ffill",  # last green r09; events family in-window via events_cohort_retention + events_transition_matrix + events_mann_whitney_u + events_autocorr_lag1
     "multimodal_frame_sample",  # last green r09; multimodal family in-window via multimodal_image_features

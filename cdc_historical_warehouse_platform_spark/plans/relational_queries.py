@@ -3877,3 +3877,69 @@ RELATIONAL_QUERIES["events_autocorr_lag1"] = (
     q_events_autocorr_lag1,
     SQL_AUTOCORR_LAG1,
 )
+
+
+def q_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND and strict inequality (r12):
+    the two asof_join parameters the plain J3 row leaves unexercised —
+    for each purchase, the most recent signup STRICTLY BEFORE it, and
+    only if it happened within the last 7 days (older matches null
+    out: "attribute the purchase to a recent signup or not at all").
+
+    Same single-shuffle union+window plan as join_asof_events
+    (operators/asof.py — no range-join explosion at any scale); the
+    oracle is an INDEPENDENT correlated-subquery formulation, so the
+    hash equality cross-checks the operator against a different
+    algorithm, not a transliteration. Determinism: no two signups
+    share (user_id, ts) in the testdata at any SF (checked r12), so
+    the as-of winner is unique under both formulations."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event"),
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_payload=["signup_event"],
+        tolerance="7 DAYS",
+        allow_exact_matches=False,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_signup_ts").alias("recent_signup_ts"),
+        F.col("asof_signup_event").alias("recent_signup_event"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_TOLERANCE = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'),
+s AS (
+  SELECT event_id AS s_id, user_id, CAST(ts AS TIMESTAMP) AS s_ts
+  FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT max(s_ts) FROM s
+        WHERE s.user_id = p.user_id AND s.s_ts < p.ts
+          AND s.s_ts >= p.ts - INTERVAL 7 DAY) AS recent_signup_ts,
+       (SELECT s_id FROM s
+        WHERE s.user_id = p.user_id AND s.s_ts < p.ts
+          AND s.s_ts >= p.ts - INTERVAL 7 DAY
+        ORDER BY s_ts DESC LIMIT 1) AS recent_signup_event
+FROM p ORDER BY p.event_id
+"""
+
+RELATIONAL_QUERIES["join_asof_tolerance"] = (
+    q_asof_tolerance,
+    SQL_ASOF_TOLERANCE,
+)
