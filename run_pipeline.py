@@ -33,6 +33,8 @@ Usage:
   python run_pipeline.py corpus-ingest --input DIR --output DIR [--ingest-format text|jsonl|html|warc|zip|csv]
   python run_pipeline.py corpus-sample --input SF_DIR --output DIR [--k N]
                                    [--weight-col C] [--stratum-col C]  # E-S weighted WOR
+  python run_pipeline.py corpus-coverage --input SF_DIR      # train/held-out n-gram leakage per lang
+  python run_pipeline.py dedup-cluster-stats --input SF_DIR  # near-dup cluster size histogram
   python run_pipeline.py corpus-export --output CORPUS --bpe-dir BPE --export-dir DIR [--seq-len N]
   python run_pipeline.py ann-build  --input SF_DIR --output DIR [--n-lists N]
                                    [--int8]   # IVF-SQ: int8 storage layout
@@ -143,7 +145,7 @@ def main() -> int:
             "summary", "optimize",
             "corpus", "corpus-append", "corpus-compact", "corpus-tokens",
             "corpus-forget", "corpus-ingest", "corpus-export", "corpus-status",
-            "corpus-sample",
+            "corpus-sample", "corpus-coverage", "dedup-cluster-stats",
             "ann-build", "ann-append", "ann-query",
             "substr-append", "substr-spans", "substr-compact",
             "bpe-train", "bpe-encode",
@@ -707,6 +709,62 @@ def main() -> int:
                     "k_per_stratum": args.k,
                     "weight_col": args.weight_col,
                     "output": dest,
+                }
+            )
+        )
+    elif args.command == "corpus-coverage":
+        # train/held-out n-gram contamination coverage per language
+        # (r12): what fraction of the held-out slice's distinct word
+        # trigrams also occur in train — the corpus-level eval-leakage
+        # report (plans/datapipe_queries.q_corpus_ngram_coverage)
+        from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
+            q_corpus_ngram_coverage,
+        )
+
+        if not args.input:
+            print(json.dumps({"error": "corpus-coverage requires --input"}))
+            return 1
+        rows = q_corpus_ngram_coverage(spark, args.input).collect()
+        print(
+            json.dumps(
+                {
+                    "languages": [
+                        {
+                            "lang": r["lang"],
+                            "n_test_grams": r["n_test_grams"],
+                            "n_covered": r["n_covered"],
+                            "coverage_micro": r["coverage_micro"],
+                        }
+                        for r in rows
+                    ]
+                }
+            )
+        )
+    elif args.command == "dedup-cluster-stats":
+        # near-dup cluster size distribution (r12): how many clusters
+        # at each size + docs a dedup pass would retire — the skew
+        # diagnostic over the LSH component labels
+        # (plans/datapipe_queries.q_dedup_cluster_size_histogram)
+        from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
+            q_dedup_cluster_size_histogram,
+        )
+
+        if not args.input:
+            print(json.dumps({"error": "dedup-cluster-stats requires --input"}))
+            return 1
+        rows = q_dedup_cluster_size_histogram(spark, args.input).collect()
+        print(
+            json.dumps(
+                {
+                    "clusters": [
+                        {
+                            "cluster_size": r["cluster_size"],
+                            "n_clusters": r["n_clusters"],
+                            "docs_retired": r["docs_retired"],
+                        }
+                        for r in rows
+                    ],
+                    "total_docs_retired": sum(r["docs_retired"] for r in rows),
                 }
             )
         )
