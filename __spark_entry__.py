@@ -76,7 +76,8 @@ _PRIORITY = [
     "events_mann_whitney_u",
     "events_autocorr_lag1",
     "join_asof_tolerance",
-    # r09-stale (33 of 50 promoted; the 17 deferred to r13 sit atop
+    "scd2_fact_temporal_join",
+    # r09-stale (32 of 50 promoted; the 18 deferred to r13 sit atop
     # _DEMOTED with their in-window family coverage):
     "agg_approx_aggregates",
     "corpus_decontaminate",
@@ -88,7 +89,6 @@ _PRIORITY = [
     "relational_unpivot",
     "scd2_dim_history",
     "scd2_interval_integrity",
-    "text_lm_surprisal",
     "text_repetition_scores",
     "text_tfidf_keywords",
     "window_range_frame",
@@ -113,9 +113,10 @@ _PRIORITY = [
     "text_quality_scores",
 ]
 _DEMOTED = [
-    # --- 17 r09-green rows deferred to the r13 window (displaced by
-    # the 9 r08-deferred rows + 8 r12-new rows); each one's operator
+    # --- 18 r09-green rows deferred to the r13 window (displaced by
+    # the 9 r08-deferred rows + 9 r12-new rows); each one's operator
     # family stays in-window per the note. ---
+    "text_lm_surprisal",  # last green r09; text family in-window via text_repetition_scores + text_quality_scores + text_tfidf_keywords + text_char_ngram_diversity
     "corpus_chunk_spans",  # last green r09; corpus family in-window via corpus_decontaminate + corpus_keep_decisions + corpus_ngram_coverage + corpus_domain_caps
     "knn_cosine_brute",  # last green r09; ANN family in-window via ann_ivf_topk + ann_sq_topk
     "events_resample_ffill",  # last green r09; events family in-window via events_cohort_retention + events_transition_matrix + events_mann_whitney_u + events_autocorr_lag1

@@ -3943,3 +3943,67 @@ RELATIONAL_QUERIES["join_asof_tolerance"] = (
     q_asof_tolerance,
     SQL_ASOF_TOLERANCE,
 )
+
+
+def q_scd2_fact_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-SCD2 temporal join (r12) — THE canonical warehouse
+    query the dimension exists for: every lineitem matched to the dim
+    version that was valid AT ITS SHIP DATE (not a fixed as-of
+    timestamp like scd2_as_of — a per-row event time). "What did we
+    believe about this order when the item actually shipped?"
+
+    Scale shape: the union+window as-of technique (operators/asof.py)
+    — ONE shuffle on the order key, no interval-predicate join
+    explosion; at 100 TB the fact never cross-products its key group.
+    The oracle is the INDEPENDENT formulation — a half-open interval
+    join against the dim timeline — so the hash equality cross-checks
+    the as-of algorithm against interval semantics (non-overlap is
+    separately pinned by scd2_interval_integrity)."""
+    from cdc_historical_warehouse_platform_spark.plans.reference_queries import build_dim
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        "l_linenumber",
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+    )
+    dim = build_dim(spark, sf).select(
+        "order_key",
+        "valid_from",
+        F.col("order_status").alias("status_at_ship"),
+        F.col("quantity").alias("quantity_at_ship"),
+    )
+    out = asof_join(
+        li,
+        dim,
+        on="order_key",
+        left_ts="ship_ts",
+        right_ts="valid_from",
+        right_payload=["status_at_ship", "quantity_at_ship"],
+    )
+    return out.select(
+        "order_key",
+        "l_linenumber",
+        "ship_ts",
+        "asof_status_at_ship",
+        "asof_quantity_at_ship",
+    ).orderBy("order_key", "l_linenumber")
+
+
+SQL_FACT_TEMPORAL_JOIN = f"""
+SELECT l.l_orderkey AS order_key,
+       l.l_linenumber,
+       CAST(l.l_shipdate AS TIMESTAMP) AS ship_ts,
+       d.order_status AS asof_status_at_ship,
+       d.quantity AS asof_quantity_at_ship
+FROM lineitem l
+LEFT JOIN ({_DIM_SQL}) d
+  ON d.order_key = l.l_orderkey
+ AND d.valid_from <= CAST(l.l_shipdate AS TIMESTAMP)
+ AND (d.valid_to IS NULL OR CAST(l.l_shipdate AS TIMESTAMP) < d.valid_to)
+ORDER BY 1, 2
+"""
+
+RELATIONAL_QUERIES["scd2_fact_temporal_join"] = (
+    q_scd2_fact_temporal_join,
+    SQL_FACT_TEMPORAL_JOIN,
+)
