@@ -326,3 +326,58 @@ def test_incremental_substr_any_split_any_probe_schedule(
         ).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    weights=st.lists(st.integers(1, 9), min_size=60, max_size=60),
+)
+def test_order_statistics_rows_match_direct_computation(spark, cents, weights):
+    """r12 property pin for the domain-bounded order-statistics shape
+    (agg_winsorized_stats / agg_weighted_median): for ANY multiset of
+    integer values, the cumulative-count-over-distinct-values ranks
+    must reproduce the direct sorted-list definition — p10/p90 are the
+    ceil(n/10)-th smallest / its mirror, the winsorized sum clamps to
+    them, and the weighted median is the smallest value whose
+    cumulative weight reaches half the total."""
+    from pyspark.sql import Window
+
+    rows = [(int(c), int(w)) for c, w in zip(cents, weights)]
+    df = spark.createDataFrame(rows, ["c", "q"])
+
+    counts = df.groupBy("c").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("q").alias("wt")
+    )
+    w = Window.orderBy("c").partitionBy(F.lit(1))
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "wcum", F.sum("wt").over(w)
+    )
+    n = len(rows)
+    k_lo = (n + 9) // 10
+    tw = sum(q for _, q in rows)
+    got = (
+        cum.agg(
+            F.min(F.when(F.col("cum") >= k_lo, F.col("c"))).alias("lo"),
+            F.min(F.when(F.col("cum") >= n - k_lo + 1, F.col("c"))).alias("hi"),
+            F.min(F.when(F.col("wcum") * 2 >= tw, F.col("c"))).alias("wmed"),
+        )
+        .collect()[0]
+    )
+
+    vals = sorted(c for c, _ in rows)
+    lo, hi = vals[k_lo - 1], vals[n - k_lo]
+    assert (got["lo"], got["hi"]) == (lo, hi)
+    # direct weighted median: walk distinct values in order
+    seen = 0
+    wmed = None
+    for v in sorted(set(vals)):
+        seen += sum(q for c, q in rows if c == v)
+        if 2 * seen >= tw:
+            wmed = v
+            break
+    assert got["wmed"] == wmed

@@ -500,3 +500,31 @@ def test_weighted_sample_wor_unstratified_no_global_sort(spark):
     # top-k subtree (pre-checkpoint) is a TakeOrderedAndProject
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_weighted_sample_wor_branch_equivalence(spark):
+    """r12: the two weighted_sample_wor branches implement ONE
+    semantics — on a constant stratum column, the stratified window
+    path and the stratum-less TakeOrderedAndProject + rank-self-join
+    path must select the identical set with identical ranks, for
+    several k (including k > n) and weight shapes."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    rows = [
+        (i, "all", w)
+        for i, w in enumerate(
+            [1.0, 1.0, 5.0, 0.5, 100.0, 3.25, 0.0, -1.0, 7.0, 2.0, 2.0, 9.5],
+            start=1,
+        )
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+
+    def key(res):
+        return sorted((r["doc_id"], r["sample_rank"]) for r in res.collect())
+
+    for k in (1, 3, 10, 50):
+        strat = weighted_sample_wor(df, k=k, weight_col="w", strata_col="grp")
+        flat = weighted_sample_wor(df, k=k, weight_col="w", strata_col=None)
+        assert key(strat) == key(flat), k
