@@ -32,7 +32,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICAS = 10
+# 10 by default (sf1); REHEARSE_REPLICAS=100 gives the sf10 (100x)
+# decade. REHEARSE_ROWS=a,b,c restricts the row set (the heavy corpus
+# rows dominate a 100x pass); REHEARSE_WARM sets warm passes per side.
+REPLICAS = int(os.environ.get("REHEARSE_REPLICAS", "10"))
+ROWS_FILTER = [r for r in os.environ.get("REHEARSE_ROWS", "").split(",") if r]
+WARM_PASSES = int(os.environ.get("REHEARSE_WARM", "2"))
 OFFSET = 1_000_000_000
 
 # key columns to shift per table (referential integrity within replica)
@@ -59,22 +64,40 @@ def build_sf1(spark, out: str) -> None:
         ).parquet(f"{out}/{t}.parquet")
     for t, keys in KEYS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        parts = []
-        for i in range(REPLICAS):
-            r = df
-            for k in keys:
-                r = r.withColumn(k, F.col(k) + F.lit(i * OFFSET))
-            if t == "documents" and i > 0:
-                # weave the replica id into every token so cross-replica
-                # shingles never match (10x distinct text, not clones)
-                r = r.withColumn(
-                    "text", F.regexp_replace("text", r"(\S+)", f"r{i}$1")
-                ).withColumn("n_chars", F.length("text"))
-            parts.append(r)
-        scaled = parts[0]
-        for p in parts[1:]:
-            scaled = scaled.unionByName(p)
-        scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        # replicate via explode, not an N-way union — one linear pass
+        # whose plan depth is constant in REPLICAS (a 100-way union
+        # would build a 100-leaf plan just to generate test data)
+        cols = df.columns
+        scaled = df.withColumn(
+            "__i", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1)))
+        )
+        for k in keys:
+            scaled = scaled.withColumn(
+                k, F.col(k) + F.col("__i").cast("bigint") * F.lit(OFFSET)
+            )
+        if t == "documents":
+            # weave the replica id into every token so cross-replica
+            # shingles never match (REPLICAS x distinct text, not
+            # clones); replica 0 keeps the original text
+            scaled = scaled.withColumn(
+                "text",
+                F.when(F.col("__i") == 0, F.col("text")).otherwise(
+                    F.regexp_replace(
+                        F.col("text"),
+                        F.lit(r"(\S+)"),
+                        F.concat(F.lit("r"), F.col("__i"), F.lit("$1")),
+                    )
+                ),
+            ).withColumn("n_chars", F.length("text"))
+        # explode interleaves replicas row-by-row, which destroys the
+        # key clustering real data growth would keep (and with it
+        # parquet min/max pruning + shuffle compressibility) — measured
+        # +3.5x on join_revenue_by_nation vs replica-major layout. A
+        # gen-time sort on the leading key restores the layout a real
+        # 10x/100x crawl would have.
+        scaled.select(*cols).orderBy(keys[0]).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
 
 
 def main() -> None:
@@ -104,12 +127,13 @@ def main() -> None:
         ).save()
         return round(time.perf_counter() - t, 3)
 
+    rows = [n for n in HEADLINE if not ROWS_FILTER or n in ROWS_FILTER]
     results: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in rows:
         base_cold = run(name, SRC)
-        base = min(run(name, SRC), run(name, SRC))
+        base = min(run(name, SRC) for _ in range(WARM_PASSES))
         big_cold = run(name, out)
-        big = min(run(name, out), run(name, out))
+        big = min(run(name, out) for _ in range(WARM_PASSES))
         results[name] = {
             "sf0.1_warm": base,
             "sf1_warm": big,
@@ -126,12 +150,17 @@ def main() -> None:
     summary = {
         "metric": "sf1_rehearsal",
         "replicas": REPLICAS,
+        "warm_passes": WARM_PASSES,
+        "rows_run": len(rows),
         "gen_sec": gen_sec,
         "rows": results,
         "ratio_median": ratios[len(ratios) // 2],
         "ratio_max": max(ratios),
+        # superlinear = wall grows faster than data (with headroom for
+        # fixed costs amortizing differently): ratio > 1.5x the data
+        # multiple flags a plan that found a ceiling
         "superlinear_rows": sorted(
-            n for n, r in results.items() if r["ratio"] > 15
+            n for n, r in results.items() if r["ratio"] > 1.5 * REPLICAS
         ),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
