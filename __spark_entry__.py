@@ -52,8 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- r12 rotation (the r11 verdict's task #2): lead with the 9
     # r08-green rows deferred from the r11 window (retiring the r08
-    # tier), then the 4 rows ADDED this round (never driver-checked —
-    # hoisted straight in), then 37 of the 50 r09-green rows (13
+    # tier), then the 12 rows ADDED this round (never driver-checked —
+    # hoisted straight in), then 29 of the 50 r09-green rows (21
     # deferred to r13 with family notes atop _DEMOTED). After this
     # window lands no oracled row's last driver check is staler than
     # r09. Staleness audit: COVERAGE.md §staleness. ---
@@ -77,7 +77,10 @@ _PRIORITY = [
     "events_autocorr_lag1",
     "join_asof_tolerance",
     "scd2_fact_temporal_join",
-    # r09-stale (32 of 50 promoted; the 18 deferred to r13 sit atop
+    "corpus_global_shuffle",
+    "corpus_bloom_prefilter",
+    "multimodal_audio_features",
+    # r09-stale (29 of 50 promoted; the 21 deferred to r13 sit atop
     # _DEMOTED with their in-window family coverage):
     "agg_approx_aggregates",
     "corpus_decontaminate",
@@ -94,9 +97,7 @@ _PRIORITY = [
     "window_range_frame",
     "agg_exact_percentiles",
     "agg_grouped_having",
-    "agg_linear_regression",
     "ann_ivf_topk",
-    "ann_sq_topk",
     "corpus_domain_caps",
     "corpus_source_mix",
     "corpus_token_budget",
@@ -105,7 +106,6 @@ _PRIORITY = [
     "join_lateral_topk",
     "join_top_quarter_supplier",
     "multimodal_image_features",
-    "scd2_flag_consistency_check",
     "scd2_incremental_revenue",
     "semdedup_keep",
     "subquery_correlated_scalar",
@@ -113,6 +113,12 @@ _PRIORITY = [
     "text_quality_scores",
 ]
 _DEMOTED = [
+    # --- 3 more r09-green rows deferred to r13, displaced by the 3
+    # late-r12 rows (corpus_global_shuffle / corpus_bloom_prefilter /
+    # multimodal_audio_features, hoisted never-checked). ---
+    "ann_sq_topk",  # last green r09; ANN family in-window via ann_ivf_topk
+    "agg_linear_regression",  # last green r09; agg family in-window via agg_exact_percentiles + agg_grouped_having + agg_winsorized_stats
+    "scd2_flag_consistency_check",  # last green r09; scd2-validation family in-window via scd2_interval_integrity + scd2_validation_summary
     # --- 18 r09-green rows deferred to the r13 window (displaced by
     # the 9 r08-deferred rows + 9 r12-new rows); each one's operator
     # family stays in-window per the note. ---

@@ -57,6 +57,8 @@ __all__ = [
     "banded_embedding_near_dup",
     "semdedup",
     "decontaminate",
+    "bloom_positions",
+    "bloom_prefilter",
     "exact_substring_spans",
     "substring_spans_from_flagged",
     "incremental_exact_substring",
@@ -1425,4 +1427,102 @@ def remove_duplicate_spans(
             ),
         )
         .drop("__spans")
+    )
+
+
+def bloom_positions(key: Column, m: int, k: int, salt: str = "bloom") -> Column:
+    """Array of the ``k`` Bloom bit positions (each in [0, m)) for a
+    key: position j = first-8-hex of md5('<salt>-<j>:<key>') mod m.
+    md5-derived so the positions are engine-portable (a DuckDB/Trino
+    twin computes the identical bits)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"{salt}-{j}:"), key.cast("string"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m),
+            ).cast("int")
+            for j in range(1, k + 1)
+        ]
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    block_df: DataFrame,
+    key_col: str,
+    id_col: str | None = None,
+    block_key_col: str | None = None,
+    m: int = 2048,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter membership prefilter against a blocklist, with
+    exact false-positive accounting — the standard trick for skipping
+    the full blocklist join on the (vast) majority of a 100 TB corpus
+    that cannot possibly match.
+
+    The filter is materialized RELATIONALLY as the distinct set of hot
+    bit positions — at most min(k·|blocklist|, m) rows, broadcastable
+    at ANY corpus size because m bounds it — rather than a packed
+    bitmap: the broadcast-join probe below tests exactly the same bits
+    a bitmap test would, engine-neutrally (no UDAF, oracle-checkable).
+    A probe key is ``maybe_blocked`` iff ALL k of its positions are
+    hot (bool_and over a position left-join — zero Bloom false
+    negatives by construction, pinned in pytest). ``blocked`` is the
+    exact semi-join answer, computed here for EVERY row so the query
+    reports per-row ``false_positive``; in production the exact join
+    runs only over the maybe_blocked survivors — the saved shuffle on
+    (1 − fill)^k of the corpus is the whole point, and the measured
+    false-positive count prices it.
+
+    Returns one row per distinct (id, key) — one per input row when
+    ``id_col`` names a unique id: (*ids, key, maybe_blocked, blocked,
+    false_positive).
+    """
+    bkey = block_key_col or key_col
+    ids = [id_col] if id_col and id_col != key_col else []
+    hot = (
+        block_df.select(
+            F.explode(bloom_positions(F.col(bkey), m, k, salt)).alias("__pos")
+        )
+        .distinct()
+        .withColumn("__hot", F.lit(True))
+    )
+    probe = df.select(
+        *ids,
+        F.col(key_col),
+        F.explode(bloom_positions(F.col(key_col), m, k, salt)).alias("__pos"),
+    )
+    maybe = (
+        probe.join(F.broadcast(hot), "__pos", "left")
+        .groupBy(*ids, key_col)
+        .agg(F.bool_and(F.coalesce("__hot", F.lit(False))).alias("maybe_blocked"))
+    )
+    exact = (
+        block_df.select(F.col(bkey).alias(key_col))
+        .distinct()
+        .withColumn("__blocked", F.lit(True))
+    )
+    return (
+        maybe.join(exact, key_col, "left")
+        .select(
+            *ids,
+            key_col,
+            "maybe_blocked",
+            F.coalesce("__blocked", F.lit(False)).alias("blocked"),
+            (
+                F.col("maybe_blocked")
+                & ~F.coalesce("__blocked", F.lit(False))
+            ).alias("false_positive"),
+        )
     )

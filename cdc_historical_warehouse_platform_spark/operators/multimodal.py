@@ -85,6 +85,7 @@ __all__ = [
     "extract_audio_features",
     "librosa_decoder",
     "raw_audio_decoder",
+    "dpcm8_decoder",
 ]
 
 
@@ -1896,6 +1897,25 @@ def raw_audio_decoder(sample_rate: int = 16000):
 
         wave = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
         return wave, sample_rate
+
+    return _dec
+
+
+def dpcm8_decoder(sample_rate: int = 16000):
+    """Codec-free decoder for 8-bit delta-PCM payloads: each byte is
+    an unsigned level and the waveform is the FIRST DIFFERENCE of the
+    level stream, scaled to [-1, 1) — n bytes → n-1 samples. Delta
+    coding is the classic low-bit-rate trick (DPCM; the prediction
+    step of every ADPCM codec above), and unlike raw offset-binary
+    PCM it yields sign-varying waveforms from arbitrary byte streams,
+    so downstream features (zero crossings, RMS) exercise their full
+    range in tests without a codec library."""
+
+    def _dec(payload: bytes):
+        import numpy as np
+
+        levels = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        return np.diff(levels) / 128.0, sample_rate
 
     return _dec
 

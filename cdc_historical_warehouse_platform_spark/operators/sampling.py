@@ -44,6 +44,7 @@ __all__ = [
     "weighted_sample_wor",
     "cap_draw",
     "cap_per_source",
+    "global_shuffle",
     "write_training_shards",
     "compact_shards",
 ]
@@ -374,6 +375,44 @@ def shard_id(key: Column, num_shards: int) -> Column:
     independent, so a re-run (or a different partitioning upstream)
     lands every row in the same shard."""
     return F.pmod(F.xxhash64(key.cast("string")), F.lit(num_shards)).cast("int")
+
+
+def global_shuffle(
+    df: DataFrame,
+    num_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shard-shuffle",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every row a
+    ``shard`` in [0, num_shards) and a dense 0-based ``position``
+    within its shard — the "shuffle the corpus before training" step
+    every export runs, as a pure function of (salt, key) instead of an
+    RNG (re-runs, retries, and backfills reproduce the identical
+    order; changing the salt is the new epoch permutation).
+
+    draw = md5(salt:key); shard = first 8 draw hex mod num_shards;
+    position = rank of draw within the shard (key breaks the
+    astronomically-unlikely md5 tie). md5 rather than xxhash64 (the
+    ``shard_id`` writer default) so the full assignment is
+    engine-portable — the DuckDB twin runs the same bytes.
+
+    Scale: one shuffle on the shard key; the ranking window is
+    PARTITIONED by shard, so its sort input is corpus/num_shards rows
+    — pick num_shards ≥ cluster cores at 100 TB and no task ever
+    sorts more than one shard. No global sort, no driver state.
+    """
+    draw = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    keyed = df.withColumn("__draw", draw).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("__draw", 1, 8), 16, 10).cast("long"),
+            F.lit(num_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__draw"), F.col(key_col))
+    return keyed.withColumn(
+        "position", (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("__draw")
 
 
 def write_training_shards(

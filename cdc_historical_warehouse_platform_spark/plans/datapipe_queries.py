@@ -3425,3 +3425,190 @@ DATAPIPE_QUERIES["dedup_cluster_size_histogram"] = (
     q_dedup_cluster_size_histogram,
     SQL_DEDUP_CLUSTER_SIZES,
 )
+
+
+def q_corpus_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training shuffle (r12): every document
+    gets a shard in [0, 16) and a dense 0-based position within its
+    shard, both pure functions of (salt, doc_id) — the "shuffle the
+    corpus before training" step every export runs, reproducible
+    across re-runs/backfills and engine-portable (md5 draws, no RNG
+    state). Changing the salt is the next epoch's permutation.
+
+    Scale shape (operators/sampling.py:global_shuffle): one shuffle on
+    the shard key; the ranking window is PARTITIONED by shard (sort
+    input = corpus/num_shards — pick num_shards ≥ cluster cores at
+    100 TB). No global sort anywhere; the ORDER BY below is
+    display-determinism for the gate, dropped in production."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        global_shuffle(docs, num_shards=16, key_col="doc_id")
+        .select("doc_id", "shard", "position")
+        .orderBy("shard", "position")
+    )
+
+
+SQL_GLOBAL_SHUFFLE = """
+WITH d AS (
+  SELECT doc_id,
+         md5('shard-shuffle:' || CAST(doc_id AS VARCHAR)) AS draw
+  FROM documents),
+s AS (
+  SELECT doc_id, draw,
+         CAST(('0x' || substr(draw, 1, 8))::BIGINT % 16 AS INT) AS shard
+  FROM d)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) - 1
+            AS BIGINT) AS position
+FROM s
+ORDER BY shard, position
+"""
+
+DATAPIPE_QUERIES["corpus_global_shuffle"] = (
+    q_corpus_global_shuffle,
+    SQL_GLOBAL_SHUFFLE,
+)
+
+
+def q_corpus_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter blocklist prefilter with exact false-positive
+    accounting (r12): the banned-content list is the md5 fingerprint
+    of every 'zh' document's text; every document probes an 8192-bit /
+    3-hash Bloom filter over that list (sized ~11 bits/key for the
+    largest-SF blocklist — ~1-2% FP; an undersized filter saturates
+    toward all-maybe, pinned in pytest) and reports maybe_blocked (all
+    3 bits hot), blocked (exact membership), and false_positive — the
+    measured price of skipping the exact blocklist join on the
+    (1−fill)^k of a 100 TB corpus that cannot match.
+
+    Scale shape (operators/dedup.py:bloom_prefilter): the filter is
+    the RELATIONAL set of hot bit positions (≤ min(k·|blocklist|, m)
+    rows — broadcastable at ANY corpus size because m bounds it); the
+    probe is a broadcast position join + bool_and, zero false
+    negatives by construction (pinned in pytest). The exact join runs
+    over every row HERE only so the gate can check the FP accounting;
+    production runs it on the maybe_blocked survivors alone."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import bloom_prefilter
+
+    docs = load_table(spark, sf, "documents")
+    keyed = docs.select("doc_id", F.md5("text").alias("content_fp"))
+    block = docs.filter(F.col("lang") == "zh").select(
+        F.md5("text").alias("content_fp")
+    )
+    return (
+        bloom_prefilter(
+            keyed,
+            block,
+            key_col="content_fp",
+            id_col="doc_id",
+            m=8192,
+            k=3,
+            salt="blocklist",
+        )
+        .select("doc_id", "maybe_blocked", "blocked", "false_positive")
+        .orderBy("doc_id")
+    )
+
+
+SQL_BLOOM_PREFILTER = """
+WITH keyed AS (
+  SELECT doc_id, md5(text) AS fp FROM documents),
+block AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE lang = 'zh'),
+hot AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('blocklist-' || CAST(j AS VARCHAR) || ':' || fp), 1, 8))::BIGINT
+           % 8192 AS pos
+  FROM block, (SELECT unnest([1, 2, 3]) AS j)),
+probe AS (
+  SELECT doc_id, fp,
+         ('0x' || substr(md5('blocklist-' || CAST(j AS VARCHAR) || ':' || fp), 1, 8))::BIGINT
+           % 8192 AS pos
+  FROM keyed, (SELECT unnest([1, 2, 3]) AS j)),
+maybe AS (
+  SELECT p.doc_id, p.fp, bool_and(h.pos IS NOT NULL) AS maybe_blocked
+  FROM probe p LEFT JOIN hot h ON p.pos = h.pos
+  GROUP BY 1, 2)
+SELECT m.doc_id, m.maybe_blocked,
+       (b.fp IS NOT NULL) AS blocked,
+       (m.maybe_blocked AND b.fp IS NULL) AS false_positive
+FROM maybe m LEFT JOIN block b ON m.fp = b.fp
+ORDER BY m.doc_id
+"""
+
+DATAPIPE_QUERIES["corpus_bloom_prefilter"] = (
+    q_corpus_bloom_prefilter,
+    SQL_BLOOM_PREFILTER,
+)
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Waveform feature extraction through the REAL Arrow audio path
+    (r12): each doc's first 512 bytes framed as an 8-bit delta-PCM
+    payload, decoded by the codec-free dpcm8 decoder (waveform = first
+    difference of the byte levels — sign-varying, unlike raw
+    offset-binary ASCII), then mapInPandas → numpy features — the
+    identical extract_audio_features pipeline a librosa user runs,
+    minus only the codec call (multimodal.py env seam).
+
+    Hash-exact oracle: the integer features (n_samples = bytes−1,
+    zero_crossings = sign changes of the diff stream) are byte-exact
+    VARCHAR twins in DuckDB on the ASCII corpus — the same assumption
+    multimodal_frame_sample's green oracle pins. The float columns
+    (rms, duration) are excluded here and covered against numpy in
+    pytest (test_datapipe.py::test_dpcm8_audio_features)."""
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        dpcm8_decoder,
+        extract_audio_features,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    framed = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= 2)
+    ).select(
+        "doc_id",
+        F.encode(F.substring(F.col("text"), 1, 512), "utf-8").alias("payload"),
+    )
+    feats = extract_audio_features(framed, decoder=dpcm8_decoder(16000))
+    return feats.select(
+        "doc_id", "n_samples", "sample_rate", "zero_crossings"
+    ).orderBy("doc_id")
+
+
+# sample i (1-based, i in 1..len-1) = ascii(char i+1) - ascii(char i);
+# signbit(d/128) == (d < 0), zero for d == 0 (numpy signbit of +0.0 is
+# False) — so crossings = count of consecutive (d<0) flips.
+SQL_AUDIO_FEATURES = """
+WITH base AS (
+  SELECT doc_id, substring(text, 1, 512) AS s
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 2),
+samp AS (
+  SELECT doc_id, s, unnest(range(1, length(s))) AS i
+  FROM base),
+sgn AS (
+  SELECT doc_id, i,
+         (ascii(substring(s, CAST(i + 1 AS INT), 1))
+          - ascii(substring(s, CAST(i AS INT), 1)) < 0) AS neg
+  FROM samp),
+flips AS (
+  SELECT doc_id, neg,
+         lag(neg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM sgn)
+SELECT b.doc_id,
+       CAST(length(b.s) - 1 AS INT) AS n_samples,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(COUNT(*) FILTER (WHERE f.prev IS NOT NULL AND f.neg <> f.prev)
+            AS INT) AS zero_crossings
+FROM base b
+JOIN flips f ON b.doc_id = f.doc_id
+GROUP BY b.doc_id, b.s
+ORDER BY b.doc_id
+"""
+
+DATAPIPE_QUERIES["multimodal_audio_features"] = (
+    q_multimodal_audio_features,
+    SQL_AUDIO_FEATURES,
+)

@@ -6583,3 +6583,102 @@ def test_bmp_rle4_decodes():
     )
     got = bmp_decoder(hdr + info + pal_bytes + bytes(stream))
     assert np.array_equal(got, np.array(pal, np.uint8)[want[::-1]])
+
+
+def test_bloom_prefilter_no_false_negatives_and_exact_flags(spark):
+    """Bloom contract: blocked ⇒ maybe_blocked (ZERO false negatives
+    by construction), blocked matches the exact semi-join truth, and
+    false_positive = maybe ∧ ¬blocked — over the real docs table."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import bloom_prefilter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("doc_id", F.md5("text").alias("fp"))
+    block = docs.filter(F.col("lang") == "zh").select(F.md5("text").alias("fp"))
+    out = bloom_prefilter(
+        keyed, block, key_col="fp", id_col="doc_id", m=8192, k=3
+    ).collect()
+    truth = {
+        r.fp for r in block.collect()
+    }
+    assert len(out) == keyed.count()
+    for r in out:
+        exact = r.fp in truth
+        assert r.blocked == exact
+        if exact:
+            assert r.maybe_blocked  # no false negatives, ever
+        assert r.false_positive == (r.maybe_blocked and not exact)
+
+
+def test_bloom_prefilter_saturates_to_all_maybe_not_wrong(spark):
+    """An undersized filter (m=4) degrades honestly: everything goes
+    maybe_blocked (useless, not incorrect) — blocked stays exact."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import bloom_prefilter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    keyed = docs.select("doc_id", F.md5("text").alias("fp"))
+    block = keyed.limit(20).select("fp")
+    out = bloom_prefilter(keyed, block, key_col="fp", id_col="doc_id", m=4, k=3)
+    rows = out.collect()
+    assert all(r.maybe_blocked for r in rows)
+    truth = {r.fp for r in block.collect()}
+    assert all(r.blocked == (r.fp in truth) for r in rows)
+
+
+def test_bloom_prefilter_probe_join_is_broadcast(spark):
+    """The hot-position probe join must be a broadcast hash join (the
+    hot set is ≤ min(k·|blocklist|, m) rows at ANY corpus size) — a
+    shuffled probe would forfeit the operator's whole purpose."""
+    from cdc_historical_warehouse_platform_spark.operators.dedup import bloom_prefilter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = docs.select("doc_id", F.md5("text").alias("fp"))
+    block = docs.filter(F.col("lang") == "zh").select(F.md5("text").alias("fp"))
+    out = bloom_prefilter(keyed, block, key_col="fp", id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dpcm8_audio_features(spark):
+    """The Arrow audio path over the dpcm8 decoder matches numpy
+    computed directly from the bytes — including the float columns
+    (rms, duration) the oracle row excludes, and the sign-convention
+    edge cases (flat runs decode to +0.0 → signbit False)."""
+    import numpy as np
+
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        dpcm8_decoder,
+        extract_audio_features,
+    )
+
+    texts = ["abca", "zzzz", "ba", "AzAzAz", "m" * 7 + "n"]
+    df = spark.createDataFrame(
+        [(i, t.encode()) for i, t in enumerate(texts)], "doc_id long, payload binary"
+    )
+    got = {
+        r.doc_id: r
+        for r in extract_audio_features(df, decoder=dpcm8_decoder(16000)).collect()
+    }
+    for i, t in enumerate(texts):
+        levels = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.float64)
+        wave = np.diff(levels) / 128.0
+        n = wave.size
+        r = got[i]
+        assert r.n_samples == n
+        assert r.sample_rate == 16000
+        assert r.zero_crossings == (
+            int(np.count_nonzero(np.diff(np.signbit(wave)))) if n > 1 else 0
+        )
+        assert r.rms == pytest.approx(float(np.sqrt(np.mean(wave**2))), abs=1e-9)
+        # the extractor quantizes duration to µs (round(n/sr, 6))
+        assert r.duration_sec == round(n / 16000.0, 6)
+
+
+def test_dpcm8_single_byte_payload_yields_empty_wave(spark):
+    from cdc_historical_warehouse_platform_spark.operators.multimodal import (
+        dpcm8_decoder,
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    [r] = extract_audio_features(df, decoder=dpcm8_decoder(8000)).collect()
+    assert (r.n_samples, r.zero_crossings, r.rms) == (0, 0, 0.0)

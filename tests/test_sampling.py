@@ -528,3 +528,36 @@ def test_weighted_sample_wor_branch_equivalence(spark):
         strat = weighted_sample_wor(df, k=k, weight_col="w", strata_col="grp")
         flat = weighted_sample_wor(df, k=k, weight_col="w", strata_col=None)
         assert key(strat) == key(flat), k
+
+
+def test_global_shuffle_dense_positions_and_determinism(spark):
+    """Every shard's positions are exactly 0..count-1 (dense, no gaps
+    — a manifest can address shard[i] directly), the assignment is a
+    pure function of (salt, key) (re-run and input-order invariant),
+    and a different salt yields a genuinely different permutation."""
+    from cdc_historical_warehouse_platform_spark.operators.sampling import global_shuffle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = global_shuffle(docs, num_shards=8).select("doc_id", "shard", "position")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions)))
+    # re-run on a reshuffled input: identical assignment
+    again = {
+        (r.doc_id): (r.shard, r.position)
+        for r in global_shuffle(
+            docs.orderBy(F.desc("doc_id")), num_shards=8
+        ).collect()
+    }
+    assert {r.doc_id: (r.shard, r.position) for r in rows} == again
+    # a new salt is a new epoch permutation (not the identity map)
+    other = {
+        r.doc_id: (r.shard, r.position)
+        for r in global_shuffle(docs, num_shards=8, salt="epoch-2").collect()
+    }
+    assert other != again
