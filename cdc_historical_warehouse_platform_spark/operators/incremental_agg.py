@@ -25,12 +25,21 @@ property tests and the ``scd2_incremental_revenue`` driver oracle)::
     maintain(S_{k-1}, current_{k-1}, batch_k)
       == group_summary(current_k)            -- for every prefix k
 
-Scale shape: ONE broadcast-batch probe of a column-pruned current slice
+Scale shape: ONE batch probe of a column-pruned current slice
 (business key, group, measure, valid_from — a skinny parquet scan, the
 same trick as scd2_merge_tagged's key-membership subtree), batch-local
 work for everything else, and a summary upsert that joins
 summary-sized inputs only — the wide dimension is never rescanned and
 never shuffled.
+
+``hint_broadcast`` (default True, mirroring scd2_merge_tagged's
+micro-batch contract) force-broadcasts every batch-derived probe side
+so the dimension side is never shuffled. Pass False when a "batch" may
+be dimension-sized — a bulk seed/backfill wave: the forced hint
+overrides AQE's sizing and a 50M-row broadcast OOMs the driver (found
+by the r12 sf10 rehearsal at 100x data), while the unhinted plan lets
+AQE broadcast small batches at runtime (64 MB threshold) and fall back
+to a shuffle join for bulk ones — the graceful-degradation plan.
 """
 
 from __future__ import annotations
@@ -107,6 +116,7 @@ def summary_delta(
     measure_col: str = "total_amount",
     business_key: str = BUSINESS_KEY,
     change_key: str = "id",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Per-group (Δcount, Δsum) of ONE CDC batch against the PRE-batch
     current slice (the same input the merge itself sees).
@@ -149,9 +159,10 @@ def summary_delta(
         F.lit(1).cast("long").alias("__dn"),
         F.col("__b_measure").alias("__dm"),
     )
+    maybe_bcast = F.broadcast if hint_broadcast else (lambda df: df)
     # The one probe of the (column-pruned) current slice.
     matched = cur_slim.join(
-        F.broadcast(staged), F.col("__c_key") == F.col("__b_key"), "inner"
+        maybe_bcast(staged), F.col("__c_key") == F.col("__b_key"), "inner"
     )
     is_late = F.col("__b_ts") < F.col("__c_from")
     minus_old = matched.filter(~is_late).select(
@@ -220,13 +231,17 @@ def maintain_group_summary(
     measure_col: str = "total_amount",
     business_key: str = BUSINESS_KEY,
     change_key: str = "id",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """One maintenance step: S_k = apply(S_{k-1}, Δ(current_{k-1}, batch_k)).
 
     ``current`` MUST be the pre-batch current slice — compute the delta
-    before (or independently of) advancing the dimension."""
+    before (or independently of) advancing the dimension.
+    ``hint_broadcast=False`` for dimension-sized bulk waves (module
+    docstring)."""
     delta = summary_delta(
-        current, changes, group_col, measure_col, business_key, change_key
+        current, changes, group_col, measure_col, business_key, change_key,
+        hint_broadcast=hint_broadcast,
     )
     return apply_summary_delta(summary, delta, group_col)
 
@@ -267,6 +282,7 @@ def maintain_group_extrema(
     measure_col: str = "total_amount",
     business_key: str = BUSINESS_KEY,
     change_key: str = "id",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """One extrema-maintenance step against the PRE-batch current slice
     (same contract as maintain_group_summary; same latest-per-key /
@@ -298,9 +314,10 @@ def maintain_group_extrema(
         .alias("__c_measure"),
         F.col("valid_from").alias("__c_from"),
     )
+    maybe_bcast = F.broadcast if hint_broadcast else (lambda df: df)
     # probe #1: the one by-key probe of the current slice
     matched = cur_slim.join(
-        F.broadcast(staged), F.col("__c_key") == F.col("__b_key"), "inner"
+        maybe_bcast(staged), F.col("__c_key") == F.col("__b_key"), "inner"
     )
     not_late = ~(F.col("__b_ts") < F.col("__c_from"))
     # rows leaving their group: every matched non-late change removes
@@ -317,7 +334,7 @@ def maintain_group_extrema(
     additions = (
         staged.filter(F.col("__b_op") != "DELETE")
         .join(
-            F.broadcast(late_keys),
+            maybe_bcast(late_keys),
             F.col("__b_key") == F.col("__l_key"),
             "left_anti",
         )
@@ -338,7 +355,7 @@ def maintain_group_extrema(
     # conservative superset — duplicate extremum values recompute to the
     # same answer). Removals are batch-sized → broadcast into prev.
     dirty = (
-        p.join(F.broadcast(removals), p["__g"].eqNullSafe(removals["__g"]), "inner")
+        p.join(maybe_bcast(removals), p["__g"].eqNullSafe(removals["__g"]), "inner")
         .filter(
             (F.col("__old_m") == F.col("__p_min"))
             | (F.col("__old_m") == F.col("__p_max"))
@@ -353,19 +370,19 @@ def maintain_group_extrema(
     # restricted to dirty groups
     survivors = (
         cur_slim.join(
-            F.broadcast(dirty),
+            maybe_bcast(dirty),
             F.col("__c_group").eqNullSafe(dirty["__g"]),
             "left_semi",
         )
         .join(
-            F.broadcast(removed_keys),
+            maybe_bcast(removed_keys),
             F.col("__c_key") == F.col("__r_key"),
             "left_anti",
         )
         .select(F.col("__c_group").alias("__g"), F.col("__c_measure").alias("__m"))
     )
     added_in_dirty = additions.join(
-        F.broadcast(dirty), additions["__g"].eqNullSafe(dirty["__g"]), "left_semi"
+        maybe_bcast(dirty), additions["__g"].eqNullSafe(dirty["__g"]), "left_semi"
     ).select("__g", F.col("__new_m").alias("__m"))
     recomputed = (
         survivors.unionByName(added_in_dirty)
@@ -531,6 +548,7 @@ def maintain_group_histogram(
     nb: int = 24,
     business_key: str = BUSINESS_KEY,
     change_key: str = "id",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """One histogram-maintenance step against the PRE-batch current
     slice (same contract and batch semantics as maintain_group_summary;
@@ -539,7 +557,8 @@ def maintain_group_histogram(
     cur_keyed = _with_hist_key(current, group_col, measure_col, lo, hi, nb)
     chg_keyed = _with_hist_key(changes, group_col, measure_col, lo, hi, nb)
     return maintain_group_summary(
-        hist, cur_keyed, chg_keyed, "__hist_key", measure_col, business_key, change_key
+        hist, cur_keyed, chg_keyed, "__hist_key", measure_col, business_key,
+        change_key, hint_broadcast=hint_broadcast,
     )
 
 

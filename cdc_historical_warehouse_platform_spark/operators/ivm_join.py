@@ -75,21 +75,27 @@ def join_view_delta(
     d_a: DataFrame | None,
     d_b: DataFrame | None,
     on: list[str],
+    hint_broadcast: bool = True,
 ) -> DataFrame | None:
     """The view's signed delta for one batch of input deltas.
 
     ``a_state``/``b_state`` are the PRE-batch multiset states (rows +
     ``__mult``); ``d_a``/``d_b`` are this batch's signed deltas (None
     when a side had no changes). Returns the signed delta of A ⋈ B, or
-    None when both inputs are None. Deltas are broadcast — the states
-    are scanned once each and never shuffled.
+    None when both inputs are None. With ``hint_broadcast`` (default —
+    the micro-batch contract, same as scd2_merge_tagged) the deltas
+    are force-broadcast so the states are scanned once each and never
+    shuffled; pass False when a delta may be state-sized (a bulk
+    seed/backfill wave) so AQE sizes the join at runtime instead of
+    the forced hint OOMing the driver at scale.
     """
+    maybe_bcast = F.broadcast if hint_broadcast else (lambda df: df)
     terms = []
     if d_a is not None:
-        terms.append(_mult_join(F.broadcast(d_a), b_state, on))
+        terms.append(_mult_join(maybe_bcast(d_a), b_state, on))
     if d_b is not None:
         a_new = a_state.unionByName(d_a) if d_a is not None else a_state
-        terms.append(_mult_join(a_new, F.broadcast(d_b), on))
+        terms.append(_mult_join(a_new, maybe_bcast(d_b), on))
     if not terms:
         return None
     return reduce(lambda x, y: x.unionByName(y), terms)

@@ -344,8 +344,13 @@ def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = changes.filter(F.col("operation_type") == "INSERT")
     b2 = changes.filter(F.col("operation_type") == "UPDATE")
     dim0 = empty_dim(spark)
+    # hint_broadcast=False: these "batches" are table-sized waves (the
+    # whole INSERT then UPDATE history), not micro-batches — the forced
+    # broadcast hint OOMed at the sf10 rehearsal's 100x data; unhinted,
+    # AQE still broadcasts them at small SF and shuffle-joins at bulk.
     s1 = maintain_group_summary(
-        empty_summary(spark), dim0.filter(F.col("is_current")), b1
+        empty_summary(spark), dim0.filter(F.col("is_current")), b1,
+        hint_broadcast=False,
     )
     # Same boundary for the advanced dimension: after batch 1 the loader
     # commits dim1 to the versioned store before batch 2's delta probes
@@ -356,7 +361,9 @@ def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # log") — identical output to scd2_merge for one change per key,
     # without the merge's join machinery.
     dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
-    s2 = maintain_group_summary(s1, dim1.filter(F.col("is_current")), b2)
+    s2 = maintain_group_summary(
+        s1, dim1.filter(F.col("is_current")), b2, hint_broadcast=False
+    )
     return s2.select(
         "customer_id",
         "n_orders",
@@ -415,14 +422,18 @@ def q_incremental_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = changes.filter(F.col("operation_type") == "INSERT")
     b2 = changes.filter(F.col("operation_type") == "UPDATE")
     dim0 = empty_dim(spark)
+    # table-sized waves -> no forced broadcast (see q_incremental_revenue)
     e1 = maintain_group_extrema(
         group_extrema(dim0.filter(F.col("is_current"))),
         dim0.filter(F.col("is_current")),
         b1,
+        hint_broadcast=False,
     )
     # bulk-build for the empty-dim INSERT wave (see q_incremental_revenue)
     dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
-    e2 = maintain_group_extrema(e1, dim1.filter(F.col("is_current")), b2)
+    e2 = maintain_group_extrema(
+        e1, dim1.filter(F.col("is_current")), b2, hint_broadcast=False
+    )
     return e2.select(
         "customer_id",
         "n_rows",
@@ -472,12 +483,16 @@ def _maintained_histogram(spark: SparkSession, sf_dir: str):
     b1 = changes.filter(F.col("operation_type") == "INSERT")
     b2 = changes.filter(F.col("operation_type") == "UPDATE")
     dim0 = empty_dim(spark)
+    # table-sized waves -> no forced broadcast (see q_incremental_revenue)
     h1 = maintain_group_histogram(
-        empty_histogram(spark), dim0.filter(F.col("is_current")), b1
+        empty_histogram(spark), dim0.filter(F.col("is_current")), b1,
+        hint_broadcast=False,
     )
     # bulk-build for the empty-dim INSERT wave (see q_incremental_revenue)
     dim1 = scd2_build_from_change_log(b1, batch_id="b1").localCheckpoint(eager=False)
-    return maintain_group_histogram(h1, dim1.filter(F.col("is_current")), b2)
+    return maintain_group_histogram(
+        h1, dim1.filter(F.col("is_current")), b2, hint_broadcast=False
+    )
 
 
 

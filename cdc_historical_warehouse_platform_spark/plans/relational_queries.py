@@ -3075,10 +3075,15 @@ def q_ivm_join_view(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     view = recompute_join_view(a0, b0, ["k"])
-    view = view.unionByName(join_view_delta(a0, b0, d_a1, d_b1, ["k"]))
+    # table-derived delta waves -> no forced broadcast (AQE sizes them)
+    view = view.unionByName(
+        join_view_delta(a0, b0, d_a1, d_b1, ["k"], hint_broadcast=False)
+    )
     a1 = a0.unionByName(d_a1)
     b1 = b0.unionByName(d_b1)
-    view = view.unionByName(join_view_delta(a1, b1, d_a2, None, ["k"]))
+    view = view.unionByName(
+        join_view_delta(a1, b1, d_a2, None, ["k"], hint_broadcast=False)
+    )
     return (
         consolidate(view)
         .groupBy("c_nationkey", "o_orderstatus")
