@@ -567,3 +567,54 @@ def test_histogram_store_maintenance_batch_and_stream(tmp_path, spark):
     r = loader.load_pending()
     assert r["processed"] == 2 and r["failed"] == 0
     assert _hist_rows(unpack_histogram(hist2.read(spark))) == stream_rows
+
+
+def test_hint_broadcast_off_is_plan_only_not_semantics(spark, change_df):
+    """hint_broadcast=False (the bulk-wave mode the r12 sf10 rehearsal
+    forced — a forced broadcast of a dimension-sized batch OOMs the
+    driver) must change ONLY the join strategy, never the maintained
+    values: summary and extrema runs with the hint off are row-equal
+    to runs with it on, through inserts, group moves, and deletes."""
+    from cdc_historical_warehouse_platform_spark.operators.incremental_agg import (
+        group_extrema,
+        maintain_group_extrema,
+    )
+
+    batch1 = change_df(
+        [
+            make_change(1, "INSERT", ts(1), quantity=2, unit_price="10.00"),
+            make_change(2, "INSERT", ts(1), quantity=1, unit_price="50.00"),
+            make_change(3, "INSERT", ts(1), quantity=1, unit_price="7.00", customer_id=101),
+        ]
+    )
+    batch2 = change_df(
+        [
+            make_change(1, "UPDATE", ts(5), quantity=3, unit_price="10.00", customer_id=101),
+            make_change(2, "DELETE", ts(5)),
+        ]
+    )
+    dim0 = empty_dim(spark)
+    dim1 = scd2_merge(dim0, batch1, "b1").localCheckpoint(eager=True)
+
+    for hint in (True, False):
+        s = maintain_group_summary(
+            empty_summary(spark), dim0.filter(F.col("is_current")), batch1,
+            hint_broadcast=hint,
+        ).localCheckpoint(eager=True)
+        s = maintain_group_summary(
+            s, dim1.filter(F.col("is_current")), batch2, hint_broadcast=hint
+        )
+        e = maintain_group_extrema(
+            group_extrema(dim0.filter(F.col("is_current"))),
+            dim0.filter(F.col("is_current")),
+            batch1,
+            hint_broadcast=hint,
+        ).localCheckpoint(eager=True)
+        e = maintain_group_extrema(
+            e, dim1.filter(F.col("is_current")), batch2, hint_broadcast=hint
+        )
+        if hint:
+            want_s, want_e = _rows(s), sorted(map(tuple, e.collect()))
+        else:
+            assert _rows(s) == want_s
+            assert sorted(map(tuple, e.collect())) == want_e
