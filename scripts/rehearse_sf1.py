@@ -75,6 +75,22 @@ def build_sf1(spark, out: str) -> None:
             scaled = scaled.withColumn(
                 k, F.col(k) + F.col("__i").cast("bigint") * F.lit(OFFSET)
             )
+        if t == "events":
+            # shift each replica's clock by a disjoint year so the
+            # stream models a LONGER COLLECTION PERIOD at constant
+            # event density — the shape real growth has. Stacking 100
+            # replicas into the same hours instead multiplies pure
+            # range-join pair density by replicas^2 (an inherently
+            # quadratic OUTPUT no engine avoids): at 100x that is
+            # 10,000x the sf0.1 result set, which says nothing about
+            # plan scalability.
+            scaled = scaled.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.unix_micros(F.col("ts"))
+                    + F.col("__i").cast("long") * F.lit(31_536_000_000_000)
+                ),
+            )
         if t == "documents":
             # weave the replica id into every token so cross-replica
             # shingles never match (REPLICAS x distinct text, not
