@@ -84,12 +84,14 @@ def build_sf1(spark, out: str) -> None:
             # quadratic OUTPUT no engine avoids): at 100x that is
             # 10,000x the sf0.1 result set, which says nothing about
             # plan scalability.
+            # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+            # cast round-trip is lossless under the session's UTC tz
             scaled = scaled.withColumn(
                 "ts",
                 F.timestamp_micros(
-                    F.unix_micros(F.col("ts"))
+                    F.unix_micros(F.col("ts").cast("timestamp"))
                     + F.col("__i").cast("long") * F.lit(31_536_000_000_000)
-                ),
+                ).cast("timestamp_ntz"),
             )
         if t == "documents":
             # weave the replica id into every token so cross-replica
@@ -118,6 +120,13 @@ def build_sf1(spark, out: str) -> None:
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+
+    # local[32] shares ONE heap across all executor threads; at the
+    # 100x decade the default 8g is ~250 MB/task — far below what any
+    # real cluster gives an executor core. Size the heap like the
+    # cluster the rehearsal stands in for (override via env).
+    if REPLICAS >= 50:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     from cdc_historical_warehouse_platform_spark.session import get_spark
 
