@@ -37,17 +37,34 @@ def asof_join(
     right_payload: list[str] | None = None,
     tolerance: str | None = None,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row per key.
+    """For each left row, attach the matching right row per key.
 
     Args:
         on: equi-key column name (same on both sides).
         left_ts / right_ts: event-time columns.
         right_payload: right columns to carry (default: all but key/ts).
-        tolerance: optional max staleness (SQL interval string, e.g.
-            ``'1 hour'``): matches older than this are nulled out.
-        allow_exact_matches: if False, ``right.ts < left.ts`` strictly.
+        tolerance: optional max distance (SQL interval string, e.g.
+            ``'1 hour'``): matches farther than this are nulled out
+            (staleness bound for backward, lead bound for forward,
+            either side for nearest).
+        allow_exact_matches: if False, the inequality is strict
+            (``right.ts < left.ts`` backward / ``>`` forward; nearest
+            excludes exact-ts rows from both sides).
+        direction: ``'backward'`` (default — latest right at or before
+            left.ts), ``'forward'`` (earliest right at or after), or
+            ``'nearest'`` (whichever side is closer; an exact tie in
+            distance resolves to the backward match — deterministic).
+
+    Scale: backward/forward are the single-shuffle union+window scan
+    (module docstring). ``nearest`` evaluates BOTH window passes over
+    the same union — same one shuffle on the key, two in-partition
+    sorts (ts asc + ts desc), still no range-join explosion and no
+    per-key state.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -69,34 +86,75 @@ def asof_join(
     )
 
     # side ordering: with exact matches, right rows at ts T sort before
-    # left rows at T (so they are visible); strict mode reverses that.
+    # left rows at T in SCAN order (so they are visible); strict mode
+    # reverses that. The same expression is correct for the descending
+    # (forward) scan: among equal ts, side 0 still precedes side 1.
     side_order = F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
 
-    carried = [
-        F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
-        for c in right_payload
-    ]
-    carried_ts = F.last(F.col("__rts"), ignorenulls=True).over(w).alias("__m_ts")
+    def _window(desc: bool):
+        ts_order = F.col("__ts").desc() if desc else F.col("__ts").asc()
+        return (
+            Window.partitionBy("__k")
+            .orderBy(ts_order, side_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
 
-    matched = lhs.unionByName(rhs).select("*", carried_ts, *carried).filter(
-        F.col("__side") == 1
-    )
+    def _carry(w, tag: str):
+        cols = [F.last(F.col("__rts"), ignorenulls=True).over(w).alias(f"__{tag}_ts")]
+        cols += [
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__{tag}_{c}")
+            for c in right_payload
+        ]
+        return cols
 
-    if tolerance is not None:
-        fresh = F.col("__m_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-        matched = matched.select(
-            "__left",
-            F.when(fresh, F.col("__m_ts")).alias("__m_ts"),
+    def _in_tolerance(tag: str):
+        if tolerance is None:
+            return F.col(f"__{tag}_ts").isNotNull()
+        tol = F.expr(f"INTERVAL {tolerance}")
+        return (F.col(f"__{tag}_ts") >= F.col("__ts") - tol) & (
+            F.col(f"__{tag}_ts") <= F.col("__ts") + tol
+        )
+
+    def _nullify(tag: str):
+        ok = _in_tolerance(tag)
+        return [
+            F.when(ok, F.col(f"__{tag}_ts")).alias(f"__{tag}_ts"),
             *[
-                F.when(fresh, F.col(f"__m_{c}")).alias(f"__m_{c}")
+                F.when(ok, F.col(f"__{tag}_{c}")).alias(f"__{tag}_{c}")
+                for c in right_payload
+            ],
+        ]
+
+    unioned = lhs.unionByName(rhs)
+    if direction == "nearest":
+        both = unioned.select(
+            "*", *_carry(_window(desc=False), "mb"), *_carry(_window(desc=True), "mf")
+        ).filter(F.col("__side") == 1)
+        both = both.select("__left", "__ts", *_nullify("mb"), *_nullify("mf"))
+        # closer side wins; an exact distance tie resolves backward
+        use_back = F.col("__mf_ts").isNull() | (
+            F.col("__mb_ts").isNotNull()
+            & ((F.col("__ts") - F.col("__mb_ts")) <= (F.col("__mf_ts") - F.col("__ts")))
+        )
+        matched = both.select(
+            "__left",
+            F.when(use_back, F.col("__mb_ts")).otherwise(F.col("__mf_ts")).alias("__m_ts"),
+            *[
+                F.when(use_back, F.col(f"__mb_{c}"))
+                .otherwise(F.col(f"__mf_{c}"))
+                .alias(f"__m_{c}")
                 for c in right_payload
             ],
         )
+    else:
+        w = _window(desc=(direction == "forward"))
+        matched = unioned.select("*", *_carry(w, "m")).filter(F.col("__side") == 1)
+        if tolerance is not None:
+            matched = matched.select("__left", "__ts", *_nullify("m")).select(
+                "__left",
+                F.col("__m_ts"),
+                *[F.col(f"__m_{c}") for c in right_payload],
+            )
 
     out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("__m_ts").alias(f"asof_{right_ts}"))

@@ -3950,6 +3950,78 @@ RELATIONAL_QUERIES["join_asof_tolerance"] = (
 )
 
 
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, direction='nearest' (r12): for each error event,
+    the CLOSEST click by the same user within ±1 hour, whichever side
+    of the error it falls on — the pandas ``merge_asof(direction=
+    'nearest')`` mode, completing the operator's direction surface
+    (backward / forward / nearest; pinned against pandas in
+    tests/test_asof.py).
+
+    Plan (operators/asof.py): the nearest mode evaluates the backward
+    and forward union+window passes over ONE union — one shuffle on
+    the key, two in-partition sorts, no range-join explosion at any
+    scale. Determinism: an exact distance tie resolves to the
+    backward match (encoded identically in the oracle's ORDER BY
+    abs-delta, ts); no two events share (user_id, ts) in the testdata
+    at any SF."""
+    from cdc_historical_warehouse_platform_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event"),
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_event"],
+        tolerance="1 HOUR",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_ts").alias("nearest_click_ts"),
+        F.col("asof_click_event").alias("nearest_click_event"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_NEAREST = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events),
+err AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'),
+clk AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM e
+        WHERE event_type = 'click')
+SELECT err.event_id, err.user_id, err.ts,
+       (SELECT c_ts FROM clk
+        WHERE clk.user_id = err.user_id
+          AND abs(epoch_us(c_ts) - epoch_us(err.ts)) <= 3600000000
+        ORDER BY abs(epoch_us(c_ts) - epoch_us(err.ts)), c_ts
+        LIMIT 1) AS nearest_click_ts,
+       (SELECT c_id FROM clk
+        WHERE clk.user_id = err.user_id
+          AND abs(epoch_us(c_ts) - epoch_us(err.ts)) <= 3600000000
+        ORDER BY abs(epoch_us(c_ts) - epoch_us(err.ts)), c_ts
+        LIMIT 1) AS nearest_click_event
+FROM err ORDER BY err.event_id
+"""
+
+RELATIONAL_QUERIES["join_asof_nearest"] = (
+    q_asof_nearest,
+    SQL_ASOF_NEAREST,
+)
+
+
 def q_scd2_fact_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     """Fact-to-SCD2 temporal join (r12) — THE canonical warehouse
     query the dimension exists for: every lineitem matched to the dim
