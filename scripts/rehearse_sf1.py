@@ -94,18 +94,32 @@ def build_sf1(spark, out: str) -> None:
                 ).cast("timestamp_ntz"),
             )
         if t == "documents":
-            # weave the replica id into every token so cross-replica
-            # shingles never match (REPLICAS x distinct text, not
-            # clones); replica 0 keeps the original text
+            # weave the replica id into every CONTENT token so
+            # cross-replica shingles (and exact fingerprints) never
+            # match — REPLICAS x genuinely-distinct text, not clones.
+            # STOPWORDS pass through unchanged so the quality metrics
+            # (stopword ratio, token count, punctuation) keep their
+            # real distribution: an every-token weave flunks ~all
+            # replica docs at the quality gate, and any write-path
+            # "100x" then dedups only the surviving slice (found by
+            # the r12 sf10 corpus-build experiment). Stopword-only
+            # shingles DO repeat across replicas — exactly the
+            # stop-shingle class the dedup tier's df-cap exists for.
+            # Replica 0 keeps the original text.
+            from cdc_historical_warehouse_platform_spark.operators.text import STOPWORDS
+
+            woven = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda tok: F.when(
+                        (tok == "") | F.lower(tok).isin(*STOPWORDS), tok
+                    ).otherwise(F.concat(F.lit("r"), F.col("__i"), tok)),
+                ),
+                " ",
+            )
             scaled = scaled.withColumn(
                 "text",
-                F.when(F.col("__i") == 0, F.col("text")).otherwise(
-                    F.regexp_replace(
-                        F.col("text"),
-                        F.lit(r"(\S+)"),
-                        F.concat(F.lit("r"), F.col("__i"), F.lit("$1")),
-                    )
-                ),
+                F.when(F.col("__i") == 0, F.col("text")).otherwise(woven),
             ).withColumn("n_chars", F.length("text"))
         # explode interleaves replicas row-by-row, which destroys the
         # key clustering real data growth would keep (and with it
