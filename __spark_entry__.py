@@ -52,8 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- r12 rotation (the r11 verdict's task #2): lead with the 9
     # r08-green rows deferred from the r11 window (retiring the r08
-    # tier), then the 13 rows ADDED this round (never driver-checked —
-    # hoisted straight in), then 28 of the 50 r09-green rows (22
+    # tier), then the 14 rows ADDED this round (never driver-checked —
+    # hoisted straight in), then 27 of the 50 r09-green rows (23
     # deferred to r13 with family notes atop _DEMOTED). After this
     # window lands no oracled row's last driver check is staler than
     # r09. Staleness audit: COVERAGE.md §staleness. ---
@@ -81,13 +81,13 @@ _PRIORITY = [
     "corpus_bloom_prefilter",
     "multimodal_audio_features",
     "join_asof_nearest",
-    # r09-stale (28 of 50 promoted; the 22 deferred to r13 sit atop
+    "scd2_bitemporal_revision_audit",
+    # r09-stale (27 of 50 promoted; the 23 deferred to r13 sit atop
     # _DEMOTED with their in-window family coverage):
     "agg_approx_aggregates",
     "corpus_decontaminate",
     "corpus_keep_decisions",
     "corpus_paragraph_dedup",
-    "corpus_sample_stratified",
     "dedup_components",
     "dedup_minhash_lsh",
     "relational_unpivot",
@@ -113,10 +113,11 @@ _PRIORITY = [
     "text_quality_scores",
 ]
 _DEMOTED = [
-    # --- 4 more r09-green rows deferred to r13, displaced by the 4
+    # --- 5 more r09-green rows deferred to r13, displaced by the 5
     # late-r12 rows (corpus_global_shuffle / corpus_bloom_prefilter /
-    # multimodal_audio_features / join_asof_nearest, hoisted
-    # never-checked). ---
+    # multimodal_audio_features / join_asof_nearest /
+    # scd2_bitemporal_revision_audit, hoisted never-checked). ---
+    "corpus_sample_stratified",  # last green r09; corpus-sampling family in-window via corpus_temperature_mix + corpus_global_shuffle
     "join_top_quarter_supplier",  # last green r09; join family in-window via join_lateral_topk + join_interval_events + join_asof_nearest
     "ann_sq_topk",  # last green r09; ANN family in-window via ann_ivf_topk
     "agg_linear_regression",  # last green r09; agg family in-window via agg_exact_percentiles + agg_grouped_having + agg_winsorized_stats

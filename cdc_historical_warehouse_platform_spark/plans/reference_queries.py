@@ -792,3 +792,108 @@ REFERENCE_QUERIES["scd2_time_travel"] = (
     ORDER BY order_key, valid_from
     """,
 )
+
+
+def q_scd2_bitemporal_revision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL revision audit (late r12): the same VALID-TIME
+    question ("what was each order's state at time T?") answered at
+    two TRANSACTION TIMES — store version 0 (after the INSERT wave
+    only) vs version 1 (after the UPDATE wave) — and diffed. The two
+    time axes are independent: a version-0 reader's belief about T
+    never changes when later transactions land, which is exactly what
+    reproducible report re-runs and audit trails need ("what did we
+    KNOW on Tuesday about Monday?"). Keys whose believed-at-T state
+    changed between versions are flagged ``revised`` with both
+    beliefs side by side.
+
+    One on-disk SCD2DimStore build (two applied batches), two
+    pointer-log reads (sources/dim_store.py read(version=)), the same
+    valid-time as-of filter on each (the pure interval filter — no
+    join), and a key-equi full-outer diff. The oracle recomputes both
+    transaction snapshots directly from change-log prefixes (the
+    scd2_time_travel discipline), so hash equality proves the store's
+    retained versions answer bitemporal questions byte-exactly."""
+    import shutil
+    import tempfile
+
+    from cdc_historical_warehouse_platform_spark.sources.dim_store import SCD2DimStore
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders_as_changes(orders).localCheckpoint(eager=False)
+    b1 = changes.filter(F.col("operation_type") == "INSERT")
+    b2 = changes.filter(F.col("operation_type") == "UPDATE")
+    T = F.lit("2100-01-01 00:00:00").cast("timestamp")
+
+    def believed_at(df):
+        return df.filter(
+            (F.col("valid_from") <= T)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > T))
+        )
+
+    d = tempfile.mkdtemp(prefix="bt_dim_")
+    try:
+        store = SCD2DimStore(d)
+        store.apply_batch(spark, b1, txn_id="bt_b1", batch_id="b1")
+        store.apply_batch(spark, b2, txn_id="bt_b2", batch_id="b2")
+        v0 = believed_at(store.read(spark, version=0)).select(
+            "order_key",
+            F.col("order_status").alias("v0_status"),
+            F.col("quantity").alias("v0_quantity"),
+            F.col("unit_price").cast("double").alias("v0_unit_price"),
+        )
+        v1 = believed_at(store.read(spark, version=1)).select(
+            "order_key",
+            F.col("order_status").alias("v1_status"),
+            F.col("quantity").alias("v1_quantity"),
+            F.col("unit_price").cast("double").alias("v1_unit_price"),
+        )
+        revised = (
+            ~F.col("v0_status").eqNullSafe(F.col("v1_status"))
+            | ~F.col("v0_quantity").eqNullSafe(F.col("v1_quantity"))
+            | ~F.col("v0_unit_price").eqNullSafe(F.col("v1_unit_price"))
+        )
+        return (
+            v0.join(v1, "order_key", "full_outer")
+            .select("order_key", "v0_status", "v0_quantity", "v0_unit_price",
+                    "v1_status", "v1_quantity", "v1_unit_price",
+                    revised.alias("revised"))
+            .orderBy("order_key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+REFERENCE_QUERIES["scd2_bitemporal_revision_audit"] = (
+    q_scd2_bitemporal_revision_audit,
+    f"""
+    WITH changes AS ({ORDERS_AS_CHANGES_SQL}),
+    ins AS (SELECT * FROM changes WHERE operation_type = 'INSERT'),
+    seq1 AS (
+      SELECT *, lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM ins),
+    v0 AS (
+      SELECT id AS order_key, order_status AS v0_status, quantity AS v0_quantity,
+             CAST(unit_price AS DOUBLE) AS v0_unit_price
+      FROM seq1
+      WHERE cdc_timestamp <= TIMESTAMP '2100-01-01 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2100-01-01 00:00:00')),
+    seq2 AS (
+      SELECT *, lead(cdc_timestamp) OVER (PARTITION BY id ORDER BY cdc_timestamp) AS valid_to
+      FROM changes),
+    v1 AS (
+      SELECT id AS order_key, order_status AS v1_status, quantity AS v1_quantity,
+             CAST(unit_price AS DOUBLE) AS v1_unit_price
+      FROM seq2
+      WHERE cdc_timestamp <= TIMESTAMP '2100-01-01 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2100-01-01 00:00:00'))
+    SELECT COALESCE(v0.order_key, v1.order_key) AS order_key,
+           v0_status, v0_quantity, v0_unit_price,
+           v1_status, v1_quantity, v1_unit_price,
+           (NOT (v0_status IS NOT DISTINCT FROM v1_status)
+            OR NOT (v0_quantity IS NOT DISTINCT FROM v1_quantity)
+            OR NOT (v0_unit_price IS NOT DISTINCT FROM v1_unit_price)) AS revised
+    FROM v0 FULL OUTER JOIN v1 ON v0.order_key = v1.order_key
+    ORDER BY order_key
+    """,
+)
