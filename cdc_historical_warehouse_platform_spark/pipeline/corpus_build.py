@@ -271,13 +271,24 @@ def corpus_build(
     passed it — and a model-less rebuild explicitly clears it."""
     from cdc_historical_warehouse_platform_spark.operators.sampling import cap_per_source
     from cdc_historical_warehouse_platform_spark.plans.datapipe_queries import (
-        q_corpus_keep_decisions,
+        corpus_keep_decisions_unsorted,
     )
 
     if track_top_tokens is not None and track_top_tokens < 1:
         raise ValueError(f"track_top_tokens must be >= 1, got {track_top_tokens}")
     docs = spark.read.parquet(str(Path(input_dir) / "documents.parquet"))
-    decisions = q_corpus_keep_decisions(spark, input_dir)
+    # Materialize the decision table ONCE (r12 optimization round,
+    # guide §2.4/§5): it is (doc_id, lang, decision) — tiny next to the
+    # corpus — and without the boundary every downstream consumer of
+    # ``kept`` (shard write, _kept_docs, LSH state, fp state) re-runs
+    # the full quality + fingerprint + LSH-near-dup pipeline. The
+    # counts collect right below is the action that pins it. Measured
+    # at sf0.1: corpus_build 13-16 s → ~8 s warm; the plan under each
+    # writer becomes scan ⋈ pinned-id-set instead of the 12-FileScan
+    # decision pipeline.
+    decisions = corpus_keep_decisions_unsorted(spark, input_dir).localCheckpoint(
+        eager=False
+    )
     counts = {
         r.decision: r.n
         for r in decisions.groupBy("decision").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -303,43 +314,79 @@ def corpus_build(
     if max_per_source is not None:
         kept = cap_per_source(kept, max_per_source).drop("cap_rank")
         kept = kept.localCheckpoint(eager=True)  # one derivation for shards+state
-        counts["over_source_cap"] = n_kept_now - kept.count()
-    manifest = write_training_shards(
-        kept,
-        output,
-        key_col="doc_id",
-        num_shards=num_shards,
-        max_records_per_file=max_records_per_file,
-    )
+        n_after_cap = kept.count()
+        counts["over_source_cap"] = n_kept_now - n_after_cap
+        n_kept_now = n_after_cap
     # resolve "auto" against the actual kept count — the RESOLVED int
-    # (or None) is what rides the marker and every later append reads
-    state_buckets = resolve_state_buckets(state_buckets, manifest["total_rows"])
-    kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
-    _write_state(
-        minhash_band_buckets(kept).select("doc_id", "bucket"),
-        out / "_lsh_index",
-        "bucket",
-        state_buckets,
-        _LSH_DDL,
-        mode="overwrite",
-    )
-    _write_state(
-        kept.select("doc_id", fingerprint(F.col("text")).alias("fp")),
-        out / "_fp_index",
-        "fp",
-        state_buckets,
-        _FP_DDL,
-        mode="overwrite",
-    )
-    if max_per_source is not None:
+    # (or None) is what rides the marker and every later append reads.
+    # n_kept_now IS the shard row count (the shards hold exactly kept's
+    # rows), so resolution no longer waits for the shard write — which
+    # lets the writes below run concurrently.
+    state_buckets = resolve_state_buckets(state_buckets, n_kept_now)
+    # The build's 3-5 STATE writes are mutually independent (disjoint
+    # directories, all derived from the pinned decision table) — run
+    # them CONCURRENTLY exactly like corpus_append's epoch writes (r12
+    # optimization round; the marker still publishes only after every
+    # future resolves, so the crash story is unchanged: no marker ⇒
+    # rebuild). The SHARD write must finish FIRST and alone: it is a
+    # mode("overwrite") of the corpus ROOT, which truncates the root
+    # dir — a concurrent state write's _temporary dir under the root
+    # would be deleted mid-flight (observed as FileNotFoundException
+    # on _kept_docs/_temporary when all writes ran together).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _b_shards():
+        return write_training_shards(
+            kept,
+            output,
+            key_col="doc_id",
+            num_shards=num_shards,
+            max_records_per_file=max_records_per_file,
+        )
+
+    def _b_kept():
+        kept.write.mode("overwrite").parquet(str(out / "_kept_docs"))
+
+    def _b_lsh():
+        _write_state(
+            minhash_band_buckets(kept).select("doc_id", "bucket"),
+            out / "_lsh_index",
+            "bucket",
+            state_buckets,
+            _LSH_DDL,
+            mode="overwrite",
+        )
+
+    def _b_fp():
+        _write_state(
+            kept.select("doc_id", fingerprint(F.col("text")).alias("fp")),
+            out / "_fp_index",
+            "fp",
+            state_buckets,
+            _FP_DDL,
+            mode="overwrite",
+        )
+
+    def _b_counts():
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).write.mode(
             "overwrite"
         ).parquet(str(out / "_source_counts"))
-    if track_top_tokens is not None:
+
+    def _b_hh():
         _hh_delta(kept, track_top_tokens).write.mode("overwrite").parquet(
             str(out / "_hh_state")
         )
-    else:
+
+    writers = [_b_kept, _b_lsh, _b_fp]
+    if max_per_source is not None:
+        writers.append(_b_counts)
+    if track_top_tokens is not None:
+        writers.append(_b_hh)
+    manifest = _b_shards()
+    with ThreadPoolExecutor(max_workers=len(writers)) as ex:
+        for f in [ex.submit(w) for w in writers]:
+            f.result()
+    if track_top_tokens is None:
         # tracking-less rebuild over an old tracked corpus: stale state
         # must not survive into the new epoch's snapshot
         import shutil as _shutil

@@ -787,7 +787,7 @@ ORDER BY doc_id
 DATAPIPE_QUERIES["text_rolling_fingerprint"] = (q_rolling_fingerprint, SQL_ROLLING_FP)
 
 
-def q_corpus_keep_decisions(spark: SparkSession, sf: str) -> DataFrame:
+def corpus_keep_decisions_unsorted(spark: SparkSession, sf: str) -> DataFrame:
     """The composed training-data pipeline decision: every document
     classified as kept / low_quality / exact_dup / near_dup — the
     three dedup-and-filter tiers chained the way a corpus build
@@ -832,8 +832,15 @@ def q_corpus_keep_decisions(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise(F.lit("kept"))
             .alias("decision"),
         )
-        .orderBy("doc_id")
     )
+
+
+def q_corpus_keep_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """The declared-query wrapper: the decision table in presentation
+    order. ``corpus_build`` consumes the unsorted core directly (r12
+    optimization round) — it materializes the decisions once and a
+    global sort of a corpus-row-sized table is pure waste there."""
+    return corpus_keep_decisions_unsorted(spark, sf).orderBy("doc_id")
 
 
 SQL_CORPUS_KEEP = f"""
