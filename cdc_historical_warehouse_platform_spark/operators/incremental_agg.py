@@ -145,7 +145,13 @@ def summary_delta(
         .alias("__b_measure"),
         F.col("operation_type").alias("__b_op"),
         F.col("cdc_timestamp").alias("__b_ts"),
-    )
+    # Pin the staged batch (r12 optimization round, guide §2.4): it
+    # feeds multiple delta branches (the batch-local term plus the
+    # current-slice probe's build side), and without the boundary the
+    # latest-per-key window (one sort + one exchange of the batch)
+    # re-runs once per branch. Batch-sized, never dimension-sized, so
+    # the checkpoint is bounded at any scale.
+    ).localCheckpoint(eager=False)
     cur_slim = current.select(
         F.col(business_key).alias("__c_key"),
         F.col(group_col).alias("__c_group"),
@@ -305,7 +311,13 @@ def maintain_group_extrema(
         .alias("__b_measure"),
         F.col("operation_type").alias("__b_op"),
         F.col("cdc_timestamp").alias("__b_ts"),
-    )
+    # Pin the staged batch (r12 optimization round, guide §2.4): it
+    # feeds multiple delta branches (the batch-local term plus the
+    # current-slice probe's build side), and without the boundary the
+    # latest-per-key window (one sort + one exchange of the batch)
+    # re-runs once per branch. Batch-sized, never dimension-sized, so
+    # the checkpoint is bounded at any scale.
+    ).localCheckpoint(eager=False)
     cur_slim = current.select(
         F.col(business_key).alias("__c_key"),
         F.col(group_col).alias("__c_group"),
