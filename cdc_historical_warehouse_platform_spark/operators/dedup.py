@@ -389,7 +389,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
     needed = df.join(cand_ids, F.col(id_col) == F.col("__cand_id"), "semi")
-    sets = _shingle_sets(needed, text_col, id_col, n)
+    # Pin the candidate shingle sets ONCE (r12 optimization round,
+    # guide §2.4): they feed BOTH join sides (sa and sb) below, and
+    # without the boundary each side re-runs the corpus scan + the
+    # semi-join + the shingle-set aggregation. Bounded by the
+    # candidate-pair doc set, never the corpus, so the checkpoint is
+    # small at any scale — and it removes one full corpus scan from
+    # every LSH-verify consumer (this row, corpus_keep_decisions, and
+    # the corpus builds).
+    sets = _shingle_sets(needed, text_col, id_col, n).localCheckpoint(eager=False)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
