@@ -678,16 +678,31 @@ def dsir_importance_weights(
 
     raw_bg = _bigram_stream(raw)
     tgt_bg = _bigram_stream(target)
-    # ONE model-fit pass per corpus: the bucket tables (≤ B rows) are
-    # checkpointed, and the totals are derived from them by an exact
-    # integer sum — a separate count() action would re-tokenize the
-    # whole corpus just to learn a number the bucket table already
-    # holds. Totals then enter as plan-build literals (the
-    # ivf_centroids / tfidf pattern — an unpartitioned window over the
-    # bucket table would single-thread the fit for no reason).
+    # ONE featurization pass over the raw corpus: both the model fit
+    # (bucket totals) and the scoring reduction (per-doc weighted sums)
+    # are functions of the per-doc bucket HISTOGRAM, so pin that once
+    # and derive both from it. Without the pin the scoring join
+    # re-tokenized + re-exploded the whole raw corpus a second time —
+    # at 100 TB that is a full extra scan plus the regex-heavy
+    # normalize/split, traded here for one executor-local materialization
+    # of (doc_id, bucket, cnt) rows that are strictly fewer than the
+    # bigram occurrences they summarize. The tiny target corpus keeps
+    # the plain single-use stream.
+    raw_hist = (
+        raw_bg.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    # Model-fit tables (≤ B rows) are checkpointed, and the totals are
+    # derived from them by an exact integer sum — a separate count()
+    # action would re-tokenize the whole corpus just to learn a number
+    # the bucket table already holds. Totals then enter as plan-build
+    # literals (the ivf_centroids / tfidf pattern — an unpartitioned
+    # window over the bucket table would single-thread the fit for no
+    # reason).
     r_cnt = (
-        raw_bg.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("r_cnt"))
+        raw_hist.groupBy("bucket")
+        .agg(F.sum("__cnt").alias("r_cnt"))
         .localCheckpoint(eager=True)
     )
     t_cnt = (
@@ -712,11 +727,14 @@ def dsir_importance_weights(
     )
     wb = F.broadcast(weights) if broadcast_weights else weights
     return (
-        raw_bg.join(wb, "bucket")
+        # Score off the pinned histogram: Σ over occurrences of __w is
+        # exactly Σ cnt·__w over distinct (doc, bucket) — same integers,
+        # no second corpus scan.
+        raw_hist.join(wb, "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("__w").alias("dsir_microbits"),
+            F.sum("__cnt").alias("n_bigrams"),
+            F.sum(F.col("__cnt") * F.col("__w")).alias("dsir_microbits"),
         )
         .withColumn(
             "logratio_per_bigram",
