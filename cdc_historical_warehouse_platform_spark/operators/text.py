@@ -355,7 +355,17 @@ def tfidf_top_keywords(
         )
         .filter(F.col("token").isNotNull())
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Pin the term-frequency table ONCE (r12 optimization round, guide
+    # §2.4): it feeds BOTH the vocab/df aggregation and the scoring
+    # join, and without the boundary each consumer re-scans, re-tokenizes
+    # and re-shuffles the whole corpus. The pinned (doc, token, tf)
+    # table is bounded by distinct tokens per document — strictly
+    # smaller than the token stream it summarizes.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     vocab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     # single ln of the exact ratio (see unigram_surprisal's log note)
     idf_micro = F.floor(
