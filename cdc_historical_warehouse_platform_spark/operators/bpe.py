@@ -192,8 +192,19 @@ def bpe_token_counts(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("word"),
     ).filter(F.col("word").isNotNull())
+    # Pin the per-doc word-count table ONCE (r12 optimization round,
+    # guide §2.4): it feeds BOTH the distinct-word segmentation and
+    # the final scoring join, and without the boundary each consumer
+    # re-scans and re-tokenizes the whole corpus. The pinned
+    # (doc, word, cnt) table is bounded by distinct words per document
+    # — strictly smaller than the word stream it summarizes.
+    wc = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
     seg = (
-        words.select("word")
+        wc.select("word")
         .distinct()
         .withColumn("syms", split_chars(F.col("word")))
     )
@@ -202,10 +213,12 @@ def bpe_token_counts(
     )
     sb = F.broadcast(seg) if broadcast_vocab else seg
     return (
-        words.join(sb, "word")
+        # Σ over occurrences == Σ cnt·value over distinct (doc, word):
+        # same exact integers, no second corpus pass.
+        wc.join(sb, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_subtokens").alias("n_bpe_tokens"),
+            F.sum("__cnt").alias("n_words"),
+            F.sum(F.col("__cnt") * F.col("n_subtokens")).alias("n_bpe_tokens"),
         )
     )
