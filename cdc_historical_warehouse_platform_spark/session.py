@@ -58,7 +58,27 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Codec + scan-split knobs (r12 optimization round, guide
+        # §2.3/§6): the local defaults ARE the engine defaults — zstd
+        # shuffle/parquet codecs and 512m-1g splits were A/B'd at sf0.1
+        # and LOSE locally (shuffle and scans hit the page cache, so
+        # compression ratio buys nothing and the extra CPU is pure
+        # overhead; small inputs under-parallelize at big splits). On a
+        # real cluster — network-bound shuffles, object-store scans —
+        # flip SPARK_GRAFT_IO_CODEC/SPARK_GRAFT_PARQUET_CODEC to zstd
+        # and raise SPARK_GRAFT_MAX_PARTITION_BYTES to 512m-1g.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
