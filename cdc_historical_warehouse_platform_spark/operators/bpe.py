@@ -149,7 +149,11 @@ def bpe_train(
         merges.append((rank, l, r, int(c)))
         vocab = merge_pair(vocab, l, r)
         if (rank + 1) % _CHECKPOINT_EVERY == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            # lazy: the next round's argmax collect (or the caller's
+            # first action on vocab_df) materializes the pin inside a
+            # job that runs anyway — the eager form paid one extra
+            # driver round-trip per cadence for the same truncation
+            vocab = vocab.localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
     )
@@ -162,12 +166,22 @@ def apply_merges(
     """Apply a learned merge list, in order, to a symbol-array frame —
     the encoder half of BPE. Same fold as training (greedy,
     non-overlapping), same checkpoint cadence against plan growth.
-    Cost is |merges| vocab-sized transforms — never corpus-sized."""
+    Cost is |merges| vocab-sized transforms — never corpus-sized.
+
+    The checkpoints are LAZY (r12 optimization round): an eager pin
+    here dispatched one driver-synchronous job per ``_CHECKPOINT_EVERY``
+    merges — ~|merges|/4 sequential round-trips whose scheduling
+    overhead dominated the vocab-sized work. A lazy ``localCheckpoint``
+    truncates the plan identically (the downstream plan ends at the
+    checkpointed RDD either way) but materializes every segment inside
+    the CONSUMER'S one job, so the encode chain costs one job total.
+    Unlike ``bpe_train`` there is no per-round driver decision forcing
+    a job boundary — nothing reads the intermediate frames."""
     out = vocab
     for i, (left, right) in enumerate(merges):
         out = merge_pair(out, left, right, syms_col)
         if (i + 1) % _CHECKPOINT_EVERY == 0:
-            out = out.localCheckpoint(eager=True)
+            out = out.localCheckpoint(eager=False)
     return out
 
 

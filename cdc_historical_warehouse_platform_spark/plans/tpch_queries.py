@@ -85,6 +85,18 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         li.join(europe_sup, li.l_suppkey == europe_sup.s_suppkey)
         .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min("l_extendedprice").alias("min_price"))
+        # Pin the catalog CTE once (r12 optimization round, guide §2.4
+        # / §3.3): it feeds BOTH the per-part best-price aggregate and
+        # the final join, and without the boundary each consumer
+        # re-runs the full lineitem ⋈ europe-supplier ⋈ groupBy subtree
+        # (2 lineitem scans + the join twice in the before-plan). The
+        # pinned frame is the AGGREGATED catalog — |parts ⋈ suppliers
+        # seen together|, orders of magnitude smaller than lineitem —
+        # so at 100 TB the trade is one executor-local materialization
+        # of a dim-sized table vs a second full fact-table pass. Lazy:
+        # materializes inside the query's own job; same rows, same
+        # hash (deterministic aggregate).
+        .localCheckpoint(eager=False)
     )
     best = catalog.groupBy("l_partkey").agg(F.min("min_price").alias("best_price"))
     parts = p.filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)).select(
