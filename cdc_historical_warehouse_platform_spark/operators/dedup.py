@@ -120,6 +120,42 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+def _pinned_shingle_stream(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """The (doc_id, shingle) stream the pair operators consume —
+    derived ONCE (r12 optimization round, guide §2.4/§5). Without the
+    pins each of a pair operator's consumers (the df-cap counts, the
+    per-doc sizes, BOTH self-join sides) re-ran the regex-heavy
+    normalize/tokenize/n-gram subtree — the audited jaccard plan
+    scanned the corpus 8×. Two lazy pins: the per-doc shingle-set
+    arrays (tokenize once; explode per consumer is cheap) and, when
+    the stop-shingle cap applies, the capped stream (the df groupBy +
+    anti-join runs once instead of once per consumer). Both are
+    bounded: sets ≈ the corpus's distinct n-grams per doc, the capped
+    stream strictly smaller. Lazy — computed inside the query's own
+    action, nothing persists across runs."""
+    sets = _shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sh = (
+        sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    if max_doc_freq is not None:
+        # Broadcast the DROP-list, not the keep-list: shingles with
+        # df > cap are the heavy hitters — bounded by corpus_size/cap
+        # at any scale — while the keep-list is ~the whole distinct
+        # shingle dictionary (corpus-sized at 100 TB; force-
+        # broadcasting it was the r4 audit's scale-killer). Anti-join
+        # against the small side is the same filter.
+        df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.filter(F.col("df") > max_doc_freq).select("shingle")),
+            "shingle",
+            "left_anti",
+        ).localCheckpoint(eager=False)
+    return sh
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -137,20 +173,7 @@ def jaccard_pairs(
     docs before the self-join (stop-shingle guard; at scale always set
     it — frequency-capped shingles bound the join output).
     """
-    sh = _shingles(df, text_col, id_col, n)
-    if max_doc_freq is not None:
-        # Broadcast the DROP-list, not the keep-list: shingles with
-        # df > cap are the heavy hitters — bounded by corpus_size/cap
-        # at any scale — while the keep-list is ~the whole distinct
-        # shingle dictionary (corpus-sized at 100 TB; force-
-        # broadcasting it was the r4 audit's scale-killer). Anti-join
-        # against the small side is the same filter.
-        df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
-        sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("df") > max_doc_freq).select("shingle")),
-            "shingle",
-            "left_anti",
-        )
+    sh = _pinned_shingle_stream(df, text_col, id_col, n, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -196,14 +219,7 @@ def containment_pairs(
     Output: (doc_a < doc_b, containment ≥ threshold, containment,
     contained_id) where ``contained_id`` is the smaller-set doc (ties
     → lower id): the one a keep-list would drop."""
-    sh = _shingles(df, text_col, id_col, n)
-    if max_doc_freq is not None:
-        df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
-        sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("df") > max_doc_freq).select("shingle")),
-            "shingle",
-            "left_anti",
-        )
+    sh = _pinned_shingle_stream(df, text_col, id_col, n, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -258,7 +274,17 @@ def decontaminate(
     eval_ngrams = (
         _shingles(eval_df, text_col, id_col, n).select("shingle").distinct()
     )
-    corpus_sh = _shingles(corpus, text_col, id_col, n)
+    # Pin the corpus shingle SETS once (r12 optimization round, guide
+    # §2.4): both consumers below (per-doc sizes + the contamination
+    # hits) otherwise re-run the regex-heavy tokenize over the whole
+    # corpus. The explode per consumer over the pinned arrays is cheap.
+    corpus_sets = _shingle_sets(corpus, text_col, id_col, n).localCheckpoint(
+        eager=False
+    )
+    corpus_sh = (
+        corpus_sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
     sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
     hits = (
         corpus_sh.join(F.broadcast(eval_ngrams), "shingle")
@@ -509,8 +535,14 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance ≤ k, banded: split the
     64-bit signature into 4 × 16-bit chunks — any pair within Hamming
     ≤ 3 must agree on ≥1 chunk (pigeonhole), so the join is on chunk
-    values, never all-pairs."""
-    sig = simhash64(df, text_col, id_col)
+    values, never all-pairs.
+
+    The signature frame is pinned once (r12 optimization round, guide
+    §2.4): both join sides consume it, and without the pin each side
+    re-ran the tokenize + 64-wide vote aggregation. (doc_id, simhash)
+    is two scalars per doc — far smaller than the corpus it
+    summarizes. Lazy: computes inside the query's own action."""
+    sig = simhash64(df, text_col, id_col).localCheckpoint(eager=False)
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -613,8 +645,10 @@ def simhash_pairs_portable(
     """Near-dup pairs from the portable SimHash: the same 4 × 16-bit
     pigeonhole banding and Hamming ≤ k verify as :func:`simhash_pairs`,
     over the split-word signature. Output schema is identical
-    (doc_a, doc_b, hamming)."""
-    sig = simhash64_portable(df, text_col, id_col)
+    (doc_a, doc_b, hamming).
+
+    Signature pinned once — same rationale as :func:`simhash_pairs`."""
+    sig = simhash64_portable(df, text_col, id_col).localCheckpoint(eager=False)
     chunk_exprs = [
         F.concat_ws(
             ":", F.lit("0"), F.col("sig_hi").bitwiseAND(F.lit(0xFFFF)).cast("string")
@@ -843,9 +877,18 @@ def banded_embedding_near_dup(
         sig = bits.select("id", arrow_buckets.alias("__buckets"))
     else:
         sig = emb.select(F.col(id_col).alias("id"), buckets.alias("__buckets"))
-    banded = sig.select(
-        "id", F.posexplode_outer("__buckets").alias("band", "bucket")
-    ).filter(F.col("bucket").isNotNull())
+    # Pin the banded keys once (r12 optimization round, guide §2.4):
+    # both sides of the candidate equi-join consume this frame, and
+    # without the pin each side re-runs the full signature pass —
+    # B·r plane projections per vector, the operator's dominant cost,
+    # paid twice. The pinned frame is (id, band, bucket) — three
+    # scalars × B rows per vector, never the embedding payload. Lazy:
+    # computes inside the query's own action.
+    banded = (
+        sig.select("id", F.posexplode_outer("__buckets").alias("band", "bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     cand = (
         banded.select(F.col("id").alias("id_a"), "band", "bucket")
         .join(
@@ -940,11 +983,17 @@ def semdedup(
             emb, n_lists=n_lists, refine=refine, corpus_id=id_col, corpus_vec=vec_col
         )
     )
+    # Pin the assignment pass once (r12 optimization round, guide
+    # §2.4): three consumers (both in-cluster join sides + the final
+    # keep join) otherwise re-run the nearest-centroid expression —
+    # n_lists × dim multiply-adds per vector, the operator's dominant
+    # map cost — once each. Lazy; corpus-row-sized (one extra long per
+    # vector over the input).
     assigned = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _nearest_list_expr(F.col(vec_col), cents).alias("list_id"),
-    )
+    ).localCheckpoint(eager=False)
     a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "list_id")
     b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "list_id")
     dropped = (
@@ -1499,9 +1548,20 @@ def bloom_prefilter(
     """
     bkey = block_key_col or key_col
     ids = [id_col] if id_col and id_col != key_col else []
+    # Pin the distinct blocklist keys once (r12 optimization round,
+    # guide §2.4): the hot-position set AND the exact-membership side
+    # both derive from the blocklist, and without the pin each re-ran
+    # its derivation (in the registered row: a corpus scan + md5 per
+    # consumer). Positions over distinct keys are the same distinct
+    # position set as over all rows. Blocklist-sized; lazy.
+    block_keys = (
+        block_df.select(F.col(bkey).alias(key_col))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hot = (
-        block_df.select(
-            F.explode(bloom_positions(F.col(bkey), m, k, salt)).alias("__pos")
+        block_keys.select(
+            F.explode(bloom_positions(F.col(key_col), m, k, salt)).alias("__pos")
         )
         .distinct()
         .withColumn("__hot", F.lit(True))
@@ -1516,11 +1576,7 @@ def bloom_prefilter(
         .groupBy(*ids, key_col)
         .agg(F.bool_and(F.coalesce("__hot", F.lit(False))).alias("maybe_blocked"))
     )
-    exact = (
-        block_df.select(F.col(bkey).alias(key_col))
-        .distinct()
-        .withColumn("__blocked", F.lit(True))
-    )
+    exact = block_keys.withColumn("__blocked", F.lit(True))
     return (
         maybe.join(exact, key_col, "left")
         .select(

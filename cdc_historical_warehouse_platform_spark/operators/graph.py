@@ -46,8 +46,24 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     Returns (node BIGINT, rank BIGINT) where rank is in micro-units
     (see module docstring). rank_0 = UNIT for every node;
     rank_{i+1}(v) = TELEPORT + (85 * Σ_{u→v} rank_i(u) div deg(u)) div 100.
+
+    The edge list and the degree vector are pinned ONCE (r12
+    optimization round, guide §2.4/§5): ``edges`` is typically a
+    *derived* frame (the trade-graph rows build it from a fact-table
+    equi-join + distinct + symmetrize), and without the pin every
+    iteration's join AND every consumer of ``deg`` re-runs that whole
+    derivation — the audited plan re-scanned the fact tables 14×
+    for 3 iterations. The edge list is the algorithm's working set;
+    materializing it once per run is what any cluster PageRank does.
+    Lazy pins: they compute inside the caller's first action, nothing
+    persists across runs.
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # node-sized; 4 consumers
+    )
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(UNIT).cast("long").alias("rank")
     )
@@ -96,7 +112,13 @@ def bounded_shortest_paths(
     Each iteration relaxes every edge once (join on src, shuffle on the
     node key) and folds with a min-groupBy — the frontier never needs
     driver-side state, and unreached nodes simply never enter the
-    frame (no infinity sentinel to overflow)."""
+    frame (no infinity sentinel to overflow).
+
+    ``edges`` is pinned once (r12 optimization round — same rationale
+    as :func:`pagerank`: the callers derive it from a fact-table join
+    and each of the ``hops`` relaxations would re-run that whole
+    subtree)."""
+    edges = edges.localCheckpoint(eager=False)
     dist = seeds.select(F.col("node"), F.lit(0).cast("int").alias("dist"))
     for _ in range(hops):
         relax = (

@@ -294,8 +294,22 @@ def unigram_surprisal(
         )
         .filter(F.col("token").isNotNull())
     )
-    total = toks.count()
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Pin the per-doc token histogram once (r12 optimization round,
+    # guide §2.4 — the DSIR/BPE one-pass featurization): the corpus
+    # total, the vocab fit and the scoring reduction all derive from
+    # it, where before EACH (the count() action at plan build, the
+    # model groupBy, the scoring join) re-ran the regex-heavy
+    # tokenize over the whole corpus. Σ over occurrences == Σ cnt·s
+    # over distinct (doc, token) — the same exact integers. Eager:
+    # it replaces the total-count action's full pass, so plan build
+    # still runs exactly one corpus-sized job.
+    wc = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = wc.agg(F.sum("__cnt")).first()[0] or 0
+    vocab = wc.groupBy("token").agg(F.sum("__cnt").alias("cnt"))
     # ONE log2 of the IEEE-exact ratio, never log2(a) − log2(b): with two
     # separately-rounded logs an exact power-of-2 ratio (common with
     # repeated counts) can land one ulp below its integer log and floor
@@ -304,12 +318,12 @@ def unigram_surprisal(
         F.log2(F.lit(float(total)) / F.col("cnt")) * F.lit(1000000.0)
     )
     vb = F.broadcast(vocab) if broadcast_vocab else vocab
-    scored = toks.join(vb, "token").select("doc_id", s_micro.alias("__s"))
+    scored = wc.join(vb, "token").select("doc_id", "__cnt", s_micro.alias("__s"))
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("__s").alias("surprisal_microbits"),
+            F.sum("__cnt").alias("n_tokens"),
+            F.sum(F.col("__cnt") * F.col("__s")).alias("surprisal_microbits"),
         )
         .withColumn(
             "bits_per_token",
@@ -588,7 +602,25 @@ def bigram_surprisal(
         )
         .filter(F.col("bg").isNotNull())
     )
-    vocab2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # Pin the per-doc bigram histogram once (r12 optimization round,
+    # guide §2.4 — the DSIR/BPE one-pass featurization applied to this
+    # operator): the model fit and the scoring reduction both derive
+    # from it, where before each consumer re-tokenized and re-exploded
+    # the whole corpus (3 corpus scans in the audited plan). Σ over
+    # occurrences == Σ cnt·value over distinct (doc, bg) — the same
+    # exact integers. The histogram is strictly smaller than the
+    # bigram stream it summarizes; vocab2 (consumed by pref AND the
+    # scoring) is vocabulary-sized. Lazy pins.
+    bc = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab2 = (
+        bc.groupBy("bg")
+        .agg(F.sum("__cnt").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     pref = (
         vocab2.withColumn("w1", F.split(F.col("bg"), " ")[0])
         .groupBy("w1")
@@ -607,11 +639,11 @@ def bigram_surprisal(
         )
     )
     return (
-        big.join(F.broadcast(scored_vocab) if broadcast_vocab else scored_vocab, "bg")
+        bc.join(F.broadcast(scored_vocab) if broadcast_vocab else scored_vocab, "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("__s").alias("surprisal_microbits"),
+            F.sum("__cnt").alias("n_bigrams"),
+            F.sum(F.col("__cnt") * F.col("__s")).alias("surprisal_microbits"),
         )
         .withColumn(
             "bits_per_bigram",

@@ -1336,7 +1336,11 @@ def q_corpus_source_mix(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__tok").alias("n_tokens"),
         F.sum("__q").alias("__qsum"),
-    )
+        # Pinned once (r12 optimization round, guide §2.4): the totals
+        # aggregate AND the final cross-join consume this source-sized
+        # frame, and without the pin each re-ran the per-doc tokenize/
+        # quality pass over the whole corpus. Lazy.
+    ).localCheckpoint(eager=False)
     totals = agg.agg(
         F.sum("n_tokens").alias("__total"),
         F.count(F.lit(1)).alias("__nsrc"),
@@ -2042,10 +2046,20 @@ def q_corpus_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     from cdc_historical_warehouse_platform_spark.operators.sampling import weighted_keep_expr
 
     docs = load_table(spark, sf, "documents")
+    # Pinned once (r12 optimization round, guide §2.4): the per-source
+    # sums and the final gating join both consume `per`, and the rates
+    # subtree consumes `per_source` twice (totals + cross-join) —
+    # without the pins each consumer re-ran the tokenize pass (3
+    # corpus scans in the audited plan). `per` is three scalars per
+    # doc; `per_source` is source-sized. Lazy.
     per = docs.select(
         "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    ).localCheckpoint(eager=False)
+    per_source = (
+        per.groupBy("source")
+        .agg(F.sum("n_tokens").alias("__ts"))
+        .localCheckpoint(eager=False)
     )
-    per_source = per.groupBy("source").agg(F.sum("n_tokens").alias("__ts"))
     # corpus-wide totals as a 1-row aggregate broadcast back over the
     # per-source rows (no unpartitioned window; the shared per-source
     # exchange is deduped by ReuseExchange)
@@ -2168,6 +2182,10 @@ def q_corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn(
             "temp_weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
         )
+        # Pinned once (r12 optimization round, guide §2.4): the totals
+        # and the final cross-join both consume this source-sized
+        # frame; without the pin each re-ran the tokenize pass. Lazy.
+        .localCheckpoint(eager=False)
     )
     totals = per_source.agg(
         F.sum("n_tokens").alias("__tot"), F.sum("temp_weight").alias("__wtot")
@@ -2437,7 +2455,11 @@ def q_corpus_substring_clean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf, "documents")
-    spans = exact_substring_spans(docs, k=20)
+    # Pin the spans once (r12 optimization round, guide §2.4): the
+    # flagged-doc set and the cut step both consume them, and without
+    # the pin each re-ran the whole k-gram dedup-window pipeline.
+    # Span-sized (duplicated regions only). Lazy.
+    spans = exact_substring_spans(docs, k=20).localCheckpoint(eager=False)
     flagged = docs.join(spans.select("doc_id").distinct(), "doc_id")
     return (
         remove_duplicate_spans(flagged, spans)
@@ -3310,12 +3332,22 @@ def q_corpus_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
     DISTINCT (lang, shingle) sets shuffle on the shingle key
     (map-side-combined), and the coverage join is equi-keyed — no
     all-pairs, no windows, vocabulary-bounded intermediate."""
-    from cdc_historical_warehouse_platform_spark.operators.dedup import _shingles
+    from cdc_historical_warehouse_platform_spark.operators.dedup import _shingle_sets
 
     docs = load_table(spark, sf, "documents")
-    g = _shingles(docs, "text", "doc_id", 3).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # Pin the per-doc shingle SETS (with lang) once (r12 optimization
+    # round, guide §2.4): the test and train sides each re-ran the
+    # regex-heavy tokenize + lang join over the whole corpus (4
+    # document scans in the audited plan). The explode per side over
+    # the pinned arrays is cheap. Lazy pin.
+    sets = (
+        _shingle_sets(docs, "text", "doc_id", 3)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=False)
     )
+    g = sets.select(
+        "doc_id", "lang", F.explode_outer("sh_set").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     test_g = (
         g.filter(F.col("doc_id") % 10 == 0).select("lang", "shingle").distinct()
     )

@@ -2079,7 +2079,13 @@ def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     origin = F.lit("2024-01-01")
     week = lambda c: F.floor(F.datediff(F.to_date(c), F.to_date(origin)) / 7).cast("int")  # noqa: E731
     first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    cohorts = first.select("user_id", week(F.col("first_ts")).alias("cohort_week"))
+    # Pin the cohort map once (r12 optimization round, guide §2.4): it
+    # feeds both the cohort sizes and the cell join, and without the
+    # pin each consumer re-ran the first-touch aggregation over the
+    # whole event stream. User-sized, two ints per user. Lazy.
+    cohorts = first.select(
+        "user_id", week(F.col("first_ts")).alias("cohort_week")
+    ).localCheckpoint(eager=False)
     sizes = cohorts.groupBy("cohort_week").agg(
         F.countDistinct("user_id").alias("cohort_size")
     )
@@ -2144,10 +2150,18 @@ def q_events_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     user_id; step frames shrink monotonically so the later joins
     broadcast."""
     ev = load_table(spark, sf, "events")
+    # Pin the step frames once (r12 optimization round, guide §2.4):
+    # v feeds four consumers (the c chain, its own step count, the
+    # conversion base) and c two — without the pins each consumer
+    # re-ran the whole upstream filter-join-aggregate chain (7 event
+    # scans in the audited plan). Both frames are per-user aggregates,
+    # far smaller than the event stream. Lazy pins: computed inside
+    # the query's own action.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -2155,6 +2169,7 @@ def q_events_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2238,6 +2253,11 @@ def q_events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
+        # Pin once (r12 optimization round, guide §2.4): both the
+        # per-prev totals and the final join consume this ≤|types|²-row
+        # aggregate, and without the pin each re-ran the per-user lag
+        # window over the whole event stream. Lazy.
+        .localCheckpoint(eager=False)
     )
     totals = pairs.groupBy("prev_type").agg(
         F.sum("n_transitions").alias("n_from_prev")
@@ -2429,10 +2449,16 @@ def q_basket_brand_pairs(spark: SparkSession, sf: str) -> DataFrame:
     at the end is deterministic on both engines."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
+    # Pin the deduped basket table once (r12 optimization round, guide
+    # §2.4): four consumers (order count, brand marginals, both pair
+    # sides) otherwise re-run the fact-dimension join + distinct — the
+    # audited plan scanned lineitem and part 5× each. Basket-sized
+    # (two scalars per distinct (order, brand)). Lazy.
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = ob.select(
         F.countDistinct("l_orderkey").alias("n_orders")
