@@ -117,10 +117,18 @@ def bounded_shortest_paths(
     ``edges`` is pinned once (r12 optimization round — same rationale
     as :func:`pagerank`: the callers derive it from a fact-table join
     and each of the ``hops`` relaxations would re-run that whole
-    subtree)."""
+    subtree). The distance vector is additionally pinned at each
+    iteration ENTRY (r12, guide §2.4): the loop body references
+    ``dist`` TWICE — the union arm and the relax join — so without the
+    pin the plan DOUBLES per hop and the seed subtree is re-derived
+    O(2^hops) times (audited plan at hops=3: 8 scans of the seed
+    table, 7 relax-joins instead of 3). The pinned frame is the
+    reached-node set — node-sized, never the edge list. Lazy pins:
+    everything materializes inside the caller's one action."""
     edges = edges.localCheckpoint(eager=False)
     dist = seeds.select(F.col("node"), F.lit(0).cast("int").alias("dist"))
     for _ in range(hops):
+        dist = dist.localCheckpoint(eager=False)  # 2 consumers below
         relax = (
             edges.join(dist, edges["src"] == dist["node"])
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))

@@ -104,3 +104,32 @@ def test_bounded_shortest_paths_multi_seed_min(spark):
         for r in bounded_shortest_paths(edges, seeds, hops=3).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 0}
+
+
+def test_bounded_shortest_paths_linear_plan_growth(spark):
+    """r12 optimization-round plan guard: each hop references the
+    distance vector TWICE (union arm + relax join), so an unpinned
+    loop doubles the plan per hop — the seed subtree was re-derived
+    2^hops times (audited: 8 scans of the seed table in the khop
+    registry row at hops=3). With the per-iteration pin, the returned
+    plan must not contain ANY un-truncated copy of the seed input —
+    every branch ends at a checkpointed RDD scan — and the relax-join
+    count must be the last hop's, not 2^hops - 1 of them."""
+    pairs = [(i, i + 1) for i in range(6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (6,)], "node long")
+
+    from cdc_historical_warehouse_platform_spark.operators.graph import bounded_shortest_paths
+
+    df = bounded_shortest_paths(edges, seeds, hops=3)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    tree = plan.split("\n\n")[0]
+    # all inputs reach the plan only through checkpoint boundaries
+    assert "LocalTableScan" not in tree
+    # one join per *final* hop survives in the visible plan — the
+    # earlier hops live behind the pinned RDD scans
+    assert tree.count("Join") <= 1
