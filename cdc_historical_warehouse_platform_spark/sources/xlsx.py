@@ -102,7 +102,14 @@ def parse_xlsx(payload: bytes, sheet: str | None = None):
     import zipfile
     from xml.etree import ElementTree as ET
 
-    zf = zipfile.ZipFile(io.BytesIO(payload))
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except (NotImplementedError, RuntimeError) as err:
+        # the CONSTRUCTOR parses the central directory and can raise
+        # NotImplementedError itself (a bit-flipped extract_version
+        # above MAX_EXTRACT_VERSION — found by the corruption fuzz
+        # suite), not just member reads (_zread's conversion)
+        raise ValueError(f"xlsx: unreadable zip container: {err}") from err
 
     # sheet name -> part path, via the workbook relationships
     wb = ET.fromstring(_zread(zf, "xl/workbook.xml"))

@@ -199,3 +199,24 @@ def test_xlsx_table_pivot(spark, tmp_path):
     # typed use: cast in SQL like any string source
     total = t.selectExpr("sum(cast(amount as double)) s").collect()[0]["s"]
     assert total == 9.5
+
+
+def test_parse_xlsx_converts_constructor_refusals(tmp_path):
+    """A bit-flipped extract_version in the central directory makes
+    zipfile's CONSTRUCTOR raise NotImplementedError("zip file version
+    ...") before any member read — parse_xlsx must convert it to the
+    clean ValueError parse contract (found by the corruption fuzz
+    suite at seed 49485)."""
+    import pytest
+
+    from cdc_historical_warehouse_platform_spark.sources.xlsx import parse_xlsx
+
+    f = tmp_path / "wb.xlsx"
+    _write_xlsx(f, {"s": '<row r="1"><c r="A1"><v>1</v></c></row>'})
+    payload = bytearray(f.read_bytes())
+    # central directory entry: PK\x01\x02 <ver_made(2)> <ver_extract(2)>
+    cd = payload.rfind(b"PK\x01\x02")
+    assert cd != -1
+    payload[cd + 6] = 0xFF  # extract_version -> 25.5, > MAX_EXTRACT_VERSION
+    with pytest.raises(ValueError, match="unreadable zip container"):
+        parse_xlsx(bytes(payload))
