@@ -401,7 +401,13 @@ def minhash_lsh_pairs(
         # signature+banding pipeline over the corpus (observed: 12
         # FileScans, 0 ReusedExchange). Two corpus passes total —
         # signature, then candidate-only verify — is the 100 TB shape.
-        .localCheckpoint(eager=True)
+        # LAZY (r13 optimization round): the eager form dispatched one
+        # driver-synchronous job per call before the consumer's action;
+        # the lazy pin truncates the plan identically and the RDD
+        # persists on first computation inside the consumer's own job,
+        # so all three branches still derive from ONE materialization
+        # (same job-fusion rationale as the r12 BPE checkpoint change).
+        .localCheckpoint(eager=False)
     )
     # Verify ONLY candidates (never all co-shingle pairs — that would be
     # the quadratic cost LSH exists to avoid): join each side's shingle

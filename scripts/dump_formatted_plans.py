@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump .explain("formatted") output for headline registry rows to
-plans/r12/<name>_<tag>.txt — the optimization round's plan evidence.
+plans/r13/<name>_<tag>.txt — the optimization round's plan evidence.
 
 Usage: python scripts/dump_formatted_plans.py <tag> [name ...]
   tag: "before" or "after" (file suffix)
@@ -36,7 +36,7 @@ def main() -> None:
     qs = entry.queries()
     if not names:
         names = list(HEADLINE)
-    outdir = REPO / "plans" / "r12"
+    outdir = REPO / "plans" / "r13"
     outdir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = qs[name](spark, SF_DIR)
