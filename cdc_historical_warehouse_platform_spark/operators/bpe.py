@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_historical_warehouse_platform_spark.operators.pins import pin_corpus_sized
 from cdc_historical_warehouse_platform_spark.operators.text import normalize_text, tokens
 
 __all__ = [
@@ -212,10 +213,8 @@ def bpe_token_counts(
     # re-scans and re-tokenizes the whole corpus. The pinned
     # (doc, word, cnt) table is bounded by distinct words per document
     # — strictly smaller than the word stream it summarizes.
-    wc = (
-        words.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=False)
+    wc = pin_corpus_sized(
+        words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("__cnt"))
     )
     seg = (
         wc.select("word")

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdc_historical_warehouse_platform_spark.operators.pins import pin_corpus_sized
 from cdc_historical_warehouse_platform_spark.operators.text import (
     fingerprint,
     ngrams_from_tokens,
@@ -135,7 +136,7 @@ def _pinned_shingle_stream(
     bounded: sets ≈ the corpus's distinct n-grams per doc, the capped
     stream strictly smaller. Lazy — computed inside the query's own
     action, nothing persists across runs."""
-    sets = _shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sets = pin_corpus_sized(_shingle_sets(df, text_col, id_col, n))
     sh = (
         sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
@@ -148,11 +149,15 @@ def _pinned_shingle_stream(
         # broadcasting it was the r4 audit's scale-killer). Anti-join
         # against the small side is the same filter.
         df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
-        sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("df") > max_doc_freq).select("shingle")),
-            "shingle",
-            "left_anti",
-        ).localCheckpoint(eager=False)
+        sh = pin_corpus_sized(
+            sh.join(
+                F.broadcast(
+                    df_counts.filter(F.col("df") > max_doc_freq).select("shingle")
+                ),
+                "shingle",
+                "left_anti",
+            )
+        )
     return sh
 
 
@@ -278,9 +283,7 @@ def decontaminate(
     # §2.4): both consumers below (per-doc sizes + the contamination
     # hits) otherwise re-run the regex-heavy tokenize over the whole
     # corpus. The explode per consumer over the pinned arrays is cheap.
-    corpus_sets = _shingle_sets(corpus, text_col, id_col, n).localCheckpoint(
-        eager=False
-    )
+    corpus_sets = pin_corpus_sized(_shingle_sets(corpus, text_col, id_col, n))
     corpus_sh = (
         corpus_sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
         .filter(F.col("shingle").isNotNull())

@@ -16,6 +16,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cdc_historical_warehouse_platform_spark.operators.pins import pin_corpus_sized
+
 __all__ = [
     "normalize_text",
     "fingerprint",
@@ -303,10 +305,9 @@ def unigram_surprisal(
     # over distinct (doc, token) — the same exact integers. Eager:
     # it replaces the total-count action's full pass, so plan build
     # still runs exactly one corpus-sized job.
-    wc = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=True)
+    wc = pin_corpus_sized(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("__cnt")),
+        eager=True,
     )
     total = wc.agg(F.sum("__cnt")).first()[0] or 0
     vocab = wc.groupBy("token").agg(F.sum("__cnt").alias("cnt"))
@@ -375,10 +376,8 @@ def tfidf_top_keywords(
     # and re-shuffles the whole corpus. The pinned (doc, token, tf)
     # table is bounded by distinct tokens per document — strictly
     # smaller than the token stream it summarizes.
-    tf = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    tf = pin_corpus_sized(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     )
     vocab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
     # single ln of the exact ratio (see unigram_surprisal's log note)
@@ -611,10 +610,8 @@ def bigram_surprisal(
     # exact integers. The histogram is strictly smaller than the
     # bigram stream it summarizes; vocab2 (consumed by pref AND the
     # scoring) is vocabulary-sized. Lazy pins.
-    bc = (
-        big.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=False)
+    bc = pin_corpus_sized(
+        big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("__cnt"))
     )
     vocab2 = (
         bc.groupBy("bg")
@@ -730,10 +727,8 @@ def dsir_importance_weights(
     # of (doc_id, bucket, cnt) rows that are strictly fewer than the
     # bigram occurrences they summarize. The tiny target corpus keeps
     # the plain single-use stream.
-    raw_hist = (
-        raw_bg.groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=False)
+    raw_hist = pin_corpus_sized(
+        raw_bg.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("__cnt"))
     )
     # Model-fit tables (≤ B rows) are checkpointed, and the totals are
     # derived from them by an exact integer sum — a separate count()
