@@ -122,6 +122,42 @@ def test_early_stop_on_min_pair_count(spark):
     }
 
 
+def test_batched_argmax_equals_sequential_on_adversarial_corpora(spark, monkeypatch):
+    """The r13 batched-collect trainer must reproduce the exact
+    sequential merge sequence on corpora built to stress every guard
+    of _safe_merge_prefix: dense count ties, self-pairs (runs of one
+    char), shared-symbol chains, and result-symbol collisions — a tiny
+    {a,b,c} alphabet with short random words maximizes all four."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choices("abc", k=rng.randint(1, 6)))
+            for _ in range(25)
+        ]
+        texts = [" ".join(rng.choices(words, k=8)) for _ in range(12)]
+        ref_merges, ref_vocab = _ref_bpe_train(texts, num_merges=10)
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        merges_df, vocab_df = BPE.bpe_train(df, num_merges=10)
+        got = [
+            (r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in merges_df.orderBy("merge_rank").collect()
+        ]
+        assert got == ref_merges, f"seed {seed}: batched != reference"
+        got_vocab = {r["word"]: r["syms"] for r in vocab_df.collect()}
+        assert got_vocab == ref_vocab, f"seed {seed}: vocab mismatch"
+    # and _BATCH_COLLECT=1 degrades to the exact sequential protocol
+    monkeypatch.setattr(BPE, "_BATCH_COLLECT", 1)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m_seq, _ = BPE.bpe_train(df, num_merges=10)
+    got_seq = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in m_seq.orderBy("merge_rank").collect()
+    ]
+    assert got_seq == ref_merges
+
+
 def test_train_is_deterministic_across_partitionings(spark, docs):
     m1, _ = BPE.bpe_train(docs.repartition(7), num_merges=8)
     m2, _ = BPE.bpe_train(docs.coalesce(1), num_merges=8)
