@@ -143,3 +143,58 @@ def test_extract_main_content_thresholds(spark):
 def test_python_tier_decodes_entities(entity, want):
     blocks = parse_blocks(f"<p>a{entity}b c d e</p>")
     assert blocks[0][0] == f"a{want}b c d e".replace("  ", " ").strip()
+
+
+def test_fast_parse_blocks_matches_stdlib_differential_fuzz():
+    """The r13 fast scanner must be event-identical to the stdlib
+    html.parser segmentation (parse_blocks_stdlib) — including the
+    tolerant/bogus-markup corners and CHUNK BOUNDARIES (link_chars
+    strips per data chunk, so even chunking drift would surface).
+    Two fuzz tiers: fragment recombination (realistic malformed
+    markup) and random markup soup (pathological)."""
+    import random
+
+    from cdc_historical_warehouse_platform_spark.operators.html import (
+        parse_blocks_stdlib,
+    )
+
+    frags = [
+        "plain text ", "with &amp; entity", "&#65;", "&bogus;", "&unclosed",
+        "& lone", "<p>", "</p>", "<div class='x'>", "</div>",
+        "<a href='/x'>link text</a>", '<a href="a>b">q</a>',
+        "<script>var x = '<p>not a tag</p>';</script>", "<script>never closed",
+        "<style>b{}</style>", "<template><p>tpl</p></template>",
+        "<noscript><a>n</a></noscript>", "<!-- comment with <p> -->",
+        "<!-- unterminated", "<!DOCTYPE html>", "<![CDATA[ raw <p> ]]>",
+        "<![if ie]>x<![endif]>", "stray < here", "< ", "</>", "</3 bogus>",
+        "<br/>", "<hr />", "<p attr=>", "<p 'a'=b>", "<p/q>",
+        "<p a='1' b=2 c>", "text<", "</unclosed", "<?php echo '>x'; ?>",
+        "<?pi", "<!>", "<!bogus decl>", "<!bogus", "<SCRIPT>UP</script >",
+        "</ p>", "<a><a>nested anchors</a>text</a>", "<ul><li>one<li>two</ul>",
+        "\n\t  whitespace block \f", "tail &am", "tail &amp",
+        "mixed &lt;tag&gt; text",
+    ]
+    soup = list("<>/!?&;#=-'\"[] \n\tabcPSZ09") + [
+        "script", "style", "<!--", "-->", "<![CDATA[", "]]>", "<![if",
+        "<![x", "doctype", "&amp;", "template", "<a", "</a>",
+    ]
+
+    def outcome(fn, s):
+        try:
+            return ("ok", fn(s))
+        except Exception as e:  # the stdlib raises on some soup; mirror it
+            return ("exc", type(e).__name__)
+
+    rng = random.Random(20260818)
+    cases = []
+    for _ in range(400):
+        s = "".join(rng.choice(frags) for _ in range(rng.randint(1, 10)))
+        if rng.random() < 0.3:
+            s = s[: rng.randint(0, len(s))]
+        cases.append(s)
+    for _ in range(600):
+        cases.append(
+            "".join(rng.choice(soup) for _ in range(rng.randint(0, 50)))
+        )
+    for s in cases:
+        assert outcome(parse_blocks, s) == outcome(parse_blocks_stdlib, s), repr(s)
