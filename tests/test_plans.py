@@ -127,8 +127,12 @@ def _all_pairs_hits(df) -> list[str]:
     off) because subquery physical plans only exist after preparation —
     at sparkPlan stage a subquery still holds its logical plan and an
     all-pairs join inside it would be invisible."""
+    return _plan_all_pairs_hits(df._jdf.queryExecution().executedPlan())
+
+
+def _plan_all_pairs_hits(plan) -> list[str]:
     hits = []
-    for node in _walk(df._jdf.queryExecution().executedPlan()):
+    for node in _walk(plan):
         name = node.getClass().getSimpleName()
         if name == "CartesianProductExec":
             hits.append("CartesianProduct")
@@ -139,24 +143,36 @@ def _all_pairs_hits(df) -> list[str]:
     return hits
 
 
-def test_no_query_plan_contains_all_pairs_join(spark):
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """Every registry query built ONCE with AQE off (so executedPlan is
+    the fully-prepared static plan, PlanSubqueries included) — shared
+    by the all-pairs and unpartitioned-window lints, which each used to
+    re-build all 174 plans themselves (the two tests were ~290 s of the
+    suite; one shared pass halves it — r13, verdict task #6). The
+    DataFrames are kept alive alongside the plans so the py4j refs
+    stay valid."""
     mod = _entry_module()
-    offenders = {}
-    # AQE off so executedPlan is the fully-prepared static plan
-    # (PlanSubqueries included) rather than an AdaptiveSparkPlanExec
-    # wrapper that plans lazily at execution
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    plans = {}
     try:
         for name, fn in mod.queries().items():
-            if name in ALL_PAIRS_BY_DESIGN:
-                continue
             df = fn(spark, SF_DIR)
-            hits = _all_pairs_hits(df)
-            if hits:
-                offenders[name] = hits
+            plans[name] = (df, df._jdf.queryExecution().executedPlan())
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return plans
+
+
+def test_no_query_plan_contains_all_pairs_join(registry_plans):
+    offenders = {}
+    for name, (_df, plan) in registry_plans.items():
+        if name in ALL_PAIRS_BY_DESIGN:
+            continue
+        hits = _plan_all_pairs_hits(plan)
+        if hits:
+            offenders[name] = hits
     assert offenders == {}
 
 
@@ -167,8 +183,12 @@ def _unpartitioned_window_hits(df) -> list[str]:
     fatal on a table; every registry plan and exported operator
     default must partition its windows or bound the window's input BY
     CONSTRUCTION before it (LIMIT / TakeOrderedAndProject)."""
+    return _plan_unpartitioned_window_hits(df._jdf.queryExecution().executedPlan())
+
+
+def _plan_unpartitioned_window_hits(plan) -> list[str]:
     hits = []
-    for node in _walk(df._jdf.queryExecution().executedPlan()):
+    for node in _walk(plan):
         name = node.getClass().getSimpleName()
         if name in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
             if node.partitionSpec().isEmpty():
@@ -176,7 +196,7 @@ def _unpartitioned_window_hits(df) -> list[str]:
     return hits
 
 
-def test_no_query_plan_contains_unpartitioned_window(spark):
+def test_no_query_plan_contains_unpartitioned_window(registry_plans):
     """r12 (verdict task #5): the all-pairs lint's sibling — an
     unpartitioned window is the other silent scale-killer the value
     gate can't catch (still correct, dead at 100 TB). The r12
@@ -184,18 +204,11 @@ def test_no_query_plan_contains_unpartitioned_window(spark):
     rows, so there is no allowlist: a new row needing one must bound
     its window input by construction instead (the zipf/bm25 broadcast
     rank self-join pattern, or operators/rank.py's bucketed ranks)."""
-    mod = _entry_module()
     offenders = {}
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        for name, fn in mod.queries().items():
-            df = fn(spark, SF_DIR)
-            hits = _unpartitioned_window_hits(df)
-            if hits:
-                offenders[name] = hits
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    for name, (_df, plan) in registry_plans.items():
+        hits = _plan_unpartitioned_window_hits(plan)
+        if hits:
+            offenders[name] = hits
     assert offenders == {}
 
 
