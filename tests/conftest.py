@@ -1,5 +1,14 @@
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# the driver may invoke pytest from any cwd; make the package importable
+# regardless (same bootstrap as __spark_entry__)
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 import datetime as dt
 from decimal import Decimal
 
