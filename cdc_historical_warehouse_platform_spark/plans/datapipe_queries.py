@@ -805,6 +805,8 @@ def corpus_keep_decisions_unsorted(spark: SparkSession, sf: str) -> DataFrame:
     decision is deterministic and SQL-expressible."""
     from cdc_historical_warehouse_platform_spark.operators import text as _T
 
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf, "documents")
     t = F.col("text")
     base = docs.select(
@@ -813,7 +815,19 @@ def corpus_keep_decisions_unsorted(spark: SparkSession, sf: str) -> DataFrame:
         _T.quality_score(t).alias("__q"),
         _T.fingerprint(t).alias("__fp"),
     )
-    canon = base.groupBy("__fp").agg(F.min("doc_id").alias("__canonical"))
+    # Canonical id as a WINDOW over the fingerprint, not a groupBy +
+    # self-join (r13 optimization round, guide §2.4): the join form
+    # evaluated ``base`` — the regex-heavy quality cascade + md5 over
+    # the whole corpus — once per join side and shuffled both (measured
+    # at the sf1 10x fixture: base alone 3.5 s, base ⋈ canon 12.1 s).
+    # The window computes the same min-per-fingerprint in ONE pass over
+    # base with ONE narrow shuffle (doc_id, lang, __q, __fp — no text).
+    # Same rows, same values: the inner join on __fp kept every base
+    # row (canon keys ⊆ base keys by construction), so this is
+    # plan-only; oracle hash-exact at all three SFs.
+    base = base.withColumn(
+        "__canonical", F.min("doc_id").over(Window.partitionBy("__fp"))
+    )
     near = (
         minhash_lsh_pairs(docs, n=3, bands=32, rows_per_band=2, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
@@ -821,8 +835,7 @@ def corpus_keep_decisions_unsorted(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("__near", F.lit(True))
     )
     return (
-        base.join(canon, "__fp")
-        .join(near, "doc_id", "left")
+        base.join(near, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
